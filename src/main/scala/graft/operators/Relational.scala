@@ -1,0 +1,517 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Engine._
+import graft.QueryPack
+
+/** Relational operator suite over the driver's TPC-H-ish tables.
+  *
+  * The reference pipeline itself has no relational layer (SURVEY.md §2.6:
+  * zero joins), so this pack is the north-star extension surface from
+  * BASELINE.json: scan/filter/project with pushdown, hash & broadcast
+  * joins, semi/anti joins, group-by/rollup/pivot aggregation, window
+  * functions, set ops, sessionization, and skew-resistant two-phase
+  * aggregation — each with a DuckDB oracle.
+  *
+  * Scale notes (100 TB design point):
+  *  - dimension joins (`customer`, `nation`, `region`, `supplier`) are
+  *    explicitly `broadcast()` — no shuffle of the fact table;
+  *  - fact-fact joins go through AQE (skew-split, runtime stats);
+  *  - aggregates are partial+final (Catalyst does map-side combine for
+  *    all `groupBy().agg()` here — verified via `.explain`);
+  *  - filters/projections sit directly on the parquet scan so pushdown
+  *    and column pruning apply (`PushedFilters`/`ReadSchema`).
+  */
+object Relational extends QueryPack {
+
+  // -- q01: full-scan aggregation (TPC-H Q1 shape) ------------------------
+  private def q01(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("2001-09-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sumM(col("l_quantity")).as("sum_qty"),
+        sumM(col("l_extendedprice")).as("sum_base_price"),
+        sumM(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("sum_disc_price"),
+        sumM(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  private val q01Sql =
+    s"""SELECT l_returnflag, l_linestatus,
+       |  ${sumMs("l_quantity")} AS sum_qty,
+       |  ${sumMs("l_extendedprice")} AS sum_base_price,
+       |  ${sumMs("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
+       |  ${sumMs("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)")} AS sum_charge,
+       |  COUNT(*) AS count_order
+       |FROM lineitem
+       |WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+       |GROUP BY l_returnflag, l_linestatus
+       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // -- q02: filter + projection (parquet pushdown path) -------------------
+  private def q02(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1998-01-01").cast("timestamp")
+        && col("l_shipdate") < lit("1998-04-01").cast("timestamp")
+        && col("l_quantity") >= 45.0)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        d2(m4(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .as("net_price"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  private val q02Sql =
+    s"""SELECT l_orderkey, l_linenumber,
+       |  ${d2s(m4s("l_extendedprice * (1.0 - l_discount)"))} AS net_price
+       |FROM lineitem
+       |WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+       |  AND l_shipdate < TIMESTAMP '1998-04-01' AND l_quantity >= 45.0
+       |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  // -- q03: broadcast dimension join + aggregation ------------------------
+  private def q03(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "orders")
+      .join(broadcast(table(s, dir, "customer")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        sumM(col("o_totalprice")).as("revenue"))
+      .orderBy(col("c_mktsegment"))
+
+  private val q03Sql =
+    s"""SELECT c_mktsegment, COUNT(*) AS n_orders,
+       |  ${sumMs("o_totalprice")} AS revenue
+       |FROM orders JOIN customer ON o_custkey = c_custkey
+       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  // -- q04: multi-way join through the dimension chain (TPC-H Q5 shape) ---
+  private def q04(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "lineitem")
+      .join(table(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(table(s, dir, "customer")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(table(s, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(table(s, dir, "region")),
+        col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name").isin("ASIA", "EUROPE"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(sumM(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("r_name"), col("n_name"))
+
+  private val q04Sql =
+    s"""SELECT r_name, n_name,
+       |  ${sumMs("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+       |  COUNT(*) AS n_items
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |WHERE r_name IN ('ASIA', 'EUROPE')
+       |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin
+
+  // -- q05: left-semi join (EXISTS) ---------------------------------------
+  private def q05(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "orders")
+      .join(table(s, dir, "lineitem").filter(col("l_quantity") >= 49.0),
+        col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .select(col("o_orderkey"), col("o_orderpriority"))
+      .orderBy(col("o_orderkey"))
+
+  private val q05Sql =
+    """SELECT o_orderkey, o_orderpriority FROM orders
+      |WHERE EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_quantity >= 49.0)
+      |ORDER BY o_orderkey""".stripMargin
+
+  // -- q06: left-anti join (NOT EXISTS) -----------------------------------
+  private def q06(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "customer")
+      .join(table(s, dir, "orders"), col("c_custkey") === col("o_custkey"),
+        "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+
+  private val q06Sql =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  // -- q07: top-k (global sort + limit -> TakeOrderedAndProject) ----------
+  private def q07(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "orders")
+      .select(col("o_orderkey"),
+        d2(m4(col("o_totalprice"))).as("total_price"))
+      .orderBy(col("total_price").desc, col("o_orderkey"))
+      .limit(100)
+
+  private val q07Sql =
+    s"""SELECT o_orderkey, ${d2s(m4s("o_totalprice"))} AS total_price
+       |FROM orders
+       |ORDER BY total_price DESC, o_orderkey LIMIT 100""".stripMargin
+
+  // -- q08: window ranking (top-n per group) -------------------------------
+  private def q08(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    table(s, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("rn"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  private val q08Sql =
+    """SELECT o_custkey, o_orderkey, rn FROM (
+      |  SELECT o_custkey, o_orderkey,
+      |    row_number() OVER (PARTITION BY o_custkey
+      |                       ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      |  FROM orders) WHERE rn <= 3
+      |ORDER BY o_custkey, rn""".stripMargin
+
+  // -- q09: window running aggregate ---------------------------------------
+  private def q09(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_orderkey")).orderBy(col("l_linenumber"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    table(s, dir, "lineitem")
+      .filter(col("l_orderkey") % 50 === 0)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        d2(sum(m4(col("l_quantity"))).over(w)).as("running_qty"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  private val q09Sql =
+    s"""SELECT l_orderkey, l_linenumber,
+       |  ${d2s(s"SUM(${m4s("l_quantity")}) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")} AS running_qty
+       |FROM lineitem WHERE l_orderkey % 50 = 0
+       |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  // -- q10: rollup (hierarchical grouping sets) ----------------------------
+  private def q10(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(sumM(col("l_quantity")).as("sum_qty"),
+        count(lit(1)).as("n"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("sum_qty"), col("n"))
+      .orderBy(col("rf"), col("ls"))
+
+  private val q10Sql =
+    s"""SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+       |  COALESCE(l_linestatus, 'ALL') AS ls,
+       |  ${sumMs("l_quantity")} AS sum_qty, COUNT(*) AS n
+       |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+       |ORDER BY rf, ls""".stripMargin
+
+  // -- q11/q12: set operations ---------------------------------------------
+  private def q11(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "customer").select(col("c_nationkey").as("nk"))
+      .intersect(table(s, dir, "supplier").select(col("s_nationkey").as("nk")))
+      .join(broadcast(table(s, dir, "nation")), col("nk") === col("n_nationkey"))
+      .select(col("n_nationkey"), col("n_name"))
+      .orderBy(col("n_nationkey"))
+
+  private val q11Sql =
+    """SELECT n_nationkey, n_name FROM nation
+      |JOIN (SELECT c_nationkey AS nk FROM customer
+      |      INTERSECT SELECT s_nationkey FROM supplier) ON nk = n_nationkey
+      |ORDER BY n_nationkey""".stripMargin
+
+  private def q12(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "customer").select(col("c_nationkey").as("nk"))
+      .except(table(s, dir, "supplier").select(col("s_nationkey").as("nk")))
+      .join(broadcast(table(s, dir, "nation")), col("nk") === col("n_nationkey"))
+      .select(col("n_nationkey"), col("n_name"))
+      .orderBy(col("n_nationkey"))
+
+  private val q12Sql =
+    """SELECT n_nationkey, n_name FROM nation
+      |JOIN (SELECT c_nationkey AS nk FROM customer
+      |      EXCEPT SELECT s_nationkey FROM supplier) ON nk = n_nationkey
+      |ORDER BY n_nationkey""".stripMargin
+
+  // -- q13: conditional aggregation ----------------------------------------
+  private def q13(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("o_orderstatus") === "O", 1L).otherwise(0L)).as("n_open"),
+        sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L))
+          .as("n_fulfilled"))
+      .withColumn("open_ratio",
+        round(col("n_open").cast("double") / col("n_total"), 6))
+      .orderBy(col("o_orderpriority"))
+
+  private val q13Sql =
+    """SELECT o_orderpriority, COUNT(*) AS n_total,
+      |  SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_open,
+      |  SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_fulfilled,
+      |  ROUND(CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS DOUBLE)
+      |        / COUNT(*), 6) AS open_ratio
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // -- q14: date bucketing --------------------------------------------------
+  private def q14(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "orders")
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(count(lit(1)).as("n_orders"),
+        sumM(col("o_totalprice")).as("revenue"))
+      .orderBy(col("month"))
+
+  private val q14Sql =
+    s"""SELECT strftime(o_orderdate, '%Y-%m') AS month, COUNT(*) AS n_orders,
+       |  ${sumMs("o_totalprice")} AS revenue
+       |FROM orders GROUP BY 1 ORDER BY month""".stripMargin
+
+  // -- q15: string functions --------------------------------------------------
+  private def q15(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "part")
+      .filter(col("p_type").startsWith("ECO") || col("p_name").contains("widget"))
+      .select(col("p_partkey"),
+        upper(col("p_brand")).as("brand_u"),
+        concat(col("p_name"), lit(" ["), col("p_type"), lit("]")).as("tagged"),
+        length(col("p_name")).as("name_len"),
+        regexp_replace(col("p_name"), " ", "_").as("snake"))
+      .orderBy(col("p_partkey"))
+
+  private val q15Sql =
+    """SELECT p_partkey, upper(p_brand) AS brand_u,
+      |  p_name || ' [' || p_type || ']' AS tagged,
+      |  length(p_name) AS name_len,
+      |  replace(p_name, ' ', '_') AS snake
+      |FROM part
+      |WHERE p_type LIKE 'ECO%' OR p_name LIKE '%widget%'
+      |ORDER BY p_partkey""".stripMargin
+
+  // -- q16: group-by + HAVING + broadcast join back -------------------------
+  private def q16(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"))
+      .filter(col("n_orders") >= 14)
+      .join(broadcast(table(s, dir, "customer")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("n_orders"))
+      .orderBy(col("c_custkey"))
+
+  private val q16Sql =
+    """SELECT c_custkey, c_name, n_orders FROM customer
+      |JOIN (SELECT o_custkey, COUNT(*) AS n_orders FROM orders
+      |      GROUP BY o_custkey HAVING COUNT(*) >= 14) ON o_custkey = c_custkey
+      |ORDER BY c_custkey""".stripMargin
+
+  // -- q17: scalar subquery (orders above global mean price) ----------------
+  private def q17(s: SparkSession, dir: String): DataFrame = {
+    val o = table(s, dir, "orders")
+    val thr = o.agg((sum(m4(col("o_totalprice"))).cast("double")
+      / count(lit(1))).as("thr"))
+    o.join(broadcast(thr))
+      .filter(col("o_totalprice") > col("thr"))
+      .select(col("o_orderkey"), d2(m4(col("o_totalprice"))).as("total_price"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  private val q17Sql =
+    s"""SELECT o_orderkey, ${d2s(m4s("o_totalprice"))} AS total_price
+       |FROM orders
+       |WHERE o_totalprice > (SELECT CAST(SUM(${m4s("o_totalprice")}) AS DOUBLE)
+       |                             / COUNT(*) FROM orders)
+       |ORDER BY o_orderkey""".stripMargin
+
+  // -- q18: gap-based sessionization (lag + cumulative window) --------------
+  private def q18(s: SparkSession, dir: String): DataFrame = {
+    val byTime = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    table(s, dir, "events")
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byTime))
+      .withColumn("new_session",
+        when(col("prev_us").isNull
+          || unix_micros(col("ts")) - col("prev_us") > 1800000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("new_session")).over(
+        byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        max(col("session_id")).as("n_sessions"))
+      .orderBy(col("user_id"))
+  }
+
+  private val q18Sql =
+    """SELECT user_id, COUNT(*) AS n_events, MAX(session_id) AS n_sessions
+      |FROM (
+      |  SELECT user_id,
+      |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM (
+      |    SELECT user_id, ts, event_id,
+      |      CASE WHEN prev_us IS NULL
+      |                OR epoch_us(ts) - prev_us > 1800000000 THEN 1
+      |           ELSE 0 END AS new_session
+      |    FROM (
+      |      SELECT user_id, ts, event_id,
+      |        lag(epoch_us(ts)) OVER (PARTITION BY user_id
+      |                                ORDER BY ts, event_id) AS prev_us
+      |      FROM events)))
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // -- q19: exact distinct aggregation ---------------------------------------
+  private def q19(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
+  private val q19Sql =
+    """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+      |  COUNT(DISTINCT l_suppkey) AS n_supps, COUNT(*) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // -- q20: union of heterogeneous sources ------------------------------------
+  private def q20(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "customer")
+      .select(lit("customer").as("kind"), col("c_acctbal").as("bal"))
+      .unionAll(table(s, dir, "supplier")
+        .select(lit("supplier").as("kind"), col("s_acctbal").as("bal")))
+      .groupBy(col("kind"))
+      .agg(count(lit(1)).as("n"), sumM(col("bal")).as("total_bal"))
+      .orderBy(col("kind"))
+
+  private val q20Sql =
+    s"""SELECT kind, COUNT(*) AS n, ${sumMs("bal")} AS total_bal
+       |FROM (SELECT 'customer' AS kind, c_acctbal AS bal FROM customer
+       |      UNION ALL
+       |      SELECT 'supplier' AS kind, s_acctbal AS bal FROM supplier)
+       |GROUP BY kind ORDER BY kind""".stripMargin
+
+  // -- q21: outer join with unmatched-side counting ----------------------------
+  private def q21(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "part")
+      .join(table(s, dir, "lineitem"), col("p_partkey") === col("l_partkey"),
+        "left")
+      .groupBy(col("p_brand"))
+      .agg(countDistinct(col("p_partkey")).as("n_parts"),
+        count(col("l_orderkey")).as("n_lineitems"))
+      .orderBy(col("p_brand"))
+
+  private val q21Sql =
+    """SELECT p_brand, COUNT(DISTINCT p_partkey) AS n_parts,
+      |  COUNT(l_orderkey) AS n_lineitems
+      |FROM part LEFT JOIN lineitem ON p_partkey = l_partkey
+      |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
+  // -- q22: two-phase salted aggregation (skew resistance) ---------------------
+  // Result is identical to a plain GROUP BY (the oracle); the point is the
+  // plan: a skewed hot key is split across 8 salt buckets in phase 1
+  // (map-side partial per salt), so no single reducer sees the whole key.
+  private def q22(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "events")
+      .groupBy(col("event_type"), (col("event_id") % 8).as("salt"))
+      .agg(count(lit(1)).as("pn"), sum(m4(col("value"))).as("pv"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("pn")).as("n"), d2(sum(col("pv"))).as("total_value"))
+      .orderBy(col("event_type"))
+
+  private val q22Sql =
+    s"""SELECT event_type, COUNT(*) AS n, ${sumMs("value")} AS total_value
+       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // -- q23: exact median / extrema ----------------------------------------------
+  private def q23(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_quantity, 0.5)").as("median_qty"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"))
+      .orderBy(col("l_returnflag"))
+
+  private val q23Sql =
+    """SELECT l_returnflag, median(l_quantity) AS median_qty,
+      |  MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // -- q24: pivot (days x event types) --------------------------------------------
+  private val eventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  private def q24(s: SparkSession, dir: String): DataFrame = {
+    val pivoted = table(s, dir, "events")
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .pivot("event_type", eventTypes)
+      .agg(count(lit(1)))
+    eventTypes.foldLeft(pivoted) { (df, t) =>
+      df.withColumn(t, coalesce(col(t), lit(0L)))
+    }.orderBy(col("day"))
+  }
+
+  private val q24Sql = {
+    val arms = eventTypes.map(t =>
+      s"SUM(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS $t")
+    s"""SELECT strftime(ts, '%Y-%m-%d') AS day, ${arms.mkString(", ")}
+       |FROM events GROUP BY 1 ORDER BY day""".stripMargin
+  }
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map(
+      "q01_pricing_summary" -> q01 _,
+      "q02_filter_pushdown" -> q02 _,
+      "q03_broadcast_join_agg" -> q03 _,
+      "q04_multiway_join" -> q04 _,
+      "q05_semi_join" -> q05 _,
+      "q06_anti_join" -> q06 _,
+      "q07_topk" -> q07 _,
+      "q08_window_rank" -> q08 _,
+      "q09_window_running" -> q09 _,
+      "q10_rollup" -> q10 _,
+      "q11_intersect" -> q11 _,
+      "q12_except" -> q12 _,
+      "q13_conditional_agg" -> q13 _,
+      "q14_month_agg" -> q14 _,
+      "q15_string_funcs" -> q15 _,
+      "q16_having" -> q16 _,
+      "q17_scalar_subquery" -> q17 _,
+      "q18_sessionize" -> q18 _,
+      "q19_distinct_agg" -> q19 _,
+      "q20_union_agg" -> q20 _,
+      "q21_outer_join" -> q21 _,
+      "q22_salted_agg" -> q22 _,
+      "q23_median" -> q23 _,
+      "q24_pivot" -> q24 _
+    )
+
+  override val oracles: Map[String, String] = Map(
+    "q01_pricing_summary" -> q01Sql,
+    "q02_filter_pushdown" -> q02Sql,
+    "q03_broadcast_join_agg" -> q03Sql,
+    "q04_multiway_join" -> q04Sql,
+    "q05_semi_join" -> q05Sql,
+    "q06_anti_join" -> q06Sql,
+    "q07_topk" -> q07Sql,
+    "q08_window_rank" -> q08Sql,
+    "q09_window_running" -> q09Sql,
+    "q10_rollup" -> q10Sql,
+    "q11_intersect" -> q11Sql,
+    "q12_except" -> q12Sql,
+    "q13_conditional_agg" -> q13Sql,
+    "q14_month_agg" -> q14Sql,
+    "q15_string_funcs" -> q15Sql,
+    "q16_having" -> q16Sql,
+    "q17_scalar_subquery" -> q17Sql,
+    "q18_sessionize" -> q18Sql,
+    "q19_distinct_agg" -> q19Sql,
+    "q20_union_agg" -> q20Sql,
+    "q21_outer_join" -> q21Sql,
+    "q22_salted_agg" -> q22Sql,
+    "q23_median" -> q23Sql,
+    "q24_pivot" -> q24Sql
+  )
+}

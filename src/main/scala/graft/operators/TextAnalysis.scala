@@ -1,0 +1,184 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Engine._
+import graft.QueryPack
+
+/** Text-analysis operators for a training-data pipeline, over the
+  * `documents` table: token statistics, quality scoring, language-ID
+  * (marker-lexicon heuristic), bag-of-words fingerprinting, and character
+  * n-gram profiling.
+  *
+  * These generalize the reference's text surface (`transformer.py:30-189`:
+  * clean/summarize/classify are all token- and keyword-level analyses) to
+  * corpus-scale operators. Everything here is a narrow map or a single
+  * partial+final aggregation — no operator shuffles more than one round,
+  * and all expressions are Catalyst built-ins (codegen'd, no UDFs), so the
+  * pack scales linearly with document splits at 100 TB.
+  *
+  * Cross-engine determinism: ratios are computed with one IEEE double
+  * division and `round(·, 6)`; token pipelines use only exact integer /
+  * string ops. Oracle SQL mirrors each formula term for term.
+  */
+object TextAnalysis extends QueryPack {
+
+  /** Marker lexicons for the language-ID heuristic. Tiny on purpose: the
+    * operator demonstrates weighted marker counting with a deterministic
+    * arg-max; swap in real stopword tables for production.
+    */
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of"),
+    "de" -> Seq("der", "die", "und"),
+    "es" -> Seq("el", "la", "y"),
+    "fr" -> Seq("le", "la", "et"),
+    "zh" -> Seq("shi", "bu", "wo"))
+
+  // -- txt_tokens: token counting ------------------------------------------
+  private def txtTokens(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "documents")
+      .selectExpr("doc_id", "split(text, ' ') AS toks", "n_chars")
+      .selectExpr("doc_id",
+        "size(toks) AS n_tokens",
+        "size(array_distinct(toks)) AS n_distinct",
+        "n_chars",
+        "round(cast(aggregate(toks, 0, (acc, t) -> acc + length(t)) as double)"
+          + " / size(toks), 6) AS avg_token_len")
+      .orderBy(col("doc_id"))
+
+  private val txtTokensSql =
+    """SELECT doc_id, len(toks) AS n_tokens,
+      |  len(list_distinct(toks)) AS n_distinct, n_chars,
+      |  round(CAST(list_aggregate(list_transform(toks, t -> length(t)), 'sum')
+      |        AS DOUBLE) / len(toks), 6) AS avg_token_len
+      |FROM (SELECT doc_id, string_split(text, ' ') AS toks, n_chars
+      |      FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
+  // -- txt_quality: heuristic quality scoring --------------------------------
+  // score = 0.5 * min(1, n_tokens/100) + 0.5 * (1 - stopword_ratio)
+  private def txtQuality(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "documents")
+      .selectExpr("doc_id", "split(text, ' ') AS toks")
+      .selectExpr("doc_id", "size(toks) AS n_tokens",
+        "size(filter(toks, t -> t = 'the' OR t = 'a')) AS n_stop")
+      .selectExpr("doc_id", "n_tokens",
+        "round(cast(n_stop as double) / n_tokens, 6) AS stop_ratio",
+        "round(0.5 * least(1.0, cast(n_tokens as double) / 100.0)"
+          + " + 0.5 * (1.0 - cast(n_stop as double) / n_tokens), 6)"
+          + " AS quality_score")
+      .orderBy(col("doc_id"))
+
+  private val txtQualitySql =
+    """SELECT doc_id, n_tokens,
+      |  round(CAST(n_stop AS DOUBLE) / n_tokens, 6) AS stop_ratio,
+      |  round(0.5 * least(1.0, CAST(n_tokens AS DOUBLE) / 100.0)
+      |        + 0.5 * (1.0 - CAST(n_stop AS DOUBLE) / n_tokens), 6)
+      |    AS quality_score
+      |FROM (SELECT doc_id, len(toks) AS n_tokens,
+      |        len(list_filter(toks, t -> t = 'the' OR t = 'a')) AS n_stop
+      |      FROM (SELECT doc_id, string_split(text, ' ') AS toks
+      |            FROM documents))
+      |ORDER BY doc_id""".stripMargin
+
+  // -- txt_langid: marker-lexicon language identification ---------------------
+  private def txtLangId(s: SparkSession, dir: String): DataFrame = {
+    val scoreCols = langMarkers.map { case (lang, markers) =>
+      val cond = markers.map(m => s"t = '$m'").mkString(" OR ")
+      s"size(filter(toks, t -> $cond)) AS s_$lang"
+    }
+    val langs = langMarkers.map(_._1)
+    val maxAll = s"greatest(${langs.map("s_" + _).mkString(", ")})"
+    val predicted = langs.map(l => s"WHEN s_$l = $maxAll THEN '$l'")
+      .mkString("CASE ", " ", " END")
+    table(s, dir, "documents")
+      .selectExpr("doc_id", "split(text, ' ') AS toks")
+      .selectExpr(Seq("doc_id") ++ scoreCols: _*)
+      .selectExpr(Seq("doc_id") ++ langs.map("s_" + _)
+        ++ Seq(s"$predicted AS predicted_lang"): _*)
+      .orderBy(col("doc_id"))
+  }
+
+  private val txtLangIdSql = {
+    val scoreCols = langMarkers.map { case (lang, markers) =>
+      val cond = markers.map(m => s"t = '$m'").mkString(" OR ")
+      s"len(list_filter(toks, t -> $cond)) AS s_$lang"
+    }
+    val langs = langMarkers.map(_._1)
+    val maxAll = s"greatest(${langs.map("s_" + _).mkString(", ")})"
+    val predicted = langs.map(l => s"WHEN s_$l = $maxAll THEN '$l'")
+      .mkString("CASE ", " ", " END")
+    s"""SELECT doc_id, ${langs.map("s_" + _).mkString(", ")},
+       |  $predicted AS predicted_lang
+       |FROM (SELECT doc_id, ${scoreCols.mkString(", ")}
+       |      FROM (SELECT doc_id, string_split(text, ' ') AS toks
+       |            FROM documents))
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // -- txt_fingerprint: normalized bag-of-words fingerprint --------------------
+  // fp = md5(sorted distinct lowercased tokens) — docs that are token-set
+  // permutations of each other collide, a cheap canonical-form dedup key.
+  private def txtFingerprint(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "documents")
+      .selectExpr("doc_id",
+        "md5(array_join(array_sort(array_distinct(split(lower(text), ' '))), ' '))"
+          + " AS fp")
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_id"))
+      .orderBy(col("fp"))
+
+  private val txtFingerprintSql =
+    """SELECT fp, COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
+      |FROM (SELECT doc_id,
+      |        md5(array_to_string(list_sort(list_distinct(
+      |          string_split(lower(text), ' '))), ' ')) AS fp
+      |      FROM documents)
+      |GROUP BY fp ORDER BY fp""".stripMargin
+
+  // -- txt_trigrams: top character 3-grams per language ------------------------
+  private def txtTrigrams(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("cnt").desc, col("gram"))
+    table(s, dir, "documents")
+      .selectExpr("lang",
+        "explode(transform(sequence(1, length(text) - 2),"
+          + " i -> substring(text, i, 3))) AS gram")
+      .groupBy(col("lang"), col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 10)
+      .orderBy(col("lang"), col("rnk"))
+  }
+
+  private val txtTrigramsSql =
+    """SELECT lang, gram, cnt, rnk FROM (
+      |  SELECT lang, gram, cnt,
+      |    row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, gram) AS rnk
+      |  FROM (
+      |    SELECT lang, gram, COUNT(*) AS cnt FROM (
+      |      SELECT lang, unnest(list_transform(range(1, length(text) - 1),
+      |        i -> substr(text, i, 3))) AS gram
+      |      FROM documents)
+      |    GROUP BY lang, gram))
+      |WHERE rnk <= 10 ORDER BY lang, rnk""".stripMargin
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map(
+      "txt_tokens" -> txtTokens _,
+      "txt_quality" -> txtQuality _,
+      "txt_langid" -> txtLangId _,
+      "txt_fingerprint" -> txtFingerprint _,
+      "txt_trigrams" -> txtTrigrams _
+    )
+
+  override val oracles: Map[String, String] = Map(
+    "txt_tokens" -> txtTokensSql,
+    "txt_quality" -> txtQualitySql,
+    "txt_langid" -> txtLangIdSql,
+    "txt_fingerprint" -> txtFingerprintSql,
+    "txt_trigrams" -> txtTrigramsSql
+  )
+}
