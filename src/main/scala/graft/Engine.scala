@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType}
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 /** Session factory + shared helpers for the graft engine.
   *
@@ -26,6 +26,11 @@ object Engine {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // events.parquet carries TIMESTAMP(NANOS) which Spark's micros-based
+      // TimestampType cannot hold — read as bigint epoch-nanos instead
+      // (queries do exact integer arithmetic on it; DuckDB side uses
+      // epoch_ns(ts) for the same value).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -42,28 +47,34 @@ object Engine {
   // The driver's correctness gate hash-compares our result values against
   // DuckDB running the oracle SQL on the same parquet files. Raw
   // floating-point aggregation is NOT reproducible across engines (the
-  // summation order differs), so every money/measure aggregate follows one
-  // discipline, mirrored exactly in the oracle SQL:
+  // summation order differs), and even double->DECIMAL casts disagree
+  // (Spark rounds the shortest string repr HALF_UP, DuckDB rounds the
+  // true binary value). So every money/measure aggregate uses scaled
+  // fixed-point built ONLY from IEEE ops that are bit-identical given
+  // identical inputs, mirrored term-for-term in the oracle SQL:
   //
-  //   1. compute the per-row measure in DOUBLE (IEEE ops on identical
-  //      operands are bit-identical in any engine),
-  //   2. CAST it to DECIMAL(18,4) (one deterministic rounding),
-  //   3. SUM the decimals (exact, order-independent),
-  //   4. present as CAST(CAST(sum AS DECIMAL(38,2)) AS DOUBLE)
-  //      (scaled value < 2^53 so decimal->double is exact in both engines).
+  //   1. compute the per-row measure in DOUBLE,
+  //   2. quantize: floor(measure * 10000.0 + 0.5) AS BIGINT
+  //      (multiply, add, floor — all exactly specified by IEEE 754),
+  //   3. SUM the bigints (exact, order-independent),
+  //   4. present as CAST(sum AS DOUBLE) / 10000.0 (sum < 2^53, so the
+  //      int->double conversion is exact and the division is one
+  //      correctly-rounded op in both engines).
   // ---------------------------------------------------------------------
 
-  /** Step 2: per-row measure -> exact decimal. */
-  def m4(c: Column): Column = c.cast(DecimalType(18, 4))
+  /** Step 2: per-row measure -> scaled fixed-point (1e-4 units). */
+  def m4(c: Column): Column =
+    floor(c.cast(DoubleType) * lit(10000.0) + lit(0.5)).cast(LongType)
 
-  /** Step 4: decimal aggregate -> presentation double. */
-  def d2(c: Column): Column = c.cast(DecimalType(38, 2)).cast(DoubleType)
+  /** Step 4: scaled bigint -> presentation double. */
+  def d2(c: Column): Column = c.cast(DoubleType) / lit(10000.0)
 
   /** SQL mirror of [[m4]]. */
-  def m4s(e: String): String = s"CAST($e AS DECIMAL(18,4))"
+  def m4s(e: String): String =
+    s"CAST(floor(CAST($e AS DOUBLE) * 10000.0 + 0.5) AS BIGINT)"
 
   /** SQL mirror of [[d2]]. */
-  def d2s(e: String): String = s"CAST(CAST($e AS DECIMAL(38,2)) AS DOUBLE)"
+  def d2s(e: String): String = s"(CAST($e AS DOUBLE) / 10000.0)"
 
   /** sum(m4(expr)) presented via d2 — the standard money aggregate. */
   def sumM(c: Column): Column = d2(sum(m4(c)))

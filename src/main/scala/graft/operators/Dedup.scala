@@ -38,10 +38,16 @@ object Dedup extends QueryPack {
   private def A(j: Int): Long = (1103515245L * (j + 1)) % 65521L
   private def B(j: Int): Long = (12345L * (j + 17)) % 65521L
 
-  /** Word-bigram shingles, identical construction in both dialects. */
+  /** Word-bigram shingles, identical construction in both dialects.
+    * Guarded for single-token docs: Spark's `sequence(1, 0)` descends to
+    * `[1, 0]` (and `element_at(toks, 0)` throws), while DuckDB's
+    * `range(1, 1)` is empty — the CASE makes both yield `[]`.
+    */
   private val sparkGrams =
-    "array_distinct(transform(sequence(1, size(toks) - 1)," +
-      " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))))"
+    "CASE WHEN size(toks) >= 2 THEN" +
+      " array_distinct(transform(sequence(1, size(toks) - 1)," +
+      " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))))" +
+      " ELSE cast(array() as array<string>) END"
   private val duckGrams =
     "list_distinct(list_transform(range(1, len(toks))," +
       " i -> toks[i] || ' ' || toks[i + 1]))"

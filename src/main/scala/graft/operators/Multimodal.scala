@@ -1,0 +1,197 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Engine._
+import graft.QueryPack
+
+/** One media item: opaque binary payload + typed metadata. The payload here
+  * is the document's UTF-8 bytes standing in for an image/audio/video blob
+  * (the real decode libraries are not in this container — see
+  * [[Multimodal.fakeDecode]]); the schema, batching, and partitioning are
+  * the real 100 TB plumbing.
+  */
+case class MediaItem(doc_id: Long, modality: String, n_bytes: Long,
+                     payload: Array[Byte])
+
+/** Fixed-width feature record produced by the (stubbed) decoder. */
+case class MediaFeatures(doc_id: Long, modality: String, n_bytes: Long,
+                         batch_size: Int, mean_byte: Double, max_byte: Int)
+
+/** Multimodal-column operators: image/audio/video travel as opaque
+  * `binary` columns with typed metadata, and decode / feature-extract /
+  * frame-sample run as batched per-partition functions over them.
+  *
+  * The container has no media codecs, so the decode step is a
+  * DETERMINISTIC FAKE (byte statistics / byte probes of the payload —
+  * clearly marked below); everything around it — binary schema, metadata
+  * struct, batch shape, partition-local execution, frame arithmetic — is
+  * real and oracle-checked where SQL can express it.
+  *
+  * Scale design (100 TB of media):
+  *  - payloads never shuffle: every operator here is a narrow map over
+  *    the scan (feature extraction, probing, frame sampling) followed by
+  *    an aggregation of SMALL derived values only;
+  *  - `mm_decode_batch` decodes in fixed-size batches inside
+  *    `mapPartitions` — the Scala analog of `mapInPandas` — so a real
+  *    codec would amortize model/codec init per batch, not per row;
+  *  - frame sampling emits (doc, frame_idx, hash), i.e. bytes stay in
+  *    place and only 16-byte digests flow downstream.
+  */
+object Multimodal extends QueryPack {
+
+  /** documents -> media view: opaque payload + metadata columns. */
+  private def media(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "documents")
+      .selectExpr("doc_id", "source AS modality",
+        "cast(text AS binary) AS payload", "text", "n_chars")
+
+  // -- mm_catalog: per-modality inventory over payload bytes ------------------
+  private def mmCatalog(s: SparkSession, dir: String): DataFrame =
+    media(s, dir)
+      .groupBy(col("modality"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(octet_length(col("payload"))).as("total_bytes"),
+        max(octet_length(col("payload"))).as("max_bytes"))
+      .withColumn("avg_bytes",
+        round(col("total_bytes").cast("double") / col("n_items"), 6))
+      .orderBy(col("modality"))
+
+  private val mmCatalogSql =
+    """SELECT modality, COUNT(*) AS n_items,
+      |  CAST(SUM(octet_length(payload)) AS BIGINT) AS total_bytes,
+      |  MAX(octet_length(payload)) AS max_bytes,
+      |  round(CAST(SUM(octet_length(payload)) AS DOUBLE) / COUNT(*), 6)
+      |    AS avg_bytes
+      |FROM (SELECT source AS modality, encode(text) AS payload
+      |      FROM documents)
+      |GROUP BY modality ORDER BY modality""".stripMargin
+
+  // -- mm_features: fixed-grid byte probes (the SQL-expressible fake decode) --
+  // DETERMINISTIC FAKE of "decode + feature-extract": feature i is the byte
+  // value at probe position 1 + i*stride (stride = n_chars/8). A real
+  // decoder would replace the probe with codec output; the 8-wide fixed
+  // feature schema is what downstream training jobs consume.
+  private val NFeat = 8
+
+  private def mmFeatures(s: SparkSession, dir: String): DataFrame = {
+    val feats = (0 until NFeat).map(i =>
+      s"ascii(substring(text, 1 + $i * stride, 1)) AS f_$i")
+    val sum = (0 until NFeat).map(i => s"f_$i").mkString(" + ")
+    media(s, dir)
+      .selectExpr("doc_id", "text", s"n_chars div $NFeat AS stride")
+      .selectExpr(Seq("doc_id") ++ feats: _*)
+      .selectExpr(Seq("doc_id") ++ (0 until NFeat).map(i => s"f_$i")
+        ++ Seq(s"$sum AS feat_sum"): _*)
+      .orderBy(col("doc_id"))
+  }
+
+  private val mmFeaturesSql = {
+    val feats = (0 until NFeat).map(i =>
+      s"ascii(substr(text, 1 + $i * stride, 1)) AS f_$i")
+    val sum = (0 until NFeat).map(i => s"f_$i").mkString(" + ")
+    s"""SELECT doc_id, ${(0 until NFeat).map("f_" + _).mkString(", ")},
+       |  $sum AS feat_sum
+       |FROM (SELECT doc_id, ${feats.mkString(", ")}
+       |      FROM (SELECT doc_id, text, n_chars // $NFeat AS stride
+       |            FROM documents))
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // -- mm_frames: frame sampling (every 2nd 64-byte frame -> digest) ----------
+  private val FrameBytes = 64
+
+  private def mmFrames(s: SparkSession, dir: String): DataFrame =
+    media(s, dir)
+      .selectExpr("doc_id", "text",
+        s"(n_chars + ${FrameBytes - 1}) div $FrameBytes AS n_frames")
+      .selectExpr("doc_id", "n_frames",
+        "explode(sequence(0, n_frames - 1, 2)) AS frame_idx",
+        "text")
+      .selectExpr("doc_id", "n_frames", "frame_idx",
+        s"md5(substring(text, frame_idx * $FrameBytes + 1, $FrameBytes))" +
+          " AS frame_hash")
+      .orderBy(col("doc_id"), col("frame_idx"))
+
+  private val mmFramesSql =
+    s"""SELECT doc_id, n_frames, frame_idx,
+       |  md5(substr(text, frame_idx * $FrameBytes + 1, $FrameBytes))
+       |    AS frame_hash
+       |FROM (SELECT doc_id, n_frames,
+       |        unnest(range(0, n_frames, 2)) AS frame_idx, text
+       |      FROM (SELECT doc_id, text,
+       |              (n_chars + ${FrameBytes - 1}) // $FrameBytes AS n_frames
+       |            FROM documents))
+       |ORDER BY doc_id, frame_idx""".stripMargin
+
+  // -- mm_validate: payload integrity check per modality ----------------------
+  // The blob survives transport iff its byte length matches the recorded
+  // metadata (ASCII text => bytes == chars); corrupt items are counted,
+  // never dropped silently.
+  private def mmValidate(s: SparkSession, dir: String): DataFrame =
+    media(s, dir)
+      .select(col("modality"),
+        when(octet_length(col("payload")) === col("n_chars")
+          && col("n_chars") > 0, 1L).otherwise(0L).as("ok"))
+      .groupBy(col("modality"))
+      .agg(count(lit(1)).as("n_items"), sum(col("ok")).as("n_valid"),
+        (count(lit(1)) - sum(col("ok"))).as("n_corrupt"))
+      .orderBy(col("modality"))
+
+  private val mmValidateSql =
+    """SELECT modality, COUNT(*) AS n_items,
+      |  CAST(SUM(ok) AS BIGINT) AS n_valid,
+      |  CAST(COUNT(*) - SUM(ok) AS BIGINT) AS n_corrupt
+      |FROM (SELECT source AS modality,
+      |        CASE WHEN octet_length(encode(text)) = n_chars
+      |                  AND n_chars > 0 THEN 1 ELSE 0 END AS ok
+      |      FROM documents)
+      |GROUP BY modality ORDER BY modality""".stripMargin
+
+  // -- mm_decode_batch: batched partition-local decode (rows-only check) ------
+  /** DETERMINISTIC FAKE decoder: byte statistics of the payload. A real
+    * implementation would initialize a codec once per batch and decode the
+    * 32 payloads together — exactly where that code would go.
+    */
+  private def fakeDecode(batch: Seq[MediaItem]): Seq[MediaFeatures] =
+    batch.map { item =>
+      val bytes = item.payload
+      val mean =
+        if (bytes.isEmpty) 0.0
+        else bytes.foldLeft(0L)((a, b) => a + (b & 0xff)).toDouble / bytes.length
+      val max = if (bytes.isEmpty) 0 else bytes.map(_ & 0xff).max
+      MediaFeatures(item.doc_id, item.modality, bytes.length.toLong,
+        batch.size, math.round(mean * 1e6) / 1e6, max)
+    }
+
+  private def mmDecodeBatch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    media(s, dir)
+      .selectExpr("doc_id", "modality", "cast(n_chars AS bigint) AS n_bytes",
+        "payload")
+      .as[MediaItem]
+      .mapPartitions(_.grouped(32).flatMap(g => fakeDecode(g.toSeq)))
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map(
+      "mm_catalog" -> mmCatalog _,
+      "mm_features" -> mmFeatures _,
+      "mm_frames" -> mmFrames _,
+      "mm_validate" -> mmValidate _,
+      "mm_decode_batch" -> mmDecodeBatch _
+    )
+
+  /** mm_decode_batch is intentionally absent: the batched decoder is not
+    * SQL-expressible, so the driver records its weaker rows-only check.
+    */
+  override val oracles: Map[String, String] = Map(
+    "mm_catalog" -> mmCatalogSql,
+    "mm_features" -> mmFeaturesSql,
+    "mm_frames" -> mmFramesSql,
+    "mm_validate" -> mmValidateSql
+  )
+}

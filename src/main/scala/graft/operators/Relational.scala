@@ -253,8 +253,8 @@ object Relational extends QueryPack {
 
   private val q13Sql =
     """SELECT o_orderpriority, COUNT(*) AS n_total,
-      |  SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_open,
-      |  SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_fulfilled,
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_fulfilled,
       |  ROUND(CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS DOUBLE)
       |        / COUNT(*), 6) AS open_ratio
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
@@ -313,7 +313,7 @@ object Relational extends QueryPack {
   private def q17(s: SparkSession, dir: String): DataFrame = {
     val o = table(s, dir, "orders")
     val thr = o.agg((sum(m4(col("o_totalprice"))).cast("double")
-      / count(lit(1))).as("thr"))
+      / lit(10000.0) / count(lit(1))).as("thr"))
     o.join(broadcast(thr))
       .filter(col("o_totalprice") > col("thr"))
       .select(col("o_orderkey"), d2(m4(col("o_totalprice"))).as("total_price"))
@@ -324,18 +324,20 @@ object Relational extends QueryPack {
     s"""SELECT o_orderkey, ${d2s(m4s("o_totalprice"))} AS total_price
        |FROM orders
        |WHERE o_totalprice > (SELECT CAST(SUM(${m4s("o_totalprice")}) AS DOUBLE)
-       |                             / COUNT(*) FROM orders)
+       |                             / 10000.0 / COUNT(*) FROM orders)
        |ORDER BY o_orderkey""".stripMargin
 
   // -- q18: gap-based sessionization (lag + cumulative window) --------------
+  // `ts` arrives as bigint epoch-nanos (nanosAsLong read; Engine.session),
+  // so the 30-min gap test is exact integer arithmetic in both engines.
   private def q18(s: SparkSession, dir: String): DataFrame = {
     val byTime = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
     table(s, dir, "events")
-      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byTime))
+      .withColumn("prev_ns", lag(col("ts"), 1).over(byTime))
       .withColumn("new_session",
-        when(col("prev_us").isNull
-          || unix_micros(col("ts")) - col("prev_us") > 1800000000L, 1L)
+        when(col("prev_ns").isNull
+          || col("ts") - col("prev_ns") > 1800000000000L, 1L)
           .otherwise(0L))
       .withColumn("session_id", sum(col("new_session")).over(
         byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
@@ -346,20 +348,21 @@ object Relational extends QueryPack {
   }
 
   private val q18Sql =
-    """SELECT user_id, COUNT(*) AS n_events, MAX(session_id) AS n_sessions
+    """SELECT user_id, COUNT(*) AS n_events,
+      |  CAST(MAX(session_id) AS BIGINT) AS n_sessions
       |FROM (
       |  SELECT user_id,
       |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
       |  FROM (
       |    SELECT user_id, ts, event_id,
-      |      CASE WHEN prev_us IS NULL
-      |                OR epoch_us(ts) - prev_us > 1800000000 THEN 1
+      |      CASE WHEN prev_ns IS NULL
+      |                OR epoch_ns(ts) - prev_ns > 1800000000000 THEN 1
       |           ELSE 0 END AS new_session
       |    FROM (
       |      SELECT user_id, ts, event_id,
-      |        lag(epoch_us(ts)) OVER (PARTITION BY user_id
-      |                                ORDER BY ts, event_id) AS prev_us
+      |        lag(epoch_ns(ts)) OVER (PARTITION BY user_id
+      |                                ORDER BY ts, event_id) AS prev_ns
       |      FROM events)))
       |GROUP BY user_id ORDER BY user_id""".stripMargin
 
@@ -444,8 +447,11 @@ object Relational extends QueryPack {
   private val eventTypes = Seq("click", "error", "purchase", "signup", "view")
 
   private def q24(s: SparkSession, dir: String): DataFrame = {
+    // ts is bigint epoch-nanos; floor-divide to micros for the day bucket
+    // (exact for the positive epoch range, same floor as DuckDB strftime).
     val pivoted = table(s, dir, "events")
-      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .groupBy(date_format(expr("timestamp_micros(ts div 1000)"),
+        "yyyy-MM-dd").as("day"))
       .pivot("event_type", eventTypes)
       .agg(count(lit(1)))
     eventTypes.foldLeft(pivoted) { (df, t) =>
@@ -455,7 +461,7 @@ object Relational extends QueryPack {
 
   private val q24Sql = {
     val arms = eventTypes.map(t =>
-      s"SUM(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS $t")
+      s"CAST(SUM(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS $t")
     s"""SELECT strftime(ts, '%Y-%m-%d') AS day, ${arms.mkString(", ")}
        |FROM events GROUP BY 1 ORDER BY day""".stripMargin
   }

@@ -1,0 +1,255 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Engine._
+import graft.QueryPack
+
+/** Similarity-search operators over the `embeddings` table
+  * (`vec_id: bigint, embedding: array<float>, label: int`):
+  * vector statistics, brute-force cosine top-k (the exactness baseline),
+  * random-hyperplane LSH bucketing + bucket-local ANN (the scale path),
+  * IVF cell assignment, and a kNN label-vote classifier.
+  *
+  * Cross-engine determinism: every dot product casts each float element to
+  * DOUBLE and folds left-to-right (`aggregate` in Spark, `list_reduce` in
+  * DuckDB — both are sequential left folds, and `0.0 + x == x` in IEEE, so
+  * the two folds are bit-identical); similarities are rounded to 6 digits
+  * BEFORE any ordering/threshold so ranking ties resolve identically.
+  *
+  * Scale design (100 TB / billions of vectors):
+  *  - brute-force top-k is one narrow map (per-pair fold, no shuffle
+  *    beyond the query-broadcast join) — correct but O(N·Q); it is the
+  *    oracle for the approximate paths, not the production path;
+  *  - LSH buckets are computed per-vector in one narrow pass (8 sign
+  *    bits => one small int), so the candidate join shuffles only
+  *    (bucket, id) pairs and pair generation is bucket-local — at corpus
+  *    scale you'd cap bucket width and union several hash tables;
+  *  - IVF assignment is a broadcast join against a tiny centroid set
+  *    (here: the first 4 vectors; in production: k-means output), again
+  *    narrow per vector; probe cost is |cell|, not N.
+  */
+object Similarity extends QueryPack {
+
+  /** Left-fold dot product of two float arrays in DOUBLE — Spark dialect. */
+  private def dotS(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (x, y) -> cast(x as double) * cast(y as double))," +
+      s" cast(0.0 as double), (acc, v) -> acc + v)"
+
+  /** Same fold — DuckDB dialect (1-indexed lists). */
+  private def dotD(a: String, b: String): String =
+    s"list_reduce(list_transform(range(1, len($a) + 1)," +
+      s" i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
+
+  /** Sum of one double-cast array — Spark / DuckDB. */
+  private def sumS(a: String): String =
+    s"aggregate($a, cast(0.0 as double), (acc, v) -> acc + cast(v as double))"
+  private def sumD(a: String): String =
+    s"list_reduce(list_transform(range(1, len($a) + 1)," +
+      s" i -> CAST($a[i] AS DOUBLE)), (x, y) -> x + y)"
+
+  // -- sim_norms: per-vector statistics ---------------------------------------
+  private def simNorms(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "embeddings")
+      .selectExpr("vec_id", "label",
+        "size(embedding) AS dim",
+        s"round(sqrt(${dotS("embedding", "embedding")}), 6) AS l2_norm",
+        s"round(${sumS("embedding")} / size(embedding), 6) AS mean_val")
+      .orderBy(col("vec_id"))
+
+  private val simNormsSql =
+    s"""SELECT vec_id, label, len(embedding) AS dim,
+       |  round(sqrt(${dotD("embedding", "embedding")}), 6) AS l2_norm,
+       |  round(${sumD("embedding")} / len(embedding), 6) AS mean_val
+       |FROM embeddings ORDER BY vec_id""".stripMargin
+
+  // -- sim_topk_brute: exact cosine top-5 for the first 8 query vectors -------
+  private def simTopkBrute(s: SparkSession, dir: String): DataFrame = {
+    table(s, dir, "embeddings")
+      .selectExpr("vec_id", "embedding",
+        s"${dotS("embedding", "embedding")} AS n2")
+      .createOrReplaceTempView("sim_e")
+    s.sql(
+      s"""SELECT query_id, neighbor_id, cos_sim, rnk FROM (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    round(${dotS("q.embedding", "c.embedding")}
+         |      / sqrt(q.n2 * c.n2), 6) AS cos_sim,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY round(${dotS("q.embedding", "c.embedding")}
+         |        / sqrt(q.n2 * c.n2), 6) DESC, c.vec_id) AS rnk
+         |  FROM sim_e q JOIN sim_e c ON q.vec_id < 8 AND c.vec_id <> q.vec_id)
+         |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin)
+  }
+
+  private val simTopkBruteSql =
+    s"""WITH e AS (SELECT vec_id, embedding,
+       |  ${dotD("embedding", "embedding")} AS n2 FROM embeddings)
+       |SELECT query_id, neighbor_id, cos_sim, rnk FROM (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    round(${dotD("q.embedding", "c.embedding")}
+       |      / sqrt(q.n2 * c.n2), 6) AS cos_sim,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY round(${dotD("q.embedding", "c.embedding")}
+       |        / sqrt(q.n2 * c.n2), 6) DESC, c.vec_id) AS rnk
+       |  FROM e q JOIN e c ON q.vec_id < 8 AND c.vec_id <> q.vec_id)
+       |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+
+  // -- random-hyperplane LSH ---------------------------------------------------
+  // Plane j (0..7), 1-based component i: ((31*(j+1) + 7*(i-1)) % 11) - 5 —
+  // deterministic integer-valued hyperplanes, identical text in both
+  // dialects, so the sign bits (and buckets) agree bit-for-bit.
+  private val Planes = 8
+
+  private def planeDotS(j: Int): String =
+    s"aggregate(transform(sequence(1, size(embedding)), i ->" +
+      s" cast(element_at(embedding, i) as double)" +
+      s" * cast((31 * ${j + 1} + 7 * (i - 1)) % 11 - 5 as double))," +
+      s" cast(0.0 as double), (acc, v) -> acc + v)"
+
+  private def planeDotD(j: Int): String =
+    s"list_reduce(list_transform(range(1, len(embedding) + 1), i ->" +
+      s" CAST(embedding[i] AS DOUBLE)" +
+      s" * CAST((31 * ${j + 1} + 7 * (i - 1)) % 11 - 5 AS DOUBLE))," +
+      s" (x, y) -> x + y)"
+
+  private def bucketExpr(dot: Int => String): String =
+    (0 until Planes)
+      .map(j => s"(CASE WHEN ${dot(j)} > 0 THEN ${1 << j} ELSE 0 END)")
+      .mkString(" + ")
+
+  // -- sim_lsh_buckets: bucket histogram --------------------------------------
+  private def simLshBuckets(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "embeddings")
+      .selectExpr("vec_id", s"${bucketExpr(planeDotS)} AS bucket")
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_vecs"), min(col("vec_id")).as("min_vec"))
+      .orderBy(col("bucket"))
+
+  private val simLshBucketsSql =
+    s"""SELECT bucket, COUNT(*) AS n_vecs, MIN(vec_id) AS min_vec
+       |FROM (SELECT vec_id, ${bucketExpr(planeDotD)} AS bucket
+       |      FROM embeddings)
+       |GROUP BY bucket ORDER BY bucket""".stripMargin
+
+  // -- sim_lsh_ann: bucket-local near-neighbor pairs --------------------------
+  // The ANN scale path: only pairs sharing an LSH bucket are scored, so the
+  // join is bucket-partitioned instead of a full cross product.
+  private def simLshAnn(s: SparkSession, dir: String): DataFrame = {
+    table(s, dir, "embeddings")
+      .selectExpr("vec_id", "embedding",
+        s"${dotS("embedding", "embedding")} AS n2",
+        s"${bucketExpr(planeDotS)} AS bucket")
+      .createOrReplaceTempView("sim_lsh")
+    s.sql(
+      s"""SELECT vec_a, vec_b, cos_sim FROM (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |    round(${dotS("a.embedding", "b.embedding")}
+         |      / sqrt(a.n2 * b.n2), 6) AS cos_sim
+         |  FROM sim_lsh a JOIN sim_lsh b
+         |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+         |WHERE cos_sim >= 0.4 ORDER BY vec_a, vec_b""".stripMargin)
+  }
+
+  private val simLshAnnSql =
+    s"""WITH e AS (SELECT vec_id, embedding,
+       |    ${dotD("embedding", "embedding")} AS n2,
+       |    ${bucketExpr(planeDotD)} AS bucket
+       |  FROM embeddings)
+       |SELECT vec_a, vec_b, cos_sim FROM (
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |    round(${dotD("a.embedding", "b.embedding")}
+       |      / sqrt(a.n2 * b.n2), 6) AS cos_sim
+       |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+       |WHERE cos_sim >= 0.4 ORDER BY vec_a, vec_b""".stripMargin
+
+  // -- sim_ivf_assign: IVF cell assignment + cell sizes -----------------------
+  // Centroids = vectors 0..3 (stand-in for a k-means codebook); each vector
+  // goes to the centroid with max rounded cosine (ties -> lower centroid id).
+  private def simIvfAssign(s: SparkSession, dir: String): DataFrame = {
+    table(s, dir, "embeddings")
+      .selectExpr("vec_id", "embedding",
+        s"${dotS("embedding", "embedding")} AS n2")
+      .createOrReplaceTempView("sim_ivf")
+    s.sql(
+      s"""SELECT cell, COUNT(*) AS n_vecs, MIN(vec_id) AS min_vec FROM (
+         |  SELECT v.vec_id, c.vec_id AS cell,
+         |    row_number() OVER (PARTITION BY v.vec_id
+         |      ORDER BY round(${dotS("v.embedding", "c.embedding")}
+         |        / sqrt(v.n2 * c.n2), 6) DESC, c.vec_id) AS rnk
+         |  FROM sim_ivf v JOIN sim_ivf c ON c.vec_id < 4)
+         |WHERE rnk = 1 GROUP BY cell ORDER BY cell""".stripMargin)
+  }
+
+  private val simIvfAssignSql =
+    s"""WITH e AS (SELECT vec_id, embedding,
+       |  ${dotD("embedding", "embedding")} AS n2 FROM embeddings)
+       |SELECT cell, COUNT(*) AS n_vecs, MIN(vec_id) AS min_vec FROM (
+       |  SELECT v.vec_id, c.vec_id AS cell,
+       |    row_number() OVER (PARTITION BY v.vec_id
+       |      ORDER BY round(${dotD("v.embedding", "c.embedding")}
+       |        / sqrt(v.n2 * c.n2), 6) DESC, c.vec_id) AS rnk
+       |  FROM e v JOIN e c ON c.vec_id < 4)
+       |WHERE rnk = 1 GROUP BY cell ORDER BY cell""".stripMargin
+
+  // -- sim_knn_label: 5-NN majority-label vote for held-out queries -----------
+  private def simKnnLabel(s: SparkSession, dir: String): DataFrame = {
+    table(s, dir, "embeddings")
+      .selectExpr("vec_id", "label", "embedding",
+        s"${dotS("embedding", "embedding")} AS n2")
+      .createOrReplaceTempView("sim_knn")
+    s.sql(
+      s"""WITH knn AS (
+         |  SELECT query_id, true_label, label FROM (
+         |    SELECT q.vec_id AS query_id, q.label AS true_label, c.label,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY round(${dotS("q.embedding", "c.embedding")}
+         |          / sqrt(q.n2 * c.n2), 6) DESC, c.vec_id) AS rnk
+         |    FROM sim_knn q JOIN sim_knn c
+         |      ON q.vec_id >= 490 AND c.vec_id < 490)
+         |  WHERE rnk <= 5)
+         |SELECT query_id, true_label, label AS predicted_label, votes FROM (
+         |  SELECT query_id, true_label, label, COUNT(*) AS votes,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY COUNT(*) DESC, label) AS pick
+         |  FROM knn GROUP BY query_id, true_label, label)
+         |WHERE pick = 1 ORDER BY query_id""".stripMargin)
+  }
+
+  private val simKnnLabelSql =
+    s"""WITH e AS (SELECT vec_id, label, embedding,
+       |  ${dotD("embedding", "embedding")} AS n2 FROM embeddings),
+       |knn AS (
+       |  SELECT query_id, true_label, label FROM (
+       |    SELECT q.vec_id AS query_id, q.label AS true_label, c.label,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY round(${dotD("q.embedding", "c.embedding")}
+       |          / sqrt(q.n2 * c.n2), 6) DESC, c.vec_id) AS rnk
+       |    FROM e q JOIN e c ON q.vec_id >= 490 AND c.vec_id < 490)
+       |  WHERE rnk <= 5)
+       |SELECT query_id, true_label, label AS predicted_label, votes FROM (
+       |  SELECT query_id, true_label, label, COUNT(*) AS votes,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY COUNT(*) DESC, label) AS pick
+       |  FROM knn GROUP BY query_id, true_label, label)
+       |WHERE pick = 1 ORDER BY query_id""".stripMargin
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map(
+      "sim_norms" -> simNorms _,
+      "sim_topk_brute" -> simTopkBrute _,
+      "sim_lsh_buckets" -> simLshBuckets _,
+      "sim_lsh_ann" -> simLshAnn _,
+      "sim_ivf_assign" -> simIvfAssign _,
+      "sim_knn_label" -> simKnnLabel _
+    )
+
+  override val oracles: Map[String, String] = Map(
+    "sim_norms" -> simNormsSql,
+    "sim_topk_brute" -> simTopkBruteSql,
+    "sim_lsh_buckets" -> simLshBucketsSql,
+    "sim_lsh_ann" -> simLshAnnSql,
+    "sim_ivf_assign" -> simIvfAssignSql,
+    "sim_knn_label" -> simKnnLabelSql
+  )
+}

@@ -143,9 +143,14 @@ object TextAnalysis extends QueryPack {
     val w = Window.partitionBy(col("lang"))
       .orderBy(col("cnt").desc, col("gram"))
     table(s, dir, "documents")
+      // Guarded for texts shorter than 3 chars: Spark's sequence(1, len-2)
+      // would descend (e.g. [1, 0]) and emit bogus grams where DuckDB's
+      // range(1, len-1) emits none; the CASE makes both emit nothing.
       .selectExpr("lang",
-        "explode(transform(sequence(1, length(text) - 2),"
-          + " i -> substring(text, i, 3))) AS gram")
+        "explode(CASE WHEN length(text) >= 3 THEN"
+          + " transform(sequence(1, length(text) - 2),"
+          + " i -> substring(text, i, 3))"
+          + " ELSE cast(array() as array<string>) END) AS gram")
       .groupBy(col("lang"), col("gram"))
       .agg(count(lit(1)).as("cnt"))
       .withColumn("rnk", row_number().over(w))
