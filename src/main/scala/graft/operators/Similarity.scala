@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Engine._
 import graft.QueryPack
+import graft.functions.VectorFunctions
 
 /** Similarity-search operators over the `embeddings` table
   * (`vec_id: bigint, embedding: array<float>, label: int`):
@@ -32,10 +33,12 @@ import graft.QueryPack
   */
 object Similarity extends QueryPack {
 
-  /** Left-fold dot product of two float arrays in DOUBLE — Spark dialect. */
-  private def dotS(a: String, b: String): String =
-    s"aggregate(zip_with($a, $b, (x, y) -> cast(x as double) * cast(y as double))," +
-      s" cast(0.0 as double), (acc, v) -> acc + v)"
+  /** Left-fold dot product of two float arrays in DOUBLE — Spark side:
+    * the codegen'd [[graft.functions.FloatDotProduct]] expression, whose
+    * IEEE sequence is identical to the HOF fold and the DuckDB
+    * `list_reduce` below.
+    */
+  private def dotS(a: String, b: String): String = s"graft_dot($a, $b)"
 
   /** Same fold — DuckDB dialect (1-indexed lists). */
   private def dotD(a: String, b: String): String =
@@ -50,13 +53,15 @@ object Similarity extends QueryPack {
       s" i -> CAST($a[i] AS DOUBLE)), (x, y) -> x + y)"
 
   // -- sim_norms: per-vector statistics ---------------------------------------
-  private def simNorms(s: SparkSession, dir: String): DataFrame =
+  private def simNorms(s: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.ensureRegistered(s)
     table(s, dir, "embeddings")
       .selectExpr("vec_id", "label",
         "size(embedding) AS dim",
         s"round(sqrt(${dotS("embedding", "embedding")}), 6) AS l2_norm",
         s"round(${sumS("embedding")} / size(embedding), 6) AS mean_val")
       .orderBy(col("vec_id"))
+  }
 
   private val simNormsSql =
     s"""SELECT vec_id, label, len(embedding) AS dim,
@@ -66,6 +71,7 @@ object Similarity extends QueryPack {
 
   // -- sim_topk_brute: exact cosine top-5 for the first 8 query vectors -------
   private def simTopkBrute(s: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.ensureRegistered(s)
     table(s, dir, "embeddings")
       .selectExpr("vec_id", "embedding",
         s"${dotS("embedding", "embedding")} AS n2")
@@ -119,12 +125,14 @@ object Similarity extends QueryPack {
       .mkString(" + ")
 
   // -- sim_lsh_buckets: bucket histogram --------------------------------------
-  private def simLshBuckets(s: SparkSession, dir: String): DataFrame =
+  private def simLshBuckets(s: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.ensureRegistered(s)
     table(s, dir, "embeddings")
       .selectExpr("vec_id", s"${bucketExpr(planeDotS)} AS bucket")
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_vecs"), min(col("vec_id")).as("min_vec"))
       .orderBy(col("bucket"))
+  }
 
   private val simLshBucketsSql =
     s"""SELECT bucket, COUNT(*) AS n_vecs, MIN(vec_id) AS min_vec
@@ -136,6 +144,7 @@ object Similarity extends QueryPack {
   // The ANN scale path: only pairs sharing an LSH bucket are scored, so the
   // join is bucket-partitioned instead of a full cross product.
   private def simLshAnn(s: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.ensureRegistered(s)
     table(s, dir, "embeddings")
       .selectExpr("vec_id", "embedding",
         s"${dotS("embedding", "embedding")} AS n2",
@@ -167,6 +176,7 @@ object Similarity extends QueryPack {
   // Centroids = vectors 0..3 (stand-in for a k-means codebook); each vector
   // goes to the centroid with max rounded cosine (ties -> lower centroid id).
   private def simIvfAssign(s: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.ensureRegistered(s)
     table(s, dir, "embeddings")
       .selectExpr("vec_id", "embedding",
         s"${dotS("embedding", "embedding")} AS n2")
@@ -194,6 +204,7 @@ object Similarity extends QueryPack {
 
   // -- sim_knn_label: 5-NN majority-label vote for held-out queries -----------
   private def simKnnLabel(s: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.ensureRegistered(s)
     table(s, dir, "embeddings")
       .selectExpr("vec_id", "label", "embedding",
         s"${dotS("embedding", "embedding")} AS n2")
