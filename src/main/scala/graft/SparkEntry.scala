@@ -17,7 +17,9 @@ object SparkEntry {
     TextAnalysis,
     Dedup,
     Similarity,
-    Multimodal
+    Multimodal,
+    JiraEtl,
+    EventWindows
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Engine._
+import graft.QueryPack
+
+/** Event-time windowing over the `events` table — the batch analogs of
+  * the Structured Streaming operators in [[graft.streaming.Streams]]
+  * (tumbling / hopping windows; the session analog is q18_sessionize).
+  * `ts` is bigint epoch-nanos, so window assignment is exact integer
+  * floor division in both engines — no timestamp-library semantics in
+  * the correctness path at all.
+  *
+  * Scale: each is one partial+final hash aggregation keyed by
+  * (window, type) — the hopping variant fans each event into
+  * window/slide = 2 rows before aggregating (standard hop expansion).
+  */
+object EventWindows extends QueryPack {
+
+  private val HourNs = 3600000000000L
+  private val HalfHourNs = 1800000000000L
+
+  // -- st_tumbling_1h: 1-hour tumbling window counts --------------------------
+  private def stTumbling(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "events")
+      .groupBy(expr(s"ts div $HourNs").as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sumM(col("value")).as("total_value"))
+      .withColumn("win_start_ns", col("win") * lit(HourNs))
+      .select(col("win_start_ns"), col("event_type"), col("n"),
+        col("total_value"))
+      .orderBy(col("win_start_ns"), col("event_type"))
+
+  private val stTumblingSql =
+    s"""SELECT win * $HourNs AS win_start_ns, event_type, COUNT(*) AS n,
+       |  ${sumMs("value")} AS total_value
+       |FROM (SELECT epoch_ns(ts) // $HourNs AS win, event_type, value
+       |      FROM events)
+       |GROUP BY win, event_type ORDER BY win_start_ns, event_type""".stripMargin
+
+  // -- st_hopping_1h_30m: 1-hour windows hopping every 30 minutes -------------
+  // Each event lands in exactly 2 windows: starts floor(ts/slide)*slide
+  // and (floor-1)*slide; non-negative start guard for the first events.
+  private def stHopping(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "events")
+      .selectExpr("event_type",
+        s"explode(array(ts div $HalfHourNs, ts div $HalfHourNs - 1))" +
+          " AS win")
+      .filter(col("win") >= 0)
+      .groupBy(col("win"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("win_start_ns", col("win") * lit(HalfHourNs))
+      .select(col("win_start_ns"), col("event_type"), col("n"))
+      .orderBy(col("win_start_ns"), col("event_type"))
+
+  private val stHoppingSql =
+    s"""SELECT win * $HalfHourNs AS win_start_ns, event_type, COUNT(*) AS n
+       |FROM (
+       |  SELECT event_type, unnest([epoch_ns(ts) // $HalfHourNs,
+       |                             epoch_ns(ts) // $HalfHourNs - 1]) AS win
+       |  FROM events)
+       |WHERE win >= 0
+       |GROUP BY win, event_type ORDER BY win_start_ns, event_type""".stripMargin
+
+  // -- st_user_activity: per-user event-time span + rate ----------------------
+  // The batch shape of streaming per-key state: one row of running state
+  // per user (first/last seen, counts) — what mapGroupsWithState holds.
+  // Micros, not nanos: DuckDB's parquet reader truncates TIMESTAMP(NANOS)
+  // to microsecond TIMESTAMP, so exact extrema must be compared at micro
+  // granularity (`ts div 1000` == epoch_us, both floor positive values).
+  private def stUserActivity(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(expr("ts div 1000")).as("first_us"),
+        max(expr("ts div 1000")).as("last_us"),
+        countDistinct(col("event_type")).as("n_types"))
+      .withColumn("span_us", col("last_us") - col("first_us"))
+      .orderBy(col("user_id"))
+
+  private val stUserActivitySql =
+    """SELECT user_id, COUNT(*) AS n_events,
+      |  MIN(epoch_us(ts)) AS first_us, MAX(epoch_us(ts)) AS last_us,
+      |  COUNT(DISTINCT event_type) AS n_types,
+      |  MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS span_us
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map(
+      "st_tumbling_1h" -> stTumbling _,
+      "st_hopping_1h_30m" -> stHopping _,
+      "st_user_activity" -> stUserActivity _
+    )
+
+  override val oracles: Map[String, String] = Map(
+    "st_tumbling_1h" -> stTumblingSql,
+    "st_hopping_1h_30m" -> stHoppingSql,
+    "st_user_activity" -> stUserActivitySql
+  )
+}

