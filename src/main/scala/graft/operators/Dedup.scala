@@ -279,20 +279,31 @@ object Dedup extends QueryPack {
 
   // -- dd_simhash_pairs: Hamming-distance near-dup pairs ----------------------
   private def ddSimhashPairs(s: SparkSession, dir: String): DataFrame = {
-    // cached: the simhash fold feeds both sides of the pair join; the
-    // pair projection is persisted before the Hamming filter so the
-    // popcount runs once per pair instead of re-evaluated inside the
-    // nested-loop condition (same barrier rationale as dd_jaccard)
+    // Hamming-ball EQUI-join instead of an all-pairs loop: every 16-bit
+    // signature within distance <= 2 of `x` is `x ^ m` for one of the
+    // 1 + 16 + C(16,2) = 137 masks, so exploding side A by the mask set
+    // turns near-dup search into `a.simhash ^ m = b.simhash` — a hash
+    // join whose shuffle is 137 x N small rows, not N^2 pairs. Each
+    // qualifying pair matches exactly one mask (distinct xor patterns),
+    // so no dedup is needed. This is the shape that survives corpus
+    // scale; the DuckDB oracle keeps the O(N^2) formulation as the
+    // independent spec of the same result set.
+    val masks = Seq(0) ++
+      (0 until 16).map(1 << _) ++
+      (for { i <- 0 until 16; j <- i + 1 until 16 }
+        yield (1 << i) | (1 << j))
     val sims = simhashCore(s, dir).cache()
-    val a = sims.select(col("doc_id").as("doc_a"),
-      col("simhash").as("sim_a"))
+    val a = sims
+      .select(col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
+      .withColumn("variant",
+        explode(array(masks.map(m => col("sim_a").bitwiseXOR(lit(m))): _*)))
     val b = sims.select(col("doc_id").as("doc_b"),
       col("simhash").as("sim_b"))
-    val pairs = a.join(b, col("doc_a") < col("doc_b"))
+    a.join(b, col("variant") === col("sim_b")
+        && col("doc_a") < col("doc_b"))
       .selectExpr("doc_a", "doc_b",
         "cast(bit_count(sim_a ^ sim_b) as int) AS hamming")
-      .cache()
-    pairs.filter(col("hamming") <= 2).orderBy(col("doc_a"), col("doc_b"))
+      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   private val ddSimhashPairsSql = {
@@ -318,18 +329,23 @@ object Dedup extends QueryPack {
   // list_reduce — see graft.functions.FloatDotProduct).
   private def ddEmbedCosine(s: SparkSession, dir: String): DataFrame = {
     VectorFunctions.ensureRegistered(s)
-    table(s, dir, "embeddings")
+    // same persist barrier as dd_jaccard: the pair projection (24 B/row)
+    // is materialized so the threshold filter cannot be pushed into the
+    // nested-loop join condition, where the codegen'd dot product would
+    // run for every ordered pair instead of once per unordered pair
+    val e = table(s, dir, "embeddings")
       .selectExpr("vec_id", "embedding",
         "graft_dot(embedding, embedding) AS n2")
-      .createOrReplaceTempView("dd_emb")
-    s.sql(
-      """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-        |  round(graft_dot(a.embedding, b.embedding)
-        |    / sqrt(a.n2 * b.n2), 6) AS cos_sim
-        |FROM dd_emb a JOIN dd_emb b ON a.vec_id < b.vec_id
-        |WHERE round(graft_dot(a.embedding, b.embedding)
-        |    / sqrt(a.n2 * b.n2), 6) >= 0.4
-        |ORDER BY vec_a, vec_b""".stripMargin)
+      .cache()
+    val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
+      col("n2").as("n2a"))
+    val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
+      col("n2").as("n2b"))
+    val pairs = a.join(b, col("vec_a") < col("vec_b"))
+      .selectExpr("vec_a", "vec_b",
+        "round(graft_dot(ea, eb) / sqrt(n2a * n2b), 6) AS cos_sim")
+      .cache()
+    pairs.filter(col("cos_sim") >= 0.4).orderBy(col("vec_a"), col("vec_b"))
   }
 
   private val ddEmbedCosineSql =

@@ -145,19 +145,25 @@ object Similarity extends QueryPack {
   // join is bucket-partitioned instead of a full cross product.
   private def simLshAnn(s: SparkSession, dir: String): DataFrame = {
     VectorFunctions.ensureRegistered(s)
-    table(s, dir, "embeddings")
+    // bucket equi-join generates the candidates; the pair projection is
+    // persisted before the threshold filter (see Dedup.ddEmbedCosine for
+    // the pushdown rationale)
+    val e = table(s, dir, "embeddings")
       .selectExpr("vec_id", "embedding",
         s"${dotS("embedding", "embedding")} AS n2",
         s"${bucketExpr(planeDotS)} AS bucket")
-      .createOrReplaceTempView("sim_lsh")
-    s.sql(
-      s"""SELECT vec_a, vec_b, cos_sim FROM (
-         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-         |    round(${dotS("a.embedding", "b.embedding")}
-         |      / sqrt(a.n2 * b.n2), 6) AS cos_sim
-         |  FROM sim_lsh a JOIN sim_lsh b
-         |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
-         |WHERE cos_sim >= 0.4 ORDER BY vec_a, vec_b""".stripMargin)
+      .cache()
+    val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
+      col("n2").as("n2a"), col("bucket"))
+    val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
+      col("n2").as("n2b"), col("bucket").as("bucket_b"))
+    val pairs = a
+      .join(b, col("bucket") === col("bucket_b")
+        && col("vec_a") < col("vec_b"))
+      .selectExpr("vec_a", "vec_b",
+        s"round(${dotS("ea", "eb")} / sqrt(n2a * n2b), 6) AS cos_sim")
+      .cache()
+    pairs.filter(col("cos_sim") >= 0.4).orderBy(col("vec_a"), col("vec_b"))
   }
 
   private val simLshAnnSql =
