@@ -469,8 +469,129 @@ object Relational extends QueryPack {
        |FROM events GROUP BY 1 ORDER BY day""".stripMargin
   }
 
+  // -- q25: cube (full grouping-set lattice) ---------------------------------
+  private def q25(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), sumM(col("o_totalprice")).as("revenue"))
+      .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n"), col("revenue"))
+      .orderBy(col("status"), col("priority"))
+
+  private val q25Sql =
+    s"""SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       |  COALESCE(o_orderpriority, 'ALL') AS priority,
+       |  COUNT(*) AS n, ${sumMs("o_totalprice")} AS revenue
+       |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+       |ORDER BY status, priority""".stripMargin
+
+  // -- q26: as-of join (latest prior click per purchase) ---------------------
+  // Spark has no ASOF JOIN; the idiomatic shuffle-once shape is a tagged
+  // union + running `last(..., ignoreNulls)` window — one sort per user,
+  // no range explosion. The oracle uses DuckDB's native ASOF JOIN as an
+  // independent spec. Clicks sort before purchases at equal microseconds
+  // (ASOF's `<=`), and the last click at equal time is the max event_id
+  // (mirrored by the oracle's per-(user, us) dedup keeping max id).
+  private def q26(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("tag_ord"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    table(s, dir, "events")
+      .filter(col("event_type").isin("click", "purchase"))
+      .selectExpr("user_id", "event_id", "ts div 1000 AS us", "event_type",
+        "CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS tag_ord")
+      .withColumn("click_id",
+        last(when(col("event_type") === "click", col("event_id")), true)
+          .over(w))
+      .withColumn("click_us",
+        last(when(col("event_type") === "click", col("us")), true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("us").as("purchase_us"), col("click_id"), col("click_us"))
+      .orderBy(col("user_id"), col("purchase_us"), col("purchase_id"))
+  }
+
+  private val q26Sql =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS us, event_type
+      |  FROM events WHERE event_type IN ('click', 'purchase')),
+      |c AS (SELECT user_id, us, MAX(event_id) AS event_id
+      |      FROM e WHERE event_type = 'click' GROUP BY user_id, us),
+      |p AS (SELECT user_id, event_id, us FROM e
+      |      WHERE event_type = 'purchase')
+      |SELECT p.user_id, p.event_id AS purchase_id, p.us AS purchase_us,
+      |  c.event_id AS click_id, c.us AS click_us
+      |FROM p ASOF LEFT JOIN c
+      |  ON p.user_id = c.user_id AND c.us <= p.us
+      |ORDER BY p.user_id, purchase_us, purchase_id""".stripMargin
+
+  // -- q27: range join (events within 60 s after each error) -----------------
+  // Spark-side: the bucketed range join — each error probes exactly two
+  // 60 s buckets via an equi-join on (user, bucket), so the range
+  // predicate only runs inside matching buckets instead of a full
+  // per-user cross product. The oracle states the plain inequality join.
+  private def q27(s: SparkSession, dir: String): DataFrame = {
+    val BucketUs = 60000000L // 60 s
+    val ev = table(s, dir, "events")
+      .selectExpr("user_id", "event_id", "ts div 1000 AS us")
+    val err = table(s, dir, "events")
+      .filter(col("event_type") === "error")
+      .selectExpr("user_id AS err_user", "event_id AS err_id",
+        "ts div 1000 AS err_us")
+      .selectExpr("err_user", "err_id", "err_us",
+        s"explode(array(err_us div $BucketUs," +
+          s" err_us div $BucketUs + 1)) AS bucket")
+    err
+      .join(ev, col("err_user") === col("user_id")
+        && expr(s"us div $BucketUs") === col("bucket")
+        && col("us") >= col("err_us")
+        && col("us") < col("err_us") + lit(BucketUs))
+      .groupBy(col("err_id"), col("err_user"))
+      .agg(count(lit(1)).as("n_within_60s"))
+      .orderBy(col("err_id"))
+  }
+
+  private val q27Sql =
+    """SELECT e.event_id AS err_id, e.user_id AS err_user,
+      |  COUNT(*) AS n_within_60s
+      |FROM (SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+      |      WHERE event_type = 'error') e
+      |JOIN (SELECT user_id, epoch_us(ts) AS us FROM events) c
+      |  ON c.user_id = e.user_id AND c.us >= e.us
+      |  AND c.us < e.us + 60000000
+      |GROUP BY err_id, err_user ORDER BY err_id""".stripMargin
+
+  // -- q28: custom typed Aggregator UDAF (weighted mean) ---------------------
+  // Quantity-weighted mean price per return flag via graft.functions
+  // .WeightedMean — exact scaled-bigint sums inside the buffer (the m4
+  // discipline), one double division + HALF_UP round at the end, so the
+  // oracle's SQL arithmetic is reproduced bit-for-bit.
+  private def q28(s: SparkSession, dir: String): DataFrame = {
+    val wavg = udaf(graft.functions.WeightedMean)
+    table(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(wavg(col("l_extendedprice"), col("l_quantity"))
+        .as("wavg_price"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  private val q28Sql =
+    s"""SELECT l_returnflag,
+       |  round((CAST(SUM(${m4s("l_extendedprice * l_quantity")}) AS DOUBLE)
+       |           / 10000.0)
+       |        / (CAST(SUM(${m4s("l_quantity")}) AS DOUBLE) / 10000.0), 6)
+       |    AS wavg_price,
+       |  COUNT(*) AS n
+       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map(
+      "q25_cube" -> q25 _,
+      "q26_asof_join" -> q26 _,
+      "q27_range_join" -> q27 _,
+      "q28_weighted_mean_udaf" -> q28 _,
       "q01_pricing_summary" -> q01 _,
       "q02_filter_pushdown" -> q02 _,
       "q03_broadcast_join_agg" -> q03 _,
@@ -498,6 +619,10 @@ object Relational extends QueryPack {
     )
 
   override val oracles: Map[String, String] = Map(
+    "q25_cube" -> q25Sql,
+    "q26_asof_join" -> q26Sql,
+    "q27_range_join" -> q27Sql,
+    "q28_weighted_mean_udaf" -> q28Sql,
     "q01_pricing_summary" -> q01Sql,
     "q02_filter_pushdown" -> q02Sql,
     "q03_broadcast_join_agg" -> q03Sql,

@@ -1,0 +1,94 @@
+package graft
+
+import java.nio.file.Files
+import java.time.Instant
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.run.{Main, Worker}
+
+/** EP3 scheduling/status semantics (`worker.py:40-184`) in virtual time,
+  * plus EP1 CLI flag parsing (`main.py:98-120`).
+  */
+class WorkerSpec extends AnyFunSuite {
+
+  /** Virtual clock advanced by the injected sleep. */
+  private class Clock(start: Long = 0L) {
+    var millis: Long = start
+    def now(): Instant = Instant.ofEpochMilli(millis)
+    def sleep(seconds: Double): Unit = millis += (seconds * 1000).toLong
+  }
+
+  test("status file reflects success, failure, and uptime") {
+    val dir = Files.createTempDirectory("graft-worker")
+    val status = dir.resolve("worker_status.json")
+    val clock = new Clock()
+    val w = new Worker(status, clock.now _, clock.sleep _)
+    w.updateStatus(success = true, "Worker started")
+    val healthy = Files.readString(status)
+    assert(healthy.contains("\"status\": \"healthy\""))
+    assert(healthy.contains("\"message\": \"Worker started\""))
+    clock.millis += 5000
+    w.updateStatus(success = false, "boom")
+    val err = Files.readString(status)
+    assert(err.contains("\"status\": \"error\""))
+    // last_successful_run survives the failure report
+    assert(err.contains("\"last_successful_run\": \"1970-01-01T00:00:00Z\""))
+  }
+
+  test("runJob reports failure without throwing") {
+    val dir = Files.createTempDirectory("graft-worker")
+    val status = dir.resolve("s.json")
+    val clock = new Clock()
+    val w = new Worker(status, clock.now _, clock.sleep _)
+    w.runJob(() => throw new RuntimeException("kaput"))
+    val s = Files.readString(status)
+    assert(s.contains("\"status\": \"error\"") && s.contains("kaput"))
+  }
+
+  test("scheduler: initial run + one interval tick in virtual time") {
+    val dir = Files.createTempDirectory("graft-worker")
+    val clock = new Clock()
+    var runs = 0
+    val w = new Worker(dir.resolve("s.json"), clock.now _, clock.sleep _)
+    // interval 1h = 120 poll ticks of 30 s; run 130 ticks -> 1 initial + 1
+    w.run(() => { runs += 1; true }, intervalHours = 1.0,
+      maxTicks = Some(130))
+    assert(runs == 2)
+  }
+
+  test("scheduler honors --no-initial-run semantics") {
+    val dir = Files.createTempDirectory("graft-worker")
+    val clock = new Clock()
+    var runs = 0
+    val w = new Worker(dir.resolve("s.json"), clock.now _, clock.sleep _)
+    w.run(() => { runs += 1; true }, intervalHours = 1.0,
+      skipInitialRun = true, maxTicks = Some(119))
+    assert(runs == 0) // first interval not yet elapsed
+  }
+
+  test("Main flag parsing mirrors main.py defaults") {
+    assert(Main.parse(Array()) == Main.Options())
+    val t = Main.parse(Array("--transform"))
+    assert(!t.runExtract && t.runTransform)
+    val e = Main.parse(Array("--extract", "--project", "SPARK", "--clean"))
+    assert(e.runExtract && !e.runTransform && e.project.contains("SPARK")
+      && e.clean)
+  }
+
+  test("transform-only pipeline over the shipped fixtures succeeds") {
+    val dir = Files.createTempDirectory("graft-main")
+    val raw = dir.resolve("raw")
+    Files.createDirectories(raw)
+    // copy one small fixture page into our data dir
+    val src = java.nio.file.Paths.get("/root/reference/data/raw")
+    val one = Files.list(src).filter(_.toString.endsWith("HADOOP_50.json"))
+      .findFirst().get()
+    Files.copy(one, raw.resolve(one.getFileName.toString))
+    val ok = Main.runPipeline(
+      Main.Options(runExtract = false, dataDir = dir),
+      Some(SparkSessionHelper.spark))
+    assert(ok)
+    assert(Files.exists(dir.resolve("processed/HADOOP_issues.jsonl")))
+  }
+}
