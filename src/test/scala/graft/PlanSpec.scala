@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.QueryExecution
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan audit: the properties that matter at 100 TB, asserted so
+  * a regression in plan shape fails CI, not just the benchmark.
+  *
+  *  - filters reach the parquet scan (PushedFilters);
+  *  - scans read only referenced columns (nested pruning / ReadSchema);
+  *  - dimension joins broadcast (no fact-table shuffle);
+  *  - semi/anti semantics use the dedicated join types;
+  *  - aggregates are partial+final (map-side combine);
+  *  - top-k compiles to TakeOrderedAndProject (no global sort of N).
+  */
+class PlanSpec extends AnyFunSuite {
+
+  private val spark = SparkSessionHelper.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df: DataFrame = SparkEntry.queries(name)(spark, dir)
+    val qe: QueryExecution = df.queryExecution
+    qe.executedPlan.toString
+  }
+
+  test("q02: predicate pushdown and column pruning reach the scan") {
+    val p = plan("q02_filter_pushdown")
+    assert(p.contains("PushedFilters: ["), p.take(2000))
+    assert(p.contains("GreaterThanOrEqual(l_shipdate") ||
+      p.contains("GreaterThanOrEqual(l_quantity"), p.take(2000))
+    // projection needs 5 columns; the scan schema must not exceed them
+    val readSchema = "ReadSchema: struct<(.*?)>".r
+      .findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+    assert(readSchema.split(",").length <= 5, readSchema)
+  }
+
+  test("q03/q04: dimension joins broadcast, no fact shuffle on the dims") {
+    assert(plan("q03_broadcast_join_agg").contains("BroadcastHashJoin"))
+    val p4 = plan("q04_multiway_join")
+    assert(p4.contains("BroadcastHashJoin"))
+    // nation + region + customer all broadcast -> at least 3 exchanges
+    assert("BroadcastExchange".r.findAllIn(p4).size >= 3, p4.take(3000))
+  }
+
+  test("q05/q06: semi and anti join types are preserved") {
+    assert(plan("q05_semi_join").contains("LeftSemi"))
+    assert(plan("q06_anti_join").contains("LeftAnti"))
+  }
+
+  test("q01: aggregation is partial+final (map-side combine)") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("partial_"), p.take(3000))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(3000))
+  }
+
+  test("q07: top-k compiles to TakeOrderedAndProject") {
+    assert(plan("q07_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("dd_simhash_pairs: candidate generation is an equi hash join") {
+    val p = plan("dd_simhash_pairs")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+  }
+
+  test("sim_lsh_ann: bucket-local candidates, not a cross product") {
+    val p = plan("sim_lsh_ann")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      p.take(3000))
+  }
+
+  test("q27: range join is bucketed into an equi join") {
+    val p = plan("q27_range_join")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+  }
+
+  test("txt_tokens: scan prunes to the referenced document columns") {
+    val p = plan("txt_tokens")
+    val readSchema = "ReadSchema: struct<(.*?)>".r
+      .findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+    assert(readSchema.contains("doc_id") && readSchema.contains("text"))
+    assert(!readSchema.contains("source"), readSchema)
+  }
+}
