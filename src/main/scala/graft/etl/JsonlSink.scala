@@ -1,8 +1,10 @@
 package graft.etl
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths}
-import org.apache.spark.sql.Dataset
+import java.nio.file.{Files, Path, Paths, StandardOpenOption}
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 
 import JiraTransform.SourcedRecord
 
@@ -55,5 +57,35 @@ object JsonlSink {
       Files.write(path, body.getBytes(StandardCharsets.UTF_8))
       project -> lines.length.toLong
     }
+  }
+
+  /** JSONL reader (`utils.py:96-120` S8): distributed, blank lines are
+    * skipped natively by the JSON source.
+    */
+  def readJsonl(spark: SparkSession, path: String): DataFrame =
+    spark.read.json(path)
+
+  /** Append one serialized record (`utils.py:72-94` S9 — the reference's
+    * driver-side incremental sink; the distributed analog is
+    * `df.write.mode("append").json(dir)`).
+    */
+  def appendJsonl(path: Path, jsonLine: String): Boolean =
+    try {
+      Option(path.getParent).foreach(Files.createDirectories(_))
+      Files.writeString(path, jsonLine + "\n", StandardOpenOption.CREATE,
+        StandardOpenOption.APPEND)
+      true
+    } catch { case _: Exception => false }
+
+  /** MD5 of a file streamed in 4 KB chunks (`utils.py:122-147` S12). */
+  def fileMd5(path: Path): String = {
+    val md = MessageDigest.getInstance("MD5")
+    val in = Files.newInputStream(path)
+    try {
+      val buf = new Array[Byte](4096)
+      var n = in.read(buf)
+      while (n > 0) { md.update(buf, 0, n); n = in.read(buf) }
+    } finally in.close()
+    md.digest().map("%02x".format(_)).mkString
   }
 }

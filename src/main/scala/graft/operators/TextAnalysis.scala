@@ -170,8 +170,43 @@ object TextAnalysis extends QueryPack {
       |    GROUP BY lang, gram))
       |WHERE rnk <= 10 ORDER BY lang, rnk""".stripMargin
 
+  // -- txt_subtokens: BPE-ish regex sub-word tokenization ---------------------
+  // Letter runs / digit runs / single other chars — the pre-tokenization
+  // regex shape BPE vocabularies assume. The three alternatives are
+  // disjoint character classes, so Java-regex (leftmost-first) and
+  // DuckDB's RE2 tokenize identically.
+  private val subtokenRe = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+  private def txtSubtokens(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "documents")
+      .selectExpr("doc_id",
+        s"regexp_extract_all(lower(text), '$subtokenRe', 0) AS subs")
+      .selectExpr("doc_id",
+        "size(subs) AS n_subtokens",
+        "size(filter(subs, x -> x rlike '^[a-z]')) AS n_word",
+        "size(filter(subs, x -> x rlike '^[0-9]')) AS n_number",
+        "size(filter(subs, x -> x rlike '^[^a-z0-9]')) AS n_punct",
+        "round(cast(aggregate(subs, 0, (acc, x) -> acc + length(x))"
+          + " as double) / size(subs), 6) AS avg_sub_len")
+      .orderBy(col("doc_id"))
+
+  private val txtSubtokensSql =
+    s"""SELECT doc_id, len(subs) AS n_subtokens,
+       |  len(list_filter(subs, x -> regexp_matches(x, '^[a-z]'))) AS n_word,
+       |  len(list_filter(subs, x -> regexp_matches(x, '^[0-9]')))
+       |    AS n_number,
+       |  len(list_filter(subs, x -> regexp_matches(x, '^[^a-z0-9]')))
+       |    AS n_punct,
+       |  round(CAST(list_aggregate(list_transform(subs, x -> length(x)),
+       |        'sum') AS DOUBLE) / len(subs), 6) AS avg_sub_len
+       |FROM (SELECT doc_id,
+       |        regexp_extract_all(lower(text), '$subtokenRe') AS subs
+       |      FROM documents)
+       |ORDER BY doc_id""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map(
+      "txt_subtokens" -> txtSubtokens _,
       "txt_tokens" -> txtTokens _,
       "txt_quality" -> txtQuality _,
       "txt_langid" -> txtLangId _,
@@ -180,6 +215,7 @@ object TextAnalysis extends QueryPack {
     )
 
   override val oracles: Map[String, String] = Map(
+    "txt_subtokens" -> txtSubtokensSql,
     "txt_tokens" -> txtTokensSql,
     "txt_quality" -> txtQualitySql,
     "txt_langid" -> txtLangIdSql,
