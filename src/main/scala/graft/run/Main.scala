@@ -37,6 +37,12 @@ object Main {
     args.sliding(2).foreach {
       case Array("--project", p) => o = o.copy(project = Some(p))
       case Array("--data-dir", d) => o = o.copy(dataDir = Paths.get(d))
+      case Array("--config", c) =>
+        Config.load(Paths.get(c)) match {
+          case Right(cfg) => o = o.copy(cfg = cfg)
+          case Left(err)  =>
+            System.err.println(s"[config] $err"); sys.exit(1)
+        }
       case _ => ()
     }
     if (args.contains("--clean")) o = o.copy(clean = true)

@@ -91,4 +91,22 @@ class WorkerSpec extends AnyFunSuite {
     assert(ok)
     assert(Files.exists(dir.resolve("processed/HADOOP_issues.jsonl")))
   }
+
+  test("Config.load parses the reference config.json with defaults") {
+    val cfg = graft.run.Config
+      .load(java.nio.file.Paths.get("/root/reference/config.json"))
+      .toOption.get
+    assert(cfg.projects == Seq("HADOOP", "SPARK", "KAFKA"))
+    assert(cfg.maxResults == 50 && cfg.maxRetries == 5)
+    assert(cfg.incremental && cfg.lookbackDays == 7)
+    assert(cfg.politeDelaySeconds == 2.0 && cfg.rateLimitSleepSeconds == 30.0)
+  }
+
+  test("Config.load rejects malformed JSON like main.py exits on it") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cfg")
+    val bad = dir.resolve("config.json")
+    java.nio.file.Files.writeString(bad, "{not json")
+    assert(graft.run.Config.load(bad).isLeft)
+    assert(graft.run.Config.load(dir.resolve("missing.json")).isLeft)
+  }
 }
