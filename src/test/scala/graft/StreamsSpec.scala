@@ -1,5 +1,7 @@
 package graft
 
+import java.nio.file.Files
+
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.OutputMode
 import org.scalatest.funsuite.AnyFunSuite
@@ -65,5 +67,23 @@ class StreamsSpec extends AnyFunSuite {
     val total = df.selectExpr("sum(n)").collect()(0).getLong(0)
     val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     assert(total == events.count())
+  }
+
+  test("file-source stream processes the events table as micro-batches") {
+    val src = Files.createTempDirectory("graft-stream").toString
+    Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      java.nio.file.Paths.get(src, "events.parquet"))
+    val q = Streams.tumblingCounts(Streams.eventFileStream(spark, src))
+      .writeStream.format("memory").queryName("filestream")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      q.processAllAvailable()
+      val total = spark.table("filestream")
+        .selectExpr("sum(n)").collect()(0).getLong(0)
+      val expected = spark.read
+        .parquet("/root/testdata/sf0.001/events.parquet").count()
+      assert(total == expected)
+    } finally q.stop()
   }
 }
