@@ -53,7 +53,7 @@ object Multimodal extends QueryPack {
       .groupBy(col("modality"))
       .agg(count(lit(1)).as("n_items"),
         sum(octet_length(col("payload"))).as("total_bytes"),
-        max(octet_length(col("payload"))).as("max_bytes"))
+        max(octet_length(col("payload"))).cast("bigint").as("max_bytes"))
       .withColumn("avg_bytes",
         round(col("total_bytes").cast("double") / col("n_items"), 6))
       .orderBy(col("modality"))

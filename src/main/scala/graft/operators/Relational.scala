@@ -163,7 +163,7 @@ object Relational extends QueryPack {
     val w = Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
     table(s, dir, "orders")
-      .withColumn("rn", row_number().over(w))
+      .withColumn("rn", row_number().over(w).cast("bigint"))
       .filter(col("rn") <= 3)
       .select(col("o_custkey"), col("o_orderkey"), col("rn"))
       .orderBy(col("o_custkey"), col("rn"))
@@ -279,7 +279,7 @@ object Relational extends QueryPack {
       .select(col("p_partkey"),
         upper(col("p_brand")).as("brand_u"),
         concat(col("p_name"), lit(" ["), col("p_type"), lit("]")).as("tagged"),
-        length(col("p_name")).as("name_len"),
+        length(col("p_name")).cast("bigint").as("name_len"),
         regexp_replace(col("p_name"), " ", "_").as("snake"))
       .orderBy(col("p_partkey"))
 

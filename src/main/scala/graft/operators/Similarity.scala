@@ -57,7 +57,7 @@ object Similarity extends QueryPack {
     VectorFunctions.ensureRegistered(s)
     table(s, dir, "embeddings")
       .selectExpr("vec_id", "label",
-        "size(embedding) AS dim",
+        "cast(size(embedding) as bigint) AS dim",
         s"round(sqrt(${dotS("embedding", "embedding")}), 6) AS l2_norm",
         s"round(${sumS("embedding")} / size(embedding), 6) AS mean_val")
       .orderBy(col("vec_id"))
@@ -77,7 +77,8 @@ object Similarity extends QueryPack {
         s"${dotS("embedding", "embedding")} AS n2")
       .createOrReplaceTempView("sim_e")
     s.sql(
-      s"""SELECT query_id, neighbor_id, cos_sim, rnk FROM (
+      s"""SELECT query_id, neighbor_id, cos_sim,
+         |  cast(rnk as bigint) AS rnk FROM (
          |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
          |    round(${dotS("q.embedding", "c.embedding")}
          |      / sqrt(q.n2 * c.n2), 6) AS cos_sim,

@@ -41,8 +41,8 @@ object TextAnalysis extends QueryPack {
     table(s, dir, "documents")
       .selectExpr("doc_id", "split(text, ' ') AS toks", "n_chars")
       .selectExpr("doc_id",
-        "size(toks) AS n_tokens",
-        "size(array_distinct(toks)) AS n_distinct",
+        "cast(size(toks) as bigint) AS n_tokens",
+        "cast(size(array_distinct(toks)) as bigint) AS n_distinct",
         "n_chars",
         "round(cast(aggregate(toks, 0, (acc, t) -> acc + length(t)) as double)"
           + " / size(toks), 6) AS avg_token_len")
@@ -62,7 +62,7 @@ object TextAnalysis extends QueryPack {
   private def txtQuality(s: SparkSession, dir: String): DataFrame =
     table(s, dir, "documents")
       .selectExpr("doc_id", "split(text, ' ') AS toks")
-      .selectExpr("doc_id", "size(toks) AS n_tokens",
+      .selectExpr("doc_id", "cast(size(toks) as bigint) AS n_tokens",
         "size(filter(toks, t -> t = 'the' OR t = 'a')) AS n_stop")
       .selectExpr("doc_id", "n_tokens",
         "round(cast(n_stop as double) / n_tokens, 6) AS stop_ratio",
@@ -87,7 +87,7 @@ object TextAnalysis extends QueryPack {
   private def txtLangId(s: SparkSession, dir: String): DataFrame = {
     val scoreCols = langMarkers.map { case (lang, markers) =>
       val cond = markers.map(m => s"t = '$m'").mkString(" OR ")
-      s"size(filter(toks, t -> $cond)) AS s_$lang"
+      s"cast(size(filter(toks, t -> $cond)) as bigint) AS s_$lang"
     }
     val langs = langMarkers.map(_._1)
     val maxAll = s"greatest(${langs.map("s_" + _).mkString(", ")})"
@@ -153,7 +153,7 @@ object TextAnalysis extends QueryPack {
           + " ELSE cast(array() as array<string>) END) AS gram")
       .groupBy(col("lang"), col("gram"))
       .agg(count(lit(1)).as("cnt"))
-      .withColumn("rnk", row_number().over(w))
+      .withColumn("rnk", row_number().over(w).cast("bigint"))
       .filter(col("rnk") <= 10)
       .orderBy(col("lang"), col("rnk"))
   }
@@ -182,10 +182,10 @@ object TextAnalysis extends QueryPack {
       .selectExpr("doc_id",
         s"regexp_extract_all(lower(text), '$subtokenRe', 0) AS subs")
       .selectExpr("doc_id",
-        "size(subs) AS n_subtokens",
-        "size(filter(subs, x -> x rlike '^[a-z]')) AS n_word",
-        "size(filter(subs, x -> x rlike '^[0-9]')) AS n_number",
-        "size(filter(subs, x -> x rlike '^[^a-z0-9]')) AS n_punct",
+        "cast(size(subs) as bigint) AS n_subtokens",
+        "cast(size(filter(subs, x -> x rlike '^[a-z]')) as bigint) AS n_word",
+        "cast(size(filter(subs, x -> x rlike '^[0-9]')) as bigint) AS n_number",
+        "cast(size(filter(subs, x -> x rlike '^[^a-z0-9]')) as bigint) AS n_punct",
         "round(cast(aggregate(subs, 0, (acc, x) -> acc + length(x))"
           + " as double) / size(subs), 6) AS avg_sub_len")
       .orderBy(col("doc_id"))

@@ -50,6 +50,11 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: columns ours={oc} oracle={tc}")
             n_fail += 1
             continue
+        tmis = [(c, str(ours.column(c).type), str(theirs.column(c).type))
+                for c in oc
+                if str(ours.column(c).type) != str(theirs.column(c).type)]
+        if tmis:
+            print(f"TYPE {name}: {tmis}")
         if ours.num_rows != theirs.num_rows:
             print(f"FAIL {name}: rows ours={ours.num_rows} "
                   f"oracle={theirs.num_rows}")
