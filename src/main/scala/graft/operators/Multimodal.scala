@@ -149,6 +149,36 @@ object Multimodal extends QueryPack {
       |      FROM documents)
       |GROUP BY modality ORDER BY modality""".stripMargin
 
+  // -- mm_embed_join: join text metadata to the embedding modality ------------
+  // The cross-modal join every training pipeline runs (text row <-> its
+  // embedding row by id): broadcast-friendly at this arity, and the
+  // aggregation carries only small derived values (norms), never the
+  // payloads.
+  private def mmEmbedJoin(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.ensureRegistered(s)
+    table(s, dir, "documents")
+      .join(table(s, dir, "embeddings"), col("doc_id") === col("vec_id"))
+      .selectExpr("lang", "label",
+        "round(sqrt(graft_dot(embedding, embedding)), 6) AS l2")
+      .groupBy(col("lang"), col("label"))
+      .agg(count(lit(1)).as("n"), min(col("l2")).as("min_l2"),
+        max(col("l2")).as("max_l2"))
+      .orderBy(col("lang"), col("label"))
+  }
+
+  private val mmEmbedJoinSql =
+    """SELECT lang, label, COUNT(*) AS n, MIN(l2) AS min_l2,
+      |  MAX(l2) AS max_l2
+      |FROM (
+      |  SELECT d.lang, e.label,
+      |    round(sqrt(list_reduce(list_transform(
+      |      range(1, len(e.embedding) + 1),
+      |      i -> CAST(e.embedding[i] AS DOUBLE)
+      |           * CAST(e.embedding[i] AS DOUBLE)), (x, y) -> x + y)), 6)
+      |      AS l2
+      |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id)
+      |GROUP BY lang, label ORDER BY lang, label""".stripMargin
+
   // -- mm_decode_batch: batched partition-local decode (rows-only check) ------
   /** DETERMINISTIC FAKE decoder: byte statistics of the payload. A real
     * implementation would initialize a codec once per batch and decode the
@@ -182,6 +212,7 @@ object Multimodal extends QueryPack {
       "mm_features" -> mmFeatures _,
       "mm_frames" -> mmFrames _,
       "mm_validate" -> mmValidate _,
+      "mm_embed_join" -> mmEmbedJoin _,
       "mm_decode_batch" -> mmDecodeBatch _
     )
 
@@ -192,6 +223,7 @@ object Multimodal extends QueryPack {
     "mm_catalog" -> mmCatalogSql,
     "mm_features" -> mmFeaturesSql,
     "mm_frames" -> mmFramesSql,
-    "mm_validate" -> mmValidateSql
+    "mm_validate" -> mmValidateSql,
+    "mm_embed_join" -> mmEmbedJoinSql
   )
 }
