@@ -95,24 +95,30 @@ object Dedup extends QueryPack {
     val sigs = table(s, dir, "documents")
       .selectExpr("doc_id", "split(text, ' ') AS toks")
       .selectExpr("doc_id", s"$sparkGrams AS grams")
-      .selectExpr("doc_id",
+      .selectExpr("doc_id", "0 AS k",
         s"array_sort(array_distinct(transform(grams, g -> ${sparkH64("g")})))" +
           " AS hs")
       .cache()
-    val a = sigs.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"))
-    val b = sigs.select(col("doc_id").as("doc_b"), col("hs").as("hs_b"))
-    // Two deliberate plan shapes here:
+    val a = sigs.select(col("doc_id").as("doc_a"), col("k"),
+      col("hs").as("hs_a"))
+    val b = sigs.select(col("doc_id").as("doc_b"), col("k").as("kb"),
+      col("hs").as("hs_b"))
+    // Three deliberate plan shapes here:
+    //  - the constant equi-key `k = kb` turns the pair generator into a
+    //    BroadcastHASHJoin (codegen-friendly) instead of a nested-loop
+    //    join — measured ~35% faster at sf0.1 for the identical rows;
     //  - the length-ratio conjunct in the join condition is a pure prune
     //    (jaccard >= 0.6 implies min(sz)/max(sz) >= 0.6; exact integers,
-    //    same rows out) so the nested-loop condition drops ~half the
-    //    pairs on an O(1) test;
+    //    same rows out) so the condition drops ~half the pairs on an
+    //    O(1) test;
     //  - the pair projection (24 bytes/row, arrays gone) is persisted
     //    BEFORE the threshold filter: without the barrier Catalyst pushes
     //    `jaccard >= 0.6` into the join condition ahead of the cheap
     //    conjuncts, making the O(|a|+|b|) merge run for every ordered
     //    pair (measured 39 s vs ~8 s for this shape at sf0.1).
     val pairs = a
-      .join(b, col("doc_a") < col("doc_b")
+      .join(b, col("k") === col("kb")
+        && col("doc_a") < col("doc_b")
         && least(size(col("hs_a")), size(col("hs_b"))) * 10
            >= greatest(size(col("hs_a")), size(col("hs_b"))) * 6)
       .selectExpr("doc_a", "doc_b",
@@ -334,14 +340,17 @@ object Dedup extends QueryPack {
     // nested-loop join condition, where the codegen'd dot product would
     // run for every ordered pair instead of once per unordered pair
     val e = table(s, dir, "embeddings")
-      .selectExpr("vec_id", "embedding",
+      .selectExpr("vec_id", "0 AS k", "embedding",
         "graft_dot(embedding, embedding) AS n2")
       .cache()
-    val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
-      col("n2").as("n2a"))
-    val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
-      col("n2").as("n2b"))
-    val pairs = a.join(b, col("vec_a") < col("vec_b"))
+    val a = e.select(col("vec_id").as("vec_a"), col("k"),
+      col("embedding").as("ea"), col("n2").as("n2a"))
+    val b = e.select(col("vec_id").as("vec_b"), col("k").as("kb"),
+      col("embedding").as("eb"), col("n2").as("n2b"))
+    // constant equi-key => BroadcastHashJoin pair generation (codegen),
+    // same trick as ddJaccard
+    val pairs = a.join(b, col("k") === col("kb")
+        && col("vec_a") < col("vec_b"))
       .selectExpr("vec_a", "vec_b",
         "round(graft_dot(ea, eb) / sqrt(n2a * n2b), 6) AS cos_sim")
       .cache()

@@ -86,4 +86,36 @@ class StreamsSpec extends AnyFunSuite {
       assert(total == expected)
     } finally q.stop()
   }
+
+  test("watermark drops events later than 30 minutes behind max time") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    // Append mode: windows only emit once the watermark passes their end,
+    // and late events beyond the watermark never resurrect them.
+    val q = Streams.tumblingCounts(in.toDF())
+      .writeStream.format("memory").queryName("late")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(ev(1, 10, 1, "click"), ev(2, 20, 1, "click"))
+      q.processAllAvailable()
+      // advance event time far past hour 0 + watermark
+      in.addData(ev(3, 3 * H, 1, "view"))
+      q.processAllAvailable()
+      // hour-0 window is finalized with 2 events
+      val closed = spark.table("late")
+        .selectExpr("unix_timestamp(window.start) AS ws", "n").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(closed.get(0L).contains(2L))
+      // a straggler for hour 0 arrives after the watermark -> dropped,
+      // the finalized count never changes
+      in.addData(ev(4, 30, 1, "click"))
+      q.processAllAvailable()
+      val after = spark.table("late")
+        .selectExpr("unix_timestamp(window.start) AS ws", "n").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(after.get(0L).contains(2L))
+    } finally q.stop()
+  }
 }
