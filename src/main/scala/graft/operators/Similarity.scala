@@ -209,6 +209,74 @@ object Similarity extends QueryPack {
        |  FROM e v JOIN e c ON c.vec_id < 4)
        |WHERE rnk = 1 GROUP BY cell ORDER BY cell""".stripMargin
 
+  // -- sim_ivf_probe: IVF search — probe only the query's cell ----------------
+  // The actual IVF query path: assign every vector to its nearest
+  // centroid once, then each query scores ONLY the candidates sharing
+  // its cell (|cell| ≈ N/C work instead of N). Exact same shape a real
+  // IVF index executes; recall loss vs sim_topk_brute is the expected
+  // IVF trade-off.
+  private def simIvfProbe(s: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.ensureRegistered(s)
+    table(s, dir, "embeddings")
+      .selectExpr("vec_id", "embedding",
+        s"${dotS("embedding", "embedding")} AS n2")
+      .cache()
+      .createOrReplaceTempView("sim_ivfp")
+    s.sql(
+      s"""WITH assign AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT v.vec_id, c.vec_id AS cell,
+         |      row_number() OVER (PARTITION BY v.vec_id
+         |        ORDER BY round(${dotS("v.embedding", "c.embedding")}
+         |          / sqrt(v.n2 * c.n2), 6) DESC, c.vec_id) AS rnk
+         |    FROM sim_ivfp v JOIN sim_ivfp c ON c.vec_id < 4)
+         |  WHERE rnk = 1),
+         |q AS (SELECT e.vec_id, e.embedding, e.n2, a.cell
+         |      FROM sim_ivfp e JOIN assign a ON e.vec_id = a.vec_id
+         |      WHERE e.vec_id >= 492),
+         |cand AS (SELECT e.vec_id, e.embedding, e.n2, a.cell
+         |         FROM sim_ivfp e JOIN assign a ON e.vec_id = a.vec_id
+         |         WHERE e.vec_id < 492)
+         |SELECT query_id, cell, neighbor_id, cos_sim,
+         |  cast(rnk as bigint) AS rnk FROM (
+         |  SELECT q.vec_id AS query_id, q.cell, cand.vec_id AS neighbor_id,
+         |    round(${dotS("q.embedding", "cand.embedding")}
+         |      / sqrt(q.n2 * cand.n2), 6) AS cos_sim,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY round(${dotS("q.embedding", "cand.embedding")}
+         |        / sqrt(q.n2 * cand.n2), 6) DESC, cand.vec_id) AS rnk
+         |  FROM q JOIN cand ON q.cell = cand.cell)
+         |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin)
+  }
+
+  private val simIvfProbeSql =
+    s"""WITH e AS (SELECT vec_id, embedding,
+       |  ${dotD("embedding", "embedding")} AS n2 FROM embeddings),
+       |assign AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT v.vec_id, c.vec_id AS cell,
+       |      row_number() OVER (PARTITION BY v.vec_id
+       |        ORDER BY round(${dotD("v.embedding", "c.embedding")}
+       |          / sqrt(v.n2 * c.n2), 6) DESC, c.vec_id) AS rnk
+       |    FROM e v JOIN e c ON c.vec_id < 4)
+       |  WHERE rnk = 1),
+       |q AS (SELECT e.vec_id, e.embedding, e.n2, a.cell
+       |      FROM e JOIN assign a ON e.vec_id = a.vec_id
+       |      WHERE e.vec_id >= 492),
+       |cand AS (SELECT e.vec_id, e.embedding, e.n2, a.cell
+       |         FROM e JOIN assign a ON e.vec_id = a.vec_id
+       |         WHERE e.vec_id < 492)
+       |SELECT query_id, cell, neighbor_id, cos_sim,
+       |  CAST(rnk AS BIGINT) AS rnk FROM (
+       |  SELECT q.vec_id AS query_id, q.cell, cand.vec_id AS neighbor_id,
+       |    round(${dotD("q.embedding", "cand.embedding")}
+       |      / sqrt(q.n2 * cand.n2), 6) AS cos_sim,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY round(${dotD("q.embedding", "cand.embedding")}
+       |        / sqrt(q.n2 * cand.n2), 6) DESC, cand.vec_id) AS rnk
+       |  FROM q JOIN cand ON q.cell = cand.cell)
+       |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin
+
   // -- sim_knn_label: 5-NN majority-label vote for held-out queries -----------
   private def simKnnLabel(s: SparkSession, dir: String): DataFrame = {
     VectorFunctions.ensureRegistered(s)
@@ -259,6 +327,7 @@ object Similarity extends QueryPack {
       "sim_lsh_buckets" -> simLshBuckets _,
       "sim_lsh_ann" -> simLshAnn _,
       "sim_ivf_assign" -> simIvfAssign _,
+      "sim_ivf_probe" -> simIvfProbe _,
       "sim_knn_label" -> simKnnLabel _
     )
 
@@ -268,6 +337,7 @@ object Similarity extends QueryPack {
     "sim_lsh_buckets" -> simLshBucketsSql,
     "sim_lsh_ann" -> simLshAnnSql,
     "sim_ivf_assign" -> simIvfAssignSql,
+    "sim_ivf_probe" -> simIvfProbeSql,
     "sim_knn_label" -> simKnnLabelSql
   )
 }
