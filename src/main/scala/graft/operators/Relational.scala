@@ -586,8 +586,36 @@ object Relational extends QueryPack {
        |  COUNT(*) AS n
        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // -- q29: custom physical operator — bounded-heap top-k per key ------------
+  // graft.plans.TopKPerKey: a native LogicalPlan + SparkStrategy +
+  // UnaryExecNode keeping a k-heap per key in one pass (O(n log k), no
+  // per-partition full sort) after a single key-clustered exchange. The
+  // oracle states the equivalent window+filter, so the custom operator is
+  // checked against an independent engine's implementation of the
+  // semantics it optimizes.
+  private def q29(s: SparkSession, dir: String): DataFrame = {
+    val withOrd = table(s, dir, "orders")
+      .withColumn("ord4", m4(col("o_totalprice")))
+    graft.plans.TopKPerKeyOps
+      .topKPerKey(withOrd, 3, "o_custkey", "ord4", "o_orderkey")
+      .select(col("o_custkey"), col("o_orderkey"),
+        d2(col("ord4")).as("total_price"))
+      .orderBy(col("o_custkey"), col("total_price").desc, col("o_orderkey"))
+  }
+
+  private val q29Sql =
+    s"""SELECT o_custkey, o_orderkey, ${d2s(m4s("o_totalprice"))} AS total_price
+       |FROM (
+       |  SELECT o_custkey, o_orderkey, o_totalprice,
+       |    row_number() OVER (PARTITION BY o_custkey
+       |      ORDER BY ${m4s("o_totalprice")} DESC, o_orderkey) AS rn
+       |  FROM orders)
+       |WHERE rn <= 3
+       |ORDER BY o_custkey, total_price DESC, o_orderkey""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map(
+      "q29_topk_per_key" -> q29 _,
       "q25_cube" -> q25 _,
       "q26_asof_join" -> q26 _,
       "q27_range_join" -> q27 _,
@@ -619,6 +647,7 @@ object Relational extends QueryPack {
     )
 
   override val oracles: Map[String, String] = Map(
+    "q29_topk_per_key" -> q29Sql,
     "q25_cube" -> q25Sql,
     "q26_asof_join" -> q26Sql,
     "q27_range_join" -> q27Sql,

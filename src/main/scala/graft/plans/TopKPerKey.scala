@@ -1,0 +1,118 @@
+package graft.plans
+
+import scala.collection.mutable
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, BindReferences, Expression, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+
+/** Logical node: keep the top `k` rows per `key`, ranked by `order`
+  * descending with ties broken by `tie` ascending (all three must be
+  * bigint-valued expressions over the child's output).
+  *
+  * This is the whole-operator extension path (SURVEY.md §7.3 option c /
+  * the build brief's custom-operator ladder): Spark's built-in shape for
+  * "top-n per group" is `row_number().over(Window...)` + filter, which
+  * SORTS every partition fully (O(n log n) per key, all rows
+  * materialized through the sort) before discarding everything past n.
+  * This operator instead keeps a bounded k-heap per key inside one pass
+  * (O(n log k), no sort buffer) after the key-clustered exchange that
+  * [[TopKPerKeyExec.requiredChildDistribution]] requests from the
+  * planner — the same contract a built-in aggregate declares, so
+  * EnsureRequirements inserts exactly one hash exchange.
+  */
+case class TopKPerKey(k: Int, key: Expression, order: Expression,
+                      tie: Expression, child: LogicalPlan)
+    extends UnaryNode {
+  override def output: Seq[Attribute] = child.output
+  override protected def withNewChildInternal(newChild: LogicalPlan)
+      : TopKPerKey = copy(child = newChild)
+}
+
+/** Planner strategy mapping the logical node to its physical operator. */
+object TopKPerKeyStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerKey(k, key, order, tie, child) =>
+      TopKPerKeyExec(k, key, order, tie, planLater(child)) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Physical bounded-heap top-k per key. One pass per partition; memory
+  * is O(distinct keys in partition x k rows), not O(partition).
+  */
+case class TopKPerKeyExec(k: Int, key: Expression, order: Expression,
+                          tie: Expression, child: SparkPlan)
+    extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(Seq(key)) :: Nil
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val kLocal = k
+    val keyB = BindReferences.bindReference(key, child.output)
+    val orderB = BindReferences.bindReference(order, child.output)
+    val tieB = BindReferences.bindReference(tie, child.output)
+    child.execute().mapPartitions { iter =>
+      // per key: a min-heap of (order, -tie) so the weakest of the
+      // current top-k is on top and evicted first
+      implicit val heapOrd: Ordering[(Long, Long, InternalRow)] =
+        Ordering.by(t => (-t._1, t._2))
+      val heaps =
+        mutable.HashMap.empty[Long, mutable.PriorityQueue[(Long, Long, InternalRow)]]
+      val copier = UnsafeProjection.create(child.output, child.output)
+      iter.foreach { row =>
+        val kv = keyB.eval(row).asInstanceOf[Long]
+        val ov = orderB.eval(row).asInstanceOf[Long]
+        val tv = tieB.eval(row).asInstanceOf[Long]
+        val heap = heaps.getOrElseUpdate(kv,
+          mutable.PriorityQueue.empty[(Long, Long, InternalRow)])
+        if (heap.size < kLocal) heap.enqueue((ov, tv, copier(row).copy()))
+        else {
+          val worst = heap.head
+          if (ov > worst._1 || (ov == worst._1 && tv < worst._2)) {
+            heap.dequeue()
+            heap.enqueue((ov, tv, copier(row).copy()))
+          }
+        }
+      }
+      heaps.valuesIterator.flatMap { h =>
+        h.dequeueAll.iterator.map((t: (Long, Long, InternalRow)) => t._3)
+      }
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan)
+      : TopKPerKeyExec = copy(child = newChild)
+}
+
+/** User-facing surface: registers the strategy on the session (public
+  * `experimental.extraStrategies` — no extensions hook needed) and wraps
+  * the logical node back into a DataFrame via the sql-package shim.
+  */
+object TopKPerKeyOps {
+  /** All three are bigint COLUMNS of `df` — pre-compute derived measures
+    * with `withColumn` (and drop them after) rather than passing
+    * expression strings, so no analyzer round-trip is needed.
+    */
+  def topKPerKey(df: DataFrame, k: Int, keyCol: String, orderCol: String,
+                 tieCol: String): DataFrame = {
+    val spark = df.sparkSession
+    if (!spark.experimental.extraStrategies.contains(TopKPerKeyStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ TopKPerKeyStrategy
+    val plan = df.queryExecution.analyzed
+    def resolve(name: String): Expression =
+      plan.output.find(_.name == name)
+        .getOrElse(sys.error(s"column $name not found"))
+    org.apache.spark.sql.GraftRegistry.dataFrame(spark,
+      TopKPerKey(k, resolve(keyCol), resolve(orderCol), resolve(tieCol),
+        plan))
+  }
+}

@@ -86,4 +86,14 @@ class PlanSpec extends AnyFunSuite {
     assert(readSchema.contains("doc_id") && readSchema.contains("text"))
     assert(!readSchema.contains("source"), readSchema)
   }
+
+  test("q29: custom TopKPerKeyExec appears with exactly one exchange") {
+    val p = plan("q29_topk_per_key")
+    assert(p.contains("TopKPerKey 3"), p.take(3000))
+    // one hash exchange for the key clustering (plus the final sort's
+    // range exchange) — and crucially NO per-partition Window sort
+    assert(!p.contains("Window"), p.take(3000))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      p.take(3000))
+  }
 }
