@@ -149,6 +149,34 @@ object Multimodal extends QueryPack {
       |      FROM documents)
       |GROUP BY modality ORDER BY modality""".stripMargin
 
+  // -- mm_resize: fixed-grid downsample of the payload ------------------------
+  // DETERMINISTIC FAKE of media resize: sample 16 evenly-spaced bytes
+  // from the payload (a real implementation resamples pixels the same
+  // way — fixed output geometry from variable input size) and digest
+  // them. Narrow per-row op; only the 16-byte "thumbnail" digest flows on.
+  private val ResizeTo = 16
+
+  private def mmResize(s: SparkSession, dir: String): DataFrame = {
+    val probes = (0 until ResizeTo)
+      .map(i => s"substring(text, 1 + $i * stride, 1)")
+    media(s, dir)
+      .selectExpr("doc_id", "text", "n_chars",
+        s"n_chars div $ResizeTo AS stride")
+      .selectExpr("doc_id", "n_chars",
+        s"md5(concat(${probes.mkString(", ")})) AS resized_hash")
+      .orderBy(col("doc_id"))
+  }
+
+  private val mmResizeSql = {
+    val probes = (0 until ResizeTo)
+      .map(i => s"substr(text, 1 + $i * stride, 1)")
+    s"""SELECT doc_id, n_chars,
+       |  md5(${probes.mkString(" || ")}) AS resized_hash
+       |FROM (SELECT doc_id, text, n_chars, n_chars // $ResizeTo AS stride
+       |      FROM documents)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   // -- mm_embed_join: join text metadata to the embedding modality ------------
   // The cross-modal join every training pipeline runs (text row <-> its
   // embedding row by id): broadcast-friendly at this arity, and the
@@ -212,6 +240,7 @@ object Multimodal extends QueryPack {
       "mm_features" -> mmFeatures _,
       "mm_frames" -> mmFrames _,
       "mm_validate" -> mmValidate _,
+      "mm_resize" -> mmResize _,
       "mm_embed_join" -> mmEmbedJoin _,
       "mm_decode_batch" -> mmDecodeBatch _
     )
@@ -224,6 +253,7 @@ object Multimodal extends QueryPack {
     "mm_features" -> mmFeaturesSql,
     "mm_frames" -> mmFramesSql,
     "mm_validate" -> mmValidateSql,
+    "mm_resize" -> mmResizeSql,
     "mm_embed_join" -> mmEmbedJoinSql
   )
 }

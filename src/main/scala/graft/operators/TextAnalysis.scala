@@ -138,6 +138,34 @@ object TextAnalysis extends QueryPack {
       |      FROM documents)
       |GROUP BY fp ORDER BY fp""".stripMargin
 
+  // -- txt_rollhash: Rabin-Karp polynomial rolling hash per document ----------
+  // h = fold over chars of (acc * 31 + codepoint) mod 1e9+7 — the
+  // incremental document fingerprint streaming dedup pipelines maintain
+  // (extendable per chunk without re-reading the document). Exact
+  // integer fold, identical left-to-right order in both engines.
+  private def txtRollhash(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "documents")
+      // CASE guard: empty text would make Spark's sequence(1, 0) descend
+      // (same class of bug as the trigram guard); DuckDB's range(1, 1)
+      // is empty and folds to the bare init 0
+      .selectExpr("doc_id",
+        "CASE WHEN length(text) >= 1 THEN"
+          + " aggregate(transform(sequence(1, length(text)),"
+          + " i -> ascii(substring(text, i, 1))),"
+          + " cast(0 as bigint),"
+          + " (acc, c) -> (acc * 31 + c) % 1000000007)"
+          + " ELSE cast(0 as bigint) END AS rolling_hash")
+      .orderBy(col("doc_id"))
+
+  private val txtRollhashSql =
+    """SELECT doc_id,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |    list_transform(range(1, length(text) + 1),
+      |      i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
+      |    (acc, c) -> (acc * 31 + c) % 1000000007) AS rolling_hash
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
   // -- txt_trigrams: top character 3-grams per language ------------------------
   private def txtTrigrams(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("lang"))
@@ -211,6 +239,7 @@ object TextAnalysis extends QueryPack {
       "txt_quality" -> txtQuality _,
       "txt_langid" -> txtLangId _,
       "txt_fingerprint" -> txtFingerprint _,
+      "txt_rollhash" -> txtRollhash _,
       "txt_trigrams" -> txtTrigrams _
     )
 
@@ -220,6 +249,7 @@ object TextAnalysis extends QueryPack {
     "txt_quality" -> txtQualitySql,
     "txt_langid" -> txtLangIdSql,
     "txt_fingerprint" -> txtFingerprintSql,
+    "txt_rollhash" -> txtRollhashSql,
     "txt_trigrams" -> txtTrigramsSql
   )
 }
