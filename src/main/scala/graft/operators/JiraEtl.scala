@@ -70,6 +70,21 @@ object JiraEtl extends QueryPack {
       .stats(JiraTransform.transform(JiraTransform.readRawPages(s, RawGlob)))
       .orderBy(col("project"))
 
+  // -- etl_clean_docs: cleanText as a codegen'd Column expression ------------
+  // The at-scale column-pipeline form of F1 (graft_clean_text — see
+  // graft.functions.CleanTextExpression) applied to the corpus-scale
+  // documents table: no typed-map encoder round-trip, runs inside
+  // whole-stage codegen. Rows-only (the state machine isn't SQL).
+  private def etlCleanDocs(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.CleanTextExpression.ensureRegistered(s)
+    graft.Engine.table(s, dir, "documents")
+      .selectExpr("doc_id",
+        "graft_clean_text(text) AS cleaned",
+        "length(text) AS raw_len",
+        "length(graft_clean_text(text)) AS clean_len")
+      .orderBy(col("doc_id"))
+  }
+
   // -- etl_summaries: generated summaries (F3) with the 150-char contract ----
   private def etlSummaries(s: SparkSession, dir: String): DataFrame =
     records(s)
@@ -84,7 +99,8 @@ object JiraEtl extends QueryPack {
       "etl_classify_hist" -> etlClassifyHist _,
       "etl_qa_pairs" -> etlQaPairs _,
       "etl_validation" -> etlValidation _,
-      "etl_summaries" -> etlSummaries _
+      "etl_summaries" -> etlSummaries _,
+      "etl_clean_docs" -> etlCleanDocs _
     )
 
   /** Rows-only: the transform core is not SQL-expressible (see Scaladoc);

@@ -108,4 +108,24 @@ class CleanTextSpec extends AnyFunSuite {
       assert(!out.startsWith("Exception") && !out.startsWith("Caused by:"))
     }
   }
+
+  // --- codegen'd Column-expression form agrees with the function ---
+
+  test("graft_clean_text expression matches CleanText on a DataFrame") {
+    val spark = SparkSessionHelper.spark
+    graft.functions.CleanTextExpression.ensureRegistered(spark)
+    import spark.implicits._
+    val samples = Seq(
+      "  Hello  World  ",
+      "Hello\n[ERROR] boom\n  at com.foo.Bar\nWorld",
+      "before\n{code}\nx = 1\n{code}\nafter",
+      "Check https://ci-hadoop.apache.org/job/12345 now",
+      "", null)
+    val out = samples.toDF("t")
+      .selectExpr("graft_clean_text(t) AS c")
+      .collect().map(_.getString(0)).toSeq
+    assert(out == samples.map(CleanText(_)))
+    // never null even for null input (reference: None -> "")
+    assert(out.forall(_ != null))
+  }
 }
