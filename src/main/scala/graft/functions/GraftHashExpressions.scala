@@ -1,0 +1,202 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, IntegerType, LongType}
+
+/** Fused single-pass kernels behind graft's sketching expressions.
+  *
+  * Each method is the exact arithmetic of a higher-order-function
+  * pipeline the operators previously ran per signature/plane/bit —
+  * K (or 60, or 16) separate interpreted `aggregate` folds per row —
+  * collapsed into one compiled loop. The DuckDB oracle SQL keeps the
+  * unfused per-column formulas; results are identical because every
+  * kernel is either pure integer arithmetic (minhash, simhash) or the
+  * same IEEE sequence per plane (rh: cast-to-double, multiply, add
+  * left-to-right from 0.0).
+  *
+  * Plain object (no companion class) so Scala emits static forwarders —
+  * generated Java can call `graft.functions.GraftHashes.minhash16(...)`
+  * directly inside whole-stage codegen.
+  */
+object GraftHashes {
+
+  /** MinHash family (mirrors Dedup's oracle constants):
+    * sig_j = min over h of (A_j*h + B_j) mod P, A_j/B_j mod 65521,
+    * P = 2^31-1; empty input folds to the Long.MaxValue init, exactly
+    * like `aggregate(ghs, 9223372036854775807, least(...))`.
+    */
+  private val K = 16
+  private val P = 2147483647L
+  private val As = Array.tabulate(K)(j => (1103515245L * (j + 1)) % 65521L)
+  private val Bs = Array.tabulate(K)(j => (12345L * (j + 17)) % 65521L)
+
+  def minhash16(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val out = new Array[Long](K)
+    var j = 0
+    while (j < K) {
+      val aj = As(j)
+      val bj = Bs(j)
+      var m = Long.MaxValue
+      var i = 0
+      while (i < n) {
+        val v = (aj * arr.getLong(i) + bj) % P
+        if (v < m) m = v
+        i += 1
+      }
+      out(j) = m
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Random-hyperplane buckets (mirrors Dedup.ddEmbedCosine's oracle):
+    * 12 bands x 5 sign bits; plane j at 1-based component i has integer
+    * weight ((j+1)*2654435761 + 40503*i) mod 97 - 48; each plane's dot
+    * is the left fold `0.0 + v_1*w_1 + ...` in index order — the same
+    * IEEE sequence as the HOF/`list_reduce` formulation.
+    */
+  private val CosBands = 12
+  private val CosRows = 5
+
+  def rhBuckets(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val out = new Array[Int](CosBands)
+    var b = 0
+    while (b < CosBands) {
+      var bucket = 0
+      var k = 0
+      while (k < CosRows) {
+        val j = b * CosRows + k
+        val cj = (j + 1) * 2654435761L
+        var acc = 0.0
+        var i = 1
+        while (i <= n) {
+          acc += arr.getFloat(i - 1).toDouble *
+            ((cj + 40503L * i) % 97L - 48L).toDouble
+          i += 1
+        }
+        if (acc > 0) bucket |= 1 << k
+        k += 1
+      }
+      out(b) = bucket
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** 16-bit SimHash over pre-hashed tokens: counter_b = sum of +/-1 per
+    * token depending on bit b of the token hash (integer addition —
+    * order-independent, so one pass equals 16 per-bit folds), result
+    * sets bit b when counter_b > 0.
+    */
+  def simhash16(arr: ArrayData): Long = {
+    val n = arr.numElements()
+    val counters = new Array[Int](16)
+    var i = 0
+    while (i < n) {
+      val h = arr.getLong(i)
+      var b = 0
+      while (b < 16) {
+        if (((h >> b) & 1L) == 1L) counters(b) += 1 else counters(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 16) {
+      if (counters(b) > 0) out |= 1L << b
+      b += 1
+    }
+    out
+  }
+}
+
+/** `graft_minhash16(ghs)` — all 16 MinHash signatures of a hashed-shingle
+  * array in one compiled pass (replaces 16 interpreted `aggregate` folds
+  * per document).
+  */
+case class MinhashSignatures(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_minhash16 expects array<bigint>, got ${t.sql}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def prettyName: String = "graft_minhash16"
+
+  override protected def nullSafeEval(a: Any): Any =
+    GraftHashes.minhash16(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.GraftHashes.minhash16($c)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): MinhashSignatures = copy(child = newChild)
+}
+
+/** `graft_rh_buckets(embedding)` — the 12 banded random-hyperplane LSH
+  * buckets of a float vector in one compiled pass (replaces 60
+  * interpreted plane folds per vector).
+  */
+case class RhLshBuckets(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_rh_buckets expects array<float>, got ${t.sql}")
+  }
+
+  override def dataType: DataType =
+    ArrayType(IntegerType, containsNull = false)
+
+  override def prettyName: String = "graft_rh_buckets"
+
+  override protected def nullSafeEval(a: Any): Any =
+    GraftHashes.rhBuckets(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.GraftHashes.rhBuckets($c)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): RhLshBuckets = copy(child = newChild)
+}
+
+/** `graft_simhash16(hts)` — 16-bit SimHash of a pre-hashed token array in
+  * one compiled pass (replaces 16 interpreted per-bit folds, and lets the
+  * caller hash each token ONCE instead of once per bit).
+  */
+case class Simhash16(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_simhash16 expects array<bigint>, got ${t.sql}")
+  }
+
+  override def dataType: DataType = LongType
+
+  override def prettyName: String = "graft_simhash16"
+
+  override protected def nullSafeEval(a: Any): Any =
+    GraftHashes.simhash16(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.GraftHashes.simhash16($c)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Simhash16 = copy(child = newChild)
+}

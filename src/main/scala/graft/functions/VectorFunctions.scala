@@ -153,7 +153,7 @@ case class SortedArrayIntersectCount(left: Expression, right: Expression)
   * (including one the harness created), via the catalyst registry shim.
   */
 object VectorFunctions {
-  /** Idempotent: makes `graft_dot` / `graft_isect` resolvable in SQL. */
+  /** Idempotent: makes graft's native expressions resolvable in SQL. */
   def ensureRegistered(spark: SparkSession): Unit = {
     org.apache.spark.sql.GraftRegistry.register(spark, "graft_dot",
       (children: Seq[Expression]) =>
@@ -161,5 +161,11 @@ object VectorFunctions {
     org.apache.spark.sql.GraftRegistry.register(spark, "graft_isect",
       (children: Seq[Expression]) =>
         SortedArrayIntersectCount(children(0), children(1)))
+    org.apache.spark.sql.GraftRegistry.register(spark, "graft_minhash16",
+      (children: Seq[Expression]) => MinhashSignatures(children(0)))
+    org.apache.spark.sql.GraftRegistry.register(spark, "graft_rh_buckets",
+      (children: Seq[Expression]) => RhLshBuckets(children(0)))
+    org.apache.spark.sql.GraftRegistry.register(spark, "graft_simhash16",
+      (children: Seq[Expression]) => Simhash16(children(0)))
   }
 }

@@ -72,6 +72,26 @@ class PlanSpec extends AnyFunSuite {
       p.take(3000))
   }
 
+  test("dd_jaccard: banded candidates — no all-pairs or constant-key join") {
+    val p = plan("dd_jaccard")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    // the round-3 shape joined on a literal 0=0 column pair (k = kb);
+    // every join must now key on real band/id columns
+    assert(!p.contains("[k#") && !p.contains("[kb#"), p.take(3000))
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), p.take(3000))
+  }
+
+  test("dd_embed_cosine: banded candidates — no all-pairs or constant-key join") {
+    val p = plan("dd_embed_cosine")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("[k#") && !p.contains("[kb#"), p.take(3000))
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), p.take(3000))
+  }
+
   test("q27: range join is bucketed into an equi join") {
     val p = plan("q27_range_join")
     assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
