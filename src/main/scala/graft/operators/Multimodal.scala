@@ -207,12 +207,14 @@ object Multimodal extends QueryPack {
       |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id)
       |GROUP BY lang, label ORDER BY lang, label""".stripMargin
 
-  // -- mm_decode_batch: batched partition-local decode (rows-only check) ------
+  // -- mm_decode_batch: batched partition-local decode ------------------------
   /** DETERMINISTIC FAKE decoder: byte statistics of the payload. A real
     * implementation would initialize a codec once per batch and decode the
-    * 32 payloads together — exactly where that code would go.
+    * 32 payloads together — exactly where that code would go. The mean is
+    * an exact-integer byte sum followed by ONE IEEE division (no rounding),
+    * so the oracle's identical arithmetic is bit-equal.
     */
-  private def fakeDecode(batch: Seq[MediaItem]): Seq[MediaFeatures] =
+  private[graft] def fakeDecode(batch: Seq[MediaItem]): Seq[MediaFeatures] =
     batch.map { item =>
       val bytes = item.payload
       val mean =
@@ -220,9 +222,15 @@ object Multimodal extends QueryPack {
         else bytes.foldLeft(0L)((a, b) => a + (b & 0xff)).toDouble / bytes.length
       val max = if (bytes.isEmpty) 0 else bytes.map(_ & 0xff).max
       MediaFeatures(item.doc_id, item.modality, bytes.length.toLong,
-        batch.size, math.round(mean * 1e6) / 1e6, max)
+        batch.size, mean, max)
     }
 
+  /** The emitted columns are the per-item decoder outputs, which the
+    * DuckDB oracle reproduces byte-for-byte from `encode(text)`;
+    * `batch_size` is computed (the grouped(32) machinery runs for real)
+    * but dropped from the result because batch membership depends on the
+    * scan's partitioning — it is covered by MultimodalSpec instead.
+    */
   private def mmDecodeBatch(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     media(s, dir)
@@ -231,8 +239,28 @@ object Multimodal extends QueryPack {
       .as[MediaItem]
       .mapPartitions(_.grouped(32).flatMap(g => fakeDecode(g.toSeq)))
       .toDF()
+      .drop("batch_size")
       .orderBy(col("doc_id"))
   }
+
+  /** Byte i (1-based, unsigned) of a DuckDB blob via its hex string. */
+  private def duckByte(h: String, i: String): String =
+    s"CAST('0x' || substr($h, 2 * $i - 1, 2) AS BIGINT)"
+
+  private val mmDecodeBatchSql =
+    s"""SELECT doc_id, modality, CAST(n AS BIGINT) AS n_bytes,
+       |  CASE WHEN n = 0 THEN 0.0 ELSE
+       |    CAST(list_reduce(list_transform(range(1, n + 1),
+       |      i -> ${duckByte("h", "i")}), (x, y) -> x + y) AS DOUBLE) / n
+       |  END AS mean_byte,
+       |  CASE WHEN n = 0 THEN 0 ELSE
+       |    CAST(list_reduce(list_transform(range(1, n + 1),
+       |      i -> ${duckByte("h", "i")}), (x, y) -> greatest(x, y)) AS INTEGER)
+       |  END AS max_byte
+       |FROM (SELECT doc_id, source AS modality,
+       |        octet_length(encode(text)) AS n, hex(encode(text)) AS h
+       |      FROM documents)
+       |ORDER BY doc_id""".stripMargin
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map(
@@ -245,15 +273,13 @@ object Multimodal extends QueryPack {
       "mm_decode_batch" -> mmDecodeBatch _
     )
 
-  /** mm_decode_batch is intentionally absent: the batched decoder is not
-    * SQL-expressible, so the driver records its weaker rows-only check.
-    */
   override val oracles: Map[String, String] = Map(
     "mm_catalog" -> mmCatalogSql,
     "mm_features" -> mmFeaturesSql,
     "mm_frames" -> mmFramesSql,
     "mm_validate" -> mmValidateSql,
     "mm_resize" -> mmResizeSql,
-    "mm_embed_join" -> mmEmbedJoinSql
+    "mm_embed_join" -> mmEmbedJoinSql,
+    "mm_decode_batch" -> mmDecodeBatchSql
   )
 }
