@@ -88,6 +88,34 @@ object GraftHashes {
     new GenericArrayData(out)
   }
 
+  /** 64-bit SimHash over pre-hashed token halves: the token's 64-bit hash
+    * is lo | (hi << 32) (two 32-bit md5 prefixes); counter_b sums +/-1
+    * per token on bit b and the result sets bit b when counter_b > 0 —
+    * bit 63 lands in the sign bit, which is fine: downstream banding and
+    * Hamming arithmetic are two's-complement-safe in both engines.
+    */
+  def simhash64(lo: ArrayData, hi: ArrayData): Long = {
+    val n = lo.numElements()
+    val counters = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      val h = (hi.getLong(i) << 32) | lo.getLong(i)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) counters(b) += 1 else counters(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (counters(b) > 0) out |= 1L << b
+      b += 1
+    }
+    out
+  }
+
   /** 16-bit SimHash over pre-hashed tokens: counter_b = sum of +/-1 per
     * token depending on bit b of the token hash (integer addition —
     * order-independent, so one pass equals 16 per-bit folds), result
@@ -171,6 +199,41 @@ case class RhLshBuckets(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(
       newChild: Expression): RhLshBuckets = copy(child = newChild)
+}
+
+/** `graft_simhash64(lo, hi)` — 64-bit SimHash of two pre-hashed 32-bit
+  * token-hash arrays in one compiled pass (the unfused equivalent is 64
+  * interpreted per-bit folds with an md5 per token PER BIT).
+  */
+case class Simhash64(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_simhash64 expects (array<bigint>, array<bigint>), " +
+        s"got (${left.dataType.sql}, ${right.dataType.sql})")
+  }
+
+  override def dataType: DataType = LongType
+
+  override def prettyName: String = "graft_simhash64"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    GraftHashes.simhash64(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.GraftHashes.simhash64($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Simhash64 =
+    copy(left = newLeft, right = newRight)
 }
 
 /** `graft_simhash16(hts)` — 16-bit SimHash of a pre-hashed token array in

@@ -167,5 +167,7 @@ object VectorFunctions {
       (children: Seq[Expression]) => RhLshBuckets(children(0)))
     org.apache.spark.sql.GraftRegistry.register(spark, "graft_simhash16",
       (children: Seq[Expression]) => Simhash16(children(0)))
+    org.apache.spark.sql.GraftRegistry.register(spark, "graft_simhash64",
+      (children: Seq[Expression]) => Simhash64(children(0), children(1)))
   }
 }

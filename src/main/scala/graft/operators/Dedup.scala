@@ -356,6 +356,72 @@ object Dedup extends QueryPack {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  // -- dd_simhash64: 64-bit SimHash + banded Hamming equi-join ----------------
+  // The production-width variant (the 16-bit one above keeps the historic
+  // oracle but saturates at ~10^5 docs: 65 k possible signatures). Token
+  // hashes take all 16 md5 hex chars as two 32-bit halves; the signature
+  // is one fused pass (graft_simhash64), and near-dup search uses the
+  // PIGEONHOLE banding that generalizes the 137-mask trick: if
+  // hamming(a, b) <= 3 then at least one of the four 16-bit bands is
+  // IDENTICAL, so an equi-join on (band, band_value) yields a
+  // guaranteed superset of the answer — 4 small keys per doc shuffle,
+  // never a pair cross product, and the exact bit_count re-check keeps
+  // the result EXACT (the DuckDB oracle states the same result as the
+  // independent O(N^2) spec). Band extraction (sig >> 16b) & 65535 is
+  // two's-complement-safe: the mask keeps only low bits, so arithmetic
+  // vs logical shift cannot differ.
+  private def ddSimhash64(s: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.ensureRegistered(s)
+    val sims = table(s, dir, "documents")
+      .selectExpr("doc_id", "split(text, ' ') AS toks")
+      .selectExpr("doc_id",
+        s"transform(toks, t -> ${sparkH("t")}) AS los",
+        "transform(toks, t ->" +
+          " cast(conv(substring(md5(t), 9, 8), 16, 10) as bigint)) AS his")
+      .selectExpr("doc_id", "graft_simhash64(los, his) AS sig")
+      .cache()
+    sims.createOrReplaceTempView("sh64_sims")
+    val bandSelects = (0 until 4)
+      .map(b => s"SELECT doc_id, $b AS band," +
+        s" shiftright(sig, ${16 * b}) & 65535 AS bv FROM sh64_sims")
+      .mkString(" UNION ALL ")
+    s.sql(
+      s"""WITH bands AS ($bandSelects),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id)
+         |SELECT doc_a, doc_b,
+         |  cast(bit_count(a.sig ^ b.sig) as int) AS hamming
+         |FROM cand JOIN sh64_sims a ON a.doc_id = doc_a
+         |          JOIN sh64_sims b ON b.doc_id = doc_b
+         |WHERE bit_count(a.sig ^ b.sig) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin)
+  }
+
+  private val ddSimhash64Sql = {
+    def lo(t: String) = s"CAST('0x' || substr(md5($t), 1, 8) AS BIGINT)"
+    def hi(t: String) = s"CAST('0x' || substr(md5($t), 9, 8) AS BIGINT)"
+    val terms = (0 until 64).map { b =>
+      val bit =
+        if (b < 32) s"(${lo("t")} & ${1L << b})"
+        else s"(${hi("t")} & ${1L << (b - 32)})"
+      val value =
+        if (b < 63) (1L << b).toString else "(-9223372036854775807 - 1)"
+      s"CASE WHEN list_aggregate(list_transform(toks, t ->" +
+        s" CASE WHEN $bit <> 0 THEN 1 ELSE -1 END), 'sum') > 0" +
+        s" THEN $value ELSE 0 END"
+    }
+    s"""WITH sims AS (
+       |  SELECT doc_id, ${terms.mkString(" + ")} AS sig
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+       |FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sig, b.sig)) <= 3
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   // -- dd_embed_cosine: banded RH-LSH candidates + exact cosine re-score ------
   // The production embedding-near-dup shape: candidates come from a
   // multi-table random-hyperplane LSH band equi-join (12 bands x 5 sign
@@ -469,6 +535,7 @@ object Dedup extends QueryPack {
       "dd_minhash_lsh" -> ddMinhashLsh _,
       "dd_simhash" -> ddSimhash _,
       "dd_simhash_pairs" -> ddSimhashPairs _,
+      "dd_simhash64" -> ddSimhash64 _,
       "dd_embed_cosine" -> ddEmbedCosine _
     )
 
@@ -479,6 +546,7 @@ object Dedup extends QueryPack {
     "dd_minhash_lsh" -> ddMinhashLshSql,
     "dd_simhash" -> ddSimhashSql,
     "dd_simhash_pairs" -> ddSimhashPairsSql,
+    "dd_simhash64" -> ddSimhash64Sql,
     "dd_embed_cosine" -> ddEmbedCosineSql
   )
 }

@@ -83,6 +83,14 @@ class PlanSpec extends AnyFunSuite {
       p.contains("ShuffledHashJoin"), p.take(3000))
   }
 
+  test("dd_simhash64: pigeonhole bands join as equi hash joins") {
+    val p = plan("dd_simhash64")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), p.take(3000))
+  }
+
   test("dd_embed_cosine: banded candidates — no all-pairs or constant-key join") {
     val p = plan("dd_embed_cosine")
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
