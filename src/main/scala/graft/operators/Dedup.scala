@@ -422,28 +422,37 @@ object Dedup extends QueryPack {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
-  // -- dd_embed_cosine: banded RH-LSH candidates + exact cosine re-score ------
-  // The production embedding-near-dup shape: candidates come from a
-  // multi-table random-hyperplane LSH band equi-join (12 bands x 5 sign
-  // bits, deterministic integer hyperplanes identical in both dialects),
-  // and only same-bucket pairs pay the exact re-score — the codegen'd
-  // graft_dot fold (bit-identical IEEE sequence to the oracle's
-  // list_reduce). Shuffle carries 12 small (band, bucket) keys per vector;
-  // pair generation is bucket-local. The SAME banding runs in the DuckDB
-  // oracle, so both engines compute one deterministic spec and the
-  // hash-compare is exact by construction.
+  // -- dd_embed_cosine / dd_embed_cosine_lsh: embedding near-dup pairs --------
+  // Two variants with an explicit spec relationship:
   //
-  // Recall honesty (measured, sf0.01): this corpus's embeddings are
-  // uniform-random — the pairwise-cosine histogram is centred on 0 and the
-  // 59 pairs >= 0.4 are the extreme tail of NOISE (angle ~66°, vs 90°
-  // background; only 8.5% even share a label), not planted near-dups. At
-  // that separation no sub-quadratic method can keep every threshold pair
-  // (per-hyperplane agreement is 0.63 for a 0.4-pair vs 0.50 background),
-  // and this config keeps ~49% of them while scoring 3.6x fewer pairs. In
-  // the regime the operator is FOR — near-dup pruning at cos >= 0.9
-  // (agreement 0.857) — the same 12x5 banding has recall
-  // 1-(1-0.857^5)^12 = 0.998. The exact all-pairs spec this replaced
-  // remains available as the brute-force baseline shape (sim_topk_brute).
+  //  * dd_embed_cosine — the EXACT spec: every ordered pair scored with
+  //    the same IEEE dot-product fold in both engines, threshold
+  //    cos >= 0.4. Spark side is an all-pairs join (quadratic — this is
+  //    the small-scale exactness oracle, same role as sim_topk_brute for
+  //    the ANN paths, NOT the 100 TB path); the DuckDB oracle is an
+  //    INDEPENDENT all-pairs formulation, so the hash-compare checks the
+  //    arithmetic, not a shared shortcut.
+  //
+  //  * dd_embed_cosine_lsh — the production 100 TB shape: candidates from
+  //    a multi-table random-hyperplane LSH band equi-join (12 bands x 5
+  //    sign bits, deterministic integer hyperplanes identical in both
+  //    dialects), exact graft_dot re-score on same-bucket pairs only.
+  //    Shuffle carries 12 small (band, bucket) keys per vector; pair
+  //    generation is bucket-local, never a cross product (PlanSpec
+  //    asserts this). Its result is BY CONTRACT a subset of
+  //    dd_embed_cosine: the banding is a candidate filter with
+  //    probabilistic recall, and the same banding runs in its oracle so
+  //    the deterministic candidate set is hash-compared exactly.
+  //    DedupRecallSpec asserts the subset relation against the exact
+  //    variant on real data.
+  //
+  // Recall (measured, sf0.01): this corpus's embeddings are uniform-random
+  // — the pairs >= 0.4 are the extreme tail of NOISE (angle ~66° vs 90°
+  // background), and at that separation no sub-quadratic method keeps
+  // every pair (per-hyperplane agreement 0.63 vs 0.50 background); the
+  // 12x5 banding keeps ~49% of them while scoring 3.6x fewer pairs. In
+  // the regime LSH pruning is FOR — near-dups at cos >= 0.9 (agreement
+  // 0.857) — the same banding has recall 1-(1-0.857^5)^12 = 0.998.
   private val CosBands = 12
   private val CosRows = 5
 
@@ -468,7 +477,44 @@ object Dedup extends QueryPack {
         s" THEN ${1 << k} ELSE 0 END)")
       .mkString(" + ")
 
-  private def ddEmbedCosine(s: SparkSession, dir: String): DataFrame = {
+  /** The exact all-pairs spec (small-scale oracle; `_lsh` is the scale
+    * path). `a.vec_id < b.vec_id` is a non-equi condition, so this is
+    * deliberately a nested-loop join — quadratic by definition of the
+    * spec, like sim_topk_brute.
+    */
+  private def ddEmbedCosineExact(s: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.ensureRegistered(s)
+    val e = table(s, dir, "embeddings")
+      .selectExpr("vec_id", "embedding",
+        "graft_dot(embedding, embedding) AS n2")
+    e.createOrReplaceTempView("cosx_e")
+    s.sql(
+      """SELECT vec_a, vec_b, cos_sim FROM (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |    round(graft_dot(a.embedding, b.embedding)
+        |      / sqrt(a.n2 * b.n2), 6) AS cos_sim
+        |  FROM cosx_e a JOIN cosx_e b ON a.vec_id < b.vec_id)
+        |WHERE cos_sim >= 0.4
+        |ORDER BY vec_a, vec_b""".stripMargin)
+  }
+
+  private val ddEmbedCosineExactSql =
+    """WITH e AS (
+      |  SELECT vec_id, embedding,
+      |    list_reduce(list_transform(range(1, len(embedding) + 1),
+      |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+      |      (x, y) -> x + y) AS n2
+      |  FROM embeddings)
+      |SELECT vec_a, vec_b, cos_sim FROM (
+      |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |    round(list_reduce(list_transform(range(1, len(a.embedding) + 1),
+      |        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
+      |        (x, y) -> x + y) / sqrt(a.n2 * b.n2), 6) AS cos_sim
+      |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+      |WHERE cos_sim >= 0.4
+      |ORDER BY vec_a, vec_b""".stripMargin
+
+  private def ddEmbedCosineLsh(s: SparkSession, dir: String): DataFrame = {
     VectorFunctions.ensureRegistered(s)
     // cached: the bucketed relation feeds all 12 band sides and both
     // re-score join-backs — the 60 hyperplane folds run once per vector
@@ -498,7 +544,7 @@ object Dedup extends QueryPack {
          |ORDER BY vec_a, vec_b""".stripMargin)
   }
 
-  private val ddEmbedCosineSql = {
+  private val ddEmbedCosineLshSql = {
     val bandSelects = (0 until CosBands)
       .map(b => s"SELECT vec_id, $b AS band, bkt_$b AS bkt FROM e")
       .mkString(" UNION ALL ")
@@ -536,7 +582,8 @@ object Dedup extends QueryPack {
       "dd_simhash" -> ddSimhash _,
       "dd_simhash_pairs" -> ddSimhashPairs _,
       "dd_simhash64" -> ddSimhash64 _,
-      "dd_embed_cosine" -> ddEmbedCosine _
+      "dd_embed_cosine" -> ddEmbedCosineExact _,
+      "dd_embed_cosine_lsh" -> ddEmbedCosineLsh _
     )
 
   override val oracles: Map[String, String] = Map(
@@ -547,6 +594,7 @@ object Dedup extends QueryPack {
     "dd_simhash" -> ddSimhashSql,
     "dd_simhash_pairs" -> ddSimhashPairsSql,
     "dd_simhash64" -> ddSimhash64Sql,
-    "dd_embed_cosine" -> ddEmbedCosineSql
+    "dd_embed_cosine" -> ddEmbedCosineExactSql,
+    "dd_embed_cosine_lsh" -> ddEmbedCosineLshSql
   )
 }

@@ -1,0 +1,31 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The contract between the exact embedding-near-dup spec and its LSH
+  * approximation (Dedup.scala, dd_embed_cosine vs dd_embed_cosine_lsh):
+  * the banded variant may MISS threshold pairs (probabilistic recall,
+  * documented at the operator) but must never invent one, and every pair
+  * it keeps must carry the identical exact re-scored cosine.
+  */
+class DedupRecallSpec extends AnyFunSuite {
+
+  private val spark = SparkSessionHelper.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def pairs(name: String): Map[(Long, Long), Double] =
+    SparkEntry.queries(name)(spark, dir).collect().map { r =>
+      (r.getLong(0), r.getLong(1)) -> r.getDouble(2)
+    }.toMap
+
+  test("dd_embed_cosine_lsh is a subset of the exact spec, scores equal") {
+    val exact = pairs("dd_embed_cosine")
+    val lsh = pairs("dd_embed_cosine_lsh")
+    assert(exact.nonEmpty, "exact spec found no pairs at sf0.001")
+    val invented = lsh.keySet -- exact.keySet
+    assert(invented.isEmpty, s"LSH invented non-threshold pairs: $invented")
+    lsh.foreach { case (k, sim) =>
+      assert(exact(k) == sim, s"re-scored cosine diverges on $k")
+    }
+  }
+}

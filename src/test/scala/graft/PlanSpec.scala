@@ -91,8 +91,8 @@ class PlanSpec extends AnyFunSuite {
       p.contains("ShuffledHashJoin"), p.take(3000))
   }
 
-  test("dd_embed_cosine: banded candidates — no all-pairs or constant-key join") {
-    val p = plan("dd_embed_cosine")
+  test("dd_embed_cosine_lsh: banded candidates — no all-pairs or constant-key join") {
+    val p = plan("dd_embed_cosine_lsh")
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
     assert(!p.contains("CartesianProduct"), p.take(3000))
     assert(!p.contains("[k#") && !p.contains("[kb#"), p.take(3000))
