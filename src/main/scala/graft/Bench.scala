@@ -1,6 +1,12 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Repetitions per query; the reported number is the median. One run
+    * proved unusable for round-over-round comparison: identical code
+    * swung 13x on single-run timings under host contention.
+    */
+  private val Reps = 3
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -17,13 +23,16 @@ object Bench {
     catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        val dt = (System.nanoTime() - t0) / 1e9
-        // drop per-query cached intermediates so later queries are not
-        // charged (or helped) by earlier residents
-        spark.catalog.clearCache()
-        name -> dt
+        val times = (1 to Reps).map { _ =>
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+          val dt = (System.nanoTime() - t0) / 1e9
+          // drop cached intermediates so each rep (and later queries)
+          // pays its own compute rather than reusing residents
+          spark.catalog.clearCache()
+          dt
+        }
+        name -> times.sorted.apply(Reps / 2)
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
