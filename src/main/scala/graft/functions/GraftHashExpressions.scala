@@ -26,7 +26,10 @@ object GraftHashes {
   /** MinHash family (mirrors Dedup's oracle constants):
     * sig_j = min over h of (A_j*h + B_j) mod P, A_j/B_j mod 65521,
     * P = 2^31-1; empty input folds to the Long.MaxValue init, exactly
-    * like `aggregate(ghs, 9223372036854775807, least(...))`.
+    * like `aggregate(ghs, 9223372036854775807, least(...))`. Null
+    * elements are SKIPPED — `least(m, null)` keeps `m` in the unfused
+    * fold, so the fused kernel must too (call sites carry
+    * containsNull=true statically even though shingle arrays are dense).
     */
   private val K = 16
   private val P = 2147483647L
@@ -43,8 +46,10 @@ object GraftHashes {
       var m = Long.MaxValue
       var i = 0
       while (i < n) {
-        val v = (aj * arr.getLong(i) + bj) % P
-        if (v < m) m = v
+        if (!arr.isNullAt(i)) {
+          val v = (aj * arr.getLong(i) + bj) % P
+          if (v < m) m = v
+        }
         i += 1
       }
       out(j) = m
@@ -64,6 +69,16 @@ object GraftHashes {
 
   def rhBuckets(arr: ArrayData): ArrayData = {
     val n = arr.numElements()
+    // A null component nulls every plane's dot in the unfused fold
+    // (`acc + null = null`), and `CASE WHEN null > 0` takes the ELSE
+    // branch — every sign bit 0. Mirror that: all-zero buckets.
+    var pre = 0
+    while (pre < n) {
+      if (arr.isNullAt(pre)) {
+        return new GenericArrayData(new Array[Int](CosBands))
+      }
+      pre += 1
+    }
     val out = new Array[Int](CosBands)
     var b = 0
     while (b < CosBands) {
@@ -93,17 +108,30 @@ object GraftHashes {
     * per token on bit b and the result sets bit b when counter_b > 0 —
     * bit 63 lands in the sign bit, which is fine: downstream banding and
     * Hamming arithmetic are two's-complement-safe in both engines.
+    *
+    * The halves must be element-aligned views of one token list: a length
+    * mismatch is a caller bug and raises rather than reading undefined
+    * values off the end of the shorter array. A null in either half makes
+    * the token's CASE test null in the unfused per-bit fold — ELSE -1 on
+    * every counter — and is mirrored here.
     */
   def simhash64(lo: ArrayData, hi: ArrayData): Long = {
     val n = lo.numElements()
+    require(hi.numElements() == n,
+      s"graft_simhash64: length mismatch (lo=$n, hi=${hi.numElements()})")
     val counters = new Array[Int](64)
     var i = 0
     while (i < n) {
-      val h = (hi.getLong(i) << 32) | lo.getLong(i)
-      var b = 0
-      while (b < 64) {
-        if (((h >>> b) & 1L) == 1L) counters(b) += 1 else counters(b) -= 1
-        b += 1
+      if (lo.isNullAt(i) || hi.isNullAt(i)) {
+        var b = 0
+        while (b < 64) { counters(b) -= 1; b += 1 }
+      } else {
+        val h = (hi.getLong(i) << 32) | lo.getLong(i)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counters(b) += 1 else counters(b) -= 1
+          b += 1
+        }
       }
       i += 1
     }
@@ -119,18 +147,25 @@ object GraftHashes {
   /** 16-bit SimHash over pre-hashed tokens: counter_b = sum of +/-1 per
     * token depending on bit b of the token hash (integer addition —
     * order-independent, so one pass equals 16 per-bit folds), result
-    * sets bit b when counter_b > 0.
+    * sets bit b when counter_b > 0. A null token hash nulls the CASE
+    * test in the unfused fold — ELSE -1 on every counter — mirrored
+    * here.
     */
   def simhash16(arr: ArrayData): Long = {
     val n = arr.numElements()
     val counters = new Array[Int](16)
     var i = 0
     while (i < n) {
-      val h = arr.getLong(i)
-      var b = 0
-      while (b < 16) {
-        if (((h >> b) & 1L) == 1L) counters(b) += 1 else counters(b) -= 1
-        b += 1
+      if (arr.isNullAt(i)) {
+        var b = 0
+        while (b < 16) { counters(b) -= 1; b += 1 }
+      } else {
+        val h = arr.getLong(i)
+        var b = 0
+        while (b < 16) {
+          if (((h >> b) & 1L) == 1L) counters(b) += 1 else counters(b) -= 1
+          b += 1
+        }
       }
       i += 1
     }
