@@ -101,10 +101,15 @@ object JiraSource {
     }
   }
 
-  def pageUrl(cfg: JiraConfig, jql: String, startAt: Int): String = {
+  /** `fields` narrows what the API serializes per issue (the DSv2 scan
+    * passes a pruned list; the faithful driver-side path keeps the
+    * reference's `*all`, `extract.py:205`).
+    */
+  def pageUrl(cfg: JiraConfig, jql: String, startAt: Int,
+              fields: String = "*all"): String = {
     val enc = URLEncoder.encode(jql, StandardCharsets.UTF_8)
     s"${cfg.baseUrl}?jql=$enc&maxResults=${cfg.maxResults}" +
-      s"&startAt=$startAt&fields=*all"
+      s"&startAt=$startAt&fields=$fields"
   }
 
   /** One GET with the reference's retry state machine

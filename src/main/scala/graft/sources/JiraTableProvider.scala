@@ -73,15 +73,28 @@ private[sources] class JiraTable(props: Map[String, String])
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : ScanBuilder = {
     val merged = props ++ options.asScala
-    new ScanBuilder with Scan with Batch {
+    // Column pruning pushdown (SURVEY.md §4.1): Catalyst hands the scan
+    // the columns a projecting query actually reads; when `page_json` is
+    // not among them the partition reader narrows the REST `fields=`
+    // parameter to `id` instead of `*all` — the server stops serializing
+    // ~130 issue fields per row for a query that only wants the cursor
+    // columns (and the emitted InternalRows carry only the pruned
+    // schema). With `page_json` kept, `fields` stays `*all` unless the
+    // user narrows it via the `fields` option.
+    new ScanBuilder with Scan with Batch
+        with SupportsPushDownRequiredColumns {
+      private var required: StructType = JiraTableProvider.schema
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        required = requiredSchema
       override def build(): Scan = this
-      override def readSchema(): StructType = JiraTableProvider.schema
+      override def readSchema(): StructType = required
       override def toBatch: Batch = this
       override def planInputPartitions(): Array[InputPartition] = {
         val projects = merged.getOrElse("projects", "HADOOP,SPARK,KAFKA")
           .split(",").map(_.trim).filter(_.nonEmpty)
-        projects.map(p => JiraInputPartition(p, merged)
-          .asInstanceOf[InputPartition]).toArray
+        projects.map(p =>
+          JiraInputPartition(p, merged, required.fieldNames.toSeq)
+            .asInstanceOf[InputPartition]).toArray
       }
       override def createReaderFactory(): PartitionReaderFactory =
         new JiraReaderFactory()
@@ -90,13 +103,14 @@ private[sources] class JiraTable(props: Map[String, String])
 }
 
 private[sources] case class JiraInputPartition(
-    project: String, options: Map[String, String]) extends InputPartition
+    project: String, options: Map[String, String],
+    columns: Seq[String]) extends InputPartition
 
 private[sources] class JiraReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition)
       : PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[JiraInputPartition]
-    new JiraPartitionReader(p.project, p.options)
+    new JiraPartitionReader(p.project, p.options, p.columns)
   }
 }
 
@@ -105,7 +119,8 @@ private[sources] class JiraReaderFactory extends PartitionReaderFactory {
   * (`extract.py:275-280, 368-370`).
   */
 private[sources] class JiraPartitionReader(
-    project: String, options: Map[String, String])
+    project: String, options: Map[String, String],
+    columns: Seq[String])
     extends PartitionReader[InternalRow] {
 
   private val cfg = JiraConfig(
@@ -128,6 +143,17 @@ private[sources] class JiraPartitionReader(
     case None    => s"project=$project"
   }
 
+  private val needsJson = columns.contains("page_json")
+
+  /** The pruned `fields=` REST parameter: a query not reading `page_json`
+    * needs only the pagination skeleton, so ask the server for `id`
+    * alone (the issues array must stay non-empty for the cursor to
+    * advance); otherwise the user's `fields` option or the reference's
+    * `*all` (`extract.py:205`).
+    */
+  private val restFields =
+    if (needsJson) options.getOrElse("fields", "*all") else "id"
+
   private var startAt = options.getOrElse("startat", "0").toInt
   private var total: Option[Int] = None
   private var current: InternalRow = _
@@ -137,7 +163,7 @@ private[sources] class JiraPartitionReader(
   override def next(): Boolean = {
     if (done) return false
     val data = JiraSource.getWithRetries(http,
-      JiraSource.pageUrl(cfg, jql, startAt), cfg,
+      JiraSource.pageUrl(cfg, jql, startAt, restFields), cfg,
       s => Thread.sleep((s * 1000).toLong))
     val issues = Option(data.get("issues"))
       .filter(n => !n.isNull && n.size() > 0)
@@ -146,9 +172,13 @@ private[sources] class JiraPartitionReader(
     issues match {
       case None => done = true; false
       case Some(arr) =>
-        current = InternalRow(
-          UTF8String.fromString(project), startAt,
-          UTF8String.fromString(mapper.writeValueAsString(arr)))
+        val values: Seq[Any] = columns.map {
+          case "project"   => UTF8String.fromString(project)
+          case "start_at"  => startAt
+          case "page_json" =>
+            UTF8String.fromString(mapper.writeValueAsString(arr))
+        }
+        current = InternalRow(values: _*)
         startAt += arr.size()
         if (total.exists(startAt >= _)) done = true // last page emitted
         true

@@ -61,6 +61,46 @@ class JiraTableProviderSpec extends AnyFunSuite {
     } finally JiraTableProvider.httpStubs.remove("spec1")
   }
 
+  test("column pruning narrows the REST fields= parameter") {
+    val stub = new ScriptedHttp
+    JiraTableProvider.httpStubs.put("spec3", stub)
+    try {
+      val df = spark.read.format("jira")
+        .option("projects", "DDD")
+        .option("politeDelaySeconds", "0")
+        .option("httpStub", "spec3")
+        .load()
+      // projecting query that never reads page_json: the scan must ask
+      // the server for `fields=id`, not `fields=*all`
+      val pages = df.select("project", "start_at").collect()
+      assert(pages.map(r => (r.getString(0), r.getInt(1))).toSet ==
+        Set(("DDD", 0), ("DDD", 2)))
+      val urls = stub.seen.toArray(Array.empty[String])
+      assert(urls.nonEmpty && urls.forall(_.contains("fields=id")), urls.toSeq)
+      assert(urls.forall(!_.contains("fields=*all")), urls.toSeq)
+
+      // reading page_json keeps the reference's *all default
+      stub.seen.clear()
+      df.select("page_json").collect()
+      val full = stub.seen.toArray(Array.empty[String])
+      assert(full.nonEmpty && full.forall(_.contains("fields=*all")),
+        full.toSeq)
+
+      // ...unless the user narrows it explicitly via the fields option
+      stub.seen.clear()
+      spark.read.format("jira")
+        .option("projects", "DDD")
+        .option("politeDelaySeconds", "0")
+        .option("fields", "summary,comment")
+        .option("httpStub", "spec3")
+        .load().select("page_json").collect()
+      val narrowed = stub.seen.toArray(Array.empty[String])
+      assert(narrowed.nonEmpty &&
+        narrowed.forall(_.contains("fields=summary,comment")),
+        narrowed.toSeq)
+    } finally JiraTableProvider.httpStubs.remove("spec3")
+  }
+
   test("since option pushes the updated predicate into the JQL") {
     val stub = new ScriptedHttp
     JiraTableProvider.httpStubs.put("spec2", stub)
