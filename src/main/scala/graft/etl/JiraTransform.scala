@@ -62,6 +62,11 @@ object JiraTransform {
     * included. Pure; unit-tested without a session.
     */
   def transformIssue(raw: RawIssue): IssueRecord = {
+    // `if not raw_issue: return {}` (`transformer.py:238-240`) — an
+    // issue parsed as `{}` yields the empty record, which serializes as
+    // the literal `{}` line and still counts as a validation error in
+    // [[stats]] (the reference validates it too, `transformer.py:381`).
+    if (raw.key.isEmpty && raw.fields.isEmpty) return IssueRecord.emptyParity
     val issueKey = raw.key.getOrElse("UNKNOWN")
     Try {
       val fields = raw.fields.getOrElse(

@@ -57,4 +57,18 @@ case class IssueRecord(
     /** Error-path channel (`transformer.py:303-314`): set when the
       * transform failed; such records serialize in the reduced shape
       * `{id, error, title, derived_tasks}` like the reference. */
-    error: Option[String] = None)
+    error: Option[String] = None,
+    /** Empty-issue channel (`transformer.py:238-240`):
+      * `transform_issue({})` returns `{}` and the reference writes the
+      * literal `{}` line (`transformer.py:395`); a true flag makes
+      * [[PyJson.serialize]] do the same. */
+    empty: Boolean = false)
+
+object IssueRecord {
+  /** The `{}` record `transform_issue` returns for an empty issue. */
+  val emptyParity: IssueRecord = IssueRecord(
+    id = null, title = null, description = null, status = None,
+    priority = None, reporter = None, assignee = None, created = None,
+    updated = None, labels = Nil, components = Nil, comments = Nil,
+    derived_tasks = DerivedTasks(null, Nil, Nil), empty = true)
+}

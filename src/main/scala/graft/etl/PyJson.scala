@@ -50,6 +50,9 @@ object PyJson {
 
   /** One JSONL line (no trailing newline). */
   def serialize(r: IssueRecord): String = {
+    // `transform_issue({})` -> `{}`, written verbatim
+    // (`transformer.py:238-240, 395`).
+    if (r.empty) return "{}"
     val sb = new java.lang.StringBuilder(256)
     sb.append("{\"id\": "); str(sb, Option(r.id))
     r.error match {

@@ -38,7 +38,8 @@ object Config {
         retryBackoffBase = dbl("retry_backoff_base", 2.0),
         maxRetries = int("max_retries", 5),
         incremental = bool("incremental", false),
-        lookbackDays = int("lookback_days", 7))
+        lookbackDays = int("lookback_days", 7),
+        verifySsl = bool("verify_ssl", false))
     }.toEither.left.map(e => s"invalid config $path: ${e.getMessage}")
   }
 }

@@ -23,8 +23,12 @@ case class JiraConfig(
     rateLimitSleepSeconds: Double = 30.0,
     retryBackoffBase: Double = 2.0,
     maxRetries: Int = 5,
-    incremental: Boolean = true,
+    // `cfg.get("incremental", False)` — opt-in, `extract.py:158`
+    incremental: Boolean = false,
     lookbackDays: Int = 7,
+    // `cfg.get("verify_ssl", False)` — the reference ships with TLS
+    // verification OFF for self-signed Jira instances, `extract.py:162`
+    verifySsl: Boolean = false,
     timeoutMillis: Int = 15000)
 
 /** Minimal HTTP surface so the retry state machine is testable against a
@@ -37,11 +41,37 @@ trait JiraHttp {
 }
 
 /** Production implementation over the JDK client (15 s timeout like
-  * `extract.py:219`).
+  * `extract.py:219`). `verifySsl=false` mirrors the reference's
+  * `verify=cfg.get("verify_ssl", False)` (`extract.py:162-167, 221`):
+  * certificate-chain validation is disabled via a trust-all context —
+  * needed for the self-signed-cert Jira instances the reference
+  * explicitly supports. (The JDK client's hostname check is a JVM-wide
+  * property, not per-client; chain trust is the part self-signed certs
+  * fail on.)
   */
-class JdkJiraHttp(timeoutMillis: Int) extends JiraHttp {
-  private val client = HttpClient.newBuilder()
-    .connectTimeout(Duration.ofMillis(timeoutMillis)).build()
+class JdkJiraHttp(timeoutMillis: Int, verifySsl: Boolean = false)
+    extends JiraHttp {
+  private val client = {
+    val b = HttpClient.newBuilder()
+      .connectTimeout(Duration.ofMillis(timeoutMillis))
+    if (!verifySsl) {
+      val trustAll: Array[javax.net.ssl.TrustManager] = Array(
+        new javax.net.ssl.X509TrustManager {
+          override def checkClientTrusted(
+              chain: Array[java.security.cert.X509Certificate],
+              authType: String): Unit = ()
+          override def checkServerTrusted(
+              chain: Array[java.security.cert.X509Certificate],
+              authType: String): Unit = ()
+          override def getAcceptedIssuers
+              : Array[java.security.cert.X509Certificate] = Array.empty
+        })
+      val ctx = javax.net.ssl.SSLContext.getInstance("TLS")
+      ctx.init(null, trustAll, new java.security.SecureRandom())
+      b.sslContext(ctx)
+    }
+    b.build()
+  }
 
   override def get(url: String): (Int, String) = {
     val req = HttpRequest.newBuilder(URI.create(url))
@@ -134,7 +164,15 @@ object JiraSource {
         case Right((status, body)) =>
           throw new RuntimeException(
             s"Unexpected HTTP status $status: ${body.take(200)}")
+        case Left(_: java.net.http.HttpTimeoutException) =>
+          // timeout channel (`extract.py:250-256`): backoff like 5xx;
+          // the TERMINAL error is the common RuntimeError below, unlike
+          // network errors which re-raise the original
+          sleep(math.pow(cfg.retryBackoffBase, attempt))
+          attempt += 1
         case Left(e) =>
+          // network channel (`extract.py:258-273`): re-raises the
+          // ORIGINAL exception once retries are exhausted
           if (attempt >= cfg.maxRetries) throw e
           sleep(math.pow(cfg.retryBackoffBase, attempt))
           attempt += 1

@@ -132,11 +132,12 @@ private[sources] class JiraPartitionReader(
       options.getOrElse("ratelimitsleepseconds", "30").toDouble,
     retryBackoffBase = options.getOrElse("retrybackoffbase", "2").toDouble,
     maxRetries = options.getOrElse("maxretries", "5").toInt,
+    verifySsl = options.getOrElse("verifyssl", "false").toBoolean,
     timeoutMillis = options.getOrElse("timeoutmillis", "15000").toInt)
 
   private val http: JiraHttp = options.get("httpstub")
     .flatMap(id => Option(JiraTableProvider.httpStubs.get(id)))
-    .getOrElse(new JdkJiraHttp(cfg.timeoutMillis))
+    .getOrElse(new JdkJiraHttp(cfg.timeoutMillis, cfg.verifySsl))
 
   private val jql = options.get("since") match {
     case Some(d) => s"project=$project AND updated >= '$d'"

@@ -201,4 +201,15 @@ class DeriveSpec extends AnyFunSuite {
     val r = JiraTransform.transformIssue(canned.copy(key = None))
     assert(r.id == "UNKNOWN")
   }
+
+  test("transform_issue: empty issue returns the literal {} record") {
+    // `if not raw_issue: return {}` (transformer.py:238-240); the
+    // reference writes that `{}` verbatim to the corpus
+    // (transformer.py:395) and still runs validation on it
+    // (transformer.py:381).
+    val r = JiraTransform.transformIssue(RawIssue(None, None))
+    assert(r.empty)
+    assert(PyJson.serialize(r) == "{}")
+    assert(JiraTransform.validationErrors(r).nonEmpty)
+  }
 }

@@ -101,6 +101,29 @@ class JiraSourceSpec extends AnyFunSuite {
     assert(sleeps.toSeq == Seq(1.0, 2.0, 4.0, 8.0, 16.0))
   }
 
+  test("bare JiraConfig mirrors extract.py defaults: incremental and verify_ssl off") {
+    val d = JiraConfig()
+    assert(!d.incremental) // `cfg.get("incremental", False)`, extract.py:158
+    assert(!d.verifySsl)   // `cfg.get("verify_ssl", False)`, extract.py:162
+    assert(JiraSource.buildJql("TEST", Checkpoint(0, None), d)
+      == "project=TEST")
+  }
+
+  test("timeouts back off then raise RuntimeError past max_retries") {
+    // `requests.exceptions.Timeout` branch (extract.py:250-256): backs
+    // off like 5xx and terminates through the common RuntimeError
+    // (extract.py:270-273) — NOT the original-exception re-raise the
+    // network channel uses. One extra backoff vs the network channel.
+    val boom = new java.net.http.HttpTimeoutException("read timed out")
+    val http = new StubHttp(Seq.fill(10)(Left(boom)))
+    val sleeps = mutable.Buffer[Double]()
+    val e = intercept[RuntimeException] {
+      JiraSource.getWithRetries(http, "u", cfg, sleeps += _)
+    }
+    assert(e.getMessage.contains("Max retries exceeded"))
+    assert(sleeps.toSeq == Seq(1.0, 2.0, 4.0, 8.0, 16.0, 32.0))
+  }
+
   test("non-retryable status raises immediately") {
     val http = new StubHttp(Seq(Right((404, "not found"))))
     val e = intercept[RuntimeException] {

@@ -99,6 +99,7 @@ class WorkerSpec extends AnyFunSuite {
     assert(cfg.projects == Seq("HADOOP", "SPARK", "KAFKA"))
     assert(cfg.maxResults == 50 && cfg.maxRetries == 5)
     assert(cfg.incremental && cfg.lookbackDays == 7)
+    assert(!cfg.verifySsl) // `"verify_ssl": false` in config.json
     assert(cfg.politeDelaySeconds == 2.0 && cfg.rateLimitSleepSeconds == 30.0)
   }
 
