@@ -44,12 +44,27 @@ object TopKPerKeyStrategy extends SparkStrategy {
 
 /** Physical bounded-heap top-k per key. One pass per partition; memory
   * is O(distinct keys in partition x k rows), not O(partition).
+  *
+  * Null handling matches the `row_number().over(Window)` formulation it
+  * replaces: a NULL key is its own group (SQL GROUP BY / Window
+  * partitioning semantics), and NULL order/tie values rank weakest
+  * (`desc` is NULLS LAST in Spark; ties ascending puts NULL last too).
   */
 case class TopKPerKeyExec(k: Int, key: Expression, order: Expression,
                           tie: Expression, child: SparkPlan)
     extends UnaryExecNode {
 
+  import org.apache.spark.sql.execution.metric.SQLMetrics
+
   override def output: Seq[Attribute] = child.output
+
+  override lazy val metrics = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext,
+      "number of output rows"),
+    "numInputRows" -> SQLMetrics.createMetric(sparkContext,
+      "number of input rows"),
+    "numHeaps" -> SQLMetrics.createMetric(sparkContext,
+      "bounded heaps held (distinct keys)"))
 
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(Seq(key)) :: Nil
@@ -59,20 +74,50 @@ case class TopKPerKeyExec(k: Int, key: Expression, order: Expression,
     val keyB = BindReferences.bindReference(key, child.output)
     val orderB = BindReferences.bindReference(order, child.output)
     val tieB = BindReferences.bindReference(tie, child.output)
+    val inRows = longMetric("numInputRows")
+    val outRows = longMetric("numOutputRows")
+    val numHeaps = longMetric("numHeaps")
     child.execute().mapPartitions { iter =>
-      // per key: a min-heap of (order, -tie) so the weakest of the
-      // current top-k is on top and evicted first
+      // per key: the heap's head is the WEAKEST of the current top-k
+      // (smallest order, then largest tie), evicted first. Explicit
+      // comparator — the `-t._1` formulation overflows on
+      // Long.MinValue, which is exactly the null-order sentinel.
       implicit val heapOrd: Ordering[(Long, Long, InternalRow)] =
-        Ordering.by(t => (-t._1, t._2))
+        new Ordering[(Long, Long, InternalRow)] {
+          override def compare(a: (Long, Long, InternalRow),
+                               b: (Long, Long, InternalRow)): Int = {
+            val c = java.lang.Long.compare(b._1, a._1)
+            if (c != 0) c else java.lang.Long.compare(a._2, b._2)
+          }
+        }
       val heaps =
         mutable.HashMap.empty[Long, mutable.PriorityQueue[(Long, Long, InternalRow)]]
+      // NULL keys cluster to one partition (hash of null), own group
+      var nullHeap: mutable.PriorityQueue[(Long, Long, InternalRow)] = null
       val copier = UnsafeProjection.create(child.output, child.output)
       iter.foreach { row =>
-        val kv = keyB.eval(row).asInstanceOf[Long]
-        val ov = orderB.eval(row).asInstanceOf[Long]
-        val tv = tieB.eval(row).asInstanceOf[Long]
-        val heap = heaps.getOrElseUpdate(kv,
-          mutable.PriorityQueue.empty[(Long, Long, InternalRow)])
+        inRows += 1
+        val kvRaw = keyB.eval(row)
+        // NULL order ranks weakest like `desc` NULLS LAST; NULL tie
+        // ranks weakest like `asc` NULLS LAST
+        val ov = orderB.eval(row) match {
+          case null    => Long.MinValue
+          case v: Long => v
+        }
+        val tv = tieB.eval(row) match {
+          case null    => Long.MaxValue
+          case v: Long => v
+        }
+        val heap = kvRaw match {
+          case null =>
+            if (nullHeap == null) {
+              nullHeap =
+                mutable.PriorityQueue.empty[(Long, Long, InternalRow)]
+            }
+            nullHeap
+          case kv: Long => heaps.getOrElseUpdate(kv,
+            mutable.PriorityQueue.empty[(Long, Long, InternalRow)])
+        }
         if (heap.size < kLocal) heap.enqueue((ov, tv, copier(row).copy()))
         else {
           val worst = heap.head
@@ -82,8 +127,15 @@ case class TopKPerKeyExec(k: Int, key: Expression, order: Expression,
           }
         }
       }
-      heaps.valuesIterator.flatMap { h =>
-        h.dequeueAll.iterator.map((t: (Long, Long, InternalRow)) => t._3)
+      numHeaps += heaps.size + (if (nullHeap == null) 0 else 1)
+      val all =
+        if (nullHeap == null) heaps.valuesIterator
+        else heaps.valuesIterator ++ Iterator.single(nullHeap)
+      all.flatMap { h =>
+        h.dequeueAll.iterator.map { (t: (Long, Long, InternalRow)) =>
+          outRows += 1
+          t._3
+        }
       }
     }
   }

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.{TopKPerKeyExec, TopKPerKeyOps}
+
+/** Null-handling and metrics contract of the custom bounded-heap
+  * operator (plans/TopKPerKey.scala): NULL keys form their own group and
+  * NULL order/tie values rank weakest — the same answer as the
+  * `row_number().over(Window)` formulation it replaces — and the
+  * executed plan exposes SQLMetrics for rows in/out and heaps held.
+  */
+class TopKPerKeySpec extends AnyFunSuite {
+
+  private val spark = SparkSessionHelper.spark
+  import spark.implicits._
+
+  private def findExec(p: SparkPlan): Option[TopKPerKeyExec] = p match {
+    case t: TopKPerKeyExec        => Some(t)
+    case a: AdaptiveSparkPlanExec => findExec(a.executedPlan)
+    case q: QueryStageExec        => findExec(q.plan)
+    case other => other.children.flatMap(findExec(_)).headOption
+  }
+
+  test("null keys group together; null order ranks weakest; metrics") {
+    val df = Seq[(Option[Long], Option[Long], Long)](
+      (Some(1L), Some(1L), 1L), (Some(1L), Some(2L), 2L),
+      (Some(1L), Some(3L), 3L), (Some(1L), Some(4L), 4L),
+      (None, Some(10L), 5L), (None, Some(20L), 6L), (None, Some(30L), 7L),
+      (Some(2L), None, 8L), (Some(2L), Some(5L), 9L), (Some(2L), Some(7L), 10L)
+    ).toDF("k", "o", "t")
+
+    val result = TopKPerKeyOps.topKPerKey(df, 2, "k", "o", "t")
+    val rows = result.collect()
+      .map(r => (if (r.isNullAt(0)) null else r.getLong(0),
+        if (r.isNullAt(1)) null else r.getLong(1))).toSet
+
+    // per group the two largest orders survive; key-2's NULL order loses
+    assert(rows == Set((1L, 4L), (1L, 3L), (null, 30L), (null, 20L),
+      (2L, 7L), (2L, 5L)))
+
+    val exec = findExec(result.queryExecution.executedPlan)
+      .getOrElse(fail("TopKPerKeyExec not found in executed plan"))
+    assert(exec.metrics("numInputRows").value == 10)
+    assert(exec.metrics("numOutputRows").value == 6)
+    assert(exec.metrics("numHeaps").value == 3) // keys 1, 2, and NULL
+  }
+
+  test("window-formulation equivalence on a nullable corpus") {
+    val df = Seq[(Option[Long], Option[Long], Long)](
+      (Some(9L), Some(5L), 1L), (Some(9L), Some(5L), 2L),
+      (Some(9L), Some(6L), 3L), (None, None, 4L), (None, Some(1L), 5L)
+    ).toDF("k", "o", "t")
+    val viaWindow = df.selectExpr("k", "o", "t",
+        "row_number() over (partition by k order by o desc nulls last," +
+          " t asc nulls last) as rn")
+      .where("rn <= 2").drop("rn")
+      .collect().map(_.toSeq).toSet
+    val viaExec = TopKPerKeyOps.topKPerKey(df, 2, "k", "o", "t")
+      .collect().map(_.toSeq).toSet
+    assert(viaExec == viaWindow)
+  }
+}
