@@ -78,14 +78,22 @@ object Dedup extends QueryPack {
   // only candidates pay the exact re-check: a codegen'd two-pointer merge
   // (graft_isect) over the per-doc sorted 60-bit shingle-hash arrays.
   //
-  // Result-set fidelity: with 2-row bands a true pair at the j >= 0.6
-  // threshold collides in some band with prob 1-(1-j^2)^8 (>= 0.9998 at
-  // the corpus's weakest true pair, j = 0.818; ~1 - 1e-12 at its median
-  // j = 0.92), and the exact re-check removes all false candidates — the
-  // banded result was verified IDENTICAL to the all-pairs formulation on
-  // sf0.001/0.01/0.1 while scanning 61x fewer pairs at sf0.1 (203 k
-  // candidates vs 12.5 M ordered pairs). The same banding runs in the
-  // DuckDB oracle, so both engines compute the same spec by construction.
+  // RECALL CONTRACT (probabilistic, stated explicitly): the exact
+  // re-check removes every false candidate, so precision is 1.0; recall
+  // against the all-pairs spec is bounded by the banding — a true pair
+  // with Jaccard j collides in some band with prob 1-(1-j^2)^8, which is
+  // 0.972 at EXACTLY the j = 0.6 threshold, 0.995 at j = 0.7, 0.9998 at
+  // this corpus's weakest true pair (j = 0.818), ~1-1e-12 at its median
+  // (j = 0.92). Near-dup corpora are bimodal (true pairs far above the
+  // threshold, noise far below), so the boundary regime is empty in
+  // practice; callers needing a harder floor raise K/bands (recall
+  // 1-(1-j^2)^b), trading b shuffle keys per document.
+  //
+  // The DuckDB oracle is the INDEPENDENT all-pairs formulation, NOT the
+  // banding — the driver's hash-compare therefore verifies the banded
+  // result against the exact spec on real data every round (identical at
+  // sf0.001/0.01/0.1, while scanning 61x fewer pairs at sf0.1: 203 k
+  // candidates vs 12.5 M ordered pairs).
   private def sparkH64(v: String) =
     s"cast(conv(substring(md5($v), 1, 15), 16, 10) as bigint)"
   private def duckH64(v: String) =
@@ -96,9 +104,6 @@ object Dedup extends QueryPack {
   private def jacBandKeySpark(b: Int): String =
     s"md5(concat_ws(',', cast(sig_${2 * b} as string)," +
       s" cast(sig_${2 * b + 1} as string)))"
-  private def jacBandKeyDuck(b: Int): String =
-    s"md5(CAST(sig_${2 * b} AS VARCHAR) || ',' ||" +
-      s" CAST(sig_${2 * b + 1} AS VARCHAR))"
 
   private def ddJaccard(s: SparkSession, dir: String): DataFrame = {
     VectorFunctions.ensureRegistered(s)
@@ -140,37 +145,28 @@ object Dedup extends QueryPack {
          |ORDER BY doc_a, doc_b""".stripMargin)
   }
 
-  private val ddJaccardSql = {
-    val bandSelects = (0 until JacBands)
-      .map(b => s"SELECT doc_id, $b AS band, ${jacBandKeyDuck(b)} AS bk" +
-        " FROM sigs")
-      .mkString(" UNION ALL ")
+  /** The independent all-pairs spec (no banding): hash-comparing the
+    * banded Spark result against it makes the driver's gate verify the
+    * banding's recall on real data, not just replay a shared shortcut.
+    */
+  private val ddJaccardSql =
     s"""WITH docs AS (
        |  SELECT doc_id,
-       |    list_transform(grams, g -> ${duckH("g")}) AS ghs,
        |    list_sort(list_distinct(list_transform(grams,
        |      g -> ${duckH64("g")}))) AS hs
        |  FROM (
        |    SELECT doc_id, $duckGrams AS grams FROM (
-       |      SELECT doc_id, string_split(text, ' ') AS toks FROM documents))),
-       |sigs AS (SELECT doc_id, hs, ${duckSigCols.mkString(", ")} FROM docs),
-       |bands AS ($bandSelects),
-       |cand AS (
-       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-       |  FROM bands x JOIN bands y
-       |    ON x.band = y.band AND x.bk = y.bk AND x.doc_id < y.doc_id)
+       |      SELECT doc_id, string_split(text, ' ') AS toks FROM documents)))
        |SELECT doc_a, doc_b, jaccard FROM (
-       |  SELECT doc_a, doc_b,
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |    round(CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
        |      / (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs))), 6)
        |      AS jaccard
-       |  FROM cand JOIN sigs a ON a.doc_id = doc_a
-       |            JOIN sigs b ON b.doc_id = doc_b
+       |  FROM docs a JOIN docs b ON a.doc_id < b.doc_id
        |  WHERE least(len(a.hs), len(b.hs)) * 10
        |        >= greatest(len(a.hs), len(b.hs)) * 6)
        |WHERE jaccard >= 0.6
        |ORDER BY doc_a, doc_b""".stripMargin
-  }
 
   // -- dd_minhash: per-document MinHash signatures ----------------------------
   // One narrow pass: signature j = min over shingles of (A_j*h + B_j) mod P.
