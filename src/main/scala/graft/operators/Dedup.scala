@@ -569,6 +569,84 @@ object Dedup extends QueryPack {
        |ORDER BY vec_a, vec_b""".stripMargin
   }
 
+  // -- dd_cluster: near-dup connected components ------------------------------
+  // Pairs are only half the dedup story — a keep-one-per-group pipeline
+  // needs CLUSTER assignments. Edges are the banded dd_jaccard pairs
+  // (j >= 0.6); components come from iterative min-label propagation:
+  // each round every doc takes the min cluster id among itself and its
+  // neighbors, converging in O(component diameter) rounds — near-dup
+  // components are shallow (dozens of docs, diameter ~2-3), so this is
+  // 2-4 small equi-join shuffles, never a transitive-closure blowup.
+  // This is the same algorithm GraphFrames' connectedComponents runs;
+  // at 100 TB add periodic checkpoints to cut lineage. The driver-side
+  // loop is CONTROL FLOW only (one count per round for convergence) —
+  // no row data ever reaches the driver.
+  //
+  // The DuckDB oracle is independent twice over: all-pairs edges (no
+  // banding) and a recursive-CTE transitive closure (no label
+  // propagation), so the hash-compare checks both the candidate recall
+  // and the component arithmetic. cluster_id = min doc_id reachable;
+  // docs in no pair are singleton clusters of themselves.
+  private def ddCluster(s: SparkSession, dir: String): DataFrame = {
+    val pairs = ddJaccard(s, dir).select("doc_a", "doc_b")
+    val edges = pairs
+      .union(pairs.select(col("doc_b"), col("doc_a")))
+      .toDF("src", "dst")
+      .cache()
+    var labels = table(s, dir, "documents")
+      .select(col("doc_id"), col("doc_id").as("cluster_id"))
+      .cache()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 20) {
+      val nbrMin = edges
+        .join(labels, edges("dst") === labels("doc_id"))
+        .groupBy(col("src"))
+        .agg(min(col("cluster_id")).as("nbr_min"))
+      // carry the previous label through the select so convergence is
+      // one filter-count on the SAME cached frame, not an extra join
+      val step = labels
+        .join(nbrMin, labels("doc_id") === nbrMin("src"), "left")
+        .select(labels("doc_id"), col("cluster_id").as("prev"),
+          least(col("cluster_id"),
+            coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"))
+        .cache()
+      // one scalar to the driver per round — convergence check only
+      val changed = step.where(col("cluster_id") =!= col("prev")).count()
+      labels.unpersist()
+      labels = step.drop("prev")
+      converged = changed == 0
+      iter += 1
+    }
+    labels.orderBy(col("doc_id"))
+  }
+
+  private val ddClusterSql = {
+    val allPairsEdges =
+      s"""SELECT a.doc_id AS src, b.doc_id AS dst
+         |  FROM docs a JOIN docs b ON a.doc_id <> b.doc_id
+         |  WHERE least(len(a.hs), len(b.hs)) * 10
+         |        >= greatest(len(a.hs), len(b.hs)) * 6
+         |    AND round(CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
+         |      / (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs))), 6)
+         |      >= 0.6""".stripMargin
+    s"""WITH RECURSIVE docs AS (
+       |  SELECT doc_id,
+       |    list_sort(list_distinct(list_transform(grams,
+       |      g -> ${duckH64("g")}))) AS hs
+       |  FROM (
+       |    SELECT doc_id, $duckGrams AS grams FROM (
+       |      SELECT doc_id, string_split(text, ' ') AS toks FROM documents))),
+       |edges AS ($allPairsEdges),
+       |r(doc, node) AS (
+       |  SELECT doc_id, doc_id FROM docs
+       |  UNION
+       |  SELECT r.doc, e.dst FROM r JOIN edges e ON e.src = r.node)
+       |SELECT doc AS doc_id, MIN(node) AS cluster_id
+       |FROM r GROUP BY doc
+       |ORDER BY doc_id""".stripMargin
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map(
       "dd_exact" -> ddExact _,
@@ -579,7 +657,8 @@ object Dedup extends QueryPack {
       "dd_simhash_pairs" -> ddSimhashPairs _,
       "dd_simhash64" -> ddSimhash64 _,
       "dd_embed_cosine" -> ddEmbedCosineExact _,
-      "dd_embed_cosine_lsh" -> ddEmbedCosineLsh _
+      "dd_embed_cosine_lsh" -> ddEmbedCosineLsh _,
+      "dd_cluster" -> ddCluster _
     )
 
   override val oracles: Map[String, String] = Map(
@@ -591,6 +670,7 @@ object Dedup extends QueryPack {
     "dd_simhash_pairs" -> ddSimhashPairsSql,
     "dd_simhash64" -> ddSimhash64Sql,
     "dd_embed_cosine" -> ddEmbedCosineExactSql,
-    "dd_embed_cosine_lsh" -> ddEmbedCosineLshSql
+    "dd_embed_cosine_lsh" -> ddEmbedCosineLshSql,
+    "dd_cluster" -> ddClusterSql
   )
 }
