@@ -232,8 +232,52 @@ object TextAnalysis extends QueryPack {
        |      FROM documents)
        |ORDER BY doc_id""".stripMargin
 
+  // -- txt_repetition: duplicate-content signals ------------------------------
+  // The repetition gate LLM-data pipelines run before training (the
+  // Gopher-style "fraction of duplicate n-grams" family): documents
+  // whose token or bigram streams repeat heavily are boilerplate or
+  // generation loops. distinct_ratio = |distinct tokens| / |tokens|;
+  // distinct_bigram_ratio likewise over CONSECUTIVE word bigrams (kept
+  // non-distinct here, unlike the dedup shingles — repetition is the
+  // signal). Narrow map, exact integer counts, one rounded division —
+  // identical arithmetic in both dialects; single-token docs have no
+  // bigrams and score 1.0 (no repetition evidence) in both engines.
+  private def txtRepetition(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "documents")
+      .selectExpr("doc_id", "split(text, ' ') AS toks")
+      // sequence(1, 0) descends — guard single-token docs like the
+      // trigram/rollhash pipelines
+      .selectExpr("doc_id", "toks",
+        "CASE WHEN size(toks) >= 2 THEN"
+          + " transform(sequence(1, size(toks) - 1),"
+          + " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"
+          + " ELSE cast(array() as array<string>) END AS grams")
+      .selectExpr("doc_id",
+        "cast(size(toks) as bigint) AS n_tokens",
+        "round(cast(size(array_distinct(toks)) as double) / size(toks), 6)"
+          + " AS distinct_ratio",
+        "CASE WHEN size(grams) = 0 THEN cast(1.0 as double)"
+          + " ELSE round(cast(size(array_distinct(grams)) as double)"
+          + " / size(grams), 6) END AS distinct_bigram_ratio")
+      .orderBy(col("doc_id"))
+
+  private val txtRepetitionSql =
+    """SELECT doc_id, len(toks) AS n_tokens,
+      |  round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6)
+      |    AS distinct_ratio,
+      |  CASE WHEN len(grams) = 0 THEN CAST(1.0 AS DOUBLE)
+      |    ELSE round(CAST(len(list_distinct(grams)) AS DOUBLE)
+      |      / len(grams), 6) END AS distinct_bigram_ratio
+      |FROM (SELECT doc_id, toks,
+      |        list_transform(range(1, len(toks)),
+      |          i -> toks[i] || ' ' || toks[i + 1]) AS grams
+      |      FROM (SELECT doc_id, string_split(text, ' ') AS toks
+      |            FROM documents))
+      |ORDER BY doc_id""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map(
+      "txt_repetition" -> txtRepetition _,
       "txt_subtokens" -> txtSubtokens _,
       "txt_tokens" -> txtTokens _,
       "txt_quality" -> txtQuality _,
@@ -244,6 +288,7 @@ object TextAnalysis extends QueryPack {
     )
 
   override val oracles: Map[String, String] = Map(
+    "txt_repetition" -> txtRepetitionSql,
     "txt_subtokens" -> txtSubtokensSql,
     "txt_tokens" -> txtTokensSql,
     "txt_quality" -> txtQualitySql,

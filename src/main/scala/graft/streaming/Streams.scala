@@ -61,6 +61,22 @@ object Streams {
       .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
 
+  /** Streaming ingest dedup: drop events whose id was already seen,
+    * with state bounded by the event-time watermark — the streaming
+    * face of the dd_* batch pack (an at-least-once source like the
+    * paginated Jira scan re-delivers pages after a crash; this makes
+    * the downstream exactly-once per id). `dropDuplicatesWithinWatermark`
+    * keeps one state row per id and expires it once the watermark
+    * passes, so executor state is proportional to the dedup horizon,
+    * not the stream's history.
+    */
+  def dedupStream(events: DataFrame,
+                  horizon: String = "30 minutes"): DataFrame =
+    events
+      .withColumn("event_time", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("event_time", horizon)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Gap-based sessionization (30-min inactivity) as explicit state:
     * emits a ClosedSession whenever a user's next event arrives past the
     * gap, plus on state timeout. The batch q18_sessionize query computes

@@ -87,6 +87,31 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("dedupStream drops re-delivered ids within the watermark horizon") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = Streams.dedupStream(in.toDF())
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // timestamps well past epoch: rows at event-time 0 tie the
+      // initial watermark and are dropped as late before any dedup
+      in.addData(ev(1, 100 * H + 10, 1, "click"),
+        ev(2, 100 * H + 20, 1, "click"))
+      q.processAllAvailable()
+      // an at-least-once source re-delivers event 1 (same id) plus a
+      // genuinely new event in the same horizon
+      in.addData(ev(1, 100 * H + 10, 1, "click"),
+        ev(3, 100 * H + 30, 2, "view"))
+      q.processAllAvailable()
+      val ids = spark.table("dedup").select("event_id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(ids.sorted == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("watermark drops events later than 30 minutes behind max time") {
     val spark0 = spark
     import spark0.implicits._
