@@ -613,8 +613,43 @@ object Relational extends QueryPack {
        |WHERE rn <= 3
        |ORDER BY o_custkey, total_price DESC, o_orderkey""".stripMargin
 
+  // -- q30: bounded-memory approximate distinct (KMV sketch UDAF) ------------
+  // graft.functions.KmvDistinct: 64 longs of state per group vs
+  // COUNT(DISTINCT)'s shuffle of every distinct value — the cardinality
+  // shape that survives 100 TB. Hashes are the dedup pack's 60-bit md5
+  // prefixes, so the DuckDB oracle states the same k-th order statistic
+  // and estimate with list functions; the exact count rides along to
+  // show the sketch's error on real data.
+  private def q30(s: SparkSession, dir: String): DataFrame = {
+    val kmv = udaf(graft.functions.KmvDistinct)
+    table(s, dir, "lineitem")
+      .selectExpr("l_returnflag", "l_partkey",
+        "cast(conv(substring(md5(cast(l_partkey as string)), 1, 15)," +
+          " 16, 10) as bigint) AS h")
+      .groupBy(col("l_returnflag"))
+      .agg(kmv(col("h")).as("est_distinct"),
+        countDistinct(col("l_partkey")).as("n_exact"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  private val q30Sql =
+    """WITH g AS (
+      |  SELECT l_returnflag,
+      |    list_sort(list_distinct(list(
+      |      CAST('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15)
+      |        AS BIGINT)))) AS hs,
+      |    CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_exact
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag,
+      |  CASE WHEN len(hs) < 64 THEN CAST(len(hs) AS DOUBLE)
+      |    ELSE round(63.0 * 1152921504606846976.0 / CAST(hs[64] AS DOUBLE), 6)
+      |    END AS est_distinct,
+      |  n_exact
+      |FROM g ORDER BY l_returnflag""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map(
+      "q30_kmv_distinct" -> q30 _,
       "q29_topk_per_key" -> q29 _,
       "q25_cube" -> q25 _,
       "q26_asof_join" -> q26 _,
@@ -647,6 +682,7 @@ object Relational extends QueryPack {
     )
 
   override val oracles: Map[String, String] = Map(
+    "q30_kmv_distinct" -> q30Sql,
     "q29_topk_per_key" -> q29Sql,
     "q25_cube" -> q25Sql,
     "q26_asof_join" -> q26Sql,
