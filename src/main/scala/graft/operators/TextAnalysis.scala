@@ -275,9 +275,70 @@ object TextAnalysis extends QueryPack {
       |            FROM documents))
       |ORDER BY doc_id""".stripMargin
 
+  // -- txt_stratified_sample: deterministic per-language subsampling ----------
+  // Corpus curation's sampling step without RNG state: order each
+  // language's documents by an md5 hash of their id (a reproducible
+  // pseudo-random permutation any engine can replay) and keep the first
+  // 20. Partitioned window — parallel across strata, no global sort.
+  private def txtStratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("hk"), col("doc_id"))
+    table(s, dir, "documents")
+      .selectExpr("lang", "doc_id", "md5(cast(doc_id as string)) AS hk")
+      .withColumn("rn", row_number().over(w).cast("bigint"))
+      .filter(col("rn") <= 20)
+      .select(col("lang"), col("doc_id"), col("rn"))
+      .orderBy(col("lang"), col("rn"))
+  }
+
+  private val txtStratifiedSampleSql =
+    """SELECT lang, doc_id, rn FROM (
+      |  SELECT lang, doc_id,
+      |    row_number() OVER (PARTITION BY lang
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      |  FROM documents)
+      |WHERE rn <= 20 ORDER BY lang, rn""".stripMargin
+
+  // -- txt_pack: greedy sequence packing for pretraining batches --------------
+  // Assigns documents to fixed-budget training sequences (512 tokens):
+  // within a shard, documents are laid out in hash order and pack_id is
+  // the 512-token bin their START offset falls in — the running-sum
+  // formulation of greedy packing. Sharding by the first md5 hex digit
+  // keeps the window PARTITIONED (16-way parallel cumulative sums, no
+  // global sort); at 100 TB raise the shard fan-out, the shape is
+  // unchanged. Exact integer arithmetic end to end.
+  private def txtPack(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("hk"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    table(s, dir, "documents")
+      .selectExpr("doc_id",
+        "cast(size(split(text, ' ')) as bigint) AS n_toks",
+        "md5(cast(doc_id as string)) AS hk")
+      .withColumn("shard", expr("substring(hk, 1, 1)"))
+      .withColumn("cum", sum(col("n_toks")).over(w))
+      .selectExpr("shard", "doc_id", "n_toks",
+        "(cum - n_toks) div 512 AS pack_id")
+      .orderBy(col("doc_id"))
+  }
+
+  private val txtPackSql =
+    """SELECT shard, doc_id, n_toks, (cum - n_toks) // 512 AS pack_id FROM (
+      |  SELECT shard, doc_id, n_toks,
+      |    CAST(SUM(n_toks) OVER (PARTITION BY shard ORDER BY hk, doc_id
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      |  FROM (
+      |    SELECT doc_id, len(string_split(text, ' ')) AS n_toks,
+      |      md5(CAST(doc_id AS VARCHAR)) AS hk,
+      |      substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard
+      |    FROM documents))
+      |ORDER BY doc_id""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map(
       "txt_repetition" -> txtRepetition _,
+      "txt_stratified_sample" -> txtStratifiedSample _,
+      "txt_pack" -> txtPack _,
       "txt_subtokens" -> txtSubtokens _,
       "txt_tokens" -> txtTokens _,
       "txt_quality" -> txtQuality _,
@@ -289,6 +350,8 @@ object TextAnalysis extends QueryPack {
 
   override val oracles: Map[String, String] = Map(
     "txt_repetition" -> txtRepetitionSql,
+    "txt_stratified_sample" -> txtStratifiedSampleSql,
+    "txt_pack" -> txtPackSql,
     "txt_subtokens" -> txtSubtokensSql,
     "txt_tokens" -> txtTokensSql,
     "txt_quality" -> txtQualitySql,
