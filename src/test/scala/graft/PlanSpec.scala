@@ -115,6 +115,22 @@ class PlanSpec extends AnyFunSuite {
     assert(!readSchema.contains("source"), readSchema)
   }
 
+  test("txt_pack / txt_stratified_sample: windows stay partitioned") {
+    // packing/sampling must parallelize across shards/strata — a global
+    // (unpartitioned) window would collapse to one partition
+    for (q <- Seq("txt_pack", "txt_stratified_sample")) {
+      val p = plan(q)
+      assert(p.contains("Window"), q)
+      assert(!p.contains("Exchange SinglePartition"), s"$q: ${p.take(2000)}")
+    }
+  }
+
+  test("dd_cluster: propagation rounds are equi joins, no cross product") {
+    val p = plan("dd_cluster")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+  }
+
   test("q29: custom TopKPerKeyExec appears with exactly one exchange") {
     val p = plan("q29_topk_per_key")
     assert(p.contains("TopKPerKey 3"), p.take(3000))
