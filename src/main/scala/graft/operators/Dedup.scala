@@ -593,9 +593,13 @@ object Dedup extends QueryPack {
       .union(pairs.select(col("doc_b"), col("doc_a")))
       .toDF("src", "dst")
       .cache()
-    var labels = table(s, dir, "documents")
+    // `cached` tracks the frame actually holding the cache: labels is a
+    // projection over it, and unpersisting a derived frame would leave
+    // the parent's blocks resident round after round
+    var cached = table(s, dir, "documents")
       .select(col("doc_id"), col("doc_id").as("cluster_id"))
       .cache()
+    var labels = cached
     var converged = false
     var iter = 0
     while (!converged && iter < 20) {
@@ -613,7 +617,8 @@ object Dedup extends QueryPack {
         .cache()
       // one scalar to the driver per round — convergence check only
       val changed = step.where(col("cluster_id") =!= col("prev")).count()
-      labels.unpersist()
+      cached.unpersist()
+      cached = step
       labels = step.drop("prev")
       converged = changed == 0
       iter += 1
