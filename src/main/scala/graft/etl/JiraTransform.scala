@@ -66,6 +66,10 @@ object JiraTransform {
     // issue parsed as `{}` yields the empty record, which serializes as
     // the literal `{}` line and still counts as a validation error in
     // [[stats]] (the reference validates it too, `transformer.py:381`).
+    // Known altitude limit: the typed parse cannot tell `{}` from the
+    // pathological `{"key": null, "fields": null}` (the reference's
+    // truthiness test would pass the latter through and emit id null);
+    // distinguishing them would require carrying raw JSON per issue.
     if (raw.key.isEmpty && raw.fields.isEmpty) return IssueRecord.emptyParity
     val issueKey = raw.key.getOrElse("UNKNOWN")
     Try {

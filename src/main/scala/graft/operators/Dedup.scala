@@ -602,7 +602,7 @@ object Dedup extends QueryPack {
     var labels = cached
     var converged = false
     var iter = 0
-    while (!converged && iter < 20) {
+    while (!converged && iter < 50) {
       val nbrMin = edges
         .join(labels, edges("dst") === labels("doc_id"))
         .groupBy(col("src"))
@@ -623,6 +623,15 @@ object Dedup extends QueryPack {
       converged = changed == 0
       iter += 1
     }
+    // silent truncation would hand a keep-one-per-cluster pipeline
+    // partially-merged groups; a >50-hop min-label chain means the
+    // corpus isn't the shallow near-dup graph this operator is for
+    if (!converged) throw new IllegalStateException(
+      s"dd_cluster: not converged after $iter rounds — component " +
+        "diameter exceeds the cap")
+    // edge blocks are no longer needed (the result is backed by the
+    // final cached step, which stays resident until the session drops it)
+    edges.unpersist()
     labels.orderBy(col("doc_id"))
   }
 

@@ -42,6 +42,11 @@ object TopKPerKeyStrategy extends SparkStrategy {
   }
 }
 
+/** Heap entry: rank components with explicit nullness + the owned row. */
+private[plans] case class TopKEntry(onull: Boolean, ov: Long,
+                                    tnull: Boolean, tv: Long,
+                                    row: InternalRow)
+
 /** Physical bounded-heap top-k per key. One pass per partition; memory
   * is O(distinct keys in partition x k rows), not O(partition).
   *
@@ -78,53 +83,56 @@ case class TopKPerKeyExec(k: Int, key: Expression, order: Expression,
     val outRows = longMetric("numOutputRows")
     val numHeaps = longMetric("numHeaps")
     child.execute().mapPartitions { iter =>
-      // per key: the heap's head is the WEAKEST of the current top-k
-      // (smallest order, then largest tie), evicted first. Explicit
-      // comparator — the `-t._1` formulation overflows on
-      // Long.MinValue, which is exactly the null-order sentinel.
-      implicit val heapOrd: Ordering[(Long, Long, InternalRow)] =
-        new Ordering[(Long, Long, InternalRow)] {
-          override def compare(a: (Long, Long, InternalRow),
-                               b: (Long, Long, InternalRow)): Int = {
-            val c = java.lang.Long.compare(b._1, a._1)
-            if (c != 0) c else java.lang.Long.compare(a._2, b._2)
+      // per key: the heap's head is the WEAKEST of the current top-k,
+      // evicted first. Nullness is carried EXPLICITLY (not as MinValue/
+      // MaxValue sentinels, which would collide with legitimate extreme
+      // values and mis-rank them against NULL): weakest = null order,
+      // then smallest order; ties: null tie, then largest tie — i.e.
+      // `order desc nulls last, tie asc nulls last`.
+      implicit val heapOrd: Ordering[TopKEntry] =
+        new Ordering[TopKEntry] {
+          override def compare(a: TopKEntry, b: TopKEntry): Int = {
+            val c1 =
+              if (a.onull && b.onull) 0
+              else if (a.onull) 1
+              else if (b.onull) -1
+              else java.lang.Long.compare(b.ov, a.ov)
+            if (c1 != 0) c1
+            else if (a.tnull && b.tnull) 0
+            else if (a.tnull) 1
+            else if (b.tnull) -1
+            else java.lang.Long.compare(a.tv, b.tv)
           }
         }
       val heaps =
-        mutable.HashMap.empty[Long, mutable.PriorityQueue[(Long, Long, InternalRow)]]
+        mutable.HashMap.empty[Long, mutable.PriorityQueue[TopKEntry]]
       // NULL keys cluster to one partition (hash of null), own group
-      var nullHeap: mutable.PriorityQueue[(Long, Long, InternalRow)] = null
+      var nullHeap: mutable.PriorityQueue[TopKEntry] = null
       val copier = UnsafeProjection.create(child.output, child.output)
       iter.foreach { row =>
         inRows += 1
         val kvRaw = keyB.eval(row)
-        // NULL order ranks weakest like `desc` NULLS LAST; NULL tie
-        // ranks weakest like `asc` NULLS LAST
-        val ov = orderB.eval(row) match {
-          case null    => Long.MinValue
-          case v: Long => v
-        }
-        val tv = tieB.eval(row) match {
-          case null    => Long.MaxValue
-          case v: Long => v
-        }
+        val oRaw = orderB.eval(row)
+        val tRaw = tieB.eval(row)
+        val entry = TopKEntry(
+          oRaw == null, if (oRaw == null) 0L else oRaw.asInstanceOf[Long],
+          tRaw == null, if (tRaw == null) 0L else tRaw.asInstanceOf[Long],
+          null)
         val heap = kvRaw match {
           case null =>
             if (nullHeap == null) {
-              nullHeap =
-                mutable.PriorityQueue.empty[(Long, Long, InternalRow)]
+              nullHeap = mutable.PriorityQueue.empty[TopKEntry]
             }
             nullHeap
           case kv: Long => heaps.getOrElseUpdate(kv,
-            mutable.PriorityQueue.empty[(Long, Long, InternalRow)])
+            mutable.PriorityQueue.empty[TopKEntry])
         }
-        if (heap.size < kLocal) heap.enqueue((ov, tv, copier(row).copy()))
-        else {
-          val worst = heap.head
-          if (ov > worst._1 || (ov == worst._1 && tv < worst._2)) {
-            heap.dequeue()
-            heap.enqueue((ov, tv, copier(row).copy()))
-          }
+        if (heap.size < kLocal) {
+          heap.enqueue(entry.copy(row = copier(row).copy()))
+        } else if (heapOrd.compare(entry, heap.head) < 0) {
+          // strictly stronger than the current weakest
+          heap.dequeue()
+          heap.enqueue(entry.copy(row = copier(row).copy()))
         }
       }
       numHeaps += heaps.size + (if (nullHeap == null) 0 else 1)
@@ -132,9 +140,9 @@ case class TopKPerKeyExec(k: Int, key: Expression, order: Expression,
         if (nullHeap == null) heaps.valuesIterator
         else heaps.valuesIterator ++ Iterator.single(nullHeap)
       all.flatMap { h =>
-        h.dequeueAll.iterator.map { (t: (Long, Long, InternalRow)) =>
+        h.dequeueAll.iterator.map { (t: TopKEntry) =>
           outRows += 1
-          t._3
+          t.row
         }
       }
     }

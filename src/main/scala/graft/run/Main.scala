@@ -67,7 +67,7 @@ object Main {
     val extractOk =
       if (!o.runExtract) true
       else {
-        val http = new JdkJiraHttp(cfg.timeoutMillis)
+        val http = new JdkJiraHttp(cfg.timeoutMillis, cfg.verifySsl)
         val results = JiraSource.fetchAll(cfg, rawDir, checkpoints, http)
         results.foreach {
           case Right(r) => println(

@@ -49,7 +49,7 @@ trait JiraHttp {
   * property, not per-client; chain trust is the part self-signed certs
   * fail on.)
   */
-class JdkJiraHttp(timeoutMillis: Int, verifySsl: Boolean = false)
+class JdkJiraHttp(timeoutMillis: Int, verifySsl: Boolean)
     extends JiraHttp {
   private val client = {
     val b = HttpClient.newBuilder()

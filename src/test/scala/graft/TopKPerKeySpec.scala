@@ -48,6 +48,20 @@ class TopKPerKeySpec extends AnyFunSuite {
     assert(exec.metrics("numHeaps").value == 3) // keys 1, 2, and NULL
   }
 
+  test("NULL order loses to a legitimate Long.MinValue order") {
+    // sentinel-encoding regression: NULL must rank strictly below EVERY
+    // real value, including the extremes a sentinel would collide with
+    val df = Seq[(Long, Option[Long], Option[Long])](
+      (1L, None, Some(1L)), (1L, Some(Long.MinValue), Some(2L)),
+      (2L, Some(Long.MaxValue), None), (2L, Some(Long.MaxValue), Some(Long.MaxValue))
+    ).toDF("k", "o", "t")
+    val rows = TopKPerKeyOps.topKPerKey(df, 1, "k", "o", "t")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    // key 1: the MinValue-order row (tie 2) beats the NULL-order row;
+    // key 2: equal orders — real MaxValue tie beats NULL tie
+    assert(rows == Set((1L, 2L), (2L, Long.MaxValue)))
+  }
+
   test("window-formulation equivalence on a nullable corpus") {
     val df = Seq[(Option[Long], Option[Long], Long)](
       (Some(9L), Some(5L), 1L), (Some(9L), Some(5L), 2L),
