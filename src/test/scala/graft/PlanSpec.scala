@@ -125,6 +125,12 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q30: KMV sketch aggregates partial+final (map-side combine)") {
+    val p = plan("q30_kmv_distinct")
+    assert(p.contains("partial_kmvdistinct"), p.take(3000))
+    assert(p.contains("ObjectHashAggregate"), p.take(3000))
+  }
+
   test("dd_cluster: propagation rounds are equi joins, no cross product") {
     val p = plan("dd_cluster")
     assert(!p.contains("CartesianProduct"), p.take(3000))
