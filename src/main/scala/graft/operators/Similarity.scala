@@ -320,8 +320,111 @@ object Similarity extends QueryPack {
        |  FROM knn GROUP BY query_id, true_label, label)
        |WHERE pick = 1 ORDER BY query_id""".stripMargin
 
+  // -- sim_kmeans: exact fixed-point Lloyd training ---------------------------
+  // The trainable half of the IVF index (sim_ivf_* uses seed vectors as a
+  // stand-in codebook): k=4 centroids, seeded from vectors 0..3, one full
+  // Lloyd round (assign -> centroid update -> re-assign) computed ENTIRELY
+  // in scaled integers so the training is bit-identical across engines —
+  // components quantize via the m4 discipline (floor(x*1e4 + 0.5) as
+  // bigint), distances are exact integer Σ(a-b)², centroid means use
+  // truncating integer division (Spark `div`; DuckDB's `//` floors, so
+  // negative sums emulate truncation explicitly). No floating point
+  // enters the pipeline at any step, so there is nothing to drift.
+  //
+  // Scale shape: assignment is a k-row broadcast cross join (narrow per
+  // vector, like every k-means implementation); the update is one
+  // partial+final aggregation over (cell, component). Output: per-cell
+  // sizes and exact integer inertia after the re-assignment.
+  private val KmK = 4
+
+  /** Quantized embedding — Spark / DuckDB. */
+  private val x4S =
+    "transform(embedding, x ->" +
+      " cast(floor(cast(x as double) * 10000.0 + 0.5) as bigint))"
+  private val x4D =
+    "list_transform(embedding, x ->" +
+      " CAST(floor(CAST(x AS DOUBLE) * 10000.0 + 0.5) AS BIGINT))"
+
+  /** Exact integer squared L2 between two bigint arrays. */
+  private def distS(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (p, q) -> (p - q) * (p - q))," +
+      s" cast(0 as bigint), (acc, d) -> acc + d)"
+  private def distD(a: String, b: String): String =
+    s"list_reduce(list_transform(range(1, len($a) + 1)," +
+      s" i -> ($a[i] - $b[i]) * ($a[i] - $b[i])), (x, y) -> x + y)"
+
+  /** One assignment round: each vector to its nearest centroid (ties ->
+    * lower cell id), keeping the exact distance.
+    */
+  private def assignS(base: String, cents: String): String =
+    s"""SELECT vec_id, x4, cell, dist FROM (
+       |  SELECT vec_id, x4, cell, dist,
+       |    row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY dist, cell) AS rnk
+       |  FROM (SELECT v.vec_id, v.x4, c.cell,
+       |          ${distS("v.x4", "c.c")} AS dist
+       |        FROM $base v CROSS JOIN $cents c))
+       |WHERE rnk = 1""".stripMargin
+  private def assignD(base: String, cents: String): String =
+    s"""SELECT vec_id, x4, cell, dist FROM (
+       |  SELECT vec_id, x4, cell, dist,
+       |    row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY dist, cell) AS rnk
+       |  FROM (SELECT v.vec_id, v.x4, c.cell,
+       |          ${distD("v.x4", "c.c")} AS dist
+       |        FROM $base v CROSS JOIN $cents c))
+       |WHERE rnk = 1""".stripMargin
+
+  private def simKmeans(s: SparkSession, dir: String): DataFrame = {
+    table(s, dir, "embeddings")
+      .selectExpr("vec_id", s"$x4S AS x4")
+      .createOrReplaceTempView("km_base")
+    s.sql(
+      s"""WITH cents0 AS (
+         |  SELECT vec_id AS cell, x4 AS c FROM km_base WHERE vec_id < $KmK),
+         |a1 AS (${assignS("km_base", "cents0")}),
+         |cents1 AS (
+         |  SELECT cell,
+         |    transform(array_sort(collect_list(struct(pos, comp))),
+         |      t -> t.comp) AS c
+         |  FROM (
+         |    SELECT cell, pos, sum(v) div count(*) AS comp
+         |    FROM a1 LATERAL VIEW posexplode(x4) t AS pos, v
+         |    GROUP BY cell, pos)
+         |  GROUP BY cell),
+         |a2 AS (${assignS("km_base", "cents1")})
+         |SELECT cell, COUNT(*) AS n_vecs, MIN(vec_id) AS min_vec,
+         |  SUM(dist) AS inertia
+         |FROM a2 GROUP BY cell ORDER BY cell""".stripMargin)
+  }
+
+  private val simKmeansSql =
+    s"""WITH base AS (SELECT vec_id, $x4D AS x4 FROM embeddings),
+       |cents0 AS (
+       |  SELECT vec_id AS cell, x4 AS c FROM base WHERE vec_id < $KmK),
+       |a1 AS (${assignD("base", "cents0")}),
+       |cents1 AS (
+       |  SELECT cell, list(comp ORDER BY i) AS c
+       |  FROM (
+       |    SELECT cell, i,
+       |      CASE WHEN s >= 0 THEN s // n ELSE -((-s) // n) END AS comp
+       |    FROM (
+       |      SELECT cell, i, CAST(SUM(v) AS BIGINT) AS s,
+       |        CAST(COUNT(*) AS BIGINT) AS n
+       |      FROM (
+       |        SELECT cell, unnest(range(1, len(x4) + 1)) AS i,
+       |          unnest(x4) AS v
+       |        FROM a1)
+       |      GROUP BY cell, i))
+       |  GROUP BY cell),
+       |a2 AS (${assignD("base", "cents1")})
+       |SELECT cell, COUNT(*) AS n_vecs, MIN(vec_id) AS min_vec,
+       |  CAST(SUM(dist) AS BIGINT) AS inertia
+       |FROM a2 GROUP BY cell ORDER BY cell""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map(
+      "sim_kmeans" -> simKmeans _,
       "sim_norms" -> simNorms _,
       "sim_topk_brute" -> simTopkBrute _,
       "sim_lsh_buckets" -> simLshBuckets _,
@@ -332,6 +435,7 @@ object Similarity extends QueryPack {
     )
 
   override val oracles: Map[String, String] = Map(
+    "sim_kmeans" -> simKmeansSql,
     "sim_norms" -> simNormsSql,
     "sim_topk_brute" -> simTopkBruteSql,
     "sim_lsh_buckets" -> simLshBucketsSql,
