@@ -661,6 +661,69 @@ object Dedup extends QueryPack {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // -- dd_curation_funnel: the end-to-end corpus-prep composition -------------
+  // The pipeline a training-data user actually runs, as ONE declarative
+  // query so Catalyst fuses the gates into a single pass over the scan:
+  // exact dedup (keep the min doc_id per md5(text) group) -> quality
+  // gate (>= 5 tokens, stopword ratio <= 0.5) -> repetition gate
+  // (distinct-token ratio >= 0.3), reported as a per-language funnel
+  // with surviving token mass. One window + one aggregation; every
+  // ratio is a single IEEE division on exact integer counts, so the
+  // DuckDB oracle states the identical funnel.
+  private def ddCurationFunnel(s: SparkSession, dir: String): DataFrame = {
+    table(s, dir, "documents").createOrReplaceTempView("cf_docs")
+    s.sql(
+      """SELECT lang,
+        |  COUNT(*) AS n_docs,
+        |  cast(sum(CASE WHEN keep = 1 THEN 1 ELSE 0 END) as bigint)
+        |    AS n_unique,
+        |  cast(sum(CASE WHEN keep = 1 AND ok_quality AND ok_repetition
+        |    THEN 1 ELSE 0 END) as bigint) AS n_curated,
+        |  cast(sum(CASE WHEN keep = 1 AND ok_quality AND ok_repetition
+        |    THEN n_tokens ELSE 0 END) as bigint) AS curated_tokens
+        |FROM (
+        |  SELECT lang, n_tokens,
+        |    CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY h)
+        |      THEN 1 ELSE 0 END AS keep,
+        |    n_tokens >= 5 AND
+        |      cast(n_stop as double) / n_tokens <= 0.5 AS ok_quality,
+        |    cast(n_distinct as double) / n_tokens >= 0.3 AS ok_repetition
+        |  FROM (
+        |    SELECT lang, doc_id, md5(text) AS h,
+        |      cast(size(toks) as bigint) AS n_tokens,
+        |      cast(size(filter(toks, t -> t = 'the' OR t = 'a')) as bigint)
+        |        AS n_stop,
+        |      cast(size(array_distinct(toks)) as bigint) AS n_distinct
+        |    FROM (SELECT lang, doc_id, text, split(text, ' ') AS toks
+        |          FROM cf_docs)))
+        |GROUP BY lang ORDER BY lang""".stripMargin)
+  }
+
+  private val ddCurationFunnelSql =
+    """SELECT lang,
+      |  COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN keep = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_unique,
+      |  CAST(SUM(CASE WHEN keep = 1 AND ok_quality AND ok_repetition
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_curated,
+      |  CAST(SUM(CASE WHEN keep = 1 AND ok_quality AND ok_repetition
+      |    THEN n_tokens ELSE 0 END) AS BIGINT) AS curated_tokens
+      |FROM (
+      |  SELECT lang, n_tokens,
+      |    CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY h)
+      |      THEN 1 ELSE 0 END AS keep,
+      |    n_tokens >= 5 AND
+      |      CAST(n_stop AS DOUBLE) / n_tokens <= 0.5 AS ok_quality,
+      |    CAST(n_distinct AS DOUBLE) / n_tokens >= 0.3 AS ok_repetition
+      |  FROM (
+      |    SELECT lang, doc_id, md5(text) AS h,
+      |      len(toks) AS n_tokens,
+      |      len(list_filter(toks, t -> t = 'the' OR t = 'a')) AS n_stop,
+      |      len(list_distinct(toks)) AS n_distinct
+      |    FROM (SELECT lang, doc_id, text, string_split(text, ' ') AS toks
+      |          FROM documents)))
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map(
       "dd_exact" -> ddExact _,
@@ -672,7 +735,8 @@ object Dedup extends QueryPack {
       "dd_simhash64" -> ddSimhash64 _,
       "dd_embed_cosine" -> ddEmbedCosineExact _,
       "dd_embed_cosine_lsh" -> ddEmbedCosineLsh _,
-      "dd_cluster" -> ddCluster _
+      "dd_cluster" -> ddCluster _,
+      "dd_curation_funnel" -> ddCurationFunnel _
     )
 
   override val oracles: Map[String, String] = Map(
@@ -685,6 +749,7 @@ object Dedup extends QueryPack {
     "dd_simhash64" -> ddSimhash64Sql,
     "dd_embed_cosine" -> ddEmbedCosineExactSql,
     "dd_embed_cosine_lsh" -> ddEmbedCosineLshSql,
-    "dd_cluster" -> ddClusterSql
+    "dd_cluster" -> ddClusterSql,
+    "dd_curation_funnel" -> ddCurationFunnelSql
   )
 }
