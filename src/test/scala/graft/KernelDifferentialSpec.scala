@@ -1,0 +1,97 @@
+package graft
+
+import scala.util.Random
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.VectorFunctions
+
+/** Differential testing of the fused codegen kernels against the unfused
+  * higher-order-function formulations they replaced (the formulations the
+  * DuckDB oracles still state): on seeded-random inputs the fused and
+  * unfused expressions must agree EXACTLY — integer kernels because the
+  * arithmetic is exact, the hyperplane kernel because both sides run the
+  * identical IEEE fold sequence.
+  */
+class KernelDifferentialSpec extends AnyFunSuite {
+
+  private val spark = SparkSessionHelper.spark
+  VectorFunctions.ensureRegistered(spark)
+  import spark.implicits._
+
+  private val rnd = new Random(20260812L)
+
+  // the documented MinHash family (Dedup.scala oracle constants)
+  private val P = 2147483647L
+  private def A(j: Int): Long = (1103515245L * (j + 1)) % 65521L
+  private def B(j: Int): Long = (12345L * (j + 17)) % 65521L
+
+  test("graft_minhash16 equals the 16 unfused aggregate() folds") {
+    val rows = Seq.fill(50)(
+      Seq.fill(rnd.nextInt(40))(rnd.nextLong(1L << 32)))
+    val unfused = (0 until 16).map { j =>
+      s"aggregate(ghs, 9223372036854775807L," +
+        s" (m, h) -> least(m, (${A(j)}L * h + ${B(j)}L) % ${P}L)) AS u_$j"
+    }
+    val df = rows.toDF("ghs").selectExpr(
+      Seq("graft_minhash16(ghs) AS sig") ++ unfused: _*)
+    df.collect().foreach { r =>
+      val fused = r.getSeq[Long](0)
+      (0 until 16).foreach(j => assert(fused(j) == r.getLong(j + 1)))
+    }
+  }
+
+  test("graft_simhash16 equals the 16 unfused per-bit folds") {
+    val rows = Seq.fill(50)(
+      Seq.fill(rnd.nextInt(30))(rnd.nextLong(1L << 16)))
+    val bits = (0 until 16).map { b =>
+      val mask = 1 << b
+      s"CASE WHEN aggregate(hts, 0L, (acc, h) -> acc +" +
+        s" CASE WHEN (h & $mask) > 0 THEN 1L ELSE -1L END) > 0" +
+        s" THEN ${mask}L ELSE 0L END"
+    }
+    val df = rows.toDF("hts").selectExpr(
+      "graft_simhash16(hts) AS fused", s"${bits.mkString(" + ")} AS unfused")
+    df.collect().foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
+  test("graft_rh_buckets equals the 60 unfused plane folds (IEEE-exact)") {
+    val rows = Seq.fill(30)(
+      Seq.fill(16)(rnd.nextFloat() * 2.0f - 1.0f))
+    def planeDot(j: Int): String = {
+      val cj = (j + 1) * 2654435761L
+      s"aggregate(transform(sequence(1, size(embedding)), i ->" +
+        s" cast(element_at(embedding, i) as double)" +
+        s" * cast((${cj}L + 40503 * i) % 97 - 48 as double))," +
+        s" cast(0.0 as double), (acc, v) -> acc + v)"
+    }
+    val buckets = (0 until 12).map { b =>
+      (0 until 5)
+        .map(k => s"(CASE WHEN ${planeDot(b * 5 + k)} > 0" +
+          s" THEN ${1 << k} ELSE 0 END)")
+        .mkString("(", " + ", s") AS u_$b")
+    }
+    val df = rows.toDF("embedding").selectExpr(
+      Seq("graft_rh_buckets(embedding) AS fused") ++ buckets: _*)
+    df.collect().foreach { r =>
+      val fused = r.getSeq[Int](0)
+      (0 until 12).foreach(b => assert(fused(b) == r.getInt(b + 1)))
+    }
+  }
+
+  test("graft_dot equals the unfused aggregate(zip_with(...)) fold") {
+    val rows = Seq.fill(30)((
+      Seq.fill(24)(rnd.nextFloat() * 2.0f - 1.0f),
+      Seq.fill(24)(rnd.nextFloat() * 2.0f - 1.0f)))
+    val df = rows.toDF("a", "b").selectExpr(
+      "graft_dot(a, b) AS fused",
+      "aggregate(zip_with(a, b, (x, y) ->" +
+        " cast(x as double) * cast(y as double))," +
+        " cast(0.0 as double), (acc, v) -> acc + v) AS unfused")
+    df.collect().foreach { r =>
+      // bit-exact: the kernel documents the identical IEEE sequence
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+  }
+}
