@@ -86,14 +86,61 @@ object EventWindows extends QueryPack {
       |  MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS span_us
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // -- st_anomaly_hours: integer-exact hourly-count outliers ------------------
+  // Monitoring's z-score rule (|cnt - mean| > 2*stddev over each type's
+  // hourly counts) restated so NO floating point enters the pipeline:
+  // with n hours, S = Σcnt and varnum = n*Σcnt² - S² (= n²·variance),
+  // the rule |cnt - S/n| > 2·sqrt(varnum)/n squares to the pure-bigint
+  // inequality (n·cnt - S)² > 4·varnum. Two exact hash aggregations and
+  // one broadcast-sized join back onto the hourly counts; every value
+  // the oracle compares is an integer, so there is nothing to drift.
+  private def stAnomalyHours(s: SparkSession, dir: String): DataFrame = {
+    table(s, dir, "events").createOrReplaceTempView("an_events")
+    s.sql(
+      s"""WITH hc AS (
+         |  SELECT event_type, ts div $HourNs AS win, COUNT(*) AS cnt
+         |  FROM an_events GROUP BY event_type, ts div $HourNs),
+         |st AS (
+         |  SELECT event_type, COUNT(*) AS n, SUM(cnt) AS s,
+         |    SUM(cnt * cnt) AS s2
+         |  FROM hc GROUP BY event_type)
+         |SELECT hc.event_type, hc.win * $HourNs AS win_start_ns, hc.cnt,
+         |  (st.n * hc.cnt - st.s) * (st.n * hc.cnt - st.s) AS dev2,
+         |  4 * (st.n * st.s2 - st.s * st.s) AS thr
+         |FROM hc JOIN st ON hc.event_type = st.event_type
+         |WHERE (st.n * hc.cnt - st.s) * (st.n * hc.cnt - st.s)
+         |      > 4 * (st.n * st.s2 - st.s * st.s)
+         |ORDER BY event_type, win_start_ns""".stripMargin)
+  }
+
+  private val stAnomalyHoursSql =
+    s"""WITH hc AS (
+       |  SELECT event_type, epoch_ns(ts) // $HourNs AS win,
+       |    CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM events GROUP BY event_type, epoch_ns(ts) // $HourNs),
+       |st AS (
+       |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(cnt) AS BIGINT) AS s,
+       |    CAST(SUM(cnt * cnt) AS BIGINT) AS s2
+       |  FROM hc GROUP BY event_type)
+       |SELECT hc.event_type, hc.win * $HourNs AS win_start_ns, hc.cnt,
+       |  (st.n * hc.cnt - st.s) * (st.n * hc.cnt - st.s) AS dev2,
+       |  4 * (st.n * st.s2 - st.s * st.s) AS thr
+       |FROM hc JOIN st ON hc.event_type = st.event_type
+       |WHERE (st.n * hc.cnt - st.s) * (st.n * hc.cnt - st.s)
+       |      > 4 * (st.n * st.s2 - st.s * st.s)
+       |ORDER BY hc.event_type, win_start_ns""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map(
+      "st_anomaly_hours" -> stAnomalyHours _,
       "st_tumbling_1h" -> stTumbling _,
       "st_hopping_1h_30m" -> stHopping _,
       "st_user_activity" -> stUserActivity _
     )
 
   override val oracles: Map[String, String] = Map(
+    "st_anomaly_hours" -> stAnomalyHoursSql,
     "st_tumbling_1h" -> stTumblingSql,
     "st_hopping_1h_30m" -> stHoppingSql,
     "st_user_activity" -> stUserActivitySql
