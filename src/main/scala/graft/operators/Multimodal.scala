@@ -262,6 +262,64 @@ object Multimodal extends QueryPack {
        |      FROM documents)
        |ORDER BY doc_id""".stripMargin
 
+  // -- mm_dedup: exact binary dedup by payload digest -------------------------
+  // The first curation step any media corpus runs: group on md5 of the
+  // raw BYTES (identical pixels/samples re-encoded under different names
+  // collapse), shuffle carries 32-byte digests + counts, payloads stay
+  // in place. Same shape as dd_exact, lifted to binary columns.
+  private def mmDedup(s: SparkSession, dir: String): DataFrame =
+    media(s, dir)
+      .groupBy(md5(col("payload")).as("digest"), col("modality"))
+      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keep_id"),
+        min(octet_length(col("payload"))).cast("bigint").as("n_bytes"))
+      .orderBy(col("digest"))
+
+  // (this DuckDB build's md5 takes VARCHAR, not BLOB — md5(text) hashes
+  // the same UTF-8 bytes the Spark side's binary payload carries)
+  private val mmDedupSql =
+    """SELECT md5(text) AS digest, modality, COUNT(*) AS n_copies,
+      |  MIN(doc_id) AS keep_id,
+      |  CAST(MIN(octet_length(payload)) AS BIGINT) AS n_bytes
+      |FROM (SELECT doc_id, source AS modality, text, encode(text) AS payload
+      |      FROM documents)
+      |GROUP BY md5(text), modality ORDER BY digest""".stripMargin
+
+  // -- mm_shard_pack: webdataset-style shard assignment -----------------------
+  // Media training data ships as fixed-budget shards (tar files of ~N
+  // bytes); each item's shard is the 64 KiB bin its cumulative START
+  // offset falls in, laid out in digest order within a hash shard-group
+  // so the window is PARTITIONED (parallel running sums — the same
+  // scale shape as txt_pack; raise the group fan-out at 100 TB).
+  private def mmShardPack(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(col("digest"), col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    media(s, dir)
+      .selectExpr("doc_id",
+        "cast(octet_length(payload) as bigint) AS n_bytes",
+        "md5(payload) AS digest")
+      .withColumn("grp", expr("substring(digest, 1, 1)"))
+      .withColumn("cum", sum(col("n_bytes")).over(w))
+      .selectExpr("grp", "doc_id", "n_bytes",
+        "(cum - n_bytes) div 65536 AS shard_id")
+      .orderBy(col("doc_id"))
+  }
+
+  private val mmShardPackSql =
+    """SELECT grp, doc_id, n_bytes, (cum - n_bytes) // 65536 AS shard_id
+      |FROM (
+      |  SELECT grp, doc_id, n_bytes,
+      |    CAST(SUM(n_bytes) OVER (PARTITION BY grp ORDER BY digest, doc_id
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      |  FROM (
+      |    SELECT doc_id,
+      |      CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |      md5(text) AS digest,
+      |      substr(md5(text), 1, 1) AS grp
+      |    FROM documents))
+      |ORDER BY doc_id""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map(
       "mm_catalog" -> mmCatalog _,
@@ -270,7 +328,9 @@ object Multimodal extends QueryPack {
       "mm_validate" -> mmValidate _,
       "mm_resize" -> mmResize _,
       "mm_embed_join" -> mmEmbedJoin _,
-      "mm_decode_batch" -> mmDecodeBatch _
+      "mm_decode_batch" -> mmDecodeBatch _,
+      "mm_dedup" -> mmDedup _,
+      "mm_shard_pack" -> mmShardPack _
     )
 
   override val oracles: Map[String, String] = Map(
@@ -280,6 +340,8 @@ object Multimodal extends QueryPack {
     "mm_validate" -> mmValidateSql,
     "mm_resize" -> mmResizeSql,
     "mm_embed_join" -> mmEmbedJoinSql,
-    "mm_decode_batch" -> mmDecodeBatchSql
+    "mm_decode_batch" -> mmDecodeBatchSql,
+    "mm_dedup" -> mmDedupSql,
+    "mm_shard_pack" -> mmShardPackSql
   )
 }
