@@ -96,6 +96,19 @@ object JiraEtl extends QueryPack {
       .orderBy(col("doc_id"))
   }
 
+  // -- etl_comments: restructured comments (P3) at comment granularity -------
+  // Hash-verifies the cleaned comment BODIES and Unknown-author fallback
+  // against the reference's shipped output — the per-comment form of the
+  // n_comments count etl_records checks.
+  private def etlComments(s: SparkSession, dir: String): DataFrame =
+    records(s)
+      .select(col("record.id").as("id"),
+        posexplode(col("record.comments")).as(Seq("c_idx", "c")))
+      .select(col("id"), col("c_idx").cast("long").as("c_idx"),
+        col("c.author").as("author"), col("c.body").as("body"),
+        col("c.created").as("created"))
+      .orderBy(col("id"), col("c_idx"))
+
   // -- etl_summaries: generated summaries (F3) with the 150-char contract ----
   private def etlSummaries(s: SparkSession, dir: String): DataFrame =
     records(s)
@@ -110,6 +123,7 @@ object JiraEtl extends QueryPack {
       "etl_records" -> etlRecords _,
       "etl_classify_hist" -> etlClassifyHist _,
       "etl_qa_pairs" -> etlQaPairs _,
+      "etl_comments" -> etlComments _,
       "etl_validation" -> etlValidation _,
       "etl_summaries" -> etlSummaries _,
       "etl_clean_docs" -> etlCleanDocs _
@@ -157,6 +171,15 @@ object JiraEtl extends QueryPack {
       |    max(len(derived_tasks.qa_pairs)) FROM corpus))) AS i) u
       |WHERE u.i <= len(derived_tasks.qa_pairs)
       |ORDER BY id, qa_idx""".stripMargin),
+    "etl_comments" -> (Corpus + """
+      |SELECT id, CAST(u.i - 1 AS BIGINT) AS c_idx,
+      |  comments[u.i].author AS author,
+      |  comments[u.i].body AS body,
+      |  comments[u.i].created AS created
+      |FROM corpus, (SELECT unnest(range(1, 1 + (SELECT
+      |    max(len(coalesce(comments, []))) FROM corpus))) AS i) u
+      |WHERE u.i <= len(coalesce(comments, []))
+      |ORDER BY id, c_idx""".stripMargin),
     "etl_summaries" -> (Corpus + """
       |SELECT id, derived_tasks.summary AS summary,
       |  CAST(length(derived_tasks.summary) AS BIGINT) AS summary_len
