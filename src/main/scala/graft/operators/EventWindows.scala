@@ -90,10 +90,14 @@ object EventWindows extends QueryPack {
   // Monitoring's z-score rule (|cnt - mean| > 2*stddev over each type's
   // hourly counts) restated so NO floating point enters the pipeline:
   // with n hours, S = Σcnt and varnum = n*Σcnt² - S² (= n²·variance),
-  // the rule |cnt - S/n| > 2·sqrt(varnum)/n squares to the pure-bigint
-  // inequality (n·cnt - S)² > 4·varnum. Two exact hash aggregations and
-  // one broadcast-sized join back onto the hourly counts; every value
-  // the oracle compares is an integer, so there is nothing to drift.
+  // the rule |cnt - S/n| > 2·sqrt(varnum)/n squares to the pure-integer
+  // inequality (n·cnt - S)² > 4·varnum. The squared terms grow
+  // quadratically in volume (S² overflows int64 near S ≈ 3e9 events per
+  // type), so the comparison runs in 128-bit exact integers — Spark
+  // DECIMAL(38,0) (bigint→decimal is exact; products stay < 1e38) and
+  // DuckDB HUGEINT — and only int64 values are output. Two exact hash
+  // aggregations and one broadcast-sized join back onto the hourly
+  // counts.
   private def stAnomalyHours(s: SparkSession, dir: String): DataFrame = {
     table(s, dir, "events").createOrReplaceTempView("an_events")
     s.sql(
@@ -103,13 +107,16 @@ object EventWindows extends QueryPack {
          |st AS (
          |  SELECT event_type, COUNT(*) AS n, SUM(cnt) AS s,
          |    SUM(cnt * cnt) AS s2
-         |  FROM hc GROUP BY event_type)
-         |SELECT hc.event_type, hc.win * $HourNs AS win_start_ns, hc.cnt,
-         |  (st.n * hc.cnt - st.s) * (st.n * hc.cnt - st.s) AS dev2,
-         |  4 * (st.n * st.s2 - st.s * st.s) AS thr
-         |FROM hc JOIN st ON hc.event_type = st.event_type
-         |WHERE (st.n * hc.cnt - st.s) * (st.n * hc.cnt - st.s)
-         |      > 4 * (st.n * st.s2 - st.s * st.s)
+         |  FROM hc GROUP BY event_type),
+         |wide AS (
+         |  SELECT hc.event_type, hc.win, hc.cnt,
+         |    cast(st.n as decimal(38, 0)) * hc.cnt - st.s AS dev,
+         |    cast(st.n as decimal(38, 0)) * st.s2
+         |      - cast(st.s as decimal(38, 0)) * st.s AS varnum
+         |  FROM hc JOIN st ON hc.event_type = st.event_type)
+         |SELECT event_type, win * $HourNs AS win_start_ns, cnt
+         |FROM wide
+         |WHERE dev * dev > 4 * varnum
          |ORDER BY event_type, win_start_ns""".stripMargin)
   }
 
@@ -122,14 +129,17 @@ object EventWindows extends QueryPack {
        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
        |    CAST(SUM(cnt) AS BIGINT) AS s,
        |    CAST(SUM(cnt * cnt) AS BIGINT) AS s2
-       |  FROM hc GROUP BY event_type)
-       |SELECT hc.event_type, hc.win * $HourNs AS win_start_ns, hc.cnt,
-       |  (st.n * hc.cnt - st.s) * (st.n * hc.cnt - st.s) AS dev2,
-       |  4 * (st.n * st.s2 - st.s * st.s) AS thr
-       |FROM hc JOIN st ON hc.event_type = st.event_type
-       |WHERE (st.n * hc.cnt - st.s) * (st.n * hc.cnt - st.s)
-       |      > 4 * (st.n * st.s2 - st.s * st.s)
-       |ORDER BY hc.event_type, win_start_ns""".stripMargin
+       |  FROM hc GROUP BY event_type),
+       |wide AS (
+       |  SELECT hc.event_type, hc.win, hc.cnt,
+       |    CAST(st.n AS HUGEINT) * hc.cnt - st.s AS dev,
+       |    CAST(st.n AS HUGEINT) * st.s2
+       |      - CAST(st.s AS HUGEINT) * st.s AS varnum
+       |  FROM hc JOIN st ON hc.event_type = st.event_type)
+       |SELECT event_type, win * $HourNs AS win_start_ns, cnt
+       |FROM wide
+       |WHERE dev * dev > 4 * varnum
+       |ORDER BY event_type, win_start_ns""".stripMargin
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map(

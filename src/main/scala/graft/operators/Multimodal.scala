@@ -264,25 +264,30 @@ object Multimodal extends QueryPack {
 
   // -- mm_dedup: exact binary dedup by payload digest -------------------------
   // The first curation step any media corpus runs: group on md5 of the
-  // raw BYTES (identical pixels/samples re-encoded under different names
-  // collapse), shuffle carries 32-byte digests + counts, payloads stay
-  // in place. Same shape as dd_exact, lifted to binary columns.
+  // raw BYTES ALONE — identical payloads collapse even when carried
+  // under different modality labels (the fixtures have exactly such
+  // cross-source duplicates at sf0.1), with the modality spread
+  // reported as a count. Shuffle carries 32-byte digests + counts,
+  // payloads stay in place; digest is the whole group key, so ORDER BY
+  // digest is a total order and the hash-compare is deterministic.
   private def mmDedup(s: SparkSession, dir: String): DataFrame =
     media(s, dir)
-      .groupBy(md5(col("payload")).as("digest"), col("modality"))
+      .groupBy(md5(col("payload")).as("digest"))
       .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keep_id"),
-        min(octet_length(col("payload"))).cast("bigint").as("n_bytes"))
+        min(octet_length(col("payload"))).cast("bigint").as("n_bytes"),
+        countDistinct(col("modality")).as("n_modalities"))
       .orderBy(col("digest"))
 
   // (this DuckDB build's md5 takes VARCHAR, not BLOB — md5(text) hashes
   // the same UTF-8 bytes the Spark side's binary payload carries)
   private val mmDedupSql =
-    """SELECT md5(text) AS digest, modality, COUNT(*) AS n_copies,
+    """SELECT md5(text) AS digest, COUNT(*) AS n_copies,
       |  MIN(doc_id) AS keep_id,
-      |  CAST(MIN(octet_length(payload)) AS BIGINT) AS n_bytes
+      |  CAST(MIN(octet_length(payload)) AS BIGINT) AS n_bytes,
+      |  CAST(COUNT(DISTINCT modality) AS BIGINT) AS n_modalities
       |FROM (SELECT doc_id, source AS modality, text, encode(text) AS payload
       |      FROM documents)
-      |GROUP BY md5(text), modality ORDER BY digest""".stripMargin
+      |GROUP BY md5(text) ORDER BY digest""".stripMargin
 
   // -- mm_shard_pack: webdataset-style shard assignment -----------------------
   // Media training data ships as fixed-budget shards (tar files of ~N

@@ -354,26 +354,23 @@ object Similarity extends QueryPack {
       s" i -> ($a[i] - $b[i]) * ($a[i] - $b[i])), (x, y) -> x + y)"
 
   /** One assignment round: each vector to its nearest centroid (ties ->
-    * lower cell id), keeping the exact distance.
+    * lower cell id), keeping the exact distance. One template for both
+    * dialects — only the distance snippet differs — so the Spark query
+    * and its oracle cannot drift apart one-sidedly.
     */
+  private def assign(base: String, cents: String, dist: String): String =
+    s"""SELECT vec_id, x4, cell, dist FROM (
+       |  SELECT vec_id, x4, cell, dist,
+       |    row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY dist, cell) AS rnk
+       |  FROM (SELECT v.vec_id, v.x4, c.cell,
+       |          $dist AS dist
+       |        FROM $base v CROSS JOIN $cents c))
+       |WHERE rnk = 1""".stripMargin
   private def assignS(base: String, cents: String): String =
-    s"""SELECT vec_id, x4, cell, dist FROM (
-       |  SELECT vec_id, x4, cell, dist,
-       |    row_number() OVER (PARTITION BY vec_id
-       |      ORDER BY dist, cell) AS rnk
-       |  FROM (SELECT v.vec_id, v.x4, c.cell,
-       |          ${distS("v.x4", "c.c")} AS dist
-       |        FROM $base v CROSS JOIN $cents c))
-       |WHERE rnk = 1""".stripMargin
+    assign(base, cents, distS("v.x4", "c.c"))
   private def assignD(base: String, cents: String): String =
-    s"""SELECT vec_id, x4, cell, dist FROM (
-       |  SELECT vec_id, x4, cell, dist,
-       |    row_number() OVER (PARTITION BY vec_id
-       |      ORDER BY dist, cell) AS rnk
-       |  FROM (SELECT v.vec_id, v.x4, c.cell,
-       |          ${distD("v.x4", "c.c")} AS dist
-       |        FROM $base v CROSS JOIN $cents c))
-       |WHERE rnk = 1""".stripMargin
+    assign(base, cents, distD("v.x4", "c.c"))
 
   private def simKmeans(s: SparkSession, dir: String): DataFrame = {
     table(s, dir, "embeddings")
