@@ -31,13 +31,17 @@ object Bench {
           // pays its own compute rather than reusing residents
           spark.catalog.clearCache()
           dt
-        }
-        name -> times.sorted.apply(Reps / 2)
+        }.sorted
+        // (median, max-min spread) — the spread shows how much host
+        // contention polluted this query's reps
+        name -> (times(Reps / 2), times.last - times.head)
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v._1 }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val spreads = results.map { case (k, v) => s"\"" + k + "\":" + v._2 }
+      .mkString("{", ",", "}")
+    val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spreads":$spreads,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

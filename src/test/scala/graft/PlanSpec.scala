@@ -137,6 +137,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
   }
 
+  test("mm_shard_pack: packing window stays partitioned") {
+    val p = plan("mm_shard_pack")
+    assert(p.contains("Window"), p.take(2000))
+    assert(!p.contains("Exchange SinglePartition"), p.take(2000))
+  }
+
+  test("st_anomaly_hours: stats join is not a cross product") {
+    val p = plan("st_anomaly_hours")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+  }
+
   test("q29: custom TopKPerKeyExec appears with exactly one exchange") {
     val p = plan("q29_topk_per_key")
     assert(p.contains("TopKPerKey 3"), p.take(3000))
