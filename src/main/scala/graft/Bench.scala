@@ -23,25 +23,35 @@ object Bench {
     catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
+        var err: Option[String] = None
         val times = (1 to Reps).map { _ =>
           val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+          try { fn(spark, sfDir).count() }
+          catch { case e: Throwable => err = Some(e.getClass.getSimpleName) }
           val dt = (System.nanoTime() - t0) / 1e9
           // drop cached intermediates so each rep (and later queries)
           // pays its own compute rather than reusing residents
           spark.catalog.clearCache()
           dt
         }.sorted
-        // (median, max-min spread) — the spread shows how much host
-        // contention polluted this query's reps
-        name -> (times(Reps / 2), times.last - times.head)
-    }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v._1 }
-      .mkString("{", ",", "}")
-    val spreads = results.map { case (k, v) => s"\"" + k + "\":" + v._2 }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spreads":$spreads,"sf":"$sfDir"}""")
+        // (median, max-min spread, first failure) — a failed query
+        // reports -1 so time-to-throw can't masquerade as a speedup
+        (name, times(Reps / 2), times.last - times.head, err)
+    }
+    def f3(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, med, _, err) =>
+      "\"" + k + "\":" + (if (err.isDefined) "-1" else f3(med))
+    }.mkString("{", ",", "}")
+    // only spreads big enough to matter (>=0.2 s) — keeps the JSON
+    // line short enough to survive the driver's bounded output tail
+    val spreads = results.collect { case (k, _, sp, None) if sp >= 0.2 =>
+      "\"" + k + "\":" + f3(sp)
+    }.mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, _, Some(e)) =>
+      "\"" + k + "\":\"" + e + "\""
+    }.mkString("{", ",", "}")
+    val total = results.collect { case (_, med, _, None) => med }.sum
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"spreads":$spreads,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
