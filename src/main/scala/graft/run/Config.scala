@@ -39,7 +39,9 @@ object Config {
         maxRetries = int("max_retries", 5),
         incremental = bool("incremental", false),
         lookbackDays = int("lookback_days", 7),
-        verifySsl = bool("verify_ssl", false))
+        // default true (deliberate divergence from extract.py:162's
+        // verify=False — see JiraConfig.verifySsl)
+        verifySsl = bool("verify_ssl", true))
     }.toEither.left.map(e => s"invalid config $path: ${e.getMessage}")
   }
 }

@@ -26,9 +26,12 @@ case class JiraConfig(
     // `cfg.get("incremental", False)` — opt-in, `extract.py:158`
     incremental: Boolean = false,
     lookbackDays: Int = 7,
-    // `cfg.get("verify_ssl", False)` — the reference ships with TLS
-    // verification OFF for self-signed Jira instances, `extract.py:162`
-    verifySsl: Boolean = false,
+    // Deliberate divergence from the reference: `extract.py:162` ships
+    // `cfg.get("verify_ssl", False)` — TLS verification OFF by default —
+    // which silently exposes credentials to MITM. We default to ON;
+    // self-signed instances must opt out explicitly with
+    // `"verify_ssl": false` in config.json (and get a loud warning).
+    verifySsl: Boolean = true,
     timeoutMillis: Int = 15000)
 
 /** Minimal HTTP surface so the retry state machine is testable against a
@@ -41,13 +44,14 @@ trait JiraHttp {
 }
 
 /** Production implementation over the JDK client (15 s timeout like
-  * `extract.py:219`). `verifySsl=false` mirrors the reference's
-  * `verify=cfg.get("verify_ssl", False)` (`extract.py:162-167, 221`):
-  * certificate-chain validation is disabled via a trust-all context —
-  * needed for the self-signed-cert Jira instances the reference
-  * explicitly supports. (The JDK client's hostname check is a JVM-wide
-  * property, not per-client; chain trust is the part self-signed certs
-  * fail on.)
+  * `extract.py:219`). `verifySsl=false` reproduces the reference's
+  * `verify=False` behavior (`extract.py:162-167, 221`): certificate-chain
+  * validation is disabled via a trust-all context — needed for the
+  * self-signed-cert Jira instances the reference explicitly supports —
+  * but unlike the reference it is opt-in (default verifies) and warns
+  * loudly instead of suppressing the urllib3 InsecureRequestWarning.
+  * (The JDK client's hostname check is a JVM-wide property, not
+  * per-client; chain trust is the part self-signed certs fail on.)
   */
 class JdkJiraHttp(timeoutMillis: Int, verifySsl: Boolean)
     extends JiraHttp {
@@ -55,6 +59,11 @@ class JdkJiraHttp(timeoutMillis: Int, verifySsl: Boolean)
     val b = HttpClient.newBuilder()
       .connectTimeout(Duration.ofMillis(timeoutMillis))
     if (!verifySsl) {
+      System.err.println(
+        "WARN JdkJiraHttp: verify_ssl=false — TLS certificate validation" +
+          " is DISABLED for all Jira requests; credentials/tokens are" +
+          " exposed to man-in-the-middle interception. Only use against" +
+          " trusted self-signed instances.")
       val trustAll: Array[javax.net.ssl.TrustManager] = Array(
         new javax.net.ssl.X509TrustManager {
           override def checkClientTrusted(

@@ -132,7 +132,8 @@ private[sources] class JiraPartitionReader(
       options.getOrElse("ratelimitsleepseconds", "30").toDouble,
     retryBackoffBase = options.getOrElse("retrybackoffbase", "2").toDouble,
     maxRetries = options.getOrElse("maxretries", "5").toInt,
-    verifySsl = options.getOrElse("verifyssl", "false").toBoolean,
+    // default true — explicit opt-out only (see JiraConfig.verifySsl)
+    verifySsl = options.getOrElse("verifyssl", "true").toBoolean,
     timeoutMillis = options.getOrElse("timeoutmillis", "15000").toInt)
 
   private val http: JiraHttp = options.get("httpstub")

@@ -101,12 +101,26 @@ class JiraSourceSpec extends AnyFunSuite {
     assert(sleeps.toSeq == Seq(1.0, 2.0, 4.0, 8.0, 16.0))
   }
 
-  test("bare JiraConfig mirrors extract.py defaults: incremental and verify_ssl off") {
+  test("bare JiraConfig: incremental off (extract.py:158), verify_ssl ON by design") {
     val d = JiraConfig()
     assert(!d.incremental) // `cfg.get("incremental", False)`, extract.py:158
-    assert(!d.verifySsl)   // `cfg.get("verify_ssl", False)`, extract.py:162
+    // Deliberate divergence from `cfg.get("verify_ssl", False)`
+    // (extract.py:162): TLS verification defaults ON; disabling it is an
+    // explicit opt-in for self-signed instances.
+    assert(d.verifySsl)
     assert(JiraSource.buildJql("TEST", Checkpoint(0, None), d)
       == "project=TEST")
+  }
+
+  test("verify_ssl=false must be an explicit config opt-out") {
+    val p = java.nio.file.Files.createTempFile("cfg", ".json")
+    java.nio.file.Files.writeString(p, """{"verify_ssl": false}""")
+    val cfg = graft.run.Config.load(p).fold(e => fail(e), identity)
+    assert(!cfg.verifySsl)
+    val p2 = java.nio.file.Files.createTempFile("cfg", ".json")
+    java.nio.file.Files.writeString(p2, """{}""")
+    val cfg2 = graft.run.Config.load(p2).fold(e => fail(e), identity)
+    assert(cfg2.verifySsl) // missing key → verification stays on
   }
 
   test("timeouts back off then raise RuntimeError past max_retries") {
