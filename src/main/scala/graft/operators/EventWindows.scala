@@ -92,8 +92,9 @@ object EventWindows extends QueryPack {
   // with n hours, S = Σcnt and varnum = n*Σcnt² - S² (= n²·variance),
   // the rule |cnt - S/n| > 2·sqrt(varnum)/n squares to the pure-integer
   // inequality (n·cnt - S)² > 4·varnum. The squared terms grow
-  // quadratically in volume (S² overflows int64 near S ≈ 3e9 events per
-  // type), so the comparison runs in 128-bit exact integers — Spark
+  // quadratically in volume (cnt² and S² overflow int64 near 3e9 events
+  // per type/hour), so every squaring — including the Σcnt² partial —
+  // runs in 128-bit exact integers — Spark
   // DECIMAL(38,0) (bigint→decimal is exact; products stay < 1e38) and
   // DuckDB HUGEINT — and only int64 values are output. Two exact hash
   // aggregations and one broadcast-sized join back onto the hourly
@@ -106,7 +107,7 @@ object EventWindows extends QueryPack {
          |  FROM an_events GROUP BY event_type, ts div $HourNs),
          |st AS (
          |  SELECT event_type, COUNT(*) AS n, SUM(cnt) AS s,
-         |    SUM(cnt * cnt) AS s2
+         |    SUM(cast(cnt as decimal(38, 0)) * cnt) AS s2
          |  FROM hc GROUP BY event_type),
          |wide AS (
          |  SELECT hc.event_type, hc.win, hc.cnt,
@@ -128,7 +129,7 @@ object EventWindows extends QueryPack {
        |st AS (
        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
        |    CAST(SUM(cnt) AS BIGINT) AS s,
-       |    CAST(SUM(cnt * cnt) AS BIGINT) AS s2
+       |    SUM(CAST(cnt AS HUGEINT) * cnt) AS s2
        |  FROM hc GROUP BY event_type),
        |wide AS (
        |  SELECT hc.event_type, hc.win, hc.cnt,
