@@ -577,10 +577,12 @@ object Dedup extends QueryPack {
   // neighbors, converging in O(component diameter) rounds — near-dup
   // components are shallow (dozens of docs, diameter ~2-3), so this is
   // 2-4 small equi-join shuffles, never a transitive-closure blowup.
-  // This is the same algorithm GraphFrames' connectedComponents runs;
-  // at 100 TB add periodic checkpoints to cut lineage. The driver-side
-  // loop is CONTROL FLOW only (one count per round for convergence) —
-  // no row data ever reaches the driver.
+  // This is the same algorithm GraphFrames' connectedComponents runs.
+  // Every CheckpointEvery rounds the label frame is localCheckpoint'd,
+  // truncating lineage so plan depth (and re-planning cost) stays
+  // bounded no matter how many rounds a deep component needs. The
+  // driver-side loop is CONTROL FLOW only (one count per round for
+  // convergence) — no row data ever reaches the driver.
   //
   // The DuckDB oracle is independent twice over: all-pairs edges (no
   // banding) and a recursive-CTE transitive closure (no label
@@ -602,6 +604,9 @@ object Dedup extends QueryPack {
     var labels = cached
     var converged = false
     var iter = 0
+    // lineage-truncation period: components usually converge in 2-4
+    // rounds (no checkpoint paid); a deep chain checkpoints every 5
+    val CheckpointEvery = 5
     while (!converged && iter < 50) {
       val nbrMin = edges
         .join(labels, edges("dst") === labels("doc_id"))
@@ -609,12 +614,18 @@ object Dedup extends QueryPack {
         .agg(min(col("cluster_id")).as("nbr_min"))
       // carry the previous label through the select so convergence is
       // one filter-count on the SAME cached frame, not an extra join
-      val step = labels
+      val stepPlan = labels
         .join(nbrMin, labels("doc_id") === nbrMin("src"), "left")
         .select(labels("doc_id"), col("cluster_id").as("prev"),
           least(col("cluster_id"),
             coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"))
-        .cache()
+      // localCheckpoint (eager) truncates lineage every few rounds; its
+      // blocks are owned by the checkpointed RDD (released by the
+      // ContextCleaner once unreferenced), so only plain-cache rounds
+      // need the explicit unpersist below
+      val step =
+        if ((iter + 1) % CheckpointEvery == 0) stepPlan.localCheckpoint()
+        else stepPlan.cache()
       // one scalar to the driver per round — convergence check only
       val changed = step.where(col("cluster_id") =!= col("prev")).count()
       cached.unpersist()
@@ -629,8 +640,10 @@ object Dedup extends QueryPack {
     if (!converged) throw new IllegalStateException(
       s"dd_cluster: not converged after $iter rounds — component " +
         "diameter exceeds the cap")
-    // edge blocks are no longer needed (the result is backed by the
-    // final cached step, which stays resident until the session drops it)
+    // edge blocks are no longer needed. The result stays backed by the
+    // final step's cache/checkpoint blocks — callers that loop over many
+    // queries (Bench) release them via spark.catalog.clearCache(); the
+    // checkpoint variant is reclaimed by the ContextCleaner on GC.
     edges.unpersist()
     labels.orderBy(col("doc_id"))
   }
