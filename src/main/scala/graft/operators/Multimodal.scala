@@ -325,8 +325,116 @@ object Multimodal extends QueryPack {
       |    FROM documents))
       |ORDER BY doc_id""".stripMargin
 
+  // -- mm_phash / mm_phash_pairs: perceptual-hash near-dup for media ----------
+  // DETERMINISTIC FAKE of an image average-hash (aHash): real aHash
+  // downsamples to an 8x8 grid and sets bit i iff pixel i is above the
+  // grid mean; ours probes 64 evenly-spaced payload bytes and sets bit i
+  // iff 64*probe_i > sum(probes) (integer form of probe_i > mean, no
+  // division). A real codec would swap the byte probe for pixels — the
+  // signature width, band layout, and join shape are the production
+  // ones. Bit 63's weight is Long.MinValue, written (-MAX-1) because
+  // both SQL dialects parse bare -9223372036854775808 as unary minus on
+  // an out-of-range literal.
+  private val PhashBits = 64
+
+  private def phashTerm(i: Int): String = {
+    val value =
+      if (i < 63) (1L << i).toString else "(-9223372036854775807 - 1)"
+    s"CASE WHEN $PhashBits * p_$i > s THEN $value ELSE 0 END"
+  }
+
+  /** doc_id -> 64-bit signature, shared by both phash queries. The probe
+    * grid 1 + i*stride (stride = n_chars div 64) stays in bounds for all
+    * i < 64; sub-64-byte payloads get stride 0 (all probes = byte 1 ->
+    * signature 0), degenerate but identical in both engines.
+    */
+  private def phashSigs(s: SparkSession, dir: String): DataFrame = {
+    val probes = (0 until PhashBits).map(i =>
+      s"ascii(substring(text, 1 + $i * stride, 1)) AS p_$i")
+    val sum = (0 until PhashBits).map(i => s"p_$i").mkString(" + ")
+    media(s, dir)
+      .selectExpr("doc_id", "text", s"n_chars div $PhashBits AS stride")
+      .selectExpr(Seq("doc_id") ++ probes: _*)
+      .selectExpr(Seq("doc_id", s"$sum AS s")
+        ++ (0 until PhashBits).map(i => s"p_$i"): _*)
+      .selectExpr("doc_id",
+        s"${(0 until PhashBits).map(phashTerm).mkString(" + ")} AS phash")
+  }
+
+  /** Shared CTE text for the DuckDB side of both phash oracles. */
+  private val phashSigsSql = {
+    val probes = (0 until PhashBits).map(i =>
+      s"ascii(substr(text, 1 + $i * stride, 1)) AS p_$i")
+    val sum = (0 until PhashBits).map(i => s"p_$i").mkString(" + ")
+    s"""sigs AS (
+       |  SELECT doc_id, ${(0 until PhashBits).map(phashTerm).mkString(" + ")}
+       |    AS phash
+       |  FROM (SELECT doc_id, $sum AS s,
+       |          ${(0 until PhashBits).map("p_" + _).mkString(", ")}
+       |        FROM (SELECT doc_id, ${probes.mkString(", ")}
+       |              FROM (SELECT doc_id, text,
+       |                      n_chars // $PhashBits AS stride
+       |                    FROM documents))))""".stripMargin
+  }
+
+  /** Per-item signature + its four 16-bit band values (the LSH keys the
+    * pair join below shuffles). (sig >> 16b) & 65535 is shift-kind-safe:
+    * the mask keeps only low bits, so arithmetic vs logical shift cannot
+    * differ.
+    */
+  private def mmPhash(s: SparkSession, dir: String): DataFrame =
+    phashSigs(s, dir)
+      .selectExpr(Seq("doc_id", "phash") ++ (0 until 4).map(b =>
+        s"shiftright(phash, ${16 * b}) & 65535 AS band_$b"): _*)
+      .orderBy(col("doc_id"))
+
+  private val mmPhashSql =
+    s"""WITH $phashSigsSql
+       |SELECT doc_id, phash,
+       |  ${(0 until 4).map(b => s"(phash >> ${16 * b}) & 65535 AS band_$b")
+            .mkString(", ")}
+       |FROM sigs ORDER BY doc_id""".stripMargin
+
+  // Near-dup media pairs at Hamming <= 3 via the PIGEONHOLE band join
+  // (same guarantee as dd_simhash64: <= 3 differing bits leave at least
+  // one of the four 16-bit bands identical, so the band equi-join is a
+  // guaranteed superset and the bit_count re-check makes it exact).
+  // Shuffle carries 4 small keys per item, payloads never move. The
+  // DuckDB oracle is the INDEPENDENT all-pairs O(N^2) spec — no banding
+  // — so the hash-compare checks the candidate recall, not a shared
+  // shortcut.
+  private def mmPhashPairs(s: SparkSession, dir: String): DataFrame = {
+    phashSigs(s, dir).createOrReplaceTempView("phash_sigs")
+    val bandSelects = (0 until 4)
+      .map(b => s"SELECT doc_id, $b AS band," +
+        s" shiftright(phash, ${16 * b}) & 65535 AS bv FROM phash_sigs")
+      .mkString(" UNION ALL ")
+    s.sql(
+      s"""WITH bands AS ($bandSelects),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id)
+         |SELECT doc_a, doc_b,
+         |  cast(bit_count(a.phash ^ b.phash) as int) AS hamming
+         |FROM cand JOIN phash_sigs a ON a.doc_id = doc_a
+         |          JOIN phash_sigs b ON b.doc_id = doc_b
+         |WHERE bit_count(a.phash ^ b.phash) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin)
+  }
+
+  private val mmPhashPairsSql =
+    s"""WITH $phashSigsSql
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+       |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.phash, b.phash)) <= 3
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map(
+      "mm_phash" -> mmPhash _,
+      "mm_phash_pairs" -> mmPhashPairs _,
       "mm_catalog" -> mmCatalog _,
       "mm_features" -> mmFeatures _,
       "mm_frames" -> mmFrames _,
@@ -339,6 +447,8 @@ object Multimodal extends QueryPack {
     )
 
   override val oracles: Map[String, String] = Map(
+    "mm_phash" -> mmPhashSql,
+    "mm_phash_pairs" -> mmPhashPairsSql,
     "mm_catalog" -> mmCatalogSql,
     "mm_features" -> mmFeaturesSql,
     "mm_frames" -> mmFramesSql,

@@ -275,6 +275,55 @@ object TextAnalysis extends QueryPack {
       |            FROM documents))
       |ORDER BY doc_id""".stripMargin
 
+  // -- txt_redact: PII scrubbing ----------------------------------------------
+  // The redaction pass training pipelines run before any text ships:
+  // emails and IPv4 literals are replaced by regex (patterns written
+  // with [.] instead of \. so the literal parses identically under
+  // Spark's backslash-escaping SQL strings and DuckDB's standard SQL
+  // strings, and leftmost-longest vs leftmost-first cannot differ on
+  // them), and a denylisted term is scrubbed TOKEN-level (split ->
+  // transform -> join) rather than by word-boundary regex — '\b' isn't
+  // needed, and adjacent occurrences can't partially survive the way
+  // they do under a space-delimited regex replace. Narrow map; only
+  // counts and a digest of the redacted text flow downstream.
+  private val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]{2,}"
+  private val ipv4Re = "[0-9]{1,3}([.][0-9]{1,3}){3}"
+  private val denyTerm = "customer"
+
+  private def txtRedact(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "documents")
+      .selectExpr("doc_id", "text",
+        s"cast(regexp_count(text, '$emailRe') as bigint) AS n_emails",
+        s"cast(regexp_count(text, '$ipv4Re') as bigint) AS n_ips",
+        s"cast(size(filter(split(text, ' '), t -> t = '$denyTerm'))"
+          + " as bigint) AS n_terms")
+      .selectExpr("doc_id", "n_emails", "n_ips", "n_terms",
+        s"""regexp_replace(regexp_replace(
+           |  array_join(transform(split(text, ' '),
+           |    t -> CASE WHEN t = '$denyTerm' THEN '[TERM]' ELSE t END), ' '),
+           |  '$emailRe', '[EMAIL]'), '$ipv4Re', '[IP]')
+           |  AS redacted""".stripMargin)
+      .selectExpr("doc_id", "n_emails", "n_ips", "n_terms",
+        "cast(length(redacted) as bigint) AS n_chars_redacted",
+        "md5(redacted) AS redacted_hash")
+      .orderBy(col("doc_id"))
+
+  private val txtRedactSql =
+    s"""SELECT doc_id, n_emails, n_ips, n_terms,
+       |  length(redacted) AS n_chars_redacted, md5(redacted) AS redacted_hash
+       |FROM (
+       |  SELECT doc_id,
+       |    len(regexp_extract_all(text, '$emailRe')) AS n_emails,
+       |    len(regexp_extract_all(text, '$ipv4Re')) AS n_ips,
+       |    len(list_filter(string_split(text, ' '), t -> t = '$denyTerm'))
+       |      AS n_terms,
+       |    regexp_replace(regexp_replace(
+       |      array_to_string(list_transform(string_split(text, ' '),
+       |        t -> CASE WHEN t = '$denyTerm' THEN '[TERM]' ELSE t END), ' '),
+       |      '$emailRe', '[EMAIL]', 'g'), '$ipv4Re', '[IP]', 'g') AS redacted
+       |  FROM documents)
+       |ORDER BY doc_id""".stripMargin
+
   // -- txt_stratified_sample: deterministic per-language subsampling ----------
   // Corpus curation's sampling step without RNG state: order each
   // language's documents by an md5 hash of their id (a reproducible
@@ -298,6 +347,62 @@ object TextAnalysis extends QueryPack {
       |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
       |  FROM documents)
       |WHERE rn <= 20 ORDER BY lang, rn""".stripMargin
+
+  // -- txt_bigram_score: bigram-LM quality scoring ----------------------------
+  // The perplexity-proxy filter (CCNet-style) without a trained model:
+  // train bigram statistics ON the corpus itself — c12 = count of
+  // bigram (w1,w2), c1 = count of bigrams starting with w1 — and score
+  // each document by its mean transition probability p(w2|w1) =
+  // c12/c1, in exact integer MICRO-PROB units (c12*1e6 div c1; div
+  // truncates identically to DuckDB's // on positives) so no float
+  // enters the aggregation; boilerplate scores high, token salad low.
+  // Scale shape: one extra pass for the model (two shuffles on word
+  // keys), then the scoring join — the model tables are vocab-sized
+  // (breadth^2 rows max), so both joins BROADCAST and the score pass is
+  // map-side at any corpus size. c12*1e6 wraps only past 9e12
+  // occurrences of one bigram (~petabyte-scale corpora: widen to
+  // decimal then). Docs under 2 tokens have no bigrams and are absent
+  // by contract.
+  private def txtBigramScore(s: SparkSession, dir: String): DataFrame = {
+    val bgStream = table(s, dir, "documents")
+      .selectExpr("doc_id", "split(text, ' ') AS toks")
+      .where("size(toks) >= 2")
+      .selectExpr("doc_id", "toks",
+        "explode(sequence(1, size(toks) - 1)) AS i")
+      .selectExpr("doc_id", "element_at(toks, i) AS w1",
+        "element_at(toks, i + 1) AS w2")
+    val bg = bgStream.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val ug = bgStream.groupBy("w1").agg(count(lit(1)).as("c1"))
+      .withColumnRenamed("w1", "u_w1")
+    bgStream
+      .join(broadcast(bg), Seq("w1", "w2"))
+      .join(broadcast(ug), bgStream("w1") === col("u_w1"))
+      .selectExpr("doc_id", "c12 * 1000000 div c1 AS p")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("p")).as("sum_p"))
+      .selectExpr("doc_id", "n_bigrams", "sum_p",
+        "round(cast(sum_p as double) / n_bigrams, 6) AS mean_p")
+      .orderBy(col("doc_id"))
+  }
+
+  private val txtBigramScoreSql =
+    """WITH bgs AS (
+      |  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+      |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+      |        FROM (SELECT doc_id, string_split(text, ' ') AS toks
+      |              FROM documents)
+      |        WHERE len(toks) >= 2)),
+      |bg AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+      |       FROM bgs GROUP BY w1, w2),
+      |ug AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1
+      |       FROM bgs GROUP BY w1)
+      |SELECT doc_id, COUNT(*) AS n_bigrams, CAST(SUM(p) AS BIGINT) AS sum_p,
+      |  round(CAST(CAST(SUM(p) AS BIGINT) AS DOUBLE) / COUNT(*), 6) AS mean_p
+      |FROM (SELECT s.doc_id, (bg.c12 * 1000000) // ug.c1 AS p
+      |      FROM bgs s
+      |      JOIN bg ON s.w1 = bg.w1 AND s.w2 = bg.w2
+      |      JOIN ug ON s.w1 = ug.w1)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   // -- txt_pack: greedy sequence packing for pretraining batches --------------
   // Assigns documents to fixed-budget training sequences (512 tokens):
@@ -336,6 +441,8 @@ object TextAnalysis extends QueryPack {
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map(
+      "txt_redact" -> txtRedact _,
+      "txt_bigram_score" -> txtBigramScore _,
       "txt_repetition" -> txtRepetition _,
       "txt_stratified_sample" -> txtStratifiedSample _,
       "txt_pack" -> txtPack _,
@@ -349,6 +456,8 @@ object TextAnalysis extends QueryPack {
     )
 
   override val oracles: Map[String, String] = Map(
+    "txt_redact" -> txtRedactSql,
+    "txt_bigram_score" -> txtBigramScoreSql,
     "txt_repetition" -> txtRepetitionSql,
     "txt_stratified_sample" -> txtStratifiedSampleSql,
     "txt_pack" -> txtPackSql,

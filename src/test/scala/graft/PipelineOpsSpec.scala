@@ -1,0 +1,110 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Multimodal, TextAnalysis}
+
+/** Differential tests for the round-7 pipeline operators: each query's
+  * result is recomputed with an INDEPENDENT driver-side reference
+  * implementation over the same sf0.001 fixtures (the DuckDB oracle is
+  * the cross-engine check; this is the cross-formulation one — e.g. the
+  * banded phash pair join vs literal all-pairs).
+  */
+class PipelineOpsSpec extends AnyFunSuite {
+  private val spark = SparkSessionHelper.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def docs: Seq[(Long, String)] =
+    spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** Reference aHash: 64 probes at 1 + i*(n/64), bit i iff 64*p_i > Σp. */
+  private def refPhash(text: String): Long = {
+    val stride = text.length / 64
+    val probes = (0 until 64).map(i => text.charAt(i * stride).toInt)
+    val s = probes.sum
+    probes.zipWithIndex.foldLeft(0L) { case (acc, (p, i)) =>
+      if (64 * p > s) acc | (1L << i) else acc
+    }
+  }
+
+  test("mm_phash matches a driver-side aHash re-implementation") {
+    val got = Multimodal.queries("mm_phash")(spark, dir)
+      .selectExpr("doc_id", "phash").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exp = docs.map { case (id, t) => id -> refPhash(t) }.toMap
+    assert(got == exp)
+  }
+
+  test("mm_phash_pairs banded join equals literal all-pairs at hamming <= 3") {
+    val sigs = docs.map { case (id, t) => id -> refPhash(t) }
+    val exp = (for {
+      (a, sa) <- sigs; (b, sb) <- sigs if a < b
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 3
+    } yield (a, b, h)).toSet
+    val got = Multimodal.queries("mm_phash_pairs")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == exp)
+  }
+
+  /** Reference redaction: token-level term scrub, then the PII regexes
+    * (same patterns the query uses — Java regex on both sides here; the
+    * RE2 half of the equivalence is the DuckDB oracle's job).
+    */
+  private def refRedact(text: String): String = {
+    val t1 = text.split(" ", -1)
+      .map(t => if (t == "customer") "[TERM]" else t).mkString(" ")
+    t1.replaceAll("[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]{2,}", "[EMAIL]")
+      .replaceAll("[0-9]{1,3}([.][0-9]{1,3}){3}", "[IP]")
+  }
+
+  test("txt_redact digest matches driver-side reference on every doc") {
+    val res = TextAnalysis.queries("txt_redact")(spark, dir)
+      .selectExpr("doc_id", "redacted_hash", "n_terms").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    val byId = docs.toMap
+    assert(res.nonEmpty)
+    res.foreach { case (id, hash, nTerms) =>
+      val expText = refRedact(byId(id))
+      assert(hash == md5hex(expText), s"doc $id")
+      assert(nTerms ==
+        byId(id).split(" ", -1).count(_ == "customer").toLong, s"doc $id")
+    }
+  }
+
+  test("txt_redact scrubs adjacent denylist terms completely") {
+    // the token-level formulation can't half-miss adjacent occurrences
+    // the way a space-delimited regex replace does
+    assert(refRedact("customer customer customer")
+      == "[TERM] [TERM] [TERM]")
+  }
+
+  test("txt_bigram_score matches a driver-side bigram model") {
+    val streams = docs.map { case (id, t) =>
+      val toks = t.split(" ", -1).toSeq
+      id -> toks.zip(toks.drop(1))
+    }.filter(_._2.nonEmpty)
+    val all = streams.flatMap(_._2)
+    val c12 = all.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val c1 = all.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val exp = streams.map { case (id, bgs) =>
+      val ps = bgs.map(b => c12(b) * 1000000L / c1(b._1))
+      id -> ((bgs.size.toLong, ps.sum))
+    }.toMap
+    val got = TextAnalysis.queries("txt_bigram_score")(spark, dir)
+      .selectExpr("doc_id", "n_bigrams", "sum_p").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == exp)
+  }
+
+  test("txt_bigram_score probabilities are bounded by 1 (micro units)") {
+    val bad = TextAnalysis.queries("txt_bigram_score")(spark, dir)
+      .where("sum_p > 1000000 * n_bigrams OR sum_p < 0").count()
+    assert(bad == 0L)
+  }
+}
