@@ -169,5 +169,7 @@ object VectorFunctions {
       (children: Seq[Expression]) => Simhash16(children(0)))
     org.apache.spark.sql.GraftRegistry.register(spark, "graft_simhash64",
       (children: Seq[Expression]) => Simhash64(children(0), children(1)))
+    org.apache.spark.sql.GraftRegistry.register(spark, "graft_bloom_contains",
+      (children: Seq[Expression]) => BloomContains(children(0), children(1)))
   }
 }

@@ -647,8 +647,44 @@ object Relational extends QueryPack {
       |  n_exact
       |FROM g ORDER BY l_returnflag""".stripMargin
 
+  // -- q31: Bloom-filter runtime join pruning ---------------------------------
+  // The runtime-filter pattern (Spark's InjectRuntimeFilter, made
+  // explicit and composable): build a 16 KiB Bloom filter over the
+  // small join side with graft_bloom_agg, probe it with a codegen'd
+  // graft_bloom_contains in a predicate referencing ONLY the fact
+  // table's key — Catalyst pushes it below the join into the lineitem
+  // scan, so at 100 TB only rows that can possibly join reach the
+  // exchange. The filter is semantics-preserving (false positives are
+  // re-checked by the join), which is exactly why the DuckDB oracle is
+  // the PLAIN join — an independent spec, not a mirror of the bloom.
+  private def q31(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.ensureRegistered(s)
+    s.udf.register("graft_bloom_agg", udaf(graft.functions.BloomAgg))
+    table(s, dir, "orders").where("o_totalprice > 480000")
+      .createOrReplaceTempView("bj_dims")
+    table(s, dir, "lineitem").createOrReplaceTempView("bj_lineitem")
+    s.sql(
+      s"""WITH bloom AS (
+         |  SELECT graft_bloom_agg(o_orderkey) AS bits FROM bj_dims)
+         |SELECT d.o_orderpriority, COUNT(*) AS n_items,
+         |  ${sumMs("l.l_extendedprice * (1.0 - l.l_discount)")} AS revenue
+         |FROM bj_lineitem l JOIN bj_dims d ON l.l_orderkey = d.o_orderkey
+         |WHERE graft_bloom_contains((SELECT bits FROM bloom), l.l_orderkey)
+         |GROUP BY d.o_orderpriority
+         |ORDER BY d.o_orderpriority""".stripMargin)
+  }
+
+  private val q31Sql =
+    s"""SELECT o.o_orderpriority, COUNT(*) AS n_items,
+       |  ${sumMs("l.l_extendedprice * (1.0 - l.l_discount)")} AS revenue
+       |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |WHERE o.o_totalprice > 480000
+       |GROUP BY o.o_orderpriority
+       |ORDER BY o.o_orderpriority""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map(
+      "q31_bloom_join" -> q31 _,
       "q30_kmv_distinct" -> q30 _,
       "q29_topk_per_key" -> q29 _,
       "q25_cube" -> q25 _,
@@ -682,6 +718,7 @@ object Relational extends QueryPack {
     )
 
   override val oracles: Map[String, String] = Map(
+    "q31_bloom_join" -> q31Sql,
     "q30_kmv_distinct" -> q30Sql,
     "q29_topk_per_key" -> q29Sql,
     "q25_cube" -> q25Sql,
