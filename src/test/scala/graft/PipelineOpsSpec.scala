@@ -102,6 +102,76 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got == exp)
   }
 
+  /** Reference shingle set: distinct word-bigram 60-bit md5 prefixes. */
+  private def refShingles(text: String): Set[Long] = {
+    val toks = text.split(" ", -1)
+    toks.zip(toks.drop(1)).map { case (a, b) =>
+      val h = md5hex(a + " " + b).take(15)
+      java.lang.Long.parseLong(h, 16)
+    }.toSet
+  }
+
+  test("dd_containment banded join equals literal all-pairs at c >= 0.8") {
+    val sets = docs.map { case (id, t) => id -> refShingles(t) }
+    val exp = (for {
+      (a, sa) <- sets; (b, sb) <- sets if a < b
+      isect = (sa & sb).size
+      c = BigDecimal(isect.toDouble / math.min(sa.size, sb.size))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble if c >= 0.8
+    } yield (a, b, c)).toSet
+    val got = graft.operators.Dedup.queries("dd_containment")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == exp)
+  }
+
+  test("txt_tfidf matches a driver-side tf-idf model") {
+    val n = docs.size.toLong
+    val tf = docs.flatMap { case (id, t) =>
+      t.split(" ", -1).groupBy(identity).map {
+        case (tok, occ) => (id, tok, occ.length.toLong)
+      }
+    }
+    val df = docs.flatMap { case (_, t) => t.split(" ", -1).distinct }
+      .groupBy(identity).map { case (tok, v) => tok -> v.size.toLong }
+    val exp = tf.groupBy(_._1).flatMap { case (id, rows) =>
+      rows.map { case (_, tok, f) =>
+        (id, tok, f, df(tok), f * ((n * 1000000L) / df(tok)))
+      }.sortBy { case (_, tok, _, _, score) => (-score, tok) }
+        .take(3).zipWithIndex
+        .map { case ((i, tok, f, d, sc), r) => (i, r + 1L, tok, f, d, sc) }
+    }.toSet
+    val got = graft.operators.TextAnalysis.queries("txt_tfidf")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    assert(got == exp)
+  }
+
+  test("st_funnel matches a driver-side ordered-step walk") {
+    val evs = spark.read.parquet(s"$dir/events.parquet")
+      .selectExpr("user_id", "event_type", "ts div 1000 AS us").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    val byUser = evs.groupBy(_._1)
+    def firstAfter(u: Seq[(Long, String, Long)], typ: String,
+                   after: Long): Option[Long] = {
+      val c = u.filter(e => e._2 == typ && e._3 > after).map(_._3)
+      if (c.isEmpty) None else Some(c.min)
+    }
+    var n1, n2, n3 = 0L
+    byUser.values.foreach { u =>
+      firstAfter(u, "view", Long.MinValue).foreach { t1 =>
+        n1 += 1
+        firstAfter(u, "click", t1).foreach { t2 =>
+          n2 += 1
+          firstAfter(u, "purchase", t2).foreach { _ => n3 += 1 }
+        }
+      }
+    }
+    val got = graft.operators.EventWindows.queries("st_funnel")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("step1_view" -> n1, "step2_click" -> n2,
+      "step3_purchase" -> n3))
+  }
+
   test("txt_bigram_score probabilities are bounded by 1 (micro units)") {
     val bad = TextAnalysis.queries("txt_bigram_score")(spark, dir)
       .where("sum_p > 1000000 * n_bigrams OR sum_p < 0").count()

@@ -83,6 +83,29 @@ class PlanSpec extends AnyFunSuite {
       p.contains("ShuffledHashJoin"), p.take(3000))
   }
 
+  test("dd_containment: banded candidates — no all-pairs or constant-key join") {
+    val p = plan("dd_containment")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("[k#") && !p.contains("[kb#"), p.take(3000))
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), p.take(3000))
+  }
+
+  test("st_funnel: all funnel joins are equi joins on the user key") {
+    val p = plan("st_funnel")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("txt_tfidf: df model and N are broadcast, no global sort before top-k") {
+    val p = plan("txt_tfidf")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    // the rnk<=3 filter must run on a per-doc window partitioning, not
+    // after a global ordering
+    assert(p.contains("Window"), p.take(3000))
+  }
+
   test("dd_simhash64: pigeonhole bands join as equi hash joins") {
     val p = plan("dd_simhash64")
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
