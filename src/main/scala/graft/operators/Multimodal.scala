@@ -404,7 +404,11 @@ object Multimodal extends QueryPack {
   // — so the hash-compare checks the candidate recall, not a shared
   // shortcut.
   private def mmPhashPairs(s: SparkSession, dir: String): DataFrame = {
-    phashSigs(s, dir).createOrReplaceTempView("phash_sigs")
+    // cached: the signature projection (64 substring probes per row)
+    // feeds the 4 band sides AND both exact-re-check join-backs —
+    // without the cache it would be recomputed 6x (same reason
+    // dd_jaccard materializes jac_sigs)
+    phashSigs(s, dir).cache().createOrReplaceTempView("phash_sigs")
     val bandSelects = (0 until 4)
       .map(b => s"SELECT doc_id, $b AS band," +
         s" shiftright(phash, ${16 * b}) & 65535 AS bv FROM phash_sigs")

@@ -77,7 +77,18 @@ object Streams {
       .withWatermark("event_time", horizon)
       .dropDuplicatesWithinWatermark("event_id")
 
-  /** Gap-based sessionization (30-min inactivity) as explicit state:
+  /** Per-user funnel progress: micro timestamps of the first step-1
+  * event, the first step-2 event after it, and the first step-3 event
+  * after that (MinValue = not reached).
+  */
+case class FunnelState(t1: Long, t2: Long, t3: Long)
+
+/** Emitted whenever a user ADVANCES a step: their id, the new step
+  * count reached (1-3), and the micro timestamp of the advancing event.
+  */
+case class FunnelAdvance(user_id: Long, step: Int, at_us: Long)
+
+/** Gap-based sessionization (30-min inactivity) as explicit state:
     * emits a ClosedSession whenever a user's next event arrives past the
     * gap, plus on state timeout. The batch q18_sessionize query computes
     * the same session boundaries retrospectively.
@@ -110,6 +121,52 @@ object Streams {
           }
           cur.foreach(state.update)
           closed.result().iterator
+      }
+  }
+
+  /** Streaming face of the batch st_funnel query: per-user ordered-step
+    * tracking (view -> click -> purchase at micro granularity, strict
+    * '>' between steps like the batch query) as flatMapGroupsWithState,
+    * emitting an advance record each time a user reaches a new step.
+    * Counting advances per step downstream reproduces st_funnel's
+    * per-step user counts incrementally. State is one 24-byte triple
+    * per user ever seen in the funnel — bounded by users, not events;
+    * production deployments add a state TTL for lapsed users.
+    */
+  def funnelStream(events: Dataset[Event],
+                   steps: Seq[String] = Seq("view", "click", "purchase"))
+      : Dataset[FunnelAdvance] = {
+    import events.sparkSession.implicits._
+    require(steps.size == 3, "funnelStream tracks a 3-step funnel")
+    val NotReached = Long.MinValue
+    events
+      .filter(e => steps.contains(e.event_type))
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelAdvance](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (userId: Long, batch: Iterator[Event],
+              state: GroupState[FunnelState]) =>
+          val sorted = batch.toSeq.sortBy(e => (e.ts, e.event_id))
+          var st = state.getOption
+            .getOrElse(FunnelState(NotReached, NotReached, NotReached))
+          val out = Seq.newBuilder[FunnelAdvance]
+          sorted.foreach { e =>
+            val us = e.ts / 1000
+            if (e.event_type == steps(0) && st.t1 == NotReached) {
+              st = st.copy(t1 = us)
+              out += FunnelAdvance(userId, 1, us)
+            } else if (e.event_type == steps(1) && st.t2 == NotReached
+                && st.t1 != NotReached && us > st.t1) {
+              st = st.copy(t2 = us)
+              out += FunnelAdvance(userId, 2, us)
+            } else if (e.event_type == steps(2) && st.t3 == NotReached
+                && st.t2 != NotReached && us > st.t2) {
+              st = st.copy(t3 = us)
+              out += FunnelAdvance(userId, 3, us)
+            }
+          }
+          state.update(st)
+          out.result().iterator
       }
   }
 }

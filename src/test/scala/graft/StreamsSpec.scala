@@ -112,6 +112,60 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("funnelStream advances steps in order and only forward in time") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = Streams.funnelStream(in.toDS())
+      .writeStream.format("memory").queryName("funnel")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // user 1 completes the funnel; user 2's purchase precedes the
+      // click (no step 3); a second view for user 1 must not re-emit
+      in.addData(
+        ev(1, 1000000000L, 1, "view"), ev(2, 2000000000L, 1, "click"),
+        ev(3, 3000000000L, 1, "purchase"), ev(4, 4000000000L, 1, "view"),
+        ev(5, 1000000000L, 2, "purchase"), ev(6, 2000000000L, 2, "view"),
+        ev(7, 3000000000L, 2, "click"))
+      q.processAllAvailable()
+      val out = spark.table("funnel")
+        .selectExpr("user_id", "step", "at_us").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      assert(out == Set(
+        (1L, 1, 1000000L), (1L, 2, 2000000L), (1L, 3, 3000000L),
+        (2L, 1, 2000000L), (2L, 2, 3000000L)))
+    } finally q.stop()
+  }
+
+  test("funnelStream over the fixture reproduces the batch st_funnel counts") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val batch = graft.operators.EventWindows.queries("st_funnel")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val in = MemoryStream[Event]
+    val q = Streams.funnelStream(in.toDS())
+      .writeStream.format("memory").queryName("funnel_fx")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // feed the whole fixture in event order (in-order delivery is the
+      // regime where the incremental funnel equals the batch MIN-based
+      // one); sorted within the single batch by the operator itself
+      val evs = spark.read.parquet(s"$dir/events.parquet")
+        .selectExpr("event_id", "ts", "user_id", "event_type", "value")
+        .as[Event].collect()
+      in.addData(evs.toIndexedSeq)
+      q.processAllAvailable()
+      val counts = spark.table("funnel_fx").groupBy("step").count()
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      assert(counts.getOrElse(1, 0L) == batch("step1_view"))
+      assert(counts.getOrElse(2, 0L) == batch("step2_click"))
+      assert(counts.getOrElse(3, 0L) == batch("step3_purchase"))
+    } finally q.stop()
+  }
+
   test("watermark drops events later than 30 minutes behind max time") {
     val spark0 = spark
     import spark0.implicits._
