@@ -27,7 +27,11 @@ object Bench {
         val times = (1 to Reps).map { _ =>
           val t0 = System.nanoTime()
           try { fn(spark, sfDir).count() }
-          catch { case e: Throwable => err = Some(e.getClass.getSimpleName) }
+          catch { case e: Throwable =>
+            // keep the FIRST failure: later reps often fail with a
+            // follow-on error class that hides the root cause
+            if (err.isEmpty) err = Some(e.getClass.getSimpleName)
+          }
           val dt = (System.nanoTime() - t0) / 1e9
           // drop cached intermediates so each rep (and later queries)
           // pays its own compute rather than reusing residents

@@ -74,9 +74,21 @@ object BloomFns {
     true
   }
 
-  /** ArrayData entry point for generated code (static forwarder). */
-  def containsArrayData(bits: ArrayData, key: Long): Boolean =
-    contains(bits.toLongArray(), key)
+  /** ArrayData entry point for generated code (static forwarder).
+    * Reads words in place — no per-row toLongArray() copy of the 16 KiB
+    * filter on the scan-side probe path.
+    */
+  def containsArrayData(bits: ArrayData, key: Long): Boolean = {
+    val h1 = mix(key)
+    val h2 = mix(key ^ 0x5851F42D4C957F2DL) | 1L
+    var j = 0
+    while (j < K) {
+      val idx = bitIndex(h1, h2, j)
+      if ((bits.getLong(idx >>> 6) & (1L << (idx & 63))) == 0L) return false
+      j += 1
+    }
+    true
+  }
 }
 
 /** `graft_bloom_agg(key)` — build the filter over a key column. The

@@ -105,11 +105,17 @@ object Dedup extends QueryPack {
     s"md5(concat_ws(',', cast(sig_${2 * b} as string)," +
       s" cast(sig_${2 * b + 1} as string)))"
 
-  private def ddJaccard(s: SparkSession, dir: String): DataFrame = {
+  /** Shared (doc_id, hs, sig_0..15) relation behind dd_jaccard and
+    * dd_containment: registered under `view`, CACHED because it feeds
+    * all 8 band sides and both exact-re-check join-backs (the md5
+    * chains must materialize once). Returns the band-side UNION ALL
+    * over `view` so both operators keep the identical 8x2 banding by
+    * construction.
+    */
+  private def bandedSigRelation(s: SparkSession, dir: String,
+                                view: String): String = {
     VectorFunctions.ensureRegistered(s)
-    // cached: the signature relation feeds all 8 band sides AND both
-    // exact-re-check join-backs — materialize the md5 chains once
-    val sigs = table(s, dir, "documents")
+    table(s, dir, "documents")
       .selectExpr("doc_id", "split(text, ' ') AS toks")
       .selectExpr("doc_id", s"$sparkGrams AS grams")
       .selectExpr("doc_id",
@@ -119,11 +125,15 @@ object Dedup extends QueryPack {
       .selectExpr("doc_id", "hs", "graft_minhash16(ghs) AS sigarr")
       .selectExpr(Seq("doc_id", "hs") ++ sparkSigCols: _*)
       .cache()
-    sigs.createOrReplaceTempView("jac_sigs")
-    val bandSelects = (0 until JacBands)
+      .createOrReplaceTempView(view)
+    (0 until JacBands)
       .map(b => s"SELECT doc_id, $b AS band, ${jacBandKeySpark(b)} AS bk" +
-        " FROM jac_sigs")
+        s" FROM $view")
       .mkString(" UNION ALL ")
+  }
+
+  private def ddJaccard(s: SparkSession, dir: String): DataFrame = {
+    val bandSelects = bandedSigRelation(s, dir, "jac_sigs")
     // length-ratio conjunct: j >= 0.6 implies min(sz)/max(sz) >= 0.6
     // (exact integers, pure prune — same rows out)
     s.sql(
@@ -186,22 +196,7 @@ object Dedup extends QueryPack {
   // with extreme size skew should band on the SMALL side's full
   // signature instead (k keys per doc, same shape).
   private def ddContainment(s: SparkSession, dir: String): DataFrame = {
-    VectorFunctions.ensureRegistered(s)
-    val sigs = table(s, dir, "documents")
-      .selectExpr("doc_id", "split(text, ' ') AS toks")
-      .selectExpr("doc_id", s"$sparkGrams AS grams")
-      .selectExpr("doc_id",
-        s"transform(grams, g -> ${sparkH("g")}) AS ghs",
-        "array_sort(array_distinct(transform(grams," +
-          s" g -> ${sparkH64("g")}))) AS hs")
-      .selectExpr("doc_id", "hs", "graft_minhash16(ghs) AS sigarr")
-      .selectExpr(Seq("doc_id", "hs") ++ sparkSigCols: _*)
-      .cache()
-    sigs.createOrReplaceTempView("cont_sigs")
-    val bandSelects = (0 until JacBands)
-      .map(b => s"SELECT doc_id, $b AS band, ${jacBandKeySpark(b)} AS bk" +
-        " FROM cont_sigs")
-      .mkString(" UNION ALL ")
+    val bandSelects = bandedSigRelation(s, dir, "cont_sigs")
     s.sql(
       s"""WITH bands AS ($bandSelects),
          |cand AS (

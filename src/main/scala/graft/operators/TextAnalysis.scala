@@ -356,10 +356,14 @@ object TextAnalysis extends QueryPack {
   // c12/c1, in exact integer MICRO-PROB units (c12*1e6 div c1; div
   // truncates identically to DuckDB's // on positives) so no float
   // enters the aggregation; boilerplate scores high, token salad low.
-  // Scale shape: one extra pass for the model (two shuffles on word
-  // keys), then the scoring join — the model tables are vocab-sized
-  // (breadth^2 rows max), so both joins BROADCAST and the score pass is
-  // map-side at any corpus size. c12*1e6 wraps only past 9e12
+  // Scale shape: ONE model pass over the corpus (the bigram count;
+  // the unigram-context count c1 = Σ_w2 c12 derives from the
+  // vocab-sized bg table without touching the corpus again), then the
+  // scoring join. The model tables are bigram-type-sized: bounded by
+  // vocab² here, so both joins take an explicit BROADCAST hint — for
+  // open-vocabulary natural text bigram types grow with the corpus, so
+  // drop the hint past autoBroadcastJoinThreshold and let the scoring
+  // join shuffle on w1/w2. c12*1e6 wraps only past 9e12
   // occurrences of one bigram (~petabyte-scale corpora: widen to
   // decimal then). Docs under 2 tokens have no bigrams and are absent
   // by contract.
@@ -372,7 +376,7 @@ object TextAnalysis extends QueryPack {
       .selectExpr("doc_id", "element_at(toks, i) AS w1",
         "element_at(toks, i + 1) AS w2")
     val bg = bgStream.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-    val ug = bgStream.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val ug = bg.groupBy("w1").agg(sum(col("c12")).as("c1"))
       .withColumnRenamed("w1", "u_w1")
     bgStream
       .join(broadcast(bg), Seq("w1", "w2"))
@@ -419,8 +423,9 @@ object TextAnalysis extends QueryPack {
     val toks = table(s, dir, "documents")
       .selectExpr("doc_id", "explode(split(text, ' ')) AS token")
     val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-    val df = toks.select("doc_id", "token").distinct()
-      .groupBy("token").agg(count(lit(1)).as("df"))
+    // df derives from tf (one row per (doc, token) already) — no second
+    // corpus-scale explode+distinct pass
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
       .withColumnRenamed("token", "df_token")
     val n = table(s, dir, "documents")
       .agg(count(lit(1)).as("n_docs"))

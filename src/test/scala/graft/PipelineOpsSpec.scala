@@ -124,6 +124,28 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got == exp)
   }
 
+  test("dd_containment recall precondition holds at the gate's sf0.01") {
+    // TRIPWIRE for fixture drift: the banded candidate generator only
+    // guarantees recall for containment pairs that ALSO sit in the
+    // Jaccard banding's regime (j >= 0.6). This corpus has zero
+    // containment>=0.8 pairs below that regime; if regenerated fixtures
+    // ever introduce a subset-style pair (tiny doc inside huge doc),
+    // this test fails loudly BEFORE the driver's oracle gate does,
+    // pointing at the documented contract in Dedup.ddContainment.
+    val d01 = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .selectExpr("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val sets = d01.map { case (id, t) => id -> refShingles(t) }
+    val escapes = for {
+      (a, sa) <- sets; (b, sb) <- sets if a < b
+      isect = (sa & sb).size
+      c = isect.toDouble / math.min(sa.size, sb.size) if c >= 0.8
+      j = isect.toDouble / (sa.size + sb.size - isect) if j < 0.6
+    } yield (a, b, c, j)
+    assert(escapes.isEmpty,
+      s"containment pairs outside the banding regime: $escapes")
+  }
+
   test("txt_tfidf matches a driver-side tf-idf model") {
     val n = docs.size.toLong
     val tf = docs.flatMap { case (id, t) =>
