@@ -419,8 +419,99 @@ object Similarity extends QueryPack {
        |  CAST(SUM(dist) AS BIGINT) AS inertia
        |FROM a2 GROUP BY cell ORDER BY cell""".stripMargin
 
+  // -- sim_pq: product-quantization encoding ----------------------------------
+  // The vector-compression half of a billion-scale ANN index (IVF-PQ):
+  // split each 64-dim embedding into 4 subvectors of 16 dims, train an
+  // independent k=4 codebook per subspace with the SAME exact
+  // fixed-point Lloyd round as sim_kmeans (seeded from vectors 0..3's
+  // subvectors, integer distances, truncating-division means — nothing
+  // to drift cross-engine), then encode every vector as its 4 nearest
+  // sub-centroid ids plus the exact integer quantization error. 64
+  // floats compress to 4 small codes; production uses 256 centroids
+  // per subspace (8-bit codes) and more Lloyd rounds — same shapes,
+  // bigger constants.
+  //
+  // Scale shape: per subspace the assignment is a k-row broadcast cross
+  // join and the update one partial+final agg — identical to
+  // sim_kmeans x4; the final encode joins the four per-subspace
+  // assignments on vec_id (co-partitioned, one shuffle key).
+  private val PqM = 4
+  private val PqDim = 16
+
+  /** Per-subspace CTE chain + final encode join, one template for both
+    * dialects: `slice(m)` extracts subvector m from the quantized x4,
+    * `assignF` is the shared nearest-centroid template, `centF` the
+    * dialect's centroid-update over an a1 relation.
+    */
+  private def pqSql(base: String, slice: Int => String,
+                    assignF: (String, String) => String,
+                    centF: String => String): String = {
+    val ctes = (0 until PqM).flatMap { m =>
+      Seq(
+        s"b$m AS (SELECT vec_id, ${slice(m)} AS x4 FROM $base)",
+        s"c0_$m AS (SELECT vec_id AS cell, x4 AS c FROM b$m" +
+          s" WHERE vec_id < $KmK)",
+        s"a1_$m AS (${assignF(s"b$m", s"c0_$m")})",
+        s"c1_$m AS (${centF(s"a1_$m")})",
+        s"a2_$m AS (${assignF(s"b$m", s"c1_$m")})",
+        s"e$m AS (SELECT vec_id, cell, dist FROM a2_$m)")
+    }
+    val joins = (1 until PqM)
+      .map(m => s"JOIN e$m ON e0.vec_id = e$m.vec_id").mkString(" ")
+    s"""${ctes.mkString(",\n")}
+       |SELECT e0.vec_id,
+       |  ${(0 until PqM).map(m => s"e$m.cell AS code_$m").mkString(", ")},
+       |  ${(0 until PqM).map(m => s"e$m.dist").mkString(" + ")} AS q_err
+       |FROM e0 $joins
+       |ORDER BY e0.vec_id""".stripMargin
+  }
+
+  /** Spark centroid update (as in sim_kmeans). */
+  private def pqCentS(a1: String): String =
+    s"""SELECT cell,
+       |  transform(array_sort(collect_list(struct(pos, comp))),
+       |    t -> t.comp) AS c
+       |FROM (
+       |  SELECT cell, pos, sum(v) div count(*) AS comp
+       |  FROM $a1 LATERAL VIEW posexplode(x4) t AS pos, v
+       |  GROUP BY cell, pos)
+       |GROUP BY cell""".stripMargin
+
+  /** DuckDB centroid update (as in sim_kmeans's oracle; `//` floors, so
+    * negative sums emulate Spark's truncation explicitly).
+    */
+  private def pqCentD(a1: String): String =
+    s"""SELECT cell, list(comp ORDER BY i) AS c
+       |FROM (
+       |  SELECT cell, i,
+       |    CASE WHEN s >= 0 THEN s // n ELSE -((-s) // n) END AS comp
+       |  FROM (
+       |    SELECT cell, i, CAST(SUM(v) AS BIGINT) AS s,
+       |      CAST(COUNT(*) AS BIGINT) AS n
+       |    FROM (
+       |      SELECT cell, unnest(range(1, len(x4) + 1)) AS i,
+       |        unnest(x4) AS v
+       |      FROM $a1)
+       |    GROUP BY cell, i))
+       |GROUP BY cell""".stripMargin
+
+  private def simPq(s: SparkSession, dir: String): DataFrame = {
+    table(s, dir, "embeddings")
+      .selectExpr("vec_id", s"$x4S AS x4")
+      .createOrReplaceTempView("pq_base")
+    s.sql("WITH " + pqSql("pq_base",
+      m => s"slice(x4, ${PqDim * m + 1}, $PqDim)", assignS, pqCentS))
+  }
+
+  private val simPqSql =
+    s"""WITH base AS (SELECT vec_id, $x4D AS x4 FROM embeddings),
+       |${pqSql("base",
+          m => s"x4[${PqDim * m + 1}:${PqDim * m + PqDim}]",
+          assignD, pqCentD)}""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map(
+      "sim_pq" -> simPq _,
       "sim_kmeans" -> simKmeans _,
       "sim_norms" -> simNorms _,
       "sim_topk_brute" -> simTopkBrute _,
@@ -432,6 +523,7 @@ object Similarity extends QueryPack {
     )
 
   override val oracles: Map[String, String] = Map(
+    "sim_pq" -> simPqSql,
     "sim_kmeans" -> simKmeansSql,
     "sim_norms" -> simNormsSql,
     "sim_topk_brute" -> simTopkBruteSql,

@@ -194,6 +194,48 @@ class PipelineOpsSpec extends AnyFunSuite {
       "step3_purchase" -> n3))
   }
 
+  test("sim_pq matches a driver-side fixed-point product quantizer") {
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .selectExpr("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => math.floor(x.toDouble * 10000.0 + 0.5)
+          .toLong).toArray)
+      .sortBy(_._1)
+    def dist(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (p, q) => (p - q) * (p - q) }.sum
+    def assignTo(cents: Seq[(Long, Array[Long])],
+                 v: Array[Long]): (Long, Long) =
+      cents.map { case (cell, c) => (dist(v, c), cell) }.min.swap
+    val exp = scala.collection.mutable.Map[Long, (Array[Long], Long)]()
+    for (m <- 0 until 4) {
+      val sub = vecs.map { case (id, x) => id -> x.slice(16 * m, 16 * m + 16) }
+      val c0 = sub.filter(_._1 < 4).map { case (id, v) => (id, v) }.toSeq
+      val a1 = sub.map { case (id, v) => (id, assignTo(c0, v)._1, v) }
+      val c1 = a1.groupBy(_._2).map { case (cell, rows) =>
+        val n = rows.length
+        cell -> (0 until 16).map { i =>
+          val s = rows.map(_._3(i)).sum
+          s / n // JVM integer division truncates like Spark's div
+        }.toArray
+      }.toSeq
+      sub.foreach { case (id, v) =>
+        val (cell, d) = assignTo(c1, v)
+        val (codes, err) = exp.getOrElse(id, (Array.fill(4)(0L), 0L))
+        codes(m) = cell
+        exp(id) = (codes, err + d)
+      }
+    }
+    val got = graft.operators.Similarity.queries("sim_pq")(spark, dir)
+      .collect().map(r => (r.getLong(0),
+        Seq(r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)),
+        r.getLong(5)))
+    assert(got.length == vecs.length)
+    got.foreach { case (id, codes, qErr) =>
+      val (eCodes, eErr) = exp(id)
+      assert(codes == eCodes.toSeq && qErr == eErr, s"vec $id")
+    }
+  }
+
   test("txt_bigram_score probabilities are bounded by 1 (micro units)") {
     val bad = TextAnalysis.queries("txt_bigram_score")(spark, dir)
       .where("sum_p > 1000000 * n_bigrams OR sum_p < 0").count()
