@@ -85,15 +85,72 @@ object JiraEtl extends QueryPack {
   // The at-scale column-pipeline form of F1 (graft_clean_text — see
   // graft.functions.CleanTextExpression) applied to the corpus-scale
   // documents table: no typed-map encoder round-trip, runs inside
-  // whole-stage codegen. Rows-only (the state machine isn't SQL).
+  // whole-stage codegen. Hash-verified since round 7: the DuckDB oracle
+  // restates the cross-line state machine as a list_reduce struct fold
+  // (see cleanDocsSql below).
   private def etlCleanDocs(s: SparkSession, dir: String): DataFrame = {
     graft.functions.CleanTextExpression.ensureRegistered(s)
     graft.Engine.table(s, dir, "documents")
       .selectExpr("doc_id",
         "graft_clean_text(text) AS cleaned",
-        "length(text) AS raw_len",
-        "length(graft_clean_text(text)) AS clean_len")
+        "cast(length(text) as bigint) AS raw_len",
+        "cast(length(graft_clean_text(text)) as bigint) AS clean_len")
       .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB restatement of the CleanText state machine
+    * (`transformer.py:30-90`; `functions/CleanText.scala`): the
+    * cross-line error-block fold runs as a list_reduce over split
+    * lines with a struct accumulator (l = current line slot, a =
+    * joined output, e = in-error-block, w = wrote-anything), then the
+    * four post-passes (tab->space, multi-space collapse, Jira-markup
+    * strip, CI-URL token). Regex classes are stated as explicit ASCII
+    * sets ([0-9A-Za-z_], [\t\n\x0B\f\r ]) — RE2's \w/\s are ASCII
+    * while the Java side compiles UNICODE_CHARACTER_CLASS, so the
+    * oracle is exact for ASCII corpora (both the fixtures and the
+    * synthetic documents table; CleanTextSpec owns the Unicode edges).
+    */
+  private val cleanDocsSql: String = {
+    val ws = "' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)"
+    def strip(e: String) = s"trim($e, $ws)"
+    val sp = "[\\t\\n\\x0B\\f\\r ]" // Java \s (ASCII range)
+    val w = "[0-9A-Za-z_]" // Java \w (ASCII range)
+    val errStart = s"^(\\[ERROR\\]|Exception|at$sp+$w[$w.]*|" +
+      s"$sp+at$sp+$w[$w.]*|Caused by:|$sp+\\.\\.\\.$sp+[0-9]+$sp+more|" +
+      "java\\.|»)"
+    val errClass = s"^$sp*$w+(\\.$w+)+(Exception|Error):"
+    // one fold step: y.l is the incoming line, x carries state
+    val cl = strip("replace(y.l, chr(13), '')")
+    val inErr2 = s"CASE WHEN x.e AND ${strip("y.l")} <> ''" +
+      " AND NOT starts_with(y.l, ' ') THEN false ELSE x.e END"
+    val fold =
+      s"""list_reduce(list_prepend(
+         |  struct_pack(l := '', a := '', e := false, w := false),
+         |  list_transform(string_split(text, chr(10)),
+         |    s -> struct_pack(l := s, a := '', e := false, w := false))),
+         | (x, y) -> CASE
+         |   WHEN regexp_matches(y.l, '$errStart')
+         |     OR regexp_matches(y.l, '$errClass')
+         |     THEN struct_pack(l := '', a := x.a, e := true, w := x.w)
+         |   WHEN ($inErr2)
+         |     THEN struct_pack(l := '', a := x.a, e := true, w := x.w)
+         |   WHEN $cl = ''
+         |     THEN struct_pack(l := '', a := x.a, e := false, w := x.w)
+         |   ELSE struct_pack(l := '',
+         |     a := CASE WHEN x.w THEN x.a || ' ' || $cl ELSE $cl END,
+         |     e := false, w := true)
+         | END)""".stripMargin
+    val post = strip(
+      "regexp_replace(regexp_replace(regexp_replace(" +
+        "replace(folded.a, chr(9), ' '), " +
+        "' {2,}', ' ', 'g'), " +
+        "'\\{code.*?\\}|\\{noformat\\}', '', 'g'), " +
+        s"'https?://ci-hadoop\\.apache\\.org/job/[^\\t\\n\\x0B\\f\\r ]+'," +
+        " '[CI_URL]', 'g')")
+    s"""SELECT doc_id, $post AS cleaned,
+       |  length(text) AS raw_len, length($post) AS clean_len
+       |FROM (SELECT doc_id, text, $fold AS folded FROM documents)
+       |ORDER BY doc_id""".stripMargin
   }
 
   // -- etl_comments: restructured comments (P3) at comment granularity -------
@@ -131,9 +188,8 @@ object JiraEtl extends QueryPack {
 
   /** Oracles over the reference's shipped output (see class Scaladoc):
     * golden jsonl semijoined to the raw zone's key set. `etl_clean_docs`
-    * stays rows-only — graft_clean_text over the documents table has no
-    * reference output to compare against and the state machine itself is
-    * not SQL; its exactness oracle is CleanTextSpec + the golden suite.
+    * instead compares against the list_reduce restatement of the state
+    * machine (cleanDocsSql) over the documents table.
     */
   private val Golden =
     "read_json('/root/reference/data/processed/*_issues.jsonl'," +
@@ -184,6 +240,7 @@ object JiraEtl extends QueryPack {
       |SELECT id, derived_tasks.summary AS summary,
       |  CAST(length(derived_tasks.summary) AS BIGINT) AS summary_len
       |FROM corpus ORDER BY id""".stripMargin),
+    "etl_clean_docs" -> cleanDocsSql,
     "etl_validation" -> (Corpus + s"""
       |SELECT split_part(id, '-', 1) AS project,
       |  COUNT(*) AS records,
