@@ -46,16 +46,17 @@ object Bench {
     val qs = results.map { case (k, med, _, err) =>
       "\"" + k + "\":" + (if (err.isDefined) "-1" else f3(med))
     }.mkString("{", ",", "}")
-    // only spreads big enough to matter (>=0.2 s) — keeps the JSON
-    // line short enough to survive the driver's bounded output tail
-    val spreads = results.collect { case (k, _, sp, None) if sp >= 0.2 =>
+    // only spreads big enough to matter (>=0.5 s) — keeps the JSON line
+    // short; the queries map goes LAST so a bounded output-tail window
+    // still shows the per-query timings
+    val spreads = results.collect { case (k, _, sp, None) if sp >= 0.5 =>
       "\"" + k + "\":" + f3(sp)
     }.mkString("{", ",", "}")
     val errs = results.collect { case (k, _, _, Some(e)) =>
       "\"" + k + "\":\"" + e + "\""
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, med, _, None) => med }.sum
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"spreads":$spreads,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","errors":$errs,"spreads":$spreads,"queries":$qs}""")
     spark.stop()
   }
 }
