@@ -201,8 +201,48 @@ object EventWindows extends QueryPack {
       |  FROM p)
       |ORDER BY step""".stripMargin
 
+  // -- st_retention: day-N cohort retention ----------------------------------
+  // The other product-analytics staple: users cohorted by their first
+  // active day, retention = how many are active again k days later
+  // (k <= 7 here). Exact integer day arithmetic: ts div 1 day in nanos
+  // — micro-truncation cannot move a timestamp across a midnight
+  // boundary (it lowers by < 1 us and midnights are whole microseconds),
+  // so nano- and micro-granularity day numbers agree. Scale shape: one
+  // distinct on (user, day) — one shuffle — then the cohort aggregate
+  // and the activity join are both keyed on user_id (co-partitioned);
+  // output is cohort x offset, tiny at any corpus size.
+  private val DayNs = 86400000000000L
+
+  private def stRetention(s: SparkSession, dir: String): DataFrame = {
+    table(s, dir, "events").createOrReplaceTempView("rt_events")
+    s.sql(
+      s"""WITH ud AS (
+         |  SELECT DISTINCT user_id, ts div $DayNs AS day FROM rt_events),
+         |coh AS (
+         |  SELECT user_id, MIN(day) AS cohort_day FROM ud GROUP BY user_id)
+         |SELECT c.cohort_day, ud.day - c.cohort_day AS day_offset,
+         |  COUNT(*) AS n_users
+         |FROM ud JOIN coh c ON ud.user_id = c.user_id
+         |WHERE ud.day - c.cohort_day <= 7
+         |GROUP BY c.cohort_day, ud.day - c.cohort_day
+         |ORDER BY cohort_day, day_offset""".stripMargin)
+  }
+
+  private val stRetentionSql =
+    s"""WITH ud AS (
+       |  SELECT DISTINCT user_id, epoch_ns(ts) // $DayNs AS day FROM events),
+       |coh AS (
+       |  SELECT user_id, MIN(day) AS cohort_day FROM ud GROUP BY user_id)
+       |SELECT c.cohort_day, ud.day - c.cohort_day AS day_offset,
+       |  CAST(COUNT(*) AS BIGINT) AS n_users
+       |FROM ud JOIN coh c ON ud.user_id = c.user_id
+       |WHERE ud.day - c.cohort_day <= 7
+       |GROUP BY c.cohort_day, ud.day - c.cohort_day
+       |ORDER BY cohort_day, day_offset""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map(
+      "st_retention" -> stRetention _,
       "st_funnel" -> stFunnel _,
       "st_anomaly_hours" -> stAnomalyHours _,
       "st_tumbling_1h" -> stTumbling _,
@@ -211,6 +251,7 @@ object EventWindows extends QueryPack {
     )
 
   override val oracles: Map[String, String] = Map(
+    "st_retention" -> stRetentionSql,
     "st_funnel" -> stFunnelSql,
     "st_anomaly_hours" -> stAnomalyHoursSql,
     "st_tumbling_1h" -> stTumblingSql,

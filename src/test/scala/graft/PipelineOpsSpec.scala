@@ -236,6 +236,24 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("st_retention matches a driver-side cohort walk") {
+    val dayNs = 86400000000000L
+    val ud = spark.read.parquet(s"$dir/events.parquet")
+      .selectExpr("user_id", s"ts div $dayNs AS day").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cohort = ud.groupBy(_._1).map { case (u, ds) => u -> ds.map(_._2).min }
+    val exp = ud.toSeq.map { case (u, d) => (cohort(u), d - cohort(u)) }
+      .filter(_._2 <= 7)
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val got = graft.operators.EventWindows.queries("st_retention")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == exp)
+    // day-0 retention is the cohort size by definition
+    got.collect { case ((c, 0L), n) => (c, n) }.foreach { case (c, n) =>
+      assert(n == cohort.values.count(_ == c).toLong, s"cohort $c")
+    }
+  }
+
   test("txt_bigram_score probabilities are bounded by 1 (micro units)") {
     val bad = TextAnalysis.queries("txt_bigram_score")(spark, dir)
       .where("sum_p > 1000000 * n_bigrams OR sum_p < 0").count()
