@@ -114,11 +114,12 @@ object JiraEtl extends QueryPack {
     val ws = "' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)"
     def strip(e: String) = s"trim($e, $ws)"
     val sp = "[\\t\\n\\x0B\\f\\r ]" // Java \s (ASCII range)
-    val w = "[0-9A-Za-z_]" // Java \w (ASCII range)
-    val errStart = s"^(\\[ERROR\\]|Exception|at$sp+$w[$w.]*|" +
-      s"$sp+at$sp+$w[$w.]*|Caused by:|$sp+\\.\\.\\.$sp+[0-9]+$sp+more|" +
+    val wc = "0-9A-Za-z_" // Java \w (ASCII range)
+    // [\w.]+ admits a leading dot — mirror Java exactly
+    val errStart = s"^(\\[ERROR\\]|Exception|at$sp+[$wc.]+|" +
+      s"$sp+at$sp+[$wc.]+|Caused by:|$sp+\\.\\.\\.$sp+[0-9]+$sp+more|" +
       "java\\.|»)"
-    val errClass = s"^$sp*$w+(\\.$w+)+(Exception|Error):"
+    val errClass = s"^$sp*[$wc]+(\\.[$wc]+)+(Exception|Error):"
     // one fold step: y.l is the incoming line, x carries state
     val cl = strip("replace(y.l, chr(13), '')")
     val inErr2 = s"CASE WHEN x.e AND ${strip("y.l")} <> ''" +
