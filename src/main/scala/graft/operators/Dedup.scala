@@ -653,16 +653,24 @@ object Dedup extends QueryPack {
   // propagation), so the hash-compare checks both the candidate recall
   // and the component arithmetic. cluster_id = min doc_id reachable;
   // docs in no pair are singleton clusters of themselves.
-  private def ddCluster(s: SparkSession, dir: String): DataFrame = {
-    val pairs = ddJaccard(s, dir).select("doc_a", "doc_b")
-    val edges = pairs
-      .union(pairs.select(col("doc_b"), col("doc_a")))
+  /** Min-label propagation over an undirected pair list: every node in
+    * `nodes` starts as its own cluster, takes the min label among itself
+    * and its `pairs` neighbors each round, and the loop stops at the
+    * fixed point. Shared by dd_cluster (jaccard edges) and
+    * mm_phash_cluster (phash edges) — see dd_cluster's comment for the
+    * full scale rationale.
+    */
+  private[operators] def labelPropagate(pairs: DataFrame,
+                                        nodes: DataFrame): DataFrame = {
+    val edges = pairs.toDF("pa", "pb")
+    val edgesBoth = edges
+      .union(edges.select(col("pb"), col("pa")))
       .toDF("src", "dst")
       .cache()
     // `cached` tracks the frame actually holding the cache: labels is a
     // projection over it, and unpersisting a derived frame would leave
     // the parent's blocks resident round after round
-    var cached = table(s, dir, "documents")
+    var cached = nodes
       .select(col("doc_id"), col("doc_id").as("cluster_id"))
       .cache()
     var labels = cached
@@ -672,8 +680,8 @@ object Dedup extends QueryPack {
     // rounds (no checkpoint paid); a deep chain checkpoints every 5
     val CheckpointEvery = 5
     while (!converged && iter < 50) {
-      val nbrMin = edges
-        .join(labels, edges("dst") === labels("doc_id"))
+      val nbrMin = edgesBoth
+        .join(labels, edgesBoth("dst") === labels("doc_id"))
         .groupBy(col("src"))
         .agg(min(col("cluster_id")).as("nbr_min"))
       // carry the previous label through the select so convergence is
@@ -708,9 +716,14 @@ object Dedup extends QueryPack {
     // final step's cache/checkpoint blocks — callers that loop over many
     // queries (Bench) release them via spark.catalog.clearCache(); the
     // checkpoint variant is reclaimed by the ContextCleaner on GC.
-    edges.unpersist()
+    edgesBoth.unpersist()
     labels.orderBy(col("doc_id"))
   }
+
+  private def ddCluster(s: SparkSession, dir: String): DataFrame =
+    labelPropagate(
+      ddJaccard(s, dir).select("doc_a", "doc_b"),
+      table(s, dir, "documents").select("doc_id"))
 
   private val ddClusterSql = {
     val allPairsEdges =

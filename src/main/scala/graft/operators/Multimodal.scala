@@ -435,10 +435,35 @@ object Multimodal extends QueryPack {
        |WHERE bit_count(xor(a.phash, b.phash)) <= 3
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // Media near-dup components: min-label propagation (Dedup's shared
+  // loop) over the banded phash pairs, so a keep-one-per-cluster media
+  // pipeline gets its group assignments the same way the text side
+  // does (dd_cluster). Oracle: independent twice over — all-pairs
+  // edges (no banding) + recursive-CTE closure (no propagation).
+  private def mmPhashCluster(s: SparkSession, dir: String): DataFrame =
+    Dedup.labelPropagate(
+      mmPhashPairs(s, dir).select("doc_a", "doc_b"),
+      media(s, dir).select("doc_id"))
+
+  private val mmPhashClusterSql =
+    s"""WITH RECURSIVE $phashSigsSql,
+       |edges AS (
+       |  SELECT a.doc_id AS src, b.doc_id AS dst
+       |  FROM sigs a JOIN sigs b ON a.doc_id <> b.doc_id
+       |  WHERE bit_count(xor(a.phash, b.phash)) <= 3),
+       |r(doc, node) AS (
+       |  SELECT doc_id, doc_id FROM sigs
+       |  UNION
+       |  SELECT r.doc, e.dst FROM r JOIN edges e ON e.src = r.node)
+       |SELECT doc AS doc_id, MIN(node) AS cluster_id
+       |FROM r GROUP BY doc
+       |ORDER BY doc_id""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map(
       "mm_phash" -> mmPhash _,
       "mm_phash_pairs" -> mmPhashPairs _,
+      "mm_phash_cluster" -> mmPhashCluster _,
       "mm_catalog" -> mmCatalog _,
       "mm_features" -> mmFeatures _,
       "mm_frames" -> mmFrames _,
@@ -453,6 +478,7 @@ object Multimodal extends QueryPack {
   override val oracles: Map[String, String] = Map(
     "mm_phash" -> mmPhashSql,
     "mm_phash_pairs" -> mmPhashPairsSql,
+    "mm_phash_cluster" -> mmPhashClusterSql,
     "mm_catalog" -> mmCatalogSql,
     "mm_features" -> mmFeaturesSql,
     "mm_frames" -> mmFramesSql,

@@ -52,6 +52,24 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got == exp)
   }
 
+  test("mm_phash_cluster matches a driver-side union-find over all pairs") {
+    val sigs = docs.map { case (id, t) => id -> refPhash(t) }
+    val parent = scala.collection.mutable.Map(sigs.map(s => s._1 -> s._1): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+    for {
+      (a, sa) <- sigs; (b, sb) <- sigs
+      if a < b && java.lang.Long.bitCount(sa ^ sb) <= 3
+    } {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val exp = sigs.map { case (id, _) => id -> find(id) }.toMap
+    val got = Multimodal.queries("mm_phash_cluster")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == exp)
+  }
+
   /** Reference redaction: token-level term scrub, then the PII regexes
     * (same patterns the query uses — Java regex on both sides here; the
     * RE2 half of the equivalence is the DuckDB oracle's job).
