@@ -43,20 +43,52 @@ object Bench {
         (name, times(Reps / 2), times.last - times.head, err)
     }
     def f3(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.map { case (k, med, _, err) =>
+    def f2(v: Double) = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
+    val qsFull = results.map { case (k, med, _, err) =>
       "\"" + k + "\":" + (if (err.isDefined) "-1" else f3(med))
     }.mkString("{", ",", "}")
-    // only spreads big enough to matter (>=0.5 s) — keeps the JSON line
-    // short; the queries map goes LAST so a bounded output-tail window
-    // still shows the per-query timings
+    // only spreads big enough to matter (>=0.5 s), worst six — the final
+    // line has a hard byte budget (see below)
     val spreads = results.collect { case (k, _, sp, None) if sp >= 0.5 =>
-      "\"" + k + "\":" + f3(sp)
-    }.mkString("{", ",", "}")
+      (sp, "\"" + k + "\":" + f3(sp))
+    }.sortBy(-_._1).take(6).map(_._2).mkString("{", ",", "}")
     val errs = results.collect { case (k, _, _, Some(e)) =>
       "\"" + k + "\":\"" + e + "\""
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, med, _, None) => med }.sum
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","errors":$errs,"spreads":$spreads,"queries":$qs}""")
+    // sf as a bare number when the dir follows the sf<N> convention
+    val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1))
+      .getOrElse("\"" + sfDir + "\"")
+    // Full-precision per-query map goes to a FILE: with 90+ queries the
+    // map alone exceeds the driver's 2000-char output-tail window, which
+    // silently truncated the line start (and the driver's JSON parse)
+    // for seven straight rounds.
+    val fullLine = s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":$sfNum,"errors":$errs,"spreads":$spreads,"queries":$qsFull}"""
+    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "/tmp/graft_bench_full.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
+      (fullLine + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () }
+    println(s"full per-query timings: $fullPath")
+    // Final stdout line is byte-budgeted so the WHOLE line (plus sbt's
+    // ~80-char [success] trailer) fits inside a 2000-char tail: errors
+    // and the slowest queries are kept, the fastest are dropped and
+    // counted in "omitted". "value" still totals ALL queries.
+    val prefix = s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":$sfNum,"n_queries":${results.size},"errors":$errs,"spreads":$spreads,"queries":{"""
+    val budget = 1500
+    val keepFirst = results.sortBy { case (_, med, _, err) =>
+      if (err.isDefined) Double.MinValue else -med  // errors always kept
+    }
+    val sb = new StringBuilder(prefix)
+    var omitted = 0
+    var first = true
+    keepFirst.foreach { case (k, med, _, err) =>
+      val piece = (if (first) "" else ",") + "\"" + k + "\":" +
+        (if (err.isDefined) "-1" else f2(med))
+      if (sb.length + piece.length <= budget) { sb.append(piece); first = false }
+      else omitted += 1
+    }
+    sb.append("},\"omitted\":").append(omitted).append("}")
+    println(sb.toString)
     spark.stop()
   }
 }
