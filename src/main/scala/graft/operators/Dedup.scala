@@ -699,7 +699,10 @@ object Dedup extends QueryPack {
         if ((iter + 1) % CheckpointEvery == 0) stepPlan.localCheckpoint()
         else stepPlan.cache()
       // one scalar to the driver per round — convergence check only
+      val t0 = System.nanoTime()
       val changed = step.where(col("cluster_id") =!= col("prev")).count()
+      if (sys.env.contains("GRAFT_LP_DEBUG"))
+        System.err.println(f"LP round $iter%d changed=$changed%d took ${(System.nanoTime() - t0) / 1e9}%.2f s")
       cached.unpersist()
       cached = step
       labels = step.drop("prev")
