@@ -494,8 +494,113 @@ object TextAnalysis extends QueryPack {
       |    FROM documents))
       |ORDER BY doc_id""".stripMargin
 
+  // -- txt_decontaminate: eval-set n-gram contamination flags -----------------
+  // Benchmark decontamination as run before pretraining (the GPT-3 appendix
+  // procedure): a document is contaminated when it shares any token 8-gram
+  // with the held-out eval set. The eval set here is the deterministic
+  // doc_id % 50 == 0 slice (a stand-in for a real benchmark table — swap
+  // the filter for a join against one).
+  //
+  // Scale shape: the eval side collapses to a DISTINCT 8-gram set that is
+  // broadcast (eval suites are KBs-to-MBs against a 100 TB corpus), so the
+  // corpus is one narrow explode -> broadcast-hash semi pass with no
+  // corpus-wide shuffle; only the (rare) hits reach the per-doc count
+  // aggregate, and the final hit-count join is left to AQE, which
+  // broadcasts it when it is as small as hits usually are.
+  private val ContamN = 8
+
+  private def contamGrams(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "documents")
+      .selectExpr("doc_id", "split(text, ' ') AS toks")
+      .selectExpr("doc_id",
+        s"CASE WHEN size(toks) >= $ContamN THEN" +
+          s" array_distinct(transform(sequence(1, size(toks) - ${ContamN - 1})," +
+          s" i -> array_join(slice(toks, i, $ContamN), ' ')))" +
+          " ELSE cast(array() as array<string>) END AS grams")
+
+  private def txtDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val grams = contamGrams(s, dir)
+    val evalGrams = grams.where(col("doc_id") % 50 === 0)
+      .selectExpr("explode(grams) AS gram").distinct()
+    // grams are distinct per doc and eval grams are distinct, so the join
+    // output is unique per (doc, gram) and a plain count is the distinct
+    // matched-gram count
+    val hits = grams.where(col("doc_id") % 50 =!= 0)
+      .selectExpr("doc_id", "explode(grams) AS gram")
+      .join(broadcast(evalGrams), "gram")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+    table(s, dir, "documents").where(col("doc_id") % 50 =!= 0)
+      .select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .selectExpr("doc_id",
+        "cast(coalesce(n_hits, 0) as bigint) AS n_eval_grams",
+        "coalesce(n_hits, 0) > 0 AS contaminated")
+      .orderBy(col("doc_id"))
+  }
+
+  private val txtDecontaminateSql =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+      |           FROM documents),
+      |g AS (SELECT doc_id,
+      |        list_distinct(list_transform(range(1, len(toks) - 6),
+      |          i -> array_to_string(list_slice(toks, i, i + 7), ' ')))
+      |          AS grams
+      |      FROM t),
+      |ev AS (SELECT DISTINCT unnest(grams) AS gram FROM g
+      |       WHERE doc_id % 50 = 0),
+      |hits AS (
+      |  SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+      |  FROM (SELECT doc_id, unnest(grams) AS gram FROM g
+      |        WHERE doc_id % 50 <> 0) c
+      |  JOIN ev USING (gram) GROUP BY c.doc_id)
+      |SELECT d.doc_id,
+      |  CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_eval_grams,
+      |  coalesce(h.n_hits, 0) > 0 AS contaminated
+      |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+      |WHERE d.doc_id % 50 <> 0
+      |ORDER BY d.doc_id""".stripMargin
+
+  // -- txt_winnow: winnowing document fingerprints ----------------------------
+  // Winnowing (Schleimer, Wilkerson & Aiken, SIGMOD 2003): hash every
+  // character 5-gram, then keep the minimum hash of each sliding window of
+  // 4 consecutive hashes. Guarantees a match for any shared substring of
+  // length >= k + w - 1 = 8 while storing ~2/(w+1) of the hashes — the
+  // plagiarism/overlap fingerprint MOSS uses. One narrow per-document HOF
+  // pass, no shuffle; the fingerprint arrays are what a downstream
+  // inverted-index join would bucket on.
+  private def txtWinnow(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "documents")
+      .selectExpr("doc_id",
+        "CASE WHEN length(text) >= 8 THEN" +
+          " transform(sequence(1, length(text) - 4)," +
+          " i -> cast(conv(substring(md5(substring(text, i, 5)), 1, 8)," +
+          " 16, 10) as bigint))" +
+          " ELSE cast(array() as array<bigint>) END AS hs")
+      .selectExpr("doc_id",
+        "CASE WHEN size(hs) >= 4 THEN" +
+          " array_sort(array_distinct(transform(sequence(1, size(hs) - 3)," +
+          " i -> array_min(slice(hs, i, 4)))))" +
+          " ELSE cast(array() as array<bigint>) END AS fps")
+      .selectExpr("doc_id", "cast(size(fps) as bigint) AS n_fps", "fps")
+      .orderBy(col("doc_id"))
+
+  private val txtWinnowSql =
+    """SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fps, fps FROM (
+      |  SELECT doc_id,
+      |    list_sort(list_distinct(list_transform(range(1, len(hs) - 2),
+      |      i -> list_min(list_slice(hs, i, i + 3))))) AS fps
+      |  FROM (
+      |    SELECT doc_id,
+      |      list_transform(range(1, length(text) - 3),
+      |        i -> CAST('0x' || substr(md5(substr(text, i, 5)), 1, 8)
+      |             AS BIGINT)) AS hs
+      |    FROM documents))
+      |ORDER BY doc_id""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map(
+      "txt_decontaminate" -> txtDecontaminate _,
+      "txt_winnow" -> txtWinnow _,
       "txt_redact" -> txtRedact _,
       "txt_tfidf" -> txtTfidf _,
       "txt_bigram_score" -> txtBigramScore _,
@@ -512,6 +617,8 @@ object TextAnalysis extends QueryPack {
     )
 
   override val oracles: Map[String, String] = Map(
+    "txt_decontaminate" -> txtDecontaminateSql,
+    "txt_winnow" -> txtWinnowSql,
     "txt_redact" -> txtRedactSql,
     "txt_tfidf" -> txtTfidfSql,
     "txt_bigram_score" -> txtBigramScoreSql,
