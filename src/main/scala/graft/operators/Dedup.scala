@@ -774,6 +774,58 @@ object Dedup extends QueryPack {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // -- dd_embed_cluster: semantic near-dup components (SemDeDup shape) --------
+  // Embedding-space clustering for semantic dedup: connected components
+  // over the dd_embed_cosine_lsh candidate pairs (the banded RH-LSH scale
+  // path, recall contract documented there), via the same edge-restricted
+  // min-label propagation as dd_cluster. A keep-one-per-cluster pass over
+  // this output is the SemDeDup-style curation step. The oracle re-derives
+  // the banded edges independently and closes them with a recursive CTE,
+  // so the component arithmetic is checked by a different algorithm.
+  private def ddEmbedCluster(s: SparkSession, dir: String): DataFrame =
+    labelPropagate(
+      ddEmbedCosineLsh(s, dir).select("vec_a", "vec_b"),
+      table(s, dir, "embeddings").select(col("vec_id").as("doc_id")))
+      .select(col("doc_id").as("vec_id"), col("cluster_id"))
+
+  private val ddEmbedClusterSql = {
+    val bandSelects = (0 until CosBands)
+      .map(b => s"SELECT vec_id, $b AS band, bkt_$b AS bkt FROM e")
+      .mkString(" UNION ALL ")
+    s"""WITH RECURSIVE e AS (
+       |  SELECT vec_id, embedding,
+       |    list_reduce(list_transform(range(1, len(embedding) + 1),
+       |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+       |      (x, y) -> x + y) AS n2,
+       |    ${(0 until CosBands)
+              .map(b => s"${cosBucket(cosPlaneDotD, b)} AS bkt_$b")
+              .mkString(",\n    ")}
+       |  FROM embeddings),
+       |bands AS ($bandSelects),
+       |cand AS (
+       |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.bkt = y.bkt AND x.vec_id < y.vec_id),
+       |pairs AS (
+       |  SELECT vec_a, vec_b FROM (
+       |    SELECT vec_a, vec_b,
+       |      round(list_reduce(list_transform(range(1, len(a.embedding) + 1),
+       |          i -> CAST(a.embedding[i] AS DOUBLE)
+       |               * CAST(b.embedding[i] AS DOUBLE)),
+       |          (x, y) -> x + y) / sqrt(a.n2 * b.n2), 6) AS cos_sim
+       |    FROM cand JOIN e a ON a.vec_id = vec_a
+       |              JOIN e b ON b.vec_id = vec_b)
+       |  WHERE cos_sim >= 0.4),
+       |edges AS (SELECT vec_a AS src, vec_b AS dst FROM pairs
+       |          UNION ALL SELECT vec_b, vec_a FROM pairs),
+       |r(v, node) AS (
+       |  SELECT vec_id, vec_id FROM embeddings
+       |  UNION
+       |  SELECT r.v, e2.dst FROM r JOIN edges e2 ON e2.src = r.node)
+       |SELECT v AS vec_id, MIN(node) AS cluster_id
+       |FROM r GROUP BY v ORDER BY vec_id""".stripMargin
+  }
+
   // -- dd_curation_funnel: the end-to-end corpus-prep composition -------------
   // The pipeline a training-data user actually runs, as ONE declarative
   // query so Catalyst fuses the gates into a single pass over the scan:
@@ -850,6 +902,7 @@ object Dedup extends QueryPack {
       "dd_embed_cosine" -> ddEmbedCosineExact _,
       "dd_embed_cosine_lsh" -> ddEmbedCosineLsh _,
       "dd_cluster" -> ddCluster _,
+      "dd_embed_cluster" -> ddEmbedCluster _,
       "dd_curation_funnel" -> ddCurationFunnel _
     )
 
@@ -865,6 +918,7 @@ object Dedup extends QueryPack {
     "dd_embed_cosine" -> ddEmbedCosineExactSql,
     "dd_embed_cosine_lsh" -> ddEmbedCosineLshSql,
     "dd_cluster" -> ddClusterSql,
+    "dd_embed_cluster" -> ddEmbedClusterSql,
     "dd_curation_funnel" -> ddCurationFunnelSql
   )
 }
