@@ -509,8 +509,82 @@ object Similarity extends QueryPack {
           m => s"x4[${PqDim * m + 1}:${PqDim * m + PqDim}]",
           assignD, pqCentD)}""".stripMargin
 
+  // -- sim_ivfpq: IVF-PQ search with asymmetric distance computation ----------
+  // The full billion-scale ANN query path (Jégou et al., "Product
+  // Quantization for Nearest Neighbor Search", TPAMI 2011): a coarse IVF
+  // assignment prunes the candidate set to the query's cell, and each
+  // survivor is scored WITHOUT decompressing its vector — its 4 PQ codes
+  // look up the trained sub-centroids and the distance is the sum of
+  // exact integer L2s between the query's subvectors and those
+  // sub-centroids (ADC). Queries keep their raw vectors (asymmetric);
+  // candidates exist only as codes.
+  //
+  // Scale shape: codebooks and the k=4 coarse centroid set are tiny
+  // broadcast relations; candidates shuffle once on cell; scoring is
+  // |cell| per query with 4 codebook lookups instead of a 64-dim scan.
+  // Same exact fixed-point Lloyd arithmetic as sim_pq / sim_kmeans, so
+  // nothing drifts cross-engine.
+  private val IvfQ = 492 // vec_id >= IvfQ are queries (as sim_ivf_probe)
+
+  private def ivfpqSql(base: String, slice: Int => String,
+                       assignF: (String, String) => String,
+                       centF: String => String,
+                       dist: (String, String) => String): String = {
+    val pqCtes = (0 until PqM).flatMap { m =>
+      Seq(
+        s"pb$m AS (SELECT vec_id, ${slice(m)} AS x4 FROM $base)",
+        s"pc0_$m AS (SELECT vec_id AS cell, x4 AS c FROM pb$m" +
+          s" WHERE vec_id < $KmK)",
+        s"pa1_$m AS (${assignF(s"pb$m", s"pc0_$m")})",
+        s"pc1_$m AS (${centF(s"pa1_$m")})",
+        s"pa2_$m AS (${assignF(s"pb$m", s"pc1_$m")})",
+        // candidate reconstructions: code -> trained sub-centroid
+        s"cd$m AS (SELECT e.vec_id, c.c FROM pa2_$m e" +
+          s" JOIN pc1_$m c ON e.cell = c.cell)")
+    }
+    s"""cents0 AS (SELECT vec_id AS cell, x4 AS c FROM $base
+       |  WHERE vec_id < $KmK),
+       |coarse AS (${assignF(base, "cents0")}),
+       |${pqCtes.mkString(",\n")},
+       |q AS (SELECT vec_id, cell,
+       |        ${(0 until PqM).map(m => s"${slice(m)} AS qs$m")
+                  .mkString(", ")}
+       |      FROM coarse WHERE vec_id >= $IvfQ),
+       |cand AS (SELECT vec_id, cell FROM coarse WHERE vec_id < $IvfQ)
+       |SELECT query_id, cell, neighbor_id, adc_dist,
+       |  CAST(rnk AS BIGINT) AS rnk FROM (
+       |  SELECT query_id, cell, neighbor_id, adc_dist,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY adc_dist, neighbor_id) AS rnk
+       |  FROM (
+       |    SELECT q.vec_id AS query_id, q.cell AS cell,
+       |      cand.vec_id AS neighbor_id,
+       |      ${(0 until PqM).map(m => dist(s"q.qs$m", s"cd$m.c"))
+                .mkString("\n      + ")} AS adc_dist
+       |    FROM q JOIN cand ON cand.cell = q.cell
+       |    ${(0 until PqM)
+              .map(m => s"JOIN cd$m ON cd$m.vec_id = cand.vec_id")
+              .mkString(" ")}))
+       |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin
+  }
+
+  private def simIvfPq(s: SparkSession, dir: String): DataFrame = {
+    table(s, dir, "embeddings")
+      .selectExpr("vec_id", s"$x4S AS x4")
+      .createOrReplaceTempView("ipq_base")
+    s.sql("WITH " + ivfpqSql("ipq_base",
+      m => s"slice(x4, ${PqDim * m + 1}, $PqDim)", assignS, pqCentS, distS))
+  }
+
+  private val simIvfPqSql =
+    s"""WITH base AS (SELECT vec_id, $x4D AS x4 FROM embeddings),
+       |${ivfpqSql("base",
+          m => s"x4[${PqDim * m + 1}:${PqDim * m + PqDim}]",
+          assignD, pqCentD, distD)}""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map(
+      "sim_ivfpq" -> simIvfPq _,
       "sim_pq" -> simPq _,
       "sim_kmeans" -> simKmeans _,
       "sim_norms" -> simNorms _,
@@ -523,6 +597,7 @@ object Similarity extends QueryPack {
     )
 
   override val oracles: Map[String, String] = Map(
+    "sim_ivfpq" -> simIvfPqSql,
     "sim_pq" -> simPqSql,
     "sim_kmeans" -> simKmeansSql,
     "sim_norms" -> simNormsSql,
