@@ -486,6 +486,32 @@ object Relational extends QueryPack {
        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
        |ORDER BY status, priority""".stripMargin
 
+  // -- q32: explicit grouping sets (partial lattice) --------------------------
+  // The grouping-set shapes cube/rollup can't express: both one-dimension
+  // margins WITHOUT the grand total, via the Dataset groupingSets API
+  // (Spark 4.0+). Same single-shuffle expansion as cube — each input row
+  // is replicated once per matching set before the hash aggregate.
+  private def q32(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "orders")
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+          Seq(col("o_orderstatus")), Seq(col("o_orderpriority"))),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), sumM(col("o_totalprice")).as("revenue"))
+      .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n"), col("revenue"))
+      .orderBy(col("status"), col("priority"))
+
+  private val q32Sql =
+    s"""SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       |  COALESCE(o_orderpriority, 'ALL') AS priority,
+       |  COUNT(*) AS n, ${sumMs("o_totalprice")} AS revenue
+       |FROM orders
+       |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+       |  (o_orderstatus), (o_orderpriority))
+       |ORDER BY status, priority""".stripMargin
+
   // -- q26: as-of join (latest prior click per purchase) ---------------------
   // Spark has no ASOF JOIN; the idiomatic shuffle-once shape is a tagged
   // union + running `last(..., ignoreNulls)` window — one sort per user,
@@ -684,6 +710,7 @@ object Relational extends QueryPack {
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map(
+      "q32_grouping_sets" -> q32 _,
       "q31_bloom_join" -> q31 _,
       "q30_kmv_distinct" -> q30 _,
       "q29_topk_per_key" -> q29 _,
@@ -718,6 +745,7 @@ object Relational extends QueryPack {
     )
 
   override val oracles: Map[String, String] = Map(
+    "q32_grouping_sets" -> q32Sql,
     "q31_bloom_join" -> q31Sql,
     "q30_kmv_distinct" -> q30Sql,
     "q29_topk_per_key" -> q29Sql,
