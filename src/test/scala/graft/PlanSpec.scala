@@ -160,6 +160,22 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
   }
 
+  test("txt_decontaminate: eval grams broadcast, no corpus cross product") {
+    val p = plan("txt_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+  }
+
+  test("sim_ivfpq: ADC scoring joins candidates on cell, codes on vec_id") {
+    val p = plan("sim_ivfpq")
+    // the only nested-loop allowed is the k-row centroid seeding cross
+    // join (assignment template); candidate scoring must stay equi
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
   test("mm_shard_pack: packing window stays partitioned") {
     val p = plan("mm_shard_pack")
     assert(p.contains("Window"), p.take(2000))
