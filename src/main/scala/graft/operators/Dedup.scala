@@ -132,7 +132,12 @@ object Dedup extends QueryPack {
       .mkString(" UNION ALL ")
   }
 
-  private def ddJaccard(s: SparkSession, dir: String): DataFrame = {
+  /** Unordered banded pairs — the composition form. Consumers that feed
+    * the pairs onward (dd_cluster's label propagation) use this so no
+    * range-partition sort (whose sampling pass re-executes the pipeline)
+    * sits inside their edge lineage.
+    */
+  private def ddJaccardPairs(s: SparkSession, dir: String): DataFrame = {
     val bandSelects = bandedSigRelation(s, dir, "jac_sigs")
     // length-ratio conjunct: j >= 0.6 implies min(sz)/max(sz) >= 0.6
     // (exact integers, pure prune — same rows out)
@@ -151,9 +156,11 @@ object Dedup extends QueryPack {
          |            JOIN jac_sigs b ON b.doc_id = doc_b
          |  WHERE least(size(a.hs), size(b.hs)) * 10
          |        >= greatest(size(a.hs), size(b.hs)) * 6)
-         |WHERE jaccard >= 0.6
-         |ORDER BY doc_a, doc_b""".stripMargin)
+         |WHERE jaccard >= 0.6""".stripMargin)
   }
+
+  private def ddJaccard(s: SparkSession, dir: String): DataFrame =
+    ddJaccardPairs(s, dir).orderBy(col("doc_a"), col("doc_b"))
 
   /** The independent all-pairs spec (no banding): hash-comparing the
     * banded Spark result against it makes the driver's gate verify the
@@ -574,7 +581,10 @@ object Dedup extends QueryPack {
       |WHERE cos_sim >= 0.4
       |ORDER BY vec_a, vec_b""".stripMargin
 
-  private def ddEmbedCosineLsh(s: SparkSession, dir: String): DataFrame = {
+  /** Unordered banded cosine pairs — the composition form (see
+    * [[ddJaccardPairs]] for why cluster inputs must not carry the sort).
+    */
+  private def ddEmbedLshPairs(s: SparkSession, dir: String): DataFrame = {
     VectorFunctions.ensureRegistered(s)
     // cached: the bucketed relation feeds all 12 band sides and both
     // re-score join-backs — the 60 hyperplane folds run once per vector
@@ -600,9 +610,11 @@ object Dedup extends QueryPack {
          |      / sqrt(a.n2 * b.n2), 6) AS cos_sim
          |  FROM cand JOIN cos_e a ON a.vec_id = vec_a
          |            JOIN cos_e b ON b.vec_id = vec_b)
-         |WHERE cos_sim >= 0.4
-         |ORDER BY vec_a, vec_b""".stripMargin)
+         |WHERE cos_sim >= 0.4""".stripMargin)
   }
+
+  private def ddEmbedCosineLsh(s: SparkSession, dir: String): DataFrame =
+    ddEmbedLshPairs(s, dir).orderBy(col("vec_a"), col("vec_b"))
 
   private val ddEmbedCosineLshSql = {
     val bandSelects = (0 until CosBands)
@@ -662,56 +674,64 @@ object Dedup extends QueryPack {
     */
   private[operators] def labelPropagate(pairs: DataFrame,
                                         nodes: DataFrame): DataFrame = {
+    val lpDebug = sys.env.contains("GRAFT_LP_DEBUG")
+    def stamp(what: String, t0: Long): Unit = if (lpDebug)
+      System.err.println(f"LP $what took ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    // The edge list is localCheckpoint'd (eager), not cached: every round
+    // references it, and a checkpoint both materializes the (possibly
+    // expensive) pair pipeline exactly once AND collapses its logical
+    // plan — often a large banded-join tree — to a leaf, so per-round
+    // Catalyst work doesn't re-traverse it.
     val edges = pairs.toDF("pa", "pb")
+    val tE = System.nanoTime()
     val edgesBoth = edges
       .union(edges.select(col("pb"), col("pa")))
       .toDF("src", "dst")
-      .cache()
+      .localCheckpoint()
+    stamp("edges", tE)
     // Only nodes incident to >=1 edge can ever change label, so the
     // loop runs on the pair graph alone — at corpus scale that's a tiny
     // fraction of the table (near-dups are rare), so every per-round
     // shuffle carries O(edge nodes), not O(corpus). Singletons rejoin
     // once, after the fixed point.
-    // `cached` tracks the frame actually holding the cache: labels is a
-    // projection over it, and unpersisting a derived frame would leave
-    // the parent's blocks resident round after round
-    var cached = edgesBoth
+    var labels = edgesBoth
       .select(col("src").as("doc_id"))
       .distinct()
       .select(col("doc_id"), col("doc_id").as("cluster_id"))
-      .cache()
-    var labels = cached
     var converged = false
     var iter = 0
-    // lineage-truncation period: components usually converge in 2-4
-    // rounds (no checkpoint paid); a deep chain checkpoints every 5
-    val CheckpointEvery = 5
     while (!converged && iter < 50) {
       val nbrMin = edgesBoth
         .join(labels, edgesBoth("dst") === labels("doc_id"))
         .groupBy(col("src"))
         .agg(min(col("cluster_id")).as("nbr_min"))
       // carry the previous label through the select so convergence is
-      // one filter-count on the SAME cached frame, not an extra join
+      // one filter-count on the SAME materialized frame, not an extra join
       val stepPlan = labels
         .join(nbrMin, labels("doc_id") === nbrMin("src"), "left")
         .select(labels("doc_id"), col("cluster_id").as("prev"),
           least(col("cluster_id"),
             coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"))
-      // localCheckpoint (eager) truncates lineage every few rounds; its
-      // blocks are owned by the checkpointed RDD (released by the
-      // ContextCleaner once unreferenced), so only plain-cache rounds
-      // need the explicit unpersist below
-      val step =
-        if ((iter + 1) % CheckpointEvery == 0) stepPlan.localCheckpoint()
-        else stepPlan.cache()
+      // localCheckpoint EVERY round (eager). This is lineage control, not
+      // caching: step N's logical plan embeds TWO copies of step N-1's
+      // (the nbrMin side and the join side), so without truncation the
+      // analyzed tree — and driver-side planning cost — DOUBLES per round
+      // (measured: the round-3 executed plan string was 111 MB and rounds
+      // slowed 1.5 -> 3 -> 8 -> 17 s on constant-size data). Caching does
+      // not help: InMemoryRelation substitution happens at planning, but
+      // the analyzed tree is still walked in full each round. Checkpointing
+      // collapses every round to a LogicalRDD leaf — the same reason
+      // GraphFrames' connectedComponents checkpoints every few iterations.
+      // Old round RDDs are reclaimed by the ContextCleaner once
+      // unreferenced.
+      val tCk = System.nanoTime()
+      val step = stepPlan.localCheckpoint()
+      stamp(s"checkpoint $iter", tCk)
       // one scalar to the driver per round — convergence check only
       val t0 = System.nanoTime()
       val changed = step.where(col("cluster_id") =!= col("prev")).count()
-      if (sys.env.contains("GRAFT_LP_DEBUG"))
+      if (lpDebug)
         System.err.println(f"LP round $iter%d changed=$changed%d took ${(System.nanoTime() - t0) / 1e9}%.2f s")
-      cached.unpersist()
-      cached = step
       labels = step.drop("prev")
       converged = changed == 0
       iter += 1
@@ -722,11 +742,6 @@ object Dedup extends QueryPack {
     if (!converged) throw new IllegalStateException(
       s"dd_cluster: not converged after $iter rounds — component " +
         "diameter exceeds the cap")
-    // edge blocks are no longer needed. The result stays backed by the
-    // final step's cache/checkpoint blocks — callers that loop over many
-    // queries (Bench) release them via spark.catalog.clearCache(); the
-    // checkpoint variant is reclaimed by the ContextCleaner on GC.
-    edgesBoth.unpersist()
     // Singletons (no edge) are their own cluster: one narrow left join of
     // the full node table against the (small, cached) converged labels.
     // The labels side is broadcast — it holds only edge-incident nodes, so
@@ -745,7 +760,7 @@ object Dedup extends QueryPack {
 
   private def ddCluster(s: SparkSession, dir: String): DataFrame =
     labelPropagate(
-      ddJaccard(s, dir).select("doc_a", "doc_b"),
+      ddJaccardPairs(s, dir).select("doc_a", "doc_b"),
       table(s, dir, "documents").select("doc_id"))
 
   private val ddClusterSql = {
@@ -784,7 +799,7 @@ object Dedup extends QueryPack {
   // so the component arithmetic is checked by a different algorithm.
   private def ddEmbedCluster(s: SparkSession, dir: String): DataFrame =
     labelPropagate(
-      ddEmbedCosineLsh(s, dir).select("vec_a", "vec_b"),
+      ddEmbedLshPairs(s, dir).select("vec_a", "vec_b"),
       table(s, dir, "embeddings").select(col("vec_id").as("doc_id")))
       .select(col("doc_id").as("vec_id"), col("cluster_id"))
 

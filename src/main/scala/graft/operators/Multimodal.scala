@@ -403,7 +403,11 @@ object Multimodal extends QueryPack {
   // DuckDB oracle is the INDEPENDENT all-pairs O(N^2) spec — no banding
   // — so the hash-compare checks the candidate recall, not a shared
   // shortcut.
-  private def mmPhashPairs(s: SparkSession, dir: String): DataFrame = {
+  /** Unordered banded pairs — the composition form (mm_phash_cluster's
+    * label propagation consumes this; no range-partition sort, whose
+    * sampling pass would re-execute the pipeline, in the edge lineage).
+    */
+  private def mmPhashPairsUnordered(s: SparkSession, dir: String): DataFrame = {
     // cached: the signature projection (64 substring probes per row)
     // feeds the 4 band sides AND both exact-re-check join-backs —
     // without the cache it would be recomputed 6x (same reason
@@ -423,9 +427,11 @@ object Multimodal extends QueryPack {
          |  cast(bit_count(a.phash ^ b.phash) as int) AS hamming
          |FROM cand JOIN phash_sigs a ON a.doc_id = doc_a
          |          JOIN phash_sigs b ON b.doc_id = doc_b
-         |WHERE bit_count(a.phash ^ b.phash) <= 3
-         |ORDER BY doc_a, doc_b""".stripMargin)
+         |WHERE bit_count(a.phash ^ b.phash) <= 3""".stripMargin)
   }
+
+  private def mmPhashPairs(s: SparkSession, dir: String): DataFrame =
+    mmPhashPairsUnordered(s, dir).orderBy(col("doc_a"), col("doc_b"))
 
   private val mmPhashPairsSql =
     s"""WITH $phashSigsSql
@@ -442,7 +448,7 @@ object Multimodal extends QueryPack {
   // edges (no banding) + recursive-CTE closure (no propagation).
   private def mmPhashCluster(s: SparkSession, dir: String): DataFrame =
     Dedup.labelPropagate(
-      mmPhashPairs(s, dir).select("doc_a", "doc_b"),
+      mmPhashPairsUnordered(s, dir).select("doc_a", "doc_b"),
       media(s, dir).select("doc_id"))
 
   private val mmPhashClusterSql =
