@@ -749,19 +749,22 @@ object Dedup extends QueryPack {
     // cached because the global sort below executes its input twice
     // (range-partition sampling + the sort itself) and the nodes side can
     // be expensive to scan (e.g. synthesized media payloads).
-    val full = nodes
+    // Returned UNSORTED (callers that dump add their own orderBy): a sort
+    // here would sit inside every composition's lineage, and the range
+    // partitioner's sampling pass re-executes the input pipeline.
+    nodes
       .select(col("doc_id"))
       .join(broadcast(labels), Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
       .cache()
-    full.orderBy(col("doc_id"))
   }
 
   private def ddCluster(s: SparkSession, dir: String): DataFrame =
     labelPropagate(
       ddJaccardPairs(s, dir).select("doc_a", "doc_b"),
       table(s, dir, "documents").select("doc_id"))
+      .orderBy(col("doc_id"))
 
   private val ddClusterSql = {
     val allPairsEdges =
@@ -802,6 +805,7 @@ object Dedup extends QueryPack {
       ddEmbedLshPairs(s, dir).select("vec_a", "vec_b"),
       table(s, dir, "embeddings").select(col("vec_id").as("doc_id")))
       .select(col("doc_id").as("vec_id"), col("cluster_id"))
+      .orderBy(col("vec_id"))
 
   private val ddEmbedClusterSql = {
     val bandSelects = (0 until CosBands)

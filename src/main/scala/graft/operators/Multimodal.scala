@@ -450,6 +450,7 @@ object Multimodal extends QueryPack {
     Dedup.labelPropagate(
       mmPhashPairsUnordered(s, dir).select("doc_a", "doc_b"),
       media(s, dir).select("doc_id"))
+      .orderBy(col("doc_id"))
 
   private val mmPhashClusterSql =
     s"""WITH RECURSIVE $phashSigsSql,
