@@ -549,7 +549,7 @@ object Dedup extends QueryPack {
     * deliberately a nested-loop join — quadratic by definition of the
     * spec, like sim_topk_brute.
     */
-  private def ddEmbedCosineExact(s: SparkSession, dir: String): DataFrame = {
+  private def ddEmbedExactPairs(s: SparkSession, dir: String): DataFrame = {
     VectorFunctions.ensureRegistered(s)
     val e = table(s, dir, "embeddings")
       .selectExpr("vec_id", "embedding",
@@ -561,9 +561,11 @@ object Dedup extends QueryPack {
         |    round(graft_dot(a.embedding, b.embedding)
         |      / sqrt(a.n2 * b.n2), 6) AS cos_sim
         |  FROM cosx_e a JOIN cosx_e b ON a.vec_id < b.vec_id)
-        |WHERE cos_sim >= 0.4
-        |ORDER BY vec_a, vec_b""".stripMargin)
+        |WHERE cos_sim >= 0.4""".stripMargin)
   }
+
+  private def ddEmbedCosineExact(s: SparkSession, dir: String): DataFrame =
+    ddEmbedExactPairs(s, dir).orderBy(col("vec_a"), col("vec_b"))
 
   private val ddEmbedCosineExactSql =
     """WITH e AS (
@@ -654,11 +656,12 @@ object Dedup extends QueryPack {
   // components are shallow (dozens of docs, diameter ~2-3), so this is
   // 2-4 small equi-join shuffles, never a transitive-closure blowup.
   // This is the same algorithm GraphFrames' connectedComponents runs.
-  // Every CheckpointEvery rounds the label frame is localCheckpoint'd,
-  // truncating lineage so plan depth (and re-planning cost) stays
-  // bounded no matter how many rounds a deep component needs. The
-  // driver-side loop is CONTROL FLOW only (one count per round for
-  // convergence) — no row data ever reaches the driver.
+  // The label frame is localCheckpoint'd EVERY round, truncating lineage
+  // so plan depth (and re-planning cost) stays bounded no matter how
+  // many rounds a deep component needs. The driver-side loop is CONTROL
+  // FLOW only — convergence is read from an accumulator filled during
+  // the checkpoint job itself, so each round is exactly ONE Spark job
+  // and no row data ever reaches the driver.
   //
   // The DuckDB oracle is independent twice over: all-pairs edges (no
   // banding) and a recursive-CTE transitive closure (no label
@@ -668,11 +671,25 @@ object Dedup extends QueryPack {
   /** Min-label propagation over an undirected pair list: every node in
     * `nodes` starts as its own cluster, takes the min label among itself
     * and its `pairs` neighbors each round, and the loop stops at the
-    * fixed point. Shared by dd_cluster (jaccard edges) and
-    * mm_phash_cluster (phash edges) — see dd_cluster's comment for the
-    * full scale rationale.
+    * fixed point. Shared by dd_cluster (jaccard edges), dd_embed_cluster
+    * (cosine-LSH edges) and mm_phash_cluster (phash edges) — see
+    * dd_cluster's comment for the full scale rationale. `op` names the
+    * calling operator in the non-convergence error.
+    *
+    * Node ids must be BIGINT (every graft table's id column is) — the
+    * convergence tap reads them as longs.
+    *
+    * RELEASE CONTRACT: the returned frame is `.cache()`'d (the global
+    * sort most callers add executes its input twice — range-partition
+    * sampling plus the sort — and the nodes scan can be expensive).
+    * The caller that materializes the result owns the release:
+    * `unpersist()` it (or `catalog.clearCache()`) once consumed, as
+    * Verify does per query and Bench per rep. Intermediate per-round
+    * localCheckpoint RDD blocks are reclaimed by the ContextCleaner
+    * once the loop drops its references.
     */
-  private[operators] def labelPropagate(pairs: DataFrame,
+  private[operators] def labelPropagate(op: String,
+                                        pairs: DataFrame,
                                         nodes: DataFrame): DataFrame = {
     val lpDebug = sys.env.contains("GRAFT_LP_DEBUG")
     def stamp(what: String, t0: Long): Unit = if (lpDebug)
@@ -694,6 +711,8 @@ object Dedup extends QueryPack {
     // fraction of the table (near-dups are rare), so every per-round
     // shuffle carries O(edge nodes), not O(corpus). Singletons rejoin
     // once, after the fixed point.
+    val session = pairs.sparkSession
+    import session.implicits._
     var labels = edgesBoth
       .select(col("src").as("doc_id"))
       .distinct()
@@ -705,8 +724,6 @@ object Dedup extends QueryPack {
         .join(labels, edgesBoth("dst") === labels("doc_id"))
         .groupBy(col("src"))
         .agg(min(col("cluster_id")).as("nbr_min"))
-      // carry the previous label through the select so convergence is
-      // one filter-count on the SAME materialized frame, not an extra join
       val stepPlan = labels
         .join(nbrMin, labels("doc_id") === nbrMin("src"), "left")
         .select(labels("doc_id"), col("cluster_id").as("prev"),
@@ -724,14 +741,27 @@ object Dedup extends QueryPack {
       // GraphFrames' connectedComponents checkpoints every few iterations.
       // Old round RDDs are reclaimed by the ContextCleaner once
       // unreferenced.
+      //
+      // Convergence piggybacks on the SAME job: a mapPartitions tap
+      // counts changed labels into an accumulator while the checkpoint
+      // materializes, so each round is one Spark job, not two (the
+      // separate count() job roughly doubled wall time at sf0.1, where
+      // the contended-box floor is ~1-2 s per job regardless of data).
+      // Task retries can only over-count — rows that DID change counted
+      // twice — never under-count, so `changed == 0` stays exact: a
+      // benign extra round in the worst case, and only on retry.
+      val acc = session.sparkContext.longAccumulator(s"$op-lp-changed-$iter")
+      val tapped = stepPlan.as[(Long, Long, Long)]
+        .mapPartitions { it =>
+          it.map { r => if (r._2 != r._3) acc.add(1L); r }
+        }
+        .toDF("doc_id", "prev", "cluster_id")
       val tCk = System.nanoTime()
-      val step = stepPlan.localCheckpoint()
+      val step = tapped.localCheckpoint()
       stamp(s"checkpoint $iter", tCk)
-      // one scalar to the driver per round — convergence check only
-      val t0 = System.nanoTime()
-      val changed = step.where(col("cluster_id") =!= col("prev")).count()
+      val changed = acc.value
       if (lpDebug)
-        System.err.println(f"LP round $iter%d changed=$changed%d took ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        System.err.println(s"LP round $iter changed=$changed")
       labels = step.drop("prev")
       converged = changed == 0
       iter += 1
@@ -740,28 +770,28 @@ object Dedup extends QueryPack {
     // partially-merged groups; a >50-hop min-label chain means the
     // corpus isn't the shallow near-dup graph this operator is for
     if (!converged) throw new IllegalStateException(
-      s"dd_cluster: not converged after $iter rounds — component " +
+      s"$op: not converged after $iter rounds — component " +
         "diameter exceeds the cap")
     // Singletons (no edge) are their own cluster: one narrow left join of
-    // the full node table against the (small, cached) converged labels.
-    // The labels side is broadcast — it holds only edge-incident nodes, so
-    // the corpus-sized probe side never shuffles. The joined frame is
-    // cached because the global sort below executes its input twice
-    // (range-partition sampling + the sort itself) and the nodes side can
-    // be expensive to scan (e.g. synthesized media payloads).
+    // the full node table against the converged labels. No broadcast hint:
+    // the label set is data-dependent (ALL edge-incident nodes — on a
+    // high-near-dup web corpus that can be a large fraction of the
+    // table, past the 8 GB broadcast ceiling), so the join strategy is
+    // left to the planner — AQE sees the actual checkpointed size at
+    // runtime and picks broadcast exactly when it is safe.
     // Returned UNSORTED (callers that dump add their own orderBy): a sort
     // here would sit inside every composition's lineage, and the range
     // partitioner's sampling pass re-executes the input pipeline.
     nodes
       .select(col("doc_id"))
-      .join(broadcast(labels), Seq("doc_id"), "left")
+      .join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
       .cache()
   }
 
   private def ddCluster(s: SparkSession, dir: String): DataFrame =
-    labelPropagate(
+    labelPropagate("dd_cluster",
       ddJaccardPairs(s, dir).select("doc_a", "doc_b"),
       table(s, dir, "documents").select("doc_id"))
       .orderBy(col("doc_id"))
@@ -799,9 +829,17 @@ object Dedup extends QueryPack {
   // min-label propagation as dd_cluster. A keep-one-per-cluster pass over
   // this output is the SemDeDup-style curation step. The oracle re-derives
   // the banded edges independently and closes them with a recursive CTE,
-  // so the component arithmetic is checked by a different algorithm.
+  // so the component arithmetic is checked by a different algorithm —
+  // but over the SAME (deterministic) banded candidate set, because on
+  // this corpus banding recall at cos >= 0.4 is ~49% by design (the
+  // pairs are the extreme tail of uniform noise — see the recall note at
+  // dd_embed_cosine), so exact edges would differ by construction.
+  // Candidate RECALL is gated separately and exactly by
+  // dd_embed_cluster_exact below (exact edges, both engines) plus
+  // DedupRecallSpec's refinement assertion (banded clusters partition-
+  // refine exact clusters, which holds iff banded edges ⊆ exact edges).
   private def ddEmbedCluster(s: SparkSession, dir: String): DataFrame =
-    labelPropagate(
+    labelPropagate("dd_embed_cluster",
       ddEmbedLshPairs(s, dir).select("vec_a", "vec_b"),
       table(s, dir, "embeddings").select(col("vec_id").as("doc_id")))
       .select(col("doc_id").as("vec_id"), col("cluster_id"))
@@ -844,6 +882,47 @@ object Dedup extends QueryPack {
        |SELECT v AS vec_id, MIN(node) AS cluster_id
        |FROM r GROUP BY v ORDER BY vec_id""".stripMargin
   }
+
+  // -- dd_embed_cluster_exact: the exact-edge spec for dd_embed_cluster -------
+  // Same min-label propagation, but over the EXACT all-pairs cosine
+  // edges (dd_embed_cosine's quadratic spec — small-scale oracle role,
+  // like sim_topk_brute for the ANN paths, NOT the 100 TB path). The
+  // DuckDB oracle closes the same exact edge spec with a recursive CTE,
+  // so this row gates candidate recall AND closure against formulations
+  // independent of banding and of label propagation — the exactness
+  // anchor the banded dd_embed_cluster is measured against in
+  // DedupRecallSpec's refinement assertion.
+  private def ddEmbedClusterExact(s: SparkSession, dir: String): DataFrame =
+    labelPropagate("dd_embed_cluster_exact",
+      ddEmbedExactPairs(s, dir).select("vec_a", "vec_b"),
+      table(s, dir, "embeddings").select(col("vec_id").as("doc_id")))
+      .select(col("doc_id").as("vec_id"), col("cluster_id"))
+      .orderBy(col("vec_id"))
+
+  private val ddEmbedClusterExactSql =
+    """WITH RECURSIVE e AS (
+      |  SELECT vec_id, embedding,
+      |    list_reduce(list_transform(range(1, len(embedding) + 1),
+      |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+      |      (x, y) -> x + y) AS n2
+      |  FROM embeddings),
+      |pairs AS (
+      |  SELECT vec_a, vec_b FROM (
+      |    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |      round(list_reduce(list_transform(range(1, len(a.embedding) + 1),
+      |          i -> CAST(a.embedding[i] AS DOUBLE)
+      |               * CAST(b.embedding[i] AS DOUBLE)),
+      |          (x, y) -> x + y) / sqrt(a.n2 * b.n2), 6) AS cos_sim
+      |    FROM e a JOIN e b ON a.vec_id < b.vec_id)
+      |  WHERE cos_sim >= 0.4),
+      |edges AS (SELECT vec_a AS src, vec_b AS dst FROM pairs
+      |          UNION ALL SELECT vec_b, vec_a FROM pairs),
+      |r(v, node) AS (
+      |  SELECT vec_id, vec_id FROM embeddings
+      |  UNION
+      |  SELECT r.v, e2.dst FROM r JOIN edges e2 ON e2.src = r.node)
+      |SELECT v AS vec_id, MIN(node) AS cluster_id
+      |FROM r GROUP BY v ORDER BY vec_id""".stripMargin
 
   // -- dd_curation_funnel: the end-to-end corpus-prep composition -------------
   // The pipeline a training-data user actually runs, as ONE declarative
@@ -922,6 +1001,7 @@ object Dedup extends QueryPack {
       "dd_embed_cosine_lsh" -> ddEmbedCosineLsh _,
       "dd_cluster" -> ddCluster _,
       "dd_embed_cluster" -> ddEmbedCluster _,
+      "dd_embed_cluster_exact" -> ddEmbedClusterExact _,
       "dd_curation_funnel" -> ddCurationFunnel _
     )
 
@@ -938,6 +1018,7 @@ object Dedup extends QueryPack {
     "dd_embed_cosine_lsh" -> ddEmbedCosineLshSql,
     "dd_cluster" -> ddClusterSql,
     "dd_embed_cluster" -> ddEmbedClusterSql,
+    "dd_embed_cluster_exact" -> ddEmbedClusterExactSql,
     "dd_curation_funnel" -> ddCurationFunnelSql
   )
 }

@@ -447,7 +447,7 @@ object Multimodal extends QueryPack {
   // does (dd_cluster). Oracle: independent twice over — all-pairs
   // edges (no banding) + recursive-CTE closure (no propagation).
   private def mmPhashCluster(s: SparkSession, dir: String): DataFrame =
-    Dedup.labelPropagate(
+    Dedup.labelPropagate("mm_phash_cluster",
       mmPhashPairsUnordered(s, dir).select("doc_a", "doc_b"),
       media(s, dir).select("doc_id"))
       .orderBy(col("doc_id"))

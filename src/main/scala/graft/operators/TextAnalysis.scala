@@ -581,11 +581,16 @@ object TextAnalysis extends QueryPack {
           " array_sort(array_distinct(transform(sequence(1, size(hs) - 3)," +
           " i -> array_min(slice(hs, i, 4)))))" +
           " ELSE cast(array() as array<bigint>) END AS fps")
-      .selectExpr("doc_id", "cast(size(fps) as bigint) AS n_fps", "fps")
+      // The comparator (pandas) cannot sort array cells, so flatten the
+      // fingerprint set to a canonical comma-joined string; arithmetic above
+      // is untouched and a downstream join would consume `fps` pre-join.
+      .selectExpr("doc_id", "cast(size(fps) as bigint) AS n_fps",
+        "array_join(fps, ',') AS fps")
       .orderBy(col("doc_id"))
 
   private val txtWinnowSql =
-    """SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fps, fps FROM (
+    """SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fps,
+      |  array_to_string(fps, ',') AS fps FROM (
       |  SELECT doc_id,
       |    list_sort(list_distinct(list_transform(range(1, len(hs) - 2),
       |      i -> list_min(list_slice(hs, i, i + 3))))) AS fps

@@ -28,4 +28,29 @@ class DedupRecallSpec extends AnyFunSuite {
       assert(exact(k) == sim, s"re-scored cosine diverges on $k")
     }
   }
+
+  private def clusters(name: String): Map[Long, Long] =
+    SparkEntry.queries(name)(spark, dir).collect().map { r =>
+      r.getLong(0) -> r.getLong(1)
+    }.toMap
+
+  // Banded edges ⊆ exact edges  ⟺  the banded partition REFINES the
+  // exact partition: two vectors the banded path clusters together must
+  // be together in the exact clustering too (an edge the banding kept is
+  // a real threshold edge), while exact clusters may merge several
+  // banded ones (missed edges only split, never mix). This gates
+  // candidate recall on the CLUSTER path against the exact spec — the
+  // direction a hash-compare over the shared banded candidate set
+  // cannot see.
+  test("dd_embed_cluster refines dd_embed_cluster_exact") {
+    val exact = clusters("dd_embed_cluster_exact")
+    val banded = clusters("dd_embed_cluster")
+    assert(exact.keySet == banded.keySet, "node sets differ")
+    banded.groupBy(_._2).values.foreach { members =>
+      val exactLabels = members.keys.map(exact).toSet
+      assert(exactLabels.size == 1,
+        s"banded cluster spans exact clusters $exactLabels " +
+          s"(members ${members.keys.toList.sorted})")
+    }
+  }
 }
