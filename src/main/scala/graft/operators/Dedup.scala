@@ -200,8 +200,11 @@ object Dedup extends QueryPack {
   // doc) can be missed; measured on this corpus every containment>=0.8
   // pair also has j >= 0.6 (0 low-jaccard escapes at sf0.01 and sf0.1,
   // verified against the all-pairs oracle below each round). Corpora
-  // with extreme size skew should band on the SMALL side's full
-  // signature instead (k keys per doc, same shape).
+  // with extreme size skew need the small-side candidate scheme —
+  // implemented below as dd_containment_smallside (deterministic
+  // prefix filtering, guaranteed recall; DedupRecallSpec drives it
+  // over an adversarial tiny-doc-in-huge-doc fixture this banding
+  // would miss).
   private def ddContainment(s: SparkSession, dir: String): DataFrame = {
     val bandSelects = bandedSigRelation(s, dir, "cont_sigs")
     s.sql(
@@ -238,6 +241,52 @@ object Dedup extends QueryPack {
        |  FROM docs a JOIN docs b ON a.doc_id < b.doc_id)
        |WHERE containment >= 0.8
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  // -- dd_containment_smallside: skew-proof containment candidates ------------
+  // The candidate scheme the dd_containment recall contract calls for on
+  // size-skewed corpora: small-side PREFIX FILTERING (the SSJoin/PPJoin
+  // family, Chaudhuri et al. ICDE'06 / Xiao et al. WWW'08) instead of
+  // Jaccard-tuned MinHash banding. Each doc PROBES with its
+  // floor(|d|/5)+1 smallest shingle hashes (hs is already value-sorted)
+  // and is INDEXED by its full hash set; a qualifying pair (A,B),
+  // |A| <= |B|, has at most floor(0.2*|A|) of A's shingles outside B, so
+  // by pigeonhole at least one of A's floor(|A|/5)+1 probe hashes hits
+  // B's index — recall is GUARANTEED, not probabilistic, which is why
+  // this query's all-pairs oracle gates candidate recall exactly.
+  //
+  // Scale shape: the index side is an inverted shingle-hash index —
+  // linear in corpus shingles, one equi-join shuffle on the hash value,
+  // never a cross product; the probe side carries ~1/5th of the
+  // shingles. Hot (boilerplate) shingles skew the join — AQE skew-join
+  // handles moderate skew, and the production refinement is the
+  // classic frequency-ordered prefix (rarest-first) plus stop-shingle
+  // pruning, which drains the hot keys entirely. The exact per-pair
+  // re-check (graft_isect >= 0.8 * min size) is unchanged from
+  // dd_containment.
+  private def ddContainmentSmallside(s: SparkSession, dir: String): DataFrame = {
+    bandedSigRelation(s, dir, "contp_sigs")
+    s.sql(
+      s"""WITH probe AS (
+         |  SELECT doc_id, size(hs) AS sz,
+         |    explode(slice(hs, 1, (size(hs) div 5) + 1)) AS h
+         |  FROM contp_sigs),
+         |idx AS (
+         |  SELECT doc_id, size(hs) AS sz, explode(hs) AS h FROM contp_sigs),
+         |cand AS (
+         |  SELECT DISTINCT least(p.doc_id, i.doc_id) AS doc_a,
+         |                  greatest(p.doc_id, i.doc_id) AS doc_b
+         |  FROM probe p JOIN idx i
+         |    ON p.h = i.h
+         |   AND (p.sz < i.sz OR (p.sz = i.sz AND p.doc_id <> i.doc_id)))
+         |SELECT doc_a, doc_b, containment FROM (
+         |  SELECT doc_a, doc_b,
+         |    round(cast(graft_isect(a.hs, b.hs) as double)
+         |      / least(size(a.hs), size(b.hs)), 6) AS containment
+         |  FROM cand JOIN contp_sigs a ON a.doc_id = doc_a
+         |            JOIN contp_sigs b ON b.doc_id = doc_b)
+         |WHERE containment >= 0.8
+         |ORDER BY doc_a, doc_b""".stripMargin)
+  }
 
   // -- dd_minhash: per-document MinHash signatures ----------------------------
   // One narrow pass: signature j = min over shingles of (A_j*h + B_j) mod P.
@@ -1000,6 +1049,7 @@ object Dedup extends QueryPack {
       "dd_embed_cosine" -> ddEmbedCosineExact _,
       "dd_embed_cosine_lsh" -> ddEmbedCosineLsh _,
       "dd_cluster" -> ddCluster _,
+      "dd_containment_smallside" -> ddContainmentSmallside _,
       "dd_embed_cluster" -> ddEmbedCluster _,
       "dd_embed_cluster_exact" -> ddEmbedClusterExact _,
       "dd_curation_funnel" -> ddCurationFunnel _
@@ -1017,6 +1067,7 @@ object Dedup extends QueryPack {
     "dd_embed_cosine" -> ddEmbedCosineExactSql,
     "dd_embed_cosine_lsh" -> ddEmbedCosineLshSql,
     "dd_cluster" -> ddClusterSql,
+    "dd_containment_smallside" -> ddContainmentSql,
     "dd_embed_cluster" -> ddEmbedClusterSql,
     "dd_embed_cluster_exact" -> ddEmbedClusterExactSql,
     "dd_curation_funnel" -> ddCurationFunnelSql

@@ -358,7 +358,8 @@ object Similarity extends QueryPack {
     * dialects — only the distance snippet differs — so the Spark query
     * and its oracle cannot drift apart one-sidedly.
     */
-  private def assign(base: String, cents: String, dist: String): String =
+  private def assignTop(base: String, cents: String, dist: String,
+                        n: Int): String =
     s"""SELECT vec_id, x4, cell, dist FROM (
        |  SELECT vec_id, x4, cell, dist,
        |    row_number() OVER (PARTITION BY vec_id
@@ -366,11 +367,18 @@ object Similarity extends QueryPack {
        |  FROM (SELECT v.vec_id, v.x4, c.cell,
        |          $dist AS dist
        |        FROM $base v CROSS JOIN $cents c))
-       |WHERE rnk = 1""".stripMargin
+       |WHERE rnk <= $n""".stripMargin
+  private def assign(base: String, cents: String, dist: String): String =
+    assignTop(base, cents, dist, 1)
   private def assignS(base: String, cents: String): String =
     assign(base, cents, distS("v.x4", "c.c"))
   private def assignD(base: String, cents: String): String =
     assign(base, cents, distD("v.x4", "c.c"))
+  /** Top-`IvfNprobe` cells per vector — the query-side probe set. */
+  private def assignS2(base: String, cents: String): String =
+    assignTop(base, cents, distS("v.x4", "c.c"), IvfNprobe)
+  private def assignD2(base: String, cents: String): String =
+    assignTop(base, cents, distD("v.x4", "c.c"), IvfNprobe)
 
   private def simKmeans(s: SparkSession, dir: String): DataFrame = {
     table(s, dir, "embeddings")
@@ -524,10 +532,20 @@ object Similarity extends QueryPack {
   // |cell| per query with 4 codebook lookups instead of a 64-dim scan.
   // Same exact fixed-point Lloyd arithmetic as sim_pq / sim_kmeans, so
   // nothing drifts cross-engine.
+  //
+  // nprobe = 2: each query probes its TWO nearest coarse cells — the
+  // standard mitigation for the classic IVF failure mode, a true
+  // neighbor sitting just across the query's cell boundary. The probe
+  // set is still a handful of (query, cell) keys joined cell-bucketed
+  // against the candidates (cells are disjoint, so no DISTINCT is
+  // needed); ranking runs over the union of both probed cells. The
+  // arithmetic stays integer-exact, so the oracle restates it verbatim.
   private val IvfQ = 492 // vec_id >= IvfQ are queries (as sim_ivf_probe)
+  private val IvfNprobe = 2
 
   private def ivfpqSql(base: String, slice: Int => String,
                        assignF: (String, String) => String,
+                       assign2F: (String, String) => String,
                        centF: String => String,
                        dist: (String, String) => String): String = {
     val pqCtes = (0 until PqM).flatMap { m =>
@@ -549,7 +567,9 @@ object Similarity extends QueryPack {
        |q AS (SELECT vec_id, cell,
        |        ${(0 until PqM).map(m => s"${slice(m)} AS qs$m")
                   .mkString(", ")}
-       |      FROM coarse WHERE vec_id >= $IvfQ),
+       |      FROM (${assign2F(
+                  s"(SELECT * FROM $base WHERE vec_id >= $IvfQ)",
+                  "cents0")})),
        |cand AS (SELECT vec_id, cell FROM coarse WHERE vec_id < $IvfQ)
        |SELECT query_id, cell, neighbor_id, adc_dist,
        |  CAST(rnk AS BIGINT) AS rnk FROM (
@@ -573,14 +593,15 @@ object Similarity extends QueryPack {
       .selectExpr("vec_id", s"$x4S AS x4")
       .createOrReplaceTempView("ipq_base")
     s.sql("WITH " + ivfpqSql("ipq_base",
-      m => s"slice(x4, ${PqDim * m + 1}, $PqDim)", assignS, pqCentS, distS))
+      m => s"slice(x4, ${PqDim * m + 1}, $PqDim)", assignS, assignS2,
+      pqCentS, distS))
   }
 
   private val simIvfPqSql =
     s"""WITH base AS (SELECT vec_id, $x4D AS x4 FROM embeddings),
        |${ivfpqSql("base",
           m => s"x4[${PqDim * m + 1}:${PqDim * m + PqDim}]",
-          assignD, pqCentD, distD)}""".stripMargin
+          assignD, assignD2, pqCentD, distD)}""".stripMargin
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map(

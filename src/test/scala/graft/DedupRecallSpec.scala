@@ -42,6 +42,25 @@ class DedupRecallSpec extends AnyFunSuite {
   // candidate recall on the CLUSTER path against the exact spec — the
   // direction a hash-compare over the shared banded candidate set
   // cannot see.
+  // Adversarial size-skew fixture: a tiny doc that is a verbatim prefix
+  // of a huge doc. Containment = 1.0 (every tiny bigram appears in the
+  // huge doc) but Jaccard ≈ 11/311 — far below anything the 8x2
+  // Jaccard-tuned MinHash banding reliably collides on. The prefix-
+  // filter scheme must find it by construction (guaranteed recall).
+  test("dd_containment_smallside finds tiny-doc-in-huge-doc pairs") {
+    import spark.implicits._
+    val tiny = (1 to 12).map(i => s"t$i").mkString(" ")
+    val huge = tiny + " " + (1 to 300).map(i => s"f$i").mkString(" ")
+    val fixDir =
+      java.nio.file.Files.createTempDirectory("graft_contp").toString
+    Seq((1L, tiny), (2L, huge)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$fixDir/documents.parquet")
+    val got = SparkEntry.queries("dd_containment_smallside")(spark, fixDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((1L, 2L, 1.0)),
+      s"expected the contained pair with containment 1.0, got ${got.toSeq}")
+  }
+
   test("dd_embed_cluster refines dd_embed_cluster_exact") {
     val exact = clusters("dd_embed_cluster_exact")
     val banded = clusters("dd_embed_cluster")

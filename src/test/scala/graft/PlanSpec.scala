@@ -92,6 +92,14 @@ class PlanSpec extends AnyFunSuite {
       p.contains("ShuffledHashJoin"), p.take(3000))
   }
 
+  test("dd_containment_smallside: inverted-index equi join, no cross product") {
+    val p = plan("dd_containment_smallside")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), p.take(3000))
+  }
+
   test("st_funnel: all funnel joins are equi joins on the user key") {
     val p = plan("st_funnel")
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
