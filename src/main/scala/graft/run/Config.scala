@@ -41,7 +41,8 @@ object Config {
         lookbackDays = int("lookback_days", 7),
         // default true (deliberate divergence from extract.py:162's
         // verify=False — see JiraConfig.verifySsl)
-        verifySsl = bool("verify_ssl", true))
+        verifySsl = bool("verify_ssl", true),
+        logFiles = bool("log_files", false))
     }.toEither.left.map(e => s"invalid config $path: ${e.getMessage}")
   }
 }

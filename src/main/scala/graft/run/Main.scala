@@ -56,6 +56,8 @@ object Main {
     val processedDir = o.dataDir.resolve("processed")
     val checkpoints = new Checkpoints(o.dataDir.resolve("checkpoints"))
     Seq(rawDir, processedDir).foreach(Files.createDirectories(_))
+    val log = new RunLog(o.dataDir, o.cfg.logFiles)
+    log.main("Pipeline started")
 
     if (o.clean) checkpoints.clean(o.project)
 
@@ -70,10 +72,14 @@ object Main {
         val http = new JdkJiraHttp(cfg.timeoutMillis, cfg.verifySsl)
         val results = JiraSource.fetchAll(cfg, rawDir, checkpoints, http)
         results.foreach {
-          case Right(r) => println(
-            s"[extract] ${r.project}: ${r.issues} issues / ${r.pages} pages")
-          case Left((p, e)) => System.err.println(
-            s"[extract] $p failed: ${e.getMessage}")
+          case Right(r) =>
+            println(
+              s"[extract] ${r.project}: ${r.issues} issues / ${r.pages} pages")
+            log.extraction(
+              s"${r.project}: ${r.issues} issues / ${r.pages} pages")
+          case Left((p, e)) =>
+            System.err.println(s"[extract] $p failed: ${e.getMessage}")
+            log.extraction(s"$p failed: ${e.getMessage}", "ERROR")
         }
         results.exists(_.isRight) || results.isEmpty
       }
@@ -91,16 +97,22 @@ object Main {
         val counts = JsonlSink.writeGoldenJsonl(records, processedDir.toString)
         counts.toSeq.sortBy(_._1).foreach { case (p, n) =>
           println(s"[transform] $p: $n records")
+          log.transformation(s"$p: $n records")
         }
         true
       } match {
         case Success(ok) => ok
         case Failure(e) =>
           System.err.println(s"[transform] failed: ${e.getMessage}")
+          log.transformation(s"failed: ${e.getMessage}", "ERROR")
           false
       }
 
-    extractOk && transformOk
+    val ok = extractOk && transformOk
+    log.main(if (ok) "Pipeline completed successfully"
+             else "Pipeline completed with errors",
+      if (ok) "INFO" else "ERROR")
+    ok
   }
 
   def main(args: Array[String]): Unit = {

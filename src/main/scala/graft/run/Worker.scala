@@ -21,7 +21,8 @@ import scala.util.{Failure, Success, Try}
   */
 class Worker(statusPath: Path = Paths.get("data/worker_status.json"),
              now: () => Instant = () => Instant.now(),
-             sleep: Double => Unit = s => Thread.sleep((s * 1000).toLong)) {
+             sleep: Double => Unit = s => Thread.sleep((s * 1000).toLong),
+             log: RunLog = RunLog.disabled) {
 
   private val startTime = now()
   private var lastSuccessfulRun: Option[Instant] = None
@@ -44,6 +45,7 @@ class Worker(statusPath: Path = Paths.get("data/worker_status.json"),
       Option(statusPath.getParent).foreach(Files.createDirectories(_))
       Files.writeString(statusPath, json)
     }
+    log.worker(message, if (success) "INFO" else "ERROR")
     ()
   }
 

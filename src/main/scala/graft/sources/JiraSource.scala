@@ -32,7 +32,11 @@ case class JiraConfig(
     // self-signed instances must opt out explicitly with
     // `"verify_ssl": false` in config.json (and get a loud warning).
     verifySsl: Boolean = true,
-    timeoutMillis: Int = 15000)
+    timeoutMillis: Int = 15000,
+    // `"log_files": true` turns on the reference's per-module append-only
+    // log files (`main.py:22-29` etc. — see graft.run.RunLog); console
+    // output stays the default surface either way
+    logFiles: Boolean = false)
 
 /** Minimal HTTP surface so the retry state machine is testable against a
   * scripted stub (SURVEY.md §5 item 4). `get` returns (status, body) or

@@ -110,4 +110,44 @@ class WorkerSpec extends AnyFunSuite {
     assert(graft.run.Config.load(bad).isLeft)
     assert(graft.run.Config.load(dir.resolve("missing.json")).isLeft)
   }
+
+  // -- log-file parity (`main.py:22-29` / `worker.py:26-33`) ----------------
+
+  test("worker.log appears and appends when file logging is on") {
+    val dir = Files.createTempDirectory("graft-worker")
+    val clock = new Clock()
+    val w = new Worker(dir.resolve("s.json"), clock.now _, clock.sleep _,
+      new graft.run.RunLog(dir, enabled = true, clock.now _))
+    w.updateStatus(success = true, "Worker started")
+    w.updateStatus(success = false, "boom")
+    val lines = Files.readAllLines(dir.resolve("worker.log"))
+    assert(lines.size == 2, s"expected 2 appended lines, got $lines")
+    // Python's default asctime shape: "1970-01-01 00:00:00,000 [INFO] ..."
+    assert(lines.get(0).matches(
+      """\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2},\d{3} \[INFO\] Worker started"""))
+    assert(lines.get(1).endsWith("[ERROR] boom"))
+  }
+
+  test("disabled RunLog (the default) writes no files") {
+    val dir = Files.createTempDirectory("graft-worker")
+    val clock = new Clock()
+    val w = new Worker(dir.resolve("s.json"), clock.now _, clock.sleep _)
+    w.updateStatus(success = true, "Worker started")
+    assert(!Files.exists(dir.resolve("worker.log")))
+  }
+
+  test("pipeline writes main.log start/end lines when log_files is on") {
+    val dir = Files.createTempDirectory("graft-main")
+    val o = Main.Options(runExtract = false, runTransform = false,
+      dataDir = dir,
+      cfg = graft.sources.JiraConfig(logFiles = true))
+    assert(Main.runPipeline(o))
+    val lines = Files.readAllLines(dir.resolve("main.log"))
+    assert(lines.size == 2)
+    assert(lines.get(0).endsWith("[INFO] Pipeline started"))
+    assert(lines.get(1).endsWith("[INFO] Pipeline completed successfully"))
+    // second run APPENDS (FileHandler mode='a' parity)
+    assert(Main.runPipeline(o))
+    assert(Files.readAllLines(dir.resolve("main.log")).size == 4)
+  }
 }
