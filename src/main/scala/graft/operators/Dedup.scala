@@ -301,6 +301,95 @@ object Dedup extends QueryPack {
          |ORDER BY doc_a, doc_b""".stripMargin)
   }
 
+  // -- dd_span: cross-document repeated-substring spans -----------------------
+  // The ExactSubstr pass (Lee et al. 2022, "Deduplicating Training Data
+  // Makes Language Models Better"): near-dup pair detection misses the
+  // common web-corpus failure where only a PORTION of a document (a
+  // licence header, a quoted article, a templated footer) is duplicated
+  // across otherwise-distinct pages. This finds, per document, the
+  // maximal token spans whose every 8-word window also occurs in at
+  // least one OTHER document — the spans a span-level dedup pass would
+  // cut. The reference's scraper has no analogue; this is training-data
+  // hygiene the engine adds (same rationale as txt_decontaminate,
+  // TextAnalysis.scala).
+  //
+  // Shape, replacing the paper's monolithic suffix array (which needs
+  // the whole corpus in one address space) with pure shuffle-parallel
+  // relational ops:
+  //   1. explode each doc into positioned 8-gram md5 keys — narrow
+  //      per-doc pass, the wide toks array is pruned inside the same
+  //      codegen stage;
+  //   2. keys held by >= 2 distinct docs (two-phase count-distinct
+  //      aggregate; the shuffle carries 32-byte keys);
+  //   3. LEFT SEMI join positions back onto the surviving keys —
+  //      equi-join, map-side-prunable, never a pair product (a gram
+  //      shared by n docs costs n index rows, not n^2 pair rows —
+  //      the reason this scales where all-pairs span intersection
+  //      cannot);
+  //   4. gaps-and-islands per doc: windows partitioned BY DOC (fully
+  //      parallel, no global sort) merge positions whose 8-token
+  //      intervals overlap or touch (gap <= 8) into maximal spans.
+  // The final ORDER BY is presentation-only. All arithmetic is integer;
+  // the DuckDB oracle restates the identical five stages.
+  private val SpanK = 8
+  private def ddSpan(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gk = table(s, dir, "documents")
+      .selectExpr("doc_id", "split(text, ' ') AS toks")
+      .filter(s"size(toks) >= $SpanK")
+      .selectExpr("doc_id", "toks",
+        s"explode(sequence(1, size(toks) - ${SpanK - 1})) AS pos")
+      .selectExpr("doc_id", "cast(pos as bigint) AS pos",
+        s"md5(concat_ws(' ', slice(toks, pos, $SpanK))) AS k")
+    val dup = gk.groupBy("k")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select("k")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    gk.join(dup, Seq("k"), "left_semi")
+      .select("doc_id", "pos").distinct()
+      // lag = null on the first row: null <= 8 is null -> otherwise(1),
+      // starting a new island, identically three-valued in DuckDB
+      .withColumn("flag",
+        when(col("pos") - lag("pos", 1).over(w) <= SpanK, lit(0L))
+          .otherwise(lit(1L)))
+      .withColumn("grp", sum("flag")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("doc_id", "grp")
+      .agg(min("pos").as("span_start"),
+        (max("pos") + lit(SpanK - 1)).as("span_end"),
+        count(lit(1)).as("n_grams"))
+      .select("doc_id", "span_start", "span_end", "n_grams")
+      .orderBy("doc_id", "span_start")
+  }
+
+  private val ddSpanSql =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+       |           FROM documents),
+       |g AS (SELECT doc_id, unnest(range(1, len(toks) - ${SpanK - 2}))
+       |        AS pos, toks
+       |      FROM t WHERE len(toks) >= $SpanK),
+       |gk AS (SELECT doc_id, pos,
+       |         md5(array_to_string(toks[pos:pos+${SpanK - 1}], ' ')) AS k
+       |       FROM g),
+       |dup AS (SELECT k FROM gk GROUP BY k
+       |        HAVING COUNT(DISTINCT doc_id) >= 2),
+       |m AS (SELECT DISTINCT doc_id, pos FROM gk
+       |      WHERE k IN (SELECT k FROM dup)),
+       |fl AS (SELECT doc_id, pos,
+       |         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+       |                ORDER BY pos) <= $SpanK
+       |              THEN 0 ELSE 1 END AS flag
+       |       FROM m),
+       |isl AS (SELECT doc_id, pos,
+       |          SUM(flag) OVER (PARTITION BY doc_id ORDER BY pos
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+       |        FROM fl)
+       |SELECT doc_id, MIN(pos) AS span_start,
+       |       MAX(pos) + ${SpanK - 1} AS span_end,
+       |       CAST(COUNT(*) AS BIGINT) AS n_grams
+       |FROM isl GROUP BY doc_id, grp ORDER BY doc_id, span_start"""
+      .stripMargin
+
   // -- dd_minhash: per-document MinHash signatures ----------------------------
   // One narrow pass: signature j = min over shingles of (A_j*h + B_j) mod P.
   // The md5 shingle hash is hoisted into a per-doc array FIRST so it runs
@@ -1082,6 +1171,7 @@ object Dedup extends QueryPack {
       "dd_embed_cosine_lsh" -> ddEmbedCosineLsh _,
       "dd_cluster" -> ddCluster _,
       "dd_containment_smallside" -> ddContainmentSmallside _,
+      "dd_span" -> ddSpan _,
       "dd_embed_cluster" -> ddEmbedCluster _,
       "dd_embed_cluster_exact" -> ddEmbedClusterExact _,
       "dd_curation_funnel" -> ddCurationFunnel _
@@ -1100,6 +1190,7 @@ object Dedup extends QueryPack {
     "dd_embed_cosine_lsh" -> ddEmbedCosineLshSql,
     "dd_cluster" -> ddClusterSql,
     "dd_containment_smallside" -> ddContainmentSql,
+    "dd_span" -> ddSpanSql,
     "dd_embed_cluster" -> ddEmbedClusterSql,
     "dd_embed_cluster_exact" -> ddEmbedClusterExactSql,
     "dd_curation_funnel" -> ddCurationFunnelSql

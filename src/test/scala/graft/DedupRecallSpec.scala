@@ -61,6 +61,33 @@ class DedupRecallSpec extends AnyFunSuite {
       s"expected the contained pair with containment 1.0, got ${got.toSeq}")
   }
 
+  // dd_span semantics on a hand-built corpus: two 8-token blocks S1, S2
+  // shared between docs 1 and 2. In doc 1 they are back-to-back, so the
+  // two dup gram windows [1..8] and [9..16] TOUCH (start diff = 8) and
+  // must merge into one maximal span; in doc 2 ten unique tokens sit
+  // between them (start diff = 18), so the spans must stay separate.
+  // Straddling windows (across a block boundary) occur in one doc only
+  // and must not count; doc 3 shares nothing and must be absent.
+  test("dd_span merges touching windows and splits gapped ones") {
+    import spark.implicits._
+    val s1 = (1 to 8).map(i => s"a$i").mkString(" ")
+    val s2 = (1 to 8).map(i => s"b$i").mkString(" ")
+    val mid = (1 to 10).map(i => s"m$i").mkString(" ")
+    val fixDir =
+      java.nio.file.Files.createTempDirectory("graft_span").toString
+    Seq(
+      (1L, s"$s1 $s2 c1 c2 c3 c4"),
+      (2L, s"$s1 $mid $s2"),
+      (3L, (1 to 10).map(i => s"d$i").mkString(" "))
+    ).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$fixDir/documents.parquet")
+    val got = SparkEntry.queries("dd_span")(spark, fixDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(got == Seq((1L, 1L, 16L, 2L), (2L, 1L, 8L, 1L),
+      (2L, 19L, 26L, 1L)), s"got $got")
+  }
+
   test("dd_embed_cluster refines dd_embed_cluster_exact") {
     val exact = clusters("dd_embed_cluster_exact")
     val banded = clusters("dd_embed_cluster")

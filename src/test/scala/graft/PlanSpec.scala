@@ -100,6 +100,16 @@ class PlanSpec extends AnyFunSuite {
       p.contains("ShuffledHashJoin"), p.take(3000))
   }
 
+  test("dd_span: semi join on gram keys, per-doc windows, no cross product") {
+    val p = plan("dd_span")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(p.contains("LeftSemi"), p.take(3000))
+    // islands merge under a doc-partitioned window, never a global sort
+    // of the gram table
+    assert(p.contains("Window"), p.take(3000))
+  }
+
   test("st_funnel: all funnel joins are equi joins on the user key") {
     val p = plan("st_funnel")
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
