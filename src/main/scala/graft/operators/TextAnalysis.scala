@@ -348,6 +348,136 @@ object TextAnalysis extends QueryPack {
       |  FROM documents)
       |WHERE rn <= 20 ORDER BY lang, rn""".stripMargin
 
+  // -- txt_mixture: domain-mixture resampling ---------------------------------
+  // Training corpora are MIXED to target domain proportions (the
+  // data-mixture step every LLM pipeline runs after curation): each
+  // source domain contributes a weighted share of a downsampled total,
+  // chosen DETERMINISTICALLY so reruns and engines agree row-for-row.
+  // Weights here derive from the source id (w = sid % 4 + 1 — the
+  // fixture stand-in for a config map of per-domain weights); the
+  // sample target is a quarter of the corpus. desired_n per source is
+  // exact integer arithmetic on the per-source count table; membership
+  // is rank-by-md5 inside each source (same keyed-uniform trick as
+  // txt_stratified_sample), so the sample is reproducible under
+  // any partitioning and adding a document only ever displaces one.
+  //
+  // Scale shape: one map-side-combining count per source, windows over
+  // the per-source table only (bounded by |domains|, broadcast back),
+  // and ONE doc-side window partitioned by source — no global sort, no
+  // driver round-trip. The DuckDB oracle restates the arithmetic.
+  private def txtMixture(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+      .selectExpr("doc_id", "source",
+        "md5(cast(doc_id as string)) AS hk")
+    val rates = docs.groupBy("source").agg(count(lit(1)).as("cnt"))
+      .withColumn("w",
+        expr("cast(substring(source, 4) as bigint) % 4 + 1"))
+      .withColumn("sample_total", expr("sum(cnt) OVER () div 4"))
+      .withColumn("wsum", expr("sum(w) OVER ()"))
+      .withColumn("desired_n",
+        expr("least(cnt, (sample_total * w) div wsum)"))
+      .select("source", "desired_n")
+    val wSrc = Window.partitionBy("source")
+      .orderBy(col("hk"), col("doc_id"))
+    docs.join(broadcast(rates), Seq("source"))
+      .withColumn("rn", row_number().over(wSrc).cast("bigint"))
+      .filter(col("rn") <= col("desired_n"))
+      .select("source", "doc_id", "rn", "desired_n")
+      .orderBy(col("source"), col("rn"))
+  }
+
+  private val txtMixtureSql =
+    """WITH d AS (SELECT doc_id, source,
+      |             md5(CAST(doc_id AS VARCHAR)) AS hk FROM documents),
+      |r AS (
+      |  SELECT source,
+      |    least(cnt, (sample_total * w) // wsum) AS desired_n
+      |  FROM (SELECT source, cnt, w,
+      |          CAST(SUM(cnt) OVER () AS BIGINT) // 4 AS sample_total,
+      |          CAST(SUM(w) OVER () AS BIGINT) AS wsum
+      |        FROM (SELECT source, CAST(COUNT(*) AS BIGINT) AS cnt,
+      |                CAST(substr(source, 4) AS BIGINT) % 4 + 1 AS w
+      |              FROM d GROUP BY source)))
+      |SELECT source, doc_id, rn, desired_n FROM (
+      |  SELECT d.source, d.doc_id, r.desired_n,
+      |    CAST(row_number() OVER (PARTITION BY d.source
+      |      ORDER BY d.hk, d.doc_id) AS BIGINT) AS rn
+      |  FROM d JOIN r ON d.source = r.source)
+      |WHERE rn <= desired_n
+      |ORDER BY source, rn""".stripMargin
+
+  // -- txt_budget_select: token-budget curation -------------------------------
+  // The final act of a curation pipeline: given a token BUDGET (here
+  // half the corpus), keep the highest-quality documents whose
+  // cumulative token count fits. The naive formulation is a running sum
+  // over the corpus globally ordered by quality — a single-partition
+  // window that cannot scale. This implements the same EXACT selection
+  // in the shape a 100 TB run needs:
+  //   1. quantize quality to integer micro-units (score_u in [0, 1e6],
+  //      bounded cardinality by construction);
+  //   2. aggregate tokens PER SCORE — one map-side-combining shuffle,
+  //      result is at most 1e6 + 1 rows regardless of corpus size;
+  //   3. the exclusive prefix sum over that tiny per-score table is the
+  //      only unpartitioned window, and it runs on aggregate rows, not
+  //      documents (same bounded-small-table argument as sim_kmeans'
+  //      centroid table);
+  //   4. each document learns its selection position from a BROADCAST
+  //      join on score_u plus a window partitioned BY SCORE (fully
+  //      parallel): cum = tokens of all strictly-better scores + the
+  //      doc_id-ordered running sum inside its own score.
+  // The DuckDB oracle is the INDEPENDENT naive formulation (one global
+  // window over `ORDER BY score_u DESC, doc_id`), so the hash-compare
+  // proves the two-phase decomposition exact, not just plausible. All
+  // budget arithmetic is bigint; score quantization is the m4-style
+  // floor(x * 1e6 + 0.5) on IEEE ops mirrored term-for-term.
+  private def txtBudgetSelect(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+      .selectExpr("doc_id", "split(text, ' ') AS toks")
+      .selectExpr("doc_id", "cast(size(toks) as bigint) AS tok",
+        "size(filter(toks, t -> t = 'the' OR t = 'a')) AS n_stop")
+      .selectExpr("doc_id", "tok",
+        "cast(floor((0.5 * least(1.0, cast(tok as double) / 100.0)"
+          + " + 0.5 * (1.0 - cast(n_stop as double) / tok))"
+          + " * 1000000.0 + 0.5) as bigint) AS score_u")
+    val perScore = docs.groupBy("score_u")
+      .agg(sum("tok").as("s_tok"))
+    val wCum = Window.orderBy(col("score_u").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy(lit(0))
+    val scoreCum = perScore
+      .withColumn("cum_before", coalesce(sum("s_tok").over(wCum), lit(0L)))
+      .withColumn("budget", (sum("s_tok").over(wAll) / 2).cast("bigint"))
+      .select("score_u", "cum_before", "budget")
+    val wDoc = Window.partitionBy("score_u").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.join(broadcast(scoreCum), Seq("score_u"))
+      .withColumn("cum", col("cum_before") + sum("tok").over(wDoc))
+      .filter(col("cum") <= col("budget"))
+      .select("doc_id", "score_u", "tok", "cum")
+      .orderBy(col("score_u").desc, col("doc_id"))
+  }
+
+  private val txtBudgetSelectSql =
+    """WITH d AS (
+      |  SELECT doc_id, tok,
+      |    CAST(floor((0.5 * least(1.0, CAST(tok AS DOUBLE) / 100.0)
+      |      + 0.5 * (1.0 - CAST(n_stop AS DOUBLE) / tok))
+      |      * 1000000.0 + 0.5) AS BIGINT) AS score_u
+      |  FROM (SELECT doc_id, len(toks) AS tok,
+      |          len(list_filter(toks, t -> t = 'the' OR t = 'a'))
+      |            AS n_stop
+      |        FROM (SELECT doc_id, string_split(text, ' ') AS toks
+      |              FROM documents))),
+      |t AS (SELECT CAST(SUM(tok) AS BIGINT) // 2 AS budget FROM d)
+      |SELECT doc_id, score_u, tok, cum FROM (
+      |  SELECT doc_id, score_u, tok,
+      |    CAST(SUM(tok) OVER (ORDER BY score_u DESC, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS BIGINT) AS cum
+      |  FROM d), t
+      |WHERE cum <= budget
+      |ORDER BY score_u DESC, doc_id""".stripMargin
+
   // -- txt_bigram_score: bigram-LM quality scoring ----------------------------
   // The perplexity-proxy filter (CCNet-style) without a trained model:
   // train bigram statistics ON the corpus itself — c12 = count of
@@ -610,6 +740,8 @@ object TextAnalysis extends QueryPack {
       "txt_tfidf" -> txtTfidf _,
       "txt_bigram_score" -> txtBigramScore _,
       "txt_repetition" -> txtRepetition _,
+      "txt_budget_select" -> txtBudgetSelect _,
+      "txt_mixture" -> txtMixture _,
       "txt_stratified_sample" -> txtStratifiedSample _,
       "txt_pack" -> txtPack _,
       "txt_subtokens" -> txtSubtokens _,
@@ -628,6 +760,8 @@ object TextAnalysis extends QueryPack {
     "txt_tfidf" -> txtTfidfSql,
     "txt_bigram_score" -> txtBigramScoreSql,
     "txt_repetition" -> txtRepetitionSql,
+    "txt_budget_select" -> txtBudgetSelectSql,
+    "txt_mixture" -> txtMixtureSql,
     "txt_stratified_sample" -> txtStratifiedSampleSql,
     "txt_pack" -> txtPackSql,
     "txt_subtokens" -> txtSubtokensSql,
