@@ -102,6 +102,50 @@ object Similarity extends QueryPack {
        |  FROM e q JOIN e c ON q.vec_id < 8 AND c.vec_id <> q.vec_id)
        |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
 
+  // -- sim_range_search: broadcast radius search ------------------------------
+  // The other retrieval primitive next to top-k: ALL vectors within a
+  // cosine radius of each query (dedup-threshold lookups, recall
+  // harvesting, near-neighbor audits). The query set is SMALL by
+  // definition of the use case (here vec_id < 8), so the scalable plan
+  // is the one below: broadcast the query vectors, stream the corpus
+  // through ONE scan computing the fused graft_dot kernel, filter at
+  // the radius — no shuffle of the corpus at all, perfectly
+  // embarrassingly parallel, and adding executors divides wall-clock
+  // linearly. (A bucketed variant only pays off once the query set
+  // itself is large — that regime is sim_lsh_ann.) The explicit
+  // BROADCAST hint pins the query side; the nested-loop is INTENDED
+  // here: 8 fixed queries x corpus is linear work, unlike the labeled
+  // all-pairs spec oracles.
+  private def simRangeSearch(s: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.ensureRegistered(s)
+    table(s, dir, "embeddings")
+      .selectExpr("vec_id", "embedding",
+        s"${dotS("embedding", "embedding")} AS n2")
+      .createOrReplaceTempView("sim_re")
+    s.sql(
+      s"""SELECT query_id, neighbor_id, cos_sim FROM (
+         |  SELECT /*+ BROADCAST(q) */ q.vec_id AS query_id,
+         |    c.vec_id AS neighbor_id,
+         |    round(${dotS("q.embedding", "c.embedding")}
+         |      / sqrt(q.n2 * c.n2), 6) AS cos_sim
+         |  FROM (SELECT * FROM sim_re WHERE vec_id < 8) q
+         |  JOIN sim_re c ON c.vec_id <> q.vec_id)
+         |WHERE cos_sim >= 0.3
+         |ORDER BY query_id, neighbor_id""".stripMargin)
+  }
+
+  private val simRangeSearchSql =
+    s"""WITH e AS (SELECT vec_id, embedding,
+       |  ${dotD("embedding", "embedding")} AS n2 FROM embeddings)
+       |SELECT query_id, neighbor_id, cos_sim FROM (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    round(${dotD("q.embedding", "c.embedding")}
+       |      / sqrt(q.n2 * c.n2), 6) AS cos_sim
+       |  FROM (SELECT * FROM e WHERE vec_id < 8) q
+       |  JOIN e c ON c.vec_id <> q.vec_id)
+       |WHERE cos_sim >= 0.3
+       |ORDER BY query_id, neighbor_id""".stripMargin
+
   // -- random-hyperplane LSH ---------------------------------------------------
   // Plane j (0..7), 1-based component i: ((31*(j+1) + 7*(i-1)) % 11) - 5 —
   // deterministic integer-valued hyperplanes, identical text in both
@@ -610,6 +654,7 @@ object Similarity extends QueryPack {
       "sim_kmeans" -> simKmeans _,
       "sim_norms" -> simNorms _,
       "sim_topk_brute" -> simTopkBrute _,
+      "sim_range_search" -> simRangeSearch _,
       "sim_lsh_buckets" -> simLshBuckets _,
       "sim_lsh_ann" -> simLshAnn _,
       "sim_ivf_assign" -> simIvfAssign _,
@@ -623,6 +668,7 @@ object Similarity extends QueryPack {
     "sim_kmeans" -> simKmeansSql,
     "sim_norms" -> simNormsSql,
     "sim_topk_brute" -> simTopkBruteSql,
+    "sim_range_search" -> simRangeSearchSql,
     "sim_lsh_buckets" -> simLshBucketsSql,
     "sim_lsh_ann" -> simLshAnnSql,
     "sim_ivf_assign" -> simIvfAssignSql,
