@@ -124,6 +124,40 @@ case class FunnelAdvance(user_id: Long, step: Int, at_us: Long)
       }
   }
 
+  /** Stream-stream attribution join: each purchase is matched to the
+    * click(s) by the same user within the preceding hour — the streaming
+    * face of the batch conversion analyses (st_funnel / st_retention).
+    * Both sides carry a 30-minute watermark and the join condition is a
+    * bounded event-time RANGE, which is exactly what lets Spark evict
+    * buffered state: a click older than (watermark − 1 h) can never
+    * match a future purchase and is dropped, so state is proportional
+    * to one attribution window of traffic per side, not stream history.
+    * Inner join: unattributed purchases fall out (the left-outer
+    * variant just flips the join type; semantics bound identically).
+    */
+  def attributeStream(clicks: DataFrame, purchases: DataFrame,
+                      attributionWindow: String = "1 hour"): DataFrame = {
+    val c = clicks
+      .withColumn("click_time", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("click_time", "30 minutes")
+      .select(col("user_id").as("c_user"),
+        col("event_id").as("click_id"), col("click_time"))
+    val p = purchases
+      .withColumn("purchase_time", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("purchase_time", "30 minutes")
+      .select(col("user_id").as("p_user"),
+        col("event_id").as("purchase_id"), col("purchase_time"),
+        col("value"))
+    c.join(p, expr(
+      s"""c_user = p_user
+         |AND purchase_time >= click_time
+         |AND purchase_time <= click_time + interval $attributionWindow"""
+        .stripMargin))
+      .select(col("c_user").as("user_id"), col("click_id"),
+        col("purchase_id"), col("click_time"), col("purchase_time"),
+        col("value"))
+  }
+
   /** Streaming face of the batch st_funnel query: per-user ordered-step
     * tracking (view -> click -> purchase at micro granularity, strict
     * '>' between steps like the batch query) as flatMapGroupsWithState,

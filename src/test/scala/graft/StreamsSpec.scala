@@ -166,6 +166,38 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("attributeStream joins purchases to clicks within the hour window") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val q = Streams.attributeStream(clicks.toDF(), purchases.toDF())
+      .writeStream.format("memory").queryName("attrib")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // T well past epoch: initial-watermark ties at t=0 would drop rows
+      val T = 100 * H
+      // user 1: click, purchase 10 min later -> attributed;
+      // user 2: purchase 2 h after the click -> outside the window;
+      // user 3: purchase 5 min BEFORE any click -> never attributed
+      clicks.addData(ev(1, T, 1, "click"), ev(2, T, 2, "click"),
+        ev(3, T + 600000000000L, 3, "click"))
+      purchases.addData(ev(11, T + 600000000000L, 1, "purchase"),
+        ev(12, T + 2 * H, 2, "purchase"),
+        ev(13, T + 300000000000L, 3, "purchase"))
+      q.processAllAvailable()
+      // advance both watermarks so all joinable pairs flush
+      clicks.addData(ev(4, T + 10 * H, 9, "click"))
+      purchases.addData(ev(14, T + 10 * H, 9, "purchase"))
+      q.processAllAvailable()
+      val out = spark.table("attrib")
+        .selectExpr("user_id", "click_id", "purchase_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(out == Set((1L, 1L, 11L), (9L, 4L, 14L)), out)
+    } finally q.stop()
+  }
+
   test("watermark drops events later than 30 minutes behind max time") {
     val spark0 = spark
     import spark0.implicits._
