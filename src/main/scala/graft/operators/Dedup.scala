@@ -301,6 +301,95 @@ object Dedup extends QueryPack {
          |ORDER BY doc_a, doc_b""".stripMargin)
   }
 
+  // -- dd_incremental: dedup a NEW batch against an EXISTING corpus -----------
+  // The ingestion-time form of dedup: a production corpus is not rebuilt
+  // from scratch — each crawl/batch lands against what is already
+  // curated, and only the batch side may be dropped. Sources with id
+  // >= 10 play the incoming batch here; < 10 the standing corpus. A new
+  // document is tagged 'exact_dup' (md5(text) matches an existing doc),
+  // else 'near_dup' (Jaccard >= 0.6 against some existing doc), else
+  // 'kept'.
+  //
+  // Scale shape: the exact gate is an equi-join on 32-byte text
+  // digests; near-dup candidates come from the same 8x2 MinHash banding
+  // as dd_jaccard but only ACROSS the batch boundary (new x existing —
+  // the batch side is typically a small fraction of the corpus, so the
+  // band join's probe side is small), and only candidates pay the exact
+  // graft_isect re-check. Neither text nor shingle arrays shuffle for
+  // candidate generation — band keys only. The DuckDB oracle is the
+  // INDEPENDENT all-pairs formulation (no banding), so this row also
+  // gates banding recall at the 0.6 threshold, like dd_jaccard's.
+  private def ddIncremental(s: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.ensureRegistered(s)
+    table(s, dir, "documents")
+      .selectExpr("doc_id", "md5(text) AS th",
+        "cast(substring(source, 4) as int) >= 10 AS is_new",
+        "split(text, ' ') AS toks")
+      .selectExpr("doc_id", "th", "is_new", s"$sparkGrams AS grams")
+      .selectExpr("doc_id", "th", "is_new",
+        "array_sort(array_distinct(transform(grams," +
+          s" g -> ${sparkH64("g")}))) AS hs",
+        s"transform(grams, g -> ${sparkH("g")}) AS ghs")
+      .selectExpr(Seq("doc_id", "th", "is_new", "hs",
+        "graft_minhash16(ghs) AS sigarr"): _*)
+      .selectExpr(Seq("doc_id", "th", "is_new", "hs") ++ sparkSigCols: _*)
+      .cache()
+      .createOrReplaceTempView("inc_sigs")
+    val bandSelects = (0 until JacBands)
+      .map(b => s"SELECT doc_id, is_new, $b AS band," +
+        s" ${jacBandKeySpark(b)} AS bk FROM inc_sigs")
+      .mkString(" UNION ALL ")
+    s.sql(
+      s"""WITH bands AS ($bandSelects),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS new_id, y.doc_id AS old_id
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.bk = y.bk
+         |   AND x.is_new AND NOT y.is_new),
+         |near AS (
+         |  SELECT DISTINCT new_id FROM (
+         |    SELECT new_id,
+         |      round(cast(graft_isect(a.hs, b.hs) as double)
+         |        / (size(a.hs) + size(b.hs) - graft_isect(a.hs, b.hs)), 6)
+         |        AS j
+         |    FROM cand JOIN inc_sigs a ON a.doc_id = new_id
+         |              JOIN inc_sigs b ON b.doc_id = old_id)
+         |  WHERE j >= 0.6),
+         |ex AS (
+         |  SELECT DISTINCT n.doc_id FROM inc_sigs n
+         |  JOIN inc_sigs o ON n.th = o.th AND n.is_new AND NOT o.is_new)
+         |SELECT doc_id,
+         |  CASE WHEN doc_id IN (SELECT doc_id FROM ex) THEN 'exact_dup'
+         |       WHEN doc_id IN (SELECT new_id FROM near) THEN 'near_dup'
+         |       ELSE 'kept' END AS status
+         |FROM inc_sigs WHERE is_new ORDER BY doc_id""".stripMargin)
+  }
+
+  private val ddIncrementalSql =
+    s"""WITH d AS (
+       |  SELECT doc_id, md5(text) AS th,
+       |    CAST(substr(source, 4) AS INT) >= 10 AS is_new,
+       |    list_sort(list_distinct(list_transform(grams,
+       |      g -> ${duckH64("g")}))) AS hs
+       |  FROM (
+       |    SELECT doc_id, text, source, $duckGrams AS grams FROM (
+       |      SELECT doc_id, text, source, string_split(text, ' ') AS toks
+       |      FROM documents))),
+       |near AS (
+       |  SELECT DISTINCT n.doc_id FROM d n JOIN d o
+       |    ON n.is_new AND NOT o.is_new
+       |  WHERE round(CAST(len(list_intersect(n.hs, o.hs)) AS DOUBLE)
+       |      / (len(n.hs) + len(o.hs) - len(list_intersect(n.hs, o.hs))),
+       |      6) >= 0.6),
+       |ex AS (
+       |  SELECT DISTINCT n.doc_id FROM d n
+       |  JOIN d o ON n.th = o.th AND n.is_new AND NOT o.is_new)
+       |SELECT doc_id,
+       |  CASE WHEN doc_id IN (SELECT doc_id FROM ex) THEN 'exact_dup'
+       |       WHEN doc_id IN (SELECT doc_id FROM near) THEN 'near_dup'
+       |       ELSE 'kept' END AS status
+       |FROM d WHERE is_new ORDER BY doc_id""".stripMargin
+
   // -- dd_span: cross-document repeated-substring spans -----------------------
   // The ExactSubstr pass (Lee et al. 2022, "Deduplicating Training Data
   // Makes Language Models Better"): near-dup pair detection misses the
@@ -1172,6 +1261,7 @@ object Dedup extends QueryPack {
       "dd_cluster" -> ddCluster _,
       "dd_containment_smallside" -> ddContainmentSmallside _,
       "dd_span" -> ddSpan _,
+      "dd_incremental" -> ddIncremental _,
       "dd_embed_cluster" -> ddEmbedCluster _,
       "dd_embed_cluster_exact" -> ddEmbedClusterExact _,
       "dd_curation_funnel" -> ddCurationFunnel _
@@ -1191,6 +1281,7 @@ object Dedup extends QueryPack {
     "dd_cluster" -> ddClusterSql,
     "dd_containment_smallside" -> ddContainmentSql,
     "dd_span" -> ddSpanSql,
+    "dd_incremental" -> ddIncrementalSql,
     "dd_embed_cluster" -> ddEmbedClusterSql,
     "dd_embed_cluster_exact" -> ddEmbedClusterExactSql,
     "dd_curation_funnel" -> ddCurationFunnelSql

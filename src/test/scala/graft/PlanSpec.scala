@@ -100,6 +100,14 @@ class PlanSpec extends AnyFunSuite {
       p.contains("ShuffledHashJoin"), p.take(3000))
   }
 
+  test("dd_incremental: cross-boundary banding stays equi-join, no cross product") {
+    val p = plan("dd_incremental")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), p.take(3000))
+  }
+
   test("dd_span: semi join on gram keys, per-doc windows, no cross product") {
     val p = plan("dd_span")
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
