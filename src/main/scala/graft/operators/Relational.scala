@@ -512,6 +512,34 @@ object Relational extends QueryPack {
        |  (o_orderstatus), (o_orderpriority))
        |ORDER BY status, priority""".stripMargin
 
+  // -- q33: RANGE-frame window (trailing 1-hour running sum) ------------------
+  // The windowing mode q09's ROWS frame doesn't cover: a frame bounded
+  // by VALUE distance, not row count — each event's sum of `value` over
+  // the user's trailing hour (micros). RANGE frames include all peers
+  // of the boundary rows identically in Spark and DuckDB, so exactness
+  // needs no tiebreak; the measure is m4 fixed-point so summation order
+  // cannot diverge. One hash partition per user, sorted once — the
+  // standard scalable window shape.
+  private def q33(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+      .rangeBetween(-3600000000L, 0)
+    table(s, dir, "events")
+      .selectExpr("event_id", "user_id", "ts div 1000 AS us", "value")
+      .withColumn("hour_sum", d2(sum(m4(col("value"))).over(w)))
+      .select("event_id", "user_id", "us", "hour_sum")
+      .orderBy(col("user_id"), col("us"), col("event_id"))
+  }
+
+  private val q33Sql = {
+    val winSum = s"SUM(${m4s("value")}) OVER (PARTITION BY user_id" +
+      " ORDER BY us RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)"
+    s"""SELECT event_id, user_id, us,
+       |  ${d2s(winSum)} AS hour_sum
+       |FROM (SELECT event_id, user_id, epoch_us(ts) AS us, value
+       |      FROM events)
+       |ORDER BY user_id, us, event_id""".stripMargin
+  }
+
   // -- q26: as-of join (latest prior click per purchase) ---------------------
   // Spark has no ASOF JOIN; the idiomatic shuffle-once shape is a tagged
   // union + running `last(..., ignoreNulls)` window — one sort per user,
@@ -711,6 +739,7 @@ object Relational extends QueryPack {
   override val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map(
       "q32_grouping_sets" -> q32 _,
+      "q33_range_frame" -> q33 _,
       "q31_bloom_join" -> q31 _,
       "q30_kmv_distinct" -> q30 _,
       "q29_topk_per_key" -> q29 _,
@@ -746,6 +775,7 @@ object Relational extends QueryPack {
 
   override val oracles: Map[String, String] = Map(
     "q32_grouping_sets" -> q32Sql,
+    "q33_range_frame" -> q33Sql,
     "q31_bloom_join" -> q31Sql,
     "q30_kmv_distinct" -> q30Sql,
     "q29_topk_per_key" -> q29Sql,

@@ -348,6 +348,85 @@ object TextAnalysis extends QueryPack {
       |  FROM documents)
       |WHERE rn <= 20 ORDER BY lang, rn""".stripMargin
 
+  // -- txt_corpus_stats: the data-card rollup ---------------------------------
+  // The summary table published next to a released corpus (per-source,
+  // per-source×lang, and corpus-total doc/token/char counts, exact
+  // distinct-text cardinality, and mean tokens/doc): one GROUPING SETS
+  // aggregation, so Spark computes the whole lattice in a single
+  // shuffle with partial aggregation (the same q32 pattern, over the
+  // documents table). The duplicate count falls out as
+  // n_docs − n_unique_texts. Mean tokens/doc is exact integer
+  // fixed-point ((Σtok·10⁴) div n — truncating division matches
+  // DuckDB's // on positives), so no float crosses engines.
+  private def txtCorpusStats(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "documents")
+      .selectExpr("source", "lang", "md5(text) AS th", "n_chars",
+        "cast(size(split(text, ' ')) as bigint) AS tok")
+      .groupingSets(
+        Seq(Seq(col("source"), col("lang")), Seq(col("source")), Seq()),
+        col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum("tok").as("n_tokens"),
+        sum("n_chars").as("sum_chars"),
+        countDistinct(col("th")).as("n_unique_texts"))
+      .selectExpr("coalesce(source, 'ALL') AS source",
+        "coalesce(lang, 'ALL') AS lang",
+        "n_docs", "n_tokens", "sum_chars", "n_unique_texts",
+        "n_docs - n_unique_texts AS n_dup_docs",
+        "(n_tokens * 10000) div n_docs AS avg_tok_m4")
+      .orderBy(col("source"), col("lang"))
+
+  private val txtCorpusStatsSql =
+    """SELECT COALESCE(source, 'ALL') AS source,
+      |  COALESCE(lang, 'ALL') AS lang,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(tok) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  CAST(COUNT(DISTINCT th) AS BIGINT) AS n_unique_texts,
+      |  CAST(COUNT(*) - COUNT(DISTINCT th) AS BIGINT) AS n_dup_docs,
+      |  (CAST(SUM(tok) AS BIGINT) * 10000) // COUNT(*) AS avg_tok_m4
+      |FROM (SELECT source, lang, md5(text) AS th, n_chars,
+      |        len(string_split(text, ' ')) AS tok
+      |      FROM documents)
+      |GROUP BY GROUPING SETS ((source, lang), (source), ())
+      |ORDER BY source, lang""".stripMargin
+
+  // -- txt_shuffle_shard: deterministic global shuffle into training shards ---
+  // The last mile before training: the curated corpus must land in N
+  // shard files in a pseudo-random order that is REPRODUCIBLE (so a
+  // rerun, a resumed job, and a different cluster layout all produce
+  // byte-identical shards). Randomness = the md5 keyed hash of doc_id:
+  // shard = first-8-hex-digits mod N, position = rank of the full hash
+  // within the shard. One narrow map + one window partitioned BY SHARD —
+  // no global sort, no driver involvement; writing with
+  // partitionBy(shard) + sortWithinPartitions(pos) lands the files
+  // directly. N = 16 here; production uses thousands (the per-shard
+  // window cost is corpus/N per partition either way).
+  private val Shards = 16
+  private def txtShuffleShard(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("shard").orderBy(col("hk"), col("doc_id"))
+    table(s, dir, "documents")
+      .selectExpr("doc_id", "md5(cast(doc_id as string)) AS hk")
+      .selectExpr("doc_id", "hk",
+        s"cast(conv(substring(hk, 1, 8), 16, 10) as bigint)"
+          + s" % $Shards AS shard")
+      .withColumn("pos", row_number().over(w).cast("bigint"))
+      .select("doc_id", "shard", "pos")
+      .orderBy("shard", "pos")
+  }
+
+  private val txtShuffleShardSql =
+    s"""SELECT doc_id, shard, pos FROM (
+       |  SELECT doc_id, shard,
+       |    CAST(row_number() OVER (PARTITION BY shard
+       |      ORDER BY hk, doc_id) AS BIGINT) AS pos
+       |  FROM (SELECT doc_id, hk,
+       |          CAST('0x' || substr(hk, 1, 8) AS BIGINT)
+       |            % $Shards AS shard
+       |        FROM (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hk
+       |              FROM documents)))
+       |ORDER BY shard, pos""".stripMargin
+
   // -- txt_mixture: domain-mixture resampling ---------------------------------
   // Training corpora are MIXED to target domain proportions (the
   // data-mixture step every LLM pipeline runs after curation): each
@@ -742,6 +821,8 @@ object TextAnalysis extends QueryPack {
       "txt_repetition" -> txtRepetition _,
       "txt_budget_select" -> txtBudgetSelect _,
       "txt_mixture" -> txtMixture _,
+      "txt_shuffle_shard" -> txtShuffleShard _,
+      "txt_corpus_stats" -> txtCorpusStats _,
       "txt_stratified_sample" -> txtStratifiedSample _,
       "txt_pack" -> txtPack _,
       "txt_subtokens" -> txtSubtokens _,
@@ -762,6 +843,8 @@ object TextAnalysis extends QueryPack {
     "txt_repetition" -> txtRepetitionSql,
     "txt_budget_select" -> txtBudgetSelectSql,
     "txt_mixture" -> txtMixtureSql,
+    "txt_shuffle_shard" -> txtShuffleShardSql,
+    "txt_corpus_stats" -> txtCorpusStatsSql,
     "txt_stratified_sample" -> txtStratifiedSampleSql,
     "txt_pack" -> txtPackSql,
     "txt_subtokens" -> txtSubtokensSql,
