@@ -2,15 +2,19 @@ package graft
 import java.nio.file.{Files, Paths}
 /** Dev helper: dump ONE SparkEntry query (plus oracle_sql.json) so
   * tools/compare_oracle.py can gate it without the full 98-query run.
-  * Usage: runMain graft.VerifyOne <name> <sfDir> <outDir>
+  * Usage: runMain graft.VerifyOne <name>[,<name>...] <sfDir> <outDir>
   */
 object VerifyOne {
   def main(args: Array[String]): Unit = {
-    val Array(name, sfDir, outDir) = args
-    val spark = Engine.session(s"graft-verify-$name")
+    val Array(namesArg, sfDir, outDir) = args
+    val names = namesArg.split(",").toSeq
+    val spark = Engine.session(s"graft-verify-$namesArg")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries(name)(spark, sfDir)
-      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+    names.foreach { name =>
+      SparkEntry.queries(name)(spark, sfDir)
+        .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      spark.catalog.clearCache()
+    }
     def q(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""
       case '\\' => "\\\\"
@@ -20,7 +24,7 @@ object VerifyOne {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql.filter(_._1 == name)
+    val json = SparkEntry.oracleSql.filter(kv => names.contains(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

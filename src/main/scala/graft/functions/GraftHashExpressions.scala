@@ -23,6 +23,37 @@ import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, IntegerType, 
   */
 object GraftHashes {
 
+  /** md5-hex-prefix hash: the value of
+    * `cast(conv(substring(md5(s), 1, nibbles), 16, 10) as bigint)` —
+    * i.e. the first `nibbles` hex digits of the md5 of the UTF-8 bytes,
+    * read as an unsigned base-16 integer — WITHOUT materializing the
+    * 32-char hex string or re-parsing it. The dedup pack computes this
+    * per shingle (~n_tokens per document, corpus-wide), so skipping the
+    * two string passes is the dominant per-row saving. nibbles <= 15
+    * keeps the value in a positive long, exactly like conv's digit fold.
+    */
+  private val md5Local =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+
+  def md5Prefix(s: org.apache.spark.unsafe.types.UTF8String,
+                nibbles: Int): Long = {
+    val d = md5Local.get()
+    d.reset()
+    val b = d.digest(s.getBytes)
+    var v = 0L
+    var i = 0
+    while (i < nibbles) {
+      val byte = b(i >> 1) & 0xFF
+      val nib = if ((i & 1) == 0) byte >>> 4 else byte & 0xF
+      v = (v << 4) | nib
+      i += 1
+    }
+    v
+  }
+
   /** MinHash family (mirrors Dedup's oracle constants):
     * sig_j = min over h of (A_j*h + B_j) mod P, A_j/B_j mod 65521,
     * P = 2^31-1; empty input folds to the Long.MaxValue init, exactly
@@ -177,6 +208,42 @@ object GraftHashes {
     }
     out
   }
+}
+
+/** `graft_h16/h32/h64(s)` — the first 4/8/15 md5 hex digits of a string
+  * as an unsigned bigint, fused (digest -> integer, no hex-string
+  * round-trip). Value-identical to the conv(substring(md5(..)))
+  * chain it replaces and to the DuckDB oracles'
+  * `CAST('0x' || substr(md5(..), 1, n) AS BIGINT)`.
+  */
+case class Md5PrefixHash(child: Expression, nibbles: Int)
+    extends UnaryExpression {
+
+  require(nibbles > 0 && nibbles <= 15,
+    s"md5 prefix must fit a positive long, got $nibbles nibbles")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.StringType =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects string, got ${t.sql}")
+  }
+
+  override def dataType: DataType = LongType
+
+  override def prettyName: String = s"graft_h${nibbles * 4}"
+
+  override protected def nullSafeEval(a: Any): Any =
+    GraftHashes.md5Prefix(
+      a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], nibbles)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.GraftHashes.md5Prefix($c, $nibbles)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Md5PrefixHash = copy(child = newChild)
 }
 
 /** `graft_minhash16(ghs)` — all 16 MinHash signatures of a hashed-shingle

@@ -171,5 +171,11 @@ object VectorFunctions {
       (children: Seq[Expression]) => Simhash64(children(0), children(1)))
     org.apache.spark.sql.GraftRegistry.register(spark, "graft_bloom_contains",
       (children: Seq[Expression]) => BloomContains(children(0), children(1)))
+    org.apache.spark.sql.GraftRegistry.register(spark, "graft_h16",
+      (children: Seq[Expression]) => Md5PrefixHash(children(0), 4))
+    org.apache.spark.sql.GraftRegistry.register(spark, "graft_h32",
+      (children: Seq[Expression]) => Md5PrefixHash(children(0), 8))
+    org.apache.spark.sql.GraftRegistry.register(spark, "graft_h64",
+      (children: Seq[Expression]) => Md5PrefixHash(children(0), 15))
   }
 }

@@ -54,9 +54,11 @@ object Dedup extends QueryPack {
     "list_distinct(list_transform(range(1, len(toks))," +
       " i -> toks[i] || ' ' || toks[i + 1]))"
 
-  /** 32-bit shingle hash from the md5 hex prefix. */
-  private def sparkH(v: String) =
-    s"cast(conv(substring(md5($v), 1, 8), 16, 10) as bigint)"
+  /** 32-bit shingle hash from the md5 hex prefix — the fused
+    * [[graft.functions.Md5PrefixHash]] kernel (digest -> long, no hex
+    * string round-trip); value-identical to the unfused DuckDB form.
+    */
+  private def sparkH(v: String) = s"graft_h32($v)"
   private def duckH(v: String) =
     s"CAST('0x' || substr(md5($v), 1, 8) AS BIGINT)"
 
@@ -94,8 +96,7 @@ object Dedup extends QueryPack {
   // result against the exact spec on real data every round (identical at
   // sf0.001/0.01/0.1, while scanning 61x fewer pairs at sf0.1: 203 k
   // candidates vs 12.5 M ordered pairs).
-  private def sparkH64(v: String) =
-    s"cast(conv(substring(md5($v), 1, 15), 16, 10) as bigint)"
+  private def sparkH64(v: String) = s"graft_h64($v)"
   private def duckH64(v: String) =
     s"CAST('0x' || substr(md5($v), 1, 15) AS BIGINT)"
 
@@ -600,8 +601,7 @@ object Dedup extends QueryPack {
   private def ddSimhash(s: SparkSession, dir: String): DataFrame =
     simhashCore(s, dir).orderBy(col("doc_id"))
 
-  private def sparkH16(v: String) =
-    s"cast(conv(substring(md5($v), 1, 4), 16, 10) as bigint)"
+  private def sparkH16(v: String) = s"graft_h16($v)"
   private def duckH16(v: String) =
     s"CAST('0x' || substr(md5($v), 1, 4) AS BIGINT)"
 

@@ -676,10 +676,12 @@ object Relational extends QueryPack {
   // show the sketch's error on real data.
   private def q30(s: SparkSession, dir: String): DataFrame = {
     val kmv = udaf(graft.functions.KmvDistinct)
+    graft.functions.VectorFunctions.ensureRegistered(s)
     table(s, dir, "lineitem")
       .selectExpr("l_returnflag", "l_partkey",
-        "cast(conv(substring(md5(cast(l_partkey as string)), 1, 15)," +
-          " 16, 10) as bigint) AS h")
+        // fused md5-prefix kernel (see Md5PrefixHash) — same value as
+        // the conv(substring(md5(..), 1, 15)) chain in the oracle
+        "graft_h64(cast(l_partkey as string)) AS h")
       .groupBy(col("l_returnflag"))
       .agg(kmv(col("h")).as("est_distinct"),
         countDistinct(col("l_partkey")).as("n_exact"))

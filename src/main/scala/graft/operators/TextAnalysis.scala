@@ -777,13 +777,16 @@ object TextAnalysis extends QueryPack {
   // plagiarism/overlap fingerprint MOSS uses. One narrow per-document HOF
   // pass, no shuffle; the fingerprint arrays are what a downstream
   // inverted-index join would bucket on.
-  private def txtWinnow(s: SparkSession, dir: String): DataFrame =
+  private def txtWinnow(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.ensureRegistered(s)
     table(s, dir, "documents")
       .selectExpr("doc_id",
         "CASE WHEN length(text) >= 8 THEN" +
           " transform(sequence(1, length(text) - 4)," +
-          " i -> cast(conv(substring(md5(substring(text, i, 5)), 1, 8)," +
-          " 16, 10) as bigint))" +
+          // fused md5-prefix kernel: one digest per character position,
+          // no hex-string round-trip (value-identical to the oracle's
+          // '0x' || substr(md5(..), 1, 8) parse)
+          " i -> graft_h32(substring(text, i, 5)))" +
           " ELSE cast(array() as array<bigint>) END AS hs")
       .selectExpr("doc_id",
         "CASE WHEN size(hs) >= 4 THEN" +
@@ -796,6 +799,7 @@ object TextAnalysis extends QueryPack {
       .selectExpr("doc_id", "cast(size(fps) as bigint) AS n_fps",
         "array_join(fps, ',') AS fps")
       .orderBy(col("doc_id"))
+  }
 
   private val txtWinnowSql =
     """SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fps,

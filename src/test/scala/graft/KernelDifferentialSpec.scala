@@ -79,6 +79,21 @@ class KernelDifferentialSpec extends AnyFunSuite {
     }
   }
 
+  test("graft_h16/h32/h64 equal the conv(substring(md5(..))) chains") {
+    val rows = Seq.fill(60)(rnd.alphanumeric.take(rnd.nextInt(30)).mkString) ++
+      Seq("", "a", "日本語テキスト", "emoji 🎉 text", "two words")
+    val df = rows.toDF("s").selectExpr(
+      "graft_h16(s) AS f16", "graft_h32(s) AS f32", "graft_h64(s) AS f64",
+      "cast(conv(substring(md5(s), 1, 4), 16, 10) as bigint) AS u16",
+      "cast(conv(substring(md5(s), 1, 8), 16, 10) as bigint) AS u32",
+      "cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint) AS u64")
+    df.collect().foreach { r =>
+      assert(r.getLong(0) == r.getLong(3))
+      assert(r.getLong(1) == r.getLong(4))
+      assert(r.getLong(2) == r.getLong(5))
+    }
+  }
+
   test("graft_dot equals the unfused aggregate(zip_with(...)) fold") {
     val rows = Seq.fill(30)((
       Seq.fill(24)(rnd.nextFloat() * 2.0f - 1.0f),
