@@ -302,6 +302,54 @@ object Dedup extends QueryPack {
          |ORDER BY doc_a, doc_b""".stripMargin)
   }
 
+  // -- dd_threshold_sweep: tune the dedup threshold from ONE candidate pass ---
+  // Choosing the Jaccard cutoff is a sweep, not a constant: pipelines
+  // re-run dedup at several thresholds and compare removal volume. This
+  // answers the whole sweep in one pass over the banded candidates:
+  // bucket every pair by floor(j*10) and report, per bucket >= 0.6, the
+  // pair count AND the cumulative pairs-removed-at-threshold
+  // (cum_at_or_above — the number a run at t = bucket/10 would drop).
+  // The cumulative window runs over the <= 5-row bucket table, not the
+  // pairs. Contract: buckets below 0.6 are out of scope — that is the
+  // banding's recall floor (dd_jaccard's contract); sweeping lower
+  // requires re-banding, not re-scanning. Oracle: the independent
+  // all-pairs formulation, same buckets.
+  private def ddThresholdSweep(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("bucket10").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ddJaccardPairs(s, dir)
+      .selectExpr("cast(floor(jaccard * 10) as bigint) AS bucket10")
+      .groupBy("bucket10").agg(count(lit(1)).as("n_pairs"))
+      // <= 5 aggregate rows: the unpartitioned window is bounded-small
+      .withColumn("cum_at_or_above", sum("n_pairs").over(w))
+      .orderBy(col("bucket10"))
+  }
+
+  private val ddThresholdSweepSql =
+    s"""WITH docs AS (
+       |  SELECT doc_id,
+       |    list_sort(list_distinct(list_transform(grams,
+       |      g -> ${duckH64("g")}))) AS hs
+       |  FROM (
+       |    SELECT doc_id, $duckGrams AS grams FROM (
+       |      SELECT doc_id, string_split(text, ' ') AS toks
+       |      FROM documents))),
+       |pairs AS (
+       |  SELECT CAST(floor(jaccard * 10) AS BIGINT) AS bucket10 FROM (
+       |    SELECT round(CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
+       |        / (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs))),
+       |        6) AS jaccard
+       |    FROM docs a JOIN docs b ON a.doc_id < b.doc_id)
+       |  WHERE jaccard >= 0.6)
+       |SELECT bucket10, n_pairs,
+       |  CAST(SUM(n_pairs) OVER (ORDER BY bucket10 DESC
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |    AS cum_at_or_above
+       |FROM (SELECT bucket10, CAST(COUNT(*) AS BIGINT) AS n_pairs
+       |      FROM pairs GROUP BY bucket10)
+       |ORDER BY bucket10""".stripMargin
+
   // -- dd_incremental: dedup a NEW batch against an EXISTING corpus -----------
   // The ingestion-time form of dedup: a production corpus is not rebuilt
   // from scratch — each crawl/batch lands against what is already
@@ -1262,6 +1310,7 @@ object Dedup extends QueryPack {
       "dd_containment_smallside" -> ddContainmentSmallside _,
       "dd_span" -> ddSpan _,
       "dd_incremental" -> ddIncremental _,
+      "dd_threshold_sweep" -> ddThresholdSweep _,
       "dd_embed_cluster" -> ddEmbedCluster _,
       "dd_embed_cluster_exact" -> ddEmbedClusterExact _,
       "dd_curation_funnel" -> ddCurationFunnel _
@@ -1282,6 +1331,7 @@ object Dedup extends QueryPack {
     "dd_containment_smallside" -> ddContainmentSql,
     "dd_span" -> ddSpanSql,
     "dd_incremental" -> ddIncrementalSql,
+    "dd_threshold_sweep" -> ddThresholdSweepSql,
     "dd_embed_cluster" -> ddEmbedClusterSql,
     "dd_embed_cluster_exact" -> ddEmbedClusterExactSql,
     "dd_curation_funnel" -> ddCurationFunnelSql

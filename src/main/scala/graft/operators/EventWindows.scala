@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Engine._
@@ -240,6 +241,49 @@ object EventWindows extends QueryPack {
        |GROUP BY c.cohort_day, ud.day - c.cohort_day
        |ORDER BY cohort_day, day_offset""".stripMargin
 
+  // -- st_out_of_order: event-time disorder audit -----------------------------
+  // The audit run before choosing a streaming watermark: how disordered
+  // is each user's stream? Arrival order is event_id (the source's
+  // append sequence); event time is ts. Per user: events whose event
+  // time runs BACKWARD vs the previous arrival, and the worst backward
+  // skew in micros — max_skew_us is exactly the watermark delay that
+  // would have captured every late event for that user. One window
+  // partitioned by user ordered by arrival, then one aggregate; both
+  // integer-exact. The corpus-level quantile over max_skew_us is what
+  // sets `withWatermark` (streaming/Streams.scala uses 30 min).
+  private def stOutOfOrder(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    table(s, dir, "events")
+      .selectExpr("user_id", "event_id", "ts div 1000 AS us")
+      .withColumn("prev_us", lag(col("us"), 1).over(w))
+      .selectExpr("user_id",
+        "CASE WHEN prev_us IS NOT NULL AND us < prev_us THEN 1L ELSE 0L END"
+          + " AS ooo",
+        "CASE WHEN prev_us IS NOT NULL AND us < prev_us THEN prev_us - us"
+          + " ELSE 0L END AS skew_us")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("ooo")).as("n_ooo"),
+        max(col("skew_us")).as("max_skew_us"))
+      .orderBy(col("user_id"))
+  }
+
+  private val stOutOfOrderSql =
+    """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(ooo) AS BIGINT) AS n_ooo,
+      |  MAX(skew_us) AS max_skew_us
+      |FROM (
+      |  SELECT user_id,
+      |    CASE WHEN prev_us IS NOT NULL AND us < prev_us
+      |         THEN 1 ELSE 0 END AS ooo,
+      |    CASE WHEN prev_us IS NOT NULL AND us < prev_us
+      |         THEN prev_us - us ELSE 0 END AS skew_us
+      |  FROM (
+      |    SELECT user_id, epoch_us(ts) AS us,
+      |      lag(epoch_us(ts)) OVER (PARTITION BY user_id
+      |        ORDER BY event_id) AS prev_us
+      |    FROM events))
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map(
       "st_retention" -> stRetention _,
@@ -247,7 +291,8 @@ object EventWindows extends QueryPack {
       "st_anomaly_hours" -> stAnomalyHours _,
       "st_tumbling_1h" -> stTumbling _,
       "st_hopping_1h_30m" -> stHopping _,
-      "st_user_activity" -> stUserActivity _
+      "st_user_activity" -> stUserActivity _,
+      "st_out_of_order" -> stOutOfOrder _
     )
 
   override val oracles: Map[String, String] = Map(
@@ -256,6 +301,7 @@ object EventWindows extends QueryPack {
     "st_anomaly_hours" -> stAnomalyHoursSql,
     "st_tumbling_1h" -> stTumblingSql,
     "st_hopping_1h_30m" -> stHoppingSql,
-    "st_user_activity" -> stUserActivitySql
+    "st_user_activity" -> stUserActivitySql,
+    "st_out_of_order" -> stOutOfOrderSql
   )
 }

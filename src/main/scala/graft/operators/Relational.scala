@@ -540,6 +540,35 @@ object Relational extends QueryPack {
        |ORDER BY user_id, us, event_id""".stripMargin
   }
 
+  // -- q34: ntile quartiles within each order priority ------------------------
+  // The bucketing mode the window suite lacked: equal-frequency tiles.
+  // Quartile of order value WITHIN its priority class — partitioned by
+  // priority, so the window is parallel (a global ntile would be a
+  // single-partition sort; partition-scoped tiles are the scalable
+  // form, and the per-priority comparison is the analytical question
+  // anyway). ntile's earlier-tiles-get-the-remainder rule is identical
+  // in Spark and DuckDB; ordering is m4-quantized price with the order
+  // key as total tiebreak, so tile boundaries cannot diverge.
+  private def q34(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("price_m4").desc, col("o_orderkey"))
+    table(s, dir, "orders")
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        m4(col("o_totalprice")).as("price_m4"))
+      .withColumn("quartile", ntile(4).over(w).cast("bigint"))
+      .select("o_orderpriority", "o_orderkey", "quartile")
+      .orderBy(col("o_orderpriority"), col("quartile"), col("o_orderkey"))
+  }
+
+  private val q34Sql =
+    s"""SELECT o_orderpriority, o_orderkey, quartile FROM (
+       |  SELECT o_orderpriority, o_orderkey,
+       |    CAST(ntile(4) OVER (PARTITION BY o_orderpriority
+       |      ORDER BY ${m4s("o_totalprice")} DESC, o_orderkey)
+       |      AS BIGINT) AS quartile
+       |  FROM orders)
+       |ORDER BY o_orderpriority, quartile, o_orderkey""".stripMargin
+
   // -- q26: as-of join (latest prior click per purchase) ---------------------
   // Spark has no ASOF JOIN; the idiomatic shuffle-once shape is a tagged
   // union + running `last(..., ignoreNulls)` window — one sort per user,
@@ -742,6 +771,7 @@ object Relational extends QueryPack {
     Map(
       "q32_grouping_sets" -> q32 _,
       "q33_range_frame" -> q33 _,
+      "q34_ntile" -> q34 _,
       "q31_bloom_join" -> q31 _,
       "q30_kmv_distinct" -> q30 _,
       "q29_topk_per_key" -> q29 _,
@@ -778,6 +808,7 @@ object Relational extends QueryPack {
   override val oracles: Map[String, String] = Map(
     "q32_grouping_sets" -> q32Sql,
     "q33_range_frame" -> q33Sql,
+    "q34_ntile" -> q34Sql,
     "q31_bloom_join" -> q31Sql,
     "q30_kmv_distinct" -> q30Sql,
     "q29_topk_per_key" -> q29Sql,
