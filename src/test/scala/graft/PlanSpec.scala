@@ -100,6 +100,38 @@ class PlanSpec extends AnyFunSuite {
       p.contains("ShuffledHashJoin"), p.take(3000))
   }
 
+  test("txt_budget_select: per-score table broadcasts, doc window is partitioned") {
+    val p = plan("txt_budget_select")
+    // the tiny per-score cumulative table joins back via broadcast; the
+    // doc-side running sum must be a score-partitioned window, so the
+    // only unpartitioned window ever sees aggregate rows
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(p.contains("Window"), p.take(3000))
+  }
+
+  test("txt_mixture / txt_shuffle_shard: rate table broadcast, windows per key") {
+    val pm = plan("txt_mixture")
+    assert(pm.contains("BroadcastHashJoin"), pm.take(3000))
+    assert(!pm.contains("CartesianProduct"), pm.take(3000))
+    val ps = plan("txt_shuffle_shard")
+    // one narrow map then a shard-partitioned window — no join at all
+    assert(!ps.contains("Join"), ps.take(3000))
+    assert(ps.contains("Window"), ps.take(3000))
+  }
+
+  test("sim_range_search: query side broadcast against a single corpus scan") {
+    val p = plan("sim_range_search")
+    // the nested loop is the intended broadcast-queries shape: the 8
+    // query vectors broadcast, the corpus streams through one scan and
+    // never shuffles for the join (the only shuffle is the
+    // presentation sort's range partitioning)
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(p.contains("BroadcastExchange"), p.take(3000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      p.take(3000))
+  }
+
   test("dd_incremental: cross-boundary banding stays equi-join, no cross product") {
     val p = plan("dd_incremental")
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
