@@ -1,0 +1,72 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.CorpusShards
+
+/** The DSv2 "graft-shards" corpus sink: executor-written JSONL shards
+  * with a deterministic, rerun-stable layout and a rename-on-commit
+  * protocol (no partial data visible).
+  */
+class ShardSinkSpec extends AnyFunSuite {
+
+  private val spark = SparkSessionHelper.spark
+
+  private def corpus() = {
+    val spark0 = spark
+    import spark0.implicits._
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .selectExpr("doc_id", "to_json(struct(doc_id, lang, n_chars)) AS line")
+  }
+
+  private def readDir(dir: String): Map[String, Seq[String]] =
+    Files.list(Paths.get(dir)).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("shard-"))
+      .map(p => p.getFileName.toString ->
+        Files.readAllLines(p).asScala.toSeq)
+      .toMap
+
+  test("shards partition the corpus exactly, in deterministic order") {
+    val out = Files.createTempDirectory("graft_shards").toString
+    CorpusShards.write(corpus(), out, 8)
+    val byFile = readDir(out)
+    assert(byFile.keySet.forall(_.matches("shard-\\d{5}\\.jsonl")))
+    // every input line lands in exactly one shard
+    val expected = corpus().select("line").collect().map(_.getString(0))
+    val got = byFile.values.flatten.toSeq
+    assert(got.sorted == expected.toSeq.sorted)
+    assert(got.size == expected.length)
+    // layout agrees with the declarative txt_shuffle_shard arithmetic:
+    // within a shard, lines are ordered by (md5(doc_id), doc_id)
+    val layout = CorpusShards.layout(corpus(), 8)
+      .orderBy("shard", "pos").collect()
+      .groupBy(_.getLong(0))
+      .map { case (s, rows) =>
+        f"shard-$s%05d.jsonl" -> rows.sortBy(_.getLong(1))
+          .map(_.getString(2)).toSeq
+      }
+    assert(byFile == layout)
+  }
+
+  test("rewrites are byte-identical and the manifest counts rows") {
+    val a = Files.createTempDirectory("graft_shards_a").toString
+    val b = Files.createTempDirectory("graft_shards_b").toString
+    CorpusShards.write(corpus(), a, 4)
+    CorpusShards.write(corpus(), b, 4)
+    assert(readDir(a) == readDir(b))
+    val manifest = new String(
+      Files.readAllBytes(Paths.get(a, "_SHARDS.json")))
+    readDir(a).foreach { case (f, lines) =>
+      assert(manifest.contains(s""""$f": ${lines.size}"""), manifest)
+    }
+    // overwrite truncates: a second write with fewer shards leaves no
+    // stale files from the first layout
+    CorpusShards.write(corpus(), a, 2)
+    assert(readDir(a).keySet ==
+      Set("shard-00000.jsonl", "shard-00001.jsonl"))
+  }
+}
