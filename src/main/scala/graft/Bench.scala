@@ -17,6 +17,20 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Per-query Spark job counts: timings under host contention bottom
+    // out at roughly job_count x a per-job floor (the r8 postmortem —
+    // unchanged plans "regressed" exactly to that product), so the job
+    // count is what lets a later round normalize a noisy delta. Counted
+    // with a listener; events are bus-async, so counts carry +-1 jitter
+    // from stragglers of the previous query — fine for normalizing.
+    val jobCounter = new java.util.concurrent.atomic.AtomicInteger
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobCounter.incrementAndGet(); ()
+        }
+      })
     // untimed warmup: pays the one-off JVM/codegen/parquet-reader init
     // so the first timed query isn't charged for it
     try SparkEntry.queries("q02_filter_pushdown")(spark, sfDir).count()
@@ -24,6 +38,7 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
         var err: Option[String] = None
+        val jobs0 = jobCounter.get()
         val times = (1 to Reps).map { _ =>
           val t0 = System.nanoTime()
           try { fn(spark, sfDir).count() }
@@ -38,24 +53,29 @@ object Bench {
           spark.catalog.clearCache()
           dt
         }.sorted
-        // (median, max-min spread, first failure) — a failed query
-        // reports -1 so time-to-throw can't masquerade as a speedup
-        (name, times(Reps / 2), times.last - times.head, err)
+        val jobsPerRep =
+          math.round((jobCounter.get() - jobs0).toDouble / Reps).toInt
+        // (median, max-min spread, jobs/rep, first failure) — a failed
+        // query reports -1 so time-to-throw can't masquerade as a speedup
+        (name, times(Reps / 2), times.last - times.head, jobsPerRep, err)
     }
     def f3(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     def f2(v: Double) = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
-    val qsFull = results.map { case (k, med, _, err) =>
+    val qsFull = results.map { case (k, med, _, _, err) =>
       "\"" + k + "\":" + (if (err.isDefined) "-1" else f3(med))
+    }.mkString("{", ",", "}")
+    val jobsFull = results.map { case (k, _, _, nj, _) =>
+      "\"" + k + "\":" + nj
     }.mkString("{", ",", "}")
     // only spreads big enough to matter (>=0.5 s), worst six — the final
     // line has a hard byte budget (see below)
-    val spreads = results.collect { case (k, _, sp, None) if sp >= 0.5 =>
+    val spreads = results.collect { case (k, _, sp, _, None) if sp >= 0.5 =>
       (sp, "\"" + k + "\":" + f3(sp))
     }.sortBy(-_._1).take(6).map(_._2).mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, _, Some(e)) =>
+    val errs = results.collect { case (k, _, _, _, Some(e)) =>
       "\"" + k + "\":\"" + e + "\""
     }.mkString("{", ",", "}")
-    val total = results.collect { case (_, med, _, None) => med }.sum
+    val total = results.collect { case (_, med, _, _, None) => med }.sum
     // sf as a bare number when the dir follows the sf<N> convention
     val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1))
       .getOrElse("\"" + sfDir + "\"")
@@ -63,7 +83,7 @@ object Bench {
     // map alone exceeds the driver's 2000-char output-tail window, which
     // silently truncated the line start (and the driver's JSON parse)
     // for seven straight rounds.
-    val fullLine = s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":$sfNum,"errors":$errs,"spreads":$spreads,"queries":$qsFull}"""
+    val fullLine = s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":$sfNum,"errors":$errs,"spreads":$spreads,"jobs":$jobsFull,"queries":$qsFull}"""
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "/tmp/graft_bench_full.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
       (fullLine + "\n").getBytes("UTF-8"))
@@ -73,15 +93,20 @@ object Bench {
     // ~80-char [success] trailer) fits inside a 2000-char tail: errors
     // and the slowest queries are kept, the fastest are dropped and
     // counted in "omitted". "value" still totals ALL queries.
-    val prefix = s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":$sfNum,"n_queries":${results.size},"errors":$errs,"spreads":$spreads,"queries":{"""
+    // jobs for the 8 slowest queries — the ones whose timings need
+    // contention normalization; the full map is in the file above
+    val jobsTop = results.sortBy(-_._2).take(8)
+      .map { case (k, _, _, nj, _) => "\"" + k + "\":" + nj }
+      .mkString("{", ",", "}")
+    val prefix = s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":$sfNum,"n_queries":${results.size},"errors":$errs,"spreads":$spreads,"jobs":$jobsTop,"queries":{"""
     val budget = 1500
-    val keepFirst = results.sortBy { case (_, med, _, err) =>
+    val keepFirst = results.sortBy { case (_, med, _, _, err) =>
       if (err.isDefined) Double.MinValue else -med  // errors always kept
     }
     val sb = new StringBuilder(prefix)
     var omitted = 0
     var first = true
-    keepFirst.foreach { case (k, med, _, err) =>
+    keepFirst.foreach { case (k, med, _, _, err) =>
       val piece = (if (first) "" else ",") + "\"" + k + "\":" +
         (if (err.isDefined) "-1" else f2(med))
       if (sb.length + piece.length <= budget) { sb.append(piece); first = false }
