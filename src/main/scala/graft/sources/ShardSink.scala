@@ -65,7 +65,8 @@ private[sources] class ShardTable(props: Map[String, String])
   override def name(): String = s"graft-shards(${props.getOrElse("path", "?")})"
   override def schema(): StructType = ShardSink.schema
   override def capabilities(): java.util.Set[TableCapability] =
-    Set(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE).asJava
+    Set(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.STREAMING_WRITE).asJava
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     val dir = Option(info.options.get("path"))
@@ -87,7 +88,44 @@ private[sources] class ShardWriteBuilder(dir: String)
   override def truncate(): WriteBuilder = { truncateFirst = true; this }
   override def build(): Write = new Write {
     override def toBatch: BatchWrite = new ShardBatchWrite(dir, truncateFirst)
+    override def toStreaming: streaming.StreamingWrite =
+      new ShardStreamingWrite(dir)
   }
+}
+
+/** Streaming face of the sink: each epoch's rows land as
+  * `shard-SSSSS-epoch-E.jsonl` files, renamed into place atomically at
+  * epoch commit (exactly-once per epoch under Structured Streaming's
+  * epoch retry: a replayed epoch overwrites its own files). Within an
+  * epoch rows are NOT globally ordered (streams cannot sort), so the
+  * writer keeps one open file per shard it encounters; the
+  * batch-path determinism contract (byte-stable layout) applies to the
+  * BATCH writer — the stream's guarantee is per-epoch atomicity plus
+  * hash-stable shard routing.
+  */
+private[sources] class ShardStreamingWrite(dir: String)
+    extends streaming.StreamingWrite {
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): streaming.StreamingDataWriterFactory =
+    ShardStreamingWriterFactory(dir)
+
+  override def commit(epochId: Long,
+                      messages: Array[WriterCommitMessage]): Unit = {
+    val d = Paths.get(dir)
+    Files.createDirectories(d)
+    messages.collect { case ShardFilesMessage(files) => files }.flatten
+      .foreach { case (tmp, fin, _) =>
+        Files.move(Paths.get(tmp), d.resolve(fin), // [FS seam]
+          StandardCopyOption.REPLACE_EXISTING)
+      }
+  }
+
+  override def abort(epochId: Long,
+                     messages: Array[WriterCommitMessage]): Unit =
+    messages.collect { case ShardFilesMessage(files) => files }.flatten
+      .foreach { case (tmp, _, _) =>
+        Files.deleteIfExists(Paths.get(tmp)) // [FS seam]
+      }
 }
 
 /** One finished temp file: (tempPath, finalName, rows). */
@@ -133,17 +171,32 @@ private[sources] class ShardBatchWrite(dir: String, truncateFirst: Boolean)
       }
 }
 
+private[sources] case class ShardStreamingWriterFactory(dir: String)
+    extends streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+                            epochId: Long): DataWriter[InternalRow] =
+    new ShardDataWriter(dir, taskId,
+      shard => f"shard-$shard%05d-epoch-$epochId.jsonl",
+      sortedInput = false)
+}
+
 private[sources] class ShardWriterFactory(dir: String)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int,
                             taskId: Long): DataWriter[InternalRow] =
-    new ShardDataWriter(dir, taskId)
+    new ShardDataWriter(dir, taskId, ShardSink.shardFileName,
+      sortedInput = true)
 }
 
-/** Streams sorted (shard, pos, line) rows: a new shard value closes the
-  * previous temp file and opens the next — one pass, one open file.
+/** Writes (shard, pos, line) rows to per-shard temp files. With
+  * `sortedInput` (the batch path — rows arrive sorted by shard) a new
+  * shard value closes the previous file: one pass, one open file. The
+  * streaming path sees interleaved shards and keeps one open writer per
+  * shard instead.
   */
-private[sources] class ShardDataWriter(dir: String, taskId: Long)
+private[sources] class ShardDataWriter(dir: String, taskId: Long,
+                                       fileName: Long => String,
+                                       sortedInput: Boolean)
     extends DataWriter[InternalRow] {
 
   private val tmpDir = {
@@ -151,42 +204,44 @@ private[sources] class ShardDataWriter(dir: String, taskId: Long)
     Files.createDirectories(p)
     p
   }
-  private var current: java.io.BufferedWriter = _
-  private var currentShard: Long = -1L
-  private var currentRows: Long = 0L
+  private val open =
+    scala.collection.mutable.LinkedHashMap.empty[Long, java.io.BufferedWriter]
+  private val rows = scala.collection.mutable.LinkedHashMap.empty[Long, Long]
   private val done = Seq.newBuilder[(String, String, Long)]
 
   private def tmpPath(shard: Long) =
-    tmpDir.resolve(s"task-$taskId-${ShardSink.shardFileName(shard)}")
+    tmpDir.resolve(s"task-$taskId-${fileName(shard)}")
 
-  private def closeCurrent(): Unit = if (current != null) {
-    current.close()
-    done += ((tmpPath(currentShard).toString,
-      ShardSink.shardFileName(currentShard), currentRows))
-    current = null
+  private def closeShard(shard: Long): Unit = open.remove(shard).foreach { w =>
+    w.close()
+    done += ((tmpPath(shard).toString, fileName(shard),
+      rows.remove(shard).getOrElse(0L)))
   }
 
   override def write(row: InternalRow): Unit = {
     val shard = row.getLong(0)
-    if (shard != currentShard || current == null) {
-      closeCurrent()
-      currentShard = shard
-      currentRows = 0L
-      current = Files.newBufferedWriter(tmpPath(shard),
+    val w = open.getOrElse(shard, {
+      // sorted input never revisits a shard — close the previous one so
+      // exactly one file is open; unsorted (streaming) keeps all open
+      if (sortedInput) open.keys.toSeq.foreach(closeShard)
+      val nw = Files.newBufferedWriter(tmpPath(shard),
         StandardCharsets.UTF_8)
-    }
-    current.write(row.getString(2))
-    current.write('\n')
-    currentRows += 1L
+      open(shard) = nw
+      nw
+    })
+    w.write(row.getString(2))
+    w.write('\n')
+    rows(shard) = rows.getOrElse(shard, 0L) + 1L
   }
 
   override def commit(): WriterCommitMessage = {
-    closeCurrent()
+    open.keys.toSeq.foreach(closeShard)
     ShardFilesMessage(done.result())
   }
 
   override def abort(): Unit = {
-    if (current != null) current.close()
+    open.values.foreach(_.close())
+    open.clear()
     done.result().foreach { case (tmp, _, _) =>
       Files.deleteIfExists(Paths.get(tmp))
     }

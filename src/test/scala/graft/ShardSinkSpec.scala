@@ -52,6 +52,37 @@ class ShardSinkSpec extends AnyFunSuite {
     assert(byFile == layout)
   }
 
+  test("streaming write lands each epoch's shards atomically") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val out = Files.createTempDirectory("graft_shards_st").toString
+    val ckpt = Files.createTempDirectory("graft_shards_ck").toString
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val q = in.toDF().toDF("doc_id", "line")
+      .selectExpr("cast(doc_id % 4 as bigint) AS shard",
+        "doc_id AS pos", "line")
+      .writeStream.format("graft-shards")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .start()
+    try {
+      in.addData((1L, "a"), (2L, "b"), (5L, "c"))
+      q.processAllAvailable()
+      in.addData((3L, "d"))
+      q.processAllAvailable()
+      val files = readDir(out) // epoch-suffixed names
+      assert(files.keySet.forall(_.matches("shard-\\d{5}-epoch-\\d+\\.jsonl")),
+        files.keySet)
+      assert(files.values.flatten.toSeq.sorted == Seq("a", "b", "c", "d"))
+      // shard routing is stable: doc 1 and 5 share shard 1
+      val s1 = files.collect {
+        case (f, lines) if f.startsWith("shard-00001") => lines
+      }.flatten.toSeq.sorted
+      assert(s1 == Seq("a", "c"), files)
+    } finally q.stop()
+  }
+
   test("rewrites are byte-identical and the manifest counts rows") {
     val a = Files.createTempDirectory("graft_shards_a").toString
     val b = Files.createTempDirectory("graft_shards_b").toString
