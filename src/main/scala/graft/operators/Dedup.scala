@@ -1156,6 +1156,16 @@ object Dedup extends QueryPack {
     val bandSelects = (0 until CosBands)
       .map(b => s"SELECT vec_id, $b AS band, bkt_$b AS bkt FROM e")
       .mkString(" UNION ALL ")
+    s"""${ddEmbedClusterCtes(bandSelects)}
+       |SELECT v AS vec_id, MIN(node) AS cluster_id
+       |FROM r GROUP BY v ORDER BY vec_id""".stripMargin
+  }
+
+  /** The shared banded-edge + recursive-closure CTE chain behind
+    * dd_embed_cluster's oracle and dd_semdedup's (which adds the
+    * per-cluster keeper selection on top).
+    */
+  private def ddEmbedClusterCtes(bandSelects: String): String =
     s"""WITH RECURSIVE e AS (
        |  SELECT vec_id, embedding,
        |    list_reduce(list_transform(range(1, len(embedding) + 1),
@@ -1185,9 +1195,53 @@ object Dedup extends QueryPack {
        |r(v, node) AS (
        |  SELECT vec_id, vec_id FROM embeddings
        |  UNION
-       |  SELECT r.v, e2.dst FROM r JOIN edges e2 ON e2.src = r.node)
-       |SELECT v AS vec_id, MIN(node) AS cluster_id
-       |FROM r GROUP BY v ORDER BY vec_id""".stripMargin
+       |  SELECT r.v, e2.dst FROM r JOIN edges e2 ON e2.src = r.node)""".stripMargin
+
+  // -- dd_semdedup: the SemDeDup keep/drop action -----------------------------
+  // Clustering is diagnosis; THIS is the curation action (Abbas et al.
+  // 2023, SemDeDup): per semantic cluster keep ONE prototype — here the
+  // max-L2-norm member (vec_id as tiebreak; n2 is the graft_dot left
+  // fold, bit-identical in both engines, so the argmax cannot diverge) —
+  // and report cluster size. Downstream, an anti-join of the corpus
+  // against the non-keepers is the dedup'd training set. Shape: the LP
+  // labels (edge-incident nodes only) join the norms once; keeper
+  // selection is one cluster-partitioned window — nothing global.
+  // Oracle: the same banded edges closed by a recursive CTE plus the
+  // identical window, stated independently of label propagation.
+  private def ddSemdedup(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val labels = labelPropagate("dd_semdedup",
+      ddEmbedLshPairs(s, dir).select("vec_a", "vec_b"),
+      table(s, dir, "embeddings").select(col("vec_id").as("doc_id")))
+      .select(col("doc_id").as("vec_id"), col("cluster_id"))
+    val norms = table(s, dir, "embeddings")
+      .selectExpr("vec_id", "graft_dot(embedding, embedding) AS n2")
+    val wC = Window.partitionBy("cluster_id")
+    labels.join(norms, Seq("vec_id"))
+      .withColumn("rk", row_number().over(
+        wC.orderBy(col("n2").desc, col("vec_id"))))
+      .withColumn("n_members", count(lit(1)).over(wC))
+      .filter(col("rk") === 1)
+      .select(col("cluster_id"), col("vec_id").as("keep_id"),
+        col("n_members"))
+      .orderBy(col("cluster_id"))
+  }
+
+  private def ddSemdedupSql: String = {
+    val bandSelects = (0 until CosBands)
+      .map(b => s"SELECT vec_id, $b AS band, bkt_$b AS bkt FROM e")
+      .mkString(" UNION ALL ")
+    s"""${ddEmbedClusterCtes(bandSelects)},
+       |lab AS (SELECT v AS vec_id, MIN(node) AS cluster_id
+       |        FROM r GROUP BY v)
+       |SELECT cluster_id, keep_id, n_members FROM (
+       |  SELECT l.cluster_id, l.vec_id AS keep_id,
+       |    row_number() OVER (PARTITION BY l.cluster_id
+       |      ORDER BY e.n2 DESC, l.vec_id) AS rk,
+       |    CAST(COUNT(*) OVER (PARTITION BY l.cluster_id) AS BIGINT)
+       |      AS n_members
+       |  FROM lab l JOIN e ON e.vec_id = l.vec_id)
+       |WHERE rk = 1 ORDER BY cluster_id""".stripMargin
   }
 
   // -- dd_embed_cluster_exact: the exact-edge spec for dd_embed_cluster -------
@@ -1311,6 +1365,7 @@ object Dedup extends QueryPack {
       "dd_span" -> ddSpan _,
       "dd_incremental" -> ddIncremental _,
       "dd_threshold_sweep" -> ddThresholdSweep _,
+      "dd_semdedup" -> ddSemdedup _,
       "dd_embed_cluster" -> ddEmbedCluster _,
       "dd_embed_cluster_exact" -> ddEmbedClusterExact _,
       "dd_curation_funnel" -> ddCurationFunnel _
@@ -1332,6 +1387,7 @@ object Dedup extends QueryPack {
     "dd_span" -> ddSpanSql,
     "dd_incremental" -> ddIncrementalSql,
     "dd_threshold_sweep" -> ddThresholdSweepSql,
+    "dd_semdedup" -> ddSemdedupSql,
     "dd_embed_cluster" -> ddEmbedClusterSql,
     "dd_embed_cluster_exact" -> ddEmbedClusterExactSql,
     "dd_curation_funnel" -> ddCurationFunnelSql

@@ -146,6 +146,56 @@ object Similarity extends QueryPack {
        |WHERE cos_sim >= 0.3
        |ORDER BY query_id, neighbor_id""".stripMargin
 
+  // -- sim_negatives: deterministic contrastive negative sampling -------------
+  // Contrastive/embedding training needs, per anchor, a reproducible set
+  // of NEGATIVES that are verifiably not near-duplicates of it. Per
+  // query (the first 8 vectors): candidates are all vectors with cosine
+  // BELOW 0.2 (outside the near-dup zone by margin), ranked by the
+  // keyed hash md5(query_id:vec_id) — a per-query deterministic uniform
+  // order, so negatives are uncorrelated across queries yet identical
+  // on every rerun/engine — take 5. Same broadcast-queries shape as
+  // sim_range_search: one corpus scan, windows partitioned per query,
+  // nothing global.
+  private def simNegatives(s: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.ensureRegistered(s)
+    table(s, dir, "embeddings")
+      .selectExpr("vec_id", "embedding",
+        s"${dotS("embedding", "embedding")} AS n2")
+      .createOrReplaceTempView("sim_ne")
+    s.sql(
+      s"""SELECT query_id, neg_id, rnk FROM (
+         |  SELECT query_id, neg_id,
+         |    cast(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY hk, neg_id) as bigint) AS rnk
+         |  FROM (
+         |    SELECT /*+ BROADCAST(q) */ q.vec_id AS query_id,
+         |      c.vec_id AS neg_id,
+         |      md5(concat(cast(q.vec_id as string), ':',
+         |        cast(c.vec_id as string))) AS hk
+         |    FROM (SELECT * FROM sim_ne WHERE vec_id < 8) q
+         |    JOIN sim_ne c ON c.vec_id <> q.vec_id
+         |    WHERE round(${dotS("q.embedding", "c.embedding")}
+         |      / sqrt(q.n2 * c.n2), 6) < 0.2))
+         |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin)
+  }
+
+  private val simNegativesSql =
+    s"""WITH e AS (SELECT vec_id, embedding,
+       |  ${dotD("embedding", "embedding")} AS n2 FROM embeddings)
+       |SELECT query_id, neg_id, rnk FROM (
+       |  SELECT query_id, neg_id,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY hk, neg_id) AS BIGINT) AS rnk
+       |  FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS neg_id,
+       |      md5(CAST(q.vec_id AS VARCHAR) || ':' ||
+       |        CAST(c.vec_id AS VARCHAR)) AS hk
+       |    FROM (SELECT * FROM e WHERE vec_id < 8) q
+       |    JOIN e c ON c.vec_id <> q.vec_id
+       |    WHERE round(${dotD("q.embedding", "c.embedding")}
+       |      / sqrt(q.n2 * c.n2), 6) < 0.2))
+       |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+
   // -- random-hyperplane LSH ---------------------------------------------------
   // Plane j (0..7), 1-based component i: ((31*(j+1) + 7*(i-1)) % 11) - 5 —
   // deterministic integer-valued hyperplanes, identical text in both
@@ -655,6 +705,7 @@ object Similarity extends QueryPack {
       "sim_norms" -> simNorms _,
       "sim_topk_brute" -> simTopkBrute _,
       "sim_range_search" -> simRangeSearch _,
+      "sim_negatives" -> simNegatives _,
       "sim_lsh_buckets" -> simLshBuckets _,
       "sim_lsh_ann" -> simLshAnn _,
       "sim_ivf_assign" -> simIvfAssign _,
@@ -669,6 +720,7 @@ object Similarity extends QueryPack {
     "sim_norms" -> simNormsSql,
     "sim_topk_brute" -> simTopkBruteSql,
     "sim_range_search" -> simRangeSearchSql,
+    "sim_negatives" -> simNegativesSql,
     "sim_lsh_buckets" -> simLshBucketsSql,
     "sim_lsh_ann" -> simLshAnnSql,
     "sim_ivf_assign" -> simIvfAssignSql,
