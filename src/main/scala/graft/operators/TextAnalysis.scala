@@ -644,7 +644,11 @@ object TextAnalysis extends QueryPack {
   // occurrences of one bigram (~petabyte-scale corpora: widen to
   // decimal then). Docs under 2 tokens have no bigrams and are absent
   // by contract.
-  private def txtBigramScore(s: SparkSession, dir: String): DataFrame = {
+  /** Shared bigram-LM scorer: (doc_id, n_bigrams, sum_p) in exact integer
+    * micro-prob units. Feeds txt_bigram_score (presentation) and
+    * txt_ccnet_buckets (per-language tertiles).
+    */
+  private def bigramScored(s: SparkSession, dir: String): DataFrame = {
     val bgStream = table(s, dir, "documents")
       .selectExpr("doc_id", "split(text, ' ') AS toks")
       .where("size(toks) >= 2")
@@ -661,12 +665,10 @@ object TextAnalysis extends QueryPack {
       .selectExpr("doc_id", "c12 * 1000000 div c1 AS p")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("p")).as("sum_p"))
-      .selectExpr("doc_id", "n_bigrams", "sum_p",
-        "round(cast(sum_p as double) / n_bigrams, 6) AS mean_p")
-      .orderBy(col("doc_id"))
   }
 
-  private val txtBigramScoreSql =
+  /** SQL mirror of [[bigramScored]] as a WITH prefix ending in `sc`. */
+  private val bigramScoredCtes =
     """WITH bgs AS (
       |  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
       |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
@@ -676,14 +678,69 @@ object TextAnalysis extends QueryPack {
       |bg AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
       |       FROM bgs GROUP BY w1, w2),
       |ug AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1
-      |       FROM bgs GROUP BY w1)
-      |SELECT doc_id, COUNT(*) AS n_bigrams, CAST(SUM(p) AS BIGINT) AS sum_p,
-      |  round(CAST(CAST(SUM(p) AS BIGINT) AS DOUBLE) / COUNT(*), 6) AS mean_p
-      |FROM (SELECT s.doc_id, (bg.c12 * 1000000) // ug.c1 AS p
-      |      FROM bgs s
-      |      JOIN bg ON s.w1 = bg.w1 AND s.w2 = bg.w2
-      |      JOIN ug ON s.w1 = ug.w1)
-      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      |       FROM bgs GROUP BY w1),
+      |sc AS (
+      |  SELECT doc_id, COUNT(*) AS n_bigrams, CAST(SUM(p) AS BIGINT) AS sum_p
+      |  FROM (SELECT s.doc_id, (bg.c12 * 1000000) // ug.c1 AS p
+      |        FROM bgs s
+      |        JOIN bg ON s.w1 = bg.w1 AND s.w2 = bg.w2
+      |        JOIN ug ON s.w1 = ug.w1)
+      |  GROUP BY doc_id)""".stripMargin
+
+  private def txtBigramScore(s: SparkSession, dir: String): DataFrame =
+    bigramScored(s, dir)
+      .selectExpr("doc_id", "n_bigrams", "sum_p",
+        "round(cast(sum_p as double) / n_bigrams, 6) AS mean_p")
+      .orderBy(col("doc_id"))
+
+  private val txtBigramScoreSql =
+    s"""$bigramScoredCtes
+      |SELECT doc_id, n_bigrams, sum_p,
+      |  round(CAST(sum_p AS DOUBLE) / n_bigrams, 6) AS mean_p
+      |FROM sc ORDER BY doc_id""".stripMargin
+
+  // -- txt_ccnet_buckets: per-language head/middle/tail quality tertiles ------
+  // CCNet's defining curation step (Wenzek et al. 2020): after scoring
+  // every document with the LM perplexity proxy, split each LANGUAGE's
+  // corpus into equal-thirds head/middle/tail by score rank, so
+  // downstream sampling can prefer the head without hand-tuned absolute
+  // thresholds (which don't transfer across languages). Bucketing is
+  // ntile(3) over an exact-integer micro-mean score (sum_p*1e6 div
+  // n_bigrams — div truncates identically to DuckDB's //), doc_id as
+  // total tiebreak, so tile boundaries cannot diverge between engines
+  // (same trick as q34_ntile). Docs under 2 tokens have no score and
+  // are absent by contract, as in txt_bigram_score.
+  // Scale shape: the model pass is shared with txt_bigram_score; the
+  // bucketing adds one doc_id equi-join (narrow columns only) and one
+  // window PARTITIONED BY lang — parallel across languages, never a
+  // global sort. Heads-per-language is the analytical contract anyway.
+  private def txtCcnetBuckets(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("micro_mean").desc, col("doc_id"))
+    bigramScored(s, dir)
+      .join(table(s, dir, "documents").select("doc_id", "lang"), "doc_id")
+      .withColumn("micro_mean", expr("sum_p * 1000000 div n_bigrams"))
+      .withColumn("bucket", ntile(3).over(w).cast("bigint"))
+      .selectExpr("doc_id", "lang",
+        "CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle' " +
+          "ELSE 'tail' END AS bucket",
+        "micro_mean")
+      .orderBy(col("doc_id"))
+  }
+
+  private val txtCcnetBucketsSql =
+    s"""$bigramScoredCtes
+      |SELECT doc_id, lang,
+      |  CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+      |    AS bucket,
+      |  micro_mean
+      |FROM (
+      |  SELECT sc.doc_id, d.lang,
+      |    (sum_p * 1000000) // n_bigrams AS micro_mean,
+      |    ntile(3) OVER (PARTITION BY d.lang
+      |      ORDER BY (sum_p * 1000000) // n_bigrams DESC, sc.doc_id) AS b
+      |  FROM sc JOIN documents d ON sc.doc_id = d.doc_id)
+      |ORDER BY doc_id""".stripMargin
 
   // -- txt_tfidf: corpus-IDF keyword extraction -------------------------------
   // Top-3 salient terms per document by tf*idf, with idf in exact
@@ -735,6 +792,64 @@ object TextAnalysis extends QueryPack {
       |        tf.token) AS rnk
       |  FROM tf JOIN df ON tf.token = df.token CROSS JOIN n)
       |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin
+
+  // -- txt_novelty: first-occurrence n-gram attribution -----------------------
+  // The dedup-aware contribution score: how much of a document's content
+  // is NEW relative to everything before it in corpus order? Every
+  // distinct token 8-gram is attributed to the lowest doc_id containing
+  // it (deterministic first-occurrence owner); a document's novelty is
+  // the fraction of its distinct 8-grams it owns. Boilerplate and
+  // near-dup tails score ~0, unique content ~1e6 (micro units, exact
+  // integer arithmetic). This is the per-document form of the "new
+  // tokens contributed" curves used to decide how many crawl snapshots
+  // are worth keeping. Docs under 8 tokens have no 8-grams and are
+  // absent by contract (same as txt_decontaminate's gram width).
+  //
+  // Scale shape: one explode -> per-doc-DISTINCT pass (cached: it feeds
+  // both aggregates), then two map-side-combining groupBys — gram->min
+  // owner (shuffles gram keys once) and doc->gram count. The novel
+  // count per doc is derived from the OWNER table alone (group the
+  // min-owner column), so the corpus is never rescanned and no
+  // gram-level join back is needed; the final doc-level left join is
+  // narrow (three long columns).
+  private def txtNovelty(s: SparkSession, dir: String): DataFrame = {
+    val grams = table(s, dir, "documents")
+      .selectExpr("doc_id", "split(text, ' ') AS toks")
+      .where("size(toks) >= 8")
+      .selectExpr("doc_id", "toks",
+        "explode(sequence(1, size(toks) - 7)) AS i")
+      .selectExpr("doc_id", "array_join(slice(toks, i, 8), ' ') AS gram")
+      .distinct()
+      .cache()
+    val novel = grams.groupBy("gram").agg(min(col("doc_id")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_novel"))
+    grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+      .join(novel, Seq("doc_id"), "left")
+      .selectExpr("doc_id", "n_grams",
+        "coalesce(n_novel, bigint(0)) AS n_novel",
+        "coalesce(n_novel, bigint(0)) * 1000000 div n_grams" +
+          " AS novelty_micro")
+      .orderBy(col("doc_id"))
+  }
+
+  private val txtNoveltySql =
+    """WITH g AS (
+      |  SELECT DISTINCT doc_id, array_to_string(toks[i:i+7], ' ') AS gram
+      |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 6)) AS i
+      |        FROM (SELECT doc_id, string_split(text, ' ') AS toks
+      |              FROM documents)
+      |        WHERE len(toks) >= 8)),
+      |nov AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_novel
+      |  FROM (SELECT gram, MIN(doc_id) AS doc_id FROM g GROUP BY gram)
+      |  GROUP BY doc_id),
+      |tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams
+      |        FROM g GROUP BY doc_id)
+      |SELECT tot.doc_id, n_grams,
+      |  COALESCE(n_novel, 0) AS n_novel,
+      |  (COALESCE(n_novel, 0) * 1000000) // n_grams AS novelty_micro
+      |FROM tot LEFT JOIN nov ON tot.doc_id = nov.doc_id
+      |ORDER BY tot.doc_id""".stripMargin
 
   // -- txt_pack: greedy sequence packing for pretraining batches --------------
   // Assigns documents to fixed-budget training sequences (512 tokens):
@@ -890,6 +1005,8 @@ object TextAnalysis extends QueryPack {
       "txt_redact" -> txtRedact _,
       "txt_tfidf" -> txtTfidf _,
       "txt_bigram_score" -> txtBigramScore _,
+      "txt_ccnet_buckets" -> txtCcnetBuckets _,
+      "txt_novelty" -> txtNovelty _,
       "txt_repetition" -> txtRepetition _,
       "txt_budget_select" -> txtBudgetSelect _,
       "txt_mixture" -> txtMixture _,
@@ -913,6 +1030,8 @@ object TextAnalysis extends QueryPack {
     "txt_redact" -> txtRedactSql,
     "txt_tfidf" -> txtTfidfSql,
     "txt_bigram_score" -> txtBigramScoreSql,
+    "txt_ccnet_buckets" -> txtCcnetBucketsSql,
+    "txt_novelty" -> txtNoveltySql,
     "txt_repetition" -> txtRepetitionSql,
     "txt_budget_select" -> txtBudgetSelectSql,
     "txt_mixture" -> txtMixtureSql,
