@@ -246,6 +246,21 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
   }
 
+  test("txt_ccnet_buckets: tertile window stays partitioned by lang") {
+    val p = plan("txt_ccnet_buckets")
+    assert(p.contains("Window"), p.take(2000))
+    assert(!p.contains("Exchange SinglePartition"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("txt_novelty: attribution is two equi aggregations, no cross join") {
+    val p = plan("txt_novelty")
+    // gram relation is cached (feeds owner + totals without recompute)
+    assert(p.contains("InMemoryTableScan"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+  }
+
   test("q29: custom TopKPerKeyExec appears with exactly one exchange") {
     val p = plan("q29_topk_per_key")
     assert(p.contains("TopKPerKey 3"), p.take(3000))
