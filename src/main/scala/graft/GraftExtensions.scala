@@ -43,5 +43,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       fn("graft_h64", c => Md5PrefixHash(c(0), 15))
     ).foreach(ext.injectFunction)
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.WindowTopKRewrite)
   }
 }

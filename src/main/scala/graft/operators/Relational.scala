@@ -696,6 +696,41 @@ object Relational extends QueryPack {
        |WHERE rn <= 3
        |ORDER BY o_custkey, total_price DESC, o_orderkey""".stripMargin
 
+  // -- q35: optimizer-rule rewrite of the window top-k idiom ------------------
+  // The same bounded-heap operator as q29, reached through the PLAIN
+  // row_number-plus-filter formulation: graft.plans.WindowTopKRewrite (a
+  // Rule[LogicalPlan], injected by GraftExtensions or attached at
+  // runtime here) retargets the idiom onto TopKPerKey, so user SQL gets
+  // the O(n log k) plan without knowing the operator exists. The oracle
+  // is the identical idiom in DuckDB — the rewrite must be semantically
+  // invisible. PlanSpec asserts TopKPerKey actually appears.
+  private def q35(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.WindowTopKRewriteOps.ensureRegistered(s)
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("rev4").desc, col("tie"))
+    table(s, dir, "lineitem")
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        m4(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("rev4"),
+        expr("l_orderkey * 8 + l_linenumber").as("tie"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        d2(col("rev4")).as("revenue"), col("rn").cast("bigint").as("rn"))
+      .orderBy(col("l_suppkey"), col("rn"))
+  }
+
+  private val q35Sql =
+    s"""SELECT l_suppkey, l_orderkey, l_linenumber, revenue, rn FROM (
+       |  SELECT l_suppkey, l_orderkey, l_linenumber,
+       |    ${d2s(m4s("l_extendedprice * (1.0 - l_discount)"))} AS revenue,
+       |    CAST(row_number() OVER (PARTITION BY l_suppkey
+       |      ORDER BY ${m4s("l_extendedprice * (1.0 - l_discount)")} DESC,
+       |        l_orderkey * 8 + l_linenumber) AS BIGINT) AS rn
+       |  FROM lineitem)
+       |WHERE rn <= 2
+       |ORDER BY l_suppkey, rn""".stripMargin
+
   // -- q30: bounded-memory approximate distinct (KMV sketch UDAF) ------------
   // graft.functions.KmvDistinct: 64 longs of state per group vs
   // COUNT(DISTINCT)'s shuffle of every distinct value — the cardinality
@@ -782,6 +817,7 @@ object Relational extends QueryPack {
       "q01_pricing_summary" -> q01 _,
       "q02_filter_pushdown" -> q02 _,
       "q03_broadcast_join_agg" -> q03 _,
+      "q35_topk_rewrite" -> q35 _,
       "q04_multiway_join" -> q04 _,
       "q05_semi_join" -> q05 _,
       "q06_anti_join" -> q06 _,
@@ -819,6 +855,7 @@ object Relational extends QueryPack {
     "q01_pricing_summary" -> q01Sql,
     "q02_filter_pushdown" -> q02Sql,
     "q03_broadcast_join_agg" -> q03Sql,
+    "q35_topk_rewrite" -> q35Sql,
     "q04_multiway_join" -> q04Sql,
     "q05_semi_join" -> q05Sql,
     "q06_anti_join" -> q06Sql,

@@ -26,7 +26,8 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   * EnsureRequirements inserts exactly one hash exchange.
   */
 case class TopKPerKey(k: Int, key: Expression, order: Expression,
-                      tie: Expression, child: LogicalPlan)
+                      tie: Expression, child: LogicalPlan,
+                      tieNullsFirst: Boolean = false)
     extends UnaryNode {
   override def output: Seq[Attribute] = child.output
   override protected def withNewChildInternal(newChild: LogicalPlan)
@@ -36,8 +37,8 @@ case class TopKPerKey(k: Int, key: Expression, order: Expression,
 /** Planner strategy mapping the logical node to its physical operator. */
 object TopKPerKeyStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerKey(k, key, order, tie, child) =>
-      TopKPerKeyExec(k, key, order, tie, planLater(child)) :: Nil
+    case TopKPerKey(k, key, order, tie, child, tnf) =>
+      TopKPerKeyExec(k, key, order, tie, planLater(child), tnf) :: Nil
     case _ => Nil
   }
 }
@@ -52,11 +53,16 @@ private[plans] case class TopKEntry(onull: Boolean, ov: Long,
   *
   * Null handling matches the `row_number().over(Window)` formulation it
   * replaces: a NULL key is its own group (SQL GROUP BY / Window
-  * partitioning semantics), and NULL order/tie values rank weakest
-  * (`desc` is NULLS LAST in Spark; ties ascending puts NULL last too).
+  * partitioning semantics), a NULL order value ranks weakest (`desc`
+  * defaults to NULLS LAST in Spark), and a NULL tie follows
+  * `tieNullsFirst` — false = ASC NULLS LAST (the operator's original
+  * contract), true = ASC NULLS FIRST (Spark's default for a plain
+  * `asc`, which [[WindowTopKRewrite]] must honor when it rewrites a
+  * user-written window).
   */
 case class TopKPerKeyExec(k: Int, key: Expression, order: Expression,
-                          tie: Expression, child: SparkPlan)
+                          tie: Expression, child: SparkPlan,
+                          tieNullsFirst: Boolean = false)
     extends UnaryExecNode {
 
   import org.apache.spark.sql.execution.metric.SQLMetrics
@@ -76,6 +82,7 @@ case class TopKPerKeyExec(k: Int, key: Expression, order: Expression,
 
   override protected def doExecute(): RDD[InternalRow] = {
     val kLocal = k
+    val tnfLocal = tieNullsFirst
     val keyB = BindReferences.bindReference(key, child.output)
     val orderB = BindReferences.bindReference(order, child.output)
     val tieB = BindReferences.bindReference(tie, child.output)
@@ -99,8 +106,8 @@ case class TopKPerKeyExec(k: Int, key: Expression, order: Expression,
               else java.lang.Long.compare(b.ov, a.ov)
             if (c1 != 0) c1
             else if (a.tnull && b.tnull) 0
-            else if (a.tnull) 1
-            else if (b.tnull) -1
+            else if (a.tnull) { if (tnfLocal) -1 else 1 }
+            else if (b.tnull) { if (tnfLocal) 1 else -1 }
             else java.lang.Long.compare(a.tv, b.tv)
           }
         }

@@ -261,6 +261,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
   }
 
+  test("q35: WindowTopKRewrite retargets the plain idiom onto TopKPerKey") {
+    val p = plan("q35_topk_rewrite")
+    assert(p.contains("TopKPerKey 2"), p.take(3000))
+    // the residual Window re-ranks only the <=k survivors per key; the
+    // full-input sort-based filter path must be gone
+    assert(p.contains("Window"), p.take(3000))
+  }
+
   test("q29: custom TopKPerKeyExec appears with exactly one exchange") {
     val p = plan("q29_topk_per_key")
     assert(p.contains("TopKPerKey 3"), p.take(3000))

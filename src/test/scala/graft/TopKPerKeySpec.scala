@@ -4,7 +4,7 @@ import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.plans.{TopKPerKeyExec, TopKPerKeyOps}
+import graft.plans.{TopKPerKeyExec, TopKPerKeyOps, WindowTopKRewriteOps}
 
 /** Null-handling and metrics contract of the custom bounded-heap
   * operator (plans/TopKPerKey.scala): NULL keys form their own group and
@@ -75,5 +75,59 @@ class TopKPerKeySpec extends AnyFunSuite {
     val viaExec = TopKPerKeyOps.topKPerKey(df, 2, "k", "o", "t")
       .collect().map(_.toSeq).toSet
     assert(viaExec == viaWindow)
+  }
+
+  test("WindowTopKRewrite: plain idiom gets the heap operator, same rows") {
+    WindowTopKRewriteOps.ensureRegistered(spark)
+    val df = Seq[(Long, Long, Long)](
+      (1L, 10L, 1L), (1L, 20L, 2L), (1L, 30L, 3L), (1L, 30L, 4L),
+      (2L, 5L, 5L), (2L, 6L, 6L)
+    ).toDF("k", "o", "t")
+    val idiom = df.selectExpr("k", "o", "t",
+        "row_number() over (partition by k order by o desc, t) as rn")
+      .where("rn <= 2")
+    assert(findExec(idiom.queryExecution.executedPlan).isDefined,
+      "rewrite did not fire:\n" +
+        idiom.queryExecution.executedPlan.toString.take(2000))
+    val got = idiom.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    assert(got == Set((1L, 30L, 3L, 1), (1L, 30L, 4L, 2), (2L, 6L, 6L, 1),
+      (2L, 5L, 5L, 2)))
+  }
+
+  test("WindowTopKRewrite honors ASC NULLS FIRST tie (Spark's default)") {
+    WindowTopKRewriteOps.ensureRegistered(spark)
+    val df = Seq[(Long, Long, Option[Long])](
+      (1L, 10L, Some(1L)), (1L, 10L, None), (1L, 10L, Some(2L))
+    ).toDF("k", "o", "t")
+    // plain `t` asc = NULLS FIRST: the null-tie row ranks 1
+    val idiom = df.selectExpr("k", "o", "t",
+        "row_number() over (partition by k order by o desc, t) as rn")
+      .where("rn <= 2")
+    assert(findExec(idiom.queryExecution.executedPlan).isDefined)
+    val kept = idiom.collect()
+      .map(r => (if (r.isNullAt(2)) null else r.getLong(2), r.getInt(3)))
+      .toSet
+    assert(kept == Set((null, 1), (1L, 2)), kept.toString)
+  }
+
+  test("WindowTopKRewrite leaves residual conjuncts and foreign shapes") {
+    WindowTopKRewriteOps.ensureRegistered(spark)
+    val df = Seq[(Long, Long, Long)](
+      (1L, 10L, 1L), (1L, 20L, 2L), (1L, 30L, 3L), (2L, 6L, 6L)
+    ).toDF("k", "o", "t")
+    // extra conjunct survives as a residual filter over the rewrite
+    val mixed = df.selectExpr("k", "o", "t",
+        "row_number() over (partition by k order by o desc, t) as rn")
+      .where("rn <= 2 AND o > 10")
+    assert(findExec(mixed.queryExecution.executedPlan).isDefined)
+    assert(mixed.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((1L, 30L), (1L, 20L)))
+    // rank() is not row_number(): the rule must not touch it
+    val rank = df.selectExpr("k", "o", "t",
+        "rank() over (partition by k order by o desc) as rn")
+      .where("rn <= 2")
+    assert(findExec(rank.queryExecution.executedPlan).isEmpty)
+    assert(rank.count() == 3)
   }
 }
