@@ -31,6 +31,19 @@ class GraftExtensionsSpec extends AnyFunSuite {
       assert(r.getDouble(1) == 11.0)
       assert(s2.sessionState.planner.strategies
         .contains(graft.plans.TopKPerKeyStrategy))
+      // the injected optimizer rule retargets the plain window-top-k
+      // idiom without any runtime attach
+      import s2.implicits._
+      val idiom = Seq((1L, 10L, 1L), (1L, 20L, 2L), (2L, 5L, 3L))
+        .toDF("k", "o", "t")
+        .selectExpr("k", "o", "t",
+          "row_number() over (partition by k order by o desc, t) as rn")
+        .where("rn <= 1")
+      assert(idiom.queryExecution.executedPlan.toString
+        .contains("TopKPerKey 1"),
+        idiom.queryExecution.executedPlan.toString.take(2000))
+      assert(idiom.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+        Set((1L, 20L), (2L, 5L)))
     } finally {
       // drop only the extra session; the shared context stays up
       SparkSession.setDefaultSession(base)
