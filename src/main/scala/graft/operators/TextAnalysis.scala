@@ -553,6 +553,62 @@ object TextAnalysis extends QueryPack {
       |WHERE rn <= desired_n
       |ORDER BY source, rn""".stripMargin
 
+  // -- txt_temperature_mix: temperature-scaled source sampling ----------------
+  // The multilingual/domain balancing step from mT5/XLM-R: sample source
+  // i with probability ∝ p_i^τ (τ<1 upsamples small sources relative to
+  // their share). τ = 0.5 here, which makes the weight sqrt(cnt) — and
+  // IEEE sqrt is correctly rounded, so floor(sqrt(cnt)) is bit-identical
+  // in Spark and DuckDB and the whole rate computation stays in exact
+  // integer arithmetic (same desired_n/rank-by-md5 machinery as
+  // txt_mixture, which this complements: fixed config weights there,
+  // distribution-derived temperature weights here). Membership is
+  // rank-by-keyed-md5 inside each source, reproducible under any
+  // partitioning.
+  // Scale shape: identical to txt_mixture — per-source count (map-side
+  // combine), windows over the |sources|-sized table only, one
+  // source-partitioned doc window, broadcast rate join.
+  private def txtTemperatureMix(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+      .selectExpr("doc_id", "source",
+        "md5(cast(doc_id as string)) AS hk")
+    val rates = docs.groupBy("source").agg(count(lit(1)).as("cnt"))
+      .withColumn("w",
+        expr("cast(floor(sqrt(cast(cnt as double))) as bigint)"))
+      .withColumn("sample_total", expr("sum(cnt) OVER () div 4"))
+      .withColumn("wsum", expr("sum(w) OVER ()"))
+      .withColumn("desired_n",
+        expr("least(cnt, (sample_total * w) div wsum)"))
+      .select("source", "desired_n")
+    val wSrc = Window.partitionBy("source")
+      .orderBy(col("hk"), col("doc_id"))
+    docs.join(broadcast(rates), Seq("source"))
+      .withColumn("rn", row_number().over(wSrc).cast("bigint"))
+      .filter(col("rn") <= col("desired_n"))
+      .select("source", "doc_id", "rn", "desired_n")
+      .orderBy(col("source"), col("rn"))
+  }
+
+  private val txtTemperatureMixSql =
+    """WITH d AS (SELECT doc_id, source,
+      |             md5(CAST(doc_id AS VARCHAR)) AS hk FROM documents),
+      |r AS (
+      |  SELECT source,
+      |    least(cnt, (sample_total * w) // wsum) AS desired_n
+      |  FROM (SELECT source, cnt, w,
+      |          CAST(SUM(cnt) OVER () AS BIGINT) // 4 AS sample_total,
+      |          CAST(SUM(w) OVER () AS BIGINT) AS wsum
+      |        FROM (SELECT source, CAST(COUNT(*) AS BIGINT) AS cnt,
+      |                CAST(floor(sqrt(CAST(COUNT(*) AS DOUBLE)))
+      |                  AS BIGINT) AS w
+      |              FROM d GROUP BY source)))
+      |SELECT source, doc_id, rn, desired_n FROM (
+      |  SELECT d.source, d.doc_id, r.desired_n,
+      |    CAST(row_number() OVER (PARTITION BY d.source
+      |      ORDER BY d.hk, d.doc_id) AS BIGINT) AS rn
+      |  FROM d JOIN r ON d.source = r.source)
+      |WHERE rn <= desired_n
+      |ORDER BY source, rn""".stripMargin
+
   // -- txt_budget_select: token-budget curation -------------------------------
   // The final act of a curation pipeline: given a token BUDGET (here
   // half the corpus), keep the highest-quality documents whose
@@ -1010,6 +1066,7 @@ object TextAnalysis extends QueryPack {
       "txt_repetition" -> txtRepetition _,
       "txt_budget_select" -> txtBudgetSelect _,
       "txt_mixture" -> txtMixture _,
+      "txt_temperature_mix" -> txtTemperatureMix _,
       "txt_shuffle_shard" -> txtShuffleShard _,
       "txt_corpus_stats" -> txtCorpusStats _,
       "txt_cdc_chunks" -> txtCdcChunks _,
@@ -1035,6 +1092,7 @@ object TextAnalysis extends QueryPack {
     "txt_repetition" -> txtRepetitionSql,
     "txt_budget_select" -> txtBudgetSelectSql,
     "txt_mixture" -> txtMixtureSql,
+    "txt_temperature_mix" -> txtTemperatureMixSql,
     "txt_shuffle_shard" -> txtShuffleShardSql,
     "txt_corpus_stats" -> txtCorpusStatsSql,
     "txt_cdc_chunks" -> txtCdcChunksSql,
