@@ -40,7 +40,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       fn("graft_bloom_contains", c => BloomContains(c(0), c(1))),
       fn("graft_h16", c => Md5PrefixHash(c(0), 4)),
       fn("graft_h32", c => Md5PrefixHash(c(0), 8)),
-      fn("graft_h64", c => Md5PrefixHash(c(0), 15))
+      fn("graft_h64", c => Md5PrefixHash(c(0), 15)),
+      fn("graft_cdc_ends", c => CdcEnds(c(0)))
     ).foreach(ext.injectFunction)
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
     ext.injectOptimizerRule(_ => graft.plans.WindowTopKRewrite)

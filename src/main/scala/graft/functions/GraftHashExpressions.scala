@@ -38,6 +38,45 @@ object GraftHashes {
         java.security.MessageDigest.getInstance("MD5")
     }
 
+  /** Single-pass content-defined-chunking boundary scan: the sorted
+    * distinct 1-based end positions `{ i+3 | graft_h32(substr(text,i,4))
+    * % 64 == 0 } ∪ {numChars}` — exactly the HOF formulation in
+    * txt_cdc_chunks, fused so one row costs one byte-offset walk and one
+    * MessageDigest per window instead of an interpreted
+    * transform/filter/distinct/sort pipeline with a substring allocation
+    * per position. `% 64 == 0` on the 8-nibble (4-byte big-endian) md5
+    * prefix is equivalent to the low 6 bits of digest byte 3 being zero,
+    * so the long is never materialized.
+    */
+  def cdcEnds(s: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+    val bytes = s.getBytes
+    val nChars = s.numChars()
+    // char -> starting byte offset (UTF-8-safe window slicing)
+    val offs = new Array[Int](nChars + 1)
+    var b = 0
+    var c = 0
+    while (c < nChars) {
+      offs(c) = b
+      b += org.apache.spark.unsafe.types.UTF8String
+        .numBytesForFirstByte(bytes(b))
+      c += 1
+    }
+    offs(nChars) = bytes.length
+    val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val d = md5Local.get()
+    var i = 0 // 0-based window start; 1-based end = i + 4
+    while (i + 4 <= nChars) {
+      d.reset()
+      d.update(bytes, offs(i), offs(i + 4) - offs(i))
+      if ((d.digest()(3) & 0x3F) == 0) out += (i + 4)
+      i += 1
+    }
+    // boundaries are generated in ascending order; only the final
+    // document end can collide with the last content boundary
+    if (out.isEmpty || out.last != nChars) out += nChars
+    new GenericArrayData(out.toArray)
+  }
+
   def md5Prefix(s: org.apache.spark.unsafe.types.UTF8String,
                 nibbles: Int): Long = {
     val d = md5Local.get()
@@ -244,6 +283,37 @@ case class Md5PrefixHash(child: Expression, nibbles: Int)
 
   override protected def withNewChildInternal(
       newChild: Expression): Md5PrefixHash = copy(child = newChild)
+}
+
+/** `graft_cdc_ends(text)` — content-defined chunk end positions (sorted
+  * distinct, 1-based, document end included) in one compiled pass. See
+  * [[GraftHashes.cdcEnds]]; consumed by txt_cdc_chunks in place of its
+  * original per-position HOF scan.
+  */
+case class CdcEnds(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.StringType =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_cdc_ends expects string, got ${t.sql}")
+  }
+
+  override def dataType: DataType =
+    ArrayType(IntegerType, containsNull = false)
+
+  override def prettyName: String = "graft_cdc_ends"
+
+  override protected def nullSafeEval(a: Any): Any =
+    GraftHashes.cdcEnds(a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.GraftHashes.cdcEnds($c)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): CdcEnds = copy(child = newChild)
 }
 
 /** `graft_minhash16(ghs)` — all 16 MinHash signatures of a hashed-shingle

@@ -177,5 +177,7 @@ object VectorFunctions {
       (children: Seq[Expression]) => Md5PrefixHash(children(0), 8))
     org.apache.spark.sql.GraftRegistry.register(spark, "graft_h64",
       (children: Seq[Expression]) => Md5PrefixHash(children(0), 15))
+    org.apache.spark.sql.GraftRegistry.register(spark, "graft_cdc_ends",
+      (children: Seq[Expression]) => CdcEnds(children(0)))
   }
 }

@@ -356,23 +356,21 @@ object TextAnalysis extends QueryPack {
   // passages chunk identically across documents (716 duplicate chunk
   // digests on this corpus at sf0.01: the chunk-store dedup win).
   // Average chunk ≈ 64 chars by construction of the modulus.
-  // One narrow per-document pass: the boundary scan is a HOF over
-  // character windows using the fused graft_h32 kernel, chunk rows
-  // explode with their index, and only (doc_id, idx, start, len,
-  // digest) flow on — never the text. Boundary list is sorted
-  // explicitly: DuckDB's list_distinct does NOT preserve order.
+  // One narrow per-document pass: the boundary scan is the fused
+  // graft_cdc_ends kernel (one byte-offset walk + one MessageDigest per
+  // window; it replaced the original HOF formulation
+  // `array_sort(array_distinct(concat(filter(transform(sequence(1,n-3),
+  // i -> ... graft_h32(substring(text,i,4)) % 64 = 0 ...)), array(n))))`
+  // which paid an interpreted lambda eval and a substring allocation per
+  // character — 3.9 s -> ~1.0 s at sf0.1; KernelDifferentialSpec pins
+  // kernel == HOF on the corpus). Chunk rows explode with their index,
+  // and only (doc_id, idx, start, len, digest) flow on — never the text.
   private def txtCdcChunks(s: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorFunctions.ensureRegistered(s)
     table(s, dir, "documents")
       .selectExpr("doc_id", "text", "length(text) AS n")
       .filter("n >= 1")
-      .selectExpr("doc_id", "text",
-        "array_sort(array_distinct(concat(" +
-          "CASE WHEN n >= 4 THEN filter(transform(sequence(1, n - 3)," +
-          " i -> CASE WHEN graft_h32(substring(text, i, 4)) % 64 = 0" +
-          " THEN i + 3 END), x -> x IS NOT NULL)" +
-          " ELSE cast(array() as array<int>) END," +
-          " array(n)))) AS ends")
+      .selectExpr("doc_id", "text", "graft_cdc_ends(text) AS ends")
       .selectExpr("doc_id", "text", "ends",
         "posexplode(ends) AS (pidx, e)")
       .selectExpr("doc_id", "text", "e",

@@ -109,4 +109,27 @@ class KernelDifferentialSpec extends AnyFunSuite {
         java.lang.Double.doubleToLongBits(r.getDouble(1)))
     }
   }
+
+  test("graft_cdc_ends equals the unfused HOF boundary scan") {
+    // seeded word-soup plus adversarial shapes: shorter than one window,
+    // exactly one window, multi-byte chars (char-indexed windows must
+    // not drift on UTF-8), and a real fixture slice
+    val words = Seq("key", "agg", "row", "scan", "slow", "fast", "table",
+      "value", "part", "hash", "naïve", "数据", "流")
+    val texts = Seq("", "a", "abc", "abcd", "ab抽象cd") ++
+      Seq.fill(40)(Seq.fill(rnd.nextInt(120) + 1)(
+        words(rnd.nextInt(words.length))).mkString(" "))
+    val df = texts.toDF("text").filter("length(text) >= 1").selectExpr(
+      "graft_cdc_ends(text) AS fused",
+      "array_sort(array_distinct(concat(" +
+        "CASE WHEN length(text) >= 4 THEN" +
+        " filter(transform(sequence(1, length(text) - 3)," +
+        " i -> CASE WHEN graft_h32(substring(text, i, 4)) % 64 = 0" +
+        " THEN i + 3 END), x -> x IS NOT NULL)" +
+        " ELSE cast(array() as array<int>) END," +
+        " array(length(text))))) AS unfused")
+    df.collect().foreach { r =>
+      assert(r.getSeq[Int](0) == r.getSeq[Int](1), r.toString)
+    }
+  }
 }
