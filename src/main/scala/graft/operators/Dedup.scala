@@ -538,6 +538,28 @@ object Dedup extends QueryPack {
   private def sparkSigCols: Seq[String] =
     (0 until K).map(j => s"element_at(sigarr, ${j + 1}) AS sig_$j")
 
+  /** Streaming reuse ([[graft.streaming.Streams.nearDupStream]]): the
+    * (band, bkey) expansion of a document frame — IDENTICAL banding to
+    * dd_minhash_lsh (same shingles, same 16-perm MinHash, same 4 x 4
+    * band keys), so the stream flags exactly the candidates the batch
+    * pass would. Input columns: doc_id, ts, text.
+    */
+  private[graft] def bandRows(docs: DataFrame): DataFrame = {
+    VectorFunctions.ensureRegistered(docs.sparkSession)
+    val bandCols = (0 until Bands).map(b =>
+      s"struct($b AS band, ${bandKeySpark(b)} AS bkey)")
+    docs
+      .selectExpr("doc_id", "ts", "split(text, ' ') AS toks")
+      .selectExpr("doc_id", "ts", s"$sparkGrams AS grams")
+      .selectExpr("doc_id", "ts",
+        s"transform(grams, g -> ${sparkH("g")}) AS ghs")
+      .selectExpr("doc_id", "ts", "graft_minhash16(ghs) AS sigarr")
+      .selectExpr(Seq("doc_id", "ts") ++ sparkSigCols: _*)
+      .selectExpr("doc_id", "ts",
+        s"explode(array(${bandCols.mkString(", ")})) AS bb")
+      .selectExpr("bb.band AS band", "bb.bkey AS bkey", "doc_id", "ts")
+  }
+
   private def duckSigCols: Seq[String] = (0 until K).map { j =>
     s"list_reduce(list_transform(ghs," +
       s" h -> (${A(j)} * h + ${B(j)}) % $P)," +

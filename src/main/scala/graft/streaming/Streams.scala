@@ -18,6 +18,26 @@ case class SessionState(startNs: Long, lastNs: Long, nEvents: Long)
 case class ClosedSession(user_id: Long, start_ns: Long, end_ns: Long,
                          n_events: Long, duration_ns: Long)
 
+/** One document row for the streaming near-dup path (`ts` epoch-nanos). */
+case class StreamDoc(doc_id: Long, ts: Long, text: String)
+
+/** One (band, band-key) expansion row of a document. The watermarked
+  * `event_time` column must stay in the row so the stateful operator
+  * sees the watermark annotation.
+  */
+case class BandRow(band: Int, bkey: String, doc_id: Long, ts: Long,
+                   event_time: java.sql.Timestamp)
+
+/** Band-bucket state: the first document seen in the bucket. */
+case class BandOwner(owner_id: Long, owner_ts_ns: Long)
+
+/** Near-dup candidate evidence: `doc_id` collided with the bucket owner
+  * in `band`. Same contract as batch banding — a CANDIDATE, to be
+  * exact-re-checked downstream (dd_minhash_lsh's est_sim / dd_jaccard's
+  * graft_isect), never a verdict by itself.
+  */
+case class BandMatch(doc_id: Long, owner_id: Long, band: Int)
+
 /** Structured Streaming surface (SURVEY.md §2.9). The reference's worker
   * loop (`worker.py:166-184`) is a poll-every-30s batch rerun whose
   * incrementality lives in the checkpoint watermark (St2); here the same
@@ -76,6 +96,50 @@ object Streams {
       .withColumn("event_time", expr("timestamp_micros(ts div 1000)"))
       .withWatermark("event_time", horizon)
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** Streaming LSH near-dup: flag each incoming document that collides
+    * with an earlier document in any MinHash band — the ingest-time form
+    * of dd_minhash_lsh, sharing its exact banding
+    * ([[graft.operators.Dedup.bandRows]]) so stream and batch surface
+    * the same candidates. State is ONE owner row per occupied band
+    * bucket, expired `horizonNs` after the owner's event time (event-time
+    * timeout bounded by the watermark), so executor state is
+    * proportional to distinct band buckets in the horizon — never the
+    * stream's history. Emitted matches are candidate evidence (up to 4
+    * rows per colliding pair, one per band); the exact similarity
+    * re-check stays a downstream batch join, exactly as in the batch
+    * pipeline.
+    */
+  def nearDupStream(docs: DataFrame,
+                    horizonNs: Long = 30L * 60 * 1000000000L)
+      : Dataset[BandMatch] = {
+    import docs.sparkSession.implicits._
+    val horizonMs = horizonNs / 1000000L
+    graft.operators.Dedup.bandRows(docs)
+      .withColumn("event_time", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("event_time", s"${horizonMs / 1000} seconds")
+      .select("band", "bkey", "doc_id", "ts", "event_time")
+      .as[BandRow]
+      .groupByKey(r => s"${r.band}:${r.bkey}")
+      .flatMapGroupsWithState[BandOwner, BandMatch](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (_, rows, state) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            // deterministic owner among same-batch ties
+            val batch = rows.toSeq.sortBy(r => (r.ts, r.doc_id))
+            val owner = state.getOption.getOrElse(
+              BandOwner(batch.head.doc_id, batch.head.ts))
+            state.update(owner)
+            state.setTimeoutTimestamp(math.max(
+              owner.owner_ts_ns / 1000000L + horizonMs,
+              state.getCurrentWatermarkMs() + 1))
+            batch.iterator
+              .filter(_.doc_id != owner.owner_id)
+              .map(r => BandMatch(r.doc_id, owner.owner_id, r.band))
+          }
+      }
+  }
 
   /** Per-user funnel progress: micro timestamps of the first step-1
   * event, the first step-2 event after it, and the first step-3 event

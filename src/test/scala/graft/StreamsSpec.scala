@@ -6,7 +6,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.OutputMode
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.streaming.{ClosedSession, Event, Streams}
+import graft.streaming.{ClosedSession, Event, StreamDoc, Streams}
 
 /** Drives the Structured Streaming operators through real micro-batches
   * via MemoryStream (SURVEY.md §2.9: windows, watermark, custom state).
@@ -227,6 +227,36 @@ class StreamsSpec extends AnyFunSuite {
         .selectExpr("unix_timestamp(window.start) AS ws", "n").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toMap
       assert(after.get(0L).contains(2L))
+    } finally q.stop()
+  }
+
+  test("nearDupStream flags banded collisions against the bucket owner") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dup = "the quick brown fox jumps over the lazy dog again and again"
+    val other = "spark shuffles partition data across executors by key"
+    val in = MemoryStream[StreamDoc]
+    val q = Streams.nearDupStream(in.toDF())
+      .writeStream.format("memory").queryName("neardup")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: owner + an identical doc (collides in all 4 bands) + an
+      // unrelated doc (its own buckets, no collision)
+      in.addData(StreamDoc(1, 100 * H, dup), StreamDoc(2, 100 * H + 10, dup),
+        StreamDoc(3, 100 * H + 20, other))
+      q.processAllAvailable()
+      val m1 = spark.table("neardup").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      assert(m1.forall { case (d, o, _) => d == 2L && o == 1L }, m1.toSeq)
+      assert(m1.map(_._3).sorted.toSeq == Seq(0, 1, 2, 3), m1.toSeq)
+      // batch 2: a later re-arrival still matches the STANDING owner
+      in.addData(StreamDoc(4, 100 * H + 30, dup))
+      q.processAllAvailable()
+      val m2 = spark.table("neardup").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(m2.contains((4L, 1L)), m2.toString)
+      assert(!m2.exists(_._1 == 3L), m2.toString)
     } finally q.stop()
   }
 }
