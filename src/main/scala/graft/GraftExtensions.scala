@@ -41,7 +41,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       fn("graft_h16", c => Md5PrefixHash(c(0), 4)),
       fn("graft_h32", c => Md5PrefixHash(c(0), 8)),
       fn("graft_h64", c => Md5PrefixHash(c(0), 15)),
-      fn("graft_cdc_ends", c => CdcEnds(c(0)))
+      fn("graft_cdc_ends", c => CdcEnds(c(0))),
+      fn("graft_char3grams", c => CharNgrams(c(0), 3))
     ).foreach(ext.injectFunction)
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
     ext.injectOptimizerRule(_ => graft.plans.WindowTopKRewrite)

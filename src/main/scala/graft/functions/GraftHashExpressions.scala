@@ -77,6 +77,20 @@ object GraftHashes {
     new GenericArrayData(out.toArray)
   }
 
+  /** All character n-grams in order (see [[CharNgrams]]). */
+  def charNgrams(s: org.apache.spark.unsafe.types.UTF8String,
+                 n: Int): ArrayData = {
+    val nChars = s.numChars()
+    if (nChars < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](nChars - n + 1)
+    var i = 0
+    while (i + n <= nChars) {
+      out(i) = s.substring(i, i + n)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   def md5Prefix(s: org.apache.spark.unsafe.types.UTF8String,
                 nibbles: Int): Long = {
     val d = md5Local.get()
@@ -283,6 +297,42 @@ case class Md5PrefixHash(child: Expression, nibbles: Int)
 
   override protected def withNewChildInternal(
       newChild: Expression): Md5PrefixHash = copy(child = newChild)
+}
+
+/** `graft_char_ngrams(text)` for a compile-time n — every character
+  * n-gram of the input in order (NOT distinct: downstream counts
+  * frequencies). Replaces the interpreted
+  * `transform(sequence(1, length(text) - n + 1), i -> substring(text,
+  * i, n))` HOF, which paid a lambda eval per character; this is one
+  * char-offset walk with UTF8String slices.
+  */
+case class CharNgrams(child: Expression, n: Int) extends UnaryExpression {
+
+  require(n >= 1, s"ngram width must be positive, got $n")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.StringType =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects string, got ${t.sql}")
+  }
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+
+  override def prettyName: String = s"graft_char${n}grams"
+
+  override protected def nullSafeEval(a: Any): Any =
+    GraftHashes.charNgrams(
+      a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.GraftHashes.charNgrams($c, $n)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): CharNgrams = copy(child = newChild)
 }
 
 /** `graft_cdc_ends(text)` — content-defined chunk end positions (sorted

@@ -179,5 +179,7 @@ object VectorFunctions {
       (children: Seq[Expression]) => Md5PrefixHash(children(0), 15))
     org.apache.spark.sql.GraftRegistry.register(spark, "graft_cdc_ends",
       (children: Seq[Expression]) => CdcEnds(children(0)))
+    org.apache.spark.sql.GraftRegistry.register(spark, "graft_char3grams",
+      (children: Seq[Expression]) => CharNgrams(children(0), 3))
   }
 }

@@ -167,18 +167,18 @@ object TextAnalysis extends QueryPack {
       |ORDER BY doc_id""".stripMargin
 
   // -- txt_trigrams: top character 3-grams per language ------------------------
+  // Extraction is the fused graft_char3grams kernel (one char-offset
+  // walk; it replaced an interpreted `transform(sequence(1, len - 2),
+  // i -> substring(text, i, 3))` lambda per character — the kernel also
+  // subsumes that formulation's short-text guard, emitting [] under 3
+  // chars where Spark's descending sequence(1, 0) would emit bogus
+  // grams). KernelDifferentialSpec pins kernel == HOF.
   private def txtTrigrams(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.ensureRegistered(s)
     val w = Window.partitionBy(col("lang"))
       .orderBy(col("cnt").desc, col("gram"))
     table(s, dir, "documents")
-      // Guarded for texts shorter than 3 chars: Spark's sequence(1, len-2)
-      // would descend (e.g. [1, 0]) and emit bogus grams where DuckDB's
-      // range(1, len-1) emits none; the CASE makes both emit nothing.
-      .selectExpr("lang",
-        "explode(CASE WHEN length(text) >= 3 THEN"
-          + " transform(sequence(1, length(text) - 2),"
-          + " i -> substring(text, i, 3))"
-          + " ELSE cast(array() as array<string>) END) AS gram")
+      .selectExpr("lang", "explode(graft_char3grams(text)) AS gram")
       .groupBy(col("lang"), col("gram"))
       .agg(count(lit(1)).as("cnt"))
       .withColumn("rnk", row_number().over(w).cast("bigint"))

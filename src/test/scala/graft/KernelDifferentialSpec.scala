@@ -110,6 +110,21 @@ class KernelDifferentialSpec extends AnyFunSuite {
     }
   }
 
+  test("graft_char3grams equals the unfused HOF extraction") {
+    val texts = Seq("", "a", "ab", "abc", "ab抽象cd", "αβγδε") ++
+      Seq.fill(30)(Seq.fill(rnd.nextInt(200))(
+        ('a' + rnd.nextInt(26)).toChar).mkString)
+    val df = texts.toDF("text").selectExpr(
+      "graft_char3grams(text) AS fused",
+      "CASE WHEN length(text) >= 3 THEN" +
+        " transform(sequence(1, length(text) - 2)," +
+        " i -> substring(text, i, 3))" +
+        " ELSE cast(array() as array<string>) END AS unfused")
+    df.collect().foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1), r.toString)
+    }
+  }
+
   test("graft_cdc_ends equals the unfused HOF boundary scan") {
     // seeded word-soup plus adversarial shapes: shorter than one window,
     // exactly one window, multi-byte chars (char-indexed windows must
