@@ -273,6 +273,88 @@ object Similarity extends QueryPack {
        |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
        |WHERE cos_sim >= 0.4 ORDER BY vec_a, vec_b""".stripMargin
 
+  // -- sim_ann_recall: measured recall@5 of the banded LSH probe --------------
+  // The index-quality gate: before an ANN index replaces exact search in
+  // a pipeline, its recall is MEASURED against the exact top-k on a
+  // query sample — this query is that report. For each query vector
+  // (vec_id < 8, the sim_topk_brute sample), the exact cosine top-5 is
+  // compared with the top-5 among candidates sharing ANY of the query's
+  // 4 two-plane RH-LSH bands (the banded configuration the scale paths
+  // ship — a SINGLE full-width probe measures ~0 here: at cos 0.4-0.7
+  // all 8 sign bits agree with prob (1-θ/π)^8 ≈ 3%, which is exactly
+  // why production LSH bands). Band b of the 8-bit bucket is its 2-bit
+  // slice (bucket div 4^b % 4), identical arithmetic in both dialects.
+  // n_found counts exact neighbors the probe recovered; recall_micro =
+  // n_found*1e6/5 exact-integer. Both top-5 sets are deterministic
+  // (rounded cosine, vec_id tiebreak), so the report hash-verifies
+  // cross-engine.
+  // Scale shape: the exact side is the documented small-query-sample ×
+  // corpus spec regime (sim_topk_brute's contract); the probe side is
+  // band-pruned. The OR-of-bands join is sample × corpus here; at
+  // production scale it becomes the same (band, bucket) explode +
+  // equi-join as dd_embed_cosine_lsh — the report's semantics, a
+  // per-query set intersection, are unchanged.
+  private def simAnnRecall(s: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.ensureRegistered(s)
+    table(s, dir, "embeddings")
+      .selectExpr("vec_id", "embedding",
+        s"${dotS("embedding", "embedding")} AS n2",
+        s"${bucketExpr(planeDotS)} AS bucket")
+      .createOrReplaceTempView("sim_rec_e")
+    val anyBand = (0 until 4)
+      .map(b => s"(q.bucket div ${1 << (2 * b)}) % 4 =" +
+        s" (c.bucket div ${1 << (2 * b)}) % 4")
+      .mkString(" AND (", " OR ", ")")
+    def top5(extraCond: String) =
+      s"""SELECT query_id, neighbor_id FROM (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY round(${dotS("q.embedding", "c.embedding")}
+         |        / sqrt(q.n2 * c.n2), 6) DESC, c.vec_id) AS rnk
+         |  FROM sim_rec_e q JOIN sim_rec_e c
+         |    ON q.vec_id < 8 AND c.vec_id <> q.vec_id$extraCond)
+         |WHERE rnk <= 5""".stripMargin
+    s.sql(
+      s"""WITH ex AS (${top5("")}),
+         |ann AS (${top5(anyBand)})
+         |SELECT ex.query_id,
+         |  cast(count(ann.neighbor_id) as bigint) AS n_found,
+         |  cast(count(ann.neighbor_id) as bigint) * 1000000 div 5
+         |    AS recall_micro
+         |FROM ex LEFT JOIN ann ON ex.query_id = ann.query_id
+         |  AND ex.neighbor_id = ann.neighbor_id
+         |GROUP BY ex.query_id ORDER BY ex.query_id""".stripMargin)
+  }
+
+  private val simAnnRecallSql = {
+    val anyBand = (0 until 4)
+      .map(b => s"(q.bucket // ${1 << (2 * b)}) % 4 =" +
+        s" (c.bucket // ${1 << (2 * b)}) % 4")
+      .mkString(" AND (", " OR ", ")")
+    def top5(extraCond: String) =
+      s"""SELECT query_id, neighbor_id FROM (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY round(${dotD("q.embedding", "c.embedding")}
+         |        / sqrt(q.n2 * c.n2), 6) DESC, c.vec_id) AS rnk
+         |  FROM e q JOIN e c
+         |    ON q.vec_id < 8 AND c.vec_id <> q.vec_id$extraCond)
+         |WHERE rnk <= 5""".stripMargin
+    s"""WITH e AS (SELECT vec_id, embedding,
+       |    ${dotD("embedding", "embedding")} AS n2,
+       |    ${bucketExpr(planeDotD)} AS bucket
+       |  FROM embeddings),
+       |ex AS (${top5("")}),
+       |ann AS (${top5(anyBand)})
+       |SELECT ex.query_id,
+       |  CAST(COUNT(ann.neighbor_id) AS BIGINT) AS n_found,
+       |  CAST(COUNT(ann.neighbor_id) AS BIGINT) * 1000000 // 5
+       |    AS recall_micro
+       |FROM ex LEFT JOIN ann ON ex.query_id = ann.query_id
+       |  AND ex.neighbor_id = ann.neighbor_id
+       |GROUP BY ex.query_id ORDER BY ex.query_id""".stripMargin
+  }
+
   // -- sim_ivf_assign: IVF cell assignment + cell sizes -----------------------
   // Centroids = vectors 0..3 (stand-in for a k-means codebook); each vector
   // goes to the centroid with max rounded cosine (ties -> lower centroid id).
@@ -704,6 +786,7 @@ object Similarity extends QueryPack {
       "sim_kmeans" -> simKmeans _,
       "sim_norms" -> simNorms _,
       "sim_topk_brute" -> simTopkBrute _,
+      "sim_ann_recall" -> simAnnRecall _,
       "sim_range_search" -> simRangeSearch _,
       "sim_negatives" -> simNegatives _,
       "sim_lsh_buckets" -> simLshBuckets _,
@@ -719,6 +802,7 @@ object Similarity extends QueryPack {
     "sim_kmeans" -> simKmeansSql,
     "sim_norms" -> simNormsSql,
     "sim_topk_brute" -> simTopkBruteSql,
+    "sim_ann_recall" -> simAnnRecallSql,
     "sim_range_search" -> simRangeSearchSql,
     "sim_negatives" -> simNegativesSql,
     "sim_lsh_buckets" -> simLshBucketsSql,
