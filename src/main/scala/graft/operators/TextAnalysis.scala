@@ -616,21 +616,38 @@ object TextAnalysis extends QueryPack {
   // in the shape a 100 TB run needs:
   //   1. quantize quality to integer micro-units (score_u in [0, 1e6],
   //      bounded cardinality by construction);
-  //   2. aggregate tokens PER SCORE — one map-side-combining shuffle,
-  //      result is at most 1e6 + 1 rows regardless of corpus size;
-  //   3. the exclusive prefix sum over that tiny per-score table is the
-  //      only unpartitioned window, and it runs on aggregate rows, not
-  //      documents (same bounded-small-table argument as sim_kmeans'
-  //      centroid table);
-  //   4. each document learns its selection position from a BROADCAST
-  //      join on score_u plus a window partitioned BY SCORE (fully
-  //      parallel): cum = tokens of all strictly-better scores + the
-  //      doc_id-ordered running sum inside its own score.
+  //   2. aggregate tokens PER (SCORE, SUB-BUCKET) — one
+  //      map-side-combining shuffle, at most (1e6+1)·B rows regardless
+  //      of corpus size — then roll up PER SCORE (≤ 1e6+1 rows);
+  //   3. SUB-BUCKET every score by `doc_id % B` before any per-doc
+  //      window: real corpora concentrate quality (every 100+-token
+  //      stopword-free doc quantizes to score_u = 1,000,000), so a
+  //      window partitioned by score alone would put ~the whole corpus
+  //      in one task. With B sub-buckets the largest window partition
+  //      is (largest score class)/B — B is a constant shared with the
+  //      oracle here; production sets it ≈ total cores;
+  //   4. the prefix sum is two-level: an exclusive per-score prefix
+  //      over the tiny per-score table (the only unpartitioned window,
+  //      and it runs on ≤ 1e6+1 aggregate rows, not documents — same
+  //      bounded-small-table argument as sim_kmeans' centroid table),
+  //      plus an exclusive per-bucket prefix WITHIN each score (a
+  //      score-partitioned window over ≤ B rows per score);
+  //   5. each document learns its selection position from a BROADCAST
+  //      join on (score_u, bkt) plus a window partitioned by
+  //      (score_u, bkt): cum = tokens of all strictly-better scores
+  //      + earlier buckets of its own score + the doc_id-ordered
+  //      running sum inside its own (score, bucket). Past the
+  //      broadcast threshold (worst case (1e6+1)·B rows) drop the
+  //      hint and let AQE shuffle the equi-join.
   // The DuckDB oracle is the INDEPENDENT naive formulation (one global
-  // window over `ORDER BY score_u DESC, doc_id`), so the hash-compare
-  // proves the two-phase decomposition exact, not just plausible. All
-  // budget arithmetic is bigint; score quantization is the m4-style
+  // window over `ORDER BY score_u DESC, bkt, doc_id`), so the
+  // hash-compare proves the two-phase decomposition exact, not just
+  // plausible. The deterministic total order ties break by
+  // (bucket, doc_id) within a score — any total order is a valid
+  // budget-selection policy; this one is reproducible in both engines.
+  // All budget arithmetic is bigint; score quantization is the m4-style
   // floor(x * 1e6 + 0.5) on IEEE ops mirrored term-for-term.
+  private[graft] val BudgetSelectBuckets = 64
   private def txtBudgetSelect(s: SparkSession, dir: String): DataFrame = {
     val docs = table(s, dir, "documents")
       .selectExpr("doc_id", "split(text, ' ') AS toks")
@@ -639,19 +656,29 @@ object TextAnalysis extends QueryPack {
       .selectExpr("doc_id", "tok",
         "cast(floor((0.5 * least(1.0, cast(tok as double) / 100.0)"
           + " + 0.5 * (1.0 - cast(n_stop as double) / tok))"
-          + " * 1000000.0 + 0.5) as bigint) AS score_u")
-    val perScore = docs.groupBy("score_u")
-      .agg(sum("tok").as("s_tok"))
+          + " * 1000000.0 + 0.5) as bigint) AS score_u",
+        s"cast(doc_id % $BudgetSelectBuckets as bigint) AS bkt")
+    val perBkt = docs.groupBy("score_u", "bkt")
+      .agg(sum("tok").as("b_tok"))
+    val perScore = perBkt.groupBy("score_u")
+      .agg(sum("b_tok").as("s_tok"))
     val wCum = Window.orderBy(col("score_u").desc)
       .rowsBetween(Window.unboundedPreceding, -1)
     val wAll = Window.partitionBy(lit(0))
     val scoreCum = perScore
-      .withColumn("cum_before", coalesce(sum("s_tok").over(wCum), lit(0L)))
+      .withColumn("score_before", coalesce(sum("s_tok").over(wCum), lit(0L)))
       .withColumn("budget", (sum("s_tok").over(wAll) / 2).cast("bigint"))
-      .select("score_u", "cum_before", "budget")
-    val wDoc = Window.partitionBy("score_u").orderBy("doc_id")
+      .select("score_u", "score_before", "budget")
+    val wBkt = Window.partitionBy("score_u").orderBy("bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bktCum = perBkt
+      .withColumn("bkt_before", coalesce(sum("b_tok").over(wBkt), lit(0L)))
+      .join(scoreCum, Seq("score_u"))
+      .withColumn("cum_before", col("score_before") + col("bkt_before"))
+      .select("score_u", "bkt", "cum_before", "budget")
+    val wDoc = Window.partitionBy("score_u", "bkt").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs.join(broadcast(scoreCum), Seq("score_u"))
+    docs.join(broadcast(bktCum), Seq("score_u", "bkt"))
       .withColumn("cum", col("cum_before") + sum("tok").over(wDoc))
       .filter(col("cum") <= col("budget"))
       .select("doc_id", "score_u", "tok", "cum")
@@ -659,11 +686,12 @@ object TextAnalysis extends QueryPack {
   }
 
   private val txtBudgetSelectSql =
-    """WITH d AS (
+    s"""WITH d AS (
       |  SELECT doc_id, tok,
       |    CAST(floor((0.5 * least(1.0, CAST(tok AS DOUBLE) / 100.0)
       |      + 0.5 * (1.0 - CAST(n_stop AS DOUBLE) / tok))
-      |      * 1000000.0 + 0.5) AS BIGINT) AS score_u
+      |      * 1000000.0 + 0.5) AS BIGINT) AS score_u,
+      |    doc_id % $BudgetSelectBuckets AS bkt
       |  FROM (SELECT doc_id, len(toks) AS tok,
       |          len(list_filter(toks, t -> t = 'the' OR t = 'a'))
       |            AS n_stop
@@ -672,7 +700,7 @@ object TextAnalysis extends QueryPack {
       |t AS (SELECT CAST(SUM(tok) AS BIGINT) // 2 AS budget FROM d)
       |SELECT doc_id, score_u, tok, cum FROM (
       |  SELECT doc_id, score_u, tok,
-      |    CAST(SUM(tok) OVER (ORDER BY score_u DESC, doc_id
+      |    CAST(SUM(tok) OVER (ORDER BY score_u DESC, bkt, doc_id
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
       |      AS BIGINT) AS cum
       |  FROM d), t

@@ -102,12 +102,19 @@ class PlanSpec extends AnyFunSuite {
 
   test("txt_budget_select: per-score table broadcasts, doc window is partitioned") {
     val p = plan("txt_budget_select")
-    // the tiny per-score cumulative table joins back via broadcast; the
-    // doc-side running sum must be a score-partitioned window, so the
-    // only unpartitioned window ever sees aggregate rows
+    // the tiny cumulative table joins back via broadcast; the doc-side
+    // running sum must be a (score, sub-bucket)-partitioned window, so
+    // the only unpartitioned window ever sees aggregate rows
     assert(p.contains("BroadcastHashJoin"), p.take(3000))
     assert(!p.contains("CartesianProduct"), p.take(3000))
     assert(p.contains("Window"), p.take(3000))
+    // skew guard: no window may partition on score_u alone — quality
+    // scores concentrate on real corpora, so every per-doc window must
+    // carry the bkt sub-key right after score_u in its partition spec
+    assert("windowspecdefinition\\(score_u#\\d+L?, doc_id".r
+      .findFirstIn(p).isEmpty, p.take(3000))
+    assert("windowspecdefinition\\(score_u#\\d+L?, bkt#\\d+L?, doc_id"
+      .r.findFirstIn(p).isDefined, p.take(3000))
   }
 
   test("txt_mixture / txt_shuffle_shard: rate table broadcast, windows per key") {
