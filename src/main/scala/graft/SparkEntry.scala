@@ -19,7 +19,8 @@ object SparkEntry {
     Similarity,
     Multimodal,
     JiraEtl,
-    EventWindows
+    EventWindows,
+    graft.streaming.StreamReplay
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -566,6 +566,21 @@ object Dedup extends QueryPack {
       s" (x, y) -> least(x, y)) AS sig_$j"
   }
 
+  /** DuckDB restatement of [[bandRows]]'s (doc_id, band, bk) expansion,
+    * as two WITH clauses (`nd_sigs`, `nd_bands`) — shared by the
+    * streaming replay oracle (st_neardup_replay) so stream and batch
+    * banding stay provably identical.
+    */
+  private[graft] def duckBandRowsSql: String = {
+    val bandSelects = (0 until Bands)
+      .map(b => s"SELECT doc_id, $b AS band, ${bandKeyDuck(b)} AS bk" +
+        " FROM nd_sigs")
+      .mkString(" UNION ALL ")
+    s"""nd_sigs AS (
+       |  SELECT doc_id, ${duckSigCols.mkString(", ")} FROM ($duckSigInput)),
+       |nd_bands AS ($bandSelects)""".stripMargin
+  }
+
   /** documents -> (doc_id, ghs: array<bigint>) hashed-shingle pipeline. */
   private def sigInput(s: SparkSession, dir: String): DataFrame = {
     VectorFunctions.ensureRegistered(s)

@@ -28,8 +28,10 @@ case class StreamDoc(doc_id: Long, ts: Long, text: String)
 case class BandRow(band: Int, bkey: String, doc_id: Long, ts: Long,
                    event_time: java.sql.Timestamp)
 
-/** Band-bucket state: the first document seen in the bucket. */
-case class BandOwner(owner_id: Long, owner_ts_ns: Long)
+/** Band-bucket state: the current bucket owner plus the bucket's last
+  * activity time (`last_ns`), which drives gap-based owner eviction.
+  */
+case class BandOwner(owner_id: Long, owner_ts_ns: Long, last_ns: Long)
 
 /** Near-dup candidate evidence: `doc_id` collided with the bucket owner
   * in `band`. Same contract as batch banding — a CANDIDATE, to be
@@ -102,9 +104,23 @@ object Streams {
     * of dd_minhash_lsh, sharing its exact banding
     * ([[graft.operators.Dedup.bandRows]]) so stream and batch surface
     * the same candidates. State is ONE owner row per occupied band
-    * bucket, expired `horizonNs` after the owner's event time (event-time
-    * timeout bounded by the watermark), so executor state is
-    * proportional to distinct band buckets in the horizon — never the
+    * bucket.
+    *
+    * Eviction is GAP-based and applied at read time: a bucket whose
+    * last activity is more than `horizonNs` before the incoming row's
+    * event time has lapsed, so the incoming document becomes the new
+    * owner instead of matching a stale one. Because the check runs
+    * against the stored `last_ns` when each row is processed, the match
+    * set depends only on the event-time order of the rows — NOT on
+    * micro-batch boundaries — which is what makes the replay query
+    * (st_neardup_replay) reproducible in a batch engine: the oracle is
+    * the gaps-and-islands restatement (break a bucket's timeline where
+    * the gap exceeds the horizon; everything in an island matches the
+    * island's first document). The event-time timeout is then purely a
+    * state-size bound: it removes buckets the gap rule already treats
+    * as lapsed (watermark delay = horizon, so a timed-out bucket can
+    * never match a future in-order row), keeping executor state
+    * proportional to active band buckets in the horizon — never the
     * stream's history. Emitted matches are candidate evidence (up to 4
     * rows per colliding pair, one per band); the exact similarity
     * re-check stays a downstream batch join, exactly as in the batch
@@ -126,17 +142,29 @@ object Streams {
         case (_, rows, state) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
-            // deterministic owner among same-batch ties
+            // within a micro-batch rows may arrive unordered; fold them
+            // in event-time order so batch boundaries can't change the
+            // owner chain
             val batch = rows.toSeq.sortBy(r => (r.ts, r.doc_id))
-            val owner = state.getOption.getOrElse(
-              BandOwner(batch.head.doc_id, batch.head.ts))
-            state.update(owner)
-            state.setTimeoutTimestamp(math.max(
-              owner.owner_ts_ns / 1000000L + horizonMs,
-              state.getCurrentWatermarkMs() + 1))
-            batch.iterator
-              .filter(_.doc_id != owner.owner_id)
-              .map(r => BandMatch(r.doc_id, owner.owner_id, r.band))
+            val out = Seq.newBuilder[BandMatch]
+            var st = state.getOption
+            batch.foreach { r =>
+              st match {
+                case Some(o) if r.ts - o.last_ns <= horizonNs =>
+                  if (r.doc_id != o.owner_id)
+                    out += BandMatch(r.doc_id, o.owner_id, r.band)
+                  st = Some(o.copy(last_ns = math.max(o.last_ns, r.ts)))
+                case _ => // empty bucket, or owner lapsed -> new owner
+                  st = Some(BandOwner(r.doc_id, r.ts, r.ts))
+              }
+            }
+            st.foreach { o =>
+              state.update(o)
+              state.setTimeoutTimestamp(math.max(
+                o.last_ns / 1000000L + horizonMs,
+                state.getCurrentWatermarkMs() + 1))
+            }
+            out.result().iterator
           }
       }
   }

@@ -259,4 +259,32 @@ class StreamsSpec extends AnyFunSuite {
       assert(!m2.exists(_._1 == 3L), m2.toString)
     } finally q.stop()
   }
+
+  test("nearDupStream evicts a lapsed owner after a quiet gap") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dup = "the quick brown fox jumps over the lazy dog again and again"
+    val horizonNs = 60L * 1000000000L // 60 s of bucket inactivity
+    val t0 = 1000L * 1000000000L
+    val in = MemoryStream[StreamDoc]
+    val q = Streams.nearDupStream(in.toDF(), horizonNs)
+      .writeStream.format("memory").queryName("neardup_evict")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(StreamDoc(1, t0, dup))
+      q.processAllAvailable()
+      // 120 s later: the bucket lapsed, so doc 2 RE-OWNS it (no match)
+      in.addData(StreamDoc(2, t0 + 2 * horizonNs, dup))
+      q.processAllAvailable()
+      // 10 s after that: doc 3 matches the NEW owner, never doc 1
+      in.addData(StreamDoc(3, t0 + 2 * horizonNs + 10L * 1000000000L, dup))
+      q.processAllAvailable()
+      val m = spark.table("neardup_evict").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(!m.exists(_._1 == 2L), m.toString)
+      assert(m.contains((3L, 2L)), m.toString)
+      assert(!m.contains((3L, 1L)), m.toString)
+    } finally q.stop()
+  }
 }
