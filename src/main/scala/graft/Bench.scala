@@ -94,8 +94,17 @@ object Bench {
     try SparkEntry.queries("q02_filter_pushdown")(spark, sfDir).count()
     catch { case _: Throwable => () }
 
+    // Optional comma-separated allowlist for local iteration
+    // (e.g. SPARK_GRAFT_BENCH_ONLY=dd_cluster,dd_embed_cluster); the
+    // driver never sets it, so round benches always run everything.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
+      case None        => SparkEntry.queries
+    }
     // pass 1: every query, Reps timed runs
-    val firstPass = SparkEntry.queries.toSeq.sortBy(_._1).map {
+    val firstPass = selected.toSeq.sortBy(_._1).map {
       case (name, fn) => (fn, measure(name, fn, Reps, warmup = false))
     }
     // pass 2: re-measure the unstable tail under better conditions

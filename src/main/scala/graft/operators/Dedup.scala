@@ -1024,12 +1024,20 @@ object Dedup extends QueryPack {
     // expensive) pair pipeline exactly once AND collapses its logical
     // plan — often a large banded-join tree — to a leaf, so per-round
     // Catalyst work doesn't re-traverse it.
+    // The PAIR list is checkpointed BEFORE the symmetric closure: a
+    // union of the pipeline with its own column swap embeds the banded
+    // join tree twice, and exchange reuse only dedupes the subtrees
+    // below the last shuffle — the top join + verify stages ran once
+    // per branch (measured at sf0.1: the dd_cluster edge phase carried
+    // ~50 of its 55 jobs). Checkpointing first runs the pipeline once;
+    // the closure is then two narrow scans of the materialized RDD,
+    // cheap enough to leave unmaterialized in the per-round plan.
     val edges = pairs.toDF("pa", "pb")
     val tE = System.nanoTime()
-    val edgesBoth = edges
-      .union(edges.select(col("pb"), col("pa")))
+    val e1 = edges.localCheckpoint()
+    val edgesBoth = e1
+      .union(e1.select(col("pb"), col("pa")))
       .toDF("src", "dst")
-      .localCheckpoint()
     stamp("edges", tE)
     // Only nodes incident to >=1 edge can ever change label, so the
     // loop runs on the pair graph alone — at corpus scale that's a tiny
@@ -1038,13 +1046,27 @@ object Dedup extends QueryPack {
     // once, after the fixed point.
     val session = pairs.sparkSession
     import session.implicits._
+    // AQE is scoped OFF for the per-round jobs (and restored after the
+    // loop, before the singleton rejoin, where its runtime broadcast
+    // decision IS wanted). Inside the loop AQE buys nothing — every
+    // round is the same fixed two-join+agg plan over LogicalRDD leaves
+    // whose sizes AQE can't estimate better than the planner — but it
+    // costs one Spark JOB PER QUERY STAGE: each round's checkpoint ran
+    // as 5-6 stage-materialization jobs instead of 1, and the LP
+    // consumers (dd_embed_cluster 140, dd_semdedup 143 jobs/run) paid
+    // a per-job scheduling floor on every one of them under host
+    // contention. With AQE off each round is exactly the one job the
+    // accumulator-tap design already promises.
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val aqeWas = session.conf.getOption(aqeKey)
+    session.conf.set(aqeKey, "false")
     var labels = edgesBoth
       .select(col("src").as("doc_id"))
       .distinct()
       .select(col("doc_id"), col("doc_id").as("cluster_id"))
     var converged = false
     var iter = 0
-    while (!converged && iter < 50) {
+    def runRounds(): Unit = while (!converged && iter < 50) {
       val nbrMin = edgesBoth
         .join(labels, edgesBoth("dst") === labels("doc_id"))
         .groupBy(col("src"))
@@ -1109,6 +1131,10 @@ object Dedup extends QueryPack {
       labels = step.drop("prev")
       converged = changed == 0
       iter += 1
+    }
+    try runRounds() finally aqeWas match {
+      case Some(v) => session.conf.set(aqeKey, v)
+      case None    => session.conf.unset(aqeKey)
     }
     // silent truncation would hand a keep-one-per-cluster pipeline
     // partially-merged groups; a >50-hop min-label chain means the
