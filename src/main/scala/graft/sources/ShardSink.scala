@@ -1,11 +1,14 @@
 package graft.sources
 
+import java.io.{BufferedWriter, IOException, OutputStreamWriter}
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths, StandardCopyOption}
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
@@ -36,9 +39,14 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * rename, no data visible on abort). A `_SHARDS.json` manifest records
   * the file list and row counts.
   *
-  * Local-filesystem I/O (java.nio) matches the harness; a cluster
-  * deployment swaps in the Hadoop FileSystem API at the four marked
-  * call sites without touching the commit protocol.
+  * All I/O goes through the Hadoop `FileSystem` API resolved from the
+  * sink path's scheme, with the session's Hadoop configuration captured
+  * on the driver at write-planning time and shipped to executors inside
+  * the writer factory — so the same sink writes `file:`, `hdfs:`, or any
+  * object-store connector on the classpath with no code change. Rename
+  * semantics are normalized in [[ShardFs.renameOver]]: HDFS `rename`
+  * refuses to clobber an existing destination while the local FS
+  * silently overwrites, so the destination is deleted first on every FS.
   */
 class ShardSinkProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-shards"
@@ -58,6 +66,43 @@ object ShardSink {
     StructField("line", StringType, nullable = false)))
 
   def shardFileName(shard: Long): String = f"shard-$shard%05d.jsonl"
+}
+
+/** Hadoop `Configuration` is not `Serializable`; this wrapper ships it
+  * to executors via its own `write`/`readFields` wire format (the same
+  * approach as Spark's internal `SerializableConfiguration`, which is
+  * `private[spark]`).
+  */
+private[sources] class SerializableHadoopConf(
+    @transient var value: Configuration) extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new Configuration(false)
+    value.readFields(in)
+  }
+}
+
+private[sources] object ShardFs {
+  def resolve(dir: String, conf: Configuration): (FileSystem, HPath) = {
+    val p = new HPath(dir)
+    (p.getFileSystem(conf), p)
+  }
+
+  /** Rename with replace-existing semantics on every FileSystem: HDFS
+    * `rename` returns false if the destination exists, the raw local FS
+    * clobbers it — delete-then-rename makes both behave like the local
+    * one, and a false return after that is a real failure worth raising
+    * (a silent false would drop a committed shard).
+    */
+  def renameOver(fs: FileSystem, src: HPath, dst: HPath): Unit = {
+    if (fs.exists(dst)) fs.delete(dst, false)
+    if (!fs.rename(src, dst))
+      throw new IOException(s"graft-shards: rename $src -> $dst failed")
+  }
 }
 
 private[sources] class ShardTable(props: Map[String, String])
@@ -86,10 +131,17 @@ private[sources] class ShardWriteBuilder(dir: String)
     extends WriteBuilder with SupportsTruncate {
   private var truncateFirst = false
   override def truncate(): WriteBuilder = { truncateFirst = true; this }
-  override def build(): Write = new Write {
-    override def toBatch: BatchWrite = new ShardBatchWrite(dir, truncateFirst)
-    override def toStreaming: streaming.StreamingWrite =
-      new ShardStreamingWrite(dir)
+  override def build(): Write = {
+    // Captured on the driver at plan time (core-site/session overrides
+    // included); the factories carry it to executors.
+    val conf = new SerializableHadoopConf(
+      SparkSession.active.sessionState.newHadoopConf())
+    new Write {
+      override def toBatch: BatchWrite =
+        new ShardBatchWrite(dir, truncateFirst, conf)
+      override def toStreaming: streaming.StreamingWrite =
+        new ShardStreamingWrite(dir, conf)
+    }
   }
 }
 
@@ -103,88 +155,94 @@ private[sources] class ShardWriteBuilder(dir: String)
   * BATCH writer — the stream's guarantee is per-epoch atomicity plus
   * hash-stable shard routing.
   */
-private[sources] class ShardStreamingWrite(dir: String)
+private[sources] class ShardStreamingWrite(dir: String,
+                                           conf: SerializableHadoopConf)
     extends streaming.StreamingWrite {
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): streaming.StreamingDataWriterFactory =
-    ShardStreamingWriterFactory(dir)
+    ShardStreamingWriterFactory(dir, conf)
 
   override def commit(epochId: Long,
                       messages: Array[WriterCommitMessage]): Unit = {
-    val d = Paths.get(dir)
-    Files.createDirectories(d)
+    val (fs, d) = ShardFs.resolve(dir, conf.value)
+    fs.mkdirs(d)
     messages.collect { case ShardFilesMessage(files) => files }.flatten
       .foreach { case (tmp, fin, _) =>
-        Files.move(Paths.get(tmp), d.resolve(fin), // [FS seam]
-          StandardCopyOption.REPLACE_EXISTING)
+        ShardFs.renameOver(fs, new HPath(tmp), new HPath(d, fin))
       }
   }
 
   override def abort(epochId: Long,
-                     messages: Array[WriterCommitMessage]): Unit =
+                     messages: Array[WriterCommitMessage]): Unit = {
+    val (fs, _) = ShardFs.resolve(dir, conf.value)
     messages.collect { case ShardFilesMessage(files) => files }.flatten
-      .foreach { case (tmp, _, _) =>
-        Files.deleteIfExists(Paths.get(tmp)) // [FS seam]
-      }
+      .foreach { case (tmp, _, _) => fs.delete(new HPath(tmp), false) }
+  }
 }
 
 /** One finished temp file: (tempPath, finalName, rows). */
 private[sources] case class ShardFilesMessage(
     files: Seq[(String, String, Long)]) extends WriterCommitMessage
 
-private[sources] class ShardBatchWrite(dir: String, truncateFirst: Boolean)
+private[sources] class ShardBatchWrite(dir: String, truncateFirst: Boolean,
+                                       conf: SerializableHadoopConf)
     extends BatchWrite {
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
-    new ShardWriterFactory(dir)
+    new ShardWriterFactory(dir, conf)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val d = Paths.get(dir)
-    Files.createDirectories(d)
+    val (fs, d) = ShardFs.resolve(dir, conf.value)
+    fs.mkdirs(d)
     if (truncateFirst) {
-      // Overwrite semantics: clear previous shard files + manifest
-      Files.list(d).iterator().asScala
-        .filter { p =>
-          val n = p.getFileName.toString
-          n.startsWith("shard-") || n == "_SHARDS.json"
+      // Overwrite semantics: clear previous shard files + manifest.
+      // `contains` (not startsWith) also catches the local FS's hidden
+      // `.shard-NNNNN.jsonl.crc` companions — a stale checksum next to
+      // a renamed-over shard would fail later checksummed reads.
+      fs.listStatus(d).iterator.filter(_.isFile)
+        .filter { st =>
+          val n = st.getPath.getName
+          n.contains("shard-") || n.contains("_SHARDS.json")
         }
-        .foreach(Files.delete) // [FS seam]
+        .foreach(st => fs.delete(st.getPath, false))
     }
     val all = messages.collect {
       case ShardFilesMessage(files) => files
     }.flatten.sortBy(_._2)
     all.foreach { case (tmp, fin, _) =>
-      Files.move(Paths.get(tmp), d.resolve(fin), // [FS seam]
-        StandardCopyOption.REPLACE_EXISTING)
+      ShardFs.renameOver(fs, new HPath(tmp), new HPath(d, fin))
     }
     val manifest = all.map { case (_, fin, n) => s"""  "$fin": $n""" }
       .mkString("{\n", ",\n", "\n}\n")
-    Files.write(d.resolve("_SHARDS.json"),
-      manifest.getBytes(StandardCharsets.UTF_8)) // [FS seam]
+    val out = fs.create(new HPath(d, "_SHARDS.json"), true)
+    try out.write(manifest.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
   }
 
-  override def abort(messages: Array[WriterCommitMessage]): Unit =
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val (fs, _) = ShardFs.resolve(dir, conf.value)
     messages.collect { case ShardFilesMessage(files) => files }.flatten
-      .foreach { case (tmp, _, _) =>
-        Files.deleteIfExists(Paths.get(tmp)) // [FS seam]
-      }
+      .foreach { case (tmp, _, _) => fs.delete(new HPath(tmp), false) }
+  }
 }
 
-private[sources] case class ShardStreamingWriterFactory(dir: String)
+private[sources] case class ShardStreamingWriterFactory(
+    dir: String, conf: SerializableHadoopConf)
     extends streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
                             epochId: Long): DataWriter[InternalRow] =
-    new ShardDataWriter(dir, taskId,
+    new ShardDataWriter(dir, conf, taskId,
       shard => f"shard-$shard%05d-epoch-$epochId.jsonl",
       sortedInput = false)
 }
 
-private[sources] class ShardWriterFactory(dir: String)
+private[sources] class ShardWriterFactory(dir: String,
+                                          conf: SerializableHadoopConf)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int,
                             taskId: Long): DataWriter[InternalRow] =
-    new ShardDataWriter(dir, taskId, ShardSink.shardFileName,
+    new ShardDataWriter(dir, conf, taskId, ShardSink.shardFileName,
       sortedInput = true)
 }
 
@@ -194,23 +252,26 @@ private[sources] class ShardWriterFactory(dir: String)
   * streaming path sees interleaved shards and keeps one open writer per
   * shard instead.
   */
-private[sources] class ShardDataWriter(dir: String, taskId: Long,
+private[sources] class ShardDataWriter(dir: String,
+                                       conf: SerializableHadoopConf,
+                                       taskId: Long,
                                        fileName: Long => String,
                                        sortedInput: Boolean)
     extends DataWriter[InternalRow] {
 
-  private val tmpDir = {
-    val p = Paths.get(dir, "_tmp")
-    Files.createDirectories(p)
-    p
+  private val (fs, tmpDir) = {
+    val p = new HPath(dir, "_tmp")
+    val f = p.getFileSystem(conf.value)
+    f.mkdirs(p)
+    (f, p)
   }
   private val open =
-    scala.collection.mutable.LinkedHashMap.empty[Long, java.io.BufferedWriter]
+    scala.collection.mutable.LinkedHashMap.empty[Long, BufferedWriter]
   private val rows = scala.collection.mutable.LinkedHashMap.empty[Long, Long]
   private val done = Seq.newBuilder[(String, String, Long)]
 
   private def tmpPath(shard: Long) =
-    tmpDir.resolve(s"task-$taskId-${fileName(shard)}")
+    new HPath(tmpDir, s"task-$taskId-${fileName(shard)}")
 
   private def closeShard(shard: Long): Unit = open.remove(shard).foreach { w =>
     w.close()
@@ -224,8 +285,10 @@ private[sources] class ShardDataWriter(dir: String, taskId: Long,
       // sorted input never revisits a shard — close the previous one so
       // exactly one file is open; unsorted (streaming) keeps all open
       if (sortedInput) open.keys.toSeq.foreach(closeShard)
-      val nw = Files.newBufferedWriter(tmpPath(shard),
-        StandardCharsets.UTF_8)
+      // overwrite=true: a retried task (or replayed streaming epoch)
+      // rewrites its own temp file rather than failing on the leftover
+      val nw = new BufferedWriter(new OutputStreamWriter(
+        fs.create(tmpPath(shard), true), StandardCharsets.UTF_8))
       open(shard) = nw
       nw
     })
@@ -240,11 +303,15 @@ private[sources] class ShardDataWriter(dir: String, taskId: Long,
   }
 
   override def abort(): Unit = {
+    // both the closed-and-reported temp files and the still-open ones —
+    // a task abort must leave nothing of its own behind in _tmp
+    val stillOpen = open.keys.toSeq
     open.values.foreach(_.close())
     open.clear()
     done.result().foreach { case (tmp, _, _) =>
-      Files.deleteIfExists(Paths.get(tmp))
+      fs.delete(new HPath(tmp), false)
     }
+    stillOpen.foreach(s => fs.delete(tmpPath(s), false))
   }
 
   override def close(): Unit = ()

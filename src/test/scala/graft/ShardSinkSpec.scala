@@ -83,6 +83,41 @@ class ShardSinkSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("an aborted write leaves the previous corpus visible and no litter") {
+    import org.apache.spark.sql.functions._
+    val out = Files.createTempDirectory("graft_shards_ab").toString
+    CorpusShards.write(corpus(), out, 4)
+    val before = readDir(out)
+    val manifestBefore = new String(
+      Files.readAllBytes(Paths.get(out, "_SHARDS.json")))
+    assert(before.nonEmpty)
+    // poison exactly one row so a writer task throws mid-write; the
+    // overwrite job must abort WITHOUT truncating (truncate happens in
+    // commit) and without renaming any temp file into place
+    val victim = corpus().select("doc_id").orderBy("doc_id").head.getLong(0)
+    val poisoned = corpus().withColumn("line",
+      when(col("doc_id") === victim,
+        raise_error(lit("boom")).cast("string"))
+        .otherwise(col("line")))
+    intercept[Exception] { CorpusShards.write(poisoned, out, 4) }
+    // the committed corpus and its manifest are untouched
+    assert(readDir(out) == before)
+    assert(new String(Files.readAllBytes(Paths.get(out, "_SHARDS.json")))
+      == manifestBefore)
+    // and the temp dir drains: task-level abort deletes both reported
+    // and still-open temp files, job-level abort the committed ones.
+    // killed concurrent tasks clean up asynchronously — poll briefly
+    val tmp = Paths.get(out, "_tmp")
+    def leftovers() =
+      if (!Files.exists(tmp)) Seq.empty
+      else Files.list(tmp).iterator().asScala
+        .map(_.getFileName.toString).filterNot(_.startsWith(".")).toSeq
+    val deadline = System.nanoTime() + 10_000_000_000L
+    while (leftovers().nonEmpty && System.nanoTime() < deadline)
+      Thread.sleep(100)
+    assert(leftovers().isEmpty, leftovers())
+  }
+
   test("rewrites are byte-identical and the manifest counts rows") {
     val a = Files.createTempDirectory("graft_shards_a").toString
     val b = Files.createTempDirectory("graft_shards_b").toString
