@@ -289,34 +289,70 @@ object Similarity extends QueryPack {
   // (rounded cosine, vec_id tiebreak), so the report hash-verifies
   // cross-engine.
   // Scale shape: the exact side is the documented small-query-sample ×
-  // corpus spec regime (sim_topk_brute's contract); the probe side is
-  // band-pruned. The OR-of-bands join is sample × corpus here; at
-  // production scale it becomes the same (band, bucket) explode +
-  // equi-join as dd_embed_cosine_lsh — the report's semantics, a
-  // per-query set intersection, are unchanged.
-  private def simAnnRecall(s: SparkSession, dir: String): DataFrame = {
+  // corpus spec regime (sim_topk_brute's contract — that's the ground
+  // truth being measured against, irreducibly all-pairs on the sample).
+  // The PROBE side is the production shape: each vector's 4 bands
+  // explode to (band, bval) keys and candidates come from a DISTINCT
+  // over a (band, bval) equi-join — the same index shape as
+  // dd_embed_cosine_lsh, shuffle-partitioned by band value, never
+  // sample × corpus. "Shares ANY band" ≡ "appears in ≥1 band bucket",
+  // so the candidate set (and the report) is unchanged from the
+  // OR-of-bands formulation it replaces.
+  private def annBandsSql(src: String): String =
+    s"""SELECT vec_id, t.band, t.bval FROM $src
+       |LATERAL VIEW posexplode(array(
+       |  bucket % 4, (bucket div 4) % 4,
+       |  (bucket div 16) % 4, (bucket div 64) % 4)) t AS band, bval""".stripMargin
+
+  private val annCandSql =
+    s"""SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS cand_id
+       |FROM (SELECT * FROM (${annBandsSql("sim_rec_e")}) WHERE vec_id < 8) qb
+       |JOIN (${annBandsSql("sim_rec_e")}) cb
+       |  ON qb.band = cb.band AND qb.bval = cb.bval
+       |  AND cb.vec_id <> qb.vec_id""".stripMargin
+
+  private def registerRecallView(s: SparkSession, dir: String): Unit = {
     VectorFunctions.ensureRegistered(s)
     table(s, dir, "embeddings")
       .selectExpr("vec_id", "embedding",
         s"${dotS("embedding", "embedding")} AS n2",
         s"${bucketExpr(planeDotS)} AS bucket")
       .createOrReplaceTempView("sim_rec_e")
-    val anyBand = (0 until 4)
-      .map(b => s"(q.bucket div ${1 << (2 * b)}) % 4 =" +
-        s" (c.bucket div ${1 << (2 * b)}) % 4")
-      .mkString(" AND (", " OR ", ")")
-    def top5(extraCond: String) =
+  }
+
+  /** The probe's candidate generator alone — exposed so PlanSpec can
+    * assert the production shape (equi-join only, no nested-loop).
+    */
+  private[graft] def annCandidates(s: SparkSession, dir: String): DataFrame = {
+    registerRecallView(s, dir)
+    s.sql(annCandSql)
+  }
+
+  private def simAnnRecall(s: SparkSession, dir: String): DataFrame = {
+    registerRecallView(s, dir)
+    val exactTop5 =
       s"""SELECT query_id, neighbor_id FROM (
          |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
          |    row_number() OVER (PARTITION BY q.vec_id
          |      ORDER BY round(${dotS("q.embedding", "c.embedding")}
          |        / sqrt(q.n2 * c.n2), 6) DESC, c.vec_id) AS rnk
          |  FROM sim_rec_e q JOIN sim_rec_e c
-         |    ON q.vec_id < 8 AND c.vec_id <> q.vec_id$extraCond)
+         |    ON q.vec_id < 8 AND c.vec_id <> q.vec_id)
+         |WHERE rnk <= 5""".stripMargin
+    val annTop5 =
+      s"""SELECT query_id, neighbor_id FROM (
+         |  SELECT cand.query_id, cand.cand_id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY cand.query_id
+         |      ORDER BY round(${dotS("q.embedding", "c.embedding")}
+         |        / sqrt(q.n2 * c.n2), 6) DESC, cand.cand_id) AS rnk
+         |  FROM cand
+         |  JOIN sim_rec_e q ON q.vec_id = cand.query_id
+         |  JOIN sim_rec_e c ON c.vec_id = cand.cand_id)
          |WHERE rnk <= 5""".stripMargin
     s.sql(
-      s"""WITH ex AS (${top5("")}),
-         |ann AS (${top5(anyBand)})
+      s"""WITH cand AS ($annCandSql),
+         |ex AS ($exactTop5),
+         |ann AS ($annTop5)
          |SELECT ex.query_id,
          |  cast(count(ann.neighbor_id) as bigint) AS n_found,
          |  cast(count(ann.neighbor_id) as bigint) * 1000000 div 5

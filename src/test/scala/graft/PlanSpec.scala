@@ -139,6 +139,22 @@ class PlanSpec extends AnyFunSuite {
       p.take(3000))
   }
 
+  test("sim_ann_recall: probe candidates are a (band, bval) equi-join") {
+    // the candidate generator alone — the production index probe — must
+    // be pure equi-join: no nested loop, no cross product
+    val pc = graft.operators.Similarity.annCandidates(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!pc.contains("BroadcastNestedLoopJoin"), pc.take(3000))
+    assert(!pc.contains("CartesianProduct"), pc.take(3000))
+    assert(pc.contains("BroadcastHashJoin") || pc.contains("SortMergeJoin") ||
+      pc.contains("ShuffledHashJoin"), pc.take(3000))
+    // the full report keeps exactly one nested loop: the labeled exact
+    // ground-truth side (sim_topk_brute's broadcast-sample spec regime)
+    val p = plan("sim_ann_recall")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1, p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
   test("dd_incremental: cross-boundary banding stays equi-join, no cross product") {
     val p = plan("dd_incremental")
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
