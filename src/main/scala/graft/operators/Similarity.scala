@@ -815,9 +815,119 @@ object Similarity extends QueryPack {
           m => s"x4[${PqDim * m + 1}:${PqDim * m + PqDim}]",
           assignD, assignD2, pqCentD, distD)}""".stripMargin
 
+  // -- sim_ivfpq_pretrained: the persisted-model serving path -----------------
+  // sim_ivfpq is the spec regime: one self-contained query that trains
+  // the codebooks AND scores — right for an oracle, wrong for serving,
+  // where a production user trains ONCE and scores many query batches
+  // against the stored index. This variant separates the two. Training
+  // materializes the model: the 4 coarse centroids and 4 sub-codebooks
+  // collect to tiny LOCAL relations (they broadcast into every serving
+  // join), and the corpus PQ code table — the index, 4 small codes per
+  // vector — is localCheckpoint'ed so its lineage (the whole Lloyd
+  // round) never re-enters a plan. The per-query plan is ONLY the
+  // serving work: coarse-assign the query batch against the 4-row
+  // centroid relation, cell equi-join into the code table, 4 codebook
+  // lookups, ADC ranking. Arithmetic is identical to sim_ivfpq (same
+  // fixed-point Lloyd, same ADC), so the result — and the oracle — is
+  // byte-identical; PlanSpec asserts the training aggregates are gone
+  // from the serving plan.
+  private case class IvfPqModel(cents: Seq[(Long, Seq[Long])],
+                                codebooks: Seq[Seq[(Long, Seq[Long])]],
+                                codes: DataFrame)
+
+  private val ivfpqModelCache =
+    scala.collection.concurrent.TrieMap.empty[String, IvfPqModel]
+
+  private def ipqSliceS(m: Int) = s"slice(x4, ${PqDim * m + 1}, $PqDim)"
+
+  private def trainIvfPq(s: SparkSession, dir: String): IvfPqModel = {
+    table(s, dir, "embeddings")
+      .selectExpr("vec_id", s"$x4S AS x4")
+      .createOrReplaceTempView("ipq_base")
+    val cbCtes = (0 until PqM).flatMap { m => Seq(
+      s"pb$m AS (SELECT vec_id, ${ipqSliceS(m)} AS x4 FROM ipq_base)",
+      s"pc0_$m AS (SELECT vec_id AS cell, x4 AS c FROM pb$m" +
+        s" WHERE vec_id < $KmK)",
+      s"pa1_$m AS (${assignS(s"pb$m", s"pc0_$m")})",
+      s"pc1_$m AS (${pqCentS(s"pa1_$m")})") }
+    val cents = s.sql(
+      s"SELECT vec_id AS cell, x4 AS c FROM ipq_base WHERE vec_id < $KmK")
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toSeq)).toSeq
+    val cbRows = s.sql(
+      s"""WITH ${cbCtes.mkString(",\n")}
+         |${(0 until PqM)
+            .map(m => s"SELECT $m AS m, cell, c FROM pc1_$m")
+            .mkString("\nUNION ALL\n")}""".stripMargin)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Long](2).toSeq))
+    val codebooks = (0 until PqM).map { m =>
+      cbRows.filter(_._1 == m).map(t => (t._2, t._3)).toSeq
+    }
+    val codes = s.sql(
+      s"""WITH cents0 AS (SELECT vec_id AS cell, x4 AS c FROM ipq_base
+         |  WHERE vec_id < $KmK),
+         |coarse AS (${assignS("ipq_base", "cents0")}),
+         |${cbCtes.mkString(",\n")},
+         |${(0 until PqM)
+            .map(m => s"pa2_$m AS (${assignS(s"pb$m", s"pc1_$m")})")
+            .mkString(",\n")}
+         |SELECT coarse.vec_id, coarse.cell,
+         |  ${(0 until PqM).map(m => s"pa2_$m.cell AS code_$m")
+            .mkString(", ")}
+         |FROM coarse ${(0 until PqM)
+            .map(m => s"JOIN pa2_$m ON pa2_$m.vec_id = coarse.vec_id")
+            .mkString(" ")}""".stripMargin)
+      .localCheckpoint()
+    IvfPqModel(cents, codebooks, codes)
+  }
+
+  private def simIvfPqPretrained(s: SparkSession, dir: String): DataFrame = {
+    val model = ivfpqModelCache.getOrElseUpdate(dir, trainIvfPq(s, dir))
+    import s.implicits._
+    model.cents.toDF("cell", "c").createOrReplaceTempView("ipq_cents")
+    (0 until PqM).foreach { m =>
+      model.codebooks(m).toDF("cell", "c")
+        .createOrReplaceTempView(s"ipq_cb_$m")
+    }
+    model.codes.createOrReplaceTempView("ipq_codes")
+    // the only corpus read in the serving plan: the query batch's own
+    // raw vectors (asymmetric ADC keeps queries uncompressed)
+    table(s, dir, "embeddings")
+      .selectExpr("vec_id", s"$x4S AS x4")
+      .where(col("vec_id") >= IvfQ)
+      .createOrReplaceTempView("ipq_queries")
+    s.sql(
+      s"""WITH q AS (SELECT vec_id, cell,
+         |    ${(0 until PqM).map(m => s"${ipqSliceS(m)} AS qs$m")
+              .mkString(", ")}
+         |  FROM (${assignS2("ipq_queries", "ipq_cents")})),
+         |cand AS (SELECT vec_id, cell FROM ipq_codes WHERE vec_id < $IvfQ),
+         |${(0 until PqM)
+            .map(m => s"cd$m AS (SELECT codes.vec_id, cb.c" +
+              s" FROM ipq_codes codes" +
+              s" JOIN ipq_cb_$m cb ON cb.cell = codes.code_$m)")
+            .mkString(",\n")}
+         |SELECT query_id, cell, neighbor_id, adc_dist,
+         |  CAST(rnk AS BIGINT) AS rnk FROM (
+         |  SELECT query_id, cell, neighbor_id, adc_dist,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY adc_dist, neighbor_id) AS rnk
+         |  FROM (
+         |    SELECT q.vec_id AS query_id, q.cell AS cell,
+         |      cand.vec_id AS neighbor_id,
+         |      ${(0 until PqM).map(m => distS(s"q.qs$m", s"cd$m.c"))
+                .mkString("\n      + ")} AS adc_dist
+         |    FROM q JOIN cand ON cand.cell = q.cell
+         |    ${(0 until PqM)
+                .map(m => s"JOIN cd$m ON cd$m.vec_id = cand.vec_id")
+                .mkString(" ")}))
+         |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin)
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map(
       "sim_ivfpq" -> simIvfPq _,
+      "sim_ivfpq_pretrained" -> simIvfPqPretrained _,
       "sim_pq" -> simPq _,
       "sim_kmeans" -> simKmeans _,
       "sim_norms" -> simNorms _,
@@ -834,6 +944,9 @@ object Similarity extends QueryPack {
 
   override val oracles: Map[String, String] = Map(
     "sim_ivfpq" -> simIvfPqSql,
+    // the pretrained serving path must reproduce the spec query
+    // byte-for-byte — the oracle restates the full train+score text
+    "sim_ivfpq_pretrained" -> simIvfPqSql,
     "sim_pq" -> simPqSql,
     "sim_kmeans" -> simKmeansSql,
     "sim_norms" -> simNormsSql,

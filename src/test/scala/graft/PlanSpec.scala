@@ -155,6 +155,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
 
+  test("sim_ivfpq_pretrained: serving plan scores against the stored index") {
+    val p = plan("sim_ivfpq_pretrained")
+    // model relations are local (broadcastable 4-row tables) and the PQ
+    // code table is a lineage-truncated checkpoint — the Lloyd training
+    // round (its posexplode centroid update) must NOT be in the plan
+    assert(p.contains("LocalTableScan"), p.take(3000))
+    assert(p.contains("Scan ExistingRDD"), p.take(3000))
+    assert(!p.contains("posexplode"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
   test("dd_incremental: cross-boundary banding stays equi-join, no cross product") {
     val p = plan("dd_incremental")
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
