@@ -272,26 +272,48 @@ object Dedup extends QueryPack {
   // shingles, never a cross product; AQE skew-join covers what residual
   // index-side heat remains. The exact per-pair re-check
   // (graft_isect >= 0.8 * min size) is unchanged from dd_containment.
+  /** The smallside candidate CTE chain. `probeOrder` picks the probe
+    * prefix: `"df.df, i.h"` is the production rarest-first order;
+    * `"i.h"` is the naive smallest-hash prefix DedupRecallSpec measures
+    * it against (recall is guaranteed for EITHER — the pigeonhole
+    * argument holds for any probe subset — the order only controls
+    * candidate fan-out on boilerplate-skewed corpora).
+    */
+  private def contSmallsideCandSql(view: String, probeOrder: String): String =
+    s"""idx AS (
+       |  SELECT doc_id, size(hs) AS sz, h
+       |  FROM $view LATERAL VIEW explode(hs) t AS h),
+       |df AS (SELECT h, count(*) AS df FROM idx GROUP BY h),
+       |probe AS (
+       |  SELECT doc_id, sz, h FROM (
+       |    SELECT i.doc_id, i.sz, i.h,
+       |      row_number() OVER (PARTITION BY i.doc_id
+       |        ORDER BY $probeOrder) AS rn
+       |    FROM idx i JOIN df ON i.h = df.h)
+       |  WHERE rn <= (sz div 5) + 1),
+       |cand AS (
+       |  SELECT DISTINCT least(p.doc_id, i.doc_id) AS doc_a,
+       |                  greatest(p.doc_id, i.doc_id) AS doc_b
+       |  FROM probe p JOIN idx i
+       |    ON p.h = i.h
+       |   AND (p.sz < i.sz OR (p.sz = i.sz AND p.doc_id <> i.doc_id)))""".stripMargin
+
+  /** Candidate pairs alone, with either probe order — exposed so
+    * DedupRecallSpec can gate the rarest-first fan-out advantage (and
+    * 100% recall) on a boilerplate-skewed fixture.
+    */
+  private[graft] def containmentCandidates(s: SparkSession, dir: String,
+                                           rarestFirst: Boolean): DataFrame = {
+    bandedSigRelation(s, dir, "contp_sigs")
+    val ord = if (rarestFirst) "df.df, i.h" else "i.h"
+    s.sql(s"""WITH ${contSmallsideCandSql("contp_sigs", ord)}
+             |SELECT doc_a, doc_b FROM cand""".stripMargin)
+  }
+
   private def ddContainmentSmallside(s: SparkSession, dir: String): DataFrame = {
     bandedSigRelation(s, dir, "contp_sigs")
     s.sql(
-      s"""WITH idx AS (
-         |  SELECT doc_id, size(hs) AS sz, h
-         |  FROM contp_sigs LATERAL VIEW explode(hs) t AS h),
-         |df AS (SELECT h, count(*) AS df FROM idx GROUP BY h),
-         |probe AS (
-         |  SELECT doc_id, sz, h FROM (
-         |    SELECT i.doc_id, i.sz, i.h,
-         |      row_number() OVER (PARTITION BY i.doc_id
-         |        ORDER BY df.df, i.h) AS rn
-         |    FROM idx i JOIN df ON i.h = df.h)
-         |  WHERE rn <= (sz div 5) + 1),
-         |cand AS (
-         |  SELECT DISTINCT least(p.doc_id, i.doc_id) AS doc_a,
-         |                  greatest(p.doc_id, i.doc_id) AS doc_b
-         |  FROM probe p JOIN idx i
-         |    ON p.h = i.h
-         |   AND (p.sz < i.sz OR (p.sz = i.sz AND p.doc_id <> i.doc_id)))
+      s"""WITH ${contSmallsideCandSql("contp_sigs", "df.df, i.h")}
          |SELECT doc_a, doc_b, containment FROM (
          |  SELECT doc_a, doc_b,
          |    round(cast(graft_isect(a.hs, b.hs) as double)

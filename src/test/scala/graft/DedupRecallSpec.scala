@@ -61,6 +61,54 @@ class DedupRecallSpec extends AnyFunSuite {
       s"expected the contained pair with containment 1.0, got ${got.toSeq}")
   }
 
+  // Boilerplate-skew fixture: 40 docs share a 60-token boilerplate
+  // block (hot shingles, df = 40) and differ only in a 40-token unique
+  // tail; one genuine containment pair (rare tiny doc + its host) is
+  // planted. Recall is guaranteed for ANY probe prefix (pigeonhole), so
+  // both orders must find exactly the planted pair — the difference
+  // rarest-first buys is CANDIDATE FAN-OUT: a naive smallest-hash
+  // prefix probes with boilerplate hashes and candidates explode toward
+  // all-pairs (~C(40,2)), while df-ascending probes stay on the df-1
+  // tail shingles and produce candidates ~= the true pair alone.
+  test("rarest-first probes prune boilerplate fan-out, recall stays 100%") {
+    import spark.implicits._
+    val bp = (1 to 60).map(i => s"bp$i").mkString(" ")
+    val hosts = (1 to 40).map { d =>
+      (d.toLong, bp + " " + (1 to 40).map(i => s"u${d}x$i").mkString(" "))
+    }
+    val tiny = (1 to 12).map(i => s"r$i").mkString(" ")
+    val all = hosts :+
+      (100L, tiny) :+
+      (101L, tiny + " " + (1 to 300).map(i => s"g$i").mkString(" "))
+    val fixDir =
+      java.nio.file.Files.createTempDirectory("graft_bpskew").toString
+    all.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$fixDir/documents.parquet")
+    // independent all-pairs ground truth over distinct word bigrams
+    def shingles(t: String): Set[String] =
+      t.split(" ").sliding(2).map(_.mkString(" ")).toSet
+    val sets = all.map { case (id, t) => id -> shingles(t) }.toMap
+    val ids = all.map(_._1)
+    val truth = (for {
+      a <- ids; b <- ids if a < b
+      c = (sets(a) & sets(b)).size.toDouble /
+        math.min(sets(a).size, sets(b).size)
+      if c >= 0.8
+    } yield (a, b)).toSet
+    assert(truth == Set((100L, 101L)), s"fixture sanity: $truth")
+    val got = SparkEntry.queries("dd_containment_smallside")(spark, fixDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == truth, s"recall/precision break: got $got")
+    val rarest = graft.operators.Dedup
+      .containmentCandidates(spark, fixDir, rarestFirst = true).count()
+    val naive = graft.operators.Dedup
+      .containmentCandidates(spark, fixDir, rarestFirst = false).count()
+    assert(rarest <= 10, s"rarest-first candidate count blew up: $rarest")
+    assert(naive >= 100 && naive >= 20 * rarest,
+      s"expected naive prefix fan-out >> rarest-first: " +
+        s"naive=$naive rarest=$rarest")
+  }
+
   // dd_span semantics on a hand-built corpus: two 8-token blocks S1, S2
   // shared between docs 1 and 2. In doc 1 they are back-to-back, so the
   // two dup gram windows [1..8] and [9..16] TOUCH (start diff = 8) and
