@@ -885,10 +885,6 @@ object Similarity extends QueryPack {
     val model = ivfpqModelCache.getOrElseUpdate(dir, trainIvfPq(s, dir))
     import s.implicits._
     model.cents.toDF("cell", "c").createOrReplaceTempView("ipq_cents")
-    (0 until PqM).foreach { m =>
-      model.codebooks(m).toDF("cell", "c")
-        .createOrReplaceTempView(s"ipq_cb_$m")
-    }
     model.codes.createOrReplaceTempView("ipq_codes")
     // the only corpus read in the serving plan: the query batch's own
     // raw vectors (asymmetric ADC keeps queries uncompressed)
@@ -896,31 +892,48 @@ object Similarity extends QueryPack {
       .selectExpr("vec_id", s"$x4S AS x4")
       .where(col("vec_id") >= IvfQ)
       .createOrReplaceTempView("ipq_queries")
+    // Real ADC serving: the sub-codebooks are driver-local model data,
+    // so they inline as literals and each query precomputes a 4-slot
+    // distance LUT per subspace (dist(qs_m, codebook_m[k]) for k=0..3)
+    // on the tiny query side. Candidate scoring is then ONE cell
+    // equi-join into the code table plus 4 array lookups per candidate
+    // — the code table is scanned once and no 16-dim array ever rides
+    // a corpus-sized join (the first cut joined the code table to each
+    // codebook and chained 4 vec_id joins: 5 corpus-scale scans, and
+    // serving benched SLOWER than the train-included query).
+    def cbLit(m: Int, k: Int): String = {
+      val byCell = model.codebooks(m).toMap
+      // a cell can die during the Lloyd round; codes never reference a
+      // dead cell, so its LUT slot is an arbitrary never-read filler
+      val c = byCell.getOrElse(k.toLong, Seq.fill(PqDim)(0L))
+      c.map(v => s"${v}L").mkString("array(", ",", ")")
+    }
+    def lut(m: Int): String =
+      (0 until KmK).map(k => distS(s"qs$m", cbLit(m, k)))
+        .mkString("array(\n      ", ",\n      ", ")")
     s.sql(
       s"""WITH q AS (SELECT vec_id, cell,
          |    ${(0 until PqM).map(m => s"${ipqSliceS(m)} AS qs$m")
               .mkString(", ")}
          |  FROM (${assignS2("ipq_queries", "ipq_cents")})),
-         |cand AS (SELECT vec_id, cell FROM ipq_codes WHERE vec_id < $IvfQ),
-         |${(0 until PqM)
-            .map(m => s"cd$m AS (SELECT codes.vec_id, cb.c" +
-              s" FROM ipq_codes codes" +
-              s" JOIN ipq_cb_$m cb ON cb.cell = codes.code_$m)")
-            .mkString(",\n")}
+         |ql AS (SELECT vec_id, cell,
+         |    ${(0 until PqM).map(m => s"${lut(m)} AS lut$m")
+              .mkString(",\n    ")}
+         |  FROM q)
          |SELECT query_id, cell, neighbor_id, adc_dist,
          |  CAST(rnk AS BIGINT) AS rnk FROM (
          |  SELECT query_id, cell, neighbor_id, adc_dist,
          |    row_number() OVER (PARTITION BY query_id
          |      ORDER BY adc_dist, neighbor_id) AS rnk
          |  FROM (
-         |    SELECT q.vec_id AS query_id, q.cell AS cell,
-         |      cand.vec_id AS neighbor_id,
-         |      ${(0 until PqM).map(m => distS(s"q.qs$m", s"cd$m.c"))
+         |    SELECT ql.vec_id AS query_id, ql.cell AS cell,
+         |      codes.vec_id AS neighbor_id,
+         |      ${(0 until PqM)
+                .map(m => s"element_at(ql.lut$m," +
+                  s" cast(codes.code_$m + 1 as int))")
                 .mkString("\n      + ")} AS adc_dist
-         |    FROM q JOIN cand ON cand.cell = q.cell
-         |    ${(0 until PqM)
-                .map(m => s"JOIN cd$m ON cd$m.vec_id = cand.vec_id")
-                .mkString(" ")}))
+         |    FROM ql JOIN ipq_codes codes
+         |      ON codes.cell = ql.cell AND codes.vec_id < $IvfQ))
          |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin)
   }
 
