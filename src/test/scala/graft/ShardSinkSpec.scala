@@ -118,6 +118,53 @@ class ShardSinkSpec extends AnyFunSuite {
     assert(leftovers().isEmpty, leftovers())
   }
 
+  test("a failed streaming epoch lands nothing; the replay lands it all") {
+    import org.apache.spark.sql.functions._
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val out = Files.createTempDirectory("graft_shards_stab").toString
+    val ckpt = Files.createTempDirectory("graft_shards_stck").toString
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    // `armed` is captured at plan time, so a restart can disarm the
+    // poison and let the replayed epoch succeed — the streaming analog
+    // of a transient task failure spanning a job restart
+    def start(armed: Boolean) = {
+      val base = in.toDF().toDF("doc_id", "line")
+        .selectExpr("cast(doc_id % 4 as bigint) AS shard",
+          "doc_id AS pos", "line")
+      val df = if (armed) base.withColumn("line",
+        when(col("line") === "POISON",
+          raise_error(lit("boom")).cast("string"))
+          .otherwise(col("line"))) else base
+      df.writeStream.format("graft-shards")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .start()
+    }
+    val q1 = start(armed = true)
+    try {
+      in.addData((1L, "a"), (2L, "b"))
+      q1.processAllAvailable()
+      assert(readDir(out).values.flatten.toSeq.sorted == Seq("a", "b"))
+      in.addData((3L, "POISON"), (5L, "c"))
+      intercept[Exception] { q1.processAllAvailable() }
+    } finally q1.stop()
+    // the failed epoch left nothing visible: only epoch-0 files exist
+    val afterFail = readDir(out)
+    assert(afterFail.keySet.forall(_.endsWith("-epoch-0.jsonl")), afterFail)
+    assert(afterFail.values.flatten.toSeq.sorted == Seq("a", "b"))
+    // restart from the checkpoint replays the failed batch; disarmed,
+    // it lands atomically (the sink's overwrite-own-files temp protocol
+    // makes the epoch retry exactly-once), and new data follows
+    in.addData((6L, "d"))
+    val q2 = start(armed = false)
+    try q2.processAllAvailable() finally q2.stop()
+    val recovered = readDir(out)
+    assert(recovered.values.flatten.toSeq.sorted ==
+      Seq("POISON", "a", "b", "c", "d"), recovered)
+  }
+
   test("rewrites are byte-identical and the manifest counts rows") {
     val a = Files.createTempDirectory("graft_shards_a").toString
     val b = Files.createTempDirectory("graft_shards_b").toString
