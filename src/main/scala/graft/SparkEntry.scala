@@ -20,7 +20,8 @@ object SparkEntry {
     Multimodal,
     JiraEtl,
     EventWindows,
-    graft.streaming.StreamReplay
+    graft.streaming.StreamReplay,
+    graft.sources.ShardIo
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,6 +1,6 @@
 package graft.sources
 
-import java.io.{BufferedWriter, IOException, OutputStreamWriter}
+import java.io.{BufferedReader, BufferedWriter, IOException, InputStreamReader, OutputStreamWriter}
 import java.nio.charset.StandardCharsets
 
 import scala.jdk.CollectionConverters._
@@ -10,17 +10,22 @@ import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.connector.write.{streaming => wstream}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
 
-/** DataSource V2 "graft-shards" format — the WRITE side of the corpus
-  * story (the read side is the "jira" provider + parquet): training
-  * shards as JSONL files with a DETERMINISTIC, rerun-stable layout.
+/** DataSource V2 "graft-shards" format — the corpus shard store:
+  * training shards as JSONL files with a DETERMINISTIC, rerun-stable
+  * layout, written AND read through the same provider (write = the
+  * curation pipeline's last step, read = the training job's first).
   *
   * The reference writes its corpus as one driver-side JSONL file
   * (`utils.py` / `transformer.py` save path — mirrored at fixture scale
@@ -106,12 +111,22 @@ private[sources] object ShardFs {
 }
 
 private[sources] class ShardTable(props: Map[String, String])
-    extends Table with SupportsWrite {
+    extends Table with SupportsWrite with SupportsRead {
   override def name(): String = s"graft-shards(${props.getOrElse("path", "?")})"
   override def schema(): StructType = ShardSink.schema
   override def capabilities(): java.util.Set[TableCapability] =
-    Set(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+    Set(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
       TableCapability.STREAMING_WRITE).asJava
+
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder = {
+    val dir = Option(options.get("path"))
+      .getOrElse(props.getOrElse("path",
+        throw new IllegalArgumentException("graft-shards needs a path")))
+    () => new ShardScan(dir, new SerializableHadoopConf(
+      SparkSession.active.sessionState.newHadoopConf()))
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     val dir = Option(info.options.get("path"))
@@ -127,6 +142,69 @@ private[sources] class ShardTable(props: Map[String, String])
   }
 }
 
+/** Batch READ side: the round-trip for training jobs. One input
+  * partition per committed batch-layout shard file (`shard-NNNNN.jsonl`
+  * — epoch files and `_tmp` are not part of the batch contract), so
+  * parallelism = shard count, the same unit training consumers use.
+  * `(shard, pos, line)` is reconstructed from the layout contract: the
+  * shard id from the file name, `pos` as the 1-based line number (the
+  * batch writer lands rows in final `(shard, pos)` order). Files are
+  * never split mid-file — a shard is the atomic consumption unit and
+  * line-oriented JSONL has no row-group index to split on.
+  */
+private[sources] class ShardScan(dir: String, conf: SerializableHadoopConf)
+    extends Scan with Batch {
+  override def readSchema(): StructType = ShardSink.schema
+  override def toBatch: Batch = this
+  override def description(): String = s"graft-shards read $dir"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val (fs, d) = ShardFs.resolve(dir, conf.value)
+    if (!fs.exists(d)) Array.empty
+    else fs.listStatus(d).iterator
+      .filter(st => st.isFile &&
+        st.getPath.getName.matches("shard-\\d{5}\\.jsonl"))
+      .map { st =>
+        val name = st.getPath.getName
+        ShardInputPartition(st.getPath.toString,
+          name.substring(6, 11).toLong): InputPartition
+      }
+      .toArray.sortBy {
+        case ShardInputPartition(_, s) => s
+        case _ => Long.MaxValue
+      }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    ShardReaderFactory(conf)
+}
+
+private[sources] case class ShardInputPartition(path: String, shard: Long)
+    extends InputPartition
+
+private[sources] case class ShardReaderFactory(conf: SerializableHadoopConf)
+    extends PartitionReaderFactory {
+  override def createReader(
+      partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[ShardInputPartition]
+    new PartitionReader[InternalRow] {
+      private val hp = new HPath(p.path)
+      private val in = new BufferedReader(new InputStreamReader(
+        hp.getFileSystem(conf.value).open(hp), StandardCharsets.UTF_8))
+      private var pos = 0L
+      private var line: String = _
+      override def next(): Boolean = {
+        line = in.readLine()
+        if (line != null) { pos += 1L; true } else false
+      }
+      override def get(): InternalRow =
+        new GenericInternalRow(Array[Any](p.shard, pos,
+          UTF8String.fromString(line)))
+      override def close(): Unit = in.close()
+    }
+  }
+}
+
 private[sources] class ShardWriteBuilder(dir: String)
     extends WriteBuilder with SupportsTruncate {
   private var truncateFirst = false
@@ -139,7 +217,7 @@ private[sources] class ShardWriteBuilder(dir: String)
     new Write {
       override def toBatch: BatchWrite =
         new ShardBatchWrite(dir, truncateFirst, conf)
-      override def toStreaming: streaming.StreamingWrite =
+      override def toStreaming: wstream.StreamingWrite =
         new ShardStreamingWrite(dir, conf)
     }
   }
@@ -157,9 +235,9 @@ private[sources] class ShardWriteBuilder(dir: String)
   */
 private[sources] class ShardStreamingWrite(dir: String,
                                            conf: SerializableHadoopConf)
-    extends streaming.StreamingWrite {
+    extends wstream.StreamingWrite {
   override def createStreamingWriterFactory(
-      info: PhysicalWriteInfo): streaming.StreamingDataWriterFactory =
+      info: PhysicalWriteInfo): wstream.StreamingDataWriterFactory =
     ShardStreamingWriterFactory(dir, conf)
 
   override def commit(epochId: Long,
@@ -229,7 +307,7 @@ private[sources] class ShardBatchWrite(dir: String, truncateFirst: Boolean,
 
 private[sources] case class ShardStreamingWriterFactory(
     dir: String, conf: SerializableHadoopConf)
-    extends streaming.StreamingDataWriterFactory {
+    extends wstream.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
                             epochId: Long): DataWriter[InternalRow] =
     new ShardDataWriter(dir, conf, taskId,
@@ -347,4 +425,50 @@ object CorpusShards {
       .sortWithinPartitions("shard", "pos")
       .write.format("graft-shards").option("path", dir)
       .mode(SaveMode.Overwrite).save()
+}
+
+/** Oracle gate for the shard round-trip: write the documents corpus
+  * through the DSv2 sink, read it back through the DSv2 source, and
+  * hash-compare against DuckDB recomputing the layout contract directly
+  * from the parquet table. This pins BOTH faces — writer layout
+  * determinism and reader (shard, pos, line) reconstruction — to an
+  * independent engine. The line payload is `doc_id:md5(text)`:
+  * newline-free by construction and byte-identical in both dialects.
+  */
+object ShardIo extends graft.QueryPack {
+  import graft.Engine.table
+
+  private val RtShards = 16
+
+  private def shardRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+      .selectExpr("doc_id",
+        "concat(cast(doc_id as string), ':', md5(text)) AS line")
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_shard_rt").toString
+    CorpusShards.write(docs, out, RtShards)
+    s.read.format("graft-shards").option("path", out).load()
+      .orderBy("shard", "pos")
+  }
+
+  private val shardRoundtripSql =
+    s"""SELECT shard, pos, line FROM (
+       |  SELECT shard,
+       |    CAST(row_number() OVER (PARTITION BY shard
+       |      ORDER BY hk, doc_id) AS BIGINT) AS pos,
+       |    line
+       |  FROM (
+       |    SELECT doc_id, line, hk,
+       |      CAST('0x' || substr(hk, 1, 8) AS BIGINT) % $RtShards AS shard
+       |    FROM (SELECT doc_id,
+       |            CAST(doc_id AS VARCHAR) || ':' || md5(text) AS line,
+       |            md5(CAST(doc_id AS VARCHAR)) AS hk
+       |          FROM documents)))
+       |ORDER BY shard, pos""".stripMargin
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map("shard_roundtrip" -> (shardRoundtrip _))
+
+  override val oracles: Map[String, String] =
+    Map("shard_roundtrip" -> shardRoundtripSql)
 }

@@ -50,6 +50,14 @@ class ShardSinkSpec extends AnyFunSuite {
           .map(_.getString(2)).toSeq
       }
     assert(byFile == layout)
+    // and the DSv2 read side reconstructs (shard, pos, line) exactly
+    val rt = spark.read.format("graft-shards").option("path", out).load()
+      .orderBy("shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    val exp = CorpusShards.layout(corpus(), 8)
+      .orderBy("shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(rt == exp)
   }
 
   test("streaming write lands each epoch's shards atomically") {
