@@ -9,16 +9,27 @@ object TimeOne {
     val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val reps = if (args.length > 2) args(2).toInt else 3
     val spark = Engine.session("time-one")
+    val jobCounter = new java.util.concurrent.atomic.AtomicInteger
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobCounter.incrementAndGet(); ()
+        }
+      })
     try SparkEntry.queries("q02_filter_pushdown")(spark, dir).count()
     catch { case _: Throwable => () }
     val times = (1 to reps).map { _ =>
+      org.apache.spark.graftbench.BusFlush.flush(spark.sparkContext)
+      val j0 = jobCounter.get()
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir).count()
       val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
-      dt
+      org.apache.spark.graftbench.BusFlush.flush(spark.sparkContext)
+      (dt, jobCounter.get() - j0)
     }
-    println(f"TIMEONE $name: ${times.map(t => f"$t%.2f").mkString(" ")}")
+    println(f"TIMEONE $name: ${times.map { case (t, j) => f"$t%.2f(${j}j)" }.mkString(" ")}")
     spark.stop()
   }
 }

@@ -1035,6 +1035,13 @@ object Dedup extends QueryPack {
     * localCheckpoint RDD blocks are reclaimed by the ContextCleaner
     * once the loop drops its references.
     */
+  /** Propagate+shortcut passes folded into each LP round's single
+    * checkpoint job (override with GRAFT_LP_PASSES for measurement).
+    * See the round-loop comment for the measured trade.
+    */
+  private val LpPassesPerRound =
+    sys.env.getOrElse("GRAFT_LP_PASSES", "2").toInt
+
   private[operators] def labelPropagate(op: String,
                                         pairs: DataFrame,
                                         nodes: DataFrame): DataFrame = {
@@ -1054,69 +1061,135 @@ object Dedup extends QueryPack {
     // ~50 of its 55 jobs). Checkpointing first runs the pipeline once;
     // the closure is then two narrow scans of the materialized RDD,
     // cheap enough to leave unmaterialized in the per-round plan.
-    val edges = pairs.toDF("pa", "pb")
-    val tE = System.nanoTime()
-    val e1 = edges.localCheckpoint()
-    val edgesBoth = e1
-      .union(e1.select(col("pb"), col("pa")))
-      .toDF("src", "dst")
-    stamp("edges", tE)
-    // Only nodes incident to >=1 edge can ever change label, so the
-    // loop runs on the pair graph alone — at corpus scale that's a tiny
-    // fraction of the table (near-dups are rare), so every per-round
-    // shuffle carries O(edge nodes), not O(corpus). Singletons rejoin
-    // once, after the fixed point.
     val session = pairs.sparkSession
     import session.implicits._
-    // AQE is scoped OFF for the per-round jobs (and restored after the
-    // loop, before the singleton rejoin, where its runtime broadcast
-    // decision IS wanted). Inside the loop AQE buys nothing — every
-    // round is the same fixed two-join+agg plan over LogicalRDD leaves
-    // whose sizes AQE can't estimate better than the planner — but it
-    // costs one Spark JOB PER QUERY STAGE: each round's checkpoint ran
-    // as 5-6 stage-materialization jobs instead of 1, and the LP
-    // consumers (dd_embed_cluster 140, dd_semdedup 143 jobs/run) paid
-    // a per-job scheduling floor on every one of them under host
-    // contention. With AQE off each round is exactly the one job the
-    // accumulator-tap design already promises.
+    // AQE is scoped OFF for the edge materialization AND the per-round
+    // jobs (and restored after the loop, before the singleton rejoin,
+    // where its runtime broadcast decision IS wanted). Inside the loop
+    // AQE buys nothing — every round is the same fixed plan over
+    // LogicalRDD leaves whose sizes AQE can't estimate better than the
+    // planner — but it costs one Spark JOB PER QUERY STAGE: each
+    // round's checkpoint ran as 5-6 stage-materialization jobs instead
+    // of 1, and the LP consumers (dd_embed_cluster 140, dd_semdedup
+    // 143 jobs/run) paid a per-job scheduling floor on every one of
+    // them under host contention. The same arithmetic applies to the
+    // edge checkpoint: the banded pair pipelines ran as 12-19
+    // stage-materialization jobs under AQE for no plan benefit (their
+    // join sides are derived frames the static planner shapes
+    // identically — measured at sf0.1: edge-phase wall unchanged,
+    // dd_semdedup 51 -> 20 jobs and dd_cluster 33 -> 13 once the edge
+    // phase joined the AQE-off scope). What the edge phase gives up is
+    // AQE's skew-join splitting during pair generation; the banded
+    // pipelines are built so that loss is contained — candidate joins
+    // are bucket-bounded by banding, containment probing is
+    // rarest-first, and the nbrMin aggregate partially aggregates
+    // map-side, so a hot key skews no single reducer.
+    // NOTE: the conf flip is session-global for its duration — safe
+    // for the sequential Verify/Bench harnesses; a concurrent query
+    // on the same session would silently lose AQE until the finally.
     val aqeKey = "spark.sql.adaptive.enabled"
+    val shufKey = "spark.sql.shuffle.partitions"
     val aqeWas = session.conf.getOption(aqeKey)
-    session.conf.set(aqeKey, "false")
-    var labels = edgesBoth
-      .select(col("src").as("doc_id"))
-      .distinct()
-      .select(col("doc_id"), col("doc_id").as("cluster_id"))
+    val shufWas = session.conf.get(shufKey)
+    def withLoopConf[T](body: => T): T = {
+      session.conf.set(aqeKey, "false")
+      try body finally {
+        aqeWas match {
+          case Some(v) => session.conf.set(aqeKey, v)
+          case None    => session.conf.unset(aqeKey)
+        }
+        session.conf.set(shufKey, shufWas)
+      }
+    }
+    val edges = pairs.toDF("pa", "pb")
     var converged = false
     var iter = 0
-    def runRounds(): Unit = while (!converged && iter < 50) {
-      val nbrMin = edgesBoth
-        .join(labels, edgesBoth("dst") === labels("doc_id"))
-        .groupBy(col("src"))
-        .agg(min(col("cluster_id")).as("nbr_min"))
-      // Pointer jumping (shortcutting): besides the neighbor minimum,
-      // each node also adopts its LABEL'S label — label(v) is always a
-      // node of the same component (labels only ever point within the
-      // component and only ever decrease), so the extra hop changes
-      // nothing about the fixed point but lets the component minimum
-      // travel two label-links per round instead of one, trimming
-      // convergence on deep chains (measured at sf0.1 on the
-      // diameter-10 noise-edge chain: 9 rounds instead of 11, each
-      // round still exactly one job). This is the shortcutting step of
-      // the MapReduce CC algorithms (Kiveris et al.'s two-hop /
-      // GraphFrames' big-star-small-star family); deeper compounding
-      // (label⁴ per round) was measured SLOWER here — the extra
-      // self-join shuffles outweigh the saved barriers at local scale —
-      // so one hop is the shipped balance.
-      val hop = labels.select(col("doc_id").as("h_id"),
-        col("cluster_id").as("hop2"))
-      val stepPlan = labels
-        .join(nbrMin, labels("doc_id") === nbrMin("src"), "left")
-        .join(hop, labels("cluster_id") === hop("h_id"), "left")
-        .select(labels("doc_id"), col("cluster_id").as("prev"),
-          least(
-            least(col("cluster_id"),
-              coalesce(col("nbr_min"), col("cluster_id"))),
-            coalesce(col("hop2"), col("cluster_id"))).as("cluster_id"))
+    def runLoop(): DataFrame = {
+      val tE = System.nanoTime()
+      val e1 = edges.localCheckpoint()
+      // With AQE scoped off, nothing coalesces the loop's shuffles, so
+      // size them from the measured edge count instead — the work AQE's
+      // runtime coalescing was doing, paid once here rather than one
+      // stage-materialization job per shuffle per round. Every loop
+      // shuffle carries O(edge-incident nodes) <= 2*|E| rows, so
+      // ~256k rows/partition keeps tasks meaningful at any scale; the
+      // session default stays as the cap (a cluster deployment sizes
+      // that for the corpus, and the loop never needs more than the
+      // corpus-scale setting). The count is one tiny job over the
+      // already-checkpointed RDD.
+      val nEdges = e1.count()
+      val defaultP = shufWas.toInt
+      val loopP = math.max(1L, math.min(defaultP.toLong,
+        2L * nEdges / 262144L + 1L)).toString
+      session.conf.set(shufKey, loopP)
+      val edgesBoth = e1
+        .union(e1.select(col("pb"), col("pa")))
+        .toDF("src", "dst")
+      stamp("edges", tE)
+      // Only nodes incident to >=1 edge can ever change label, so the
+      // loop runs on the pair graph alone — at corpus scale that's a
+      // tiny fraction of the table (near-dups are rare), so every
+      // per-round shuffle carries O(edge nodes), not O(corpus).
+      // Singletons rejoin once, after the fixed point.
+      var labels = edgesBoth
+        .select(col("src").as("doc_id"))
+        .distinct()
+        .select(col("doc_id"), col("doc_id").as("cluster_id"))
+      // One propagate+shortcut pass over a (doc_id, prev, cluster_id)
+      // frame: each node takes the min of its own label, its neighbors'
+      // labels (one edge hop), and its label's label (pointer jumping —
+      // label(v) is always a node of the same component, since labels
+      // only ever point within the component and only ever decrease, so
+      // the extra hop changes nothing about the fixed point but lets the
+      // component minimum travel two label-links per pass). `prev` (the
+      // round-start label, for the convergence tap) rides along
+      // untouched.
+      def onePass(cur: DataFrame): DataFrame = {
+        val nbrMin = edgesBoth
+          .join(cur, edgesBoth("dst") === cur("doc_id"))
+          .groupBy(col("src"))
+          .agg(min(col("cluster_id")).as("nbr_min"))
+        val hop = cur.select(col("doc_id").as("h_id"),
+          col("cluster_id").as("hop2"))
+        cur
+          .join(nbrMin, cur("doc_id") === nbrMin("src"), "left")
+          .join(hop, cur("cluster_id") === hop("h_id"), "left")
+          .select(cur("doc_id"), cur("prev"),
+            least(
+              least(col("cluster_id"),
+                coalesce(col("nbr_min"), col("cluster_id"))),
+              coalesce(col("hop2"), col("cluster_id"))).as("cluster_id"))
+      }
+      while (!converged && iter < 50) {
+      // ONE pass for round 0, TWO composed passes per round after
+      // (LpPassesPerRound): composing passes makes the effective reach
+      // per round two edge hops with two label-squarings interleaved,
+      // so label depth on chains more than halves per round — the
+      // compounding argument of Kiveris et al.'s MapReduce CC family
+      // (large-star/small-star), realized by pass composition instead
+      // of edge rewriting (edge squaring can blow up |E| on hubs;
+      // composing passes never grows the edge list). Measured at sf0.1
+      // on the embed-LSH graph: 9 rounds -> 5, same fixed point.
+      // The trade: pass B references pass A's unmaterialized tree
+      // three times (nbrMin, hop, main), and only the exchanges below
+      // survive ReuseExchange, so a compounded round costs roughly
+      // double — right when the per-job scheduling floor dominates
+      // (the contended regime this bench lives in, where halving the
+      // barrier count wins outright), wrong for round 0, which does
+      // the bulk of the propagation over the full label set and where
+      // the bushy near-dup components (diameter 2-3) finish without
+      // ever needing reach (shallow graphs: dd_cluster compounded
+      // round 0 cost +5 CPU-s at sf0.1 and saved nothing). Hence
+      // adaptive: round 0 single, chain-tail rounds compounded.
+      // GRAFT_LP_PASSES=1 restores hop-per-round everywhere for
+      // quiet-box wall runs; deeper than two grows the duplicated
+      // subtree 3x per pass for one fewer barrier — measured slower
+      // everywhere.
+      val seeded = labels.select(col("doc_id"),
+        col("cluster_id").as("prev"), col("cluster_id"))
+      val passes = if (iter == 0) 1 else LpPassesPerRound
+      val stepPlan = (1 to passes)
+        .foldLeft(seeded)((f, _) => onePass(f))
       // localCheckpoint EVERY round (eager). This is lineage control, not
       // caching: step N's logical plan embeds TWO copies of step N-1's
       // (the nbrMin side and the join side), so without truncation the
@@ -1153,11 +1226,10 @@ object Dedup extends QueryPack {
       labels = step.drop("prev")
       converged = changed == 0
       iter += 1
+      }
+      labels
     }
-    try runRounds() finally aqeWas match {
-      case Some(v) => session.conf.set(aqeKey, v)
-      case None    => session.conf.unset(aqeKey)
-    }
+    val labels = withLoopConf(runLoop())
     // silent truncation would hand a keep-one-per-cluster pipeline
     // partially-merged groups; a >50-hop min-label chain means the
     // corpus isn't the shallow near-dup graph this operator is for
