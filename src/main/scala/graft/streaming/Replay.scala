@@ -99,9 +99,90 @@ object StreamReplay extends QueryPack {
        |WHERE doc_id <> owner_id
        |ORDER BY doc_id, owner_id, band""".stripMargin
 
+  /** Session gap for the sessionizer replay: 30 minutes, the same gap
+    * as the batch q18_sessionize query, so the two rows cross-check the
+    * same session structure computed three independent ways (stream
+    * state machine, Spark batch window, DuckDB gaps-and-islands).
+    */
+  private[graft] val SessionGapNs = 1800L * 1000000000L
+
+  // Replay gate for the flatMapGroupsWithState sessionizer — the
+  // hardest streaming state machine (conditional emission + state
+  // rewrite + event-time timeout). The events fixture is fed in ts
+  // order as explicit micro-batches; per-batch watermark advancement
+  // fires the inactivity timeout for users whose sessions lapse
+  // mid-replay (both close paths run, not just the next-event one),
+  // and a final sentinel event pushes the watermark past every open
+  // session's deadline so trailing sessions close too. ts is
+  // MICRO-ALIGNED on the way in ((ts div 1000) * 1000): the stream's
+  // state machine compares nanosecond gaps while DuckDB's parquet
+  // reader truncates TIMESTAMP(NANOS) to micros, so alignment makes
+  // the gap test and the (ts, event_id) fold order exact integers in
+  // both engines (the q18 convention).
+  private def stSessionsReplay(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val evs = table(s, dir, "events")
+      .selectExpr("event_id", "(ts div 1000) * 1000 AS ts", "user_id",
+        "event_type", "value")
+      .as[Event].collect().sortBy(e => (e.ts, e.event_id))
+    val in = MemoryStream[Event]
+    val sink = s"st_sessions_replay_sink_${sinkSeq.incrementAndGet()}"
+    val q = Streams.sessionize(in.toDS(), SessionGapNs)
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    try {
+      val per = math.max(1, (evs.length + ReplayBatches - 1) / ReplayBatches)
+      evs.grouped(per).foreach { b =>
+        in.addData(b.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      // Sentinel: one far-future event advances the watermark past
+      // every open session's gap deadline, so the timeout path closes
+      // them. Its own session stays open (its deadline sits beyond the
+      // final watermark) and its user_id is filtered below either way.
+      in.addData(Event(-1L, evs.last.ts + 3 * SessionGapNs, -1L,
+        "sentinel", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    s.table(sink)
+      .filter("user_id >= 0")
+      .selectExpr("user_id", "start_ns div 1000 AS start_us",
+        "end_ns div 1000 AS end_us", "n_events",
+        "duration_ns div 1000 AS duration_us")
+      .orderBy("user_id", "start_us")
+  }
+
+  // The sessionizer's semantics, restated as gaps-and-islands: per
+  // user, order events by (time, event_id), break the timeline where
+  // the inter-event gap exceeds the session gap, and aggregate each
+  // island to one session row. Micros on both sides (epoch_us ==
+  // ts div 1000 for the micro-aligned feed above).
+  private val stSessionsReplaySql = {
+    val gapUs = SessionGapNs / 1000L
+    s"""WITH w AS (
+       |  SELECT user_id, event_id, epoch_us(ts) AS us,
+       |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+       |           (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+       |         > $gapUs THEN 1 ELSE 0 END AS brk
+       |  FROM events),
+       |isl AS (
+       |  SELECT user_id, us,
+       |    SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+       |  FROM w)
+       |SELECT user_id, MIN(us) AS start_us, MAX(us) AS end_us,
+       |  CAST(COUNT(*) AS BIGINT) AS n_events,
+       |  MAX(us) - MIN(us) AS duration_us
+       |FROM isl GROUP BY user_id, grp
+       |ORDER BY user_id, start_us""".stripMargin
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] =
-    Map("st_neardup_replay" -> (stNearDupReplay _))
+    Map("st_neardup_replay" -> (stNearDupReplay _),
+        "st_sessions_replay" -> (stSessionsReplay _))
 
   override val oracles: Map[String, String] =
-    Map("st_neardup_replay" -> stNearDupReplaySql)
+    Map("st_neardup_replay" -> stNearDupReplaySql,
+        "st_sessions_replay" -> stSessionsReplaySql)
 }

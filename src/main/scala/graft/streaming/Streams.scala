@@ -21,6 +21,13 @@ case class ClosedSession(user_id: Long, start_ns: Long, end_ns: Long,
 /** One document row for the streaming near-dup path (`ts` epoch-nanos). */
 case class StreamDoc(doc_id: Long, ts: Long, text: String)
 
+/** [[Event]] narrowed for the sessionizer, with the watermarked
+  * `event_time` kept in the row so the stateful operator sees the
+  * watermark annotation (same pattern as [[BandRow]]).
+  */
+case class SessionEvent(event_id: Long, ts: Long, user_id: Long,
+                        event_time: java.sql.Timestamp)
+
 /** One (band, band-key) expansion row of a document. The watermarked
   * `event_time` column must stay in the row so the stateful operator
   * sees the watermark annotation.
@@ -182,37 +189,67 @@ case class FunnelAdvance(user_id: Long, step: Int, at_us: Long)
 
 /** Gap-based sessionization (30-min inactivity) as explicit state:
     * emits a ClosedSession whenever a user's next event arrives past the
-    * gap, plus on state timeout. The batch q18_sessionize query computes
-    * the same session boundaries retrospectively.
+    * gap, OR when the event-time watermark passes the open session's
+    * gap deadline (event-time timeout) — so every session eventually
+    * closes and executor state is bounded by users active within one
+    * gap of the watermark, never by stream history. A timed-out
+    * session is exactly the session the gap rule would have closed on
+    * the user's next event, because the watermark (delay = gap) can
+    * only pass `last + gap` once no in-order event can still extend
+    * the session — which is what makes the replay gate
+    * (st_sessions_replay) restatable as batch gaps-and-islands SQL.
+    * The batch q18_sessionize query computes the same session
+    * boundaries retrospectively.
     */
   def sessionize(events: Dataset[Event],
                  gapNs: Long = 30L * 60 * 1000000000L)
       : Dataset[ClosedSession] = {
     import events.sparkSession.implicits._
+    val gapMs = gapNs / 1000000L
     events
+      .withColumn("event_time", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("event_time", s"${math.max(1L, gapMs / 1000L)} seconds")
+      .select("event_id", "ts", "user_id", "event_time")
+      .as[SessionEvent]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, ClosedSession](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        case (userId: Long, batch: Iterator[Event],
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (userId: Long, batch: Iterator[SessionEvent],
               state: GroupState[SessionState]) =>
-          // within a micro-batch events may arrive unordered; sort by ts
-          val sorted = batch.toSeq.sortBy(e => (e.ts, e.event_id))
-          var cur = state.getOption
-          val closed = Seq.newBuilder[ClosedSession]
-          sorted.foreach { e =>
-            cur match {
-              case Some(st) if e.ts - st.lastNs > gapNs =>
-                closed += ClosedSession(userId, st.startNs, st.lastNs,
-                  st.nEvents, st.lastNs - st.startNs)
-                cur = Some(SessionState(e.ts, e.ts, 1))
-              case Some(st) =>
-                cur = Some(st.copy(lastNs = e.ts, nEvents = st.nEvents + 1))
-              case None =>
-                cur = Some(SessionState(e.ts, e.ts, 1))
+          if (state.hasTimedOut) {
+            // the watermark passed last + gap with no further events:
+            // the session is closed by inactivity, state dropped
+            val st = state.get
+            state.remove()
+            Iterator.single(ClosedSession(userId, st.startNs, st.lastNs,
+              st.nEvents, st.lastNs - st.startNs))
+          } else {
+            // within a micro-batch events may arrive unordered; sort by ts
+            val sorted = batch.toSeq.sortBy(e => (e.ts, e.event_id))
+            var cur = state.getOption
+            val closed = Seq.newBuilder[ClosedSession]
+            sorted.foreach { e =>
+              cur match {
+                case Some(st) if e.ts - st.lastNs > gapNs =>
+                  closed += ClosedSession(userId, st.startNs, st.lastNs,
+                    st.nEvents, st.lastNs - st.startNs)
+                  cur = Some(SessionState(e.ts, e.ts, 1))
+                case Some(st) =>
+                  cur = Some(st.copy(lastNs = e.ts, nEvents = st.nEvents + 1))
+                case None =>
+                  cur = Some(SessionState(e.ts, e.ts, 1))
+              }
             }
+            cur.foreach { st =>
+              state.update(st)
+              // the +1ms floor keeps the timeout strictly ahead of the
+              // current watermark, as the API requires
+              state.setTimeoutTimestamp(math.max(
+                st.lastNs / 1000000L + gapMs,
+                state.getCurrentWatermarkMs() + 1))
+            }
+            closed.result().iterator
           }
-          cur.foreach(state.update)
-          closed.result().iterator
       }
   }
 

@@ -48,16 +48,26 @@ class StreamsSpec extends AnyFunSuite {
       .writeStream.format("memory").queryName("sessions")
       .outputMode(OutputMode.Append()).start()
     try {
+      // T well past epoch: an event-time-0 row ties the initial
+      // watermark and the stateful operator's late filter drops it
+      val T = 100 * H
       // batch 1: two events 10 min apart -> one open session, nothing out
-      in.addData(ev(1, 0, 7, "click"), ev(2, 600000000000L, 7, "click"))
+      in.addData(ev(1, T, 7, "click"), ev(2, T + 600000000000L, 7, "click"))
       q.processAllAvailable()
       assert(spark.table("sessions").count() == 0)
-      // batch 2: event 2 h later -> previous session closes
-      in.addData(ev(3, 2 * H, 7, "click"))
+      // batch 2: event 2 h later -> previous session closes by the gap
+      in.addData(ev(3, T + 2 * H, 7, "click"))
       q.processAllAvailable()
       val out = spark.table("sessions").as[ClosedSession].collect().toSeq
       assert(out == Seq(
-        ClosedSession(7, 0, 600000000000L, 2, 600000000000L)))
+        ClosedSession(7, T, T + 600000000000L, 2, 600000000000L)))
+      // batch 3: a DIFFERENT user far in the future advances the
+      // watermark past user 7's gap deadline -> their open session
+      // closes via the event-time timeout path, no user-7 event needed
+      in.addData(ev(4, T + 10 * H, 9, "click"))
+      q.processAllAvailable()
+      val out2 = spark.table("sessions").as[ClosedSession].collect().toSet
+      assert(out2.contains(ClosedSession(7, T + 2 * H, T + 2 * H, 1, 0)), out2)
     } finally q.stop()
   }
 
