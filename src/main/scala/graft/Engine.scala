@@ -31,6 +31,11 @@ object Engine {
       // (queries do exact integer arithmetic on it; DuckDB side uses
       // epoch_ns(ts) for the same value).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Let V2 sources that report KeyGroupedPartitioning (the
+      // graft-shards store clusters by shard) satisfy downstream
+      // distribution requirements without an exchange (storage-
+      // partitioned joins / pre-partitioned aggregation).
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

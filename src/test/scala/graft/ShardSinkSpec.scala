@@ -190,4 +190,40 @@ class ShardSinkSpec extends AnyFunSuite {
     assert(readDir(a).keySet ==
       Set("shard-00000.jsonl", "shard-00001.jsonl"))
   }
+
+  test("read face prunes columns, pushes shard filters, reports partitioning") {
+    val out = Files.createTempDirectory("graft_shards_read").toString
+    CorpusShards.write(corpus(), out, 8)
+    def ds = spark.read.format("graft-shards").option("path", out).load()
+    val full = ds.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+
+    // column pruning reaches the scan: a shard/pos projection reads no
+    // line payloads (the pruned reader counts newlines byte-wise)
+    val pruned = ds.select("shard", "pos")
+    val pPlan = pruned.queryExecution.executedPlan.toString
+    assert(pPlan.contains("struct<shard:bigint,pos:bigint>"), pPlan)
+    assert(pruned.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      == full.map(t => (t._1, t._2)))
+
+    // shard filters drop whole files at planning: one input partition
+    // (= one RDD partition) per surviving shard file
+    val one = ds.filter("shard = 3")
+    assert(one.rdd.getNumPartitions == 1)
+    assert(one.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+      == full.filter(_._1 == 3L))
+    val range = ds.filter("shard >= 2 AND shard < 5")
+    assert(range.rdd.getNumPartitions == 3)
+    assert(range.count() == full.count(t => t._1 >= 2 && t._1 < 5))
+
+    // one shard key per file -> KeyGroupedPartitioning: a shard-keyed
+    // aggregation runs with NO exchange (storage-partitioned execution)
+    val agg = ds.groupBy("shard").count()
+    val aPlan = agg.queryExecution.executedPlan.toString
+    assert(!aPlan.contains("Exchange"), aPlan)
+    val got = agg.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val exp = full.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    assert(got == exp)
+  }
 }
