@@ -755,11 +755,14 @@ object Similarity extends QueryPack {
   private val IvfQ = 492 // vec_id >= IvfQ are queries (as sim_ivf_probe)
   private val IvfNprobe = 2
 
-  private def ivfpqSql(base: String, slice: Int => String,
-                       assignF: (String, String) => String,
-                       assign2F: (String, String) => String,
-                       centF: String => String,
-                       dist: (String, String) => String): String = {
+  /** The train+probe CTE chain shared by sim_ivfpq and the refine
+    * oracle: everything up to the `q` (probed queries) and `cand`
+    * (corpus assignments) relations.
+    */
+  private def ivfpqCtes(base: String, slice: Int => String,
+                        assignF: (String, String) => String,
+                        assign2F: (String, String) => String,
+                        centF: String => String): String = {
     val pqCtes = (0 until PqM).flatMap { m =>
       Seq(
         s"pb$m AS (SELECT vec_id, ${slice(m)} AS x4 FROM $base)",
@@ -782,8 +785,18 @@ object Similarity extends QueryPack {
        |      FROM (${assign2F(
                   s"(SELECT * FROM $base WHERE vec_id >= $IvfQ)",
                   "cents0")})),
-       |cand AS (SELECT vec_id, cell FROM coarse WHERE vec_id < $IvfQ)
-       |SELECT query_id, cell, neighbor_id, adc_dist,
+       |cand AS (SELECT vec_id, cell FROM coarse WHERE vec_id < $IvfQ)"""
+      .stripMargin
+  }
+
+  /** ADC ranking over the `q`/`cand`/`cd*` relations of [[ivfpqCtes]]:
+    * top-`cap` candidates per query by asymmetric distance. `ordered`
+    * is dropped when the select is embedded as a CTE for the refine
+    * stage (the outer query re-orders).
+    */
+  private def ivfpqAdcSelect(dist: (String, String) => String,
+                             cap: Int, ordered: Boolean): String =
+    s"""SELECT query_id, cell, neighbor_id, adc_dist,
        |  CAST(rnk AS BIGINT) AS rnk FROM (
        |  SELECT query_id, cell, neighbor_id, adc_dist,
        |    row_number() OVER (PARTITION BY query_id
@@ -797,8 +810,16 @@ object Similarity extends QueryPack {
        |    ${(0 until PqM)
               .map(m => s"JOIN cd$m ON cd$m.vec_id = cand.vec_id")
               .mkString(" ")}))
-       |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin
-  }
+       |WHERE rnk <= $cap${if (ordered) " ORDER BY query_id, rnk" else ""}"""
+      .stripMargin
+
+  private def ivfpqSql(base: String, slice: Int => String,
+                       assignF: (String, String) => String,
+                       assign2F: (String, String) => String,
+                       centF: String => String,
+                       dist: (String, String) => String): String =
+    ivfpqCtes(base, slice, assignF, assign2F, centF) + "\n" +
+      ivfpqAdcSelect(dist, 3, ordered = true)
 
   private def simIvfPq(s: SparkSession, dir: String): DataFrame = {
     table(s, dir, "embeddings")
@@ -835,8 +856,12 @@ object Similarity extends QueryPack {
                                 codebooks: Seq[Seq[(Long, Seq[Long])]],
                                 codes: DataFrame)
 
-  private val ivfpqModelCache =
-    scala.collection.concurrent.TrieMap.empty[String, IvfPqModel]
+  // Keyed on (session, dir), not dir alone: the cached code table is a
+  // localCheckpoint bound to the session that trained it, so a cache
+  // hit from a different (e.g. restarted) session would serve RDD
+  // blocks of a dead context. Sessions are compared by identity.
+  private val ivfpqModelCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), IvfPqModel]
 
   private def ipqSliceS(m: Int) = s"slice(x4, ${PqDim * m + 1}, $PqDim)"
 
@@ -881,26 +906,38 @@ object Similarity extends QueryPack {
     IvfPqModel(cents, codebooks, codes)
   }
 
-  private def simIvfPqPretrained(s: SparkSession, dir: String): DataFrame = {
-    val model = ivfpqModelCache.getOrElseUpdate(dir, trainIvfPq(s, dir))
+  /** Materialize (or reuse) the model and register the serving views:
+    * `ipq_cents` (4-row coarse centroids), `ipq_codes` (the PQ index),
+    * `ipq_queries` (the query batch's raw vectors — the only corpus
+    * read in the ADC serving plan; asymmetric ADC keeps queries
+    * uncompressed).
+    */
+  private def registerServing(s: SparkSession, dir: String): IvfPqModel = {
+    val model = ivfpqModelCache
+      .getOrElseUpdate((s, dir), trainIvfPq(s, dir))
     import s.implicits._
     model.cents.toDF("cell", "c").createOrReplaceTempView("ipq_cents")
     model.codes.createOrReplaceTempView("ipq_codes")
-    // the only corpus read in the serving plan: the query batch's own
-    // raw vectors (asymmetric ADC keeps queries uncompressed)
     table(s, dir, "embeddings")
       .selectExpr("vec_id", s"$x4S AS x4")
       .where(col("vec_id") >= IvfQ)
       .createOrReplaceTempView("ipq_queries")
-    // Real ADC serving: the sub-codebooks are driver-local model data,
-    // so they inline as literals and each query precomputes a 4-slot
-    // distance LUT per subspace (dist(qs_m, codebook_m[k]) for k=0..3)
-    // on the tiny query side. Candidate scoring is then ONE cell
-    // equi-join into the code table plus 4 array lookups per candidate
-    // — the code table is scanned once and no 16-dim array ever rides
-    // a corpus-sized join (the first cut joined the code table to each
-    // codebook and chained 4 vec_id joins: 5 corpus-scale scans, and
-    // serving benched SLOWER than the train-included query).
+    model
+  }
+
+  /** The serving-side CTE chain: probed query batch (`q`) plus its
+    * per-subspace ADC lookup tables (`ql`). Real ADC serving: the
+    * sub-codebooks are driver-local model data, so they inline as
+    * literals and each query precomputes a 4-slot distance LUT per
+    * subspace (dist(qs_m, codebook_m[k]) for k=0..3) on the tiny query
+    * side. Candidate scoring is then ONE cell equi-join into the code
+    * table plus 4 array lookups per candidate — the code table is
+    * scanned once and no 16-dim array ever rides a corpus-sized join
+    * (the first cut joined the code table to each codebook and chained
+    * 4 vec_id joins: 5 corpus-scale scans, and serving benched SLOWER
+    * than the train-included query).
+    */
+  private def servingCtes(model: IvfPqModel): String = {
     def cbLit(m: Int, k: Int): String = {
       val byCell = model.codebooks(m).toMap
       // a cell can die during the Lloyd round; codes never reference a
@@ -911,36 +948,137 @@ object Similarity extends QueryPack {
     def lut(m: Int): String =
       (0 until KmK).map(k => distS(s"qs$m", cbLit(m, k)))
         .mkString("array(\n      ", ",\n      ", ")")
+    s"""q AS (SELECT vec_id, cell,
+       |    ${(0 until PqM).map(m => s"${ipqSliceS(m)} AS qs$m")
+            .mkString(", ")}
+       |  FROM (${assignS2("ipq_queries", "ipq_cents")})),
+       |ql AS (SELECT vec_id, cell,
+       |    ${(0 until PqM).map(m => s"${lut(m)} AS lut$m")
+            .mkString(",\n    ")}
+       |  FROM q)""".stripMargin
+  }
+
+  /** Top-`cap` ADC ranking over the `ql` relation + the code table. */
+  private def servingAdcSelect(cap: Int, ordered: Boolean): String =
+    s"""SELECT query_id, cell, neighbor_id, adc_dist,
+       |  CAST(rnk AS BIGINT) AS rnk FROM (
+       |  SELECT query_id, cell, neighbor_id, adc_dist,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY adc_dist, neighbor_id) AS rnk
+       |  FROM (
+       |    SELECT ql.vec_id AS query_id, ql.cell AS cell,
+       |      codes.vec_id AS neighbor_id,
+       |      ${(0 until PqM)
+              .map(m => s"element_at(ql.lut$m," +
+                s" cast(codes.code_$m + 1 as int))")
+              .mkString("\n      + ")} AS adc_dist
+       |    FROM ql JOIN ipq_codes codes
+       |      ON codes.cell = ql.cell AND codes.vec_id < $IvfQ))
+       |WHERE rnk <= $cap${if (ordered) " ORDER BY query_id, rnk" else ""}"""
+      .stripMargin
+
+  private def simIvfPqPretrained(s: SparkSession, dir: String): DataFrame = {
+    val model = registerServing(s, dir)
+    s.sql(s"WITH ${servingCtes(model)}\n" +
+      servingAdcSelect(3, ordered = true))
+  }
+
+  // -- sim_ivfpq_refine: exact re-rank of the ADC candidates ------------------
+  // Production ANN serving refines: ADC ranks candidates from
+  // compressed codes (cheap, quantization-noisy), then the top-R
+  // survivors are re-scored with EXACT distances against their raw
+  // stored vectors and the final top-k is taken from that. This is the
+  // standard two-stage shape (coarse probe -> ADC -> exact refine) of
+  // IVF-PQ deployments (Jégou et al. §V: re-ranking with stored raw
+  // vectors). R = 10 candidates per query feed the refine join, so the
+  // corpus-vector read is R rows per query — at scale a point-lookup
+  // join against the vector store, never a corpus scan riding the
+  // ranking. Output keeps both distances (adc_dist is what the first
+  // stage believed; exact_dist is the truth the final rank uses).
+  private val RefineR = 10
+
+  /** Test hook (IvfPqRefineSpec): every (query, candidate) pair the
+    * serving path can see — the corpus members of each query's probed
+    * cells. Recall against the exact top-k WITHIN this pool is the
+    * measurement that isolates what the refine stage buys; recall
+    * against the global exact top-k additionally charges the coarse
+    * probe's coverage (at this toy scale, K=4 cells / nprobe=2 over
+    * near-uniform noise vectors, global coverage is intentionally low
+    * — production indexes carry K in the thousands).
+    */
+  private[graft] def ivfpqServingCandidates(s: SparkSession,
+                                            dir: String): DataFrame = {
+    val model = registerServing(s, dir)
     s.sql(
-      s"""WITH q AS (SELECT vec_id, cell,
-         |    ${(0 until PqM).map(m => s"${ipqSliceS(m)} AS qs$m")
-              .mkString(", ")}
-         |  FROM (${assignS2("ipq_queries", "ipq_cents")})),
-         |ql AS (SELECT vec_id, cell,
-         |    ${(0 until PqM).map(m => s"${lut(m)} AS lut$m")
-              .mkString(",\n    ")}
-         |  FROM q)
-         |SELECT query_id, cell, neighbor_id, adc_dist,
+      s"""WITH ${servingCtes(model)}
+         |SELECT ql.vec_id AS query_id, codes.vec_id AS neighbor_id
+         |FROM ql JOIN ipq_codes codes
+         |  ON codes.cell = ql.cell AND codes.vec_id < $IvfQ""".stripMargin)
+  }
+
+  /** Test hook (IvfPqRefineSpec): the ADC top-R candidate list the
+    * refine stage re-ranks, computed independently of the refine query.
+    */
+  private[graft] def ivfpqAdcTopR(s: SparkSession, dir: String): DataFrame = {
+    val model = registerServing(s, dir)
+    s.sql(s"WITH ${servingCtes(model)}\n" +
+      servingAdcSelect(RefineR, ordered = true))
+  }
+
+  private def simIvfPqRefine(s: SparkSession, dir: String): DataFrame = {
+    val model = registerServing(s, dir)
+    // the refine stage's only other input: raw corpus vectors, joined
+    // point-wise on the R*|queries| candidate ids
+    table(s, dir, "embeddings")
+      .selectExpr("vec_id", s"$x4S AS x4")
+      .where(col("vec_id") < IvfQ)
+      .createOrReplaceTempView("ipq_corpus")
+    s.sql(
+      s"""WITH ${servingCtes(model)},
+         |adc AS (${servingAdcSelect(RefineR, ordered = false)}),
+         |refined AS (
+         |  SELECT adc.query_id, adc.neighbor_id, adc.adc_dist,
+         |    ${distS("qv.x4", "nv.x4")} AS exact_dist
+         |  FROM adc
+         |  JOIN ipq_queries qv ON qv.vec_id = adc.query_id
+         |  JOIN ipq_corpus nv ON nv.vec_id = adc.neighbor_id)
+         |SELECT query_id, neighbor_id, adc_dist, exact_dist,
          |  CAST(rnk AS BIGINT) AS rnk FROM (
-         |  SELECT query_id, cell, neighbor_id, adc_dist,
+         |  SELECT query_id, neighbor_id, adc_dist, exact_dist,
          |    row_number() OVER (PARTITION BY query_id
-         |      ORDER BY adc_dist, neighbor_id) AS rnk
-         |  FROM (
-         |    SELECT ql.vec_id AS query_id, ql.cell AS cell,
-         |      codes.vec_id AS neighbor_id,
-         |      ${(0 until PqM)
-                .map(m => s"element_at(ql.lut$m," +
-                  s" cast(codes.code_$m + 1 as int))")
-                .mkString("\n      + ")} AS adc_dist
-         |    FROM ql JOIN ipq_codes codes
-         |      ON codes.cell = ql.cell AND codes.vec_id < $IvfQ))
+         |      ORDER BY exact_dist, neighbor_id) AS rnk
+         |  FROM refined)
          |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin)
   }
+
+  // Oracle: the full train+probe chain restated (as sim_ivfpq's), ADC
+  // capped at RefineR, then the identical exact re-rank — stated
+  // against DuckDB's own arithmetic end to end.
+  private val simIvfPqRefineSql =
+    s"""WITH base AS (SELECT vec_id, $x4D AS x4 FROM embeddings),
+       |${ivfpqCtes("base",
+          m => s"x4[${PqDim * m + 1}:${PqDim * m + PqDim}]",
+          assignD, assignD2, pqCentD)},
+       |adc AS (${ivfpqAdcSelect(distD, RefineR, ordered = false)}),
+       |refined AS (
+       |  SELECT adc.query_id, adc.neighbor_id, adc.adc_dist,
+       |    ${distD("qb.x4", "nb.x4")} AS exact_dist
+       |  FROM adc
+       |  JOIN base qb ON qb.vec_id = adc.query_id
+       |  JOIN base nb ON nb.vec_id = adc.neighbor_id)
+       |SELECT query_id, neighbor_id, adc_dist, exact_dist,
+       |  CAST(rnk AS BIGINT) AS rnk FROM (
+       |  SELECT query_id, neighbor_id, adc_dist, exact_dist,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY exact_dist, neighbor_id) AS rnk
+       |  FROM refined)
+       |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map(
       "sim_ivfpq" -> simIvfPq _,
       "sim_ivfpq_pretrained" -> simIvfPqPretrained _,
+      "sim_ivfpq_refine" -> simIvfPqRefine _,
       "sim_pq" -> simPq _,
       "sim_kmeans" -> simKmeans _,
       "sim_norms" -> simNorms _,
@@ -960,6 +1098,7 @@ object Similarity extends QueryPack {
     // the pretrained serving path must reproduce the spec query
     // byte-for-byte — the oracle restates the full train+score text
     "sim_ivfpq_pretrained" -> simIvfPqSql,
+    "sim_ivfpq_refine" -> simIvfPqRefineSql,
     "sim_pq" -> simPqSql,
     "sim_kmeans" -> simKmeansSql,
     "sim_norms" -> simNormsSql,
