@@ -32,7 +32,8 @@ object Bench {
     // round 11
     "st_neardup_replay", "sim_ivfpq_pretrained", "shard_roundtrip",
     // round 12
-    "st_sessions_replay", "sim_ivfpq_refine")
+    "st_sessions_replay", "sim_ivfpq_refine",
+    "st_funnel_replay", "st_attrib_replay")
 
   private final case class M(
       name: String, median: Double, spread: Double, jobsPerRep: Int,

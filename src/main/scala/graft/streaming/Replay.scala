@@ -178,11 +178,125 @@ object StreamReplay extends QueryPack {
        |ORDER BY user_id, start_us""".stripMargin
   }
 
+  /** The events fixture sorted for in-order replay. */
+  private def orderedEvents(s: SparkSession, dir: String): Array[Event] = {
+    import s.implicits._
+    table(s, dir, "events")
+      .selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .as[Event].collect().sortBy(e => (e.ts, e.event_id))
+  }
+
+  // Replay gate for the fMGWS funnel tracker: per user, the first
+  // view sets step 1, the first later click step 2, the first
+  // still-later purchase step 3 (strict '>' between steps, micros
+  // granularity). Under in-order delivery the advance set is a pure
+  // function of event-time order — each step's timestamp is the MIN
+  // qualifying event time — which is what the oracle restates as three
+  // chained MIN aggregates (the batch st_funnel shape, here per user
+  // with the advance timestamps, not just counts). No micro-alignment
+  // is needed: the state machine compares in micros (ts div 1000), so
+  // nanosecond order ties within a microsecond cannot change any
+  // strict '>' outcome.
+  private def stFunnelReplay(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val evs = orderedEvents(s, dir)
+    val in = MemoryStream[Event]
+    val sink = s"st_funnel_replay_sink_${sinkSeq.incrementAndGet()}"
+    val q = Streams.funnelStream(in.toDS())
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    try {
+      val per = math.max(1, (evs.length + ReplayBatches - 1) / ReplayBatches)
+      evs.grouped(per).foreach { b =>
+        in.addData(b.toIndexedSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    s.table(sink)
+      .selectExpr("user_id", "cast(step as bigint) AS step", "at_us")
+      .orderBy("user_id", "step")
+  }
+
+  private val stFunnelReplaySql =
+    """WITH e AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+      |  WHERE event_type IN ('view', 'click', 'purchase')),
+      |s1 AS (SELECT user_id, MIN(us) AS t1 FROM e
+      |       WHERE event_type = 'view' GROUP BY user_id),
+      |s2 AS (SELECT e.user_id, MIN(us) AS t2 FROM e
+      |       JOIN s1 ON s1.user_id = e.user_id
+      |       WHERE event_type = 'click' AND us > t1 GROUP BY e.user_id),
+      |s3 AS (SELECT e.user_id, MIN(us) AS t3 FROM e
+      |       JOIN s2 ON s2.user_id = e.user_id
+      |       WHERE event_type = 'purchase' AND us > t2 GROUP BY e.user_id)
+      |SELECT user_id, step, at_us FROM (
+      |  SELECT user_id, CAST(1 AS BIGINT) AS step, t1 AS at_us FROM s1
+      |  UNION ALL
+      |  SELECT user_id, CAST(2 AS BIGINT), t2 FROM s2
+      |  UNION ALL
+      |  SELECT user_id, CAST(3 AS BIGINT), t3 FROM s3)
+      |ORDER BY user_id, step""".stripMargin
+
+  /** Attribution window for the stream-stream join replay: 1 hour,
+    * [[Streams.attributeStream]]'s default.
+    */
+  private val AttribWindowUs = 3600000000L
+
+  // Replay gate for the stream-stream attribution join: clicks and
+  // purchases (filtered from the events fixture) are fed as two
+  // MemoryStreams batched in lockstep over the same global time
+  // ranges. An event-time range inner join's match set is independent
+  // of micro-batch boundaries by construction — Spark buffers each
+  // side and only evicts a click once the watermark passes its last
+  // possible match, which an in-order feed can never outrun — so the
+  // oracle is the plain batch join over the same window arithmetic.
+  // Inner-join emission needs no watermark advance, so no sentinel.
+  private def stAttribReplay(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val evs = orderedEvents(s, dir)
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val sink = s"st_attrib_replay_sink_${sinkSeq.incrementAndGet()}"
+    val q = Streams.attributeStream(clicks.toDF(), purchases.toDF())
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    try {
+      val per = math.max(1, (evs.length + ReplayBatches - 1) / ReplayBatches)
+      evs.grouped(per).foreach { b =>
+        clicks.addData(b.filter(_.event_type == "click").toIndexedSeq)
+        purchases.addData(b.filter(_.event_type == "purchase").toIndexedSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    s.table(sink)
+      .selectExpr("user_id", "click_id", "purchase_id",
+        "unix_micros(click_time) AS click_us",
+        "unix_micros(purchase_time) AS purchase_us", "value")
+      .orderBy("purchase_id", "click_id")
+  }
+
+  private val stAttribReplaySql =
+    s"""SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+       |  epoch_us(c.ts) AS click_us, epoch_us(p.ts) AS purchase_us,
+       |  p.value
+       |FROM events c JOIN events p
+       |  ON c.event_type = 'click' AND p.event_type = 'purchase'
+       | AND p.user_id = c.user_id
+       | AND epoch_us(p.ts) >= epoch_us(c.ts)
+       | AND epoch_us(p.ts) <= epoch_us(c.ts) + $AttribWindowUs
+       |ORDER BY purchase_id, click_id""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("st_neardup_replay" -> (stNearDupReplay _),
-        "st_sessions_replay" -> (stSessionsReplay _))
+        "st_sessions_replay" -> (stSessionsReplay _),
+        "st_funnel_replay" -> (stFunnelReplay _),
+        "st_attrib_replay" -> (stAttribReplay _))
 
   override val oracles: Map[String, String] =
     Map("st_neardup_replay" -> stNearDupReplaySql,
-        "st_sessions_replay" -> stSessionsReplaySql)
+        "st_sessions_replay" -> stSessionsReplaySql,
+        "st_funnel_replay" -> stFunnelReplaySql,
+        "st_attrib_replay" -> stAttribReplaySql)
 }
