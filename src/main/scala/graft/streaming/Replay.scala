@@ -43,6 +43,23 @@ object StreamReplay extends QueryPack {
 
   private val sinkSeq = new java.util.concurrent.atomic.AtomicInteger
 
+  /** Run `body` with the session's shuffle partitions scoped down for a
+    * replay: a stateful streaming query creates one state-store
+    * partition per shuffle partition PER micro-batch, so at fixture
+    * scale 32 partitions mean ~160 state-store commits of a few rows
+    * each — pure per-batch overhead, measured ~25% of replay wall.
+    * The production ingest path sizes partitions for corpus-scale state
+    * as usual; this scoping is the replay harness's own (the same
+    * sequential-harness conf discipline as the LP loop's AQE scope;
+    * restored in `finally`).
+    */
+  private def withReplayPartitions[T](s: SparkSession)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val was = s.conf.get(key)
+    s.conf.set(key, "4")
+    try body finally s.conf.set(key, was)
+  }
+
   private def stNearDupReplay(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
@@ -58,16 +75,18 @@ object StreamReplay extends QueryPack {
       .as[StreamDoc].collect().sortBy(_.doc_id)
     val in = MemoryStream[StreamDoc]
     val sink = s"st_neardup_replay_sink_${sinkSeq.incrementAndGet()}"
-    val q = Streams.nearDupStream(in.toDF(), HorizonNs)
-      .writeStream.format("memory").queryName(sink)
-      .outputMode("append").start()
-    try {
-      val per = math.max(1, (docs.length + ReplayBatches - 1) / ReplayBatches)
-      docs.grouped(per).foreach { b =>
-        in.addData(b.toIndexedSeq)
-        q.processAllAvailable()
-      }
-    } finally q.stop()
+    withReplayPartitions(s) {
+      val q = Streams.nearDupStream(in.toDF(), HorizonNs)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try {
+        val per = math.max(1, (docs.length + ReplayBatches - 1) / ReplayBatches)
+        docs.grouped(per).foreach { b =>
+          in.addData(b.toIndexedSeq)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+    }
     s.table(sink)
       .selectExpr("doc_id", "owner_id", "cast(band as bigint) AS band")
       .orderBy("doc_id", "owner_id", "band")
@@ -128,23 +147,25 @@ object StreamReplay extends QueryPack {
       .as[Event].collect().sortBy(e => (e.ts, e.event_id))
     val in = MemoryStream[Event]
     val sink = s"st_sessions_replay_sink_${sinkSeq.incrementAndGet()}"
-    val q = Streams.sessionize(in.toDS(), SessionGapNs)
-      .writeStream.format("memory").queryName(sink)
-      .outputMode("append").start()
-    try {
-      val per = math.max(1, (evs.length + ReplayBatches - 1) / ReplayBatches)
-      evs.grouped(per).foreach { b =>
-        in.addData(b.toIndexedSeq)
+    withReplayPartitions(s) {
+      val q = Streams.sessionize(in.toDS(), SessionGapNs)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try {
+        val per = math.max(1, (evs.length + ReplayBatches - 1) / ReplayBatches)
+        evs.grouped(per).foreach { b =>
+          in.addData(b.toIndexedSeq)
+          q.processAllAvailable()
+        }
+        // Sentinel: one far-future event advances the watermark past
+        // every open session's gap deadline, so the timeout path closes
+        // them. Its own session stays open (its deadline sits beyond the
+        // final watermark) and its user_id is filtered below either way.
+        in.addData(Event(-1L, evs.last.ts + 3 * SessionGapNs, -1L,
+          "sentinel", 0.0))
         q.processAllAvailable()
-      }
-      // Sentinel: one far-future event advances the watermark past
-      // every open session's gap deadline, so the timeout path closes
-      // them. Its own session stays open (its deadline sits beyond the
-      // final watermark) and its user_id is filtered below either way.
-      in.addData(Event(-1L, evs.last.ts + 3 * SessionGapNs, -1L,
-        "sentinel", 0.0))
-      q.processAllAvailable()
-    } finally q.stop()
+      } finally q.stop()
+    }
     s.table(sink)
       .filter("user_id >= 0")
       .selectExpr("user_id", "start_ns div 1000 AS start_us",
@@ -203,16 +224,18 @@ object StreamReplay extends QueryPack {
     val evs = orderedEvents(s, dir)
     val in = MemoryStream[Event]
     val sink = s"st_funnel_replay_sink_${sinkSeq.incrementAndGet()}"
-    val q = Streams.funnelStream(in.toDS())
-      .writeStream.format("memory").queryName(sink)
-      .outputMode("append").start()
-    try {
-      val per = math.max(1, (evs.length + ReplayBatches - 1) / ReplayBatches)
-      evs.grouped(per).foreach { b =>
-        in.addData(b.toIndexedSeq)
-        q.processAllAvailable()
-      }
-    } finally q.stop()
+    withReplayPartitions(s) {
+      val q = Streams.funnelStream(in.toDS())
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try {
+        val per = math.max(1, (evs.length + ReplayBatches - 1) / ReplayBatches)
+        evs.grouped(per).foreach { b =>
+          in.addData(b.toIndexedSeq)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+    }
     s.table(sink)
       .selectExpr("user_id", "cast(step as bigint) AS step", "at_us")
       .orderBy("user_id", "step")
@@ -259,17 +282,19 @@ object StreamReplay extends QueryPack {
     val clicks = MemoryStream[Event]
     val purchases = MemoryStream[Event]
     val sink = s"st_attrib_replay_sink_${sinkSeq.incrementAndGet()}"
-    val q = Streams.attributeStream(clicks.toDF(), purchases.toDF())
-      .writeStream.format("memory").queryName(sink)
-      .outputMode("append").start()
-    try {
-      val per = math.max(1, (evs.length + ReplayBatches - 1) / ReplayBatches)
-      evs.grouped(per).foreach { b =>
-        clicks.addData(b.filter(_.event_type == "click").toIndexedSeq)
-        purchases.addData(b.filter(_.event_type == "purchase").toIndexedSeq)
-        q.processAllAvailable()
-      }
-    } finally q.stop()
+    withReplayPartitions(s) {
+      val q = Streams.attributeStream(clicks.toDF(), purchases.toDF())
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try {
+        val per = math.max(1, (evs.length + ReplayBatches - 1) / ReplayBatches)
+        evs.grouped(per).foreach { b =>
+          clicks.addData(b.filter(_.event_type == "click").toIndexedSeq)
+          purchases.addData(b.filter(_.event_type == "purchase").toIndexedSeq)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+    }
     s.table(sink)
       .selectExpr("user_id", "click_id", "purchase_id",
         "unix_micros(click_time) AS click_us",
