@@ -1120,10 +1120,21 @@ object Dedup extends QueryPack {
       val nEdges = e1.count()
       val defaultP = shufWas.toInt
       val loopP = math.max(1L, math.min(defaultP.toLong,
-        2L * nEdges / 262144L + 1L)).toString
-      session.conf.set(shufKey, loopP)
-      val edgesBoth = e1
-        .union(e1.select(col("pb"), col("pa")))
+        2L * nEdges / 262144L + 1L)).toInt
+      session.conf.set(shufKey, loopP.toString)
+      // Coalesce the checkpointed edge RDD to the loop's own
+      // parallelism for the per-round scans: the two-pass round plan
+      // references the edge frame many times, and each reference at
+      // the materialization's 32 partitions launched a full task wave
+      // per reference — measured ~3.8 CPU-s of pure task overhead per
+      // round on a fixture whose whole edge list fits in one block.
+      // Coalesce is a narrow op over the already-materialized blocks
+      // (the expensive pipeline ran at full width above); at corpus
+      // scale loopP grows with the measured edge count, so this never
+      // strangles a big graph.
+      val eLoop = e1.coalesce(loopP)
+      val edgesBoth = eLoop
+        .union(eLoop.select(col("pb"), col("pa")))
         .toDF("src", "dst")
       stamp("edges", tE)
       // Only nodes incident to >=1 edge can ever change label, so the
