@@ -166,6 +166,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
 
+  test("sim_ivfpq_refine: refine joins stay training-free point lookups") {
+    val p = plan("sim_ivfpq_refine")
+    // same serving contract as pretrained — no Lloyd round (the
+    // coarse assign's broadcast cross join against the 4-row centroid
+    // relation is the one intentional non-equi join, as in every
+    // k-means assignment), no unbroadcast cross product, and the
+    // final ranking bounded by WindowGroupLimit rather than a full
+    // per-query sort-and-filter
+    assert(!p.contains("posexplode"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(p.contains("WindowGroupLimit"), p.take(3000))
+  }
+
   test("dd_incremental: cross-boundary banding stays equi-join, no cross product") {
     val p = plan("dd_incremental")
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
