@@ -1039,8 +1039,15 @@ object Dedup extends QueryPack {
     * checkpoint job (override with GRAFT_LP_PASSES for measurement).
     * See the round-loop comment for the measured trade.
     */
-  private val LpPassesPerRound =
-    sys.env.getOrElse("GRAFT_LP_PASSES", "2").toInt
+  private val LpPassesPerRound = {
+    val p = sys.env.getOrElse("GRAFT_LP_PASSES", "2").toInt
+    // 0 would make every round after the first a no-op whose
+    // convergence tap sees prev == cluster_id — the loop would
+    // "converge" immediately and hand back under-propagated clusters
+    // silently; fail loudly instead
+    require(p >= 1, s"GRAFT_LP_PASSES must be >= 1, got $p")
+    p
+  }
 
   private[operators] def labelPropagate(op: String,
                                         pairs: DataFrame,

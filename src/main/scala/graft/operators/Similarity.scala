@@ -913,6 +913,11 @@ object Similarity extends QueryPack {
     * uncompressed).
     */
   private def registerServing(s: SparkSession, dir: String): IvfPqModel = {
+    // drop entries whose session has stopped — they pin the dead
+    // session's object graph (and its checkpointed code table) forever
+    ivfpqModelCache.keys
+      .filter(_._1.sparkContext.isStopped)
+      .foreach(ivfpqModelCache.remove)
     val model = ivfpqModelCache
       .getOrElseUpdate((s, dir), trainIvfPq(s, dir))
     import s.implicits._

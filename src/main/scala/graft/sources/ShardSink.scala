@@ -194,7 +194,6 @@ private[sources] class ShardScanBuilder(dir: String,
     */
   private def shardTest(f: Filter): Option[Long => Boolean] = f match {
     case EqualTo("shard", v: Long)            => Some(_ == v)
-    case EqualTo("shard", v: java.lang.Long)  => Some(_ == v.longValue)
     case In("shard", vs) =>
       val set = vs.collect {
         case v: Long => v
@@ -581,15 +580,19 @@ object ShardIo extends graft.QueryPack {
     val docs = table(s, dir, "documents")
       .selectExpr("doc_id",
         "concat(cast(doc_id as string), ':', md5(text)) AS line")
-    // Deterministic per-input scratch dir (NOT a fresh temp dir per
-    // invocation, which leaked a 16-shard corpus copy per bench rep):
-    // reruns overwrite in place via the sink's truncate path, so the
-    // gate's disk footprint is one copy per fixture per process tree.
+    // Deterministic per-(process, input) scratch dir (NOT a fresh temp
+    // dir per invocation, which leaked a 16-shard corpus copy per
+    // bench rep): reruns within a process overwrite in place via the
+    // sink's truncate path, so the gate's disk footprint is one copy
+    // per fixture per process. The pid in the path keeps two
+    // concurrent harness processes from truncating each other's store
+    // mid-read.
     val out = new java.io.File(
       sys.props.getOrElse("java.io.tmpdir", "/tmp"),
       "graft_shard_rt_" + java.security.MessageDigest.getInstance("MD5")
         .digest(dir.getBytes(StandardCharsets.UTF_8))
-        .map("%02x".format(_)).mkString.take(12)).toString
+        .map("%02x".format(_)).mkString.take(12) +
+        "_p" + ProcessHandle.current().pid()).toString
     CorpusShards.write(docs, out, RtShards)
     s.read.format("graft-shards").option("path", out).load()
       .orderBy("shard", "pos")
