@@ -313,15 +313,62 @@ object StreamReplay extends QueryPack {
        | AND epoch_us(p.ts) <= epoch_us(c.ts) + $AttribWindowUs
        |ORDER BY purchase_id, click_id""".stripMargin
 
+  // Replay gate for the exactly-once ingest face: events are fed in ts
+  // order, but every batch k >= 1 FIRST re-delivers the whole previous
+  // batch and then repeats its own head mid-batch — the at-least-once
+  // re-delivery pattern of a page-oriented source resuming after a
+  // crash (SURVEY.md §2 S1/St2). dropDuplicatesWithinWatermark must
+  // collapse all of it back to one row per event_id. The output set is
+  // deterministic regardless of where the watermark lands per batch: a
+  // re-delivered row either still has a state entry (dropped as a
+  // duplicate) or its state expired — but expiry requires watermark >
+  // ts + horizon > ts, which makes the re-delivery late, so it is
+  // dropped by the late-row filter instead. Either path, exactly one
+  // emission. The oracle is therefore the events table itself — any
+  // leaked duplicate or wrongly dropped original hash-mismatches.
+  private def stDedupReplay(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val evs = orderedEvents(s, dir)
+    val in = MemoryStream[Event]
+    val sink = s"st_dedup_replay_sink_${sinkSeq.incrementAndGet()}"
+    withReplayPartitions(s) {
+      val q = Streams.dedupStream(in.toDF())
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try {
+        val per = math.max(1, (evs.length + ReplayBatches - 1) / ReplayBatches)
+        val batches = evs.grouped(per).map(_.toIndexedSeq).toIndexedSeq
+        batches.zipWithIndex.foreach { case (b, i) =>
+          val redelivered =
+            if (i == 0) IndexedSeq.empty[Event] else batches(i - 1)
+          val inBatchDup = b.take(math.max(1, per / 4))
+          in.addData(redelivered ++ b ++ inBatchDup)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+    }
+    s.table(sink)
+      .selectExpr("event_id", "ts div 1000 AS us", "user_id",
+        "event_type", "value")
+      .orderBy("event_id")
+  }
+
+  private val stDedupReplaySql =
+    """SELECT event_id, epoch_us(ts) AS us, user_id, event_type, value
+      |FROM events ORDER BY event_id""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("st_neardup_replay" -> (stNearDupReplay _),
         "st_sessions_replay" -> (stSessionsReplay _),
         "st_funnel_replay" -> (stFunnelReplay _),
-        "st_attrib_replay" -> (stAttribReplay _))
+        "st_attrib_replay" -> (stAttribReplay _),
+        "st_dedup_replay" -> (stDedupReplay _))
 
   override val oracles: Map[String, String] =
     Map("st_neardup_replay" -> stNearDupReplaySql,
         "st_sessions_replay" -> stSessionsReplaySql,
         "st_funnel_replay" -> stFunnelReplaySql,
-        "st_attrib_replay" -> stAttribReplaySql)
+        "st_attrib_replay" -> stAttribReplaySql,
+        "st_dedup_replay" -> stDedupReplaySql)
 }
