@@ -33,7 +33,8 @@ object Bench {
     "st_neardup_replay", "sim_ivfpq_pretrained", "shard_roundtrip",
     // round 12
     "st_sessions_replay", "sim_ivfpq_refine",
-    "st_funnel_replay", "st_attrib_replay", "st_dedup_replay")
+    "st_funnel_replay", "st_attrib_replay", "st_dedup_replay",
+    "st_window_replay")
 
   private final case class M(
       name: String, median: Double, spread: Double, jobsPerRep: Int,

@@ -358,17 +358,66 @@ object StreamReplay extends QueryPack {
     """SELECT event_id, epoch_us(ts) AS us, user_id, event_type, value
       |FROM events ORDER BY event_id""".stripMargin
 
+  // Replay gate for the windowed aggregation: events in ts order, then
+  // a far-future sentinel advances the watermark past every real
+  // window's end so append mode emits them all (the sentinel's own
+  // window stays open and is filtered out by event_type). In-order
+  // delivery means no late drops, so the emitted set is exactly the
+  // batch hour-grouping of the fixture — restated in DuckDB on the
+  // micros channel (epoch_us == ts div 1000, both engines floor to
+  // the epoch-aligned hour with integer division). Counts only: the
+  // stream's total_value is an order-dependent double sum (gated by
+  // StreamsSpec), while n is exact in any engine.
+  private def stWindowReplay(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val evs = orderedEvents(s, dir)
+    val in = MemoryStream[Event]
+    val sink = s"st_window_replay_sink_${sinkSeq.incrementAndGet()}"
+    withReplayPartitions(s) {
+      val q = Streams.tumblingCounts(in.toDF())
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try {
+        val per = math.max(1, (evs.length + ReplayBatches - 1) / ReplayBatches)
+        evs.grouped(per).foreach { b =>
+          in.addData(b.toIndexedSeq)
+          q.processAllAvailable()
+        }
+        in.addData(Event(-1L, evs.last.ts + 3L * 3600000000000L, -1L,
+          "sentinel", 0.0))
+        q.processAllAvailable()
+      } finally q.stop()
+    }
+    s.table(sink)
+      .filter("event_type <> 'sentinel'")
+      .selectExpr("unix_micros(window.start) AS win_start_us",
+        "event_type", "n")
+      .orderBy("win_start_us", "event_type")
+  }
+
+  private val stWindowReplaySql = {
+    val hourUs = 3600000000L
+    s"""SELECT win * $hourUs AS win_start_us, event_type,
+       |  COUNT(*) AS n
+       |FROM (SELECT epoch_us(ts) // $hourUs AS win, event_type
+       |      FROM events)
+       |GROUP BY win, event_type ORDER BY win_start_us, event_type""".stripMargin
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("st_neardup_replay" -> (stNearDupReplay _),
         "st_sessions_replay" -> (stSessionsReplay _),
         "st_funnel_replay" -> (stFunnelReplay _),
         "st_attrib_replay" -> (stAttribReplay _),
-        "st_dedup_replay" -> (stDedupReplay _))
+        "st_dedup_replay" -> (stDedupReplay _),
+        "st_window_replay" -> (stWindowReplay _))
 
   override val oracles: Map[String, String] =
     Map("st_neardup_replay" -> stNearDupReplaySql,
         "st_sessions_replay" -> stSessionsReplaySql,
         "st_funnel_replay" -> stFunnelReplaySql,
         "st_attrib_replay" -> stAttribReplaySql,
-        "st_dedup_replay" -> stDedupReplaySql)
+        "st_dedup_replay" -> stDedupReplaySql,
+        "st_window_replay" -> stWindowReplaySql)
 }
