@@ -122,6 +122,42 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("dedupStream output is independent of micro-batch boundaries") {
+    // The st_dedup_replay oracle pins ONE batch layout; this locks the
+    // determinism argument it relies on — a re-delivered row is dropped
+    // either as a state duplicate or, once its state expired, as a late
+    // row — by replaying the same at-least-once feed under different
+    // boundaries and asserting identical output sets.
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val T = 100 * H
+    // 12 events spanning 3 h of event time (horizon is 30 min, so the
+    // late-drop path genuinely fires for early re-deliveries)
+    val originals = (1L to 12L).map(i => ev(i, T + i * 900000000000L,
+      i % 3, if (i % 2 == 0) "click" else "view"))
+    def run(feed: Seq[Seq[Event]], sink: String): Set[Long] = {
+      val in = MemoryStream[Event]
+      val q = Streams.dedupStream(in.toDF())
+        .writeStream.format("memory").queryName(sink)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        feed.foreach { b => in.addData(b); q.processAllAvailable() }
+      } finally q.stop()
+      spark.table(sink).select("event_id")
+        .collect().map(_.getLong(0)).toSet
+    }
+    // layout A: one batch, duplicates interleaved in-batch
+    val a = run(Seq(originals.flatMap(e => Seq(e, e))), "dedup_bi_a")
+    // layout B: four batches, each re-delivering its predecessor
+    val batches = originals.grouped(3).toIndexedSeq
+    val b = run(batches.zipWithIndex.map { case (bt, i) =>
+      (if (i == 0) IndexedSeq.empty[Event] else batches(i - 1)) ++ bt
+    }, "dedup_bi_b")
+    assert(a == (1L to 12L).toSet)
+    assert(b == a)
+  }
+
   test("funnelStream advances steps in order and only forward in time") {
     val spark0 = spark
     import spark0.implicits._
