@@ -186,6 +186,60 @@ object Dedup extends QueryPack {
        |WHERE jaccard >= 0.6
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // -- dd_source_overlap: cross-source duplicate leakage matrix ---------------
+  // The curation report behind dedup prioritization: how much near-dup
+  // content each PAIR of sources shares (CCNet/mC4-style cross-dump
+  // overlap — a dump that mostly duplicates another gets deduped
+  // against it first, or dropped). Composes the banded Jaccard pairs
+  // with the tiny (doc_id, source) projection and counts pairs per
+  // unordered source pair.
+  //
+  // Scale shape: the two source lookups are doc_id equi-joins of the
+  // pair list (|pairs| << |docs|, narrow columns only) against a
+  // two-column projection of the corpus scan; the final aggregate is
+  // |sources|^2-bounded. No new shuffle class beyond dd_jaccard itself.
+  private def ddSourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val pairs = ddJaccardPairs(s, dir)
+    val src = table(s, dir, "documents").select("doc_id", "source")
+    pairs
+      .join(src.toDF("doc_a", "src_a"), "doc_a")
+      .join(src.toDF("doc_b", "src_b"), "doc_b")
+      .selectExpr("least(src_a, src_b) AS source_a",
+        "greatest(src_a, src_b) AS source_b")
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("source_a", "source_b")
+  }
+
+  // Independent all-pairs restatement (no banding), same unordered
+  // source-pair canonicalization — recall of the banded pair source
+  // feeds straight into this gate too.
+  private val ddSourceOverlapSql =
+    s"""WITH docs AS (
+       |  SELECT doc_id,
+       |    list_sort(list_distinct(list_transform(grams,
+       |      g -> ${duckH64("g")}))) AS hs
+       |  FROM (
+       |    SELECT doc_id, $duckGrams AS grams FROM (
+       |      SELECT doc_id, string_split(text, ' ') AS toks FROM documents))),
+       |pairs AS (
+       |  SELECT doc_a, doc_b FROM (
+       |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |      round(CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
+       |        / (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs))),
+       |        6) AS jaccard
+       |    FROM docs a JOIN docs b ON a.doc_id < b.doc_id
+       |    WHERE least(len(a.hs), len(b.hs)) * 10
+       |          >= greatest(len(a.hs), len(b.hs)) * 6)
+       |  WHERE jaccard >= 0.6)
+       |SELECT least(sa.source, sb.source) AS source_a,
+       |  greatest(sa.source, sb.source) AS source_b,
+       |  CAST(COUNT(*) AS BIGINT) AS n_pairs
+       |FROM pairs
+       |JOIN documents sa ON sa.doc_id = doc_a
+       |JOIN documents sb ON sb.doc_id = doc_b
+       |GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin
+
   // -- dd_containment: asymmetric substring-style dedup -----------------------
   // Jaccard misses the quote/superset case: a doc wholly contained in a
   // bigger one has high containment c(A,B) = |A∩B|/min(|A|,|B|) but can
@@ -1543,7 +1597,8 @@ object Dedup extends QueryPack {
       "dd_semdedup" -> ddSemdedup _,
       "dd_embed_cluster" -> ddEmbedCluster _,
       "dd_embed_cluster_exact" -> ddEmbedClusterExact _,
-      "dd_curation_funnel" -> ddCurationFunnel _
+      "dd_curation_funnel" -> ddCurationFunnel _,
+      "dd_source_overlap" -> ddSourceOverlap _
     )
 
   override val oracles: Map[String, String] = Map(
@@ -1565,6 +1620,7 @@ object Dedup extends QueryPack {
     "dd_semdedup" -> ddSemdedupSql,
     "dd_embed_cluster" -> ddEmbedClusterSql,
     "dd_embed_cluster_exact" -> ddEmbedClusterExactSql,
-    "dd_curation_funnel" -> ddCurationFunnelSql
+    "dd_curation_funnel" -> ddCurationFunnelSql,
+    "dd_source_overlap" -> ddSourceOverlapSql
   )
 }
