@@ -163,26 +163,39 @@ object Dedup extends QueryPack {
   private def ddJaccard(s: SparkSession, dir: String): DataFrame =
     ddJaccardPairs(s, dir).orderBy(col("doc_a"), col("doc_b"))
 
-  /** The independent all-pairs spec (no banding): hash-comparing the
-    * banded Spark result against it makes the driver's gate verify the
-    * banding's recall on real data, not just replay a shared shortcut.
+  /** The all-pairs docs CTE + scored-pairs subquery shared by the
+    * jaccard-family oracles (ddJaccardSql, ddSourceOverlapSql) — ONE
+    * definition so a tuning change (threshold, hash width, grams)
+    * cannot desynchronize the gates that all feed from
+    * [[ddJaccardPairs]] on the Spark side.
     */
-  private val ddJaccardSql =
-    s"""WITH docs AS (
+  private val duckJacDocsCte =
+    s"""docs AS (
        |  SELECT doc_id,
        |    list_sort(list_distinct(list_transform(grams,
        |      g -> ${duckH64("g")}))) AS hs
        |  FROM (
        |    SELECT doc_id, $duckGrams AS grams FROM (
-       |      SELECT doc_id, string_split(text, ' ') AS toks FROM documents)))
+       |      SELECT doc_id, string_split(text, ' ') AS toks FROM documents)))"""
+      .stripMargin
+
+  private val duckJacScoredPairs =
+    """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    round(CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
+      |      / (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs))), 6)
+      |      AS jaccard
+      |  FROM docs a JOIN docs b ON a.doc_id < b.doc_id
+      |  WHERE least(len(a.hs), len(b.hs)) * 10
+      |        >= greatest(len(a.hs), len(b.hs)) * 6""".stripMargin
+
+  /** The independent all-pairs spec (no banding): hash-comparing the
+    * banded Spark result against it makes the driver's gate verify the
+    * banding's recall on real data, not just replay a shared shortcut.
+    */
+  private val ddJaccardSql =
+    s"""WITH $duckJacDocsCte
        |SELECT doc_a, doc_b, jaccard FROM (
-       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |    round(CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
-       |      / (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs))), 6)
-       |      AS jaccard
-       |  FROM docs a JOIN docs b ON a.doc_id < b.doc_id
-       |  WHERE least(len(a.hs), len(b.hs)) * 10
-       |        >= greatest(len(a.hs), len(b.hs)) * 6)
+       |  $duckJacScoredPairs)
        |WHERE jaccard >= 0.6
        |ORDER BY doc_a, doc_b""".stripMargin
 
@@ -215,22 +228,10 @@ object Dedup extends QueryPack {
   // source-pair canonicalization — recall of the banded pair source
   // feeds straight into this gate too.
   private val ddSourceOverlapSql =
-    s"""WITH docs AS (
-       |  SELECT doc_id,
-       |    list_sort(list_distinct(list_transform(grams,
-       |      g -> ${duckH64("g")}))) AS hs
-       |  FROM (
-       |    SELECT doc_id, $duckGrams AS grams FROM (
-       |      SELECT doc_id, string_split(text, ' ') AS toks FROM documents))),
+    s"""WITH $duckJacDocsCte,
        |pairs AS (
        |  SELECT doc_a, doc_b FROM (
-       |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |      round(CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
-       |        / (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs))),
-       |        6) AS jaccard
-       |    FROM docs a JOIN docs b ON a.doc_id < b.doc_id
-       |    WHERE least(len(a.hs), len(b.hs)) * 10
-       |          >= greatest(len(a.hs), len(b.hs)) * 6)
+       |    $duckJacScoredPairs)
        |  WHERE jaccard >= 0.6)
        |SELECT least(sa.source, sb.source) AS source_a,
        |  greatest(sa.source, sb.source) AS source_b,

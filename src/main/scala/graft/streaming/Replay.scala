@@ -60,6 +60,22 @@ object StreamReplay extends QueryPack {
     try body finally s.conf.set(key, was)
   }
 
+  /** The replay batching protocol, defined ONCE: ceil-divide the feed
+    * into [[ReplayBatches]] equal micro-batches.
+    */
+  private def batched[T](items: Seq[T]): IndexedSeq[IndexedSeq[T]] = {
+    val per = math.max(1, (items.length + ReplayBatches - 1) / ReplayBatches)
+    items.grouped(per).map(_.toIndexedSeq).toIndexedSeq
+  }
+
+  /** Feed batches with explicit boundaries (`processAllAvailable` per
+    * batch — the discipline every replay gate depends on).
+    */
+  private def feed[T](in: MemoryStream[T],
+                      q: org.apache.spark.sql.streaming.StreamingQuery,
+                      batches: Seq[Seq[T]]): Unit =
+    batches.foreach { b => in.addData(b); q.processAllAvailable() }
+
   private def stNearDupReplay(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
@@ -79,13 +95,8 @@ object StreamReplay extends QueryPack {
       val q = Streams.nearDupStream(in.toDF(), HorizonNs)
         .writeStream.format("memory").queryName(sink)
         .outputMode("append").start()
-      try {
-        val per = math.max(1, (docs.length + ReplayBatches - 1) / ReplayBatches)
-        docs.grouped(per).foreach { b =>
-          in.addData(b.toIndexedSeq)
-          q.processAllAvailable()
-        }
-      } finally q.stop()
+      try feed(in, q, batched(docs.toIndexedSeq))
+      finally q.stop()
     }
     s.table(sink)
       .selectExpr("doc_id", "owner_id", "cast(band as bigint) AS band")
@@ -152,11 +163,7 @@ object StreamReplay extends QueryPack {
         .writeStream.format("memory").queryName(sink)
         .outputMode("append").start()
       try {
-        val per = math.max(1, (evs.length + ReplayBatches - 1) / ReplayBatches)
-        evs.grouped(per).foreach { b =>
-          in.addData(b.toIndexedSeq)
-          q.processAllAvailable()
-        }
+        feed(in, q, batched(evs.toIndexedSeq))
         // Sentinel: one far-future event advances the watermark past
         // every open session's gap deadline, so the timeout path closes
         // them. Its own session stays open (its deadline sits beyond the
@@ -228,13 +235,8 @@ object StreamReplay extends QueryPack {
       val q = Streams.funnelStream(in.toDS())
         .writeStream.format("memory").queryName(sink)
         .outputMode("append").start()
-      try {
-        val per = math.max(1, (evs.length + ReplayBatches - 1) / ReplayBatches)
-        evs.grouped(per).foreach { b =>
-          in.addData(b.toIndexedSeq)
-          q.processAllAvailable()
-        }
-      } finally q.stop()
+      try feed(in, q, batched(evs.toIndexedSeq))
+      finally q.stop()
     }
     s.table(sink)
       .selectExpr("user_id", "cast(step as bigint) AS step", "at_us")
@@ -287,10 +289,10 @@ object StreamReplay extends QueryPack {
         .writeStream.format("memory").queryName(sink)
         .outputMode("append").start()
       try {
-        val per = math.max(1, (evs.length + ReplayBatches - 1) / ReplayBatches)
-        evs.grouped(per).foreach { b =>
-          clicks.addData(b.filter(_.event_type == "click").toIndexedSeq)
-          purchases.addData(b.filter(_.event_type == "purchase").toIndexedSeq)
+        // lockstep two-stream feed: same global batch boundaries
+        batched(evs.toIndexedSeq).foreach { b =>
+          clicks.addData(b.filter(_.event_type == "click"))
+          purchases.addData(b.filter(_.event_type == "purchase"))
           q.processAllAvailable()
         }
       } finally q.stop()
@@ -337,15 +339,13 @@ object StreamReplay extends QueryPack {
         .writeStream.format("memory").queryName(sink)
         .outputMode("append").start()
       try {
-        val per = math.max(1, (evs.length + ReplayBatches - 1) / ReplayBatches)
-        val batches = evs.grouped(per).map(_.toIndexedSeq).toIndexedSeq
-        batches.zipWithIndex.foreach { case (b, i) =>
+        val batches = batched(evs.toIndexedSeq)
+        feed(in, q, batches.zipWithIndex.map { case (b, i) =>
           val redelivered =
             if (i == 0) IndexedSeq.empty[Event] else batches(i - 1)
-          val inBatchDup = b.take(math.max(1, per / 4))
-          in.addData(redelivered ++ b ++ inBatchDup)
-          q.processAllAvailable()
-        }
+          val inBatchDup = b.take(math.max(1, b.length / 4))
+          redelivered ++ b ++ inBatchDup
+        })
       } finally q.stop()
     }
     s.table(sink)
@@ -379,11 +379,7 @@ object StreamReplay extends QueryPack {
         .writeStream.format("memory").queryName(sink)
         .outputMode("append").start()
       try {
-        val per = math.max(1, (evs.length + ReplayBatches - 1) / ReplayBatches)
-        evs.grouped(per).foreach { b =>
-          in.addData(b.toIndexedSeq)
-          q.processAllAvailable()
-        }
+        feed(in, q, batched(evs.toIndexedSeq))
         in.addData(Event(-1L, evs.last.ts + 3L * 3600000000000L, -1L,
           "sentinel", 0.0))
         q.processAllAvailable()

@@ -28,14 +28,21 @@ class StreamsSpec extends AnyFunSuite {
       .writeStream.format("memory").queryName("tumbling")
       .outputMode(OutputMode.Update()).start()
     try {
-      in.addData(ev(1, 10, 1, "click"), ev(2, 20, 1, "click"),
-        ev(3, H + 10, 2, "view"))
+      in.addData(Event(1, 10, 1, "click", 1.5),
+        Event(2, 20, 1, "click", 0.25),
+        Event(3, H + 10, 2, "view", 1.5))
       q.processAllAvailable()
+      // total_value gated here (exact: 1.5+0.25 and 1.5 are binary64-
+      // representable, and the replay oracle st_window_replay only
+      // covers the count channel)
       val rows = spark.table("tumbling")
-        .selectExpr("unix_timestamp(window.start) AS ws", "event_type", "n")
-        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .selectExpr("unix_timestamp(window.start) AS ws", "event_type",
+          "n", "total_value")
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getDouble(3)))
         .toSet
-      assert(rows == Set((0L, "click", 2L), (3600L, "view", 1L)))
+      assert(rows == Set((0L, "click", 2L, 1.75), (3600L, "view", 1L, 1.5)))
     } finally q.stop()
   }
 
@@ -132,9 +139,13 @@ class StreamsSpec extends AnyFunSuite {
     import spark0.implicits._
     implicit val sqlCtx = spark.sqlContext
     val T = 100 * H
-    // 12 events spanning 3 h of event time (horizon is 30 min, so the
-    // late-drop path genuinely fires for early re-deliveries)
-    val originals = (1L to 12L).map(i => ev(i, T + i * 900000000000L,
+    // 12 events at 1-h spacing (horizon is 30 min): re-delivering batch
+    // k-1 into batch k makes BOTH drop branches fire — the predecessor
+    // batch's last row (1 h behind the new max) still holds live state
+    // (expiry ts+30min is ahead of the watermark max-30min) and drops
+    // as a duplicate, while its earlier rows sit below the watermark,
+    // their state already expired, and drop as late
+    val originals = (1L to 12L).map(i => ev(i, T + i * H,
       i % 3, if (i % 2 == 0) "click" else "view"))
     def run(feed: Seq[Seq[Event]], sink: String): Set[Long] = {
       val in = MemoryStream[Event]
