@@ -308,6 +308,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
   }
 
+  test("dd_source_overlap: source lookups are equi-joins with map-side agg") {
+    val p = plan("dd_source_overlap")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    // the (source_a, source_b) count must partial-aggregate before its
+    // exchange (the pair list is large, the matrix is |sources|^2)
+    assert(p.contains("partial_count") || p.contains("partial"), p.take(3000))
+  }
+
   test("q35: WindowTopKRewrite retargets the plain idiom onto TopKPerKey") {
     val p = plan("q35_topk_rewrite")
     assert(p.contains("TopKPerKey 2"), p.take(3000))
