@@ -1104,10 +1104,18 @@ object Dedup extends QueryPack {
     p
   }
 
-  private[operators] def labelPropagate(op: String,
-                                        pairs: DataFrame,
-                                        nodes: DataFrame): DataFrame = {
+  private[graft] def labelPropagate(op: String,
+                                    pairs: DataFrame,
+                                    nodes: DataFrame): DataFrame = {
     val lpDebug = sys.env.contains("GRAFT_LP_DEBUG")
+    // Semi-naive (frontier) rounds are the default; GRAFT_LP_FRONTIER=0
+    // (or the system property, which wins — it's what lets
+    // LpFrontierSpec flip paths in-process) restores full passes for
+    // A/B measurement (LpFrontierSpec holds the two paths to identical
+    // fixed points).
+    val frontierOn = sys.props.get("graft.lp.frontier")
+      .orElse(sys.env.get("GRAFT_LP_FRONTIER"))
+      .getOrElse("1") != "0"
     def stamp(what: String, t0: Long): Unit = if (lpDebug)
       System.err.println(f"LP $what took ${(System.nanoTime() - t0) / 1e9}%.2f s")
     // The edge list is localCheckpoint'd (eager), not cached: every round
@@ -1184,20 +1192,25 @@ object Dedup extends QueryPack {
       val loopP = math.max(1L, math.min(defaultP.toLong,
         2L * nEdges / 262144L + 1L)).toInt
       session.conf.set(shufKey, loopP.toString)
-      // Coalesce the checkpointed edge RDD to the loop's own
-      // parallelism for the per-round scans: the two-pass round plan
-      // references the edge frame many times, and each reference at
-      // the materialization's 32 partitions launched a full task wave
-      // per reference — measured ~3.8 CPU-s of pure task overhead per
-      // round on a fixture whose whole edge list fits in one block.
-      // Coalesce is a narrow op over the already-materialized blocks
-      // (the expensive pipeline ran at full width above); at corpus
-      // scale loopP grows with the measured edge count, so this never
-      // strangles a big graph.
-      val eLoop = e1.coalesce(loopP)
-      val edgesBoth = eLoop
-        .union(eLoop.select(col("pb"), col("pa")))
+      // The symmetric closure is hash-partitioned by `dst` (the
+      // neighbor-join key), sorted within partitions, and checkpointed
+      // ONCE: localCheckpoint preserves outputPartitioning and
+      // outputOrdering in the LogicalRDD leaf (asserted by
+      // LpFrontierSpec), so EVERY round's neighbor join finds the edge
+      // side already exchanged+sorted and only moves the label side —
+      // per-round shuffle drops from O(E) to O(V), the difference
+      // between re-exchanging a billion-edge list five times and once
+      // at corpus scale. This replaces the old per-round
+      // coalesce+union (which also collapsed task waves to loopP, as
+      // the repartition here does, but rebuilt and re-shuffled the 2E
+      // closure inside every round). The one-time cost is a single 2E
+      // exchange over already-materialized blocks.
+      val edgesBoth = e1
+        .union(e1.select(col("pb"), col("pa")))
         .toDF("src", "dst")
+        .repartition(loopP, col("dst"))
+        .sortWithinPartitions(col("dst"))
+        .localCheckpoint()
       stamp("edges", tE)
       // Only nodes incident to >=1 edge can ever change label, so the
       // loop runs on the pair graph alone — at corpus scale that's a
@@ -1217,13 +1230,47 @@ object Dedup extends QueryPack {
       // component minimum travel two label-links per pass). `prev` (the
       // round-start label, for the convergence tap) rides along
       // untouched.
-      def onePass(cur: DataFrame): DataFrame = {
-        val nbrMin = edgesBoth
-          .join(cur, edgesBoth("dst") === cur("doc_id"))
+      //
+      // `frontier` (None = full pass) is SEMI-NAIVE evaluation: labels
+      // are monotone non-increasing, so once u has incorporated
+      // neighbor w's label, w contributes nothing new until w CHANGES —
+      // only last pass's changed nodes (with their new labels) can
+      // lower anyone this pass. Round 0 is a full pass (everyone
+      // incorporates every neighbor's initial label); after that, each
+      // change lands in the next pass's frontier, so at changed == 0
+      // every node has seen every neighbor's final label — labels are
+      // constant across every edge, i.e. exactly the component minimum.
+      // The pointer-jump hop restricted to the frontier may skip a
+      // shortcut a full pass would take (label(v)'s label changed
+      // before v adopted label(v)); that only costs rounds, never the
+      // fixed point — the edge part alone converges, the hop is an
+      // accelerator. What the frontier buys at scale: the per-round
+      // neighbor join probes O(edges incident to changed nodes) and the
+      // nbr_min aggregate shuffles only those rows, so tail rounds
+      // (changed counts 28 -> 7 -> 2 on the sf0.1 fixture, and the
+      // same long tail on any chain-heavy corpus) stop paying the full
+      // O(E) join+aggregate that dominated them.
+      def mkFrontier(src: DataFrame): DataFrame = src
+        .filter(col("prev") =!= col("cluster_id"))
+        .select(col("doc_id").as("f_id"), col("cluster_id").as("f_lab"))
+      def onePass(cur: DataFrame, frontier: Option[DataFrame]): DataFrame = {
+        val contrib = frontier match {
+          case Some(f) => edgesBoth
+            .join(f, col("dst") === col("f_id"))
+            .select(col("src"), col("f_lab").as("cluster_id"))
+          case None => edgesBoth
+            .join(cur, edgesBoth("dst") === cur("doc_id"))
+            .select(col("src"), col("cluster_id"))
+        }
+        val nbrMin = contrib
           .groupBy(col("src"))
           .agg(min(col("cluster_id")).as("nbr_min"))
-        val hop = cur.select(col("doc_id").as("h_id"),
-          col("cluster_id").as("hop2"))
+        val hop = frontier match {
+          case Some(f) => f.select(col("f_id").as("h_id"),
+            col("f_lab").as("hop2"))
+          case None => cur.select(col("doc_id").as("h_id"),
+            col("cluster_id").as("hop2"))
+        }
         cur
           .join(nbrMin, cur("doc_id") === nbrMin("src"), "left")
           .join(hop, cur("cluster_id") === hop("h_id"), "left")
@@ -1233,6 +1280,7 @@ object Dedup extends QueryPack {
                 coalesce(col("nbr_min"), col("cluster_id"))),
               coalesce(col("hop2"), col("cluster_id"))).as("cluster_id"))
       }
+      var lastStep: DataFrame = null
       while (!converged && iter < 50) {
       // ONE pass for round 0, TWO composed passes per round after
       // (LpPassesPerRound): composing passes makes the effective reach
@@ -1261,8 +1309,20 @@ object Dedup extends QueryPack {
       val seeded = labels.select(col("doc_id"),
         col("cluster_id").as("prev"), col("cluster_id"))
       val passes = if (iter == 0) 1 else LpPassesPerRound
-      val stepPlan = (1 to passes)
-        .foldLeft(seeded)((f, _) => onePass(f))
+      // Round 0 and the GRAFT_LP_FRONTIER=0 escape hatch run full
+      // passes; later rounds run semi-naive, seeding pass 1's frontier
+      // from the previous round's checkpointed step (prev there is
+      // that round's start label, so the filter is changed-during-
+      // round — a superset of changed-in-last-pass, which is all
+      // soundness needs) and pass 2's from pass 1's unmaterialized
+      // output (changed-since-round-start = changed-in-pass-1).
+      var stepPlan = seeded
+      var frontier: Option[DataFrame] =
+        if (iter == 0 || !frontierOn) None else Some(mkFrontier(lastStep))
+      for (_ <- 1 to passes) {
+        stepPlan = onePass(stepPlan, frontier)
+        if (frontier.isDefined) frontier = Some(mkFrontier(stepPlan))
+      }
       // localCheckpoint EVERY round (eager). This is lineage control, not
       // caching: step N's logical plan embeds TWO copies of step N-1's
       // (the nbrMin side and the join side), so without truncation the
@@ -1296,6 +1356,7 @@ object Dedup extends QueryPack {
       val changed = acc.value
       if (lpDebug)
         System.err.println(s"LP round $iter changed=$changed")
+      lastStep = step
       labels = step.drop("prev")
       converged = changed == 0
       iter += 1
