@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.{DoubleType, LongType, TimestampNTZType, TimestampType}
 
 /** Session factory + shared helpers for the graft engine.
   *
@@ -42,9 +42,33 @@ object Engine {
     spark
   }
 
-  /** Read one of the driver-generated tables (TESTDATA.md). */
+  /** Read one of the driver-generated tables (TESTDATA.md), normalizing
+    * the event-time column to the engine's bigint epoch-nanos convention
+    * (see [[normalizeTs]]).
+    */
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    normalizeTs(spark.read.parquet(s"$dir/$name.parquet"))
+
+  /** The driver's testdata has shipped `events.ts` in two physical
+    * encodings across rounds: parquet TIMESTAMP(NANOS) (which
+    * `nanosAsLong` surfaces as bigint epoch-nanos) and timestamp[us]
+    * (which arrives as TIMESTAMP_NTZ / TIMESTAMP). Every downstream
+    * operator does exact integer window math on epoch-nanos, so
+    * normalize at the read boundary: a timestamp-typed `ts` becomes
+    * `unix_micros(ts) * 1000`. The session time zone is UTC, so the
+    * NTZ->LTZ cast is the identity on the underlying micros and the
+    * conversion is exact. A bigint `ts` passes through untouched.
+    * DuckDB oracles use epoch_us/epoch_ns on the same column, which are
+    * correct for either timestamp encoding — so one normalization here
+    * keeps 24 event queries agnostic to the fixture's physical type.
+    */
+  def normalizeTs(df: DataFrame): DataFrame =
+    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(TimestampType) | Some(TimestampNTZType) =>
+        df.withColumn(
+          "ts", unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+      case _ => df
+    }
 
   // ---------------------------------------------------------------------
   // Cross-engine-deterministic numerics.

@@ -64,19 +64,32 @@ case class BandMatch(doc_id: Long, owner_id: Long, band: Int)
   */
 object Streams {
 
+  /** The engine-facing event schema: `ts` is bigint epoch-nanos (the
+    * convention every downstream operator's integer window math uses).
+    */
   val eventSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType), // epoch-nanos (nanosAsLong parquet read)
+    StructField("ts", LongType), // epoch-nanos (normalized at the source)
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
   /** Micro-batch file source over an events directory (parquet), the
-    * streaming analog of `Engine.table(_, dir, "events")`.
+    * streaming analog of `Engine.table(_, dir, "events")`. A streaming
+    * source needs its schema fixed up front, but the fixture has shipped
+    * `ts` as both bigint-nanos and timestamp[us] across rounds — so
+    * sniff the physical type from the parquet footer (driver-side
+    * metadata read of whatever files exist at start) and normalize to
+    * epoch-nanos with the same rule as `Engine.normalizeTs`. An empty
+    * directory falls back to the canonical [[eventSchema]].
     */
-  def eventFileStream(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream.schema(eventSchema).parquet(dir)
+  def eventFileStream(spark: SparkSession, dir: String): DataFrame = {
+    val fileSchema =
+      scala.util.Try(spark.read.parquet(dir).schema).getOrElse(eventSchema)
+    graft.Engine.normalizeTs(
+      spark.readStream.schema(fileSchema).parquet(dir))
+  }
 
   /** Event-time tumbling counts: 1-hour windows, 30-minute watermark.
     * Late events beyond the watermark are dropped (the reference has no

@@ -19,11 +19,12 @@ class PartitionPruningSpec extends AnyFunSuite {
     val spark = SparkSessionHelper.spark
     val out = Files.createTempDirectory("graft_part_events").toString
 
-    // events.ts is bigint epoch-nanos (TESTDATA gotcha); derive the day
-    // once at write time — the 100 TB layout writes the partition column,
-    // it never recomputes it at read time.
-    val events = spark.read
-      .parquet("/root/testdata/sf0.001/events.parquet")
+    // events.ts normalizes to bigint epoch-nanos at the read boundary
+    // (Engine.table); derive the day once at write time — the 100 TB
+    // layout writes the partition column, it never recomputes it at
+    // read time.
+    val events = Engine
+      .table(spark, "/root/testdata/sf0.001", "events")
       .withColumn("day", expr("cast(ts div 86400000000000 as bigint)"))
     events.write.mode("overwrite").partitionBy("day").parquet(out)
 

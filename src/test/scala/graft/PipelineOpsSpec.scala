@@ -187,7 +187,7 @@ class PipelineOpsSpec extends AnyFunSuite {
   }
 
   test("st_funnel matches a driver-side ordered-step walk") {
-    val evs = spark.read.parquet(s"$dir/events.parquet")
+    val evs = Engine.table(spark, dir, "events")
       .selectExpr("user_id", "event_type", "ts div 1000 AS us").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
     val byUser = evs.groupBy(_._1)
@@ -256,7 +256,7 @@ class PipelineOpsSpec extends AnyFunSuite {
 
   test("st_retention matches a driver-side cohort walk") {
     val dayNs = 86400000000000L
-    val ud = spark.read.parquet(s"$dir/events.parquet")
+    val ud = Engine.table(spark, dir, "events")
       .selectExpr("user_id", s"ts div $dayNs AS day").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val cohort = ud.groupBy(_._1).map { case (u, ds) => u -> ds.map(_._2).min }

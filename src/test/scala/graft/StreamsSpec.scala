@@ -210,7 +210,7 @@ class StreamsSpec extends AnyFunSuite {
       // feed the whole fixture in event order (in-order delivery is the
       // regime where the incremental funnel equals the batch MIN-based
       // one); sorted within the single batch by the operator itself
-      val evs = spark.read.parquet(s"$dir/events.parquet")
+      val evs = Engine.table(spark, dir, "events")
         .selectExpr("event_id", "ts", "user_id", "event_type", "value")
         .as[Event].collect()
       in.addData(evs.toIndexedSeq)
