@@ -822,12 +822,17 @@ object Similarity extends QueryPack {
       ivfpqAdcSelect(dist, 3, ordered = true)
 
   private def simIvfPq(s: SparkSession, dir: String): DataFrame = {
-    table(s, dir, "embeddings")
-      .selectExpr("vec_id", s"$x4S AS x4")
-      .createOrReplaceTempView("ipq_base")
-    s.sql("WITH " + ivfpqSql("ipq_base",
-      m => s"slice(x4, ${PqDim * m + 1}, $PqDim)", assignS, assignS2,
-      pqCentS, distS))
+    // The spec regime: training happens INSIDE the query call — every
+    // invocation retrains from the corpus (the bench times the whole
+    // call, so training stays measured), then scores through the same
+    // ADC serving plan as the pretrained path. Same fixed-point Lloyd
+    // and ADC arithmetic, so the result is byte-identical to the
+    // self-contained train+score SQL the oracle states.
+    val model = trainIvfPq(s, dir)
+    ivfpqModelCache.put((s, dir), model) // later pretrained calls reuse
+    registerServingViews(s, dir, model)
+    s.sql(s"WITH ${servingCtes(model)}\n" +
+      servingAdcSelect(3, ordered = true))
   }
 
   private val simIvfPqSql =
@@ -865,43 +870,91 @@ object Similarity extends QueryPack {
 
   private def ipqSliceS(m: Int) = s"slice(x4, ${PqDim * m + 1}, $PqDim)"
 
+  /** Nearest-centroid argmin against a DRIVER-LOCAL centroid list,
+    * rendered as literal arrays: (cellExpr, distExpr) for `sliceExpr`.
+    * Exactly the semantics of the join-based assignment template
+    * (integer distances, ties to the lowest cell id — the literal
+    * array is sorted by cell and `array_position` returns the FIRST
+    * minimum), but as a narrow codegen'd expression: no join, no
+    * shuffle, no recomputed CTE. This is what a production encoder
+    * does at 100 TB — broadcast the (tiny) model into a single
+    * map-side pass over the corpus.
+    */
+  private def argminLitS(sliceExpr: String,
+                         cents: Seq[(Long, Seq[Long])]): (String, String) = {
+    val sorted = cents.sortBy(_._1)
+    val dists = sorted
+      .map { case (_, c) =>
+        distS(sliceExpr, c.map(v => s"${v}L").mkString("array(", ",", ")"))
+      }
+      .mkString("array(\n    ", ",\n    ", ")")
+    val cells = sorted.map { case (cell, _) => s"${cell}L" }
+      .mkString("array(", ",", ")")
+    (s"element_at($cells,\n  cast(array_position($dists," +
+       s" array_min($dists)) as int))",
+     s"array_min($dists)")
+  }
+
+  /** Stage-wise IVF-PQ training. The r12 version ran the whole Lloyd
+    * round as one CTE chain; Spark inlines CTEs, so every reference
+    * re-derived its slice/assignment subtree — 37 jobs and 67.6 s CPU
+    * at sf0.1, the heaviest query in the suite. Staged instead:
+    *
+    *  1. ONE narrow projection of the corpus, lineage-truncated
+    *     (`localCheckpoint`) so later passes rescan materialized rows;
+    *  2. seeds collect to the driver (KmK = 4 rows — model-sized);
+    *  3. all PqM centroid updates in ONE aggregation pass: seed
+    *     assignment is a literal-argmin expression ([[argminLitS]]),
+    *     then a single posexplode groups by (subspace, cell, pos);
+    *  4. the code table is ONE more narrow pass (coarse cell + PqM
+    *     codes, all literal argmins), checkpointed as the index.
+    *
+    * Arithmetic is unchanged term-for-term (same fixed-point distances,
+    * same truncating-division means), so the oracle stays valid.
+    */
   private def trainIvfPq(s: SparkSession, dir: String): IvfPqModel = {
-    table(s, dir, "embeddings")
+    val base = table(s, dir, "embeddings")
       .selectExpr("vec_id", s"$x4S AS x4")
-      .createOrReplaceTempView("ipq_base")
-    val cbCtes = (0 until PqM).flatMap { m => Seq(
-      s"pb$m AS (SELECT vec_id, ${ipqSliceS(m)} AS x4 FROM ipq_base)",
-      s"pc0_$m AS (SELECT vec_id AS cell, x4 AS c FROM pb$m" +
-        s" WHERE vec_id < $KmK)",
-      s"pa1_$m AS (${assignS(s"pb$m", s"pc0_$m")})",
-      s"pc1_$m AS (${pqCentS(s"pa1_$m")})") }
-    val cents = s.sql(
-      s"SELECT vec_id AS cell, x4 AS c FROM ipq_base WHERE vec_id < $KmK")
+      .localCheckpoint()
+    base.createOrReplaceTempView("ipq_base")
+    val cents = base.where(col("vec_id") < KmK)
+      .selectExpr("vec_id AS cell", "x4 AS c")
       .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toSeq)).toSeq
+    // per-subspace seed assignment as literal argmin columns
+    val seedCells = (0 until PqM).map { m =>
+      val seeds = cents.map { case (cell, c) =>
+        (cell, c.slice(PqDim * m, PqDim * (m + 1)))
+      }
+      s"${argminLitS(ipqSliceS(m), seeds)._1} AS cell_$m"
+    }
+    val cellOfM = s"CASE pos div $PqDim " +
+      (0 until PqM).map(m => s"WHEN $m THEN cell_$m").mkString(" ") + " END"
     val cbRows = s.sql(
-      s"""WITH ${cbCtes.mkString(",\n")}
-         |${(0 until PqM)
-            .map(m => s"SELECT $m AS m, cell, c FROM pc1_$m")
-            .mkString("\nUNION ALL\n")}""".stripMargin)
+      s"""SELECT m, cell,
+         |  transform(array_sort(collect_list(struct(p, comp))),
+         |    t -> t.comp) AS c
+         |FROM (
+         |  SELECT m, cell, p, sum(v) div count(*) AS comp
+         |  FROM (
+         |    SELECT pos div $PqDim AS m, $cellOfM AS cell,
+         |      pos % $PqDim AS p, v
+         |    FROM (SELECT x4, ${seedCells.mkString(",\n      ")}
+         |          FROM ipq_base)
+         |    LATERAL VIEW posexplode(x4) t AS pos, v)
+         |  GROUP BY m, cell, p)
+         |GROUP BY m, cell""".stripMargin)
       .collect()
-      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Long](2).toSeq))
+      .map(r => (r.getLong(0).toInt, r.getLong(1), r.getSeq[Long](2).toSeq))
     val codebooks = (0 until PqM).map { m =>
       cbRows.filter(_._1 == m).map(t => (t._2, t._3)).toSeq
     }
+    val codeCols = (0 until PqM).map { m =>
+      s"${argminLitS(ipqSliceS(m), codebooks(m))._1} AS code_$m"
+    }
     val codes = s.sql(
-      s"""WITH cents0 AS (SELECT vec_id AS cell, x4 AS c FROM ipq_base
-         |  WHERE vec_id < $KmK),
-         |coarse AS (${assignS("ipq_base", "cents0")}),
-         |${cbCtes.mkString(",\n")},
-         |${(0 until PqM)
-            .map(m => s"pa2_$m AS (${assignS(s"pb$m", s"pc1_$m")})")
-            .mkString(",\n")}
-         |SELECT coarse.vec_id, coarse.cell,
-         |  ${(0 until PqM).map(m => s"pa2_$m.cell AS code_$m")
-            .mkString(", ")}
-         |FROM coarse ${(0 until PqM)
-            .map(m => s"JOIN pa2_$m ON pa2_$m.vec_id = coarse.vec_id")
-            .mkString(" ")}""".stripMargin)
+      s"""SELECT vec_id, ${argminLitS("x4", cents)._1} AS cell,
+         |  ${codeCols.mkString(",\n  ")}
+         |FROM ipq_base""".stripMargin)
       .localCheckpoint()
     IvfPqModel(cents, codebooks, codes)
   }
@@ -920,6 +973,12 @@ object Similarity extends QueryPack {
       .foreach(ivfpqModelCache.remove)
     val model = ivfpqModelCache
       .getOrElseUpdate((s, dir), trainIvfPq(s, dir))
+    registerServingViews(s, dir, model)
+    model
+  }
+
+  private def registerServingViews(s: SparkSession, dir: String,
+                                   model: IvfPqModel): Unit = {
     import s.implicits._
     model.cents.toDF("cell", "c").createOrReplaceTempView("ipq_cents")
     model.codes.createOrReplaceTempView("ipq_codes")
@@ -927,7 +986,6 @@ object Similarity extends QueryPack {
       .selectExpr("vec_id", s"$x4S AS x4")
       .where(col("vec_id") >= IvfQ)
       .createOrReplaceTempView("ipq_queries")
-    model
   }
 
   /** The serving-side CTE chain: probed query batch (`q`) plus its

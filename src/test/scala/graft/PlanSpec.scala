@@ -272,12 +272,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
   }
 
-  test("sim_ivfpq: ADC scoring joins candidates on cell, codes on vec_id") {
+  test("sim_ivfpq: ADC scoring is an equi join, training stays out of plan") {
     val p = plan("sim_ivfpq")
-    // the only nested-loop allowed is the k-row centroid seeding cross
-    // join (assignment template); candidate scoring must stay equi
+    // training runs as staged jobs inside the query CALL (literal-argmin
+    // passes over a checkpointed base); the returned plan is the ADC
+    // serving join — cell equi-join into the checkpointed code table,
+    // no Lloyd round (posexplode), no cross product
     assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
       p.contains("ShuffledHashJoin"), p.take(3000))
+    assert(p.contains("Scan ExistingRDD"), p.take(3000))
+    assert(!p.contains("posexplode"), p.take(3000))
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
 
