@@ -10,11 +10,20 @@ object TimeOne {
     val reps = if (args.length > 2) args(2).toInt else 3
     val spark = Engine.session("time-one")
     val jobCounter = new java.util.concurrent.atomic.AtomicInteger
+    val cpuNs = new java.util.concurrent.atomic.AtomicLong
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onJobStart(
             js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
           jobCounter.incrementAndGet(); ()
+        }
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val tm = te.taskMetrics
+          if (tm != null) {
+            cpuNs.addAndGet(tm.executorCpuTime + tm.executorDeserializeCpuTime)
+            ()
+          }
         }
       })
     try SparkEntry.queries("q02_filter_pushdown")(spark, dir).count()
@@ -22,14 +31,16 @@ object TimeOne {
     val times = (1 to reps).map { _ =>
       org.apache.spark.graftbench.BusFlush.flush(spark.sparkContext)
       val j0 = jobCounter.get()
+      val c0 = cpuNs.get()
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir).count()
       val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
       org.apache.spark.graftbench.BusFlush.flush(spark.sparkContext)
-      (dt, jobCounter.get() - j0)
+      (dt, jobCounter.get() - j0, (cpuNs.get() - c0) / 1e9)
     }
-    println(f"TIMEONE $name: ${times.map { case (t, j) => f"$t%.2f(${j}j)" }.mkString(" ")}")
+    println(f"TIMEONE $name: ${times
+      .map { case (t, j, c) => f"$t%.2f(${j}j,$c%.1fc)" }.mkString(" ")}")
     spark.stop()
   }
 }

@@ -314,27 +314,46 @@ object Dedup extends QueryPack {
   // document frequency, hash as tiebreak — deterministic in both
   // engines): probing with a doc's rarest shingles keeps hot
   // boilerplate shingles off the probe side, bounding join fan-out per
-  // probe key by the df of RARE hashes. On this synthetic corpus the
-  // candidate reduction is modest (5.11M vs 5.41M pairs at sf0.1 —
-  // shingle df is near-uniform by construction), but on real web text
-  // with heavy boilerplate the hot keys carry most of the fan-out and
+  // probe key by the df of RARE hashes. On real web text with heavy
+  // boilerplate the hot keys carry most of the fan-out and
   // rarest-first is the standard fix (Xiao et al.'s df-ascending
   // canonical order); the ordering costs one df aggregation + one
   // per-doc window, both linear.
   //
+  // MULTI-HIT PRUNING: probing with ⌊0.2|A|⌋+1 hashes guarantees ≥1
+  // index hit for a qualifying pair; the standard generalization
+  // (Xiao et al.'s l-prefix) probes ⌊0.2|A|⌋+k and requires ≥k hits —
+  // a qualifying pair has at most ⌊0.2|A|⌋ probe misses total, so by
+  // pigeonhole ≥k of the k+⌊0.2|A|⌋ probes hit, for ANY k ≥ 1 and any
+  // probe subset. Each +1 of slack costs one more probe row per doc
+  // but multiplies away chance collisions: on this corpus (931
+  // distinct shingle hashes — heavily collided by construction, so a
+  // random pair already shares ~3 hashes) k=3 cuts the re-check input
+  // from 5.11M candidate pairs to 0.63M for 256 true matches, which
+  // halved the query's measured CPU at sf0.1. The per-pair HAVING
+  // bound uses the probing (smaller) doc's ACTUAL prefix length
+  // (least(sz, sz div 5 + k)), so short docs — whose whole hash set
+  // is the prefix — keep the exact pigeonhole requirement.
+  //
   // Scale shape: one df aggregation + one per-doc window to rank probe
-  // hashes, then an inverted-index equi-join — all linear in corpus
-  // shingles, never a cross product; AQE skew-join covers what residual
-  // index-side heat remains. The exact per-pair re-check
-  // (graft_isect >= 0.8 * min size) is unchanged from dd_containment.
+  // hashes, then an inverted-index equi-join feeding one pair-keyed
+  // count — all linear in corpus shingles, never a cross product; AQE
+  // skew-join covers what residual index-side heat remains. The exact
+  // per-pair re-check (graft_isect >= 0.8 * min size) is unchanged
+  // from dd_containment and now runs over a pruned candidate set.
+  private val ContPrefixSlack = 3
+
   /** The smallside candidate CTE chain. `probeOrder` picks the probe
     * prefix: `"df.df, i.h"` is the production rarest-first order;
     * `"i.h"` is the naive smallest-hash prefix DedupRecallSpec measures
     * it against (recall is guaranteed for EITHER — the pigeonhole
     * argument holds for any probe subset — the order only controls
-    * candidate fan-out on boilerplate-skewed corpora).
+    * candidate fan-out on boilerplate-skewed corpora). `slack` is the
+    * extra prefix length k: probe ⌊sz/5⌋+k hashes, require ≥k hits
+    * (capped to the doc's own size for short docs).
     */
-  private def contSmallsideCandSql(view: String, probeOrder: String): String =
+  private def contSmallsideCandSql(view: String, probeOrder: String,
+                                   slack: Int = ContPrefixSlack): String =
     s"""idx AS (
        |  SELECT doc_id, size(hs) AS sz, h
        |  FROM $view LATERAL VIEW explode(hs) t AS h),
@@ -345,13 +364,17 @@ object Dedup extends QueryPack {
        |      row_number() OVER (PARTITION BY i.doc_id
        |        ORDER BY $probeOrder) AS rn
        |    FROM idx i JOIN df ON i.h = df.h)
-       |  WHERE rn <= (sz div 5) + 1),
+       |  WHERE rn <= (sz div 5) + $slack),
        |cand AS (
-       |  SELECT DISTINCT least(p.doc_id, i.doc_id) AS doc_a,
-       |                  greatest(p.doc_id, i.doc_id) AS doc_b
+       |  SELECT least(p.doc_id, i.doc_id) AS doc_a,
+       |         greatest(p.doc_id, i.doc_id) AS doc_b
        |  FROM probe p JOIN idx i
        |    ON p.h = i.h
-       |   AND (p.sz < i.sz OR (p.sz = i.sz AND p.doc_id <> i.doc_id)))""".stripMargin
+       |   AND (p.sz < i.sz OR (p.sz = i.sz AND p.doc_id <> i.doc_id))
+       |  GROUP BY least(p.doc_id, i.doc_id), greatest(p.doc_id, i.doc_id)
+       |  HAVING count(*) >=
+       |    least(min(p.sz), min(p.sz) div 5 + $slack) - min(p.sz) div 5)"""
+      .stripMargin
 
   /** Candidate pairs alone, with either probe order — exposed so
     * DedupRecallSpec can gate the rarest-first fan-out advantage (and
