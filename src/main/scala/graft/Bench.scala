@@ -34,7 +34,9 @@ object Bench {
     // round 12
     "st_sessions_replay", "sim_ivfpq_refine",
     "st_funnel_replay", "st_attrib_replay", "st_dedup_replay",
-    "st_window_replay", "dd_source_overlap")
+    "st_window_replay", "dd_source_overlap",
+    // round 13
+    "st_retention_replay")
 
   private final case class M(
       name: String, median: Double, spread: Double, jobsPerRep: Int,

@@ -403,13 +403,57 @@ object StreamReplay extends QueryPack {
        |GROUP BY win, event_type ORDER BY win_start_us, event_type""".stripMargin
   }
 
+  // Replay gate for the retention tracker: events in ts order, hits
+  // aggregated per (cohort_day, day_offset) after the stream drains.
+  // Under in-order delivery each user's first-seen day IS the batch
+  // MIN(day), and each (user, offset <= 7) emits exactly once (the
+  // state mask dedups re-activity within a day), so the aggregated
+  // sink equals the batch st_retention cohort table — restated in
+  // DuckDB on the micros channel (micro-truncation cannot cross a
+  // midnight; see the batch operator's note).
+  private def stRetentionReplay(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val evs = orderedEvents(s, dir)
+    val in = MemoryStream[Event]
+    val sink = s"st_retention_replay_sink_${sinkSeq.incrementAndGet()}"
+    withReplayPartitions(s) {
+      val q = Streams.retentionStream(in.toDS())
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try feed(in, q, batched(evs.toIndexedSeq))
+      finally q.stop()
+    }
+    s.table(sink)
+      .groupBy("cohort_day", "day_offset")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n_users"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
+  private val stRetentionReplaySql = {
+    val dayUs = 86400000000L
+    s"""WITH ud AS (
+       |  SELECT DISTINCT user_id, epoch_us(ts) // $dayUs AS day
+       |  FROM events),
+       |coh AS (
+       |  SELECT user_id, MIN(day) AS cohort_day FROM ud GROUP BY user_id)
+       |SELECT c.cohort_day, ud.day - c.cohort_day AS day_offset,
+       |  CAST(COUNT(*) AS BIGINT) AS n_users
+       |FROM ud JOIN coh c ON ud.user_id = c.user_id
+       |WHERE ud.day - c.cohort_day <= 7
+       |GROUP BY c.cohort_day, ud.day - c.cohort_day
+       |ORDER BY cohort_day, day_offset""".stripMargin
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("st_neardup_replay" -> (stNearDupReplay _),
         "st_sessions_replay" -> (stSessionsReplay _),
         "st_funnel_replay" -> (stFunnelReplay _),
         "st_attrib_replay" -> (stAttribReplay _),
         "st_dedup_replay" -> (stDedupReplay _),
-        "st_window_replay" -> (stWindowReplay _))
+        "st_window_replay" -> (stWindowReplay _),
+        "st_retention_replay" -> (stRetentionReplay _))
 
   override val oracles: Map[String, String] =
     Map("st_neardup_replay" -> stNearDupReplaySql,
@@ -417,5 +461,6 @@ object StreamReplay extends QueryPack {
         "st_funnel_replay" -> stFunnelReplaySql,
         "st_attrib_replay" -> stAttribReplaySql,
         "st_dedup_replay" -> stDedupReplaySql,
-        "st_window_replay" -> stWindowReplaySql)
+        "st_window_replay" -> stWindowReplaySql,
+        "st_retention_replay" -> stRetentionReplaySql)
 }

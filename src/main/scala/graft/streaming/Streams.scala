@@ -266,6 +266,66 @@ case class FunnelAdvance(user_id: Long, step: Int, at_us: Long)
       }
   }
 
+  /** Per-user retention state: the user's cohort day (their FIRST
+    * active day — equal to the batch MIN(day) under in-order delivery)
+    * plus a bitmask of day offsets 0..7 already emitted.
+    */
+  case class RetentionState(cohortDay: Long, seenMask: Long)
+
+  /** Emitted the first time a user is active on `cohort_day + day_offset`
+    * (offsets 0..7). Counting hits per (cohort_day, day_offset)
+    * downstream reproduces the batch st_retention cohort table
+    * incrementally.
+    */
+  case class RetentionHit(user_id: Long, cohort_day: Long, day_offset: Long)
+
+  /** Streaming face of the batch st_retention query: day-N cohort
+    * retention as flatMapGroupsWithState. State is 16 bytes per user
+    * (cohort day + an 8-bit offset mask) — bounded by users, not
+    * events or days; production deployments add a state TTL once a
+    * user's day-7 window has lapsed. Day arithmetic is exact integer
+    * `ts div 1 day` — identical to the batch query, and micro vs nano
+    * granularity cannot disagree (midnights are whole microseconds).
+    *
+    * Cohorting contract: the cohort is the user's FIRST-SEEN day,
+    * which equals the batch MIN(day) exactly when each user's events
+    * arrive in event-time order (the replay gate's regime; a
+    * watermark-bounded production stream approximates it to within
+    * the allowed disorder). Out-of-range or already-seen offsets emit
+    * nothing.
+    */
+  def retentionStream(events: Dataset[Event],
+                      dayNs: Long = 86400000000000L,
+                      maxOffset: Int = 7): Dataset[RetentionHit] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[RetentionState, RetentionHit](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (userId: Long, batch: Iterator[Event],
+              state: GroupState[RetentionState]) =>
+          val sorted = batch.toSeq.sortBy(e => (e.ts, e.event_id))
+          val out = Seq.newBuilder[RetentionHit]
+          var st = state.getOption.orNull
+          sorted.foreach { e =>
+            val day = e.ts / dayNs
+            if (st == null) {
+              st = RetentionState(day, 1L)
+              out += RetentionHit(userId, day, 0L)
+            } else {
+              val off = day - st.cohortDay
+              if (off >= 0 && off <= maxOffset &&
+                  (st.seenMask & (1L << off)) == 0L) {
+                st = st.copy(seenMask = st.seenMask | (1L << off))
+                out += RetentionHit(userId, st.cohortDay, off)
+              }
+            }
+          }
+          if (st != null) state.update(st)
+          out.result().iterator
+      }
+  }
+
   /** Stream-stream attribution join: each purchase is matched to the
     * click(s) by the same user within the preceding hour — the streaming
     * face of the batch conversion analyses (st_funnel / st_retention).

@@ -287,6 +287,58 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("retentionStream emits one hit per (user, day-offset), capped at 7") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val D = 86400000000000L // 1 day in ns
+    val in = MemoryStream[Event]
+    val q = Streams.retentionStream(in.toDS())
+      .writeStream.format("memory").queryName("retention")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // user 1: active day 10 (cohort), twice on day 11 (one hit), day
+      // 13; user 2: single day
+      in.addData(ev(1, 10 * D + 5, 1, "view"), ev(2, 11 * D + 1, 1, "click"),
+        ev(3, 11 * D + 2, 1, "view"), ev(4, 13 * D, 1, "view"),
+        ev(5, 10 * D, 2, "view"))
+      q.processAllAvailable()
+      // next batch: day-11 re-activity stays deduped by state; day 18
+      // is offset 8 -> beyond the cap, no hit
+      in.addData(ev(6, 11 * D + 9, 1, "view"), ev(7, 18 * D, 1, "view"))
+      q.processAllAvailable()
+      val out = spark.table("retention")
+        .selectExpr("user_id", "cohort_day", "day_offset").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(out == Set((1L, 10L, 0L), (1L, 10L, 1L), (1L, 10L, 3L),
+        (2L, 10L, 0L)), out)
+    } finally q.stop()
+  }
+
+  test("retentionStream over the fixture reproduces batch st_retention") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val batch = graft.operators.EventWindows.queries("st_retention")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val in = MemoryStream[Event]
+    val q = Streams.retentionStream(in.toDS())
+      .writeStream.format("memory").queryName("retention_fx")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val evs = Engine.table(spark, dir, "events")
+        .selectExpr("event_id", "ts", "user_id", "event_type", "value")
+        .as[Event].collect().sortBy(e => (e.ts, e.event_id))
+      in.addData(evs.toIndexedSeq)
+      q.processAllAvailable()
+      val counts = spark.table("retention_fx")
+        .groupBy("cohort_day", "day_offset").count().collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(counts == batch)
+    } finally q.stop()
+  }
+
   test("nearDupStream flags banded collisions against the bucket owner") {
     val spark0 = spark
     import spark0.implicits._
