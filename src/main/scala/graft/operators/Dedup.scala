@@ -333,7 +333,10 @@ object Dedup extends QueryPack {
   // halved the query's measured CPU at sf0.1. The per-pair HAVING
   // bound uses the probing (smaller) doc's ACTUAL prefix length
   // (least(sz, sz div 5 + k)), so short docs — whose whole hash set
-  // is the prefix — keep the exact pigeonhole requirement.
+  // is the prefix — keep the exact pigeonhole requirement. Equal-size
+  // pairs probe in ONE direction only (the lower doc_id probes), so
+  // the per-pair count stays a single-direction hit count and the
+  // >= k requirement is never diluted by summing both directions.
   //
   // Scale shape: one df aggregation + one per-doc window to rank probe
   // hashes, then an inverted-index equi-join feeding one pair-keyed
@@ -370,7 +373,7 @@ object Dedup extends QueryPack {
        |         greatest(p.doc_id, i.doc_id) AS doc_b
        |  FROM probe p JOIN idx i
        |    ON p.h = i.h
-       |   AND (p.sz < i.sz OR (p.sz = i.sz AND p.doc_id <> i.doc_id))
+       |   AND (p.sz < i.sz OR (p.sz = i.sz AND p.doc_id < i.doc_id))
        |  GROUP BY least(p.doc_id, i.doc_id), greatest(p.doc_id, i.doc_id)
        |  HAVING count(*) >=
        |    least(min(p.sz), min(p.sz) div 5 + $slack) - min(p.sz) div 5)"""

@@ -829,6 +829,7 @@ object Similarity extends QueryPack {
     // and ADC arithmetic, so the result is byte-identical to the
     // self-contained train+score SQL the oracle states.
     val model = trainIvfPq(s, dir)
+    purgeDeadSessions()
     ivfpqModelCache.put((s, dir), model) // later pretrained calls reuse
     registerServingViews(s, dir, model)
     s.sql(s"WITH ${servingCtes(model)}\n" +
@@ -956,6 +957,10 @@ object Similarity extends QueryPack {
          |  ${codeCols.mkString(",\n  ")}
          |FROM ipq_base""".stripMargin)
       .localCheckpoint()
+    // the code table is materialized; drop the view so nothing pins the
+    // corpus-sized base checkpoint (ContextCleaner frees its blocks
+    // once the frame is unreachable)
+    s.catalog.dropTempView("ipq_base")
     IvfPqModel(cents, codebooks, codes)
   }
 
@@ -965,12 +970,16 @@ object Similarity extends QueryPack {
     * read in the ADC serving plan; asymmetric ADC keeps queries
     * uncompressed).
     */
-  private def registerServing(s: SparkSession, dir: String): IvfPqModel = {
-    // drop entries whose session has stopped — they pin the dead
-    // session's object graph (and its checkpointed code table) forever
+  /** Drop entries whose session has stopped — they pin the dead
+    * session's object graph (and its checkpointed code table) forever.
+    */
+  private def purgeDeadSessions(): Unit =
     ivfpqModelCache.keys
       .filter(_._1.sparkContext.isStopped)
       .foreach(ivfpqModelCache.remove)
+
+  private def registerServing(s: SparkSession, dir: String): IvfPqModel = {
+    purgeDeadSessions()
     val model = ivfpqModelCache
       .getOrElseUpdate((s, dir), trainIvfPq(s, dir))
     registerServingViews(s, dir, model)

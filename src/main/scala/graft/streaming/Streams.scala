@@ -79,16 +79,25 @@ object Streams {
     * streaming analog of `Engine.table(_, dir, "events")`. A streaming
     * source needs its schema fixed up front, but the fixture has shipped
     * `ts` as both bigint-nanos and timestamp[us] across rounds — so
-    * sniff the physical type from the parquet footer (driver-side
+    * sniff the physical type from the parquet footer (a driver-side
     * metadata read of whatever files exist at start) and normalize to
-    * epoch-nanos with the same rule as `Engine.normalizeTs`. An empty
-    * directory falls back to the canonical [[eventSchema]].
+    * epoch-nanos with the same rule as `Engine.normalizeTs`.
+    *
+    * Deployment contract: parquet cannot read one physical `ts` type
+    * through the other's schema, so the directory's encoding must be
+    * uniform and representative files must exist BEFORE the stream
+    * starts — or the caller passes `fileSchema` explicitly (the
+    * production pattern: the table spec is known). Starting on an
+    * empty directory falls back to the canonical [[eventSchema]]
+    * (bigint nanos) and will fail at runtime if timestamp-encoded
+    * files land later; pass the schema to override.
     */
-  def eventFileStream(spark: SparkSession, dir: String): DataFrame = {
-    val fileSchema =
-      scala.util.Try(spark.read.parquet(dir).schema).getOrElse(eventSchema)
+  def eventFileStream(spark: SparkSession, dir: String,
+                      fileSchema: Option[StructType] = None): DataFrame = {
+    val schema = fileSchema.getOrElse(
+      scala.util.Try(spark.read.parquet(dir).schema).getOrElse(eventSchema))
     graft.Engine.normalizeTs(
-      spark.readStream.schema(fileSchema).parquet(dir))
+      spark.readStream.schema(schema).parquet(dir))
   }
 
   /** Event-time tumbling counts: 1-hour windows, 30-minute watermark.

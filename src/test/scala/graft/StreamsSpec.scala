@@ -82,7 +82,7 @@ class StreamsSpec extends AnyFunSuite {
     val df = graft.operators.EventWindows
       .queries("st_tumbling_1h")(spark, "/root/testdata/sf0.001")
     val total = df.selectExpr("sum(n)").collect()(0).getLong(0)
-    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val events = Engine.table(spark, "/root/testdata/sf0.001", "events")
     assert(total == events.count())
   }
 
@@ -98,8 +98,8 @@ class StreamsSpec extends AnyFunSuite {
       q.processAllAvailable()
       val total = spark.table("filestream")
         .selectExpr("sum(n)").collect()(0).getLong(0)
-      val expected = spark.read
-        .parquet("/root/testdata/sf0.001/events.parquet").count()
+      val expected =
+        Engine.table(spark, "/root/testdata/sf0.001", "events").count()
       assert(total == expected)
     } finally q.stop()
   }
