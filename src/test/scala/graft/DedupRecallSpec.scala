@@ -109,6 +109,52 @@ class DedupRecallSpec extends AnyFunSuite {
         s"naive=$naive rarest=$rarest")
   }
 
+  // Randomized recall property for the multi-hit prefix filter: a
+  // 60-doc corpus drawn from a 25-token vocabulary (heavy shingle
+  // collisions, many equal-size docs — the regime where the k-hit
+  // HAVING bound and the equal-size single-direction probe could
+  // plausibly drop a qualifying pair), checked against an exact
+  // all-pairs containment walk in plain Scala. Fixed seed: the gate
+  // must be reproducible, the point is corpus SHAPE, not fresh
+  // randomness per run.
+  test("smallside candidates keep 100% recall on a collision-heavy corpus") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(1313)
+    val vocab = (1 to 25).map(i => s"w$i")
+    // sizes cluster at a few values so equal-size pairs are common;
+    // a handful of docs are prefixes of others (true containment)
+    val base = (1L to 50L).map { id =>
+      val n = Seq(12, 12, 20, 20, 28)(rnd.nextInt(5))
+      id -> (1 to n).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    val planted = (51L to 60L).map { id =>
+      val host = base((id % 50).toInt)._2
+      id -> host.split(" ").take(10 + rnd.nextInt(5)).mkString(" ")
+    }
+    val all = base ++ planted
+    val fixDir =
+      java.nio.file.Files.createTempDirectory("graft_rndcont").toString
+    all.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$fixDir/documents.parquet")
+    // exact all-pairs truth over distinct word bigrams (the operator's
+    // gram width on the documents schema)
+    def shingles(t: String): Set[String] =
+      t.split(" ").sliding(2).map(_.mkString(" ")).toSet
+    val sets = all.map { case (id, t) => id -> shingles(t) }.toMap
+    val ids = all.map(_._1)
+    val truth = (for {
+      a <- ids; b <- ids if a < b
+      c = (sets(a) & sets(b)).size.toDouble /
+        math.min(sets(a).size, sets(b).size)
+      if c >= 0.8
+    } yield (a, b)).toSet
+    assert(truth.nonEmpty, "fixture sanity: no containment pairs planted")
+    val got = SparkEntry.queries("dd_containment_smallside")(spark, fixDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == truth,
+      s"missed=${truth.diff(got)} invented=${got.diff(truth)}")
+  }
+
   // dd_span semantics on a hand-built corpus: two 8-token blocks S1, S2
   // shared between docs 1 and 2. In doc 1 they are back-to-back, so the
   // two dup gram windows [1..8] and [9..16] TOUCH (start diff = 8) and
