@@ -107,6 +107,81 @@ object GraftHashes {
     v
   }
 
+  /** [[md5Prefix]] generalized to an arbitrary hex-digit window:
+    * digits [startNibble, startNibble + nNibbles) of the md5 hex
+    * string (1-based start, mirroring SQL `substring`), folded as an
+    * unsigned base-16 integer. `md5Prefix(s, n) == md5Segment(s, 1, n)`.
+    */
+  def md5Segment(s: org.apache.spark.unsafe.types.UTF8String,
+                 startNibble: Int, nNibbles: Int): Long = {
+    val d = md5Local.get()
+    d.reset()
+    val b = d.digest(s.getBytes)
+    var v = 0L
+    var i = startNibble - 1
+    val end = i + nNibbles
+    while (i < end) {
+      val byte = b(i >> 1) & 0xFF
+      val nib = if ((i & 1) == 0) byte >>> 4 else byte & 0xF
+      v = (v << 4) | nib
+      i += 1
+    }
+    v
+  }
+
+  /** Per-element [[md5Segment]] over an `array<string>`, order- and
+    * null-preserving — the fused form of
+    * `transform(arr, x -> graft_hN(x))`, whose interpreted lambda paid
+    * an eval + boxing per element.
+    */
+  def md5SegmentArray(arr: ArrayData, startNibble: Int,
+                      nNibbles: Int): ArrayData = {
+    val n = arr.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i))
+        out(i) = md5Segment(arr.getUTF8String(i), startNibble, nNibbles)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Sorted distinct md5-prefix hashes of an `array<string>` — the
+    * fused form of
+    * `array_sort(array_distinct(transform(arr, x -> graft_hN(x))))`:
+    * one digest pass, one primitive sort, in-place dedup. Mirrors the
+    * unfused semantics on nulls too (distinct keeps one null,
+    * ascending sort places it last), though call sites never produce
+    * null elements.
+    */
+  def md5PrefixSortedDistinct(arr: ArrayData, nibbles: Int): ArrayData = {
+    val n = arr.numElements()
+    val tmp = new Array[Long](n)
+    var m = 0
+    var hasNull = false
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) hasNull = true
+      else {
+        tmp(m) = md5Segment(arr.getUTF8String(i), 1, nibbles)
+        m += 1
+      }
+      i += 1
+    }
+    java.util.Arrays.sort(tmp, 0, m)
+    var w = 0
+    var k = 0
+    while (k < m) {
+      if (w == 0 || tmp(k) != tmp(w - 1)) { tmp(w) = tmp(k); w += 1 }
+      k += 1
+    }
+    val out = new Array[Any](w + (if (hasNull) 1 else 0))
+    var j = 0
+    while (j < w) { out(j) = tmp(j); j += 1 }
+    new GenericArrayData(out)
+  }
+
   /** MinHash family (mirrors Dedup's oracle constants):
     * sig_j = min over h of (A_j*h + B_j) mod P, A_j/B_j mod 65521,
     * P = 2^31-1; empty input folds to the Long.MaxValue init, exactly
@@ -297,6 +372,90 @@ case class Md5PrefixHash(child: Expression, nibbles: Int)
 
   override protected def withNewChildInternal(
       newChild: Expression): Md5PrefixHash = copy(child = newChild)
+}
+
+/** `graft_h{16,32}a(arr)` / `graft_h32b(arr)` — per-element md5
+  * hex-segment hash of an `array<string>`, the fused form of
+  * `transform(arr, x -> graft_hN(x))` (and, for the `b` variant, of
+  * the hex-digits-9..16 `conv(substring(md5(x), 9, 8), 16, 10)` HOF).
+  * `ArrayTransform` evaluates its lambda interpreted per element; this
+  * keeps the map inside whole-stage codegen, one digest per element
+  * and no per-element boxing of the lambda variable.
+  */
+case class Md5SegmentHashArray(child: Expression, startNibble: Int,
+                               nibbles: Int) extends UnaryExpression {
+
+  require(startNibble >= 1 && nibbles > 0 && startNibble + nibbles <= 33
+    && nibbles <= 15,
+    s"md5 segment must fit the digest and a positive long, " +
+      s"got start $startNibble width $nibbles")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.StringType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<string>, got ${t.sql}")
+  }
+
+  override def dataType: DataType = child.dataType match {
+    case ArrayType(_, n) => ArrayType(LongType, containsNull = n)
+    case _ => ArrayType(LongType)
+  }
+
+  override def prettyName: String =
+    if (startNibble == 1) s"graft_h${nibbles * 4}a"
+    else s"graft_h${nibbles * 4}b"
+
+  override protected def nullSafeEval(a: Any): Any =
+    GraftHashes.md5SegmentArray(
+      a.asInstanceOf[ArrayData], startNibble, nibbles)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.GraftHashes.md5SegmentArray($c, $startNibble, $nibbles)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Md5SegmentHashArray = copy(child = newChild)
+}
+
+/** `graft_h64sd(arr)` — sorted distinct md5-prefix hashes of an
+  * `array<string>`: the fused form of
+  * `array_sort(array_distinct(transform(arr, x -> graft_h64(x))))`,
+  * which ran an interpreted lambda per element plus two more
+  * interpreted array passes. One compiled pass builds the per-doc
+  * sorted shingle-hash set every banded dedup relation carries.
+  */
+case class Md5PrefixSortedDistinct(child: Expression, nibbles: Int)
+    extends UnaryExpression {
+
+  require(nibbles > 0 && nibbles <= 15,
+    s"md5 prefix must fit a positive long, got $nibbles nibbles")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.StringType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<string>, got ${t.sql}")
+  }
+
+  override def dataType: DataType = child.dataType match {
+    case ArrayType(_, n) => ArrayType(LongType, containsNull = n)
+    case _ => ArrayType(LongType)
+  }
+
+  override def prettyName: String = s"graft_h${nibbles * 4}sd"
+
+  override protected def nullSafeEval(a: Any): Any =
+    GraftHashes.md5PrefixSortedDistinct(a.asInstanceOf[ArrayData], nibbles)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.GraftHashes.md5PrefixSortedDistinct($c, $nibbles)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Md5PrefixSortedDistinct = copy(child = newChild)
 }
 
 /** `graft_char_ngrams(text)` for a compile-time n — every character

@@ -177,9 +177,20 @@ object VectorFunctions {
       (children: Seq[Expression]) => Md5PrefixHash(children(0), 8))
     org.apache.spark.sql.GraftRegistry.register(spark, "graft_h64",
       (children: Seq[Expression]) => Md5PrefixHash(children(0), 15))
+    org.apache.spark.sql.GraftRegistry.register(spark, "graft_h16a",
+      (children: Seq[Expression]) => Md5SegmentHashArray(children(0), 1, 4))
+    org.apache.spark.sql.GraftRegistry.register(spark, "graft_h32a",
+      (children: Seq[Expression]) => Md5SegmentHashArray(children(0), 1, 8))
+    org.apache.spark.sql.GraftRegistry.register(spark, "graft_h32b",
+      (children: Seq[Expression]) => Md5SegmentHashArray(children(0), 9, 8))
+    org.apache.spark.sql.GraftRegistry.register(spark, "graft_h64sd",
+      (children: Seq[Expression]) =>
+        Md5PrefixSortedDistinct(children(0), 15))
     org.apache.spark.sql.GraftRegistry.register(spark, "graft_cdc_ends",
       (children: Seq[Expression]) => CdcEnds(children(0)))
     org.apache.spark.sql.GraftRegistry.register(spark, "graft_char3grams",
       (children: Seq[Expression]) => CharNgrams(children(0), 3))
+    org.apache.spark.sql.GraftRegistry.register(spark, "graft_char5grams",
+      (children: Seq[Expression]) => CharNgrams(children(0), 5))
   }
 }

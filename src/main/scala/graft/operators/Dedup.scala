@@ -120,9 +120,8 @@ object Dedup extends QueryPack {
       .selectExpr("doc_id", "split(text, ' ') AS toks")
       .selectExpr("doc_id", s"$sparkGrams AS grams")
       .selectExpr("doc_id",
-        s"transform(grams, g -> ${sparkH("g")}) AS ghs",
-        "array_sort(array_distinct(transform(grams," +
-          s" g -> ${sparkH64("g")}))) AS hs")
+        "graft_h32a(grams) AS ghs",
+        "graft_h64sd(grams) AS hs")
       .selectExpr("doc_id", "hs", "graft_minhash16(ghs) AS sigarr")
       .selectExpr(Seq("doc_id", "hs") ++ sparkSigCols: _*)
       .cache()
@@ -479,9 +478,8 @@ object Dedup extends QueryPack {
         "split(text, ' ') AS toks")
       .selectExpr("doc_id", "th", "is_new", s"$sparkGrams AS grams")
       .selectExpr("doc_id", "th", "is_new",
-        "array_sort(array_distinct(transform(grams," +
-          s" g -> ${sparkH64("g")}))) AS hs",
-        s"transform(grams, g -> ${sparkH("g")}) AS ghs")
+        "graft_h64sd(grams) AS hs",
+        "graft_h32a(grams) AS ghs")
       .selectExpr(Seq("doc_id", "th", "is_new", "hs",
         "graft_minhash16(ghs) AS sigarr"): _*)
       .selectExpr(Seq("doc_id", "th", "is_new", "hs") ++ sparkSigCols: _*)
@@ -654,8 +652,7 @@ object Dedup extends QueryPack {
     docs
       .selectExpr("doc_id", "ts", "split(text, ' ') AS toks")
       .selectExpr("doc_id", "ts", s"$sparkGrams AS grams")
-      .selectExpr("doc_id", "ts",
-        s"transform(grams, g -> ${sparkH("g")}) AS ghs")
+      .selectExpr("doc_id", "ts", "graft_h32a(grams) AS ghs")
       .selectExpr("doc_id", "ts", "graft_minhash16(ghs) AS sigarr")
       .selectExpr(Seq("doc_id", "ts") ++ sparkSigCols: _*)
       .selectExpr("doc_id", "ts",
@@ -690,7 +687,7 @@ object Dedup extends QueryPack {
     table(s, dir, "documents")
       .selectExpr("doc_id", "split(text, ' ') AS toks")
       .selectExpr("doc_id", s"$sparkGrams AS grams")
-      .selectExpr("doc_id", s"transform(grams, g -> ${sparkH("g")}) AS ghs")
+      .selectExpr("doc_id", "graft_h32a(grams) AS ghs")
   }
 
   private val duckSigInput =
@@ -782,7 +779,7 @@ object Dedup extends QueryPack {
     VectorFunctions.ensureRegistered(s)
     table(s, dir, "documents")
       .selectExpr("doc_id", "split(text, ' ') AS toks")
-      .selectExpr("doc_id", s"transform(toks, t -> ${sparkH16("t")}) AS hts")
+      .selectExpr("doc_id", "graft_h16a(toks) AS hts")
       .selectExpr("doc_id", "cast(graft_simhash16(hts) as int) AS simhash")
   }
 
@@ -870,9 +867,10 @@ object Dedup extends QueryPack {
     val sims = table(s, dir, "documents")
       .selectExpr("doc_id", "split(text, ' ') AS toks")
       .selectExpr("doc_id",
-        s"transform(toks, t -> ${sparkH("t")}) AS los",
-        "transform(toks, t ->" +
-          " cast(conv(substring(md5(t), 9, 8), 16, 10) as bigint)) AS his")
+        "graft_h32a(toks) AS los",
+        // hex digits 9..16 of the same md5 — the fused form of
+        // conv(substring(md5(t), 9, 8), 16, 10) per element
+        "graft_h32b(toks) AS his")
       .selectExpr("doc_id", "graft_simhash64(los, his) AS sig")
       .cache()
     sims.createOrReplaceTempView("sh64_sims")

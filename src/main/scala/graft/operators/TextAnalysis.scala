@@ -1047,11 +1047,12 @@ object TextAnalysis extends QueryPack {
     table(s, dir, "documents")
       .selectExpr("doc_id",
         "CASE WHEN length(text) >= 8 THEN" +
-          " transform(sequence(1, length(text) - 4)," +
-          // fused md5-prefix kernel: one digest per character position,
-          // no hex-string round-trip (value-identical to the oracle's
-          // '0x' || substr(md5(..), 1, 8) parse)
-          " i -> graft_h32(substring(text, i, 5)))" +
+          // fused kernels end to end: one char-offset walk extracts all
+          // 5-grams, one digest per position hashes them — no
+          // interpreted per-position lambda, no hex-string round-trip
+          // (value-identical to the oracle's '0x' || substr(md5(..), 1,
+          // 8) parse)
+          " graft_h32a(graft_char5grams(text))" +
           " ELSE cast(array() as array<bigint>) END AS hs")
       .selectExpr("doc_id",
         "CASE WHEN size(hs) >= 4 THEN" +

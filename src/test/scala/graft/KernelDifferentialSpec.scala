@@ -41,6 +41,55 @@ class KernelDifferentialSpec extends AnyFunSuite {
     }
   }
 
+  private def randWord(): String =
+    Seq.fill(1 + rnd.nextInt(12))(('a' + rnd.nextInt(26)).toChar).mkString
+
+  test("graft_h{16,32}a / graft_h32b equal the per-element transform HOFs") {
+    val rows = Seq.fill(60)(Seq.fill(rnd.nextInt(30))(randWord()))
+    val df = rows.toDF("toks").selectExpr(
+      "graft_h16a(toks) AS f16",
+      "transform(toks, t -> graft_h16(t)) AS u16",
+      "graft_h32a(toks) AS f32",
+      "transform(toks, t -> graft_h32(t)) AS u32",
+      "graft_h32b(toks) AS fb",
+      "transform(toks, t ->" +
+        " cast(conv(substring(md5(t), 9, 8), 16, 10) as bigint)) AS ub")
+    df.collect().foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1))
+      assert(r.getSeq[Long](2) == r.getSeq[Long](3))
+      assert(r.getSeq[Long](4) == r.getSeq[Long](5))
+    }
+  }
+
+  test("graft_h64sd equals array_sort(array_distinct(transform(...)))") {
+    // force duplicates so the distinct arm is exercised
+    val words = Seq.fill(12)(randWord())
+    val rows = Seq.fill(60)(
+      Seq.fill(rnd.nextInt(40))(words(rnd.nextInt(words.size))))
+    val df = rows.toDF("grams").selectExpr(
+      "graft_h64sd(grams) AS fused",
+      "array_sort(array_distinct(transform(grams," +
+        " g -> graft_h64(g)))) AS unfused")
+    df.collect().foreach(r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
+  }
+
+  test("graft_char5grams feeds graft_h32a identically to the substring HOF") {
+    val rows = Seq.fill(40)(
+      Seq.fill(3 + rnd.nextInt(40))(('a' + rnd.nextInt(26)).toChar)
+        .mkString + (if (rnd.nextBoolean()) " éü≠" else ""))
+    val df = rows.toDF("text").selectExpr(
+      "CASE WHEN length(text) >= 5 THEN" +
+        " graft_h32a(graft_char5grams(text))" +
+        " ELSE cast(array() as array<bigint>) END AS fused",
+      "CASE WHEN length(text) >= 5 THEN" +
+        " transform(sequence(1, length(text) - 4)," +
+        " i -> graft_h32(substring(text, i, 5)))" +
+        " ELSE cast(array() as array<bigint>) END AS unfused")
+    df.collect().foreach(r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
+  }
+
   test("graft_simhash16 equals the 16 unfused per-bit folds") {
     val rows = Seq.fill(50)(
       Seq.fill(rnd.nextInt(30))(rnd.nextLong(1L << 16)))
