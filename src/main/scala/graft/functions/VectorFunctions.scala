@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
 
 /** Codegen'd dot product of two `array<float>` columns, in DOUBLE.
@@ -149,6 +149,213 @@ case class SortedArrayIntersectCount(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Static kernels behind the vector-quantization expressions. Plain
+  * object (static forwarders) so whole-stage codegen can call
+  * `graft.functions.GraftVec.argminCell(...)` directly.
+  *
+  * These exist for SCALE in the model size K: the literal-argmin SQL
+  * they replace rendered one `aggregate(zip_with(...))` distance tree
+  * PER CENTROID, so the generated Java grew O(K·dim) and a production
+  * cell count (K in the thousands) blows Janino's 64 KB method /
+  * constant-pool ceilings. Here the codebook is ONE flattened array
+  * argument — constant-folded to a single ArrayData the generated code
+  * references — and the K·dim loop lives in compiled Scala, so the
+  * generated method size is O(1) in K. Same integer arithmetic, same
+  * first-minimum tie-break, term for term.
+  */
+object GraftVec {
+
+  /** Nearest-centroid assignment against a flattened codebook:
+    * `cells(k)` ids (caller passes them sorted ascending) and
+    * `codebook` = concat of the K centroids, each `dim = x.length`
+    * longs. Distance is the exact integer squared L2 of the quantized
+    * vectors — identical to the
+    * `aggregate(zip_with(x, c, (p,q) -> (p-q)*(p-q)), 0L, +)` fold the
+    * literal form ran per centroid. Strict `<` keeps the FIRST
+    * minimum, which over cell-sorted input is the lowest cell id —
+    * exactly `array_position(dists, array_min(dists))` on a
+    * cell-sorted literal array.
+    */
+  def argminCell(x: ArrayData, cells: ArrayData, codebook: ArrayData): Long = {
+    val dim = x.numElements()
+    val k = cells.numElements()
+    var best = 0
+    var bestDist = Long.MaxValue
+    var c = 0
+    while (c < k) {
+      val off = c * dim
+      var dist = 0L
+      var i = 0
+      while (i < dim) {
+        val d = x.getLong(i) - codebook.getLong(off + i)
+        dist += d * d
+        i += 1
+      }
+      if (dist < bestDist) { bestDist = dist; best = c }
+      c += 1
+    }
+    cells.getLong(best)
+  }
+
+  /** Per-centroid distance lookup table: element k (0-based) is the
+    * exact integer squared L2 between `x` and centroid k of the
+    * flattened codebook — the ADC serving LUT, previously K separate
+    * literal-array distance trees per query row.
+    */
+  def distLut(x: ArrayData, codebook: ArrayData): ArrayData = {
+    val dim = x.numElements()
+    val k = codebook.numElements() / dim
+    val out = new Array[Long](k)
+    var c = 0
+    while (c < k) {
+      val off = c * dim
+      var dist = 0L
+      var i = 0
+      while (i < dim) {
+        val d = x.getLong(i) - codebook.getLong(off + i)
+        dist += d * d
+        i += 1
+      }
+      out(c) = dist
+      c += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Fused raw cosine: the exact IEEE sequence of
+    * `graft_dot(a, b) / sqrt(n2a * n2b)` — left-fold dot in double,
+    * one multiply, one sqrt, one divide — as a single call, so the
+    * pairwise re-score of the banded dedup paths costs one kernel
+    * invocation per pair instead of a four-node expression tree.
+    * NOT rounded: callers keep `round(..., 6)` outside (it is the
+    * cross-engine contract), but can now prefilter on the raw value
+    * and pay the BigDecimal rounding only for near-threshold pairs.
+    */
+  def cosine(a: ArrayData, b: ArrayData, n2a: Double, n2b: Double): Double = {
+    val n = java.lang.Math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      i += 1
+    }
+    acc / java.lang.Math.sqrt(n2a * n2b)
+  }
+}
+
+/** `graft_argmin_cell(x, cells, codebook)` — see [[GraftVec.argminCell]].
+  * The codebook argument is a (large) literal array at every call site;
+  * constant folding collapses it to one ArrayData before codegen, so
+  * generated-code size is independent of K.
+  */
+case class ArgminCell(first: Expression, second: Expression,
+                      third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(first, second, third).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_argmin_cell expects (array<bigint>, array<bigint>, " +
+        s"array<bigint>), got (${first.dataType.sql}, " +
+        s"${second.dataType.sql}, ${third.dataType.sql})")
+  }
+
+  override def dataType: DataType = LongType
+
+  override def prettyName: String = "graft_argmin_cell"
+
+  override protected def nullSafeEval(x: Any, cells: Any,
+                                      codebook: Any): Any =
+    GraftVec.argminCell(x.asInstanceOf[ArrayData],
+      cells.asInstanceOf[ArrayData], codebook.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, cells, cb) =>
+      s"${ev.value} = graft.functions.GraftVec.argminCell($x, $cells, $cb);")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): ArgminCell =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+/** `graft_dist_lut(x, codebook)` — see [[GraftVec.distLut]]. */
+case class DistLut(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_dist_lut expects (array<bigint>, array<bigint>), " +
+        s"got (${left.dataType.sql}, ${right.dataType.sql})")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def prettyName: String = "graft_dist_lut"
+
+  override protected def nullSafeEval(x: Any, codebook: Any): Any =
+    GraftVec.distLut(x.asInstanceOf[ArrayData],
+      codebook.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (x, cb) => s"graft.functions.GraftVec.distLut($x, $cb)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DistLut =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `graft_cos(a, b, n2a, n2b)` — see [[GraftVec.cosine]]. */
+case class CosineSim(first: Expression, second: Expression,
+                     third: Expression, fourth: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val arraysOk = Seq(first, second).forall(_.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    })
+    val normsOk = Seq(third, fourth).forall(_.dataType == DoubleType)
+    if (arraysOk && normsOk) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_cos expects (array<float>, array<float>, double, double), " +
+        s"got (${first.dataType.sql}, ${second.dataType.sql}, " +
+        s"${third.dataType.sql}, ${fourth.dataType.sql})")
+  }
+
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "graft_cos"
+
+  override protected def nullSafeEval(a: Any, b: Any, n2a: Any,
+                                      n2b: Any): Any =
+    GraftVec.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      n2a.asInstanceOf[Double], n2b.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, n2a, n2b) =>
+      s"${ev.value} = graft.functions.GraftVec.cosine($a, $b, $n2a, $n2b);")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression,
+      newFourth: Expression): CosineSim =
+    copy(first = newFirst, second = newSecond, third = newThird,
+      fourth = newFourth)
+}
+
 /** Registration of graft's native expressions on an arbitrary session
   * (including one the harness created), via the catalyst registry shim.
   */
@@ -161,6 +368,14 @@ object VectorFunctions {
     org.apache.spark.sql.GraftRegistry.register(spark, "graft_isect",
       (children: Seq[Expression]) =>
         SortedArrayIntersectCount(children(0), children(1)))
+    org.apache.spark.sql.GraftRegistry.register(spark, "graft_argmin_cell",
+      (children: Seq[Expression]) =>
+        ArgminCell(children(0), children(1), children(2)))
+    org.apache.spark.sql.GraftRegistry.register(spark, "graft_dist_lut",
+      (children: Seq[Expression]) => DistLut(children(0), children(1)))
+    org.apache.spark.sql.GraftRegistry.register(spark, "graft_cos",
+      (children: Seq[Expression]) =>
+        CosineSim(children(0), children(1), children(2), children(3)))
     org.apache.spark.sql.GraftRegistry.register(spark, "graft_minhash16",
       (children: Seq[Expression]) => MinhashSignatures(children(0)))
     org.apache.spark.sql.GraftRegistry.register(spark, "graft_rh_buckets",

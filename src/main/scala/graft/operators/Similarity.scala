@@ -871,29 +871,33 @@ object Similarity extends QueryPack {
 
   private def ipqSliceS(m: Int) = s"slice(x4, ${PqDim * m + 1}, $PqDim)"
 
-  /** Nearest-centroid argmin against a DRIVER-LOCAL centroid list,
-    * rendered as literal arrays: (cellExpr, distExpr) for `sliceExpr`.
-    * Exactly the semantics of the join-based assignment template
-    * (integer distances, ties to the lowest cell id — the literal
-    * array is sorted by cell and `array_position` returns the FIRST
-    * minimum), but as a narrow codegen'd expression: no join, no
-    * shuffle, no recomputed CTE. This is what a production encoder
-    * does at 100 TB — broadcast the (tiny) model into a single
+  /** Nearest-centroid argmin against a DRIVER-LOCAL centroid list, as
+    * the compiled [[graft.functions.GraftVec.argminCell]] kernel: the
+    * codebook is passed as ONE flattened literal-array argument
+    * (constant-folded to a single ArrayData), the cells sorted
+    * ascending so the kernel's first-minimum tie-break lands on the
+    * lowest cell id. Exactly the semantics of the join-based
+    * assignment template (integer distances, ties to the lowest cell
+    * id), but as a narrow codegen'd expression: no join, no shuffle,
+    * no recomputed CTE — a production encoder's broadcast-the-model
     * map-side pass over the corpus.
+    *
+    * The earlier literal-argmin form rendered one
+    * `aggregate(zip_with(...))` distance tree PER CENTROID, so the
+    * generated Java grew O(K·dim) and a production cell count (K in
+    * the thousands) would hit Janino's 64 KB method / constant-pool
+    * ceilings and fall out of codegen. The kernel call's generated
+    * code is O(1) in K (IvfPqKernelSpec exercises K = 256, a scale
+    * the literal form could not compile).
     */
-  private def argminLitS(sliceExpr: String,
-                         cents: Seq[(Long, Seq[Long])]): (String, String) = {
+  private def argminS(sliceExpr: String,
+                      cents: Seq[(Long, Seq[Long])]): String = {
     val sorted = cents.sortBy(_._1)
-    val dists = sorted
-      .map { case (_, c) =>
-        distS(sliceExpr, c.map(v => s"${v}L").mkString("array(", ",", ")"))
-      }
-      .mkString("array(\n    ", ",\n    ", ")")
     val cells = sorted.map { case (cell, _) => s"${cell}L" }
       .mkString("array(", ",", ")")
-    (s"element_at($cells,\n  cast(array_position($dists," +
-       s" array_min($dists)) as int))",
-     s"array_min($dists)")
+    val flat = sorted.flatMap(_._2).map(v => s"${v}L")
+      .mkString("array(", ",", ")")
+    s"graft_argmin_cell($sliceExpr,\n  $cells,\n  $flat)"
   }
 
   /** Stage-wise IVF-PQ training. The r12 version ran the whole Lloyd
@@ -905,15 +909,16 @@ object Similarity extends QueryPack {
     *     (`localCheckpoint`) so later passes rescan materialized rows;
     *  2. seeds collect to the driver (KmK = 4 rows — model-sized);
     *  3. all PqM centroid updates in ONE aggregation pass: seed
-    *     assignment is a literal-argmin expression ([[argminLitS]]),
+    *     assignment is the broadcast-codebook kernel ([[argminS]]),
     *     then a single posexplode groups by (subspace, cell, pos);
     *  4. the code table is ONE more narrow pass (coarse cell + PqM
-    *     codes, all literal argmins), checkpointed as the index.
+    *     codes, all kernel argmins), checkpointed as the index.
     *
     * Arithmetic is unchanged term-for-term (same fixed-point distances,
     * same truncating-division means), so the oracle stays valid.
     */
   private def trainIvfPq(s: SparkSession, dir: String): IvfPqModel = {
+    VectorFunctions.ensureRegistered(s)
     val base = table(s, dir, "embeddings")
       .selectExpr("vec_id", s"$x4S AS x4")
       .localCheckpoint()
@@ -926,7 +931,7 @@ object Similarity extends QueryPack {
       val seeds = cents.map { case (cell, c) =>
         (cell, c.slice(PqDim * m, PqDim * (m + 1)))
       }
-      s"${argminLitS(ipqSliceS(m), seeds)._1} AS cell_$m"
+      s"${argminS(ipqSliceS(m), seeds)} AS cell_$m"
     }
     val cellOfM = s"CASE pos div $PqDim " +
       (0 until PqM).map(m => s"WHEN $m THEN cell_$m").mkString(" ") + " END"
@@ -950,10 +955,10 @@ object Similarity extends QueryPack {
       cbRows.filter(_._1 == m).map(t => (t._2, t._3)).toSeq
     }
     val codeCols = (0 until PqM).map { m =>
-      s"${argminLitS(ipqSliceS(m), codebooks(m))._1} AS code_$m"
+      s"${argminS(ipqSliceS(m), codebooks(m))} AS code_$m"
     }
     val codes = s.sql(
-      s"""SELECT vec_id, ${argminLitS("x4", cents)._1} AS cell,
+      s"""SELECT vec_id, ${argminS("x4", cents)} AS cell,
          |  ${codeCols.mkString(",\n  ")}
          |FROM ipq_base""".stripMargin)
       .localCheckpoint()
@@ -979,6 +984,7 @@ object Similarity extends QueryPack {
       .foreach(ivfpqModelCache.remove)
 
   private def registerServing(s: SparkSession, dir: String): IvfPqModel = {
+    VectorFunctions.ensureRegistered(s)
     purgeDeadSessions()
     val model = ivfpqModelCache
       .getOrElseUpdate((s, dir), trainIvfPq(s, dir))
@@ -1010,16 +1016,18 @@ object Similarity extends QueryPack {
     * than the train-included query).
     */
   private def servingCtes(model: IvfPqModel): String = {
-    def cbLit(m: Int, k: Int): String = {
+    // LUT slot k (1-based element k+1) is the distance to sub-centroid
+    // k, via the graft_dist_lut kernel over ONE flattened codebook
+    // literal — O(1) generated code in K, like [[argminS]]. A cell can
+    // die during the Lloyd round; codes never reference a dead cell,
+    // so its LUT slot is an arbitrary never-read zero filler.
+    def lut(m: Int): String = {
       val byCell = model.codebooks(m).toMap
-      // a cell can die during the Lloyd round; codes never reference a
-      // dead cell, so its LUT slot is an arbitrary never-read filler
-      val c = byCell.getOrElse(k.toLong, Seq.fill(PqDim)(0L))
-      c.map(v => s"${v}L").mkString("array(", ",", ")")
+      val flat = (0 until KmK)
+        .flatMap(k => byCell.getOrElse(k.toLong, Seq.fill(PqDim)(0L)))
+        .map(v => s"${v}L").mkString("array(", ",", ")")
+      s"graft_dist_lut(qs$m,\n      $flat)"
     }
-    def lut(m: Int): String =
-      (0 until KmK).map(k => distS(s"qs$m", cbLit(m, k)))
-        .mkString("array(\n      ", ",\n      ", ")")
     s"""q AS (SELECT vec_id, cell,
        |    ${(0 until PqM).map(m => s"${ipqSliceS(m)} AS qs$m")
             .mkString(", ")}
