@@ -981,12 +981,19 @@ object Dedup extends QueryPack {
       .selectExpr("vec_id", "embedding",
         "graft_dot(embedding, embedding) AS n2")
     e.createOrReplaceTempView("cosx_e")
+    // graft_cos fuses dot/sqrt/divide into one kernel call; the raw
+    // prefilter (strictly looser than the rounded threshold: round6(x)
+    // >= 0.4 implies x >= 0.3999995 - ulp > 0.3999994) discards the
+    // overwhelming majority of pairs on a primitive double compare, so
+    // the BigDecimal `round` only runs for near-threshold survivors.
+    // The exact rounded filter stays — the result set is unchanged.
     s.sql(
       """SELECT vec_a, vec_b, cos_sim FROM (
-        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-        |    round(graft_dot(a.embedding, b.embedding)
-        |      / sqrt(a.n2 * b.n2), 6) AS cos_sim
-        |  FROM cosx_e a JOIN cosx_e b ON a.vec_id < b.vec_id)
+        |  SELECT vec_a, vec_b, round(cs, 6) AS cos_sim FROM (
+        |    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |      graft_cos(a.embedding, b.embedding, a.n2, b.n2) AS cs
+        |    FROM cosx_e a JOIN cosx_e b ON a.vec_id < b.vec_id)
+        |  WHERE cs > 0.3999994)
         |WHERE cos_sim >= 0.4""".stripMargin)
   }
 
@@ -1033,11 +1040,12 @@ object Dedup extends QueryPack {
          |  FROM bands x JOIN bands y
          |    ON x.band = y.band AND x.bkt = y.bkt AND x.vec_id < y.vec_id)
          |SELECT vec_a, vec_b, cos_sim FROM (
-         |  SELECT vec_a, vec_b,
-         |    round(graft_dot(a.embedding, b.embedding)
-         |      / sqrt(a.n2 * b.n2), 6) AS cos_sim
-         |  FROM cand JOIN cos_e a ON a.vec_id = vec_a
-         |            JOIN cos_e b ON b.vec_id = vec_b)
+         |  SELECT vec_a, vec_b, round(cs, 6) AS cos_sim FROM (
+         |    SELECT vec_a, vec_b,
+         |      graft_cos(a.embedding, b.embedding, a.n2, b.n2) AS cs
+         |    FROM cand JOIN cos_e a ON a.vec_id = vec_a
+         |              JOIN cos_e b ON b.vec_id = vec_b)
+         |  WHERE cs > 0.3999994)
          |WHERE cos_sim >= 0.4""".stripMargin)
   }
 

@@ -159,6 +159,39 @@ class KernelDifferentialSpec extends AnyFunSuite {
     }
   }
 
+  test("graft_cos equals graft_dot(a, b) / sqrt(n2a * n2b) bit-exactly") {
+    val rows = Seq.fill(40)((
+      Seq.fill(24)(rnd.nextFloat() * 2.0f - 1.0f),
+      Seq.fill(24)(rnd.nextFloat() * 2.0f - 1.0f)))
+    val df = rows.toDF("a", "b").selectExpr(
+      "graft_cos(a, b, graft_dot(a, a), graft_dot(b, b)) AS fused",
+      "graft_dot(a, b) / sqrt(graft_dot(a, a) * graft_dot(b, b)) AS unfused")
+    df.collect().foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+  }
+
+  test("the raw-cosine prefilter (cs > 0.3999994) never drops a pair " +
+       "the rounded threshold keeps") {
+    // correlated pairs so cosines cluster AROUND the 0.4 threshold —
+    // random 24-dim pairs almost never land there
+    val rows = Seq.fill(400) {
+      val base = Seq.fill(24)(rnd.nextFloat() * 2.0f - 1.0f)
+      val noisy = base.map(v =>
+        (v * 0.45f + (rnd.nextFloat() * 2.0f - 1.0f) * 0.9f))
+      (base, noisy)
+    }
+    val got = rows.toDF("a", "b").selectExpr(
+      "graft_cos(a, b, graft_dot(a, a), graft_dot(b, b)) AS cs")
+      .selectExpr("cs", "round(cs, 6) AS rcs").collect()
+    assert(got.exists(r => r.getDouble(1) >= 0.3 && r.getDouble(1) < 0.5),
+      "fixture drift: no cosines near the threshold — tighten the noise")
+    got.foreach { r =>
+      if (r.getDouble(1) >= 0.4) assert(r.getDouble(0) > 0.3999994)
+    }
+  }
+
   test("graft_char3grams equals the unfused HOF extraction") {
     val texts = Seq("", "a", "ab", "abc", "ab抽象cd", "αβγδε") ++
       Seq.fill(30)(Seq.fill(rnd.nextInt(200))(
