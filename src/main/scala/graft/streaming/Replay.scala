@@ -403,32 +403,77 @@ object StreamReplay extends QueryPack {
        |GROUP BY win, event_type ORDER BY win_start_us, event_type""".stripMargin
   }
 
-  // Replay gate for the retention tracker: events in ts order, hits
-  // aggregated per (cohort_day, day_offset) after the stream drains.
-  // Under in-order delivery each user's first-seen day IS the batch
-  // MIN(day), and each (user, offset <= 7) emits exactly once (the
-  // state mask dedups re-activity within a day), so the aggregated
-  // sink equals the batch st_retention cohort table — restated in
-  // DuckDB on the micros channel (micro-truncation cannot cross a
-  // midnight; see the batch operator's note).
-  private def stRetentionReplay(s: SparkSession, dir: String): DataFrame = {
+  // Replay gate for the retention tracker: hits aggregated per
+  // (cohort_day, day_offset) after the stream drains must equal the
+  // batch st_retention cohort table — restated in DuckDB on the micros
+  // channel (micro-truncation cannot cross a midnight; see the batch
+  // operator's note). The operator cohortens by MIN day with emission
+  // deferred to watermark finalization, so the equality holds under
+  // any disorder bounded by the watermark delay (the _ooo variant
+  // exercises exactly that).
+  //
+  // Watermark delay = the replay's STUDY HORIZON (25 days), not the
+  // production lateness knob, chosen for this 30-day fixture (days
+  // 19723..19752, cohorts 19723/19724) so that by end of feed the
+  // watermark (last_ts - 25 d ~= day 19727.98) (a) has passed every
+  // cohort day start -> all provisional cohorts finalize and emit, and
+  // (b) has NOT reached the first window-lapse boundary ((19723 + 8) *
+  // day = 19731) -> no state expires mid-replay, because expiry +
+  // post-window re-activity would re-cohort the user (the documented
+  // bounded-state approximation) and a full-history replay must
+  // reproduce exact batch MIN(day) semantics. Backfill lateness and
+  // steady-state lateness are different deployment knobs; StreamsSpec
+  // covers the short-delay expiry path the fixture must avoid.
+  private val RetentionReplayDelay = "25 days"
+
+  private def retentionReplaySink(s: SparkSession, dir: String,
+                                  evs: Seq[Event]): DataFrame = {
     import s.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-    val evs = orderedEvents(s, dir)
     val in = MemoryStream[Event]
     val sink = s"st_retention_replay_sink_${sinkSeq.incrementAndGet()}"
     withReplayPartitions(s) {
-      val q = Streams.retentionStream(in.toDS())
+      val q = Streams.retentionStream(in.toDS(),
+          delay = RetentionReplayDelay)
         .writeStream.format("memory").queryName(sink)
         .outputMode("append").start()
-      try feed(in, q, batched(evs.toIndexedSeq))
-      finally q.stop()
+      try {
+        feed(in, q, batched(evs.toIndexedSeq))
+        // sentinel data batch at the SAME max ts (the feed may be
+        // disordered, so take the max explicitly): advances no
+        // watermark, but runs one more micro-batch in which every
+        // real user's finalization timeout (set once the last feed
+        // batch published the watermark) fires deterministically. The
+        // sentinel user's own pending state emits nothing.
+        in.addData(Event(-1L, evs.map(_.ts).max, -1L, "sentinel", 0.0))
+        q.processAllAvailable()
+      } finally q.stop()
     }
     s.table(sink)
       .groupBy("cohort_day", "day_offset")
       .agg(org.apache.spark.sql.functions.count(
         org.apache.spark.sql.functions.lit(1)).as("n_users"))
       .orderBy("cohort_day", "day_offset")
+  }
+
+  private def stRetentionReplay(s: SparkSession, dir: String): DataFrame =
+    retentionReplaySink(s, dir, orderedEvents(s, dir))
+
+  // The bounded-disorder gate: the same events with each one displaced
+  // by a deterministic pseudo-random jitter of up to ONE DAY in feed
+  // position (sorted by ts + jitter(event_id)), well inside the replay
+  // watermark delay, so nothing is late-dropped but users' first-SEEN
+  // days frequently differ from their minimum days (including across
+  // midnights). The sink must STILL equal the batch cohort table —
+  // this is what the provisional-mask + watermark-finalization design
+  // buys; a first-seen cohorting would mis-cohort and drop offsets
+  // here.
+  private def stRetentionOooReplay(s: SparkSession, dir: String): DataFrame = {
+    val slackNs = 86400000000000L // 1 day of feed-order disorder
+    val evs = orderedEvents(s, dir).sortBy(e =>
+      (e.ts + java.lang.Math.floorMod(e.event_id * 2654435761L, slackNs),
+        e.event_id))
+    retentionReplaySink(s, dir, evs)
   }
 
   private val stRetentionReplaySql = {
@@ -453,7 +498,8 @@ object StreamReplay extends QueryPack {
         "st_attrib_replay" -> (stAttribReplay _),
         "st_dedup_replay" -> (stDedupReplay _),
         "st_window_replay" -> (stWindowReplay _),
-        "st_retention_replay" -> (stRetentionReplay _))
+        "st_retention_replay" -> (stRetentionReplay _),
+        "st_retention_ooo_replay" -> (stRetentionOooReplay _))
 
   override val oracles: Map[String, String] =
     Map("st_neardup_replay" -> stNearDupReplaySql,
@@ -462,5 +508,7 @@ object StreamReplay extends QueryPack {
         "st_attrib_replay" -> stAttribReplaySql,
         "st_dedup_replay" -> stDedupReplaySql,
         "st_window_replay" -> stWindowReplaySql,
-        "st_retention_replay" -> stRetentionReplaySql)
+        "st_retention_replay" -> stRetentionReplaySql,
+        // the disorder gate must land on the SAME batch cohort table
+        "st_retention_ooo_replay" -> stRetentionReplaySql)
 }

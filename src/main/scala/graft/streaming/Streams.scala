@@ -94,8 +94,19 @@ object Streams {
     */
   def eventFileStream(spark: SparkSession, dir: String,
                       fileSchema: Option[StructType] = None): DataFrame = {
+    // Only the empty-directory / unable-to-infer case falls back to the
+    // canonical schema; a genuine read problem (permissions, corrupt
+    // footer) must propagate instead of silently degrading to a schema
+    // that fails later as a confusing mid-stream error.
     val schema = fileSchema.getOrElse(
-      scala.util.Try(spark.read.parquet(dir).schema).getOrElse(eventSchema))
+      try spark.read.parquet(dir).schema
+      catch {
+        case _: org.apache.spark.sql.AnalysisException =>
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"eventFileStream: no readable parquet at $dir yet; " +
+              "falling back to the canonical bigint-nanos event schema")
+          eventSchema
+      })
     graft.Engine.normalizeTs(
       spark.readStream.schema(schema).parquet(dir))
   }
@@ -275,63 +286,149 @@ case class FunnelAdvance(user_id: Long, step: Int, at_us: Long)
       }
   }
 
-  /** Per-user retention state: the user's cohort day (their FIRST
-    * active day — equal to the batch MIN(day) under in-order delivery)
-    * plus a bitmask of day offsets 0..7 already emitted.
+  /** Per-user retention state. While `finalized` is false the cohort is
+    * still PROVISIONAL: `cohortDay` is the minimum day seen so far and
+    * `seenMask` holds day offsets RELATIVE TO IT (bit 0 = the min day
+    * itself; re-based by a left shift whenever an earlier day arrives
+    * out of order). Once the event-time watermark passes the start of
+    * `cohortDay`, no earlier event can ever be delivered (Spark drops
+    * rows older than the watermark before the stateful operator), so
+    * the cohort is FINAL: the backlog of in-window offsets is emitted
+    * and the mask becomes the emitted-offsets dedup set.
     */
-  case class RetentionState(cohortDay: Long, seenMask: Long)
+  case class RetentionState(cohortDay: Long, seenMask: Long,
+                            finalized: Boolean)
 
-  /** Emitted the first time a user is active on `cohort_day + day_offset`
-    * (offsets 0..7). Counting hits per (cohort_day, day_offset)
-    * downstream reproduces the batch st_retention cohort table
-    * incrementally.
+  /** Emitted when a user is active on `cohort_day + day_offset`
+    * (offsets 0..7), exactly once per (user, offset). Counting hits per
+    * (cohort_day, day_offset) downstream reproduces the batch
+    * st_retention cohort table incrementally.
     */
   case class RetentionHit(user_id: Long, cohort_day: Long, day_offset: Long)
 
   /** Streaming face of the batch st_retention query: day-N cohort
-    * retention as flatMapGroupsWithState. State is 16 bytes per user
-    * (cohort day + an 8-bit offset mask) — bounded by users, not
-    * events or days; production deployments add a state TTL once a
-    * user's day-7 window has lapsed. Day arithmetic is exact integer
-    * `ts div 1 day` — identical to the batch query, and micro vs nano
-    * granularity cannot disagree (midnights are whole microseconds).
+    * retention as flatMapGroupsWithState with BOUNDED state. Day
+    * arithmetic is exact integer `ts div 1 day` — identical to the
+    * batch query, and micro vs nano granularity cannot disagree
+    * (midnights are whole microseconds).
     *
-    * Cohorting contract: the cohort is the user's FIRST-SEEN day,
-    * which equals the batch MIN(day) exactly when each user's events
-    * arrive in event-time order (the replay gate's regime; a
-    * watermark-bounded production stream approximates it to within
-    * the allowed disorder). Out-of-range or already-seen offsets emit
-    * nothing.
+    * Cohorting contract: the cohort is the user's MINIMUM event day —
+    * the batch MIN(day) — under ARBITRARY bounded disorder, not just
+    * in-order delivery. Emission is deferred until the watermark
+    * passes the start of the provisional cohort day (at which point no
+    * earlier event can arrive, so the min is final); disorder within
+    * the watermark's `delay` therefore re-bases the provisional mask
+    * instead of mis-cohorting, and a negative offset after
+    * finalization is structurally IMPOSSIBLE (any arriving event has
+    * `ts >= watermark >= cohortDay * dayNs`), which is why there is no
+    * negative-offset drop path to count. The provisional mask tracks
+    * offsets up to 63 days above the running min; larger spans cannot
+    * lose hits (offsets only grow when the min re-bases downward, and
+    * anything above `maxOffset` never emits).
+    *
+    * State lifecycle (the 100 TB bound): per-user state is ~17 bytes
+    * and is REMOVED by an event-time timeout once the watermark passes
+    * `(cohortDay + maxOffset + 1) * dayNs` — the user's retention
+    * window is complete and every in-window event has been delivered,
+    * so executor state is proportional to users active within one
+    * retention window (+ `delay`) of the watermark, never to lifetime
+    * user cardinality. The one semantic this trades away: a user
+    * resurfacing AFTER expiry is indistinguishable from a new user and
+    * starts a fresh cohort at their return day (the standard
+    * bounded-state approximation; batch MIN(day) semantics over
+    * unbounded history require unbounded memory in ANY engine). A
+    * full-history REPLAY that must reproduce the batch table exactly
+    * therefore sets `delay` to the replay's study horizon so no cohort
+    * expires before the stream drains — backfill lateness and
+    * steady-state lateness are different deployment knobs (see
+    * StreamReplay.stRetentionReplay).
     */
   def retentionStream(events: Dataset[Event],
                       dayNs: Long = 86400000000000L,
-                      maxOffset: Int = 7): Dataset[RetentionHit] = {
+                      maxOffset: Int = 7,
+                      delay: String = "24 hours"): Dataset[RetentionHit] = {
     import events.sparkSession.implicits._
+    val dayMs = dayNs / 1000000L
     events
+      .withColumn("event_time", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("event_time", delay)
+      .select("event_id", "ts", "user_id", "event_time")
+      .as[SessionEvent]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[RetentionState, RetentionHit](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        case (userId: Long, batch: Iterator[Event],
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (userId: Long, batch: Iterator[SessionEvent],
               state: GroupState[RetentionState]) =>
-          val sorted = batch.toSeq.sortBy(e => (e.ts, e.event_id))
           val out = Seq.newBuilder[RetentionHit]
-          var st = state.getOption.orNull
-          sorted.foreach { e =>
-            val day = e.ts / dayNs
-            if (st == null) {
-              st = RetentionState(day, 1L)
-              out += RetentionHit(userId, day, 0L)
+          val wm = state.getCurrentWatermarkMs()
+
+          // emit the provisional backlog (offsets <= maxOffset) and
+          // return the finalized state
+          def finalizeCohort(st: RetentionState): RetentionState = {
+            var off = 0
+            while (off <= maxOffset) {
+              if ((st.seenMask & (1L << off)) != 0L)
+                out += RetentionHit(userId, st.cohortDay, off.toLong)
+              off += 1
+            }
+            st.copy(finalized = true)
+          }
+
+          def scheduleAndStore(st: RetentionState): Unit =
+            if (st.finalized && wm >= (st.cohortDay + maxOffset + 1) * dayMs) {
+              // window complete AND every in-window event delivered:
+              // the state can never emit again
+              state.remove()
             } else {
-              val off = day - st.cohortDay
-              if (off >= 0 && off <= maxOffset &&
-                  (st.seenMask & (1L << off)) == 0L) {
-                st = st.copy(seenMask = st.seenMask | (1L << off))
-                out += RetentionHit(userId, st.cohortDay, off)
+              state.update(st)
+              val target =
+                if (st.finalized) (st.cohortDay + maxOffset + 1) * dayMs
+                else st.cohortDay * dayMs
+              state.setTimeoutTimestamp(math.max(target, wm + 1))
+            }
+
+          if (state.hasTimedOut) {
+            val st = state.get
+            if (!st.finalized) scheduleAndStore(finalizeCohort(st))
+            else { state.remove() } // retention window lapsed
+            out.result().iterator
+          } else {
+            val sorted = batch.toSeq.sortBy(e => (e.ts, e.event_id))
+            var st = state.getOption.orNull
+            sorted.foreach { e =>
+              val day = e.ts / dayNs
+              if (st == null) {
+                st = RetentionState(day, 1L, finalized = false)
+              } else if (!st.finalized) {
+                if (day < st.cohortDay) {
+                  // out-of-order earlier day: re-base the provisional
+                  // mask (bits pushed past 63 are > maxOffset forever —
+                  // offsets only grow on re-base — so losing them is
+                  // harmless)
+                  val shift = st.cohortDay - day
+                  val shifted = if (shift > 63) 0L else st.seenMask << shift
+                  st = RetentionState(day, shifted | 1L, finalized = false)
+                } else if (day - st.cohortDay <= 63) {
+                  st = st.copy(seenMask =
+                    st.seenMask | (1L << (day - st.cohortDay)))
+                }
+              } else {
+                // finalized: ts >= watermark >= cohortDay * dayNs, so
+                // off >= 0 always
+                val off = day - st.cohortDay
+                if (off <= maxOffset && (st.seenMask & (1L << off)) == 0L) {
+                  st = st.copy(seenMask = st.seenMask | (1L << off))
+                  out += RetentionHit(userId, st.cohortDay, off)
+                }
               }
             }
+            if (st != null) {
+              if (!st.finalized && wm >= st.cohortDay * dayMs)
+                st = finalizeCohort(st)
+              scheduleAndStore(st)
+            }
+            out.result().iterator
           }
-          if (st != null) state.update(st)
-          out.result().iterator
       }
   }
 

@@ -323,7 +323,11 @@ class StreamsSpec extends AnyFunSuite {
     val batch = graft.operators.EventWindows.queries("st_retention")(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     val in = MemoryStream[Event]
-    val q = Streams.retentionStream(in.toDS())
+    // delay = the replay study horizon, exactly like the driver gate:
+    // big enough that no cohort's state expires before the fixture
+    // drains, small enough that the end-of-feed watermark finalizes
+    // every cohort (see StreamReplay.RetentionReplayDelay)
+    val q = Streams.retentionStream(in.toDS(), delay = "25 days")
       .writeStream.format("memory").queryName("retention_fx")
       .outputMode(OutputMode.Append()).start()
     try {
@@ -332,10 +336,62 @@ class StreamsSpec extends AnyFunSuite {
         .as[Event].collect().sortBy(e => (e.ts, e.event_id))
       in.addData(evs.toIndexedSeq)
       q.processAllAvailable()
+      // sentinel at the same max ts: one more micro-batch so every
+      // user's finalization timeout fires against the end-of-feed
+      // watermark (the sentinel itself stays pending, emits nothing)
+      in.addData(ev(-1, evs.map(_.ts).max, -1, "sentinel"))
+      q.processAllAvailable()
       val counts = spark.table("retention_fx")
         .groupBy("cohort_day", "day_offset").count().collect()
         .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
       assert(counts == batch)
+    } finally q.stop()
+  }
+
+  test("retentionStream drops a user's state once the retention window " +
+       "lapses the watermark; resurfacing re-cohorts") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val D = 86400000000000L // 1 day in ns
+    def stateRows(q: org.apache.spark.sql.streaming.StreamingQuery): Long =
+      q.recentProgress.reverse
+        .find(_.stateOperators.nonEmpty).get.stateOperators(0).numRowsTotal
+    val in = MemoryStream[Event]
+    val q = Streams.retentionStream(in.toDS(), delay = "1 hour")
+      .writeStream.format("memory").queryName("retention_ttl")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // user 1: days 0 and 1 (an hour in — an event AT micro-epoch 0
+      // sits exactly on the initial watermark and the late-row
+      // predicate drops it; see nearDupStream's one-tick note). Cohort
+      // day 0 is final from the initial watermark (0 >= day-0 start),
+      // so both hits emit immediately
+      in.addData(ev(1, H, 1, "view"), ev(2, D + H, 1, "view"))
+      q.processAllAvailable()
+      assert(stateRows(q) == 1L)
+      // user 2 appears on day 20, pushing the watermark ~12 days past
+      // user 1's window-lapse boundary (day 8); a following batch
+      // fires user 1's expiry timeout -> only user 2's state remains
+      in.addData(ev(3, 20 * D, 2, "view"))
+      q.processAllAvailable()
+      in.addData(ev(4, 20 * D + 10, 2, "view"))
+      q.processAllAvailable()
+      assert(stateRows(q) == 1L)
+      // user 1 resurfaces on day 21: with the cohort-0 state expired
+      // this is indistinguishable from a new user and REcohorts at day
+      // 21 (the documented bounded-state approximation) — were the old
+      // state still alive, day 21 would be offset 21 > 7 and emit
+      // nothing. The day-23 traffic then finalizes both cohorts.
+      in.addData(ev(5, 21 * D, 1, "view"), ev(6, 23 * D, 2, "view"))
+      q.processAllAvailable()
+      in.addData(ev(7, 23 * D + 10, 2, "view"))
+      q.processAllAvailable()
+      val out = spark.table("retention_ttl")
+        .selectExpr("user_id", "cohort_day", "day_offset").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(out == Set((1L, 0L, 0L), (1L, 0L, 1L), (1L, 21L, 0L),
+        (2L, 20L, 0L), (2L, 20L, 3L)), out)
     } finally q.stop()
   }
 
