@@ -359,7 +359,11 @@ case class Md5PrefixHash(child: Expression, nibbles: Int)
 
   override def dataType: DataType = LongType
 
-  override def prettyName: String = s"graft_h${nibbles * 4}"
+  // the registry advertises the 15-nibble variant as 64-bit
+  // ("graft_h64"); nibbles*4 would render a "graft_h60" that exists in
+  // no registry, confusing EXPLAIN output and type-check errors
+  override def prettyName: String =
+    s"graft_h${if (nibbles == 15) 64 else nibbles * 4}"
 
   override protected def nullSafeEval(a: Any): Any =
     GraftHashes.md5Prefix(
@@ -444,7 +448,10 @@ case class Md5PrefixSortedDistinct(child: Expression, nibbles: Int)
     case _ => ArrayType(LongType)
   }
 
-  override def prettyName: String = s"graft_h${nibbles * 4}sd"
+  // same 15-nibbles-advertised-as-64-bit registry convention as
+  // [[Md5PrefixHash]]
+  override def prettyName: String =
+    s"graft_h${if (nibbles == 15) 64 else nibbles * 4}sd"
 
   override protected def nullSafeEval(a: Any): Any =
     GraftHashes.md5PrefixSortedDistinct(a.asInstanceOf[ArrayData], nibbles)

@@ -73,12 +73,18 @@ class DeriveSpec extends AnyFunSuite {
     assert(Derive.generateSummary("Title", "Hi yo. Long tail here.") == "Title")
   }
 
-  test("summary: real-world example") {
-    val r = Derive.generateSummary("S3A: retry on MPU completion failure",
-      "Experienced transient failure in test run: all MPU complete posts " +
-        "failed because the request or parts were not found. The tests " +
-        "started succeeding 60-90s later.")
-    assert(r.startsWith("S3A: retry on MPU completion failure"))
+  test("summary: real-world Jira example (test_transformer.py:115-125, " +
+       "fixture verbatim)") {
+    // the reference's exact fixture strings and its three containment
+    // assertions, plus the 150-cap the contract guarantees
+    val title = "S3A: retry on MPU completion failure"
+    val description = "Experienced transient failure in test run: all " +
+      "MPU complete posts failed because the request or parts were not " +
+      "found. The tests started succeeding 60-90s later."
+    val r = Derive.generateSummary(title, description)
+    assert(r.contains(title))
+    assert(r.contains("Experienced transient failure"))
+    assert(r.contains("MPU complete posts failed"))
     assert(r.length <= 150)
   }
 

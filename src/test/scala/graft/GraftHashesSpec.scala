@@ -67,4 +67,16 @@ class GraftHashesSpec extends AnyFunSuite {
       .asInstanceOf[scala.collection.Seq[Int]]
     assert(r.length == 12 && r.forall(_ == 0))
   }
+
+  test("prettyName matches the registered name for the 15-nibble " +
+       "(64-bit-advertised) variants") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val s = Literal("x")
+    assert(graft.functions.Md5PrefixHash(s, 15).prettyName == "graft_h64")
+    assert(graft.functions.Md5PrefixSortedDistinct(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Seq("x"), org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.StringType)), 15)
+      .prettyName == "graft_h64sd")
+  }
 }

@@ -149,14 +149,19 @@ class JiraSourceSpec extends AnyFunSuite {
 
   // -- checkpoints (test_extract.py:155-201) --------------------------------
 
-  test("checkpoint save writes both json and legacy txt") {
+  test("checkpoint save writes both json and legacy txt " +
+       "(test_extract.py:155-171, fixture verbatim)") {
+    // the reference's exact fixture: save_checkpoint("HADOOP", 50,
+    // "2025-01-15T12:34:56.789Z") must open BOTH HADOOP.json and the
+    // legacy HADOOP.txt for writing, with content in each
     val dir = tmpDir()
     val cp = new Checkpoints(dir)
-    cp.save("TEST", 50, Some("2025-01-15T12:34:56.789+0000"))
-    assert(Files.exists(dir.resolve("TEST.json")))
-    assert(Files.readString(dir.resolve("TEST.txt")).trim == "50")
-    assert(cp.load("TEST") ==
-      Checkpoint(50, Some("2025-01-15T12:34:56.789+0000")))
+    cp.save("HADOOP", 50, Some("2025-01-15T12:34:56.789Z"))
+    assert(Files.exists(dir.resolve("HADOOP.json")))
+    assert(Files.size(dir.resolve("HADOOP.json")) > 0)
+    assert(Files.readString(dir.resolve("HADOOP.txt")).trim == "50")
+    assert(cp.load("HADOOP") ==
+      Checkpoint(50, Some("2025-01-15T12:34:56.789Z")))
   }
 
   test("checkpoint load falls back to legacy txt, then defaults") {

@@ -64,16 +64,19 @@ class TsEncodingSpec extends AnyFunSuite {
 
   test("streaming file source normalizes both encodings") {
     import org.apache.spark.sql.streaming.OutputMode
-    Seq(longDir, tsDir).foreach { dir =>
+    // sinks named by encoding label, not dir.hashCode — hash collisions
+    // (or Int.MinValue.abs) would silently alias the two tables
+    Seq("long" -> longDir, "micros" -> tsDir).foreach { case (label, dir) =>
+      val sink = s"ts_enc_$label"
       val q = graft.streaming.Streams
         .tumblingCounts(graft.streaming.Streams
           .eventFileStream(spark, s"$dir/events.parquet"))
         .writeStream.format("memory")
-        .queryName(s"ts_enc_${dir.hashCode.abs}")
+        .queryName(sink)
         .outputMode(OutputMode.Update()).start()
       try {
         q.processAllAvailable()
-        val total = spark.table(s"ts_enc_${dir.hashCode.abs}")
+        val total = spark.table(sink)
           .selectExpr("sum(n)").collect()(0).getLong(0)
         assert(total == Engine.table(spark, sfDir, "events").count())
       } finally q.stop()
