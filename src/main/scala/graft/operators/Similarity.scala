@@ -858,9 +858,9 @@ object Similarity extends QueryPack {
   // fixed-point Lloyd, same ADC), so the result — and the oracle — is
   // byte-identical; PlanSpec asserts the training aggregates are gone
   // from the serving plan.
-  private case class IvfPqModel(cents: Seq[(Long, Seq[Long])],
-                                codebooks: Seq[Seq[(Long, Seq[Long])]],
-                                codes: DataFrame)
+  private[graft] case class IvfPqModel(cents: Seq[(Long, Seq[Long])],
+                                       codebooks: Seq[Seq[(Long, Seq[Long])]],
+                                       codes: DataFrame)
 
   // Keyed on (session, dir), not dir alone: the cached code table is a
   // localCheckpoint bound to the session that trained it, so a cache
@@ -916,14 +916,23 @@ object Similarity extends QueryPack {
     *
     * Arithmetic is unchanged term-for-term (same fixed-point distances,
     * same truncating-division means), so the oracle stays valid.
+    *
+    * `kCells` is the coarse/sub-codebook cell count — KmK (= 4, the
+    * oracle spec constant) for every driver query; the IvfPqTrainSpec
+    * gate trains at 256 (the standard 8-bit-PQ production size) to pin
+    * that the staged pipeline is O(1) in K at codegen level (the
+    * pre-kernel literal-argmin form could not compile there). Callers
+    * other than the spec MUST use the default: the model cache and the
+    * serving oracles assume the spec constant.
     */
-  private def trainIvfPq(s: SparkSession, dir: String): IvfPqModel = {
+  private[graft] def trainIvfPq(s: SparkSession, dir: String,
+                                kCells: Int = KmK): IvfPqModel = {
     VectorFunctions.ensureRegistered(s)
     val base = table(s, dir, "embeddings")
       .selectExpr("vec_id", s"$x4S AS x4")
       .localCheckpoint()
     base.createOrReplaceTempView("ipq_base")
-    val cents = base.where(col("vec_id") < KmK)
+    val cents = base.where(col("vec_id") < kCells)
       .selectExpr("vec_id AS cell", "x4 AS c")
       .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toSeq)).toSeq
     // per-subspace seed assignment as literal argmin columns
