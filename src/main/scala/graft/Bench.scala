@@ -249,12 +249,23 @@ object Bench {
     // channel (jobs / cpu / shuffle), inline so a grader reading only
     // the captured summary line sees all three without /tmp access;
     // sub-0.05 MB entries are scan-only queries, not plan signal
-    val shufTop = results.filter(_.shufMbPerRep >= 0.05)
+    var shufEntries = results.filter(_.shufMbPerRep >= 0.05)
       .sortBy(-_.shufMbPerRep).take(25)
       .map { m => "\"" + m.name + "\":" + f1(m.shufMbPerRep) }
-      .mkString("{", ",", "}")
-    val prefix = s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":$sfNum,"n_queries":${results.size},"total_r10set":${f3(totalR10)},"cpu_total":${f3(cpuTotal)},"load":$loadJson,"errors":$errs,"unmeasured":$unmeasuredArr,"spreads":$spreads,"jobs":$jobsTop,"cpu":$cpuTop,"shuffle_mb":$shufTop,"queries":{"""
+    def mkPrefix(shuf: Seq[String]): String =
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":$sfNum,"n_queries":${results.size},"total_r10set":${f3(totalR10)},"cpu_total":${f3(cpuTotal)},"load":$loadJson,"errors":$errs,"unmeasured":$unmeasuredArr,"spreads":$spreads,"jobs":$jobsTop,"cpu":$cpuTop,"shuffle_mb":${shuf.mkString("{", ",", "}")},"queries":{"""
     val budget = 1850
+    // the prefix itself is length-gated: unlike the queries section it
+    // has no per-entry budget check, so trim shuffle entries (smallest
+    // first) until at least ~250 chars remain for inline query timings
+    // — otherwise a long errors/unmeasured round could push the whole
+    // line past the capture tail, the exact silent-truncation failure
+    // this budget exists to prevent
+    var prefix = mkPrefix(shufEntries)
+    while (prefix.length > budget - 250 && shufEntries.nonEmpty) {
+      shufEntries = shufEntries.init
+      prefix = mkPrefix(shufEntries)
+    }
     val keepFirst = results.sortBy { m =>
       if (m.err.isDefined) Double.MinValue else -m.median  // errors always kept
     }

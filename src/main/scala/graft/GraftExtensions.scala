@@ -30,20 +30,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo("graft.functions", name), builder)
 
   override def apply(ext: SparkSessionExtensions): Unit = {
-    Seq(
-      fn("graft_dot", c => FloatDotProduct(c(0), c(1))),
-      fn("graft_isect", c => SortedArrayIntersectCount(c(0), c(1))),
-      fn("graft_minhash16", c => MinhashSignatures(c(0))),
-      fn("graft_rh_buckets", c => RhLshBuckets(c(0))),
-      fn("graft_simhash16", c => Simhash16(c(0))),
-      fn("graft_simhash64", c => Simhash64(c(0), c(1))),
-      fn("graft_bloom_contains", c => BloomContains(c(0), c(1))),
-      fn("graft_h16", c => Md5PrefixHash(c(0), 4)),
-      fn("graft_h32", c => Md5PrefixHash(c(0), 8)),
-      fn("graft_h64", c => Md5PrefixHash(c(0), 15)),
-      fn("graft_cdc_ends", c => CdcEnds(c(0))),
-      fn("graft_char3grams", c => CharNgrams(c(0), 3))
-    ).foreach(ext.injectFunction)
+    // the one canonical builder list — shared with the runtime-attach
+    // path, so the two front doors expose the identical function surface
+    VectorFunctions.builders.foreach { case (name, builder) =>
+      ext.injectFunction(fn(name, builder))
+    }
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
     ext.injectOptimizerRule(_ => graft.plans.WindowTopKRewrite)
   }

@@ -44,18 +44,8 @@ case class FloatDotProduct(left: Expression, right: Expression)
 
   override def prettyName: String = "graft_dot"
 
-  override protected def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
-    var acc = 0.0
-    var i = 0
-    while (i < n) {
-      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
-      i += 1
-    }
-    acc
-  }
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    GraftVec.dotFold(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext,
                                    ev: ExprCode): ExprCode =
@@ -176,6 +166,23 @@ object GraftVec {
     * exactly `array_position(dists, array_min(dists))` on a
     * cell-sorted literal array.
     */
+  /** Exact integer squared L2 between `x` and centroid `c` (rows of
+    * `dim` longs starting at `c * dim` in the flattened codebook) —
+    * THE distance of both quantization kernels, defined once.
+    */
+  private def d2(x: ArrayData, codebook: ArrayData, c: Int,
+                 dim: Int): Long = {
+    val off = c * dim
+    var dist = 0L
+    var i = 0
+    while (i < dim) {
+      val d = x.getLong(i) - codebook.getLong(off + i)
+      dist += d * d
+      i += 1
+    }
+    dist
+  }
+
   def argminCell(x: ArrayData, cells: ArrayData, codebook: ArrayData): Long = {
     val dim = x.numElements()
     val k = cells.numElements()
@@ -183,14 +190,7 @@ object GraftVec {
     var bestDist = Long.MaxValue
     var c = 0
     while (c < k) {
-      val off = c * dim
-      var dist = 0L
-      var i = 0
-      while (i < dim) {
-        val d = x.getLong(i) - codebook.getLong(off + i)
-        dist += d * d
-        i += 1
-      }
+      val dist = d2(x, codebook, c, dim)
       if (dist < bestDist) { bestDist = dist; best = c }
       c += 1
     }
@@ -208,15 +208,7 @@ object GraftVec {
     val out = new Array[Long](k)
     var c = 0
     while (c < k) {
-      val off = c * dim
-      var dist = 0L
-      var i = 0
-      while (i < dim) {
-        val d = x.getLong(i) - codebook.getLong(off + i)
-        dist += d * d
-        i += 1
-      }
-      out(c) = dist
+      out(c) = d2(x, codebook, c, dim)
       c += 1
     }
     new GenericArrayData(out)
@@ -231,7 +223,13 @@ object GraftVec {
     * cross-engine contract), but can now prefilter on the raw value
     * and pay the BigDecimal rounding only for near-threshold pairs.
     */
-  def cosine(a: ArrayData, b: ArrayData, n2a: Double, n2b: Double): Double = {
+  /** THE left-fold dot product (the cross-engine IEEE contract) —
+    * shared by [[cosine]] and [[FloatDotProduct]]'s interpreted path.
+    * The only other copy is FloatDotProduct's codegen template, which
+    * must inline the loop; KernelDifferentialSpec pins all three to
+    * the same bit sequence.
+    */
+  private[functions] def dotFold(a: ArrayData, b: ArrayData): Double = {
     val n = java.lang.Math.min(a.numElements(), b.numElements())
     var acc = 0.0
     var i = 0
@@ -239,8 +237,11 @@ object GraftVec {
       acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble
       i += 1
     }
-    acc / java.lang.Math.sqrt(n2a * n2b)
+    acc
   }
+
+  def cosine(a: ArrayData, b: ArrayData, n2a: Double, n2b: Double): Double =
+    dotFold(a, b) / java.lang.Math.sqrt(n2a * n2b)
 }
 
 /** `graft_argmin_cell(x, cells, codebook)` — see [[GraftVec.argminCell]].
@@ -360,52 +361,39 @@ case class CosineSim(first: Expression, second: Expression,
   * (including one the harness created), via the catalyst registry shim.
   */
 object VectorFunctions {
+  /** THE canonical (name -> builder) list for every graft SQL function.
+    * Both registration paths — [[ensureRegistered]] (runtime attach to
+    * an existing session) and [[graft.GraftExtensions]] (session-build
+    * injection via `spark.sql.extensions`) — iterate this single list,
+    * so the two paths cannot drift apart: a kernel added here is
+    * resolvable through either front door.
+    */
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_dot" -> (c => FloatDotProduct(c(0), c(1))),
+    "graft_isect" -> (c => SortedArrayIntersectCount(c(0), c(1))),
+    "graft_argmin_cell" -> (c => ArgminCell(c(0), c(1), c(2))),
+    "graft_dist_lut" -> (c => DistLut(c(0), c(1))),
+    "graft_cos" -> (c => CosineSim(c(0), c(1), c(2), c(3))),
+    "graft_minhash16" -> (c => MinhashSignatures(c(0))),
+    "graft_rh_buckets" -> (c => RhLshBuckets(c(0))),
+    "graft_simhash16" -> (c => Simhash16(c(0))),
+    "graft_simhash64" -> (c => Simhash64(c(0), c(1))),
+    "graft_bloom_contains" -> (c => BloomContains(c(0), c(1))),
+    "graft_h16" -> (c => Md5PrefixHash(c(0), 4)),
+    "graft_h32" -> (c => Md5PrefixHash(c(0), 8)),
+    "graft_h64" -> (c => Md5PrefixHash(c(0), 15)),
+    "graft_h16a" -> (c => Md5SegmentHashArray(c(0), 1, 4)),
+    "graft_h32a" -> (c => Md5SegmentHashArray(c(0), 1, 8)),
+    "graft_h32b" -> (c => Md5SegmentHashArray(c(0), 9, 8)),
+    "graft_h64sd" -> (c => Md5PrefixSortedDistinct(c(0), 15)),
+    "graft_cdc_ends" -> (c => CdcEnds(c(0))),
+    "graft_char3grams" -> (c => CharNgrams(c(0), 3)),
+    "graft_char5grams" -> (c => CharNgrams(c(0), 5))
+  )
+
   /** Idempotent: makes graft's native expressions resolvable in SQL. */
-  def ensureRegistered(spark: SparkSession): Unit = {
-    org.apache.spark.sql.GraftRegistry.register(spark, "graft_dot",
-      (children: Seq[Expression]) =>
-        FloatDotProduct(children(0), children(1)))
-    org.apache.spark.sql.GraftRegistry.register(spark, "graft_isect",
-      (children: Seq[Expression]) =>
-        SortedArrayIntersectCount(children(0), children(1)))
-    org.apache.spark.sql.GraftRegistry.register(spark, "graft_argmin_cell",
-      (children: Seq[Expression]) =>
-        ArgminCell(children(0), children(1), children(2)))
-    org.apache.spark.sql.GraftRegistry.register(spark, "graft_dist_lut",
-      (children: Seq[Expression]) => DistLut(children(0), children(1)))
-    org.apache.spark.sql.GraftRegistry.register(spark, "graft_cos",
-      (children: Seq[Expression]) =>
-        CosineSim(children(0), children(1), children(2), children(3)))
-    org.apache.spark.sql.GraftRegistry.register(spark, "graft_minhash16",
-      (children: Seq[Expression]) => MinhashSignatures(children(0)))
-    org.apache.spark.sql.GraftRegistry.register(spark, "graft_rh_buckets",
-      (children: Seq[Expression]) => RhLshBuckets(children(0)))
-    org.apache.spark.sql.GraftRegistry.register(spark, "graft_simhash16",
-      (children: Seq[Expression]) => Simhash16(children(0)))
-    org.apache.spark.sql.GraftRegistry.register(spark, "graft_simhash64",
-      (children: Seq[Expression]) => Simhash64(children(0), children(1)))
-    org.apache.spark.sql.GraftRegistry.register(spark, "graft_bloom_contains",
-      (children: Seq[Expression]) => BloomContains(children(0), children(1)))
-    org.apache.spark.sql.GraftRegistry.register(spark, "graft_h16",
-      (children: Seq[Expression]) => Md5PrefixHash(children(0), 4))
-    org.apache.spark.sql.GraftRegistry.register(spark, "graft_h32",
-      (children: Seq[Expression]) => Md5PrefixHash(children(0), 8))
-    org.apache.spark.sql.GraftRegistry.register(spark, "graft_h64",
-      (children: Seq[Expression]) => Md5PrefixHash(children(0), 15))
-    org.apache.spark.sql.GraftRegistry.register(spark, "graft_h16a",
-      (children: Seq[Expression]) => Md5SegmentHashArray(children(0), 1, 4))
-    org.apache.spark.sql.GraftRegistry.register(spark, "graft_h32a",
-      (children: Seq[Expression]) => Md5SegmentHashArray(children(0), 1, 8))
-    org.apache.spark.sql.GraftRegistry.register(spark, "graft_h32b",
-      (children: Seq[Expression]) => Md5SegmentHashArray(children(0), 9, 8))
-    org.apache.spark.sql.GraftRegistry.register(spark, "graft_h64sd",
-      (children: Seq[Expression]) =>
-        Md5PrefixSortedDistinct(children(0), 15))
-    org.apache.spark.sql.GraftRegistry.register(spark, "graft_cdc_ends",
-      (children: Seq[Expression]) => CdcEnds(children(0)))
-    org.apache.spark.sql.GraftRegistry.register(spark, "graft_char3grams",
-      (children: Seq[Expression]) => CharNgrams(children(0), 3))
-    org.apache.spark.sql.GraftRegistry.register(spark, "graft_char5grams",
-      (children: Seq[Expression]) => CharNgrams(children(0), 5))
-  }
+  def ensureRegistered(spark: SparkSession): Unit =
+    builders.foreach { case (name, builder) =>
+      org.apache.spark.sql.GraftRegistry.register(spark, name, builder)
+    }
 }

@@ -413,23 +413,42 @@ object StreamReplay extends QueryPack {
   // exercises exactly that).
   //
   // Watermark delay = the replay's STUDY HORIZON (25 days), not the
-  // production lateness knob, chosen for this 30-day fixture (days
-  // 19723..19752, cohorts 19723/19724) so that by end of feed the
-  // watermark (last_ts - 25 d ~= day 19727.98) (a) has passed every
-  // cohort day start -> all provisional cohorts finalize and emit, and
-  // (b) has NOT reached the first window-lapse boundary ((19723 + 8) *
-  // day = 19731) -> no state expires mid-replay, because expiry +
-  // post-window re-activity would re-cohort the user (the documented
-  // bounded-state approximation) and a full-history replay must
-  // reproduce exact batch MIN(day) semantics. Backfill lateness and
-  // steady-state lateness are different deployment knobs; StreamsSpec
-  // covers the short-delay expiry path the fixture must avoid.
-  private val RetentionReplayDelay = "25 days"
+  // production lateness knob, chosen for the 30-day fixture (days
+  // 19723..19752; first-seen cohort days cluster in the first few
+  // days, through 19726 at sf0.1) so that by end of feed the watermark
+  // (last_ts - 25 d ~= day 19727.98) (a) has passed every cohort day
+  // start -> all provisional cohorts finalize and emit, and (b) has
+  // NOT reached the first window-lapse boundary ((min cohort + 8) *
+  // day) -> no state expires mid-replay, because expiry + post-window
+  // re-activity would re-cohort the user (the documented bounded-state
+  // approximation) and a full-history replay must reproduce exact
+  // batch MIN(day) semantics. Backfill lateness and steady-state
+  // lateness are different deployment knobs; StreamsSpec covers the
+  // short-delay expiry path the fixture must avoid. Both window
+  // conditions are ASSERTED against the actual feed below, so a
+  // fixture regeneration that moves cohorts outside the window fails
+  // loudly naming this constant instead of silently dropping rows.
+  private val RetentionReplayDelayDays = 25L
+  private val RetentionReplayDelay = s"$RetentionReplayDelayDays days"
 
   private def retentionReplaySink(s: SparkSession, dir: String,
                                   evs: Seq[Event]): DataFrame = {
     import s.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val dayNs = 86400000000000L
+    val wmEndNs = evs.map(_.ts).max - RetentionReplayDelayDays * dayNs
+    val cohortDays = evs.groupBy(_.user_id).values
+      .map(_.map(_.ts).min / dayNs)
+    require(cohortDays.max * dayNs <= wmEndNs,
+      s"RetentionReplayDelay ($RetentionReplayDelay) too LARGE for this " +
+        s"fixture: the end-of-feed watermark (day ${wmEndNs / dayNs}) " +
+        s"never passes cohort day ${cohortDays.max}, so that cohort " +
+        "would never finalize and the replay would drop its rows")
+    require((cohortDays.min + 8) * dayNs > wmEndNs,
+      s"RetentionReplayDelay ($RetentionReplayDelay) too SMALL for this " +
+        s"fixture: the watermark (day ${wmEndNs / dayNs}) passes cohort " +
+        s"${cohortDays.min}'s window-lapse boundary mid-replay, so its " +
+        "users' state would expire and post-window activity re-cohort")
     val in = MemoryStream[Event]
     val sink = s"st_retention_replay_sink_${sinkSeq.incrementAndGet()}"
     withReplayPartitions(s) {

@@ -29,6 +29,13 @@ class GraftExtensionsSpec extends AnyFunSuite {
       // md5('abc') = 900150983cd24fb0...: first 8 hex digits
       assert(r.getLong(0) == java.lang.Long.parseLong("90015098", 16))
       assert(r.getDouble(1) == 11.0)
+      // EVERY canonical builder must resolve through the extension
+      // path — the lists cannot drift because they are the same list,
+      // but a registration failure (name collision, builder arity)
+      // would still surface here
+      graft.functions.VectorFunctions.builders.foreach { case (name, _) =>
+        assert(s2.catalog.functionExists(name), s"$name not injected")
+      }
       assert(s2.sessionState.planner.strategies
         .contains(graft.plans.TopKPerKeyStrategy))
       // the injected optimizer rule retargets the plain window-top-k

@@ -303,8 +303,11 @@ class StreamsSpec extends AnyFunSuite {
         ev(3, 11 * D + 2, 1, "view"), ev(4, 13 * D, 1, "view"),
         ev(5, 10 * D, 2, "view"))
       q.processAllAvailable()
-      // next batch: day-11 re-activity stays deduped by state; day 18
-      // is offset 8 -> beyond the cap, no hit
+      // next batch: the watermark (day-13 max minus 24 h = day 12)
+      // late-drops the day-11 re-delivery before the operator sees it
+      // (in-window re-activity dedup by mask is covered by the
+      // finalized-branch case below); day 18 is offset 8 -> beyond the
+      // cap, no hit
       in.addData(ev(6, 11 * D + 9, 1, "view"), ev(7, 18 * D, 1, "view"))
       q.processAllAvailable()
       val out = spark.table("retention")
@@ -392,6 +395,18 @@ class StreamsSpec extends AnyFunSuite {
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
       assert(out == Set((1L, 0L, 0L), (1L, 0L, 1L), (1L, 21L, 0L),
         (2L, 20L, 0L), (2L, 20L, 3L)), out)
+      // post-finalization live path: user 1 is FINALIZED at cohort 21
+      // now (the timeout fired once the watermark passed day 21), so a
+      // fresh in-window day at/above the watermark (~day 23 - 1 h)
+      // emits immediately through the per-event branch — the
+      // steady-state production path, not the backlog flush — and the
+      // same-day re-delivery dedups against the mask
+      in.addData(ev(8, 23 * D + 20, 1, "view"), ev(9, 23 * D + 30, 1, "view"))
+      q.processAllAvailable()
+      val after = spark.table("retention_ttl")
+        .selectExpr("user_id", "cohort_day", "day_offset").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(after == out + ((1L, 21L, 2L)), after)
     } finally q.stop()
   }
 
