@@ -1052,6 +1052,13 @@ object Dedup extends QueryPack {
   private def ddEmbedCosineLsh(s: SparkSession, dir: String): DataFrame =
     ddEmbedLshPairs(s, dir).orderBy(col("vec_a"), col("vec_b"))
 
+  /** Test/profiling hook: the exact edge frame dd_embed_cluster /
+    * dd_semdedup feed into label propagation.
+    */
+  private[graft] def embedClusterEdges(s: SparkSession,
+                                       dir: String): DataFrame =
+    ddEmbedLshPairs(s, dir).select("vec_a", "vec_b")
+
   private val ddEmbedCosineLshSql = {
     val bandSelects = (0 until CosBands)
       .map(b => s"SELECT vec_id, $b AS band, bkt_$b AS bkt FROM e")
