@@ -164,6 +164,11 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Scan ExistingRDD"), p.take(3000))
     assert(!p.contains("posexplode"), p.take(3000))
     assert(!p.contains("CartesianProduct"), p.take(3000))
+    // the ADC LUT is the broadcast-codebook kernel (O(1) generated code
+    // in the cell count), not the literal per-centroid distance arrays
+    // whose codegen grows O(K·dim)
+    assert(p.contains("graft_dist_lut"), p.take(3000))
+    assert(!p.contains("array_min"), p.take(3000))
   }
 
   test("sim_ivfpq_refine: refine joins stay training-free point lookups") {
@@ -217,6 +222,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.take(3000))
     assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
       p.contains("ShuffledHashJoin"), p.take(3000))
+  }
+
+  test("dd_embed pair re-score: fused graft_cos kernel with the raw " +
+       "prefilter ahead of the rounded threshold") {
+    val p = plan("dd_embed_cosine_lsh")
+    // one kernel call per pair instead of a dot/sqrt/divide tree, and
+    // the primitive-compare prefilter that keeps BigDecimal rounding
+    // off the hot path (provably looser than round(cs,6) >= 0.4)
+    assert(p.contains("graft_cos("), p.take(3000))
+    assert(p.contains("0.3999994"), p.take(3000))
   }
 
   test("dd_embed_cosine_lsh: banded candidates — no all-pairs or constant-key join") {
