@@ -82,25 +82,10 @@ object Bench {
     // plan, whatever the clock says). Snapshots are taken after a
     // listener-bus drain (BusFlush) so events land on the query that
     // produced them.
-    val jobCounter = new java.util.concurrent.atomic.AtomicInteger
-    val cpuNs = new java.util.concurrent.atomic.AtomicLong
-    val shufWr = new java.util.concurrent.atomic.AtomicLong
-    spark.sparkContext.addSparkListener(
-      new org.apache.spark.scheduler.SparkListener {
-        override def onJobStart(
-            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
-          jobCounter.incrementAndGet(); ()
-        }
-        override def onTaskEnd(
-            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
-          val tm = te.taskMetrics
-          if (tm != null) {
-            cpuNs.addAndGet(tm.executorCpuTime + tm.executorDeserializeCpuTime)
-            shufWr.addAndGet(tm.shuffleWriteMetrics.bytesWritten)
-            ()
-          }
-        }
-      })
+    val metrics = MetricListener.install(spark.sparkContext)
+    val jobCounter = metrics.jobs
+    val cpuNs = metrics.cpuNs
+    val shufWr = metrics.shuffleWriteBytes
     def drain(): Unit =
       org.apache.spark.graftbench.BusFlush.flush(spark.sparkContext)
 

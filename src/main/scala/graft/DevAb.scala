@@ -10,23 +10,9 @@ object DevAb {
     val name = args(0)
     val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val spark = Engine.session("dev-ab")
-    val cpuNs = new java.util.concurrent.atomic.AtomicLong
-    val jobs = new java.util.concurrent.atomic.AtomicInteger
-    spark.sparkContext.addSparkListener(
-      new org.apache.spark.scheduler.SparkListener {
-        override def onJobStart(
-            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
-          jobs.incrementAndGet(); ()
-        }
-        override def onTaskEnd(
-            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
-          val tm = te.taskMetrics
-          if (tm != null) {
-            cpuNs.addAndGet(tm.executorCpuTime + tm.executorDeserializeCpuTime)
-            ()
-          }
-        }
-      })
+    val metrics = MetricListener.install(spark.sparkContext)
+    val cpuNs = metrics.cpuNs
+    val jobs = metrics.jobs
     def frame(): org.apache.spark.sql.DataFrame =
       if (name == "embed_edges")
         graft.operators.Dedup.embedClusterEdges(spark, dir)

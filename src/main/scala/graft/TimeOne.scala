@@ -9,23 +9,9 @@ object TimeOne {
     val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val reps = if (args.length > 2) args(2).toInt else 3
     val spark = Engine.session("time-one")
-    val jobCounter = new java.util.concurrent.atomic.AtomicInteger
-    val cpuNs = new java.util.concurrent.atomic.AtomicLong
-    spark.sparkContext.addSparkListener(
-      new org.apache.spark.scheduler.SparkListener {
-        override def onJobStart(
-            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
-          jobCounter.incrementAndGet(); ()
-        }
-        override def onTaskEnd(
-            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
-          val tm = te.taskMetrics
-          if (tm != null) {
-            cpuNs.addAndGet(tm.executorCpuTime + tm.executorDeserializeCpuTime)
-            ()
-          }
-        }
-      })
+    val metrics = MetricListener.install(spark.sparkContext)
+    val jobCounter = metrics.jobs
+    val cpuNs = metrics.cpuNs
     try SparkEntry.queries("q02_filter_pushdown")(spark, dir).count()
     catch { case _: Throwable => () }
     val times = (1 to reps).map { _ =>

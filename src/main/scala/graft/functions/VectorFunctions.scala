@@ -155,17 +155,6 @@ case class SortedArrayIntersectCount(left: Expression, right: Expression)
   */
 object GraftVec {
 
-  /** Nearest-centroid assignment against a flattened codebook:
-    * `cells(k)` ids (caller passes them sorted ascending) and
-    * `codebook` = concat of the K centroids, each `dim = x.length`
-    * longs. Distance is the exact integer squared L2 of the quantized
-    * vectors — identical to the
-    * `aggregate(zip_with(x, c, (p,q) -> (p-q)*(p-q)), 0L, +)` fold the
-    * literal form ran per centroid. Strict `<` keeps the FIRST
-    * minimum, which over cell-sorted input is the lowest cell id —
-    * exactly `array_position(dists, array_min(dists))` on a
-    * cell-sorted literal array.
-    */
   /** Exact integer squared L2 between `x` and centroid `c` (rows of
     * `dim` longs starting at `c * dim` in the flattened codebook) —
     * THE distance of both quantization kernels, defined once.
@@ -183,6 +172,17 @@ object GraftVec {
     dist
   }
 
+  /** Nearest-centroid assignment against a flattened codebook:
+    * `cells(k)` ids (caller passes them sorted ascending) and
+    * `codebook` = concat of the K centroids, each `dim = x.length`
+    * longs. Distance is the exact integer squared L2 of the quantized
+    * vectors — identical to the
+    * `aggregate(zip_with(x, c, (p,q) -> (p-q)*(p-q)), 0L, +)` fold the
+    * literal form ran per centroid. Strict `<` keeps the FIRST
+    * minimum, which over cell-sorted input is the lowest cell id —
+    * exactly `array_position(dists, array_min(dists))` on a
+    * cell-sorted literal array.
+    */
   def argminCell(x: ArrayData, cells: ArrayData, codebook: ArrayData): Long = {
     val dim = x.numElements()
     val k = cells.numElements()
@@ -214,15 +214,6 @@ object GraftVec {
     new GenericArrayData(out)
   }
 
-  /** Fused raw cosine: the exact IEEE sequence of
-    * `graft_dot(a, b) / sqrt(n2a * n2b)` — left-fold dot in double,
-    * one multiply, one sqrt, one divide — as a single call, so the
-    * pairwise re-score of the banded dedup paths costs one kernel
-    * invocation per pair instead of a four-node expression tree.
-    * NOT rounded: callers keep `round(..., 6)` outside (it is the
-    * cross-engine contract), but can now prefilter on the raw value
-    * and pay the BigDecimal rounding only for near-threshold pairs.
-    */
   /** THE left-fold dot product (the cross-engine IEEE contract) —
     * shared by [[cosine]] and [[FloatDotProduct]]'s interpreted path.
     * The only other copy is FloatDotProduct's codegen template, which
@@ -240,6 +231,15 @@ object GraftVec {
     acc
   }
 
+  /** Fused raw cosine: the exact IEEE sequence of
+    * `graft_dot(a, b) / sqrt(n2a * n2b)` — left-fold dot in double,
+    * one multiply, one sqrt, one divide — as a single call, so the
+    * pairwise re-score of the banded dedup paths costs one kernel
+    * invocation per pair instead of a four-node expression tree.
+    * NOT rounded: callers keep `round(..., 6)` outside (it is the
+    * cross-engine contract), but can now prefilter on the raw value
+    * and pay the BigDecimal rounding only for near-threshold pairs.
+    */
   def cosine(a: ArrayData, b: ArrayData, n2a: Double, n2b: Double): Double =
     dotFold(a, b) / java.lang.Math.sqrt(n2a * n2b)
 }

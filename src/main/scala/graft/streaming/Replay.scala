@@ -418,8 +418,9 @@ object StreamReplay extends QueryPack {
   // days, through 19726 at sf0.1) so that by end of feed the watermark
   // (last_ts - 25 d ~= day 19727.98) (a) has passed every cohort day
   // start -> all provisional cohorts finalize and emit, and (b) has
-  // NOT reached the first window-lapse boundary ((min cohort + 8) *
-  // day) -> no state expires mid-replay, because expiry + post-window
+  // NOT reached the first window-lapse boundary ((min cohort +
+  // maxOffset + 1) * day) -> no state expires mid-replay, because
+  // expiry + post-window
   // re-activity would re-cohort the user (the documented bounded-state
   // approximation) and a full-history replay must reproduce exact
   // batch MIN(day) semantics. Backfill lateness and steady-state
@@ -439,12 +440,20 @@ object StreamReplay extends QueryPack {
     val wmEndNs = evs.map(_.ts).max - RetentionReplayDelayDays * dayNs
     val cohortDays = evs.groupBy(_.user_id).values
       .map(_.map(_.ts).min / dayNs)
-    require(cohortDays.max * dayNs <= wmEndNs,
+    // Spark fires an event-time timeout only when timeout < watermark
+    // STRICTLY, on the millisecond channel (the watermark is the
+    // ms-floored max event time minus delay) — so the guard must be
+    // strict on that same ms channel: a fixture landing exactly on the
+    // boundary would pass a <=-on-nanos check yet never finalize its
+    // max cohort, surfacing as a confusing oracle hash mismatch
+    // instead of this loud require.
+    require(cohortDays.max * dayNs / 1000000L < wmEndNs / 1000000L,
       s"RetentionReplayDelay ($RetentionReplayDelay) too LARGE for this " +
         s"fixture: the end-of-feed watermark (day ${wmEndNs / dayNs}) " +
-        s"never passes cohort day ${cohortDays.max}, so that cohort " +
-        "would never finalize and the replay would drop its rows")
-    require((cohortDays.min + 8) * dayNs > wmEndNs,
+        s"never strictly passes cohort day ${cohortDays.max} on the ms " +
+        "timeout channel, so that cohort would never finalize and the " +
+        "replay would drop its rows")
+    require((cohortDays.min + Streams.RetentionMaxOffset + 1) * dayNs > wmEndNs,
       s"RetentionReplayDelay ($RetentionReplayDelay) too SMALL for this " +
         s"fixture: the watermark (day ${wmEndNs / dayNs}) passes cohort " +
         s"${cohortDays.min}'s window-lapse boundary mid-replay, so its " +

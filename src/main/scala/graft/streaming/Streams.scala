@@ -306,6 +306,13 @@ case class FunnelAdvance(user_id: Long, step: Int, at_us: Long)
     */
   case class RetentionHit(user_id: Long, cohort_day: Long, day_offset: Long)
 
+  /** Default day-offset ceiling (day-7 retention). Shared with the
+    * replay gate's window-lapse guard (StreamReplay) so the state-
+    * removal boundary `(cohortDay + maxOffset + 1) * dayNs` and the
+    * guard that asserts no cohort crosses it mid-replay cannot drift.
+    */
+  val RetentionMaxOffset: Int = 7
+
   /** Streaming face of the batch st_retention query: day-N cohort
     * retention as flatMapGroupsWithState with BOUNDED state. Day
     * arithmetic is exact integer `ts div 1 day` — identical to the
@@ -345,7 +352,7 @@ case class FunnelAdvance(user_id: Long, step: Int, at_us: Long)
     */
   def retentionStream(events: Dataset[Event],
                       dayNs: Long = 86400000000000L,
-                      maxOffset: Int = 7,
+                      maxOffset: Int = RetentionMaxOffset,
                       delay: String = "24 hours"): Dataset[RetentionHit] = {
     import events.sparkSession.implicits._
     val dayMs = dayNs / 1000000L
