@@ -231,6 +231,28 @@ object StreamReplay extends QueryPack {
     import s.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
     val evs = orderedEvents(s, dir)
+    // A full-history replay must reproduce the batch funnel exactly, so
+    // no user's state may expire mid-replay (expiry + later activity
+    // restarts the funnel and re-emits step 1 — the operator's
+    // documented bounded-state approximation). A user can only expire
+    // while still having later events if some consecutive per-user gap
+    // exceeds the idle TTL (+ the watermark delay, which only adds
+    // slack), so guard on the largest gap over the funnel's step events
+    // — a fixture regeneration that opens a TTL-sized hole fails loudly
+    // here instead of silently double-counting step 1.
+    val funnelTtlNs = Streams.FunnelIdleTtlDays * 86400000000000L
+    val stepTypes = Set("view", "click", "purchase") // funnelStream default
+    val maxGapNs = evs.filter(e => stepTypes(e.event_type))
+      .groupBy(_.user_id).values.map { es =>
+        val ts = es.map(_.ts).sorted
+        if (ts.size < 2) 0L
+        else ts.sliding(2).map(p => p(1) - p(0)).max
+      }.foldLeft(0L)(math.max)
+    require(maxGapNs < funnelTtlNs,
+      s"FunnelIdleTtlDays (${Streams.FunnelIdleTtlDays}) too SMALL for " +
+        s"this fixture: a user has a ${maxGapNs / 86400000000000L}-day " +
+        "event gap, so their funnel state would expire mid-replay and " +
+        "the sink would diverge from the batch oracle")
     val in = MemoryStream[Event]
     val sink = s"st_funnel_replay_sink_${sinkSeq.incrementAndGet()}"
     withReplayPartitions(s) {

@@ -35,6 +35,14 @@ case class SessionEvent(event_id: Long, ts: Long, user_id: Long,
 case class BandRow(band: Int, bkey: String, doc_id: Long, ts: Long,
                    event_time: java.sql.Timestamp)
 
+/** [[Event]] narrowed for the funnel tracker, with the watermarked
+  * `event_time` kept in the row so the stateful operator sees the
+  * watermark annotation (same pattern as [[SessionEvent]]).
+  */
+case class FunnelEvent(event_id: Long, ts: Long, user_id: Long,
+                       event_type: String,
+                       event_time: java.sql.Timestamp)
+
 /** Band-bucket state: the current bucket owner plus the bucket's last
   * activity time (`last_ns`), which drives gap-based owner eviction.
   */
@@ -473,49 +481,95 @@ case class FunnelAdvance(user_id: Long, step: Int, at_us: Long)
         col("value"))
   }
 
+  /** Default idle TTL, in days of event-time inactivity, after which a
+    * funnel user's state is dropped (see [[funnelStream]]'s state
+    * lifecycle note). Shared with the replay gate's no-mid-replay-
+    * expiry guard (StreamReplay) so the operator's expiry boundary and
+    * the guard that asserts no user crosses it cannot drift.
+    */
+  val FunnelIdleTtlDays: Long = 90L
+
   /** Streaming face of the batch st_funnel query: per-user ordered-step
     * tracking (view -> click -> purchase at micro granularity, strict
     * '>' between steps like the batch query) as flatMapGroupsWithState,
     * emitting an advance record each time a user reaches a new step.
     * Counting advances per step downstream reproduces st_funnel's
-    * per-step user counts incrementally. State is one 24-byte triple
-    * per user ever seen in the funnel — bounded by users, not events;
-    * production deployments add a state TTL for lapsed users.
+    * per-step user counts incrementally.
+    *
+    * State lifecycle (the 100 TB bound): state is one 24-byte triple
+    * per user, REMOVED by an event-time timeout once the watermark
+    * passes `idleTtlDays` of event-time inactivity for that user
+    * (every in-TTL event refreshes the clock, including events that
+    * advance nothing — a completed or stalled funnel stays resident
+    * only while its user stays active). Executor state is therefore
+    * proportional to users active within one TTL of the watermark,
+    * never to lifetime user cardinality. The semantic this trades
+    * away: a user resurfacing AFTER expiry restarts from step 1 and
+    * re-emits the steps they reach again — the same bounded-state
+    * approximation as [[retentionStream]] (exact whole-history funnel
+    * semantics require unbounded memory in ANY engine). A
+    * full-history REPLAY that must reproduce the batch table exactly
+    * therefore needs the TTL to exceed the largest per-user event-time
+    * gap in the feed, which StreamReplay.stFunnelReplay asserts
+    * against the actual fixture.
     */
   def funnelStream(events: Dataset[Event],
-                   steps: Seq[String] = Seq("view", "click", "purchase"))
+                   steps: Seq[String] = Seq("view", "click", "purchase"),
+                   delay: String = "24 hours",
+                   idleTtlDays: Long = FunnelIdleTtlDays)
       : Dataset[FunnelAdvance] = {
     import events.sparkSession.implicits._
     require(steps.size == 3, "funnelStream tracks a 3-step funnel")
+    require(idleTtlDays >= 1, s"idleTtlDays must be >= 1, got $idleTtlDays")
     val NotReached = Long.MinValue
+    val ttlMs = idleTtlDays * 86400000L
     events
       .filter(e => steps.contains(e.event_type))
+      .withColumn("event_time", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("event_time", delay)
+      .select("event_id", "ts", "user_id", "event_type", "event_time")
+      .as[FunnelEvent]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[FunnelState, FunnelAdvance](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        case (userId: Long, batch: Iterator[Event],
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (userId: Long, batch: Iterator[FunnelEvent],
               state: GroupState[FunnelState]) =>
-          val sorted = batch.toSeq.sortBy(e => (e.ts, e.event_id))
-          var st = state.getOption
-            .getOrElse(FunnelState(NotReached, NotReached, NotReached))
-          val out = Seq.newBuilder[FunnelAdvance]
-          sorted.foreach { e =>
-            val us = e.ts / 1000
-            if (e.event_type == steps(0) && st.t1 == NotReached) {
-              st = st.copy(t1 = us)
-              out += FunnelAdvance(userId, 1, us)
-            } else if (e.event_type == steps(1) && st.t2 == NotReached
-                && st.t1 != NotReached && us > st.t1) {
-              st = st.copy(t2 = us)
-              out += FunnelAdvance(userId, 2, us)
-            } else if (e.event_type == steps(2) && st.t3 == NotReached
-                && st.t2 != NotReached && us > st.t2) {
-              st = st.copy(t3 = us)
-              out += FunnelAdvance(userId, 3, us)
+          if (state.hasTimedOut) {
+            // idle TTL lapsed: the user has been silent for a full TTL
+            // of event time, so the state is dropped (resurfacing
+            // restarts the funnel — the documented approximation)
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = batch.toSeq.sortBy(e => (e.ts, e.event_id))
+            var st = state.getOption
+              .getOrElse(FunnelState(NotReached, NotReached, NotReached))
+            val out = Seq.newBuilder[FunnelAdvance]
+            sorted.foreach { e =>
+              val us = e.ts / 1000
+              if (e.event_type == steps(0) && st.t1 == NotReached) {
+                st = st.copy(t1 = us)
+                out += FunnelAdvance(userId, 1, us)
+              } else if (e.event_type == steps(1) && st.t2 == NotReached
+                  && st.t1 != NotReached && us > st.t1) {
+                st = st.copy(t2 = us)
+                out += FunnelAdvance(userId, 2, us)
+              } else if (e.event_type == steps(2) && st.t3 == NotReached
+                  && st.t2 != NotReached && us > st.t2) {
+                st = st.copy(t3 = us)
+                out += FunnelAdvance(userId, 3, us)
+              }
             }
+            state.update(st)
+            // refresh the idle clock to this batch's newest event;
+            // clamp above the watermark (Spark rejects a timeout at or
+            // below it, and a timeout in the watermark's past should
+            // fire at the next opportunity anyway)
+            val lastMs = sorted.last.ts / 1000000L
+            state.setTimeoutTimestamp(
+              math.max(lastMs + ttlMs, state.getCurrentWatermarkMs() + 1))
+            out.result().iterator
           }
-          state.update(st)
-          out.result().iterator
       }
   }
 }

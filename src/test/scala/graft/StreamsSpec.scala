@@ -223,6 +223,54 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("funnelStream drops an idle user's state after the TTL; " +
+       "resurfacing restarts the funnel") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val D = 86400000000000L // 1 day in ns
+    def stateRows(q: org.apache.spark.sql.streaming.StreamingQuery): Long =
+      q.recentProgress.reverse
+        .find(_.stateOperators.nonEmpty).get.stateOperators(0).numRowsTotal
+    val in = MemoryStream[Event]
+    val q = Streams.funnelStream(in.toDS(), delay = "1 hour",
+        idleTtlDays = 2L)
+      .writeStream.format("memory").queryName("funnel_ttl")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // user 1 reaches step 2 on day 0, then goes idle
+      in.addData(ev(1, H, 1, "view"), ev(2, 2 * H, 1, "click"))
+      q.processAllAvailable()
+      assert(stateRows(q) == 1L)
+      // user 2's day-10 traffic pushes the watermark ~8 days past user
+      // 1's idle-TTL boundary (day 2); the following batch fires user
+      // 1's expiry timeout -> only user 2's state remains
+      // offsets are a full millisecond: the step guards compare at
+      // MICRO granularity (strict '>'), so a nanosecond-scale offset
+      // would collapse to the same microsecond and advance nothing
+      val M = 1000000L // 1 ms in ns
+      in.addData(ev(3, 10 * D, 2, "view"))
+      q.processAllAvailable()
+      in.addData(ev(4, 10 * D + M, 2, "click"))
+      q.processAllAvailable()
+      assert(stateRows(q) == 1L)
+      // user 1 resurfaces on day 11: with the old state expired, the
+      // purchase finds no step-2 history and emits NOTHING (were the
+      // state alive, it would advance to step 3); the later view then
+      // restarts the funnel and re-emits step 1 — the documented
+      // bounded-state approximation
+      in.addData(ev(5, 11 * D, 1, "purchase"), ev(6, 11 * D + M, 1, "view"))
+      q.processAllAvailable()
+      val out = spark.table("funnel_ttl")
+        .selectExpr("user_id", "step", "at_us").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      assert(out == Set(
+        (1L, 1, H / 1000), (1L, 2, 2 * H / 1000),
+        (2L, 1, 10 * D / 1000), (2L, 2, (10 * D + M) / 1000),
+        (1L, 1, (11 * D + M) / 1000)), out)
+    } finally q.stop()
+  }
+
   test("attributeStream joins purchases to clicks within the hour window") {
     val spark0 = spark
     import spark0.implicits._
