@@ -507,7 +507,7 @@ object StreamReplay extends QueryPack {
   }
 
   private def stRetentionReplay(s: SparkSession, dir: String): DataFrame =
-    retentionReplaySink(s, dir, orderedEvents(s, dir))
+    retentionReplaySink(s, dir, orderedEvents(s, dir).toIndexedSeq)
 
   // The bounded-disorder gate: the same events with each one displaced
   // by a deterministic pseudo-random jitter of up to ONE DAY in feed
@@ -523,7 +523,7 @@ object StreamReplay extends QueryPack {
     val evs = orderedEvents(s, dir).sortBy(e =>
       (e.ts + java.lang.Math.floorMod(e.event_id * 2654435761L, slackNs),
         e.event_id))
-    retentionReplaySink(s, dir, evs)
+    retentionReplaySink(s, dir, evs.toIndexedSeq)
   }
 
   private val stRetentionReplaySql = {
