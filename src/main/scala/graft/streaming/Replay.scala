@@ -219,24 +219,34 @@ object StreamReplay extends QueryPack {
   // Replay gate for the fMGWS funnel tracker: per user, the first
   // view sets step 1, the first later click step 2, the first
   // still-later purchase step 3 (strict '>' between steps, micros
-  // granularity). Under in-order delivery the advance set is a pure
-  // function of event-time order — each step's timestamp is the MIN
-  // qualifying event time — which is what the oracle restates as three
-  // chained MIN aggregates (the batch st_funnel shape, here per user
-  // with the advance timestamps, not just counts). No micro-alignment
-  // is needed: the state machine compares in micros (ts div 1000), so
-  // nanosecond order ties within a microsecond cannot change any
-  // strict '>' outcome.
-  private def stFunnelReplay(s: SparkSession, dir: String): DataFrame = {
+  // granularity). The operator buffers events in state and folds them
+  // only once the watermark passes (see funnelStream's deferral note),
+  // so the advance set is a pure function of EVENT-TIME order under
+  // any disorder bounded by the watermark delay — which is what the
+  // oracle restates as three chained MIN aggregates (the batch
+  // st_funnel shape, here per user with the advance timestamps, not
+  // just counts), and why the in-order and _ooo gates share one SQL.
+  // No micro-alignment is needed: the state machine compares in
+  // micros (ts div 1000), so nanosecond order ties within a
+  // microsecond cannot change any strict '>' outcome.
+  /** Watermark delay for the funnel replays: 2 days — comfortably above
+    * the OOO gate's 1-day feed disorder (so nothing late-drops) and far
+    * below [[Streams.FunnelIdleTtlDays]] so the no-mid-replay-expiry
+    * guard's margin is the TTL itself.
+    */
+  private val FunnelReplayDelay = "2 days"
+  private val FunnelReplayDelayNs = 2L * 86400000000000L
+
+  private def funnelReplaySink(s: SparkSession, dir: String,
+                               evs: Seq[Event]): DataFrame = {
     import s.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-    val evs = orderedEvents(s, dir)
     // A full-history replay must reproduce the batch funnel exactly, so
     // no user's state may expire mid-replay (expiry + later activity
     // restarts the funnel and re-emits step 1 — the operator's
     // documented bounded-state approximation). A user can only expire
-    // while still having later events if some consecutive per-user gap
-    // exceeds the idle TTL (+ the watermark delay, which only adds
+    // while still having undrained events if some consecutive per-user
+    // gap exceeds the idle TTL (+ the watermark delay, which only adds
     // slack), so guard on the largest gap over the funnel's step events
     // — a fixture regeneration that opens a TTL-sized hole fails loudly
     // here instead of silently double-counting step 1.
@@ -256,15 +266,52 @@ object StreamReplay extends QueryPack {
     val in = MemoryStream[Event]
     val sink = s"st_funnel_replay_sink_${sinkSeq.incrementAndGet()}"
     withReplayPartitions(s) {
-      val q = Streams.funnelStream(in.toDS())
+      val q = Streams.funnelStream(in.toDS(), delay = FunnelReplayDelay)
         .writeStream.format("memory").queryName(sink)
         .outputMode("append").start()
-      try feed(in, q, batched(evs.toIndexedSeq))
-      finally q.stop()
+      try {
+        feed(in, q, batched(evs.toIndexedSeq))
+        // Flush: the machine defers every event until the watermark
+        // strictly passes it, so the trailing `delay` of history is
+        // still buffered when the feed ends. Only step traffic can
+        // advance the funnel's clock (the step filter sits below the
+        // watermark node), so the sentinel is a far-future STEP event
+        // from the reserved user -1 — it pushes the watermark a full
+        // day past every real event, and its own buffered event sits
+        // past every watermark and never emits (the user_id filter
+        // below is belt and braces). A second batch at the same ts
+        // then fires the per-user drain timeouts deterministically.
+        val flushTs = evs.map(_.ts).max + FunnelReplayDelayNs +
+          86400000000000L
+        in.addData(Event(-1L, flushTs, -1L, "view", 0.0))
+        q.processAllAvailable()
+        in.addData(Event(-2L, flushTs, -1L, "view", 0.0))
+        q.processAllAvailable()
+      } finally q.stop()
     }
     s.table(sink)
+      .filter("user_id >= 0")
       .selectExpr("user_id", "cast(step as bigint) AS step", "at_us")
       .orderBy("user_id", "step")
+  }
+
+  private def stFunnelReplay(s: SparkSession, dir: String): DataFrame =
+    funnelReplaySink(s, dir, orderedEvents(s, dir).toIndexedSeq)
+
+  // The bounded-disorder gate: the same events with each one displaced
+  // by a deterministic pseudo-random jitter of up to ONE DAY in feed
+  // position (sorted by ts + jitter(event_id)), inside the replay's
+  // 2-day watermark delay so nothing is late-dropped, but clicks
+  // routinely reach the operator before their views. The sink must
+  // STILL equal the batch chained-MIN table — this is what the
+  // buffer-and-drain design buys; the old fold-on-arrival machine
+  // would silently skip every backward step pair here.
+  private def stFunnelOooReplay(s: SparkSession, dir: String): DataFrame = {
+    val slackNs = 86400000000000L // 1 day of feed-order disorder
+    val evs = orderedEvents(s, dir).sortBy(e =>
+      (e.ts + java.lang.Math.floorMod(e.event_id * 2654435761L, slackNs),
+        e.event_id))
+    funnelReplaySink(s, dir, evs.toIndexedSeq)
   }
 
   private val stFunnelReplaySql =
@@ -545,6 +592,7 @@ object StreamReplay extends QueryPack {
     Map("st_neardup_replay" -> (stNearDupReplay _),
         "st_sessions_replay" -> (stSessionsReplay _),
         "st_funnel_replay" -> (stFunnelReplay _),
+        "st_funnel_ooo_replay" -> (stFunnelOooReplay _),
         "st_attrib_replay" -> (stAttribReplay _),
         "st_dedup_replay" -> (stDedupReplay _),
         "st_window_replay" -> (stWindowReplay _),
@@ -555,6 +603,7 @@ object StreamReplay extends QueryPack {
     Map("st_neardup_replay" -> stNearDupReplaySql,
         "st_sessions_replay" -> stSessionsReplaySql,
         "st_funnel_replay" -> stFunnelReplaySql,
+        "st_funnel_ooo_replay" -> stFunnelReplaySql,
         "st_attrib_replay" -> stAttribReplaySql,
         "st_dedup_replay" -> stDedupReplaySql,
         "st_window_replay" -> stWindowReplaySql,

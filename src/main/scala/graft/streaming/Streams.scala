@@ -223,6 +223,19 @@ object Streams {
   */
 case class FunnelState(t1: Long, t2: Long, t3: Long)
 
+/** One funnel event buffered in state until the watermark passes it
+  * (ns timestamp, id for deterministic tie-break, step index 1-3).
+  */
+case class FunnelPend(ts: Long, event_id: Long, step: Int)
+
+/** Per-user funnel state: finalized progress ([[FunnelState]] fields),
+  * the newest event's ms timestamp (drives the idle TTL), and the
+  * events still ABOVE the watermark, deferred so the step machine only
+  * ever folds a complete, ordered prefix of the user's history.
+  */
+case class FunnelBufState(t1: Long, t2: Long, t3: Long,
+                          lastSeenMs: Long, pend: Seq[FunnelPend])
+
 /** Emitted whenever a user ADVANCES a step: their id, the new step
   * count reached (1-3), and the micro timestamp of the advancing event.
   */
@@ -496,22 +509,43 @@ case class FunnelAdvance(user_id: Long, step: Int, at_us: Long)
     * Counting advances per step downstream reproduces st_funnel's
     * per-step user counts incrementally.
     *
-    * State lifecycle (the 100 TB bound): state is one 24-byte triple
-    * per user, REMOVED by an event-time timeout once the watermark
-    * passes `idleTtlDays` of event-time inactivity for that user
-    * (every in-TTL event refreshes the clock, including events that
-    * advance nothing — a completed or stalled funnel stays resident
-    * only while its user stays active). Executor state is therefore
-    * proportional to users active within one TTL of the watermark,
-    * never to lifetime user cardinality. The semantic this trades
-    * away: a user resurfacing AFTER expiry restarts from step 1 and
-    * re-emits the steps they reach again — the same bounded-state
-    * approximation as [[retentionStream]] (exact whole-history funnel
-    * semantics require unbounded memory in ANY engine). A
-    * full-history REPLAY that must reproduce the batch table exactly
-    * therefore needs the TTL to exceed the largest per-user event-time
-    * gap in the feed, which StreamReplay.stFunnelReplay asserts
-    * against the actual fixture.
+    * DISORDER-PROOF BY DEFERRAL: the step machine is order-sensitive
+    * (a click folded before its view advances nothing, and is never
+    * revisited), so events are NOT folded on arrival. They are
+    * buffered in state and drained in `(ts, event_id)` order only once
+    * the watermark STRICTLY passes them — at which point no earlier
+    * event can ever be delivered (Spark drops rows older than the
+    * watermark before the stateful operator), so the machine always
+    * folds a complete ordered prefix of the user's history and the
+    * advance set equals the batch chained-MIN table under ANY disorder
+    * bounded by the watermark `delay` (the _ooo replay gate feeds
+    * exactly that). The cost: emission lags the watermark, and each
+    * user holds their above-watermark events in state — bounded by one
+    * `delay` window of that user's step traffic, the same bound the
+    * stream-stream join's buffer carries.
+    *
+    * State lifecycle (the 100 TB bound): the finalized triple plus the
+    * bounded pending buffer per user, REMOVED by an event-time timeout
+    * once the watermark passes `idleTtlDays` of event-time inactivity
+    * (the buffer is necessarily drained by then — pending events are
+    * at most `delay` old, and the TTL clamps at >= 1 day). Executor
+    * state is therefore proportional to users active within one TTL of
+    * the watermark, never to lifetime user cardinality. The semantic
+    * this trades away: a user resurfacing AFTER expiry restarts from
+    * step 1 and re-emits the steps they reach again — the same
+    * bounded-state approximation as [[retentionStream]] (exact
+    * whole-history funnel semantics require unbounded memory in ANY
+    * engine). A full-history REPLAY that must reproduce the batch
+    * table exactly therefore needs the TTL to exceed the largest
+    * per-user event-time gap in the feed, which
+    * StreamReplay.stFunnelReplay asserts against the actual fixture.
+    *
+    * The stream clock advances on step traffic only: the step filter
+    * sits below the watermark node (Catalyst pushes it there anyway —
+    * a non-step row can never advance the watermark, so a flush
+    * sentinel must BE a step event; replays use one from a reserved
+    * negative user id and filter that id from the sink — its own
+    * buffered event sits past every watermark and never emits).
     */
   def funnelStream(events: Dataset[Event],
                    steps: Seq[String] = Seq("view", "click", "purchase"),
@@ -523,53 +557,82 @@ case class FunnelAdvance(user_id: Long, step: Int, at_us: Long)
     require(idleTtlDays >= 1, s"idleTtlDays must be >= 1, got $idleTtlDays")
     val NotReached = Long.MinValue
     val ttlMs = idleTtlDays * 86400000L
+    val stepIdx = steps.zipWithIndex.map { case (t, i) => t -> (i + 1) }.toMap
     events
-      .filter(e => steps.contains(e.event_type))
+      .filter(col("event_type").isin(steps: _*))
       .withColumn("event_time", expr("timestamp_micros(ts div 1000)"))
       .withWatermark("event_time", delay)
       .select("event_id", "ts", "user_id", "event_type", "event_time")
       .as[FunnelEvent]
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[FunnelState, FunnelAdvance](
+      .flatMapGroupsWithState[FunnelBufState, FunnelAdvance](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         case (userId: Long, batch: Iterator[FunnelEvent],
-              state: GroupState[FunnelState]) =>
-          if (state.hasTimedOut) {
-            // idle TTL lapsed: the user has been silent for a full TTL
-            // of event time, so the state is dropped (resurfacing
-            // restarts the funnel — the documented approximation)
-            state.remove()
-            Iterator.empty
-          } else {
-            val sorted = batch.toSeq.sortBy(e => (e.ts, e.event_id))
-            var st = state.getOption
-              .getOrElse(FunnelState(NotReached, NotReached, NotReached))
-            val out = Seq.newBuilder[FunnelAdvance]
-            sorted.foreach { e =>
-              val us = e.ts / 1000
-              if (e.event_type == steps(0) && st.t1 == NotReached) {
-                st = st.copy(t1 = us)
-                out += FunnelAdvance(userId, 1, us)
-              } else if (e.event_type == steps(1) && st.t2 == NotReached
-                  && st.t1 != NotReached && us > st.t1) {
-                st = st.copy(t2 = us)
-                out += FunnelAdvance(userId, 2, us)
-              } else if (e.event_type == steps(2) && st.t3 == NotReached
-                  && st.t2 != NotReached && us > st.t2) {
-                st = st.copy(t3 = us)
-                out += FunnelAdvance(userId, 3, us)
+              state: GroupState[FunnelBufState]) =>
+          val wm = state.getCurrentWatermarkMs()
+          // Fold every buffered event the watermark has strictly
+          // passed through the step machine, in (ts, event_id) order;
+          // keep the rest pending. Strict '<' on the ms channel: an
+          // event AT the watermark could still be joined by a peer in
+          // the same millisecond (arrivals at >= wm pass the late
+          // filter), so it is not yet safely ordered.
+          def drain(st0: FunnelBufState)
+              : (FunnelBufState, Seq[FunnelAdvance]) = {
+            val (ready, hold) = st0.pend.partition(_.ts / 1000000L < wm)
+            if (ready.isEmpty) (st0, Nil)
+            else {
+              var st = st0
+              val out = Seq.newBuilder[FunnelAdvance]
+              ready.sortBy(p => (p.ts, p.event_id)).foreach { p =>
+                val us = p.ts / 1000
+                if (p.step == 1 && st.t1 == NotReached) {
+                  st = st.copy(t1 = us)
+                  out += FunnelAdvance(userId, 1, us)
+                } else if (p.step == 2 && st.t2 == NotReached
+                    && st.t1 != NotReached && us > st.t1) {
+                  st = st.copy(t2 = us)
+                  out += FunnelAdvance(userId, 2, us)
+                } else if (p.step == 3 && st.t3 == NotReached
+                    && st.t2 != NotReached && us > st.t2) {
+                  st = st.copy(t3 = us)
+                  out += FunnelAdvance(userId, 3, us)
+                }
               }
+              (st.copy(pend = hold), out.result())
             }
-            state.update(st)
-            // refresh the idle clock to this batch's newest event;
-            // clamp above the watermark (Spark rejects a timeout at or
-            // below it, and a timeout in the watermark's past should
-            // fire at the next opportunity anyway)
-            val lastMs = sorted.last.ts / 1000000L
-            state.setTimeoutTimestamp(
-              math.max(lastMs + ttlMs, state.getCurrentWatermarkMs() + 1))
-            out.result().iterator
           }
+          // Store + schedule: while events are pending, wake as soon
+          // as the watermark can pass the earliest one; once drained,
+          // the only future obligation is the idle TTL (or removal,
+          // if it has already lapsed). Timeouts must sit strictly
+          // above the current watermark or Spark rejects them.
+          def schedule(st: FunnelBufState): Unit =
+            if (st.pend.nonEmpty) {
+              state.update(st)
+              val next = st.pend.iterator.map(_.ts / 1000000L).min + 1
+              state.setTimeoutTimestamp(math.max(next, wm + 1))
+            } else if (wm >= st.lastSeenMs + ttlMs) {
+              state.remove()
+            } else {
+              state.update(st)
+              state.setTimeoutTimestamp(
+                math.max(st.lastSeenMs + ttlMs, wm + 1))
+            }
+          val st0 =
+            if (state.hasTimedOut) state.get
+            else {
+              val evs = batch.toSeq
+              val prev = state.getOption.getOrElse(FunnelBufState(
+                NotReached, NotReached, NotReached, Long.MinValue, Nil))
+              prev.copy(
+                lastSeenMs = math.max(prev.lastSeenMs,
+                  evs.iterator.map(_.ts).max / 1000000L),
+                pend = prev.pend ++ evs.map(e =>
+                  FunnelPend(e.ts, e.event_id, stepIdx(e.event_type))))
+            }
+          val (st, out) = drain(st0)
+          schedule(st)
+          out.iterator
       }
   }
 }

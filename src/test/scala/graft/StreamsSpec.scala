@@ -174,24 +174,64 @@ class StreamsSpec extends AnyFunSuite {
     import spark0.implicits._
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Event]
-    val q = Streams.funnelStream(in.toDS())
+    val q = Streams.funnelStream(in.toDS(), delay = "1 hour")
       .writeStream.format("memory").queryName("funnel")
       .outputMode(OutputMode.Append()).start()
     try {
       // user 1 completes the funnel; user 2's purchase precedes the
-      // click (no step 3); a second view for user 1 must not re-emit
+      // click IN EVENT TIME (no step 3 — the machine folds by event
+      // time, not arrival); a second view for user 1 must not re-emit
       in.addData(
         ev(1, 1000000000L, 1, "view"), ev(2, 2000000000L, 1, "click"),
         ev(3, 3000000000L, 1, "purchase"), ev(4, 4000000000L, 1, "view"),
         ev(5, 1000000000L, 2, "purchase"), ev(6, 2000000000L, 2, "view"),
         ev(7, 3000000000L, 2, "click"))
       q.processAllAvailable()
+      // the machine defers until the watermark passes: flush with a
+      // far-future non-step sentinel (advances the clock, no state),
+      // then one more batch at the same ts to fire the drain timeouts
+      in.addData(ev(-1, 4000000000L + 3 * H, -1, "view"))
+      q.processAllAvailable()
+      in.addData(ev(-2, 4000000000L + 3 * H, -1, "view"))
+      q.processAllAvailable()
       val out = spark.table("funnel")
         .selectExpr("user_id", "step", "at_us").collect()
         .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
       assert(out == Set(
         (1L, 1, 1000000L), (1L, 2, 2000000L), (1L, 3, 3000000L),
-        (2L, 1, 2000000L), (2L, 2, 3000000L)))
+        (2L, 1, 2000000L), (2L, 2, 3000000L)), out)
+    } finally q.stop()
+  }
+
+  test("funnelStream folds out-of-order arrivals by event time " +
+       "(click delivered before its view still advances)") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = Streams.funnelStream(in.toDS(), delay = "1 hour")
+      .writeStream.format("memory").queryName("funnel_ooo")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // the purchase and click ARRIVE in separate earlier batches than
+      // the view, all within the watermark delay; the fold-on-arrival
+      // design would advance nothing, the deferred machine must emit
+      // the full 3-step funnel
+      in.addData(ev(3, 3000000000L, 1, "purchase"))
+      q.processAllAvailable()
+      in.addData(ev(2, 2000000000L, 1, "click"))
+      q.processAllAvailable()
+      in.addData(ev(1, 1000000000L, 1, "view"))
+      q.processAllAvailable()
+      in.addData(ev(-1, 3000000000L + 3 * H, -1, "view"))
+      q.processAllAvailable()
+      in.addData(ev(-2, 3000000000L + 3 * H, -1, "view"))
+      q.processAllAvailable()
+      val out = spark.table("funnel_ooo")
+        .selectExpr("user_id", "step", "at_us").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      assert(out == Set(
+        (1L, 1, 1000000L), (1L, 2, 2000000L), (1L, 3, 3000000L)), out)
     } finally q.stop()
   }
 
@@ -207,13 +247,18 @@ class StreamsSpec extends AnyFunSuite {
       .writeStream.format("memory").queryName("funnel_fx")
       .outputMode(OutputMode.Append()).start()
     try {
-      // feed the whole fixture in event order (in-order delivery is the
-      // regime where the incremental funnel equals the batch MIN-based
-      // one); sorted within the single batch by the operator itself
+      // feed the whole fixture in one batch (the deferred machine
+      // folds by event time, so feed order is immaterial), then flush
+      // the buffered tail with the sentinel + fire-timeouts idiom
       val evs = Engine.table(spark, dir, "events")
         .selectExpr("event_id", "ts", "user_id", "event_type", "value")
         .as[Event].collect()
       in.addData(evs.toIndexedSeq)
+      q.processAllAvailable()
+      val flushTs = evs.map(_.ts).max + 2 * 86400000000000L
+      in.addData(ev(-1, flushTs, -1, "view"))
+      q.processAllAvailable()
+      in.addData(ev(-2, flushTs, -1, "view"))
       q.processAllAvailable()
       val counts = spark.table("funnel_fx").groupBy("step").count()
         .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
@@ -238,28 +283,39 @@ class StreamsSpec extends AnyFunSuite {
       .writeStream.format("memory").queryName("funnel_ttl")
       .outputMode(OutputMode.Append()).start()
     try {
-      // user 1 reaches step 2 on day 0, then goes idle
+      // user 1 reaches step 2 on day 0, then goes idle (the advances
+      // stay buffered until the watermark passes them)
       in.addData(ev(1, H, 1, "view"), ev(2, 2 * H, 1, "click"))
       q.processAllAvailable()
       assert(stateRows(q) == 1L)
-      // user 2's day-10 traffic pushes the watermark ~8 days past user
-      // 1's idle-TTL boundary (day 2); the following batch fires user
-      // 1's expiry timeout -> only user 2's state remains
       // offsets are a full millisecond: the step guards compare at
       // MICRO granularity (strict '>'), so a nanosecond-scale offset
       // would collapse to the same microsecond and advance nothing
       val M = 1000000L // 1 ms in ns
+      // user 2's day-10 traffic pushes the watermark ~8 days past user
+      // 1's idle-TTL boundary (day 2); the NEXT batch fires user 1's
+      // timeout, which first drains the buffered steps 1+2 (emission
+      // is never lost to expiry) and then removes the lapsed state ->
+      // only user 2's state remains
       in.addData(ev(3, 10 * D, 2, "view"))
       q.processAllAvailable()
       in.addData(ev(4, 10 * D + M, 2, "click"))
       q.processAllAvailable()
       assert(stateRows(q) == 1L)
+      val mid = spark.table("funnel_ttl")
+        .selectExpr("user_id", "step", "at_us").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      assert(mid == Set((1L, 1, H / 1000), (1L, 2, 2 * H / 1000)), mid)
       // user 1 resurfaces on day 11: with the old state expired, the
       // purchase finds no step-2 history and emits NOTHING (were the
       // state alive, it would advance to step 3); the later view then
       // restarts the funnel and re-emits step 1 — the documented
-      // bounded-state approximation
+      // bounded-state approximation. Flush with the sentinel idiom.
       in.addData(ev(5, 11 * D, 1, "purchase"), ev(6, 11 * D + M, 1, "view"))
+      q.processAllAvailable()
+      in.addData(ev(-1, 14 * D, -1, "view"))
+      q.processAllAvailable()
+      in.addData(ev(-2, 14 * D, -1, "view"))
       q.processAllAvailable()
       val out = spark.table("funnel_ttl")
         .selectExpr("user_id", "step", "at_us").collect()
@@ -268,6 +324,10 @@ class StreamsSpec extends AnyFunSuite {
         (1L, 1, H / 1000), (1L, 2, 2 * H / 1000),
         (2L, 1, 10 * D / 1000), (2L, 2, (10 * D + M) / 1000),
         (1L, 1, (11 * D + M) / 1000)), out)
+      // every REAL user has been flushed AND lapsed by day 14 - only
+      // the sentinel user's own state remains (its far-future view is
+      // never passed by the watermark, so it never emits)
+      assert(stateRows(q) == 1L)
     } finally q.stop()
   }
 
@@ -390,7 +450,7 @@ class StreamsSpec extends AnyFunSuite {
       // sentinel at the same max ts: one more micro-batch so every
       // user's finalization timeout fires against the end-of-feed
       // watermark (the sentinel itself stays pending, emits nothing)
-      in.addData(ev(-1, evs.map(_.ts).max, -1, "sentinel"))
+      in.addData(ev(-1, evs.map(_.ts).max, -1, "view"))
       q.processAllAvailable()
       val counts = spark.table("retention_fx")
         .groupBy("cohort_day", "day_offset").count().collect()
