@@ -38,7 +38,8 @@ object Bench {
     // round 13
     "st_retention_replay",
     // round 14
-    "st_retention_ooo_replay", "st_funnel_ooo_replay")
+    "st_retention_ooo_replay", "st_funnel_ooo_replay",
+    "st_sessions_ooo_replay")
 
   private final case class M(
       name: String, median: Double, spread: Double, jobsPerRep: Int,

@@ -151,13 +151,10 @@ object StreamReplay extends QueryPack {
   // reader truncates TIMESTAMP(NANOS) to micros, so alignment makes
   // the gap test and the (ts, event_id) fold order exact integers in
   // both engines (the q18 convention).
-  private def stSessionsReplay(s: SparkSession, dir: String): DataFrame = {
+  private def sessionsReplaySink(s: SparkSession, dir: String,
+                                 evs: Seq[Event]): DataFrame = {
     import s.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-    val evs = table(s, dir, "events")
-      .selectExpr("event_id", "(ts div 1000) * 1000 AS ts", "user_id",
-        "event_type", "value")
-      .as[Event].collect().sortBy(e => (e.ts, e.event_id))
     val in = MemoryStream[Event]
     val sink = s"st_sessions_replay_sink_${sinkSeq.incrementAndGet()}"
     withReplayPartitions(s) {
@@ -167,11 +164,16 @@ object StreamReplay extends QueryPack {
       try {
         feed(in, q, batched(evs.toIndexedSeq))
         // Sentinel: one far-future event advances the watermark past
-        // every open session's gap deadline, so the timeout path closes
-        // them. Its own session stays open (its deadline sits beyond the
-        // final watermark) and its user_id is filtered below either way.
-        in.addData(Event(-1L, evs.last.ts + 3 * SessionGapNs, -1L,
-          "sentinel", 0.0))
+        // every buffered event AND every open session's gap deadline,
+        // so the drain + inactivity-closure path runs for all real
+        // users; a second batch at the same ts fires any timeouts the
+        // watermark advance armed. The sentinel's own pending event
+        // sits past the final watermark (it never drains, never opens
+        // a session) and its user_id is filtered below either way.
+        val flushTs = evs.map(_.ts).max + 3 * SessionGapNs
+        in.addData(Event(-1L, flushTs, -1L, "sentinel", 0.0))
+        q.processAllAvailable()
+        in.addData(Event(-2L, flushTs, -1L, "sentinel", 0.0))
         q.processAllAvailable()
       } finally q.stop()
     }
@@ -181,6 +183,36 @@ object StreamReplay extends QueryPack {
         "end_ns div 1000 AS end_us", "n_events",
         "duration_ns div 1000 AS duration_us")
       .orderBy("user_id", "start_us")
+  }
+
+  private def stSessionsReplay(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val evs = table(s, dir, "events")
+      .selectExpr("event_id", "(ts div 1000) * 1000 AS ts", "user_id",
+        "event_type", "value")
+      .as[Event].collect().sortBy(e => (e.ts, e.event_id))
+    sessionsReplaySink(s, dir, evs.toIndexedSeq)
+  }
+
+  // The bounded-disorder gate: the same micro-aligned events with each
+  // one displaced by a deterministic pseudo-random jitter of up to 20
+  // MINUTES in feed position — inside the sessionizer's 30-minute
+  // watermark delay (= the gap), so nothing is late-dropped, but
+  // events routinely reach the operator behind later peers. The sink
+  // must STILL equal the batch gaps-and-islands table — the
+  // buffer-and-drain design folds by event time, where the old
+  // fold-on-arrival machine would drag session ends backward and
+  // split islands a late-delivered bridge event should have joined.
+  private def stSessionsOooReplay(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val slackNs = 1200L * 1000000000L // 20 min of feed-order disorder
+    val evs = table(s, dir, "events")
+      .selectExpr("event_id", "(ts div 1000) * 1000 AS ts", "user_id",
+        "event_type", "value")
+      .as[Event].collect().sortBy(e =>
+        (e.ts + java.lang.Math.floorMod(e.event_id * 2654435761L, slackNs),
+          e.event_id))
+    sessionsReplaySink(s, dir, evs.toIndexedSeq)
   }
 
   // The sessionizer's semantics, restated as gaps-and-islands: per
@@ -591,6 +623,7 @@ object StreamReplay extends QueryPack {
   override val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("st_neardup_replay" -> (stNearDupReplay _),
         "st_sessions_replay" -> (stSessionsReplay _),
+        "st_sessions_ooo_replay" -> (stSessionsOooReplay _),
         "st_funnel_replay" -> (stFunnelReplay _),
         "st_funnel_ooo_replay" -> (stFunnelOooReplay _),
         "st_attrib_replay" -> (stAttribReplay _),
@@ -602,6 +635,7 @@ object StreamReplay extends QueryPack {
   override val oracles: Map[String, String] =
     Map("st_neardup_replay" -> stNearDupReplaySql,
         "st_sessions_replay" -> stSessionsReplaySql,
+        "st_sessions_ooo_replay" -> stSessionsReplaySql,
         "st_funnel_replay" -> stFunnelReplaySql,
         "st_funnel_ooo_replay" -> stFunnelReplaySql,
         "st_attrib_replay" -> stAttribReplaySql,

@@ -14,6 +14,19 @@ case class Event(event_id: Long, ts: Long, user_id: Long,
 /** Per-user session accumulator for the stateful operator. */
 case class SessionState(startNs: Long, lastNs: Long, nEvents: Long)
 
+/** One event buffered in sessionizer state until the watermark passes
+  * it (ns timestamp, id for deterministic tie-break).
+  */
+case class SessPend(ts: Long, event_id: Long)
+
+/** Per-user sessionizer state: the open session ([[SessionState]]
+  * fields; nEvents == 0 means none open) plus the events still above
+  * the watermark, deferred so the gaps-and-islands fold only ever sees
+  * a complete, ordered prefix of the user's timeline.
+  */
+case class SessionBufState(startNs: Long, lastNs: Long, nEvents: Long,
+                           pend: Seq[SessPend])
+
 /** A closed session emitted once its gap elapses. */
 case class ClosedSession(user_id: Long, start_ns: Long, end_ns: Long,
                          n_events: Long, duration_ns: Long)
@@ -241,19 +254,29 @@ case class FunnelBufState(t1: Long, t2: Long, t3: Long,
   */
 case class FunnelAdvance(user_id: Long, step: Int, at_us: Long)
 
-/** Gap-based sessionization (30-min inactivity) as explicit state:
-    * emits a ClosedSession whenever a user's next event arrives past the
-    * gap, OR when the event-time watermark passes the open session's
-    * gap deadline (event-time timeout) — so every session eventually
-    * closes and executor state is bounded by users active within one
-    * gap of the watermark, never by stream history. A timed-out
-    * session is exactly the session the gap rule would have closed on
-    * the user's next event, because the watermark (delay = gap) can
-    * only pass `last + gap` once no in-order event can still extend
-    * the session — which is what makes the replay gate
-    * (st_sessions_replay) restatable as batch gaps-and-islands SQL.
-    * The batch q18_sessionize query computes the same session
-    * boundaries retrospectively.
+/** Gap-based sessionization (30-min inactivity) as explicit state,
+    * DISORDER-PROOF BY DEFERRAL (the same design as [[funnelStream]]):
+    * the gaps-and-islands fold is order-sensitive — an out-of-order
+    * event folded on arrival would drag the session end BACKWARD or
+    * split an island a later-delivered earlier event should have
+    * bridged — so events buffer in per-user state and fold in
+    * `(ts, event_id)` order only once the watermark strictly passes
+    * them. The machine therefore always folds a complete ordered
+    * prefix of the user's timeline, and the closed-session set equals
+    * the batch gaps-and-islands table (q18_sessionize's shape) under
+    * ANY disorder bounded by the watermark delay (= the gap; the _ooo
+    * replay gate feeds exactly that).
+    *
+    * A session CLOSES once the watermark passes `last + gap` with no
+    * drained event extending it — by then every event that could
+    * extend the session has been delivered (disorder is bounded by the
+    * delay) and drained (its ts would be below the watermark), so the
+    * closure is exactly the batch gap split, just emitted one delay
+    * later than the eager fold would have. Executor state is the open
+    * session plus at most one delay window of that user's pending
+    * events; state is removed once the session closes with nothing
+    * pending, so residency is bounded by users active within one gap
+    * of the watermark, never by stream history.
     */
   def sessionize(events: Dataset[Event],
                  gapNs: Long = 30L * 60 * 1000000000L)
@@ -266,44 +289,66 @@ case class FunnelAdvance(user_id: Long, step: Int, at_us: Long)
       .select("event_id", "ts", "user_id", "event_time")
       .as[SessionEvent]
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[SessionState, ClosedSession](
+      .flatMapGroupsWithState[SessionBufState, ClosedSession](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         case (userId: Long, batch: Iterator[SessionEvent],
-              state: GroupState[SessionState]) =>
-          if (state.hasTimedOut) {
-            // the watermark passed last + gap with no further events:
-            // the session is closed by inactivity, state dropped
-            val st = state.get
-            state.remove()
-            Iterator.single(ClosedSession(userId, st.startNs, st.lastNs,
-              st.nEvents, st.lastNs - st.startNs))
-          } else {
-            // within a micro-batch events may arrive unordered; sort by ts
-            val sorted = batch.toSeq.sortBy(e => (e.ts, e.event_id))
-            var cur = state.getOption
-            val closed = Seq.newBuilder[ClosedSession]
-            sorted.foreach { e =>
-              cur match {
-                case Some(st) if e.ts - st.lastNs > gapNs =>
-                  closed += ClosedSession(userId, st.startNs, st.lastNs,
-                    st.nEvents, st.lastNs - st.startNs)
-                  cur = Some(SessionState(e.ts, e.ts, 1))
-                case Some(st) =>
-                  cur = Some(st.copy(lastNs = e.ts, nEvents = st.nEvents + 1))
-                case None =>
-                  cur = Some(SessionState(e.ts, e.ts, 1))
-              }
+              state: GroupState[SessionBufState]) =>
+          val wm = state.getCurrentWatermarkMs()
+          val out = Seq.newBuilder[ClosedSession]
+          def emit(st: SessionBufState): Unit =
+            out += ClosedSession(userId, st.startNs, st.lastNs,
+              st.nEvents, st.lastNs - st.startNs)
+          // Fold every buffered event the watermark has strictly
+          // passed, in (ts, event_id) order — the exact batch
+          // gaps-and-islands fold, including mid-drain gap closures.
+          def drain(st0: SessionBufState): SessionBufState = {
+            val (ready, hold) = st0.pend.partition(_.ts / 1000000L < wm)
+            var st = st0.copy(pend = hold)
+            ready.sortBy(p => (p.ts, p.event_id)).foreach { p =>
+              if (st.nEvents == 0L)
+                st = st.copy(startNs = p.ts, lastNs = p.ts, nEvents = 1L)
+              else if (p.ts - st.lastNs > gapNs) {
+                emit(st)
+                st = st.copy(startNs = p.ts, lastNs = p.ts, nEvents = 1L)
+              } else
+                st = st.copy(lastNs = p.ts, nEvents = st.nEvents + 1L)
             }
-            cur.foreach { st =>
-              state.update(st)
-              // the +1ms floor keeps the timeout strictly ahead of the
-              // current watermark, as the API requires
-              state.setTimeoutTimestamp(math.max(
-                st.lastNs / 1000000L + gapMs,
-                state.getCurrentWatermarkMs() + 1))
+            // inactivity closure: the watermark passed last + gap, and
+            // nothing pending can extend the session (any such event
+            // would sit below the watermark and have drained above)
+            if (st.nEvents > 0L && wm >= st.lastNs / 1000000L + gapMs) {
+              emit(st)
+              st = st.copy(nEvents = 0L)
             }
-            closed.result().iterator
+            st
           }
+          // Wake at whichever obligation comes first: draining the
+          // earliest pending event, or the open session's gap
+          // deadline. Timeouts must sit strictly above the watermark.
+          def schedule(st: SessionBufState): Unit = {
+            val targets =
+              (if (st.pend.nonEmpty)
+                 Seq(st.pend.iterator.map(_.ts / 1000000L).min + 1)
+               else Nil) ++
+              (if (st.nEvents > 0L) Seq(st.lastNs / 1000000L + gapMs)
+               else Nil)
+            if (targets.isEmpty) state.remove()
+            else {
+              state.update(st)
+              state.setTimeoutTimestamp(math.max(targets.min, wm + 1))
+            }
+          }
+          val st0 =
+            if (state.hasTimedOut) state.get
+            else {
+              val evs = batch.toSeq
+              val prev = state.getOption
+                .getOrElse(SessionBufState(0L, 0L, 0L, Nil))
+              prev.copy(pend = prev.pend ++
+                evs.map(e => SessPend(e.ts, e.event_id)))
+            }
+          schedule(drain(st0))
+          out.result().iterator
       }
   }
 

@@ -58,23 +58,58 @@ class StreamsSpec extends AnyFunSuite {
       // T well past epoch: an event-time-0 row ties the initial
       // watermark and the stateful operator's late filter drops it
       val T = 100 * H
-      // batch 1: two events 10 min apart -> one open session, nothing out
+      // batch 1: two events 10 min apart -> buffered (the deferred
+      // machine folds only below the watermark), nothing out
       in.addData(ev(1, T, 7, "click"), ev(2, T + 600000000000L, 7, "click"))
       q.processAllAvailable()
       assert(spark.table("sessions").count() == 0)
-      // batch 2: event 2 h later -> previous session closes by the gap
+      // batch 2: event 2 h later raises the watermark past the first
+      // session's gap deadline; the post-advance no-data batch fires
+      // the drain timeout, folds the first two events, and closes the
+      // session by inactivity
       in.addData(ev(3, T + 2 * H, 7, "click"))
       q.processAllAvailable()
       val out = spark.table("sessions").as[ClosedSession].collect().toSeq
       assert(out == Seq(
-        ClosedSession(7, T, T + 600000000000L, 2, 600000000000L)))
-      // batch 3: a DIFFERENT user far in the future advances the
-      // watermark past user 7's gap deadline -> their open session
-      // closes via the event-time timeout path, no user-7 event needed
+        ClosedSession(7, T, T + 600000000000L, 2, 600000000000L)), out)
+      // batch 3: a DIFFERENT user far in the future drains user 7's
+      // T+2h straggler, whose single-event session closes by the
+      // long-passed gap deadline — no user-7 event needed
       in.addData(ev(4, T + 10 * H, 9, "click"))
       q.processAllAvailable()
       val out2 = spark.table("sessions").as[ClosedSession].collect().toSet
       assert(out2.contains(ClosedSession(7, T + 2 * H, T + 2 * H, 1, 0)), out2)
+    } finally q.stop()
+  }
+
+  test("sessionize folds out-of-order arrivals by event time " +
+       "(a late-delivered earlier event extends the span backward)") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = Streams.sessionize(in.toDS())
+      .writeStream.format("memory").queryName("sessions_ooo")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val T = 100 * H
+      val M20 = 1200000000000L // 20 min in ns, inside the 30-min delay
+      // the LATER event arrives first; the earlier one is delivered 20
+      // minutes out of order (above the watermark, so not dropped)
+      in.addData(ev(2, T + M20, 7, "click"))
+      q.processAllAvailable()
+      in.addData(ev(1, T, 7, "click"))
+      q.processAllAvailable()
+      // a far-future event advances the watermark; the post-advance
+      // no-data batch fires user 7's drain timeout
+      in.addData(ev(3, T + 10 * H, 9, "click"))
+      q.processAllAvailable()
+      // ONE session spanning both events, start at the EARLIER ts —
+      // the fold-on-arrival machine would have dragged the session end
+      // backward to T and reported a zero-length tail instead
+      val out = spark.table("sessions_ooo").as[ClosedSession].collect()
+        .filter(_.user_id == 7L).toSeq
+      assert(out == Seq(ClosedSession(7, T, T + M20, 2, M20)), out)
     } finally q.stop()
   }
 
