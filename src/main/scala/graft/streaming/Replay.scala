@@ -151,7 +151,7 @@ object StreamReplay extends QueryPack {
   // reader truncates TIMESTAMP(NANOS) to micros, so alignment makes
   // the gap test and the (ts, event_id) fold order exact integers in
   // both engines (the q18 convention).
-  private def sessionsReplaySink(s: SparkSession, dir: String,
+  private def sessionsReplaySink(s: SparkSession,
                                  evs: Seq[Event]): DataFrame = {
     import s.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
@@ -163,18 +163,11 @@ object StreamReplay extends QueryPack {
         .outputMode("append").start()
       try {
         feed(in, q, batched(evs.toIndexedSeq))
-        // Sentinel: one far-future event advances the watermark past
-        // every buffered event AND every open session's gap deadline,
-        // so the drain + inactivity-closure path runs for all real
-        // users; a second batch at the same ts fires any timeouts the
-        // watermark advance armed. The sentinel's own pending event
-        // sits past the final watermark (it never drains, never opens
-        // a session) and its user_id is filtered below either way.
-        val flushTs = evs.map(_.ts).max + 3 * SessionGapNs
-        in.addData(Event(-1L, flushTs, -1L, "sentinel", 0.0))
-        q.processAllAvailable()
-        in.addData(Event(-2L, flushTs, -1L, "sentinel", 0.0))
-        q.processAllAvailable()
+        // The far-future flush advances the watermark past every
+        // buffered event AND every open session's gap deadline, so the
+        // drain + inactivity-closure path runs for all real users.
+        flushAndFire(in, q, evs.map(_.ts).max + 3 * SessionGapNs,
+          "sentinel")
       } finally q.stop()
     }
     s.table(sink)
@@ -185,14 +178,8 @@ object StreamReplay extends QueryPack {
       .orderBy("user_id", "start_us")
   }
 
-  private def stSessionsReplay(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val evs = table(s, dir, "events")
-      .selectExpr("event_id", "(ts div 1000) * 1000 AS ts", "user_id",
-        "event_type", "value")
-      .as[Event].collect().sortBy(e => (e.ts, e.event_id))
-    sessionsReplaySink(s, dir, evs.toIndexedSeq)
-  }
+  private def stSessionsReplay(s: SparkSession, dir: String): DataFrame =
+    sessionsReplaySink(s, microAlignedEvents(s, dir).toIndexedSeq)
 
   // The bounded-disorder gate: the same micro-aligned events with each
   // one displaced by a deterministic pseudo-random jitter of up to 20
@@ -204,15 +191,8 @@ object StreamReplay extends QueryPack {
   // fold-on-arrival machine would drag session ends backward and
   // split islands a late-delivered bridge event should have joined.
   private def stSessionsOooReplay(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
     val slackNs = 1200L * 1000000000L // 20 min of feed-order disorder
-    val evs = table(s, dir, "events")
-      .selectExpr("event_id", "(ts div 1000) * 1000 AS ts", "user_id",
-        "event_type", "value")
-      .as[Event].collect().sortBy(e =>
-        (e.ts + java.lang.Math.floorMod(e.event_id * 2654435761L, slackNs),
-          e.event_id))
-    sessionsReplaySink(s, dir, evs.toIndexedSeq)
+    sessionsReplaySink(s, jittered(microAlignedEvents(s, dir), slackNs))
   }
 
   // The sessionizer's semantics, restated as gaps-and-islands: per
@@ -248,6 +228,49 @@ object StreamReplay extends QueryPack {
       .as[Event].collect().sortBy(e => (e.ts, e.event_id))
   }
 
+  /** The events fixture micro-aligned (`(ts div 1000) * 1000`) and
+    * sorted for replay — the alignment is load-bearing for the
+    * sessions oracle's exact-integer equivalence (see the sessions
+    * gate comment), so it is defined once for both sessions gates.
+    */
+  private def microAlignedEvents(s: SparkSession,
+                                 dir: String): Array[Event] = {
+    import s.implicits._
+    table(s, dir, "events")
+      .selectExpr("event_id", "(ts div 1000) * 1000 AS ts", "user_id",
+        "event_type", "value")
+      .as[Event].collect().sortBy(e => (e.ts, e.event_id))
+  }
+
+  /** Deterministic bounded feed disorder, defined ONCE for every _ooo
+    * gate: each event is displaced by a pseudo-random jitter of up to
+    * `slackNs` in feed POSITION (multiplicative hash of event_id; the
+    * event keeps its own ts), so all gates exercise the same disorder
+    * model and each caller's jitter bound stays strictly inside its
+    * watermark delay.
+    */
+  private def jittered(evs: Seq[Event], slackNs: Long): IndexedSeq[Event] =
+    evs.sortBy(e =>
+      (e.ts + java.lang.Math.floorMod(e.event_id * 2654435761L, slackNs),
+        e.event_id)).toIndexedSeq
+
+  /** The two-batch sentinel flush for deferral-based operators: one
+    * far-future event advances the watermark past every buffered
+    * obligation (published at that batch's END), then a second batch
+    * at the same ts fires the timeouts the advance armed. The sentinel
+    * carries the reserved user -1/-2; its own state (if its type even
+    * reaches the operator) sits past the final watermark and never
+    * emits, and every sink filters `user_id >= 0` regardless.
+    */
+  private def flushAndFire(in: MemoryStream[Event],
+                           q: org.apache.spark.sql.streaming.StreamingQuery,
+                           flushTs: Long, eventType: String): Unit = {
+    in.addData(Event(-1L, flushTs, -1L, eventType, 0.0))
+    q.processAllAvailable()
+    in.addData(Event(-2L, flushTs, -1L, eventType, 0.0))
+    q.processAllAvailable()
+  }
+
   // Replay gate for the fMGWS funnel tracker: per user, the first
   // view sets step 1, the first later click step 2, the first
   // still-later purchase step 3 (strict '>' between steps, micros
@@ -266,10 +289,11 @@ object StreamReplay extends QueryPack {
     * below [[Streams.FunnelIdleTtlDays]] so the no-mid-replay-expiry
     * guard's margin is the TTL itself.
     */
-  private val FunnelReplayDelay = "2 days"
-  private val FunnelReplayDelayNs = 2L * 86400000000000L
+  private val FunnelReplayDelayDays = 2L
+  private val FunnelReplayDelay = s"$FunnelReplayDelayDays days"
+  private val FunnelReplayDelayNs = FunnelReplayDelayDays * 86400000000000L
 
-  private def funnelReplaySink(s: SparkSession, dir: String,
+  private def funnelReplaySink(s: SparkSession,
                                evs: Seq[Event]): DataFrame = {
     import s.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
@@ -303,22 +327,15 @@ object StreamReplay extends QueryPack {
         .outputMode("append").start()
       try {
         feed(in, q, batched(evs.toIndexedSeq))
-        // Flush: the machine defers every event until the watermark
-        // strictly passes it, so the trailing `delay` of history is
-        // still buffered when the feed ends. Only step traffic can
-        // advance the funnel's clock (the step filter sits below the
-        // watermark node), so the sentinel is a far-future STEP event
-        // from the reserved user -1 — it pushes the watermark a full
-        // day past every real event, and its own buffered event sits
-        // past every watermark and never emits (the user_id filter
-        // below is belt and braces). A second batch at the same ts
-        // then fires the per-user drain timeouts deterministically.
-        val flushTs = evs.map(_.ts).max + FunnelReplayDelayNs +
-          86400000000000L
-        in.addData(Event(-1L, flushTs, -1L, "view", 0.0))
-        q.processAllAvailable()
-        in.addData(Event(-2L, flushTs, -1L, "view", 0.0))
-        q.processAllAvailable()
+        // The machine defers every event until the watermark strictly
+        // passes it, so the trailing `delay` of history is still
+        // buffered when the feed ends. Only step traffic can advance
+        // the funnel's clock (the step filter sits below the watermark
+        // node), so the flush sentinel must BE a step event ("view"):
+        // it pushes the watermark a full day past every real event.
+        flushAndFire(in, q,
+          evs.map(_.ts).max + FunnelReplayDelayNs + 86400000000000L,
+          "view")
       } finally q.stop()
     }
     s.table(sink)
@@ -328,7 +345,7 @@ object StreamReplay extends QueryPack {
   }
 
   private def stFunnelReplay(s: SparkSession, dir: String): DataFrame =
-    funnelReplaySink(s, dir, orderedEvents(s, dir).toIndexedSeq)
+    funnelReplaySink(s, orderedEvents(s, dir).toIndexedSeq)
 
   // The bounded-disorder gate: the same events with each one displaced
   // by a deterministic pseudo-random jitter of up to ONE DAY in feed
@@ -340,10 +357,7 @@ object StreamReplay extends QueryPack {
   // would silently skip every backward step pair here.
   private def stFunnelOooReplay(s: SparkSession, dir: String): DataFrame = {
     val slackNs = 86400000000000L // 1 day of feed-order disorder
-    val evs = orderedEvents(s, dir).sortBy(e =>
-      (e.ts + java.lang.Math.floorMod(e.event_id * 2654435761L, slackNs),
-        e.event_id))
-    funnelReplaySink(s, dir, evs.toIndexedSeq)
+    funnelReplaySink(s, jittered(orderedEvents(s, dir).toIndexedSeq, slackNs))
   }
 
   private val stFunnelReplaySql =
@@ -533,7 +547,7 @@ object StreamReplay extends QueryPack {
   private val RetentionReplayDelayDays = 25L
   private val RetentionReplayDelay = s"$RetentionReplayDelayDays days"
 
-  private def retentionReplaySink(s: SparkSession, dir: String,
+  private def retentionReplaySink(s: SparkSession,
                                   evs: Seq[Event]): DataFrame = {
     import s.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
@@ -586,7 +600,7 @@ object StreamReplay extends QueryPack {
   }
 
   private def stRetentionReplay(s: SparkSession, dir: String): DataFrame =
-    retentionReplaySink(s, dir, orderedEvents(s, dir).toIndexedSeq)
+    retentionReplaySink(s, orderedEvents(s, dir).toIndexedSeq)
 
   // The bounded-disorder gate: the same events with each one displaced
   // by a deterministic pseudo-random jitter of up to ONE DAY in feed
@@ -599,10 +613,8 @@ object StreamReplay extends QueryPack {
   // here.
   private def stRetentionOooReplay(s: SparkSession, dir: String): DataFrame = {
     val slackNs = 86400000000000L // 1 day of feed-order disorder
-    val evs = orderedEvents(s, dir).sortBy(e =>
-      (e.ts + java.lang.Math.floorMod(e.event_id * 2654435761L, slackNs),
-        e.event_id))
-    retentionReplaySink(s, dir, evs.toIndexedSeq)
+    retentionReplaySink(s,
+      jittered(orderedEvents(s, dir).toIndexedSeq, slackNs))
   }
 
   private val stRetentionReplaySql = {

@@ -11,18 +11,15 @@ import org.apache.spark.sql.types._
 case class Event(event_id: Long, ts: Long, user_id: Long,
                  event_type: String, value: Double)
 
-/** Per-user session accumulator for the stateful operator. */
-case class SessionState(startNs: Long, lastNs: Long, nEvents: Long)
-
 /** One event buffered in sessionizer state until the watermark passes
   * it (ns timestamp, id for deterministic tie-break).
   */
 case class SessPend(ts: Long, event_id: Long)
 
-/** Per-user sessionizer state: the open session ([[SessionState]]
-  * fields; nEvents == 0 means none open) plus the events still above
-  * the watermark, deferred so the gaps-and-islands fold only ever sees
-  * a complete, ordered prefix of the user's timeline.
+/** Per-user sessionizer state: the open session (first/last event ns
+  * and event count; nEvents == 0 means none open) plus the events
+  * still above the watermark, deferred so the gaps-and-islands fold
+  * only ever sees a complete, ordered prefix of the user's timeline.
   */
 case class SessionBufState(startNs: Long, lastNs: Long, nEvents: Long,
                            pend: Seq[SessPend])
@@ -230,21 +227,17 @@ object Streams {
       }
   }
 
-  /** Per-user funnel progress: micro timestamps of the first step-1
-  * event, the first step-2 event after it, and the first step-3 event
-  * after that (MinValue = not reached).
-  */
-case class FunnelState(t1: Long, t2: Long, t3: Long)
-
-/** One funnel event buffered in state until the watermark passes it
+  /** One funnel event buffered in state until the watermark passes it
   * (ns timestamp, id for deterministic tie-break, step index 1-3).
   */
 case class FunnelPend(ts: Long, event_id: Long, step: Int)
 
-/** Per-user funnel state: finalized progress ([[FunnelState]] fields),
-  * the newest event's ms timestamp (drives the idle TTL), and the
-  * events still ABOVE the watermark, deferred so the step machine only
-  * ever folds a complete, ordered prefix of the user's history.
+/** Per-user funnel state: finalized progress (micro timestamps of the
+  * first step-1 event, the first step-2 event after it, and the first
+  * step-3 event after that; MinValue = not reached), the newest
+  * event's ms timestamp (drives the idle TTL), and the events still
+  * ABOVE the watermark, deferred so the step machine only ever folds
+  * a complete, ordered prefix of the user's history.
   */
 case class FunnelBufState(t1: Long, t2: Long, t3: Long,
                           lastSeenMs: Long, pend: Seq[FunnelPend])
@@ -313,10 +306,15 @@ case class FunnelAdvance(user_id: Long, step: Int, at_us: Long)
               } else
                 st = st.copy(lastNs = p.ts, nEvents = st.nEvents + 1L)
             }
-            // inactivity closure: the watermark passed last + gap, and
-            // nothing pending can extend the session (any such event
-            // would sit below the watermark and have drained above)
-            if (st.nEvents > 0L && wm >= st.lastNs / 1000000L + gapMs) {
+            // Inactivity closure, STRICT on the ns deadline: any held
+            // or future event has ts >= wm ms-quantized (the late
+            // filter and the strict-< drain guarantee it), so only
+            // once wm*1e6 strictly exceeds last + gap can no event
+            // still extend the session. A non-strict ms check would
+            // close a session while a bridging event exactly AT the
+            // gap deadline is still held (ts ms == wm), splitting an
+            // island the batch gaps-and-islands fold keeps whole.
+            if (st.nEvents > 0L && wm * 1000000L > st.lastNs + gapNs) {
               emit(st)
               st = st.copy(nEvents = 0L)
             }
