@@ -78,31 +78,68 @@ object StreamReplay extends QueryPack {
                       batches: Seq[Seq[T]]): Unit =
     batches.foreach { b => in.addData(b); q.processAllAvailable() }
 
-  private def stNearDupReplay(s: SparkSession, dir: String): DataFrame = {
+  /** The documents fixture as a tick-spaced doc stream. ts starts at
+    * ONE tick, not zero: an epoch-0 event time sits exactly on the
+    * initial watermark and the stateful operator's late-row predicate
+    * can drop it.
+    */
+  private def tickedDocs(s: SparkSession, dir: String): Array[StreamDoc] = {
     import s.implicits._
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-    // Fixture-scale replay harness: the corpus is collected to the
-    // driver ONLY to feed MemoryStream with explicit batch boundaries.
-    // This query verifies the streaming operator; the production ingest
-    // path is readStream -> nearDupStream with no driver hop.
-    // ts starts at ONE tick, not zero: an epoch-0 event time sits
-    // exactly on the initial watermark and the stateful operator's
-    // late-row predicate can drop it
-    val docs = table(s, dir, "documents")
+    table(s, dir, "documents")
       .selectExpr("doc_id", s"(doc_id + 1) * ${TickNs}L AS ts", "text")
       .as[StreamDoc].collect().sortBy(_.doc_id)
+  }
+
+  // Fixture-scale replay harness: the corpus is collected to the
+  // driver ONLY to feed MemoryStream with explicit batch boundaries.
+  // This query verifies the streaming operator; the production ingest
+  // path is readStream -> nearDupStream with no driver hop.
+  private def nearDupReplaySink(s: SparkSession,
+                                docs: Seq[StreamDoc]): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
     val in = MemoryStream[StreamDoc]
     val sink = s"st_neardup_replay_sink_${sinkSeq.incrementAndGet()}"
     withReplayPartitions(s) {
       val q = Streams.nearDupStream(in.toDF(), HorizonNs)
         .writeStream.format("memory").queryName(sink)
         .outputMode("append").start()
-      try feed(in, q, batched(docs.toIndexedSeq))
-      finally q.stop()
+      try {
+        feed(in, q, batched(docs.toIndexedSeq))
+        // The deferred fold holds the trailing horizon of band rows;
+        // flush with the two-batch sentinel idiom. The sentinel must
+        // produce band rows to advance the watermark, so it reuses a
+        // REAL document's text at a far-future tick — every bucket it
+        // lands in has lapsed by then, so it re-owns and emits
+        // nothing, and its negative doc_id is filtered below anyway.
+        val flushTs = docs.map(_.ts).max + 3 * HorizonNs
+        in.addData(StreamDoc(-1L, flushTs, docs.head.text))
+        q.processAllAvailable()
+        in.addData(StreamDoc(-2L, flushTs, docs.head.text))
+        q.processAllAvailable()
+      } finally q.stop()
     }
     s.table(sink)
+      .filter("doc_id >= 0 AND owner_id >= 0")
       .selectExpr("doc_id", "owner_id", "cast(band as bigint) AS band")
       .orderBy("doc_id", "owner_id", "band")
+  }
+
+  private def stNearDupReplay(s: SparkSession, dir: String): DataFrame =
+    nearDupReplaySink(s, tickedDocs(s, dir).toIndexedSeq)
+
+  // The bounded-disorder gate: the same ticked docs with each one
+  // displaced by up to 64 ticks in feed position — half the 128-tick
+  // horizon (= the watermark delay), so nothing is late-dropped, but
+  // documents routinely reach a bucket behind later colliders. The
+  // sink must STILL equal the gaps-and-islands oracle — the
+  // buffer-and-drain fold keeps the owner chain a pure function of
+  // event-time order, where the old fold-on-arrival machine would
+  // have crowned whichever collider arrived first.
+  private def stNearDupOooReplay(s: SparkSession, dir: String): DataFrame = {
+    val slackNs = 64L * TickNs
+    nearDupReplaySink(s,
+      jittered(tickedDocs(s, dir).toIndexedSeq, slackNs)(_.ts, _.doc_id))
   }
 
   // The eviction semantics, restated: per (band, bucket), order the
@@ -192,7 +229,8 @@ object StreamReplay extends QueryPack {
   // split islands a late-delivered bridge event should have joined.
   private def stSessionsOooReplay(s: SparkSession, dir: String): DataFrame = {
     val slackNs = 1200L * 1000000000L // 20 min of feed-order disorder
-    sessionsReplaySink(s, jittered(microAlignedEvents(s, dir), slackNs))
+    sessionsReplaySink(s,
+      jittered(microAlignedEvents(s, dir), slackNs)(_.ts, _.event_id))
   }
 
   // The sessionizer's semantics, restated as gaps-and-islands: per
@@ -249,10 +287,11 @@ object StreamReplay extends QueryPack {
     * model and each caller's jitter bound stays strictly inside its
     * watermark delay.
     */
-  private def jittered(evs: Seq[Event], slackNs: Long): IndexedSeq[Event] =
-    evs.sortBy(e =>
-      (e.ts + java.lang.Math.floorMod(e.event_id * 2654435761L, slackNs),
-        e.event_id)).toIndexedSeq
+  private def jittered[T](rows: Seq[T], slackNs: Long)
+                         (ts: T => Long, id: T => Long): IndexedSeq[T] =
+    rows.sortBy(r =>
+      (ts(r) + java.lang.Math.floorMod(id(r) * 2654435761L, slackNs),
+        id(r))).toIndexedSeq
 
   /** The two-batch sentinel flush for deferral-based operators: one
     * far-future event advances the watermark past every buffered
@@ -357,7 +396,8 @@ object StreamReplay extends QueryPack {
   // would silently skip every backward step pair here.
   private def stFunnelOooReplay(s: SparkSession, dir: String): DataFrame = {
     val slackNs = 86400000000000L // 1 day of feed-order disorder
-    funnelReplaySink(s, jittered(orderedEvents(s, dir).toIndexedSeq, slackNs))
+    funnelReplaySink(s,
+      jittered(orderedEvents(s, dir).toIndexedSeq, slackNs)(_.ts, _.event_id))
   }
 
   private val stFunnelReplaySql =
@@ -614,7 +654,7 @@ object StreamReplay extends QueryPack {
   private def stRetentionOooReplay(s: SparkSession, dir: String): DataFrame = {
     val slackNs = 86400000000000L // 1 day of feed-order disorder
     retentionReplaySink(s,
-      jittered(orderedEvents(s, dir).toIndexedSeq, slackNs))
+      jittered(orderedEvents(s, dir).toIndexedSeq, slackNs)(_.ts, _.event_id))
   }
 
   private val stRetentionReplaySql = {
@@ -634,6 +674,7 @@ object StreamReplay extends QueryPack {
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("st_neardup_replay" -> (stNearDupReplay _),
+        "st_neardup_ooo_replay" -> (stNearDupOooReplay _),
         "st_sessions_replay" -> (stSessionsReplay _),
         "st_sessions_ooo_replay" -> (stSessionsOooReplay _),
         "st_funnel_replay" -> (stFunnelReplay _),
@@ -646,6 +687,7 @@ object StreamReplay extends QueryPack {
 
   override val oracles: Map[String, String] =
     Map("st_neardup_replay" -> stNearDupReplaySql,
+        "st_neardup_ooo_replay" -> stNearDupReplaySql,
         "st_sessions_replay" -> stSessionsReplaySql,
         "st_sessions_ooo_replay" -> stSessionsReplaySql,
         "st_funnel_replay" -> stFunnelReplaySql,

@@ -53,10 +53,20 @@ case class FunnelEvent(event_id: Long, ts: Long, user_id: Long,
                        event_type: String,
                        event_time: java.sql.Timestamp)
 
-/** Band-bucket state: the current bucket owner plus the bucket's last
-  * activity time (`last_ns`), which drives gap-based owner eviction.
+/** One band row buffered in bucket state until the watermark passes it
+  * (ns timestamp, doc id for deterministic tie-break, band for the
+  * eventual match row).
   */
-case class BandOwner(owner_id: Long, owner_ts_ns: Long, last_ns: Long)
+case class BandPend(ts: Long, doc_id: Long, band: Int)
+
+/** Band-bucket state: the current bucket owner (`open == false` means
+  * none) with the bucket's last activity time (`last_ns`, drives
+  * gap-based owner eviction), plus the band rows still above the
+  * watermark, deferred so the owner chain only ever folds a complete,
+  * ordered prefix of the bucket's timeline.
+  */
+case class BandBufState(owner_id: Long, owner_ts_ns: Long, last_ns: Long,
+                        open: Boolean, pend: Seq[BandPend])
 
 /** Near-dup candidate evidence: `doc_id` collided with the bucket owner
   * in `band`. Same contract as batch banding — a CANDIDATE, to be
@@ -164,25 +174,31 @@ object Streams {
     * the same candidates. State is ONE owner row per occupied band
     * bucket.
     *
-    * Eviction is GAP-based and applied at read time: a bucket whose
-    * last activity is more than `horizonNs` before the incoming row's
-    * event time has lapsed, so the incoming document becomes the new
-    * owner instead of matching a stale one. Because the check runs
-    * against the stored `last_ns` when each row is processed, the match
-    * set depends only on the event-time order of the rows — NOT on
-    * micro-batch boundaries — which is what makes the replay query
-    * (st_neardup_replay) reproducible in a batch engine: the oracle is
-    * the gaps-and-islands restatement (break a bucket's timeline where
-    * the gap exceeds the horizon; everything in an island matches the
-    * island's first document). The event-time timeout is then purely a
-    * state-size bound: it removes buckets the gap rule already treats
-    * as lapsed (watermark delay = horizon, so a timed-out bucket can
-    * never match a future in-order row), keeping executor state
-    * proportional to active band buckets in the horizon — never the
-    * stream's history. Emitted matches are candidate evidence (up to 4
-    * rows per colliding pair, one per band); the exact similarity
-    * re-check stays a downstream batch join, exactly as in the batch
-    * pipeline.
+    * Eviction is GAP-based: a bucket whose last activity is more than
+    * `horizonNs` before a row's event time has lapsed, so that row
+    * becomes the new owner instead of matching a stale one. The fold
+    * is DISORDER-PROOF BY DEFERRAL (the same design as [[sessionize]]
+    * and [[funnelStream]]): band rows buffer in bucket state and fold
+    * in `(ts, doc_id)` order only once the watermark strictly passes
+    * them, so the owner chain depends only on EVENT-TIME order — not
+    * on micro-batch boundaries or delivery order — under any disorder
+    * bounded by the watermark delay (= the horizon). That is what
+    * makes the replay gates (st_neardup_replay and its _ooo variant)
+    * reproducible in a batch engine: the oracle is the gaps-and-
+    * islands restatement (break a bucket's timeline where the gap
+    * exceeds the horizon; everything in an island matches the island's
+    * first document).
+    *
+    * State is one owner row plus at most one horizon window of pending
+    * band rows per occupied bucket, REMOVED once nothing is pending
+    * and the watermark strictly passes `last + horizon` in ns (a
+    * lapsed bucket can never match a future row — any arrival carries
+    * ts at or above the watermark and would re-own it anyway), keeping
+    * executor state proportional to active band buckets in the
+    * horizon — never the stream's history. Emitted matches are
+    * candidate evidence (up to 4 rows per colliding pair, one per
+    * band); the exact similarity re-check stays a downstream batch
+    * join, exactly as in the batch pipeline.
     */
   def nearDupStream(docs: DataFrame,
                     horizonNs: Long = 30L * 60 * 1000000000L)
@@ -195,35 +211,54 @@ object Streams {
       .select("band", "bkey", "doc_id", "ts", "event_time")
       .as[BandRow]
       .groupByKey(r => s"${r.band}:${r.bkey}")
-      .flatMapGroupsWithState[BandOwner, BandMatch](
+      .flatMapGroupsWithState[BandBufState, BandMatch](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         case (_, rows, state) =>
-          if (state.hasTimedOut) { state.remove(); Iterator.empty }
-          else {
-            // within a micro-batch rows may arrive unordered; fold them
-            // in event-time order so batch boundaries can't change the
-            // owner chain
-            val batch = rows.toSeq.sortBy(r => (r.ts, r.doc_id))
-            val out = Seq.newBuilder[BandMatch]
-            var st = state.getOption
-            batch.foreach { r =>
-              st match {
-                case Some(o) if r.ts - o.last_ns <= horizonNs =>
-                  if (r.doc_id != o.owner_id)
-                    out += BandMatch(r.doc_id, o.owner_id, r.band)
-                  st = Some(o.copy(last_ns = math.max(o.last_ns, r.ts)))
-                case _ => // empty bucket, or owner lapsed -> new owner
-                  st = Some(BandOwner(r.doc_id, r.ts, r.ts))
-              }
+          val wm = state.getCurrentWatermarkMs()
+          val out = Seq.newBuilder[BandMatch]
+          def drain(st0: BandBufState): BandBufState = {
+            val (ready, hold) = st0.pend.partition(_.ts / 1000000L < wm)
+            var st = st0.copy(pend = hold)
+            ready.sortBy(p => (p.ts, p.doc_id)).foreach { p =>
+              if (st.open && p.ts - st.last_ns <= horizonNs) {
+                if (p.doc_id != st.owner_id)
+                  out += BandMatch(p.doc_id, st.owner_id, p.band)
+                st = st.copy(last_ns = p.ts)
+              } else // empty bucket, or owner lapsed -> new owner
+                st = st.copy(owner_id = p.doc_id, owner_ts_ns = p.ts,
+                  last_ns = p.ts, open = true)
             }
-            st.foreach { o =>
-              state.update(o)
-              state.setTimeoutTimestamp(math.max(
-                o.last_ns / 1000000L + horizonMs,
-                state.getCurrentWatermarkMs() + 1))
-            }
-            out.result().iterator
+            st
           }
+          // Remove once nothing is pending and the bucket has lapsed
+          // STRICTLY past last + horizon in ns (mirrors the
+          // sessionizer's strict closure: at wm*1e6 == last + horizon
+          // a row AT the boundary could still arrive and match).
+          def schedule(st: BandBufState): Unit =
+            if (st.pend.isEmpty &&
+                (!st.open || wm * 1000000L > st.last_ns + horizonNs))
+              state.remove()
+            else {
+              val targets =
+                (if (st.pend.nonEmpty)
+                   Seq(st.pend.iterator.map(_.ts / 1000000L).min + 1)
+                 else Nil) ++
+                (if (st.open) Seq(st.last_ns / 1000000L + horizonMs)
+                 else Nil)
+              state.update(st)
+              state.setTimeoutTimestamp(math.max(targets.min, wm + 1))
+            }
+          val st0 =
+            if (state.hasTimedOut) state.get
+            else {
+              val rs = rows.toSeq
+              val prev = state.getOption.getOrElse(
+                BandBufState(0L, 0L, 0L, open = false, Nil))
+              prev.copy(pend = prev.pend ++
+                rs.map(r => BandPend(r.ts, r.doc_id, r.band)))
+            }
+          schedule(drain(st0))
+          out.result().iterator
       }
   }
 

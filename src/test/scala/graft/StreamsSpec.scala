@@ -569,17 +569,26 @@ class StreamsSpec extends AnyFunSuite {
       in.addData(StreamDoc(1, 100 * H, dup), StreamDoc(2, 100 * H + 10, dup),
         StreamDoc(3, 100 * H + 20, other))
       q.processAllAvailable()
-      val m1 = spark.table("neardup").collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
-      assert(m1.forall { case (d, o, _) => d == 2L && o == 1L }, m1.toSeq)
-      assert(m1.map(_._3).sorted.toSeq == Seq(0, 1, 2, 3), m1.toSeq)
-      // batch 2: a later re-arrival still matches the STANDING owner
+      // batch 2: a later re-arrival also matches the STANDING owner
       in.addData(StreamDoc(4, 100 * H + 30, dup))
       q.processAllAvailable()
-      val m2 = spark.table("neardup").collect()
-        .map(r => (r.getLong(0), r.getLong(1))).toSet
-      assert(m2.contains((4L, 1L)), m2.toString)
-      assert(!m2.exists(_._1 == 3L), m2.toString)
+      // flush: the deferred fold emits once the watermark passes; the
+      // far-future sentinel reuses the dup text so its band rows
+      // advance the clock, lands in lapsed buckets, and emits nothing
+      val flushTs = 100 * H + 3 * 1800L * 1000000000L
+      in.addData(StreamDoc(-1, flushTs, dup))
+      q.processAllAvailable()
+      in.addData(StreamDoc(-2, flushTs, dup))
+      q.processAllAvailable()
+      val m = spark.table("neardup").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      assert(m.forall { case (d, o, _) => (d == 2L || d == 4L) && o == 1L },
+        m.toSeq)
+      assert(m.filter(_._1 == 2L).map(_._3).sorted.toSeq == Seq(0, 1, 2, 3),
+        m.toSeq)
+      assert(m.filter(_._1 == 4L).map(_._3).sorted.toSeq == Seq(0, 1, 2, 3),
+        m.toSeq)
+      assert(!m.exists(_._1 == 3L), m.toSeq)
     } finally q.stop()
   }
 
@@ -603,11 +612,49 @@ class StreamsSpec extends AnyFunSuite {
       // 10 s after that: doc 3 matches the NEW owner, never doc 1
       in.addData(StreamDoc(3, t0 + 2 * horizonNs + 10L * 1000000000L, dup))
       q.processAllAvailable()
+      // flush the deferred fold (sentinel's own buckets lapse-re-own)
+      val flushTs = t0 + 2 * horizonNs + 10L * 1000000000L + 3 * horizonNs
+      in.addData(StreamDoc(-1, flushTs, dup))
+      q.processAllAvailable()
+      in.addData(StreamDoc(-2, flushTs, dup))
+      q.processAllAvailable()
       val m = spark.table("neardup_evict").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(!m.exists(_._1 == 2L), m.toString)
       assert(m.contains((3L, 2L)), m.toString)
       assert(!m.contains((3L, 1L)), m.toString)
+    } finally q.stop()
+  }
+
+  test("nearDupStream crowns the event-time-earliest collider as owner " +
+       "even when it arrives later") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dup = "the quick brown fox jumps over the lazy dog again and again"
+    val horizonNs = 60L * 1000000000L
+    val t0 = 1000L * 1000000000L
+    val in = MemoryStream[StreamDoc]
+    val q = Streams.nearDupStream(in.toDF(), horizonNs)
+      .writeStream.format("memory").queryName("neardup_ooo")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // doc 2 (later event time) ARRIVES first; doc 1 (earlier) is
+      // delivered out of order, inside the horizon-sized watermark
+      // delay. The fold-on-arrival machine would crown doc 2; the
+      // deferred fold must crown doc 1 and match doc 2 against it.
+      in.addData(StreamDoc(2, t0 + 10L * 1000000000L, dup))
+      q.processAllAvailable()
+      in.addData(StreamDoc(1, t0, dup))
+      q.processAllAvailable()
+      val flushTs = t0 + 10L * 1000000000L + 3 * horizonNs
+      in.addData(StreamDoc(-1, flushTs, dup))
+      q.processAllAvailable()
+      in.addData(StreamDoc(-2, flushTs, dup))
+      q.processAllAvailable()
+      val m = spark.table("neardup_ooo").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(m == Set((2L, 1L)), m.toString)
     } finally q.stop()
   }
 }
