@@ -398,6 +398,57 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("attributeStream's match set is independent of delivery order " +
+       "within the watermark slack") {
+    // The stream-stream range join is order-independent BY CONSTRUCTION
+    // (each side buffers until the watermark passes the last possible
+    // match) — this locks that claim the same way the dedupStream
+    // boundary-independence test locks its oracle's assumption, so the
+    // attribution replay gate needs no _ooo twin.
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val T = 100 * H
+    // 3-min spacing keeps even a fully reversed 6-user span (18 min)
+    // inside the 30-min watermark delay, so nothing is late-dropped
+    val M3 = 180000000000L // 3 min in ns
+    // 6 users: clicks at T + u*3min, purchases 3 min after each click
+    // (all attributable)
+    val clicks0 = (1L to 6L).map(u => ev(u, T + u * M3, u, "click"))
+    val purch0 = (1L to 6L).map(u =>
+      ev(10 + u, T + u * M3 + M3, u, "purchase"))
+    def run(cs: Seq[Event], ps: Seq[Event], sink: String): Set[Any] = {
+      val clicks = MemoryStream[Event]
+      val purchases = MemoryStream[Event]
+      val q = Streams.attributeStream(clicks.toDF(), purchases.toDF())
+        .writeStream.format("memory").queryName(sink)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        // two-batch lockstep feed; each side's second batch is the
+        // first side's stragglers, so both sides see disorder
+        val (c1, c2) = cs.splitAt(cs.size / 2)
+        val (p1, p2) = ps.splitAt(ps.size / 2)
+        clicks.addData(c1); purchases.addData(p1)
+        q.processAllAvailable()
+        clicks.addData(c2); purchases.addData(p2)
+        q.processAllAvailable()
+        clicks.addData(ev(99, T + 20 * H, 9, "click"))
+        purchases.addData(ev(98, T + 20 * H + 1, 9, "purchase"))
+        q.processAllAvailable()
+      } finally q.stop()
+      spark.table(sink).filter("user_id < 9")
+        .selectExpr("user_id", "click_id", "purchase_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)): Any).toSet
+    }
+    val inOrder = run(clicks0, purch0, "attrib_oi_a")
+    // reversed within the slack: every batch delivers later-ts rows
+    // before earlier ones
+    val reversed = run(clicks0.reverse, purch0.reverse, "attrib_oi_b")
+    assert(inOrder ==
+      (1L to 6L).map(u => (u, u, 10 + u): Any).toSet, inOrder)
+    assert(reversed == inOrder, reversed)
+  }
+
   test("watermark drops events later than 30 minutes behind max time") {
     val spark0 = spark
     import spark0.implicits._
