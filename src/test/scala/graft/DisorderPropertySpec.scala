@@ -1,0 +1,153 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.{Event, Streams}
+
+/** Randomized-disorder properties for the deferral-based stateful
+  * streams: for ANY delivery order whose displacement stays inside the
+  * watermark delay, the sink must equal the reference fold over the
+  * event-time-ordered history. The `_ooo` replay gates pin one
+  * deterministic jitter against the DuckDB oracle; these trials sweep
+  * seeded random jitters against an in-test reference implementation,
+  * so a disorder pattern the fixed jitter happens to miss (e.g. a
+  * burst of same-user inversions across a batch boundary) still has
+  * coverage. Deterministic: seeds are fixed, no wall-clock anywhere.
+  */
+class DisorderPropertySpec extends AnyFunSuite {
+
+  private val spark = SparkSessionHelper.spark
+  private val T = 360000000000000L // 100 h in ns, clear of the epoch
+  private val MinNs = 60000000000L // 1 min in ns
+
+  /** Seeded event set: `n` events over `users` users across a `spanNs`
+    * window, types drawn from view/click/purchase, microsecond-aligned
+    * ts (the funnel machine compares micros) with distinct event ids.
+    */
+  private def genEvents(seed: Long, n: Int, users: Int,
+                        spanNs: Long): IndexedSeq[Event] = {
+    val rnd = new scala.util.Random(seed)
+    val types = Vector("view", "click", "purchase")
+    (1 to n).map { i =>
+      val ts = T + (rnd.nextLong(spanNs / 1000000L)) * 1000000L
+      Event(i.toLong, ts, 1L + rnd.nextInt(users),
+        types(rnd.nextInt(types.size)), 1.0)
+    }
+  }
+
+  /** Seeded bounded-disorder delivery order: displacement < slackNs. */
+  private def disordered(evs: Seq[Event], seed: Long,
+                         slackNs: Long): IndexedSeq[Event] = {
+    val rnd = new scala.util.Random(seed)
+    evs.map(e => (e.ts + rnd.nextLong(slackNs), e.event_id, e))
+      .sortBy(t => (t._1, t._2)).map(_._3).toIndexedSeq
+  }
+
+  /** Reference funnel fold: the batch chained-MIN machine over the
+    * event-time-ordered history, micros granularity, strict '>'.
+    */
+  private def funnelRef(evs: Seq[Event]): Set[(Long, Int, Long)] = {
+    val out = Set.newBuilder[(Long, Int, Long)]
+    evs.groupBy(_.user_id).foreach { case (u, es) =>
+      var (t1, t2, t3) = (Long.MinValue, Long.MinValue, Long.MinValue)
+      es.sortBy(e => (e.ts, e.event_id)).foreach { e =>
+        val us = e.ts / 1000
+        if (e.event_type == "view" && t1 == Long.MinValue) {
+          t1 = us; out += ((u, 1, us))
+        } else if (e.event_type == "click" && t2 == Long.MinValue
+            && t1 != Long.MinValue && us > t1) {
+          t2 = us; out += ((u, 2, us))
+        } else if (e.event_type == "purchase" && t3 == Long.MinValue
+            && t2 != Long.MinValue && us > t2) {
+          t3 = us; out += ((u, 3, us))
+        }
+      }
+    }
+    out.result()
+  }
+
+  /** Reference gaps-and-islands fold for the sessionizer. */
+  private def sessionsRef(evs: Seq[Event], gapNs: Long)
+      : Set[(Long, Long, Long, Long)] = {
+    val out = Set.newBuilder[(Long, Long, Long, Long)]
+    evs.groupBy(_.user_id).foreach { case (u, es) =>
+      val sorted = es.sortBy(e => (e.ts, e.event_id))
+      var start = -1L; var last = -1L; var n = 0L
+      sorted.foreach { e =>
+        if (n == 0L) { start = e.ts; last = e.ts; n = 1L }
+        else if (e.ts - last > gapNs) {
+          out += ((u, start, last, n))
+          start = e.ts; last = e.ts; n = 1L
+        } else { last = e.ts; n += 1L }
+      }
+      if (n > 0L) out += ((u, start, last, n))
+    }
+    out.result()
+  }
+
+  test("funnelStream matches the batch fold under random bounded " +
+       "disorder (3 seeds)") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val delayNs = 30L * MinNs
+    (1L to 3L).foreach { seed =>
+      val evs = genEvents(seed, 150, 5, spanNs = 4L * 60 * MinNs)
+      val feedOrder = disordered(evs, seed + 100, slackNs = delayNs / 2)
+      val in = MemoryStream[Event]
+      val sink = s"disorder_funnel_$seed"
+      val q = Streams.funnelStream(in.toDS(), delay = "30 minutes")
+        .writeStream.format("memory").queryName(sink)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        feedOrder.grouped(40).foreach { b =>
+          in.addData(b); q.processAllAvailable()
+        }
+        val flushTs = evs.map(_.ts).max + 3 * delayNs
+        in.addData(Event(-1L, flushTs, -1L, "view", 1.0))
+        q.processAllAvailable()
+        in.addData(Event(-2L, flushTs, -1L, "view", 1.0))
+        q.processAllAvailable()
+        val got = spark.table(sink).filter("user_id >= 0")
+          .selectExpr("user_id", "step", "at_us").collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+        assert(got == funnelRef(evs), s"seed $seed")
+      } finally q.stop()
+    }
+  }
+
+  test("sessionize matches the batch gaps-and-islands fold under " +
+       "random bounded disorder (3 seeds)") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val gapNs = 30L * MinNs // = watermark delay
+    (1L to 3L).foreach { seed =>
+      val evs = genEvents(seed + 500, 150, 5, spanNs = 6L * 60 * MinNs)
+      val feedOrder = disordered(evs, seed + 600, slackNs = gapNs / 2)
+      val in = MemoryStream[Event]
+      val sink = s"disorder_sessions_$seed"
+      val q = Streams.sessionize(in.toDS(), gapNs)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        feedOrder.grouped(40).foreach { b =>
+          in.addData(b); q.processAllAvailable()
+        }
+        val flushTs = evs.map(_.ts).max + 3 * gapNs
+        in.addData(Event(-1L, flushTs, -1L, "view", 1.0))
+        q.processAllAvailable()
+        in.addData(Event(-2L, flushTs, -1L, "view", 1.0))
+        q.processAllAvailable()
+        val got = spark.table(sink).filter("user_id >= 0")
+          .selectExpr("user_id", "start_ns", "end_ns", "n_events")
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getLong(3))).toSet
+        assert(got == sessionsRef(evs, gapNs), s"seed $seed")
+      } finally q.stop()
+    }
+  }
+}
