@@ -262,6 +262,57 @@ object GraftHashes {
     new GenericArrayData(out)
   }
 
+  /** Parameterized random-hyperplane buckets — the corpus-scale tuning
+    * knob the fixed 12x5 default cannot provide. With `2^rows` buckets
+    * per band, two UNRELATED vectors collide in a band with probability
+    * `2^-rows`, so expected noise candidates are `bands * n^2 /
+    * 2^(rows+1)` — quadratic in corpus size n unless `rows` grows with
+    * `log2(n)` (size `rows ~ log2(n / bands)` to hold per-vector noise
+    * candidates at O(bands)). Recall at per-plane sign agreement `a` is
+    * `1 - (1 - a^rows)^bands`, so `bands` must grow alongside `rows` to
+    * hold recall in the near-dup regime (e.g. cos 0.9 -> a = 0.857:
+    * 12x5 gives 0.998; 24x10 gives 0.90; 48x10 gives 0.99). Plane `j`
+    * at 1-based component `i` weighs
+    * `((j+1)*2654435761 + 40503*i) mod 9973 - 4986` — the same LCG
+    * shape as [[rhBuckets]]'s 97-period family, with a prime period
+    * larger than any practical `bands*rows`. The fixed 12x5 family
+    * stays THE fixture/oracle path (its weights are baked into the
+    * DuckDB restatements); this one is the deployment knob, pinned by
+    * LshScalingSpec's candidate-volume and recall assertions.
+    */
+  def rhBucketsN(arr: ArrayData, bands: Int, rows: Int): ArrayData = {
+    val n = arr.numElements()
+    var pre = 0
+    while (pre < n) {
+      if (arr.isNullAt(pre)) {
+        return new GenericArrayData(new Array[Int](bands))
+      }
+      pre += 1
+    }
+    val out = new Array[Int](bands)
+    var b = 0
+    while (b < bands) {
+      var bucket = 0
+      var k = 0
+      while (k < rows) {
+        val j = b * rows + k
+        val cj = (j + 1) * 2654435761L
+        var acc = 0.0
+        var i = 1
+        while (i <= n) {
+          acc += arr.getFloat(i - 1).toDouble *
+            ((cj + 40503L * i) % 9973L - 4986L).toDouble
+          i += 1
+        }
+        if (acc > 0) bucket |= 1 << k
+        k += 1
+      }
+      out(b) = bucket
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** 64-bit SimHash over pre-hashed token halves: the token's 64-bit hash
     * is lo | (hi << 32) (two 32-bit md5 prefixes); counter_b sums +/-1
     * per token on bit b and the result sets bit b when counter_b > 0 —
@@ -587,6 +638,57 @@ case class RhLshBuckets(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(
       newChild: Expression): RhLshBuckets = copy(child = newChild)
+}
+
+/** `graft_rh_buckets_n(embedding, bands, rows)` — parameterized banded
+  * random-hyperplane buckets (see [[GraftHashes.rhBucketsN]] for the
+  * scaling rule). `bands`/`rows` must be foldable integer literals;
+  * `rows` is capped at 30 so the bucket fits an Int without touching
+  * the sign bit.
+  */
+case class RhLshBucketsN(first: Expression, second: Expression,
+                         third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(FloatType, _), IntegerType, IntegerType)
+          if second.foldable && third.foldable =>
+        // bounds-check HERE, not per row: rows > 30 would shift into
+        // the Int sign bit, bands < 1 yields an empty signature
+        val bands = second.eval()
+        val rows = third.eval()
+        if (bands == null || rows == null ||
+            bands.asInstanceOf[Int] < 1 ||
+            rows.asInstanceOf[Int] < 1 || rows.asInstanceOf[Int] > 30)
+          TypeCheckResult.TypeCheckFailure(
+            s"graft_rh_buckets_n needs bands >= 1 and rows in [1, 30]," +
+              s" got ($bands, $rows)")
+        else TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        "graft_rh_buckets_n expects (array<float>, int literal, " +
+          s"int literal), got (${first.dataType.sql}, " +
+          s"${second.dataType.sql}, ${third.dataType.sql})")
+    }
+
+  override def dataType: DataType =
+    ArrayType(IntegerType, containsNull = false)
+
+  override def prettyName: String = "graft_rh_buckets_n"
+
+  override protected def nullSafeEval(a: Any, b: Any, r: Any): Any =
+    GraftHashes.rhBucketsN(a.asInstanceOf[ArrayData],
+      b.asInstanceOf[Int], r.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, r) =>
+      s"graft.functions.GraftHashes.rhBucketsN($a, $b, $r)")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): RhLshBucketsN =
+    copy(first = newFirst, second = newSecond, third = newThird)
 }
 
 /** `graft_simhash64(lo, hi)` — 64-bit SimHash of two pre-hashed 32-bit

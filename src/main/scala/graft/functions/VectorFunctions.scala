@@ -376,6 +376,7 @@ object VectorFunctions {
     "graft_cos" -> (c => CosineSim(c(0), c(1), c(2), c(3))),
     "graft_minhash16" -> (c => MinhashSignatures(c(0))),
     "graft_rh_buckets" -> (c => RhLshBuckets(c(0))),
+    "graft_rh_buckets_n" -> (c => RhLshBucketsN(c(0), c(1), c(2))),
     "graft_simhash16" -> (c => Simhash16(c(0))),
     "graft_simhash64" -> (c => Simhash64(c(0), c(1))),
     "graft_bloom_contains" -> (c => BloomContains(c(0), c(1))),

@@ -1052,6 +1052,31 @@ object Dedup extends QueryPack {
   private def ddEmbedCosineLsh(s: SparkSession, dir: String): DataFrame =
     ddEmbedLshPairs(s, dir).orderBy(col("vec_a"), col("vec_b"))
 
+  /** Corpus-scale candidate generator with TUNABLE banding — the same
+    * bucket-local equi-join shape as [[ddEmbedLshPairs]], but over the
+    * parameterized plane family (`graft_rh_buckets_n`). The fixed 12x5
+    * default is the fixture/oracle path (its weights are baked into the
+    * DuckDB restatements); a deployment sizes `rows ~ log2(n / bands)`
+    * so background collisions stay O(bands) per vector instead of
+    * quadratic in corpus size, and grows `bands` alongside to hold
+    * near-dup recall (the math is on [[graft.functions.GraftHashes
+    * .rhBucketsN]]). LshScalingSpec pins both directions: noise
+    * candidates shrink ~2^(rows delta), planted near-dups survive.
+    */
+  private[graft] def embedLshCandidates(emb: DataFrame, bands: Int,
+                                        rows: Int): DataFrame = {
+    VectorFunctions.ensureRegistered(emb.sparkSession)
+    val bandsDf = emb
+      .selectExpr("vec_id",
+        s"graft_rh_buckets_n(embedding, $bands, $rows) AS bks")
+      .select(col("vec_id"), posexplode(col("bks")).as(Seq("band", "bkt")))
+    bandsDf.alias("x").join(bandsDf.alias("y"),
+        col("x.band") === col("y.band") && col("x.bkt") === col("y.bkt") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+      .distinct()
+  }
+
   /** Test/profiling hook: the exact edge frame dd_embed_cluster /
     * dd_semdedup feed into label propagation.
     */
