@@ -892,6 +892,55 @@ object Dedup extends QueryPack {
          |ORDER BY doc_a, doc_b""".stripMargin)
   }
 
+  /** Corpus-scale SimHash candidate generator with a TUNABLE block
+    * scheme (Manku et al., WWW 2007, generalized): split the 64-bit
+    * signature into `blocks` contiguous blocks and key one candidate
+    * table on every combination of `blocks - k` of them. If
+    * `hamming(a, b) <= k`, the differing bits touch at most `k`
+    * blocks, so some untouched combination keys identically — the
+    * same pigeonhole guarantee as the fixed 4x16 banding, which is
+    * EXACTLY this scheme at (blocks = 4, k = 3): C(4,1) = 4 tables
+    * keyed on one 16-bit block each. The scale knob: at corpus size n,
+    * 16-bit keys collide quadratically (4 * n^2 / 2^17 background
+    * pairs at ANY n); raising `blocks` to 6 keys C(6,3) = 20 tables on
+    * ~33 bits each — 20x the tables but 2^17x fewer collisions per
+    * table, the right trade as soon as n outgrows the key space.
+    * SimhashScalingSpec pins the guarantee (equality with brute-force
+    * Hamming <= k, not just a superset) and the noise shrink.
+    *
+    * Input: (doc_id BIGINT, sig BIGINT). Output: distinct candidate
+    * pairs (doc_a < doc_b) — callers re-check `bit_count(xor) <= k`
+    * exactly, as dd_simhash64 does over its banding.
+    */
+  private[graft] def simhash64Candidates(sigs: DataFrame, blocks: Int,
+                                         k: Int): DataFrame = {
+    require(blocks > k && blocks <= 64,
+      s"need k < blocks <= 64, got blocks=$blocks k=$k")
+    val widths = (0 until blocks)
+      .map(b => 64 / blocks + (if (b < 64 % blocks) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
+    val tables = (0 until blocks).combinations(blocks - k).toSeq
+    val maxKeyBits = tables.map(_.map(widths).sum).max
+    require(maxKeyBits <= 63,
+      s"combined key would carry $maxKeyBits bits; raise k or blocks")
+    val keyStructs = tables.zipWithIndex.map { case (sel, ti) =>
+      // shift-accumulate the selected blocks into one BIGINT key
+      val key = sel.foldLeft("0L") { (acc, b) =>
+        s"(shiftleft($acc, ${widths(b)}) | " +
+          s"(shiftright(sig, ${offsets(b)}) & ${(1L << widths(b)) - 1}L))"
+      }
+      s"struct($ti AS tbl, $key AS bv)"
+    }
+    val exploded = sigs.selectExpr("doc_id",
+        s"explode(array(${keyStructs.mkString(", ")})) AS key")
+      .select(col("doc_id"), col("key.tbl"), col("key.bv"))
+    exploded.alias("x").join(exploded.alias("y"),
+        col("x.tbl") === col("y.tbl") && col("x.bv") === col("y.bv") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+  }
+
   private val ddSimhash64Sql = {
     def lo(t: String) = s"CAST('0x' || substr(md5($t), 1, 8) AS BIGINT)"
     def hi(t: String) = s"CAST('0x' || substr(md5($t), 9, 8) AS BIGINT)"
