@@ -91,6 +91,87 @@ private[sources] class SerializableHadoopConf(
   }
 }
 
+/** `_SHARDS.json` — the store's commit pointer. Historically a flat
+  * `{"shard-00000.jsonl": rows, ...}` row-count record; since the
+  * compaction work it is the SOURCE OF TRUTH for the committed file
+  * set (the batch reader plans from it when present), plus an optional
+  * reserved `"_epochs"` object recording, per shard, the highest
+  * streaming-epoch id already folded into the committed file — the
+  * watermark that makes [[ShardCompact.compact]] crash-recoverable
+  * (a consumed epoch file that survived a crashed GC pass is
+  * recognized as stale instead of being folded in twice).
+  *
+  * Writes land via temp-file + rename so the pointer flip is as atomic
+  * as the FS's rename (atomic on HDFS; on FSs where replace needs a
+  * delete-first there is a tiny no-manifest window, covered by the
+  * reader's listing fallback — acceptable under this store's
+  * single-writer discipline).
+  */
+private[sources] object ShardManifest {
+  import com.fasterxml.jackson.databind.ObjectMapper
+  import com.fasterxml.jackson.databind.node.ObjectNode
+
+  val Name = "_SHARDS.json"
+
+  /** Committed files (name -> rows) + per-shard consumed-epoch watermark. */
+  case class State(files: Map[String, Long], epochsThrough: Map[Long, Long])
+
+  private val Committed = "shard-(\\d+)(?:-gen-(\\d+))?\\.jsonl".r
+
+  /** Shard id of a committed (plain or gen-suffixed) file name. */
+  def shardOf(name: String): Option[Long] = name match {
+    case Committed(id, _) => Some(id.toLong)
+    case _ => None
+  }
+
+  /** Generation of a committed file name (plain = 0). */
+  def genOf(name: String): Long = name match {
+    case Committed(_, null) => 0L
+    case Committed(_, g)    => g.toLong
+    case _ => 0L
+  }
+
+  def fileName(shard: Long, gen: Long): String =
+    if (gen == 0L) ShardSink.shardFileName(shard)
+    else f"shard-$shard%05d-gen-$gen.jsonl"
+
+  def read(fs: FileSystem, d: HPath): Option[State] = {
+    val p = new HPath(d, Name)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val bytes = try in.readAllBytes() finally in.close()
+      val root = new ObjectMapper().readTree(bytes).asInstanceOf[ObjectNode]
+      val files = Map.newBuilder[String, Long]
+      val epochs = Map.newBuilder[Long, Long]
+      root.fields().asScala.foreach { e =>
+        if (e.getKey == "_epochs")
+          e.getValue.fields().asScala.foreach(se =>
+            epochs += (se.getKey.toLong -> se.getValue.asLong()))
+        else files += (e.getKey -> e.getValue.asLong())
+      }
+      Some(State(files.result(), epochs.result()))
+    }
+  }
+
+  def write(fs: FileSystem, d: HPath, files: Map[String, Long],
+            epochsThrough: Map[Long, Long]): Unit = {
+    val fileLines = files.toSeq.sortBy(_._1)
+      .map { case (f, n) => s"""  "$f": $n""" }
+    val epochLines =
+      if (epochsThrough.isEmpty) Seq.empty
+      else Seq(epochsThrough.toSeq.sortBy(_._1)
+        .map { case (s, e) => s""""$s": $e""" }
+        .mkString("  \"_epochs\": {", ", ", "}"))
+    val json = (fileLines ++ epochLines).mkString("{\n", ",\n", "\n}\n")
+    val tmp = new HPath(d, Name + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(json.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    ShardFs.renameOver(fs, tmp, new HPath(d, Name))
+  }
+}
+
 private[sources] object ShardFs {
   def resolve(dir: String, conf: Configuration): (FileSystem, HPath) = {
     val p = new HPath(dir)
@@ -236,19 +317,38 @@ private[sources] class ShardScan(dir: String, conf: SerializableHadoopConf,
 
   // Listed once, reused by planInputPartitions AND outputPartitioning
   // (the reported numPartitions must match the planned partitions).
+  // Manifest-first: when `_SHARDS.json` exists it IS the committed file
+  // set (so a compaction's generation flip is atomic — a reader planned
+  // against the old pointer never sees half-replaced files, and orphan
+  // gen files from a crashed flip are invisible). The directory-listing
+  // fallback covers pre-manifest dirs and the delete-before-rename flip
+  // window on non-atomic-replace FSs; it admits only plain batch-layout
+  // names because without a pointer there is no way to tell a committed
+  // generation from crash litter.
   private lazy val partitions: Array[InputPartition] = {
     val (fs, d) = ShardFs.resolve(dir, conf.value)
     val ShardFile = "shard-(\\d+)\\.jsonl".r
     if (!fs.exists(d)) Array.empty
-    else fs.listStatus(d).iterator
-      .flatMap(st => st.getPath.getName match {
-        case ShardFile(id) if st.isFile =>
-          Some(ShardInputPartition(st.getPath.toString, id.toLong))
-        case _ => None
-      })
-      .filter(p => shardPred(p.shard))
-      .toArray.sortBy(_.shard)
-      .map(p => p: InputPartition)
+    else {
+      val named: Seq[(String, Long)] = ShardManifest.read(fs, d) match {
+        case Some(st) =>
+          st.files.keysIterator
+            .flatMap(f => ShardManifest.shardOf(f).map(f -> _)).toSeq
+        case None => fs.listStatus(d).iterator
+          .flatMap(st => st.getPath.getName match {
+            case ShardFile(id) if st.isFile =>
+              Some((st.getPath.getName, id.toLong))
+            case _ => None
+          }).toSeq
+      }
+      named.iterator
+        .map { case (f, id) =>
+          ShardInputPartition(new HPath(d, f).toString, id)
+        }
+        .filter(p => shardPred(p.shard))
+        .toArray.sortBy(_.shard)
+        .map(p => p: InputPartition)
+    }
   }
 
   override def planInputPartitions(): Array[InputPartition] = partitions
@@ -427,11 +527,8 @@ private[sources] class ShardBatchWrite(dir: String, truncateFirst: Boolean,
     all.foreach { case (tmp, fin, _) =>
       ShardFs.renameOver(fs, new HPath(tmp), new HPath(d, fin))
     }
-    val manifest = all.map { case (_, fin, n) => s"""  "$fin": $n""" }
-      .mkString("{\n", ",\n", "\n}\n")
-    val out = fs.create(new HPath(d, "_SHARDS.json"), true)
-    try out.write(manifest.getBytes(StandardCharsets.UTF_8))
-    finally out.close()
+    ShardManifest.write(fs, d,
+      all.map { case (_, fin, n) => fin -> n }.toMap, Map.empty)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
@@ -575,25 +672,58 @@ object ShardIo extends graft.QueryPack {
   import graft.Engine.table
 
   private val RtShards = 16
+  private val CompactEpochs = 4L
 
-  private def shardRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val docs = table(s, dir, "documents")
-      .selectExpr("doc_id",
-        "concat(cast(doc_id as string), ':', md5(text)) AS line")
-    // Deterministic per-(process, input) scratch dir (NOT a fresh temp
-    // dir per invocation, which leaked a 16-shard corpus copy per
-    // bench rep): reruns within a process overwrite in place via the
-    // sink's truncate path, so the gate's disk footprint is one copy
-    // per fixture per process. The pid in the path keeps two
-    // concurrent harness processes from truncating each other's store
-    // mid-read.
-    val out = new java.io.File(
+  /** Deterministic per-(process, input) scratch dir (NOT a fresh temp
+    * dir per invocation, which leaked a 16-shard corpus copy per
+    * bench rep): reruns within a process overwrite in place, so the
+    * gate's disk footprint is one copy per fixture per process. The
+    * pid in the path keeps two concurrent harness processes from
+    * truncating each other's store mid-read.
+    */
+  private def scratch(tag: String, dir: String): String =
+    new java.io.File(
       sys.props.getOrElse("java.io.tmpdir", "/tmp"),
-      "graft_shard_rt_" + java.security.MessageDigest.getInstance("MD5")
+      s"graft_shard_${tag}_" + java.security.MessageDigest.getInstance("MD5")
         .digest(dir.getBytes(StandardCharsets.UTF_8))
         .map("%02x".format(_)).mkString.take(12) +
         "_p" + ProcessHandle.current().pid()).toString
-    CorpusShards.write(docs, out, RtShards)
+
+  private def corpusLines(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "documents")
+      .selectExpr("doc_id",
+        "concat(cast(doc_id as string), ':', md5(text)) AS line")
+
+  private def shardRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out = scratch("rt", dir)
+    CorpusShards.write(corpusLines(s, dir), out, RtShards)
+    s.read.format("graft-shards").option("path", out).load()
+      .orderBy("shard", "pos")
+  }
+
+  // -- shard_compact: streamed-epoch store sealed into the batch layout ----
+  // The ingestion-side small-files gate: the corpus lands as 4 epoch
+  // waves (epoch = doc_id % 4 — a deterministic stand-in for arrival
+  // batching), each wave an epoch-file drop in the streaming sink's
+  // landing format; ShardCompact folds them into one next-generation
+  // file per shard with an atomic manifest flip, and the batch read
+  // face reconstructs (shard, pos, line) from the sealed store. The
+  // oracle restates the end state declaratively: within a shard, rows
+  // are ordered by (epoch, md5(doc_id), doc_id) — epoch-arrival order
+  // outermost, the writer's deterministic within-epoch order inside.
+  private def shardCompact(s: SparkSession, dir: String): DataFrame = {
+    val out = scratch("cp", dir)
+    val conf = s.sessionState.newHadoopConf()
+    val (fs, d) = ShardFs.resolve(out, conf)
+    if (fs.exists(d)) fs.delete(d, true) // fresh store per invocation
+    val docs = corpusLines(s, dir)
+    (0L until CompactEpochs).foreach { e =>
+      ShardCompact.landEpoch(
+        CorpusShards.layout(docs.where(s"doc_id % $CompactEpochs = $e"),
+          RtShards),
+        out, e, RtShards)
+    }
+    ShardCompact.compact(s, out)
     s.read.format("graft-shards").option("path", out).load()
       .orderBy("shard", "pos")
   }
@@ -613,9 +743,25 @@ object ShardIo extends graft.QueryPack {
        |          FROM documents)))
        |ORDER BY shard, pos""".stripMargin
 
+  private val shardCompactSql =
+    s"""SELECT shard,
+       |  CAST(row_number() OVER (PARTITION BY shard
+       |    ORDER BY epoch, hk, doc_id) AS BIGINT) AS pos,
+       |  line
+       |FROM (
+       |  SELECT doc_id, line, hk, doc_id % $CompactEpochs AS epoch,
+       |    CAST('0x' || substr(hk, 1, 8) AS BIGINT) % $RtShards AS shard
+       |  FROM (SELECT doc_id,
+       |          CAST(doc_id AS VARCHAR) || ':' || md5(text) AS line,
+       |          md5(CAST(doc_id AS VARCHAR)) AS hk
+       |        FROM documents))
+       |ORDER BY shard, pos""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] =
-    Map("shard_roundtrip" -> (shardRoundtrip _))
+    Map("shard_roundtrip" -> (shardRoundtrip _),
+        "shard_compact" -> (shardCompact _))
 
   override val oracles: Map[String, String] =
-    Map("shard_roundtrip" -> shardRoundtripSql)
+    Map("shard_roundtrip" -> shardRoundtripSql,
+        "shard_compact" -> shardCompactSql)
 }

@@ -1,0 +1,156 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{CorpusShards, ShardCompact}
+
+/** Compaction of the graft-shards store: epoch landing files fold into
+  * one next-generation file per shard behind an atomic `_SHARDS.json`
+  * pointer flip, watermark-guarded so no crash window can double-fold
+  * an epoch.
+  */
+class ShardCompactSpec extends AnyFunSuite {
+
+  private val spark = SparkSessionHelper.spark
+
+  private def corpus() =
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .selectExpr("doc_id", "concat(cast(doc_id as string),':',md5(text)) AS line")
+
+  private def landAll(dir: String, epochs: Seq[Long], nShards: Int = 8): Unit =
+    epochs.foreach { e =>
+      ShardCompact.landEpoch(
+        CorpusShards.layout(corpus().where(s"doc_id % 4 = $e"), nShards),
+        dir, e, nShards)
+    }
+
+  private def files(dir: String): Set[String] =
+    Files.list(Paths.get(dir)).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(f => f.startsWith("shard-") && !f.endsWith(".crc"))
+      .toSet
+
+  private def readBack(dir: String): Seq[(Long, Long, String)] =
+    spark.read.format("graft-shards").option("path", dir).load()
+      .orderBy("shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+
+  /** Expected sealed layout: within a shard, (epoch, hk, doc_id) order. */
+  private def expected(epochs: Seq[Long], nShards: Int = 8)
+      : Seq[(Long, Long, String)] = {
+    val rows = epochs.flatMap { e =>
+      CorpusShards.layout(corpus().where(s"doc_id % 4 = $e"), nShards)
+        .orderBy("shard", "pos").collect()
+        .map(r => (r.getLong(0), e, r.getLong(1), r.getString(2)))
+    }
+    rows.groupBy(_._1).toSeq.flatMap { case (shard, rs) =>
+      rs.sortBy(t => (t._2, t._3)).zipWithIndex
+        .map { case ((_, _, _, line), i) => (shard, i + 1L, line) }
+    }.sortBy(t => (t._1, t._2))
+  }
+
+  test("compaction seals epoch files into one gen file per shard") {
+    val out = Files.createTempDirectory("graft_cp_seal").toString
+    landAll(out, Seq(0L, 1L, 2L, 3L))
+    // pre-compact: epoch files only; the batch face plans from the
+    // (absent) manifest -> directory fallback admits no epoch files
+    val landed = files(out)
+    assert(landed.forall(_.matches("shard-\\d{5}-epoch-\\d\\.jsonl")))
+    assert(readBack(out).isEmpty)
+    // occupancy from the layout itself — sf0.001 may leave some
+    // (shard, epoch) cells (or whole shards) empty
+    val occupiedShards = expected(Seq(0L, 1L, 2L, 3L)).map(_._1).distinct
+    val stats = ShardCompact.compact(spark, out)
+    assert(stats.shards == occupiedShards.size)
+    assert(stats.epochFiles == landed.size)
+    // post-compact: one gen-1 file per occupied shard, zero epoch litter
+    assert(files(out) ==
+      occupiedShards.map(s => f"shard-$s%05d-gen-1.jsonl").toSet)
+    assert(readBack(out) == expected(Seq(0L, 1L, 2L, 3L)))
+    // the manifest counts every row of the sealed store
+    val manifest = new String(
+      Files.readAllBytes(Paths.get(out, "_SHARDS.json")))
+    val total = corpus().count()
+    assert(stats.rows == total)
+    assert(manifest.contains("\"_epochs\""), manifest)
+  }
+
+  test("incremental compaction = one-shot compaction, via generations") {
+    val once = Files.createTempDirectory("graft_cp_once").toString
+    landAll(once, Seq(0L, 1L, 2L, 3L))
+    ShardCompact.compact(spark, once)
+    val twice = Files.createTempDirectory("graft_cp_twice").toString
+    landAll(twice, Seq(0L, 1L))
+    ShardCompact.compact(spark, twice)
+    assert(readBack(twice) == expected(Seq(0L, 1L)))
+    landAll(twice, Seq(2L, 3L))
+    ShardCompact.compact(spark, twice)
+    // same sealed content; shards touched by the second wave are one
+    // generation later, shards only the first wave reached stay gen-1
+    assert(readBack(twice) == readBack(once))
+    val wave2Shards = expected(Seq(2L, 3L)).map(_._1).distinct.toSet
+    files(twice).foreach { f =>
+      val s = f.slice(6, 11).toLong
+      assert(f == f"shard-$s%05d-gen-${if (wave2Shards(s)) 2 else 1}.jsonl", f)
+    }
+  }
+
+  test("stale epochs and orphan gens from a crashed pass are inert") {
+    val out = Files.createTempDirectory("graft_cp_crash").toString
+    landAll(out, Seq(0L, 1L))
+    ShardCompact.compact(spark, out)
+    val sealedRows = readBack(out)
+    // crash simulation, both windows at once:
+    //  - a consumed epoch file GC missed (epoch 0 <= watermark 1)
+    //  - a would-be-next-gen file whose manifest flip never happened
+    landAll(out, Seq(0L))
+    Files.writeString(Paths.get(out, "shard-00000-gen-9.jsonl"),
+      "ghost-row\n")
+    // readers plan from the pointer: both artifacts invisible
+    assert(readBack(out) == sealedRows)
+    // the next pass deletes both instead of folding or adopting them
+    val stats = ShardCompact.compact(spark, out)
+    assert(stats.shards == 0 && stats.epochFiles == 0)
+    assert(readBack(out) == sealedRows)
+    assert(!files(out).exists(_.contains("epoch")))
+    assert(!files(out).contains("shard-00000-gen-9.jsonl"))
+    // and genuinely new epochs still fold on top
+    landAll(out, Seq(2L, 3L))
+    ShardCompact.compact(spark, out)
+    assert(readBack(out) == expected(Seq(0L, 1L, 2L, 3L)))
+  }
+
+  test("a streamed store seals into a batch-readable corpus") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val out = Files.createTempDirectory("graft_cp_stream").toString
+    val ckpt = Files.createTempDirectory("graft_cp_stream_ck").toString
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val q = in.toDF().toDF("doc_id", "line")
+      .selectExpr("cast(doc_id % 4 as bigint) AS shard",
+        "doc_id AS pos", "line")
+      .writeStream.format("graft-shards")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .start()
+    try {
+      in.addData((1L, "a"), (2L, "b"), (5L, "c"))
+      q.processAllAvailable()
+      in.addData((3L, "d"), (9L, "e"))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(readBack(out).isEmpty) // landing files are not the corpus yet
+    ShardCompact.compact(spark, out)
+    val got = readBack(out)
+    // multiset of lines survives; epoch order is preserved per shard
+    // (1:"a" landed in epoch 0, 5:"c" in the same epoch before 9:"e")
+    assert(got.map(_._3).sorted == Seq("a", "b", "c", "d", "e"))
+    val shard1 = got.filter(_._1 == 1L).sortBy(_._2).map(_._3)
+    assert(shard1 == Seq("a", "c", "e"), got)
+  }
+}
