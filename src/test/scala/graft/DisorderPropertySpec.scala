@@ -87,6 +87,56 @@ class DisorderPropertySpec extends AnyFunSuite {
     out.result()
   }
 
+  /** Reference retention fold: cohort = MIN event day per user, one
+    * hit per distinct day-offset in [0, maxOffset].
+    */
+  private def retentionRef(evs: Seq[Event], dayNs: Long,
+                           maxOffset: Int): Set[(Long, Long, Long)] = {
+    val out = Set.newBuilder[(Long, Long, Long)]
+    evs.groupBy(_.user_id).foreach { case (u, es) =>
+      val days = es.map(_.ts / dayNs)
+      val cohort = days.min
+      days.map(_ - cohort).distinct
+        .filter(_ <= maxOffset)
+        .foreach(off => out += ((u, cohort, off)))
+    }
+    out.result()
+  }
+
+  test("retentionStream matches the batch MIN-day cohort fold under " +
+       "random bounded disorder (3 seeds)") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dayNs = 86400000000000L
+    val maxOff = Streams.RetentionMaxOffset
+    (1L to 3L).foreach { seed =>
+      // ~10 days of traffic so cohorts span re-based midnights; jitter
+      // up to half the 24 h watermark delay
+      val evs = genEvents(seed + 900, 150, 6, spanNs = 10L * dayNs)
+      val feedOrder = disordered(evs, seed + 950, slackNs = dayNs / 2)
+      val in = MemoryStream[Event]
+      val sink = s"disorder_retention_$seed"
+      val q = Streams.retentionStream(in.toDS())
+        .writeStream.format("memory").queryName(sink)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        feedOrder.grouped(40).foreach { b =>
+          in.addData(b); q.processAllAvailable()
+        }
+        val flushTs = evs.map(_.ts).max + (maxOff + 3L) * dayNs
+        in.addData(Event(-1L, flushTs, -1L, "view", 1.0))
+        q.processAllAvailable()
+        in.addData(Event(-2L, flushTs, -1L, "view", 1.0))
+        q.processAllAvailable()
+        val got = spark.table(sink).filter("user_id >= 0")
+          .selectExpr("user_id", "cohort_day", "day_offset").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        assert(got == retentionRef(evs, dayNs, maxOff), s"seed $seed")
+      } finally q.stop()
+    }
+  }
+
   test("funnelStream matches the batch fold under random bounded " +
        "disorder (3 seeds)") {
     val spark0 = spark
