@@ -39,7 +39,8 @@ object Bench {
     "st_retention_replay",
     // round 14
     "st_retention_ooo_replay", "st_funnel_ooo_replay",
-    "st_sessions_ooo_replay", "st_neardup_ooo_replay", "shard_compact")
+    "st_sessions_ooo_replay", "st_neardup_ooo_replay", "shard_compact",
+    "shard_stats")
 
   private final case class M(
       name: String, median: Double, spread: Double, jobsPerRep: Int,

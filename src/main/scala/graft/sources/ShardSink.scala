@@ -743,6 +743,42 @@ object ShardIo extends graft.QueryPack {
        |          FROM documents)))
        |ORDER BY shard, pos""".stripMargin
 
+  // -- shard_stats: the store's metadata-only balance audit ----------------
+  // Per-shard row counts from the manifest + byte sizes from file
+  // status — ZERO data scanned, the pre-training skew check a consumer
+  // runs before committing 1000 executors to a corpus. The oracle
+  // recomputes BOTH channels from the documents table (rows by layout
+  // arithmetic, bytes as sum(strlen(line)+1) — the writer is
+  // one UTF-8 line + '\n' per row), so the manifest's counts and the
+  // files' physical sizes are each pinned to an independent engine.
+  // Driver-side by design: the manifest is model-sized (one entry per
+  // shard), the same object every reader already consults at planning.
+  private def shardStats(s: SparkSession, dir: String): DataFrame = {
+    val out = scratch("st", dir)
+    CorpusShards.write(corpusLines(s, dir), out, RtShards)
+    val conf = s.sessionState.newHadoopConf()
+    val (fs, d) = ShardFs.resolve(out, conf)
+    val st = ShardManifest.read(fs, d).getOrElse(
+      throw new IllegalStateException(s"no manifest under $out"))
+    val rows = st.files.toSeq.flatMap { case (f, n) =>
+      ShardManifest.shardOf(f).map(sh =>
+        (sh, n, fs.getFileStatus(new HPath(d, f)).getLen))
+    }
+    import s.implicits._
+    rows.toDF("shard", "n_rows", "bytes").orderBy("shard")
+  }
+
+  private val shardStatsSql =
+    s"""SELECT shard, CAST(count(*) AS BIGINT) AS n_rows,
+       |  CAST(SUM(strlen(line) + 1) AS BIGINT) AS bytes
+       |FROM (
+       |  SELECT CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+       |           AS BIGINT) % $RtShards AS shard,
+       |    CAST(doc_id AS VARCHAR) || ':' || md5(text) AS line
+       |  FROM documents)
+       |GROUP BY shard
+       |ORDER BY shard""".stripMargin
+
   private val shardCompactSql =
     s"""SELECT shard,
        |  CAST(row_number() OVER (PARTITION BY shard
@@ -759,9 +795,11 @@ object ShardIo extends graft.QueryPack {
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("shard_roundtrip" -> (shardRoundtrip _),
-        "shard_compact" -> (shardCompact _))
+        "shard_compact" -> (shardCompact _),
+        "shard_stats" -> (shardStats _))
 
   override val oracles: Map[String, String] =
     Map("shard_roundtrip" -> shardRoundtripSql,
-        "shard_compact" -> shardCompactSql)
+        "shard_compact" -> shardCompactSql,
+        "shard_stats" -> shardStatsSql)
 }
