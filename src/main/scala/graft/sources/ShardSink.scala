@@ -756,16 +756,9 @@ object ShardIo extends graft.QueryPack {
   private def shardStats(s: SparkSession, dir: String): DataFrame = {
     val out = scratch("st", dir)
     CorpusShards.write(corpusLines(s, dir), out, RtShards)
-    val conf = s.sessionState.newHadoopConf()
-    val (fs, d) = ShardFs.resolve(out, conf)
-    val st = ShardManifest.read(fs, d).getOrElse(
-      throw new IllegalStateException(s"no manifest under $out"))
-    val rows = st.files.toSeq.flatMap { case (f, n) =>
-      ShardManifest.shardOf(f).map(sh =>
-        (sh, n, fs.getFileStatus(new HPath(d, f)).getLen))
-    }
     import s.implicits._
-    rows.toDF("shard", "n_rows", "bytes").orderBy("shard")
+    ShardStats.audit(s, out).toDF("shard", "n_rows", "bytes")
+      .orderBy("shard")
   }
 
   private val shardStatsSql =
