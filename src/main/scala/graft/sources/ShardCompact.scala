@@ -124,7 +124,10 @@ object ShardCompact {
         }.collect().toSeq
       }
 
-    // rename new gen files into place, then flip the pointer
+    // rename new gen files into place, then flip the pointer — skipped
+    // entirely on a pure no-op pass (nothing fresh), so re-running
+    // compact on a sealed store never touches the commit pointer; the
+    // GC below still clears crash litter
     results.foreach { case (_, outName, _) =>
       ShardFs.renameOver(fs, new HPath(d, "_tmp/compact-" + outName),
         new HPath(d, outName))
@@ -132,9 +135,11 @@ object ShardCompact {
     val replaced = results.flatMap { case (s, _, _) => byShard.get(s) }
     val newFiles = (committed.files -- replaced) ++
       results.map { case (_, f, n) => f -> n }
-    val newEpochs = committed.epochsThrough ++
-      fresh.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
-    ShardManifest.write(fs, d, newFiles, newEpochs)
+    if (results.nonEmpty) {
+      val newEpochs = committed.epochsThrough ++
+        fresh.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+      ShardManifest.write(fs, d, newFiles, newEpochs)
+    }
 
     // GC (best-effort, all invisible to manifest-planned readers):
     // replaced generations, consumed + stale epoch files, and any

@@ -255,16 +255,22 @@ private[sources] class ShardTable(props: Map[String, String])
   *    KeyGroupedPartitioning over `shard` and a downstream shard-keyed
   *    join or aggregation skips its exchange (storage-partitioned
   *    execution; needs spark.sql.sources.v2.bucketing.enabled, set in
-  *    Engine.session).
+  *    Engine.session);
+  *  - COUNT(*) pushdown ([[SupportsPushDownAggregates]]): an ungrouped
+  *    count — optionally under pushed shard filters — is answered from
+  *    the manifest's exact per-file row counts with zero data I/O (see
+  *    the builder's manifest-count section).
   */
 private[sources] class ShardScanBuilder(dir: String,
                                         conf: SerializableHadoopConf)
     extends ScanBuilder
-    with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+    with SupportsPushDownRequiredColumns with SupportsPushDownFilters
+    with SupportsPushDownAggregates {
   import org.apache.spark.sql.sources._
 
   private var required: StructType = ShardSink.schema
   private var pushed: Array[Filter] = Array.empty
+  private var pushedCountAggs = 0
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -295,13 +301,91 @@ private[sources] class ShardScanBuilder(dir: String,
   }
   override def pushedFilters(): Array[Filter] = pushed
 
+  // -- COUNT(*) answered from the manifest: zero data I/O ------------------
+  // The commit pointer records exact per-file row counts (batch writer
+  // at commit, compaction at fold), so an ungrouped COUNT(*) — with or
+  // without pushed shard filters, which prune manifest entries the same
+  // way they prune files — is a planning-time catalog lookup. At corpus
+  // scale that's `SELECT count(*) FROM corpus` without touching 100 TB.
+  // Spark only attempts aggregate pushdown when every filter was
+  // absorbed by pushFilters, so a residual line/pos predicate keeps the
+  // normal scan. Grouped aggregations are NOT pushed: group-by-shard
+  // already runs exchange-free on the reported KeyGroupedPartitioning.
+  import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
+
+  private lazy val manifestCounts: Option[Seq[(Long, Long)]] = {
+    val (fs, d) = ShardFs.resolve(dir, conf.value)
+    if (!fs.exists(d)) Some(Seq.empty)
+    else ShardManifest.read(fs, d).map(_.files.toSeq.flatMap {
+      case (f, n) => ShardManifest.shardOf(f).map(_ -> n)
+    })
+  }
+
+  private def countOnly(agg: Aggregation): Boolean =
+    agg.groupByExpressions.isEmpty &&
+      agg.aggregateExpressions.nonEmpty &&
+      agg.aggregateExpressions.forall(_.isInstanceOf[CountStar]) &&
+      manifestCounts.isDefined
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    countOnly(agg)
+
+  override def pushAggregation(agg: Aggregation): Boolean =
+    countOnly(agg) && {
+      pushedCountAggs = agg.aggregateExpressions.length
+      true
+    }
+
   override def build(): Scan = {
     val tests = pushed.flatMap(shardTest)
-    new ShardScan(dir, conf, required,
-      shard => tests.forall(_(shard)),
-      pushed.mkString(", "))
+    val pred: Long => Boolean = shard => tests.forall(_(shard))
+    if (pushedCountAggs > 0) {
+      val total = manifestCounts.get
+        .collect { case (sh, n) if pred(sh) => n }.sum
+      new ManifestCountScan(dir, total, pushedCountAggs,
+        pushed.mkString(", "))
+    } else
+      new ShardScan(dir, conf, required, pred, pushed.mkString(", "))
   }
 }
+
+/** The aggregate-pushdown result: one partition, one row, the COUNT(*)
+  * value(s) straight from the manifest — no file is opened.
+  */
+private[sources] class ManifestCountScan(dir: String, total: Long,
+                                         nAggs: Int, pushedDesc: String)
+    extends Scan with Batch {
+  override def readSchema(): StructType =
+    StructType((0 until nAggs).map(i =>
+      StructField(s"count_$i", LongType, nullable = false)))
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-shards read $dir PushedAggregates: [COUNT(*)] (manifest)" +
+      (if (pushedDesc.nonEmpty) s" PushedFilters: [$pushedDesc]" else "")
+
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(ManifestCountPartition(total, nAggs))
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(
+          partition: InputPartition): PartitionReader[InternalRow] = {
+        val p = partition.asInstanceOf[ManifestCountPartition]
+        new PartitionReader[InternalRow] {
+          private var emitted = false
+          override def next(): Boolean =
+            if (emitted) false else { emitted = true; true }
+          override def get(): InternalRow =
+            new GenericInternalRow(
+              Array.fill[Any](p.nAggs)(p.total))
+          override def close(): Unit = ()
+        }
+      }
+    }
+}
+
+private[sources] case class ManifestCountPartition(total: Long, nAggs: Int)
+    extends InputPartition
 
 private[sources] class ShardScan(dir: String, conf: SerializableHadoopConf,
                                  required: StructType,

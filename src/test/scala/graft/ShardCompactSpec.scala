@@ -6,7 +6,7 @@ import scala.jdk.CollectionConverters._
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.sources.{CorpusShards, ShardCompact}
+import graft.sources.{CorpusShards, ShardCompact, ShardStats}
 
 /** Compaction of the graft-shards store: epoch landing files fold into
   * one next-generation file per shard behind an atomic `_SHARDS.json`
@@ -77,6 +77,15 @@ class ShardCompactSpec extends AnyFunSuite {
     val total = corpus().count()
     assert(stats.rows == total)
     assert(manifest.contains("\"_epochs\""), manifest)
+    // the zero-scan audit agrees with an actual read on both channels
+    val audit = ShardStats.audit(spark, out)
+    val byShard = readBack(out).groupBy(_._1)
+    assert(audit.map(t => t._1 -> t._2).toMap ==
+      byShard.view.mapValues(_.size.toLong).toMap)
+    audit.foreach { case (sh, _, bytes) =>
+      assert(bytes ==
+        byShard(sh).map(_._3.getBytes("UTF-8").length + 1L).sum)
+    }
   }
 
   test("incremental compaction = one-shot compaction, via generations") {

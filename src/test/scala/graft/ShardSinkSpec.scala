@@ -226,4 +226,30 @@ class ShardSinkSpec extends AnyFunSuite {
     val exp = full.groupBy(_._1).view.mapValues(_.size.toLong).toMap
     assert(got == exp)
   }
+
+  test("ungrouped COUNT(*) is answered from the manifest, not the files") {
+    val out = Files.createTempDirectory("graft_shards_cnt").toString
+    CorpusShards.write(corpus(), out, 8)
+    def ds = spark.read.format("graft-shards").option("path", out).load()
+    val trueTotal = ds.collect().length.toLong
+    assert(ds.count() == trueTotal)
+    assert(ds.filter("shard >= 2 AND shard < 5").count() ==
+      ds.collect().count(r => r.getLong(0) >= 2 && r.getLong(0) < 5))
+    // the proof it never opens a shard file: inflate one manifest entry
+    // and watch count() follow the catalog while collect() reads truth
+    val mp = Paths.get(out, "_SHARDS.json")
+    val manifest = new String(Files.readAllBytes(mp))
+    val firstCount = ": (\\d+)".r.findFirstMatchIn(manifest)
+      .get.group(1).toLong
+    Files.write(mp,
+      manifest.replaceFirst(": (\\d+)", ": 100$1").getBytes)
+    // the out-of-band edit invalidates the local FS's checksum shadow
+    Files.deleteIfExists(Paths.get(out, "._SHARDS.json.crc"))
+    assert(ds.collect().length.toLong == trueTotal)
+    assert(ds.count() ==
+      trueTotal - firstCount + s"100$firstCount".toLong)
+    // a residual non-shard predicate disables the pushdown: Spark only
+    // pushes aggregates when every filter was absorbed by the scan
+    assert(ds.filter("pos >= 1").count() == trueTotal)
+  }
 }
