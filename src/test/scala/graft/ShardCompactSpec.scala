@@ -133,6 +133,72 @@ class ShardCompactSpec extends AnyFunSuite {
     assert(readBack(out) == expected(Seq(0L, 1L, 2L, 3L)))
   }
 
+  /** (shard, pos, line) layout of epoch class `c` at 8 shards, cached. */
+  private lazy val classLayout: Map[Long, Seq[(Long, Long, String)]] =
+    (0L to 3L).map { c =>
+      c -> CorpusShards.layout(corpus().where(s"doc_id % 4 = $c"), 8)
+        .orderBy("shard", "pos").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    }.toMap
+
+  test("random land/compact/litter schedules always read as the sealed " +
+       "epoch order (3 seeds)") {
+    // Stateful property: whatever interleaving of epoch landings,
+    // compaction passes, and crash litter (stale epoch re-drops, orphan
+    // gen files) occurs, a batch read equals the reference fold — per
+    // shard, all landed epochs' rows in (epoch, pos) order, counting
+    // only epochs that a compact() pass has sealed.
+    (1 to 3).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val out = Files.createTempDirectory(s"graft_cp_prop$seed").toString
+      var landed = Vector.empty[Long] // epochs landed, in landing order
+      var compactedThrough = -1 // index into `landed` of last sealed epoch
+      var nextEpoch = 0L
+      (1 to 10).foreach { _ =>
+        rnd.nextInt(4) match {
+          case 0 | 1 => // land the next epoch wave
+            ShardCompact.landEpoch(
+              CorpusShards.layout(
+                corpus().where(s"doc_id % 4 = ${nextEpoch % 4}"), 8),
+              out, nextEpoch, 8)
+            landed :+= nextEpoch
+            nextEpoch += 1
+          case 2 => // compact (seals everything landed so far)
+            ShardCompact.compact(spark, out)
+            compactedThrough = landed.size - 1
+          case 3 => // crash litter: re-drop a consumed epoch + orphan gen
+            if (compactedThrough >= 0) {
+              val stale = landed(rnd.nextInt(compactedThrough + 1))
+              ShardCompact.landEpoch(
+                CorpusShards.layout(
+                  corpus().where(s"doc_id % 4 = ${stale % 4}"), 8),
+                out, stale, 8)
+              Files.writeString(Paths.get(out, "shard-00000-gen-77.jsonl"),
+                "ghost\n")
+            }
+        }
+        // invariant after EVERY op: the batch face reads exactly the
+        // sealed prefix (stale re-drops and orphans are invisible;
+        // unsealed epochs are not part of the batch contract)
+        val vis = landed.take(compactedThrough + 1)
+        val exp = vis.zipWithIndex.flatMap { case (e, ord) =>
+          classLayout(e % 4).map { case (sh, pos, line) =>
+            (sh, ord, pos, line)
+          }
+        }.groupBy(_._1).toSeq.flatMap { case (shard, rs) =>
+          rs.sortBy(t => (t._2, t._3)).zipWithIndex
+            .map { case ((_, _, _, line), i) => (shard, i + 1L, line) }
+        }.sortBy(t => (t._1, t._2))
+        assert(readBack(out) == exp, s"seed $seed after ${landed.size} lands")
+      }
+      // final seal: everything lands in the read
+      ShardCompact.compact(spark, out)
+      compactedThrough = landed.size - 1
+      assert(readBack(out).size ==
+        landed.map(e => classLayout(e % 4).size).sum)
+    }
+  }
+
   test("a streamed store seals into a batch-readable corpus") {
     val spark0 = spark
     import spark0.implicits._
