@@ -515,6 +515,54 @@ object StreamReplay extends QueryPack {
     """SELECT event_id, epoch_us(ts) AS us, user_id, event_type, value
       |FROM events ORDER BY event_id""".stripMargin
 
+  // Replay gate for the multimodal ingest dedup: the documents fixture
+  // fed as a media stream (payload = the UTF-8 text bytes, the mm
+  // pack's stand-in) in doc_id/ts order, with the same at-least-once
+  // re-delivery pattern as st_dedup_replay (previous batch replayed,
+  // own head repeated). Exactly-once-per-digest is delivery-independent
+  // by the same state-hit-or-late-drop argument; with the in-order feed
+  // the keeper is the min-doc_id row — exactly mm_dedup's keeper —
+  // restated per digest in DuckDB. The watermark delay is the feed's
+  // STUDY HORIZON (computed from the corpus span, like the retention
+  // replay's): the fixture's exact-dup pairs can sit anywhere in
+  // doc_id order, so no digest's state may expire mid-replay or the
+  // second copy would re-emit as a keeper.
+  private def stMmIngestReplay(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val items = table(s, dir, "documents")
+      .selectExpr("doc_id", s"(doc_id + 1) * ${TickNs}L AS ts",
+        "source AS modality", "cast(text AS binary) AS payload")
+      .as[StreamMedia].collect().sortBy(_.doc_id).toIndexedSeq
+    val spanTicks = items.last.doc_id + 2L // TickNs = 1 s per tick
+    val in = MemoryStream[StreamMedia]
+    val sink = s"st_mm_ingest_sink_${sinkSeq.incrementAndGet()}"
+    withReplayPartitions(s) {
+      val q = Streams.mmIngestStream(in.toDF(),
+          horizon = s"$spanTicks seconds")
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try {
+        val batches = batched(items)
+        feed(in, q, batches.zipWithIndex.map { case (b, i) =>
+          val redelivered =
+            if (i == 0) IndexedSeq.empty[StreamMedia] else batches(i - 1)
+          redelivered ++ b ++ b.take(math.max(1, b.length / 4))
+        })
+      } finally q.stop()
+    }
+    s.table(sink).orderBy("digest")
+  }
+
+  private val stMmIngestReplaySql =
+    """SELECT doc_id AS keep_id, md5(text) AS digest,
+      |  source AS modality, CAST(strlen(text) AS BIGINT) AS n_bytes
+      |FROM (SELECT doc_id, text, source,
+      |        row_number() OVER (PARTITION BY md5(text)
+      |          ORDER BY doc_id) AS rn
+      |      FROM documents)
+      |WHERE rn = 1 ORDER BY digest""".stripMargin
+
   // Replay gate for the windowed aggregation: events in ts order, then
   // a far-future sentinel advances the watermark past every real
   // window's end so append mode emits them all (the sentinel's own
@@ -681,6 +729,7 @@ object StreamReplay extends QueryPack {
         "st_funnel_ooo_replay" -> (stFunnelOooReplay _),
         "st_attrib_replay" -> (stAttribReplay _),
         "st_dedup_replay" -> (stDedupReplay _),
+        "st_mm_ingest_replay" -> (stMmIngestReplay _),
         "st_window_replay" -> (stWindowReplay _),
         "st_retention_replay" -> (stRetentionReplay _),
         "st_retention_ooo_replay" -> (stRetentionOooReplay _))
@@ -694,6 +743,7 @@ object StreamReplay extends QueryPack {
         "st_funnel_ooo_replay" -> stFunnelReplaySql,
         "st_attrib_replay" -> stAttribReplaySql,
         "st_dedup_replay" -> stDedupReplaySql,
+        "st_mm_ingest_replay" -> stMmIngestReplaySql,
         "st_window_replay" -> stWindowReplaySql,
         "st_retention_replay" -> stRetentionReplaySql,
         // the disorder gate must land on the SAME batch cohort table

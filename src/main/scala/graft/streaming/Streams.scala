@@ -31,6 +31,12 @@ case class ClosedSession(user_id: Long, start_ns: Long, end_ns: Long,
 /** One document row for the streaming near-dup path (`ts` epoch-nanos). */
 case class StreamDoc(doc_id: Long, ts: Long, text: String)
 
+/** One media item on the ingest stream: opaque payload + metadata (the
+  * streaming twin of the mm pack's MediaItem, with an event time).
+  */
+case class StreamMedia(doc_id: Long, ts: Long, modality: String,
+                       payload: Array[Byte])
+
 /** [[Event]] narrowed for the sessionizer, with the watermarked
   * `event_time` kept in the row so the stateful operator sees the
   * watermark annotation (same pattern as [[BandRow]]).
@@ -166,6 +172,34 @@ object Streams {
       .withColumn("event_time", expr("timestamp_micros(ts div 1000)"))
       .withWatermark("event_time", horizon)
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** Multimodal ingest: exact payload dedup at the door — the streaming
+    * face of mm_dedup. The digest and byte metadata are computed
+    * MAP-SIDE and the payload column is projected away BEFORE the
+    * stateful dedup, so at 100 TB of media only (digest, metadata) rows
+    * enter the shuffle and the state store holds one digest per
+    * distinct payload within the watermark horizon — payload bytes
+    * never leave the scan partition (the mm pack's "payloads never
+    * shuffle" invariant, extended to ingest). Keeper semantics are
+    * first ARRIVAL per digest, the same exactly-once-per-key contract
+    * as [[dedupStream]]; with an in-(event-time-)order feed that is
+    * the min-doc_id keeper mm_dedup computes.
+    *
+    * Input: (doc_id bigint, ts bigint epoch-nanos, modality string,
+    * payload binary).
+    */
+  def mmIngestStream(media: DataFrame,
+                     horizon: String = "30 minutes"): DataFrame =
+    media
+      .select(col("doc_id"), col("ts"),
+        md5(col("payload")).as("digest"),
+        col("modality"),
+        octet_length(col("payload")).cast("long").as("n_bytes"))
+      .withColumn("event_time", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("event_time", horizon)
+      .dropDuplicatesWithinWatermark("digest")
+      .select(col("doc_id").as("keep_id"), col("digest"),
+        col("modality"), col("n_bytes"))
 
   /** Streaming LSH near-dup: flag each incoming document that collides
     * with an earlier document in any MinHash band — the ingest-time form
