@@ -9,6 +9,28 @@ import org.apache.spark.TaskContext
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions.col
 
+/** Metadata-only audit of a graft-shards store: per-shard row counts
+  * from the manifest, byte sizes from file status — no data read. The
+  * manifest is model-sized (one entry per shard), so this is a
+  * driver-side catalog lookup, the same object every batch read
+  * already consults at planning time.
+  */
+object ShardStats {
+
+  /** (shard, rows, bytes) per committed shard, ascending. */
+  def audit(spark: SparkSession, dir: String): Seq[(Long, Long, Long)] = {
+    val conf = spark.sessionState.newHadoopConf()
+    val (fs, d) = ShardFs.resolve(dir, conf)
+    if (!fs.exists(d)) return Seq.empty
+    ShardManifest.read(fs, d)
+      .map(_.files.toSeq.flatMap { case (f, n) =>
+        ShardManifest.shardOf(f).map(sh =>
+          (sh, n, fs.getFileStatus(new HPath(d, f)).getLen))
+      }.sortBy(_._1))
+      .getOrElse(Seq.empty)
+  }
+}
+
 /** Compaction ("seal") for the graft-shards store — the bridge from the
   * streaming sink's per-epoch landing files to the batch/training
   * layout, and the store's answer to the small-files problem.
@@ -42,28 +64,6 @@ import org.apache.spark.sql.functions.col
   * folded data with zero decode, zero shuffle, and parallelism = shard
   * count — the same scaling unit as the store itself.
   */
-/** Metadata-only audit of a graft-shards store: per-shard row counts
-  * from the manifest, byte sizes from file status — no data read. The
-  * manifest is model-sized (one entry per shard), so this is a
-  * driver-side catalog lookup, the same object every batch read
-  * already consults at planning time.
-  */
-object ShardStats {
-
-  /** (shard, rows, bytes) per committed shard, ascending. */
-  def audit(spark: SparkSession, dir: String): Seq[(Long, Long, Long)] = {
-    val conf = spark.sessionState.newHadoopConf()
-    val (fs, d) = ShardFs.resolve(dir, conf)
-    if (!fs.exists(d)) return Seq.empty
-    ShardManifest.read(fs, d)
-      .map(_.files.toSeq.flatMap { case (f, n) =>
-        ShardManifest.shardOf(f).map(sh =>
-          (sh, n, fs.getFileStatus(new HPath(d, f)).getLen))
-      }.sortBy(_._1))
-      .getOrElse(Seq.empty)
-  }
-}
-
 object ShardCompact {
 
   /** What a compact() pass did: shards rewritten, epoch files folded
