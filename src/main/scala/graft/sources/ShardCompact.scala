@@ -1,6 +1,6 @@
 package graft.sources
 
-import java.io.{BufferedWriter, OutputStreamWriter}
+import java.io.{BufferedWriter, IOException, OutputStreamWriter}
 import java.nio.charset.StandardCharsets
 
 import org.apache.hadoop.fs.{FileSystem, Path => HPath}
@@ -50,13 +50,20 @@ object ShardStats {
   * (`_epochs`). The commit ORDER makes every crash window safe under
   * the store's single-compactor discipline:
   *
-  *   1. write new gen files (task temp -> rename; crash = orphan gen
-  *      files the manifest never references -> invisible, GC'd later);
-  *   2. flip the manifest (atomic rename; crash before = old store,
-  *      crash after = new store);
-  *   3. GC replaced gen files + consumed epoch files (crash = litter
-  *      whose epochs are <= the watermark -> the next compact deletes
-  *      instead of re-folding; double-count is impossible).
+  *   1. write new gen files (attempt-qualified task temp -> rename;
+  *      crash = orphan files the manifest never references ->
+  *      invisible, GC'd later);
+  *   2. flip the manifest (atomic OVERWRITE rename; crash before = old
+  *      store, crash after = new store);
+  *   3. GC consumed epoch files and unreferenced committed-pattern
+  *      files (crash = litter whose epochs are <= the watermark -> the
+  *      next compact deletes instead of re-folding; double-count is
+  *      impossible). The generation replaced THIS pass gets one
+  *      compaction cycle of grace before collection, so a reader that
+  *      planned against the old pointer can finish scanning it —
+  *      planning is atomic at the pointer, execution is protected by
+  *      the grace window (one compact cycle, like a lakehouse VACUUM
+  *      retention floor).
   *
   * The fold itself is DISTRIBUTED and byte-oriented: one task per shard
   * streams its input files' bytes to the output (counting newlines for
@@ -88,14 +95,36 @@ object ShardCompact {
     val (fs, d) = ShardFs.resolve(dir, conf.value)
     if (!fs.exists(d)) return CompactStats(0, 0, 0L)
 
-    val committed = ShardManifest.read(fs, d)
+    val manifest = ShardManifest.read(fs, d)
+    val listed = fs.listStatus(d).filter(_.isFile)
+    // A dir with committed-pattern files but NO pointer is crash
+    // fallout (possible only under the non-atomic fallback write) or
+    // external tampering: refuse loudly. Silently treating it as
+    // streaming-only would re-fold epochs into a fresh gen-1 and the
+    // catch-all GC would then delete the orphaned committed files —
+    // permanent data loss. Recovery is an operator decision (restore
+    // the pointer or adopt the files), not something to guess at here.
+    if (manifest.isEmpty &&
+        listed.exists(st => ShardManifest.shardOf(st.getPath.getName)
+          .isDefined))
+      throw new IOException(
+        s"graft-shards: $dir has committed shard files but no " +
+          s"${ShardManifest.Name} pointer — refusing to compact; " +
+          "restore the manifest before re-running")
+    val committed = manifest
       .getOrElse(ShardManifest.State(Map.empty, Map.empty))
     val byShard: Map[Long, String] = committed.files.keysIterator
       .flatMap(f => ShardManifest.shardOf(f).map(_ -> f)).toMap
 
-    // epoch files on disk, split into fresh (to fold) vs stale (already
-    // <= the consumed watermark: litter from a crashed GC pass)
-    val epochs = fs.listStatus(d).iterator.filter(_.isFile)
+    // Epoch files on disk, split into fresh (to fold) vs stale (at or
+    // below the consumed watermark). Stale = a re-delivered copy of an
+    // epoch already folded in — the streaming sink's epoch ids are
+    // monotone per query (checkpointed), and landEpoch callers must
+    // keep per-shard epoch ids monotone too (the documented landing
+    // contract); under that contract "stale" can only mean
+    // already-consumed, so deleting it is the crash-recovery path,
+    // never data loss.
+    val epochs = listed.iterator
       .flatMap(st => st.getPath.getName match {
         case EpochFile(s, e) => Some((s.toLong, e.toLong, st.getPath))
         case _ => None
@@ -113,14 +142,22 @@ object ShardCompact {
             efs.sortBy(_._2).map(_._3.toString))
     }
 
-    val results: Seq[(Long, String, Long)] =
+    // Each attempt writes an attempt-qualified temp (a speculative or
+    // zombie duplicate can never interleave with the winner's bytes —
+    // the same discipline as ShardDataWriter's task-id temps); the
+    // winning attempt's path comes back in its result and is what the
+    // driver renames.
+    val results: Seq[(Long, String, String, Long)] =
       if (tasks.isEmpty) Seq.empty
       else {
         val sc = spark.sparkContext
         val n = math.min(tasks.size, math.max(sc.defaultParallelism, 1))
         sc.parallelize(tasks, n).map { t =>
           val (tfs, td) = ShardFs.resolve(dir, conf.value)
-          (t.shard, t.outName, rewrite(tfs, td, t))
+          val tmp = new HPath(td,
+            s"_tmp/compact-${TaskContext.get().taskAttemptId()}-" +
+              t.outName)
+          (t.shard, t.outName, tmp.toString, rewrite(tfs, tmp, t))
         }.collect().toSeq
       }
 
@@ -128,13 +165,12 @@ object ShardCompact {
     // entirely on a pure no-op pass (nothing fresh), so re-running
     // compact on a sealed store never touches the commit pointer; the
     // GC below still clears crash litter
-    results.foreach { case (_, outName, _) =>
-      ShardFs.renameOver(fs, new HPath(d, "_tmp/compact-" + outName),
-        new HPath(d, outName))
+    results.foreach { case (_, outName, tmp, _) =>
+      ShardFs.renameOver(fs, new HPath(tmp), new HPath(d, outName))
     }
-    val replaced = results.flatMap { case (s, _, _) => byShard.get(s) }
+    val replaced = results.flatMap { case (s, _, _, _) => byShard.get(s) }
     val newFiles = (committed.files -- replaced) ++
-      results.map { case (_, f, n) => f -> n }
+      results.map { case (_, f, _, n) => f -> n }
     if (results.nonEmpty) {
       val newEpochs = committed.epochsThrough ++
         fresh.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
@@ -142,33 +178,42 @@ object ShardCompact {
     }
 
     // GC (best-effort, all invisible to manifest-planned readers):
-    // replaced generations, consumed + stale epoch files, and any
-    // gen-pattern file the new pointer does not reference (crashed-flip
-    // litter — gen names never re-enter use, so this cannot race a
-    // reader planned against the current pointer)
-    replaced.foreach(f => fs.delete(new HPath(d, f), false))
+    //  - consumed + stale epoch files;
+    //  - committed-pattern files the pointer does not reference, EXCEPT
+    //    the generation replaced THIS pass — it gets one compaction
+    //    cycle of grace so a reader that planned against the old
+    //    pointer can finish its scan (the next pass, including a no-op
+    //    one, collects it);
+    //  - dead compact temps + a stranded manifest temp from a crashed
+    //    pass (the current pass's temps were just renamed away).
+    val grace = replaced.toSet
     (fresh ++ stale).foreach { case (_, _, p) => fs.delete(p, false) }
-    fs.listStatus(d).iterator.filter(_.isFile)
-      .map(_.getPath)
+    fs.listStatus(d).filter(_.isFile).map(_.getPath)
       .filter { p =>
         val n = p.getName
-        n.matches("shard-\\d+-gen-\\d+\\.jsonl") && !newFiles.contains(n)
+        ShardManifest.shardOf(n).isDefined &&
+          !newFiles.contains(n) && !grace(n)
       }
       .foreach(p => fs.delete(p, false))
+    fs.delete(new HPath(d, ShardManifest.Name + ".tmp"), false)
+    val tmpDir = new HPath(d, "_tmp")
+    if (fs.exists(tmpDir))
+      fs.listStatus(tmpDir).filter(_.isFile).map(_.getPath)
+        .filter(_.getName.startsWith("compact-"))
+        .foreach(p => fs.delete(p, false))
 
     CompactStats(results.size, fresh.size,
-      results.map(_._3).sum)
+      results.map(_._4).sum)
   }
 
-  /** Stream-copy `t.inputs` into `_tmp/compact-<outName>`, returning the
+  /** Stream-copy `t.inputs` into the attempt's temp path, returning the
     * row (newline) count. Pure byte I/O — no UTF-8 decode, no parsing;
     * a missing final newline on an input (hand-landed file) is repaired
     * so the concatenation cannot glue two rows together.
     */
-  private def rewrite(fs: FileSystem, d: HPath, t: ShardTask): Long = {
-    val tmpDir = new HPath(d, "_tmp")
-    fs.mkdirs(tmpDir)
-    val out = fs.create(new HPath(tmpDir, "compact-" + t.outName), true)
+  private def rewrite(fs: FileSystem, tmp: HPath, t: ShardTask): Long = {
+    fs.mkdirs(tmp.getParent)
+    val out = fs.create(tmp, true)
     val buf = new Array[Byte](1 << 16)
     var rows = 0L
     try {
@@ -199,6 +244,14 @@ object ShardCompact {
     * order is arrival order); this utility exists so compaction can be
     * hash-gated against an independent oracle, the same role the
     * Replay feeders play for the streaming operators.
+    *
+    * LANDING CONTRACT: per shard, epoch ids must be landed in monotone
+    * increasing order (re-landing an already-compacted epoch id is
+    * allowed — that's the crash re-delivery case and is GC'd as stale).
+    * The streaming sink satisfies this by construction (checkpointed
+    * monotone epoch ids); an external ingester that lands a LOWER
+    * epoch id after a higher one was compacted would see it discarded
+    * as stale.
     */
   def landEpoch(df: DataFrame, dir: String, epoch: Long,
                 nShards: Int): Unit = {

@@ -101,11 +101,15 @@ private[sources] class SerializableHadoopConf(
   * (a consumed epoch file that survived a crashed GC pass is
   * recognized as stale instead of being folded in twice).
   *
-  * Writes land via temp-file + rename so the pointer flip is as atomic
-  * as the FS's rename (atomic on HDFS; on FSs where replace needs a
-  * delete-first there is a tiny no-manifest window, covered by the
-  * reader's listing fallback — acceptable under this store's
-  * single-writer discipline).
+  * Writes land via temp-file + rename-with-OVERWRITE through the
+  * `FileContext` API, which is an ATOMIC replace on HDFS and the local
+  * FS — the pointer is never absent, so no crash or concurrent read
+  * can observe a missing manifest. On exotic FileSystems with no
+  * AbstractFileSystem binding the write falls back to
+  * delete-then-rename; [[ShardCompact.compact]] refuses to run against
+  * a store whose pointer is missing but whose committed files exist,
+  * so even that fallback's crash window degrades to an explicit
+  * operator error instead of silent re-folding.
   */
 private[sources] object ShardManifest {
   import com.fasterxml.jackson.databind.ObjectMapper
@@ -168,7 +172,28 @@ private[sources] object ShardManifest {
     val out = fs.create(tmp, true)
     try out.write(json.getBytes(StandardCharsets.UTF_8))
     finally out.close()
-    ShardFs.renameOver(fs, tmp, new HPath(d, Name))
+    val dst = new HPath(d, Name)
+    try {
+      val fc = org.apache.hadoop.fs.FileContext
+        .getFileContext(fs.getUri, fs.getConf)
+      // FileContext bypasses ChecksumFileSystem, so on the local FS the
+      // .crc shadows would go stale: drop the destination's shadow
+      // before the flip (a shadow-less file reads fine, unverified) and
+      // the temp's orphaned shadow after. Neither delete touches the
+      // pointer itself — the data rename below is the one atomic step.
+      fs.delete(new HPath(d, "." + Name + ".crc"), false)
+      fc.rename(fs.makeQualified(tmp), fs.makeQualified(dst),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      fs.delete(new HPath(d, "." + Name + ".tmp.crc"), false)
+    } catch {
+      // no AbstractFileSystem binding for this scheme: fall back to
+      // delete-then-rename; ShardCompact refuses manifest-less stores
+      // with committed files, so this window degrades to an operator
+      // error, never a silent re-fold
+      case _: org.apache.hadoop.fs.UnsupportedFileSystemException |
+           _: UnsupportedOperationException =>
+        ShardFs.renameOver(fs, tmp, dst)
+    }
   }
 }
 

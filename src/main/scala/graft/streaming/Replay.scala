@@ -78,6 +78,19 @@ object StreamReplay extends QueryPack {
                       batches: Seq[Seq[T]]): Unit =
     batches.foreach { b => in.addData(b); q.processAllAvailable() }
 
+  /** The at-least-once crash-re-delivery batching, defined ONCE for
+    * every exactly-once ingest gate: each batch k >= 1 first
+    * re-delivers the whole previous batch, then repeats its own head
+    * mid-batch — the page-oriented source resuming after a crash.
+    */
+  private def atLeastOnce[T](batches: IndexedSeq[IndexedSeq[T]])
+      : IndexedSeq[IndexedSeq[T]] =
+    batches.zipWithIndex.map { case (b, i) =>
+      val redelivered =
+        if (i == 0) IndexedSeq.empty[T] else batches(i - 1)
+      redelivered ++ b ++ b.take(math.max(1, b.length / 4))
+    }
+
   /** The documents fixture as a tick-spaced doc stream. ts starts at
     * ONE tick, not zero: an epoch-0 event time sits exactly on the
     * initial watermark and the stateful operator's late-row predicate
@@ -495,15 +508,8 @@ object StreamReplay extends QueryPack {
       val q = Streams.dedupStream(in.toDF())
         .writeStream.format("memory").queryName(sink)
         .outputMode("append").start()
-      try {
-        val batches = batched(evs.toIndexedSeq)
-        feed(in, q, batches.zipWithIndex.map { case (b, i) =>
-          val redelivered =
-            if (i == 0) IndexedSeq.empty[Event] else batches(i - 1)
-          val inBatchDup = b.take(math.max(1, b.length / 4))
-          redelivered ++ b ++ inBatchDup
-        })
-      } finally q.stop()
+      try feed(in, q, atLeastOnce(batched(evs.toIndexedSeq)))
+      finally q.stop()
     }
     s.table(sink)
       .selectExpr("event_id", "ts div 1000 AS us", "user_id",
@@ -542,14 +548,8 @@ object StreamReplay extends QueryPack {
           horizon = s"$spanTicks seconds")
         .writeStream.format("memory").queryName(sink)
         .outputMode("append").start()
-      try {
-        val batches = batched(items)
-        feed(in, q, batches.zipWithIndex.map { case (b, i) =>
-          val redelivered =
-            if (i == 0) IndexedSeq.empty[StreamMedia] else batches(i - 1)
-          redelivered ++ b ++ b.take(math.max(1, b.length / 4))
-        })
-      } finally q.stop()
+      try feed(in, q, atLeastOnce(batched(items)))
+      finally q.stop()
     }
     s.table(sink).orderBy("digest")
   }

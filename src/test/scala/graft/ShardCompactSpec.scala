@@ -102,10 +102,20 @@ class ShardCompactSpec extends AnyFunSuite {
     // generation later, shards only the first wave reached stay gen-1
     assert(readBack(twice) == readBack(once))
     val wave2Shards = expected(Seq(2L, 3L)).map(_._1).distinct.toSet
+    // replaced gen-1 files get one compaction cycle of grace (a reader
+    // planned on the old pointer can finish its scan), so both
+    // generations are on disk right after the flip...
+    wave2Shards.foreach { s =>
+      assert(files(twice).contains(f"shard-$s%05d-gen-1.jsonl"))
+      assert(files(twice).contains(f"shard-$s%05d-gen-2.jsonl"))
+    }
+    // ...and the NEXT pass (even a no-op) collects them
+    ShardCompact.compact(spark, twice)
     files(twice).foreach { f =>
       val s = f.slice(6, 11).toLong
       assert(f == f"shard-$s%05d-gen-${if (wave2Shards(s)) 2 else 1}.jsonl", f)
     }
+    assert(readBack(twice) == readBack(once))
   }
 
   test("stale epochs and orphan gens from a crashed pass are inert") {
