@@ -22,6 +22,13 @@ object ShardCtl {
         val st = ShardCompact.compact(spark, dir)
         println(s"[compact] $dir: ${st.shards} shards rewritten, " +
           s"${st.epochFiles} epoch files folded, ${st.rows} rows")
+      } catch {
+        case e: java.io.IOException =>
+          // e.g. the missing-pointer refusal — an operator decision,
+          // not a crash worth a stack trace
+          System.err.println(s"[compact] ${e.getMessage}")
+          spark.stop()
+          sys.exit(1)
       } finally spark.stop()
     case Seq("stats", dir) =>
       val spark = Engine.session("graft-shardctl")
