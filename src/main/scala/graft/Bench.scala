@@ -239,19 +239,33 @@ object Bench {
     var shufEntries = results.filter(_.shufMbPerRep >= 0.05)
       .sortBy(-_.shufMbPerRep).take(25)
       .map { m => "\"" + m.name + "\":" + f1(m.shufMbPerRep) }
-    def mkPrefix(shuf: Seq[String]): String =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":$sfNum,"n_queries":${results.size},"total_r10set":${f3(totalR10)},"cpu_total":${f3(cpuTotal)},"load":$loadJson,"errors":$errs,"unmeasured":$unmeasuredArr,"spreads":$spreads,"jobs":$jobsTop,"cpu":$cpuTop,"shuffle_mb":${shuf.mkString("{", ",", "}")},"queries":{"""
+    def mkPrefix(shuf: Seq[String], spr: String, unm: String): String =
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":$sfNum,"n_queries":${results.size},"total_r10set":${f3(totalR10)},"cpu_total":${f3(cpuTotal)},"load":$loadJson,"errors":$errs,"unmeasured":$unm,"spreads":$spr,"jobs":$jobsTop,"cpu":$cpuTop,"shuffle_mb":${shuf.mkString("{", ",", "}")},"queries":{"""
     val budget = 1850
     // the prefix itself is length-gated: unlike the queries section it
-    // has no per-entry budget check, so trim shuffle entries (smallest
-    // first) until at least ~250 chars remain for inline query timings
-    // — otherwise a long errors/unmeasured round could push the whole
-    // line past the capture tail, the exact silent-truncation failure
-    // this budget exists to prevent
-    var prefix = mkPrefix(shufEntries)
+    // has no per-entry budget check, so trim until at least ~250 chars
+    // remain for inline query timings — otherwise a long
+    // errors/unmeasured round could push the whole line past the
+    // capture tail, the exact silent-truncation failure this budget
+    // exists to prevent. Trim order: shuffle entries (smallest first),
+    // then the spreads map, then the unmeasured list collapses to a
+    // count (its full contents are always in the file) — errors are
+    // never trimmed.
+    var spreadsOut = spreads
+    var unmeasuredOut = unmeasuredArr
+    var prefix = mkPrefix(shufEntries, spreadsOut, unmeasuredOut)
     while (prefix.length > budget - 250 && shufEntries.nonEmpty) {
       shufEntries = shufEntries.init
-      prefix = mkPrefix(shufEntries)
+      prefix = mkPrefix(shufEntries, spreadsOut, unmeasuredOut)
+    }
+    if (prefix.length > budget - 250) {
+      spreadsOut = "{}"
+      prefix = mkPrefix(shufEntries, spreadsOut, unmeasuredOut)
+    }
+    if (prefix.length > budget - 250) {
+      unmeasuredOut =
+        "\"" + results.count(_.unmeasured) + " (see full file)\""
+      prefix = mkPrefix(shufEntries, spreadsOut, unmeasuredOut)
     }
     val keepFirst = results.sortBy { m =>
       if (m.err.isDefined) Double.MinValue else -m.median  // errors always kept

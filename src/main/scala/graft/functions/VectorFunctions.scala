@@ -186,6 +186,9 @@ object GraftVec {
   def argminCell(x: ArrayData, cells: ArrayData, codebook: ArrayData): Long = {
     val dim = x.numElements()
     val k = cells.numElements()
+    if (k == 0)
+      throw new IllegalArgumentException(
+        "graft_argmin_cell: empty cell list (no centroids to assign to)")
     var best = 0
     var bestDist = Long.MaxValue
     var c = 0
@@ -204,6 +207,10 @@ object GraftVec {
     */
   def distLut(x: ArrayData, codebook: ArrayData): ArrayData = {
     val dim = x.numElements()
+    if (dim == 0)
+      throw new IllegalArgumentException(
+        "graft_dist_lut: empty query vector (centroid count would be " +
+          "codebook/0)")
     val k = codebook.numElements() / dim
     val out = new Array[Long](k)
     var c = 0

@@ -241,7 +241,12 @@ object Streams {
     val horizonMs = horizonNs / 1000000L
     graft.operators.Dedup.bandRows(docs)
       .withColumn("event_time", expr("timestamp_micros(ts div 1000)"))
-      .withWatermark("event_time", s"${horizonMs / 1000} seconds")
+      // ceil to whole ms so the delay can never undershoot the horizon
+      // (a floored seconds rendering made sub-second horizons a ZERO
+      // delay, silently late-dropping what the deferral contract
+      // promises to buffer)
+      .withWatermark("event_time",
+        s"${(horizonNs + 999999L) / 1000000L} milliseconds")
       .select("band", "bkey", "doc_id", "ts", "event_time")
       .as[BandRow]
       .groupByKey(r => s"${r.band}:${r.bkey}")
@@ -347,7 +352,9 @@ case class FunnelAdvance(user_id: Long, step: Int, at_us: Long)
     val gapMs = gapNs / 1000000L
     events
       .withColumn("event_time", expr("timestamp_micros(ts div 1000)"))
-      .withWatermark("event_time", s"${math.max(1L, gapMs / 1000L)} seconds")
+      // ceil to whole ms (see nearDupStream): delay >= gap always holds
+      .withWatermark("event_time",
+        s"${(gapNs + 999999L) / 1000000L} milliseconds")
       .select("event_id", "ts", "user_id", "event_time")
       .as[SessionEvent]
       .groupByKey(_.user_id)
@@ -487,6 +494,10 @@ case class FunnelAdvance(user_id: Long, step: Int, at_us: Long)
                       dayNs: Long = 86400000000000L,
                       maxOffset: Int = RetentionMaxOffset,
                       delay: String = "24 hours"): Dataset[RetentionHit] = {
+    // the seen-bitmask is one Long: offsets above 63 would wrap the
+    // shifts (1L << 64 == 1L) and silently alias day-64 onto day-0
+    require(maxOffset >= 0 && maxOffset <= 63,
+      s"retentionStream maxOffset must be in [0, 63], got $maxOffset")
     import events.sparkSession.implicits._
     val dayMs = dayNs / 1000000L
     events
