@@ -40,7 +40,7 @@ object Bench {
     // round 14
     "st_retention_ooo_replay", "st_funnel_ooo_replay",
     "st_sessions_ooo_replay", "st_neardup_ooo_replay", "shard_compact",
-    "shard_stats", "st_mm_ingest_replay")
+    "shard_stats", "st_mm_ingest_replay", "sim_ivfpq_stored")
 
   private final case class M(
       name: String, median: Double, spread: Double, jobsPerRep: Int,
