@@ -71,4 +71,24 @@ class IvfPqTrainSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("IvfPqStore round-trips a trained model bit-for-bit " +
+       "(and at K = 256)") {
+    val model = Similarity.trainIvfPq(spark, dir, kCells = K)
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_ivfpq_store").toString
+    Similarity.IvfPqStore.save(model, out)
+    val loaded = Similarity.IvfPqStore.load(spark, out)
+    // model side: exact structural equality after the JSON round-trip
+    assert(loaded.cents == model.cents.sortBy(_._1))
+    assert(loaded.codebooks.map(_.sortBy(_._1)) ==
+      model.codebooks.map(_.sortBy(_._1)))
+    // index side: the parquet code table carries the same code rows
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().toSeq.map(r => (0 until r.length).map(r.getLong).toSeq)
+        .sortBy(_.head)
+    assert(rows(loaded.codes.select(model.codes.columns.map(
+      org.apache.spark.sql.functions.col).toIndexedSeq: _*)) ==
+      rows(model.codes))
+  }
 }
