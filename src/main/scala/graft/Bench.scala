@@ -40,7 +40,8 @@ object Bench {
     // round 14
     "st_retention_ooo_replay", "st_funnel_ooo_replay",
     "st_sessions_ooo_replay", "st_neardup_ooo_replay", "shard_compact",
-    "shard_stats", "st_mm_ingest_replay", "sim_ivfpq_stored")
+    "shard_stats", "st_mm_ingest_replay", "st_mm_ingest_ooo_replay",
+    "sim_ivfpq_stored")
 
   private final case class M(
       name: String, median: Double, spread: Double, jobsPerRep: Int,

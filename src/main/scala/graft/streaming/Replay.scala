@@ -523,35 +523,65 @@ object StreamReplay extends QueryPack {
 
   // Replay gate for the multimodal ingest dedup: the documents fixture
   // fed as a media stream (payload = the UTF-8 text bytes, the mm
-  // pack's stand-in) in doc_id/ts order, with the same at-least-once
-  // re-delivery pattern as st_dedup_replay (previous batch replayed,
-  // own head repeated). Exactly-once-per-digest is delivery-independent
-  // by the same state-hit-or-late-drop argument; with the in-order feed
-  // the keeper is the min-doc_id row — exactly mm_dedup's keeper —
-  // restated per digest in DuckDB. The watermark delay is the feed's
-  // STUDY HORIZON (computed from the corpus span, like the retention
-  // replay's): the fixture's exact-dup pairs can sit anywhere in
-  // doc_id order, so no digest's state may expire mid-replay or the
-  // second copy would re-emit as a keeper.
-  private def stMmIngestReplay(s: SparkSession, dir: String): DataFrame = {
+  // pack's stand-in) with the same at-least-once re-delivery pattern
+  // as st_dedup_replay (previous batch replayed, own head repeated).
+  // The deferral keeper must land on mm_dedup's min-(ts, doc_id) row
+  // per digest — restated in DuckDB — and exactly once, by the
+  // state-hit-or-late-drop argument. The dedup horizon (= watermark
+  // delay) is the feed's STUDY HORIZON (computed from the corpus span,
+  // like the retention replay's): the fixture's exact-dup pairs can
+  // sit anywhere in doc_id order, so no digest's state may expire
+  // mid-replay or a later copy would re-emit as a keeper. Deferred
+  // emission means nothing fires until the sentinel flush advances the
+  // watermark past every candidate (the flushAndFire discipline, with
+  // media sentinels carrying doc_id -1/-2 and a payload digest no
+  // corpus document shares).
+  private def mediaItems(s: SparkSession, dir: String)
+      : IndexedSeq[StreamMedia] = {
     import s.implicits._
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-    val items = table(s, dir, "documents")
+    table(s, dir, "documents")
       .selectExpr("doc_id", s"(doc_id + 1) * ${TickNs}L AS ts",
         "source AS modality", "cast(text AS binary) AS payload")
       .as[StreamMedia].collect().sortBy(_.doc_id).toIndexedSeq
-    val spanTicks = items.last.doc_id + 2L // TickNs = 1 s per tick
+  }
+
+  private def mmIngestReplaySink(s: SparkSession,
+                                 items: IndexedSeq[StreamMedia])
+      : DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val spanNs = (items.map(_.doc_id).max + 2L) * TickNs
     val in = MemoryStream[StreamMedia]
     val sink = s"st_mm_ingest_sink_${sinkSeq.incrementAndGet()}"
     withReplayPartitions(s) {
-      val q = Streams.mmIngestStream(in.toDF(),
-          horizon = s"$spanTicks seconds")
+      val q = Streams.mmIngestStream(in.toDF(), horizonNs = spanNs)
         .writeStream.format("memory").queryName(sink)
         .outputMode("append").start()
-      try feed(in, q, atLeastOnce(batched(items)))
-      finally q.stop()
+      try {
+        feed(in, q, atLeastOnce(batched(items)))
+        val flushTs = items.map(_.ts).max + 3L * spanNs
+        in.addData(StreamMedia(-1L, flushTs, "flush", Array[Byte]('x')))
+        q.processAllAvailable()
+        in.addData(StreamMedia(-2L, flushTs, "flush", Array[Byte]('x')))
+        q.processAllAvailable()
+      } finally q.stop()
     }
-    s.table(sink).orderBy("digest")
+    s.table(sink).filter("keep_id >= 0").orderBy("digest")
+  }
+
+  private def stMmIngestReplay(s: SparkSession, dir: String): DataFrame =
+    mmIngestReplaySink(s, mediaItems(s, dir))
+
+  // The bounded-disorder gate: the same media items displaced by up to
+  // HALF the horizon in feed position. A first-arrival keeper
+  // (dropDuplicatesWithinWatermark) would crown whichever copy the
+  // jitter delivered first; the deferral keeper must still land on the
+  // SAME batch MIN table.
+  private def stMmIngestOooReplay(s: SparkSession, dir: String)
+      : DataFrame = {
+    val items = mediaItems(s, dir)
+    val slackNs = (items.map(_.doc_id).max + 2L) / 2L * TickNs
+    mmIngestReplaySink(s, jittered(items, slackNs)(_.ts, _.doc_id))
   }
 
   private val stMmIngestReplaySql =
@@ -730,6 +760,7 @@ object StreamReplay extends QueryPack {
         "st_attrib_replay" -> (stAttribReplay _),
         "st_dedup_replay" -> (stDedupReplay _),
         "st_mm_ingest_replay" -> (stMmIngestReplay _),
+        "st_mm_ingest_ooo_replay" -> (stMmIngestOooReplay _),
         "st_window_replay" -> (stWindowReplay _),
         "st_retention_replay" -> (stRetentionReplay _),
         "st_retention_ooo_replay" -> (stRetentionOooReplay _))
@@ -744,6 +775,8 @@ object StreamReplay extends QueryPack {
         "st_attrib_replay" -> stAttribReplaySql,
         "st_dedup_replay" -> stDedupReplaySql,
         "st_mm_ingest_replay" -> stMmIngestReplaySql,
+        // the disorder gate must land on the SAME batch MIN table
+        "st_mm_ingest_ooo_replay" -> stMmIngestReplaySql,
         "st_window_replay" -> stWindowReplaySql,
         "st_retention_replay" -> stRetentionReplaySql,
         // the disorder gate must land on the SAME batch cohort table

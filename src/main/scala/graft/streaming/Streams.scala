@@ -37,6 +37,28 @@ case class StreamDoc(doc_id: Long, ts: Long, text: String)
 case class StreamMedia(doc_id: Long, ts: Long, modality: String,
                        payload: Array[Byte])
 
+/** Digest + metadata of one media item — all that flows past the
+  * map-side digesting (the payload never leaves the scan partition).
+  */
+case class MediaMeta(doc_id: Long, ts: Long, digest: String,
+                     modality: String, n_bytes: Long,
+                     event_time: java.sql.Timestamp)
+
+/** Per-digest keeper state: whether the keeper row was emitted, the
+  * best (ts, doc_id) candidate so far with its metadata (MaxValue
+  * sentinels = none yet), and the newest copy's ms timestamp (drives
+  * the post-emission dedup-horizon TTL).
+  */
+case class DigestOwnerState(emitted: Boolean, bestTs: Long, bestDoc: Long,
+                            bestModality: String, bestBytes: Long,
+                            lastSeenMs: Long)
+
+/** The keeper record mm ingest emits, exactly once per distinct
+  * payload: mm_dedup's min-doc_id keeper with its digest + metadata.
+  */
+case class MediaKeeper(keep_id: Long, digest: String, modality: String,
+                       n_bytes: Long)
+
 /** [[Event]] narrowed for the sessionizer, with the watermarked
   * `event_time` kept in the row so the stateful operator sees the
   * watermark annotation (same pattern as [[BandRow]]).
@@ -177,29 +199,92 @@ object Streams {
     * face of mm_dedup. The digest and byte metadata are computed
     * MAP-SIDE and the payload column is projected away BEFORE the
     * stateful dedup, so at 100 TB of media only (digest, metadata) rows
-    * enter the shuffle and the state store holds one digest per
-    * distinct payload within the watermark horizon — payload bytes
-    * never leave the scan partition (the mm pack's "payloads never
-    * shuffle" invariant, extended to ingest). Keeper semantics are
-    * first ARRIVAL per digest, the same exactly-once-per-key contract
-    * as [[dedupStream]]; with an in-(event-time-)order feed that is
-    * the min-doc_id keeper mm_dedup computes.
+    * enter the shuffle and the state store — payload bytes never leave
+    * the scan partition (the mm pack's "payloads never shuffle"
+    * invariant, extended to ingest).
+    *
+    * Keeper semantics are mm_dedup's EXACTLY: the minimum (ts, doc_id)
+    * copy per digest, DISORDER-PROOF BY DEFERRAL like the other
+    * stateful machines — but because min is order-independent, the
+    * "buffer" is just the running best candidate (one row of state per
+    * in-flight digest, no pend list). Emission waits until the
+    * watermark strictly passes the best candidate's ms timestamp: any
+    * later delivery has event_time >= the watermark, so it can never
+    * beat the emitted keeper, and under disorder bounded by the
+    * watermark delay no copy is ever late-dropped — the keeper equals
+    * the batch MIN over all copies. A first-arrival keeper (the stock
+    * dropDuplicatesWithinWatermark, which [[dedupStream]] represents)
+    * would instead crown whichever copy the transport delivered first.
+    *
+    * Exactly-once under at-least-once re-delivery: a re-delivered copy
+    * either finds the emitted flag still in state (ignored) or arrives
+    * after the dedup horizon lapsed the state away — but then it is
+    * necessarily late and the watermark filter drops it. State is
+    * removed once the horizon passes the newest copy, so residency
+    * tracks distinct payloads within one horizon, not stream history.
     *
     * Input: (doc_id bigint, ts bigint epoch-nanos, modality string,
     * payload binary).
     */
   def mmIngestStream(media: DataFrame,
-                     horizon: String = "30 minutes"): DataFrame =
+                     horizonNs: Long = 30L * 60 * 1000000000L)
+      : Dataset[MediaKeeper] = {
+    import media.sparkSession.implicits._
+    val horizonMs = horizonNs / 1000000L
     media
       .select(col("doc_id"), col("ts"),
         md5(col("payload")).as("digest"),
         col("modality"),
         octet_length(col("payload")).cast("long").as("n_bytes"))
       .withColumn("event_time", expr("timestamp_micros(ts div 1000)"))
-      .withWatermark("event_time", horizon)
-      .dropDuplicatesWithinWatermark("digest")
-      .select(col("doc_id").as("keep_id"), col("digest"),
-        col("modality"), col("n_bytes"))
+      // ceil to whole ms (see nearDupStream): delay >= horizon always
+      .withWatermark("event_time",
+        s"${(horizonNs + 999999L) / 1000000L} milliseconds")
+      .select("doc_id", "ts", "digest", "modality", "n_bytes",
+        "event_time")
+      .as[MediaMeta]
+      .groupByKey(_.digest)
+      .flatMapGroupsWithState[DigestOwnerState, MediaKeeper](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (digest, rows, state) =>
+          val wm = state.getCurrentWatermarkMs()
+          val out = Seq.newBuilder[MediaKeeper]
+          var st =
+            if (state.hasTimedOut) state.get
+            else {
+              var s = state.getOption.getOrElse(DigestOwnerState(
+                emitted = false, Long.MaxValue, Long.MaxValue, "", 0L, 0L))
+              rows.foreach { r =>
+                s = s.copy(lastSeenMs =
+                  math.max(s.lastSeenMs, r.ts / 1000000L))
+                if (!s.emitted &&
+                    (r.ts < s.bestTs ||
+                      (r.ts == s.bestTs && r.doc_id < s.bestDoc)))
+                  s = s.copy(bestTs = r.ts, bestDoc = r.doc_id,
+                    bestModality = r.modality, bestBytes = r.n_bytes)
+              }
+              s
+            }
+          // strict ms: at wm == best ms a same-ms smaller-doc copy is
+          // not yet late, so it could still arrive and win
+          if (!st.emitted && st.bestTs != Long.MaxValue &&
+              wm > st.bestTs / 1000000L) {
+            out += MediaKeeper(st.bestDoc, digest, st.bestModality,
+              st.bestBytes)
+            st = st.copy(emitted = true)
+          }
+          if (st.emitted && wm > st.lastSeenMs + horizonMs)
+            state.remove() // further copies are necessarily late
+          else {
+            state.update(st)
+            val target =
+              if (!st.emitted) st.bestTs / 1000000L + 1L
+              else st.lastSeenMs + horizonMs + 1L
+            state.setTimeoutTimestamp(math.max(target, wm + 1L))
+          }
+          out.result().iterator
+      }
+  }
 
   /** Streaming LSH near-dup: flag each incoming document that collides
     * with an earlier document in any MinHash band — the ingest-time form
