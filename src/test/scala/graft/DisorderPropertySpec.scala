@@ -4,7 +4,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.OutputMode
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.streaming.{Event, Streams}
+import graft.streaming.{Event, StreamMedia, Streams}
 
 /** Randomized-disorder properties for the deferral-based stateful
   * streams: for ANY delivery order whose displacement stays inside the
@@ -133,6 +133,57 @@ class DisorderPropertySpec extends AnyFunSuite {
           .selectExpr("user_id", "cohort_day", "day_offset").collect()
           .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
         assert(got == retentionRef(evs, dayNs, maxOff), s"seed $seed")
+      } finally q.stop()
+    }
+  }
+
+  test("mmIngestStream keeps the batch MIN keeper under random bounded " +
+       "disorder (3 seeds)") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val horizonNs = 60L * MinNs
+    (1L to 3L).foreach { seed =>
+      val rnd = new scala.util.Random(seed + 1300)
+      // 120 items over 40 distinct payloads -> ~3 copies per digest,
+      // spread across one horizon of event time
+      val items = (1 to 120).map { i =>
+        StreamMedia(i.toLong,
+          T + rnd.nextLong(horizonNs / 2000000L) * 1000000L,
+          s"m${rnd.nextInt(3)}",
+          s"payload-${rnd.nextInt(40)}".getBytes("UTF-8"))
+      }
+      val feedOrder = items
+        .map(m => (m.ts + rnd.nextLong(horizonNs / 2), m.doc_id, m))
+        .sortBy(t => (t._1, t._2)).map(_._3)
+      val in = MemoryStream[StreamMedia]
+      val sink = s"disorder_mm_$seed"
+      val q = Streams.mmIngestStream(in.toDF(), horizonNs = horizonNs)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        feedOrder.grouped(30).foreach { b =>
+          in.addData(b); q.processAllAvailable()
+        }
+        val flushTs = items.map(_.ts).max + 3L * horizonNs
+        in.addData(StreamMedia(-1L, flushTs, "flush", Array[Byte]('x')))
+        q.processAllAvailable()
+        in.addData(StreamMedia(-2L, flushTs, "flush", Array[Byte]('x')))
+        q.processAllAvailable()
+        val got = spark.table(sink).filter("keep_id >= 0")
+          .selectExpr("keep_id", "digest", "modality", "n_bytes")
+          .collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+            r.getLong(3))).toSet
+        val expected = items.groupBy(m => new String(m.payload, "UTF-8"))
+          .values.map { copies =>
+            val k = copies.minBy(m => (m.ts, m.doc_id))
+            (k.doc_id,
+              java.security.MessageDigest.getInstance("MD5")
+                .digest(k.payload).map("%02x".format(_)).mkString,
+              k.modality, k.payload.length.toLong)
+          }.toSet
+        assert(got == expected, s"seed $seed")
       } finally q.stop()
     }
   }
