@@ -314,13 +314,21 @@ object StreamReplay extends QueryPack {
     * reaches the operator) sits past the final watermark and never
     * emits, and every sink filters `user_id >= 0` regardless.
     */
+  private def flushAndFireWith[T](
+      in: MemoryStream[T],
+      q: org.apache.spark.sql.streaming.StreamingQuery,
+      mkSentinel: Long => T): Unit = {
+    in.addData(mkSentinel(-1L))
+    q.processAllAvailable()
+    in.addData(mkSentinel(-2L))
+    q.processAllAvailable()
+  }
+
   private def flushAndFire(in: MemoryStream[Event],
                            q: org.apache.spark.sql.streaming.StreamingQuery,
                            flushTs: Long, eventType: String): Unit = {
-    in.addData(Event(-1L, flushTs, -1L, eventType, 0.0))
-    q.processAllAvailable()
-    in.addData(Event(-2L, flushTs, -1L, eventType, 0.0))
-    q.processAllAvailable()
+    flushAndFireWith[Event](in, q,
+      id => Event(id, flushTs, -1L, eventType, 0.0))
   }
 
   // Replay gate for the fMGWS funnel tracker: per user, the first
@@ -560,10 +568,8 @@ object StreamReplay extends QueryPack {
       try {
         feed(in, q, atLeastOnce(batched(items)))
         val flushTs = items.map(_.ts).max + 3L * spanNs
-        in.addData(StreamMedia(-1L, flushTs, "flush", Array[Byte]('x')))
-        q.processAllAvailable()
-        in.addData(StreamMedia(-2L, flushTs, "flush", Array[Byte]('x')))
-        q.processAllAvailable()
+        flushAndFireWith[StreamMedia](in, q,
+          id => StreamMedia(id, flushTs, "flush", Array[Byte]('x')))
       } finally q.stop()
     }
     s.table(sink).filter("keep_id >= 0").orderBy("digest")

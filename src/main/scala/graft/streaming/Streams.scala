@@ -46,12 +46,12 @@ case class MediaMeta(doc_id: Long, ts: Long, digest: String,
 
 /** Per-digest keeper state: whether the keeper row was emitted, the
   * best (ts, doc_id) candidate so far with its metadata (MaxValue
-  * sentinels = none yet), and the newest copy's ms timestamp (drives
+  * sentinels = none yet), and the newest copy's ns timestamp (drives
   * the post-emission dedup-horizon TTL).
   */
 case class DigestOwnerState(emitted: Boolean, bestTs: Long, bestDoc: Long,
                             bestModality: String, bestBytes: Long,
-                            lastSeenMs: Long)
+                            lastSeenNs: Long)
 
 /** The keeper record mm ingest emits, exactly once per distinct
   * payload: mm_dedup's min-doc_id keeper with its digest + metadata.
@@ -230,7 +230,6 @@ object Streams {
                      horizonNs: Long = 30L * 60 * 1000000000L)
       : Dataset[MediaKeeper] = {
     import media.sparkSession.implicits._
-    val horizonMs = horizonNs / 1000000L
     media
       .select(col("doc_id"), col("ts"),
         md5(col("payload")).as("digest"),
@@ -255,8 +254,7 @@ object Streams {
               var s = state.getOption.getOrElse(DigestOwnerState(
                 emitted = false, Long.MaxValue, Long.MaxValue, "", 0L, 0L))
               rows.foreach { r =>
-                s = s.copy(lastSeenMs =
-                  math.max(s.lastSeenMs, r.ts / 1000000L))
+                s = s.copy(lastSeenNs = math.max(s.lastSeenNs, r.ts))
                 if (!s.emitted &&
                     (r.ts < s.bestTs ||
                       (r.ts == s.bestTs && r.doc_id < s.bestDoc)))
@@ -273,13 +271,16 @@ object Streams {
               st.bestBytes)
             st = st.copy(emitted = true)
           }
-          if (st.emitted && wm > st.lastSeenMs + horizonMs)
+          // removal re-checked in NS (mirrors nearDupStream's eviction):
+          // an ms-floored compare would let a copy still inside the ns
+          // horizon arrive after removal and re-emit as a second keeper
+          if (st.emitted && wm * 1000000L > st.lastSeenNs + horizonNs)
             state.remove() // further copies are necessarily late
           else {
             state.update(st)
             val target =
               if (!st.emitted) st.bestTs / 1000000L + 1L
-              else st.lastSeenMs + horizonMs + 1L
+              else (st.lastSeenNs + horizonNs) / 1000000L + 1L
             state.setTimeoutTimestamp(math.max(target, wm + 1L))
           }
           out.result().iterator

@@ -170,11 +170,15 @@ class DisorderPropertySpec extends AnyFunSuite {
         q.processAllAvailable()
         in.addData(StreamMedia(-2L, flushTs, "flush", Array[Byte]('x')))
         q.processAllAvailable()
-        val got = spark.table(sink).filter("keep_id >= 0")
+        val gotRows = spark.table(sink).filter("keep_id >= 0")
           .selectExpr("keep_id", "digest", "modality", "n_bytes")
           .collect()
           .map(r => (r.getLong(0), r.getString(1), r.getString(2),
-            r.getLong(3))).toSet
+            r.getLong(3))).toSeq
+        // exactly-once: a duplicate keeper emission must fail, not be
+        // collapsed away by the set compare below
+        assert(gotRows.size == gotRows.distinct.size, s"seed $seed dup")
+        val got = gotRows.toSet
         val expected = items.groupBy(m => new String(m.payload, "UTF-8"))
           .values.map { copies =>
             val k = copies.minBy(m => (m.ts, m.doc_id))
