@@ -708,4 +708,24 @@ class StreamsSpec extends AnyFunSuite {
       assert(m == Set((2L, 1L)), m.toString)
     } finally q.stop()
   }
+
+  test("mm ingest projects the payload away before the stateful dedup") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[graft.streaming.StreamMedia]
+    val df = Streams.mmIngestStream(in.toDF())
+    // the scale claim, pinned structurally: the binary payload column
+    // must not be in scope below the stateful operator — only (digest,
+    // metadata) rows reach the shuffle and the state store
+    val fmg = df.queryExecution.analyzed.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical
+          .FlatMapGroupsWithState => f
+    }
+    assert(fmg.nonEmpty)
+    fmg.foreach { f =>
+      assert(!f.child.output.exists(_.name == "payload"),
+        f.child.output.map(_.name))
+    }
+  }
 }
