@@ -41,7 +41,7 @@ object Bench {
     "st_retention_ooo_replay", "st_funnel_ooo_replay",
     "st_sessions_ooo_replay", "st_neardup_ooo_replay", "shard_compact",
     "shard_stats", "st_mm_ingest_replay", "st_mm_ingest_ooo_replay",
-    "sim_ivfpq_stored")
+    "sim_ivfpq_stored", "dd_incremental_bloom")
 
   private final case class M(
       name: String, median: Double, spread: Double, jobsPerRep: Int,

@@ -515,6 +515,76 @@ object Dedup extends QueryPack {
          |FROM inc_sigs WHERE is_new ORDER BY doc_id""".stripMargin)
   }
 
+  // -- dd_incremental_bloom: the broadcast-Bloom exact gate -------------------
+  // Same contract and SAME ORACLE as dd_incremental; only the exact
+  // gate's join strategy changes to the 100 TB-friendly two-tier form:
+  // the standing corpus's digest keys fold into ONE 16 KiB Bloom filter
+  // (graft_bloom_agg — map-side partial merge, one row out), the
+  // incoming batch probes it with the codegen'd graft_bloom_contains,
+  // and only the PROBABLE duplicates (true dups + the filter's ~0.1%
+  // false positives) reach the exact digest equi-join. A mostly-novel
+  // batch therefore never shuffles against the corpus at all on the
+  // exact path — the surviving probe set is broadcast-sized — while
+  // false positives are removed by the exact join (Bloom has no false
+  // negatives, so the result is bit-identical to dd_incremental's).
+  // The probe key is the digest's leading 60 bits as a bigint; a key
+  // collision only adds a false positive, which the th equality then
+  // discards.
+  private def ddIncrementalBloom(s: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.ensureRegistered(s) // graft_bloom_contains et al.
+    s.udf.register("graft_bloom_agg", udaf(graft.functions.BloomAgg))
+    table(s, dir, "documents")
+      .selectExpr("doc_id", "md5(text) AS th",
+        "cast(substring(source, 4) as int) >= 10 AS is_new",
+        "split(text, ' ') AS toks")
+      .selectExpr("doc_id", "th", "is_new", s"$sparkGrams AS grams")
+      .selectExpr("doc_id", "th", "is_new",
+        "cast(conv(substring(th, 1, 15), 16, 10) as bigint) AS bk64",
+        "graft_h64sd(grams) AS hs",
+        "graft_h32a(grams) AS ghs")
+      .selectExpr(Seq("doc_id", "th", "is_new", "bk64", "hs",
+        "graft_minhash16(ghs) AS sigarr"): _*)
+      .selectExpr(Seq("doc_id", "th", "is_new", "bk64", "hs") ++
+        sparkSigCols: _*)
+      .cache()
+      .createOrReplaceTempView("incb_sigs")
+    val bandSelects = (0 until JacBands)
+      .map(b => s"SELECT doc_id, is_new, $b AS band," +
+        s" ${jacBandKeySpark(b)} AS bk FROM incb_sigs")
+      .mkString(" UNION ALL ")
+    s.sql(
+      s"""WITH bands AS ($bandSelects),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS new_id, y.doc_id AS old_id
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.bk = y.bk
+         |   AND x.is_new AND NOT y.is_new),
+         |near AS (
+         |  SELECT DISTINCT new_id FROM (
+         |    SELECT new_id,
+         |      round(cast(graft_isect(a.hs, b.hs) as double)
+         |        / (size(a.hs) + size(b.hs) - graft_isect(a.hs, b.hs)), 6)
+         |        AS j
+         |    FROM cand JOIN incb_sigs a ON a.doc_id = new_id
+         |              JOIN incb_sigs b ON b.doc_id = old_id)
+         |  WHERE j >= 0.6),
+         |bloom AS (
+         |  SELECT graft_bloom_agg(bk64) AS bits FROM incb_sigs
+         |  WHERE NOT is_new),
+         |probable AS (
+         |  SELECT n.doc_id, n.th FROM incb_sigs n
+         |  WHERE n.is_new
+         |    AND graft_bloom_contains((SELECT bits FROM bloom), n.bk64)),
+         |ex AS (
+         |  SELECT DISTINCT p.doc_id FROM probable p
+         |  JOIN incb_sigs o ON o.th = p.th AND NOT o.is_new)
+         |SELECT doc_id,
+         |  CASE WHEN doc_id IN (SELECT doc_id FROM ex) THEN 'exact_dup'
+         |       WHEN doc_id IN (SELECT new_id FROM near) THEN 'near_dup'
+         |       ELSE 'kept' END AS status
+         |FROM incb_sigs WHERE is_new ORDER BY doc_id""".stripMargin)
+  }
+
   private val ddIncrementalSql =
     s"""WITH d AS (
        |  SELECT doc_id, md5(text) AS th,
@@ -1768,6 +1838,7 @@ object Dedup extends QueryPack {
       "dd_containment_smallside" -> ddContainmentSmallside _,
       "dd_span" -> ddSpan _,
       "dd_incremental" -> ddIncremental _,
+      "dd_incremental_bloom" -> ddIncrementalBloom _,
       "dd_threshold_sweep" -> ddThresholdSweep _,
       "dd_semdedup" -> ddSemdedup _,
       "dd_embed_cluster" -> ddEmbedCluster _,
@@ -1791,6 +1862,8 @@ object Dedup extends QueryPack {
     "dd_containment_smallside" -> ddContainmentSql,
     "dd_span" -> ddSpanSql,
     "dd_incremental" -> ddIncrementalSql,
+    // the Bloom-gated variant is bit-identical by construction
+    "dd_incremental_bloom" -> ddIncrementalSql,
     "dd_threshold_sweep" -> ddThresholdSweepSql,
     "dd_semdedup" -> ddSemdedupSql,
     "dd_embed_cluster" -> ddEmbedClusterSql,
