@@ -15,6 +15,14 @@ object Bench {
     * are what make the median a measurement instead of weather.
     */
   private val StableReps = 5
+  /** Stabilization reps for cheap (sub-[[CheapSec]]) queries: their
+    * per-rep cost is scheduler-floor-dominated, so extra reps are
+    * nearly free and the median needs the larger sample — the r14
+    * `unmeasured` set was mostly sub-second queries whose 5-rep range
+    * was one straggler wide.
+    */
+  private val StableRepsCheap = 9
+  private val CheapSec = 1.5
   /** A query is "measured" when max-min across reps is under this
     * fraction of the median (the round-9 acceptance bar). */
   private val SpreadFrac = 0.25
@@ -129,7 +137,14 @@ object Bench {
         math.round((jobCounter.get() - jobs0).toDouble / reps).toInt
       val cpuSecPerRep = (cpuNs.get() - cpu0) / 1e9 / reps
       val shufMbPerRep = (shufWr.get() - shuf0) / 1e6 / reps
-      M(name, times(reps / 2), times.last - times.head, jobsPerRep,
+      // Spread: raw range at 3 reps (the conservative pass-2 trigger);
+      // with >=5 reps the single best and worst are dropped first — a
+      // max-min range over more samples only ever WIDENS under one
+      // straggler, so the raw range would make extra reps
+      // counterproductive, while the trimmed range converges on the
+      // distribution the median is drawn from.
+      val core = if (reps >= 5) times.slice(1, reps - 1) else times
+      M(name, times(reps / 2), core.last - core.head, jobsPerRep,
         cpuSecPerRep, shufMbPerRep, err, unmeasured = false)
     }
 
@@ -160,7 +175,8 @@ object Bench {
     val results = firstPass.map { case (fn, m) =>
       if (m.err.isDefined || !unstable(m.median, m.spread)) m
       else {
-        val m2 = measure(m.name, fn, StableReps, warmup = true)
+        val reps2 = if (m.median < CheapSec) StableRepsCheap else StableReps
+        val m2 = measure(m.name, fn, reps2, warmup = true)
         m2.copy(unmeasured = m2.err.isEmpty && unstable(m2.median, m2.spread))
       }
     }
@@ -240,8 +256,12 @@ object Bench {
     var shufEntries = results.filter(_.shufMbPerRep >= 0.05)
       .sortBy(-_.shufMbPerRep).take(25)
       .map { m => "\"" + m.name + "\":" + f1(m.shufMbPerRep) }
+    // "unmeasured" is ALWAYS a JSON array (possibly trimmed to [] by
+    // the byte budget below); "unmeasured_n" always carries the true
+    // count, so consumers never see the field change type.
+    val unmeasuredN = results.count(_.unmeasured)
     def mkPrefix(shuf: Seq[String], spr: String, unm: String): String =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":$sfNum,"n_queries":${results.size},"total_r10set":${f3(totalR10)},"cpu_total":${f3(cpuTotal)},"load":$loadJson,"errors":$errs,"unmeasured":$unm,"spreads":$spr,"jobs":$jobsTop,"cpu":$cpuTop,"shuffle_mb":${shuf.mkString("{", ",", "}")},"queries":{"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":$sfNum,"n_queries":${results.size},"total_r10set":${f3(totalR10)},"cpu_total":${f3(cpuTotal)},"load":$loadJson,"errors":$errs,"unmeasured_n":$unmeasuredN,"unmeasured":$unm,"spreads":$spr,"jobs":$jobsTop,"cpu":$cpuTop,"shuffle_mb":${shuf.mkString("{", ",", "}")},"queries":{"""
     val budget = 1850
     // the prefix itself is length-gated: unlike the queries section it
     // has no per-entry budget check, so trim until at least ~250 chars
@@ -249,9 +269,9 @@ object Bench {
     // errors/unmeasured round could push the whole line past the
     // capture tail, the exact silent-truncation failure this budget
     // exists to prevent. Trim order: shuffle entries (smallest first),
-    // then the spreads map, then the unmeasured list collapses to a
-    // count (its full contents are always in the file) — errors are
-    // never trimmed.
+    // then the spreads map, then the unmeasured list collapses to []
+    // (its contents are always in the file; unmeasured_n keeps the
+    // count inline) — errors are never trimmed.
     var spreadsOut = spreads
     var unmeasuredOut = unmeasuredArr
     var prefix = mkPrefix(shufEntries, spreadsOut, unmeasuredOut)
@@ -264,8 +284,7 @@ object Bench {
       prefix = mkPrefix(shufEntries, spreadsOut, unmeasuredOut)
     }
     if (prefix.length > budget - 250) {
-      unmeasuredOut =
-        "\"" + results.count(_.unmeasured) + " (see full file)\""
+      unmeasuredOut = "[]" // names in the full file; unmeasured_n stays
       prefix = mkPrefix(shufEntries, spreadsOut, unmeasuredOut)
     }
     val keepFirst = results.sortBy { m =>

@@ -869,6 +869,10 @@ object Similarity extends QueryPack {
   private val ivfpqModelCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), IvfPqModel]
 
+  // One monitor per on-disk store dir (see simIvfPqStored).
+  private val storeLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]
+
   private def ipqSliceS(m: Int) = s"slice(x4, ${PqDim * m + 1}, $PqDim)"
 
   /** Nearest-centroid argmin against a DRIVER-LOCAL centroid list, as
@@ -1024,9 +1028,18 @@ object Similarity extends QueryPack {
         s"""{"cents": ${cseq(model.cents)},
            |"codebooks": ${model.codebooks
               .map(cseq).mkString("[\n ", ",\n ", "\n]")}}""".stripMargin
-      java.nio.file.Files.write(
-        java.nio.file.Paths.get(dir, "model.json"),
+      // model.json is the store's exists() marker, so it lands LAST
+      // (after the codes parquet) and atomically: a crash mid-write
+      // must not leave a truncated marker that later calls accept as a
+      // complete store. Temp + ATOMIC_MOVE is the same discipline as
+      // ShardManifest.write.
+      val tmp = java.nio.file.Paths.get(dir, "model.json.tmp")
+      java.nio.file.Files.write(tmp,
         json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.nio.file.Files.move(tmp,
+        java.nio.file.Paths.get(dir, "model.json"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
 
     def load(s: SparkSession, dir: String): IvfPqModel = {
@@ -1069,10 +1082,16 @@ object Similarity extends QueryPack {
         .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
         .map("%02x".format(_)).mkString.take(12) +
         "_p" + ProcessHandle.current().pid()).toString
-    if (!IvfPqStore.exists(out)) {
-      new java.io.File(out).mkdirs()
-      IvfPqStore.save(
-        ivfpqModelCache.getOrElseUpdate((s, dir), trainIvfPq(s, dir)), out)
+    // The exists/train/save check-then-act is guarded per store dir:
+    // two sessions in one process hitting the same scratch dir must
+    // not interleave a save with a load of the half-written store.
+    // (Cross-process the pid-suffixed dir already isolates.)
+    storeLocks.computeIfAbsent(out, _ => new Object).synchronized {
+      if (!IvfPqStore.exists(out)) {
+        new java.io.File(out).mkdirs()
+        IvfPqStore.save(
+          ivfpqModelCache.getOrElseUpdate((s, dir), trainIvfPq(s, dir)), out)
+      }
     }
     val stored = IvfPqStore.load(s, out)
     registerServingViews(s, dir, stored)

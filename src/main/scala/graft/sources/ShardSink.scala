@@ -629,6 +629,24 @@ private[sources] class ShardBatchWrite(dir: String, truncateFirst: Boolean,
           n.contains("shard-") || n.contains("_SHARDS.json")
         }
         .foreach(st => fs.delete(st.getPath, false))
+    } else if (ShardManifest.read(fs, d).isDefined ||
+               fs.listStatus(d).exists(st => st.isFile &&
+                 ShardManifest.shardOf(st.getPath.getName).isDefined)) {
+      // Batch append into a populated store is refused, mirroring the
+      // compact refusal guard: this commit's manifest would list only
+      // this job's files (hiding prior shards from readers and making
+      // the next compact GC them), its cleared _epochs watermark would
+      // let stale epoch litter re-fold, and shard file names are pure
+      // functions of the shard id so same-shard data files would be
+      // renamed over. The store's append story is the streaming sink's
+      // epoch files + compact(); whole-corpus rewrites use Overwrite.
+      messages.collect { case ShardFilesMessage(files) => files }.flatten
+        .foreach { case (tmp, _, _) => fs.delete(new HPath(tmp), false) }
+      throw new IOException(
+        s"graft-shards: $dir already holds a committed store — batch " +
+          "append would clobber its manifest and shard files; use " +
+          "SaveMode.Overwrite for a rewrite or the streaming sink + " +
+          "compact() for incremental lands")
     }
     val all = messages.collect {
       case ShardFilesMessage(files) => files

@@ -38,8 +38,18 @@ object StreamReplay extends QueryPack {
     */
   private[graft] val HorizonTicks = 128L
   private[graft] val HorizonNs = HorizonTicks * TickNs
-  /** Number of micro-batches the corpus is split into. */
-  private[graft] val ReplayBatches = 5
+  /** Number of micro-batches the corpus is split into. Three is the
+    * smallest count that still exercises what the gates exist for —
+    * state carried across a batch boundary, watermark advanced
+    * mid-replay (boundary 1), and a boundary landing while earlier
+    * batches' deferred rows are still draining (boundary 2) — and the
+    * per-batch scheduling floor is the replay family's dominant wall
+    * cost, so the harness doesn't buy batches it doesn't need.
+    * Disorder coverage doesn't lean on this count: the _ooo gates
+    * jitter feed positions across whatever boundaries exist, and
+    * DisorderPropertySpec sweeps random orders with its own batching.
+    */
+  private[graft] val ReplayBatches = 3
 
   private val sinkSeq = new java.util.concurrent.atomic.AtomicInteger
 
@@ -57,9 +67,31 @@ object StreamReplay extends QueryPack {
     */
   private def withReplayPartitions[T](s: SparkSession)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
+    val ndKey = "spark.sql.streaming.noDataMicroBatches.enabled"
     val was = s.conf.get(key)
+    val ndWas = s.conf.getOption(ndKey)
     s.conf.set(key, "2")
-    try body finally s.conf.set(key, was)
+    // No-data micro-batches (the default-on extra batch after every
+    // data batch that applies the just-advanced watermark) are OFF in
+    // the replay scope: they double the micro-batch count — the
+    // replay family's cost is a per-batch scheduling floor, not
+    // compute — and the replay protocol never needs them, because a
+    // watermark advanced by batch k is applied by batch k+1 and every
+    // gate ends with the TWO-sentinel flush exactly so the second
+    // sentinel is the data batch that applies the first one's
+    // watermark (the second sentinel re-raises to the same flush
+    // value, so the dropped trailing no-data batch had nothing left
+    // to emit). Emissions shift one batch earlier or later; the
+    // accumulated append-mode sink is identical — re-verified by
+    // every gate's oracle hash.
+    s.conf.set(ndKey, "false")
+    try body finally {
+      s.conf.set(key, was)
+      ndWas match {
+        case Some(v) => s.conf.set(ndKey, v)
+        case None    => s.conf.unset(ndKey)
+      }
+    }
   }
 
   /** The replay batching protocol, defined ONCE: ceil-divide the feed
@@ -621,8 +653,16 @@ object StreamReplay extends QueryPack {
         .outputMode("append").start()
       try {
         feed(in, q, batched(evs.toIndexedSeq))
-        in.addData(Event(-1L, evs.last.ts + 3L * 3600000000000L, -1L,
-          "sentinel", 0.0))
+        // Two-batch sentinel like every other gate: the first batch
+        // publishes the advanced watermark at its END, the second is
+        // the data batch that applies it and emits the trailing
+        // windows (this gate used to lean on the post-batch no-data
+        // micro-batch for that application — the replay scope now
+        // disables those, see withReplayPartitions).
+        val flushTs = evs.last.ts + 3L * 3600000000000L
+        in.addData(Event(-1L, flushTs, -1L, "sentinel", 0.0))
+        q.processAllAvailable()
+        in.addData(Event(-2L, flushTs, -1L, "sentinel", 0.0))
         q.processAllAvailable()
       } finally q.stop()
     }

@@ -353,4 +353,27 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
       p.take(3000))
   }
+
+  test("dd_incremental_bloom: Bloom gate below the exact join, corpus " +
+      "folds map-side") {
+    // The 100 TB incremental pattern: a refactor that silently reverts
+    // to the full corpus equi-join would drop the probe-side
+    // graft_bloom_contains filter and the one-row Bloom partial-merge
+    // aggregate from the plan — pinned here so it can't.
+    val p = plan("dd_incremental_bloom")
+    // probe side filters on the broadcast Bloom BEFORE the exact join
+    assert(p.contains("graft_bloom_contains"), p.take(4000))
+    // the corpus digests fold into the filter with a map-side partial
+    // merge (partial_... aggregate), one row out; the fold lives in
+    // the scalar subquery, which executedPlan.toString omits — read
+    // the formatted explain, which prints the subquery plans too
+    val full = SparkEntry.queries("dd_incremental_bloom")(spark, dir)
+      .queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(full.toLowerCase.contains("partial_graft_bloom_agg"),
+      full.takeRight(4000))
+    // candidate generation stays banded equi-join — no cross product
+    assert(!p.contains("CartesianProduct"), p.take(4000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(4000))
+  }
 }

@@ -86,6 +86,18 @@ class ShardCompactSpec extends AnyFunSuite {
       assert(bytes ==
         byShard(sh).map(_._3.getBytes("UTF-8").length + 1L).sum)
     }
+    // the sealed (gen-suffixed) store still reports one shard key per
+    // file, so a shard-keyed aggregation over it runs with NO exchange
+    // — the exchange-free claim holds across compaction, not just for
+    // batch-written plain files (pinned for the same reason as the
+    // read-face test: a regression here re-shuffles the corpus at
+    // 100 TB)
+    val agg = spark.read.format("graft-shards").option("path", out).load()
+      .groupBy("shard").count()
+    val aPlan = agg.queryExecution.executedPlan.toString
+    assert(!aPlan.contains("Exchange"), aPlan)
+    assert(agg.collect().map(r => (r.getLong(0), r.getLong(1))).toMap ==
+      byShard.view.mapValues(_.size.toLong).toMap)
   }
 
   test("incremental compaction = one-shot compaction, via generations") {

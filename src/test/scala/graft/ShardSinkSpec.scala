@@ -227,6 +227,41 @@ class ShardSinkSpec extends AnyFunSuite {
     assert(got == exp)
   }
 
+  test("batch append into a committed store is refused, store intact") {
+    // A non-truncate batch commit would rewrite _SHARDS.json to list
+    // only its own files (hiding prior shards from readers, priming
+    // the next compact to GC them) and rename over same-shard data
+    // files — so the sink refuses, mirroring the compact refusal
+    // guard. Overwrite and the streaming-epoch path stay the two
+    // supported write modes.
+    val out = Files.createTempDirectory("graft_shards_app").toString
+    CorpusShards.write(corpus(), out, 8)
+    val before = readDir(out)
+    val manifestBefore = new String(
+      Files.readAllBytes(Paths.get(out, "_SHARDS.json")))
+    val ex = intercept[java.io.IOException] {
+      CorpusShards.layout(corpus(), 8)
+        .write.format("graft-shards").option("path", out)
+        .mode(org.apache.spark.sql.SaveMode.Append).save()
+    }
+    assert(ex.getMessage.contains("batch append"), ex.getMessage)
+    // nothing moved: same shard files, same manifest, no temp litter
+    assert(readDir(out) == before)
+    assert(new String(Files.readAllBytes(Paths.get(out, "_SHARDS.json")))
+      == manifestBefore)
+    val tmp = Paths.get(out, "_tmp")
+    assert(!Files.exists(tmp) ||
+      !Files.list(tmp).iterator().hasNext)
+    // a fresh (manifest-less, file-less) dir still accepts append mode
+    val fresh = Files.createTempDirectory("graft_shards_app2").toString
+    CorpusShards.layout(corpus(), 8)
+      .repartition(8, org.apache.spark.sql.functions.col("shard"))
+      .sortWithinPartitions("shard", "pos")
+      .write.format("graft-shards").option("path", fresh)
+      .mode(org.apache.spark.sql.SaveMode.Append).save()
+    assert(readDir(fresh) == before)
+  }
+
   test("ungrouped COUNT(*) is answered from the manifest, not the files") {
     val out = Files.createTempDirectory("graft_shards_cnt").toString
     CorpusShards.write(corpus(), out, 8)
