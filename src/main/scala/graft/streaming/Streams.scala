@@ -532,6 +532,57 @@ case class FunnelAdvance(user_id: Long, step: Int, at_us: Long)
     */
   case class RetentionHit(user_id: Long, cohort_day: Long, day_offset: Long)
 
+  /** Disorder observability for [[retentionStream]]. The OOO re-base
+    * makes within-delay disorder CORRECT but previously also made it
+    * INVISIBLE — production could run arbitrarily close to the
+    * watermark cliff with no signal. Two counters split disorder at
+    * that cliff:
+    *
+    *   - `rebases` (executor-side `LongAccumulator`, fed from inside
+    *     the state function): events that arrived with a day EARLIER
+    *     than the user's provisional cohort day and re-based the mask —
+    *     disorder the delay absorbed. Accumulators count once per
+    *     completed task attempt; a retried micro-batch can over-count,
+    *     which is the standard (and acceptable) contract for an
+    *     observability channel — correctness never reads this value.
+    *   - `lateDropped` (driver-side, fed by the [[droppedListener]]
+    *     from each progress's `numRowsDroppedByWatermark`): rows the
+    *     watermark dropped before the operator saw them — disorder the
+    *     delay did NOT absorb, i.e. silently lost cohort evidence. The
+    *     listener is per-query-name so one metrics object tracks one
+    *     stream.
+    *
+    * Alert on `lateDropped > 0` (data loss: widen `delay`); trend
+    * `rebases` as the early-warning (disorder volume approaching the
+    * cliff).
+    */
+  final class RetentionMetrics private[streaming] (
+      val rebases: org.apache.spark.util.LongAccumulator) {
+    private val lateDroppedTotal = new java.util.concurrent.atomic.AtomicLong
+    def lateDropped: Long = lateDroppedTotal.get()
+
+    /** Listener feeding `lateDropped` from the named query's progress;
+      * register with `spark.streams.addListener` before starting the
+      * query and remove it after `stop()`.
+      */
+    def droppedListener(queryName: String)
+        : org.apache.spark.sql.streaming.StreamingQueryListener =
+      new org.apache.spark.sql.streaming.StreamingQueryListener {
+        import org.apache.spark.sql.streaming.StreamingQueryListener._
+        override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+        override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+        override def onQueryProgress(e: QueryProgressEvent): Unit =
+          if (e.progress.name == queryName)
+            lateDroppedTotal.addAndGet(
+              e.progress.stateOperators.map(_.numRowsDroppedByWatermark).sum)
+      }
+  }
+
+  /** New metrics object for one [[retentionStream]] instance. */
+  def retentionMetrics(spark: SparkSession): RetentionMetrics =
+    new RetentionMetrics(
+      spark.sparkContext.longAccumulator("graft.retention.rebases"))
+
   /** Default day-offset ceiling (day-7 retention). Shared with the
     * replay gate's window-lapse guard (StreamReplay) so the state-
     * removal boundary `(cohortDay + maxOffset + 1) * dayNs` and the
@@ -579,7 +630,12 @@ case class FunnelAdvance(user_id: Long, step: Int, at_us: Long)
   def retentionStream(events: Dataset[Event],
                       dayNs: Long = 86400000000000L,
                       maxOffset: Int = RetentionMaxOffset,
-                      delay: String = "24 hours"): Dataset[RetentionHit] = {
+                      delay: String = "24 hours",
+                      metrics: Option[RetentionMetrics] = None)
+      : Dataset[RetentionHit] = {
+    // serialize only the accumulator into the state closure, not the
+    // metrics wrapper (whose listener half is driver-only)
+    val rebaseAcc = metrics.map(_.rebases)
     // the seen-bitmask is one Long: offsets above 63 would wrap the
     // shifts (1L << 64 == 1L) and silently alias day-64 onto day-0
     require(maxOffset >= 0 && maxOffset <= 63,
@@ -645,6 +701,7 @@ case class FunnelAdvance(user_id: Long, step: Int, at_us: Long)
                   val shift = st.cohortDay - day
                   val shifted = if (shift > 63) 0L else st.seenMask << shift
                   st = RetentionState(day, shifted | 1L, finalized = false)
+                  rebaseAcc.foreach(_.add(1L))
                 } else if (day - st.cohortDay <= 63) {
                   st = st.copy(seenMask =
                     st.seenMask | (1L << (day - st.cohortDay)))

@@ -512,6 +512,46 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("retentionStream metrics split disorder at the watermark cliff: " +
+       "re-bases on the accumulator, drops on the listener") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val D = 86400000000000L // 1 day in ns
+    val metrics = Streams.retentionMetrics(spark)
+    val listener = metrics.droppedListener("retention_obs")
+    spark.streams.addListener(listener)
+    val in = MemoryStream[Event]
+    val q = Streams.retentionStream(in.toDS(), metrics = Some(metrics))
+      .writeStream.format("memory").queryName("retention_obs")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // in-order feed: neither channel moves
+      in.addData(ev(1, 10 * D, 1, "view"), ev(2, 10 * D + 5, 1, "view"))
+      q.processAllAvailable()
+      assert(metrics.rebases.value == 0L && metrics.lateDropped == 0L)
+      // an earlier day within the 24 h delay (watermark is at day 9's
+      // start; an hour in, since exactly-on-watermark rows are late-
+      // dropped): delivered, re-bases the provisional cohort 10 -> 9,
+      // counted exactly once
+      in.addData(ev(3, 9 * D + H, 1, "view"))
+      q.processAllAvailable()
+      assert(metrics.rebases.value == 1L)
+      // beyond the delay: day 5 is under the day-29 watermark, dropped
+      // BEFORE the operator — invisible to the accumulator, surfaced
+      // by the listener's numRowsDroppedByWatermark channel
+      in.addData(ev(4, 30 * D, 2, "view"))
+      q.processAllAvailable()
+      in.addData(ev(5, 5 * D, 3, "view"))
+      q.processAllAvailable()
+      val deadline = System.currentTimeMillis() + 30000 // listener is async
+      while (metrics.lateDropped == 0L &&
+             System.currentTimeMillis() < deadline) Thread.sleep(50)
+      assert(metrics.lateDropped >= 1L)
+      assert(metrics.rebases.value == 1L) // the dropped row never re-based
+    } finally { q.stop(); spark.streams.removeListener(listener) }
+  }
+
   test("retentionStream over the fixture reproduces batch st_retention") {
     val spark0 = spark
     import spark0.implicits._
