@@ -1295,6 +1295,57 @@ object Dedup extends QueryPack {
   private final case class LpEdges(edgesBoth: DataFrame, nEdges: Long,
                                    loopP: Int)
 
+  /** Materialize one LP edge structure from a pair pipeline. Callers
+    * run this under the LP loop's AQE-off scope (labelPropagate's
+    * withLoopConf, or [[ddLpEdges]]'s own) so the build's plan shape is
+    * identical on every path.
+    */
+  private def prepLpEdges(session: SparkSession, pairs: => DataFrame,
+                          defaultP: Int): LpEdges = {
+    val lpDebug = sys.env.contains("GRAFT_LP_DEBUG")
+    val tE = System.nanoTime()
+    // Both checkpointed frames are exactly two BIGINT columns per
+    // edge — any column the pair pipeline carried (cos_sim, band,
+    // shingle sets) is projected away by the caller, so the
+    // materialized rows are as small as an edge can be.
+    val e1 = pairs.toDF("pa", "pb").localCheckpoint()
+    // With AQE scoped off, nothing coalesces the loop's shuffles, so
+    // size them from the measured edge count instead — the work AQE's
+    // runtime coalescing was doing, paid once here rather than one
+    // stage-materialization job per shuffle per round. Every loop
+    // shuffle carries O(edge-incident nodes) <= 2*|E| rows, so
+    // ~256k rows/partition keeps tasks meaningful at any scale; the
+    // session default stays as the cap (a cluster deployment sizes
+    // that for the corpus, and the loop never needs more than the
+    // corpus-scale setting). The count is one tiny job over the
+    // already-checkpointed RDD.
+    val nEdges = e1.count()
+    val loopP = math.max(1L, math.min(defaultP.toLong,
+      2L * nEdges / 262144L + 1L)).toInt
+    // The symmetric closure is hash-partitioned by `dst` (the
+    // neighbor-join key), sorted within partitions, and checkpointed
+    // ONCE: localCheckpoint preserves outputPartitioning and
+    // outputOrdering in the LogicalRDD leaf (asserted by
+    // LpFrontierSpec), so EVERY round's neighbor join finds the edge
+    // side already exchanged+sorted and only moves the label side —
+    // per-round shuffle drops from O(E) to O(V), the difference
+    // between re-exchanging a billion-edge list five times and once
+    // at corpus scale. This replaces the old per-round
+    // coalesce+union (which also collapsed task waves to loopP, as
+    // the repartition here does, but rebuilt and re-shuffled the 2E
+    // closure inside every round). The one-time cost is a single 2E
+    // exchange over already-materialized blocks.
+    val edgesBoth = e1
+      .union(e1.select(col("pb"), col("pa")))
+      .toDF("src", "dst")
+      .repartition(loopP, col("dst"))
+      .sortWithinPartitions(col("dst"))
+      .localCheckpoint()
+    if (lpDebug) System.err.println(
+      f"LP edges took ${(System.nanoTime() - tE) / 1e9}%.2f s")
+    LpEdges(edgesBoth, nEdges, loopP)
+  }
+
   /** Session-scoped registry of prepared edge frames, keyed by the
     * edge-pipeline identity callers declare via `shareKey`. This is a
     * materialized-intermediate registry, not a benchmark cache: the
@@ -1310,17 +1361,86 @@ object Dedup extends QueryPack {
     * session identity, purged when the context stops) and survive
     * `catalog.clearCache()` by design — the registry, not the catalog,
     * owns their lifetime.
+    *
+    * Lifecycle contract (LpEdgeCacheSpec):
+    *   - BOUNDED: at most [[LpEdgeCacheMax]] entries, least-recently-
+    *     USED evicted first (a long-lived session touring many corpora
+    *     pins at most the cap's worth of checkpoint blocks; evicted
+    *     entries' RDD blocks are reclaimed by the ContextCleaner once
+    *     unreferenced).
+    *   - INVALIDATION: a corpus rewritten in place under the same dir
+    *     serves stale edges until [[invalidateLpEdges]] is called for
+    *     that dir (or the session is replaced) — the registry cannot
+    *     watch the filesystem, so staleness is the CALLER's contract,
+    *     exactly like Spark's own `REFRESH TABLE`.
     */
-  private val lpEdgeCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), LpEdges]
+  private val LpEdgeCacheMax: Int = {
+    val m = sys.env.getOrElse("GRAFT_LP_EDGE_CACHE_MAX", "8").toInt
+    require(m >= 1, s"GRAFT_LP_EDGE_CACHE_MAX must be >= 1, got $m")
+    m
+  }
 
-  private def purgeLpDeadSessions(): Unit =
-    lpEdgeCache.keysIterator
-      .filter(_._1.sparkContext.isStopped)
-      .foreach(lpEdgeCache.remove)
+  private val lpEdgeCache =
+    new java.util.LinkedHashMap[(SparkSession, String), LpEdges](
+        16, 0.75f, /*accessOrder=*/ true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(SparkSession, String), LpEdges])
+          : Boolean = size() > LpEdgeCacheMax
+    }
 
-  /** Test hook: drop shared edge frames (e.g. between A/B runs). */
-  private[graft] def clearLpEdgeCache(): Unit = lpEdgeCache.clear()
+  private def purgeLpDeadSessions(): Unit = {
+    val it = lpEdgeCache.keySet().iterator()
+    while (it.hasNext) if (it.next()._1.sparkContext.isStopped) it.remove()
+  }
+
+  /** Registry lookup: return the prepared edges for `(session, key)`,
+    * building (and registering) them on a miss. The build runs OUTSIDE
+    * the registry lock — two concurrent first-callers may both build
+    * (last one wins; the loser's blocks are ContextCleaner-reclaimed),
+    * which is the standard price for not blocking every other session's
+    * lookup behind a multi-second materialization.
+    */
+  private def lpEdgesFor(session: SparkSession, key: String)
+                        (build: => LpEdges): LpEdges = {
+    val k = (session, key)
+    val hit = lpEdgeCache.synchronized {
+      purgeLpDeadSessions()
+      lpEdgeCache.get(k)
+    }
+    if (hit != null) hit
+    else {
+      val e = build
+      lpEdgeCache.synchronized { lpEdgeCache.put(k, e) }
+      e
+    }
+  }
+
+  /** Drop every shared edge frame built over `dir` for `session` — the
+    * staleness hook a caller MUST use after rewriting a corpus in place
+    * under the same path (see the registry contract above). A no-op for
+    * dirs with no entry.
+    */
+  def invalidateLpEdges(session: SparkSession, dir: String): Unit =
+    lpEdgeCache.synchronized {
+      val it = lpEdgeCache.keySet().iterator()
+      while (it.hasNext) {
+        val k = it.next()
+        if (k._1 == session && k._2.endsWith("|" + dir)) it.remove()
+      }
+    }
+
+  /** Test/A-B hook: drop ALL shared edge frames (TimeOne's
+    * GRAFT_LP_COLD=1 uses this between reps to measure LP consumers
+    * cold; see BENCHING.md).
+    */
+  private[graft] def clearLpEdgeCache(): Unit =
+    lpEdgeCache.synchronized { lpEdgeCache.clear() }
+
+  private[graft] def lpEdgeCacheKeys: Seq[String] =
+    lpEdgeCache.synchronized {
+      import scala.jdk.CollectionConverters._
+      lpEdgeCache.keySet().asScala.toSeq.map(_._2)
+    }
 
   private[graft] def labelPropagate(op: String,
                                     pairs: => DataFrame,
@@ -1393,60 +1513,16 @@ object Dedup extends QueryPack {
     }
     var converged = false
     var iter = 0
-    def prepEdges(): LpEdges = {
-      val tE = System.nanoTime()
-      // Both checkpointed frames are exactly two BIGINT columns per
-      // edge — any column the pair pipeline carried (cos_sim, band,
-      // shingle sets) is projected away by the caller, so the
-      // materialized rows are as small as an edge can be.
-      val e1 = pairs.toDF("pa", "pb").localCheckpoint()
-      // With AQE scoped off, nothing coalesces the loop's shuffles, so
-      // size them from the measured edge count instead — the work AQE's
-      // runtime coalescing was doing, paid once here rather than one
-      // stage-materialization job per shuffle per round. Every loop
-      // shuffle carries O(edge-incident nodes) <= 2*|E| rows, so
-      // ~256k rows/partition keeps tasks meaningful at any scale; the
-      // session default stays as the cap (a cluster deployment sizes
-      // that for the corpus, and the loop never needs more than the
-      // corpus-scale setting). The count is one tiny job over the
-      // already-checkpointed RDD.
-      val nEdges = e1.count()
-      val defaultP = shufWas.toInt
-      val loopP = math.max(1L, math.min(defaultP.toLong,
-        2L * nEdges / 262144L + 1L)).toInt
-      session.conf.set(shufKey, loopP.toString)
-      // The symmetric closure is hash-partitioned by `dst` (the
-      // neighbor-join key), sorted within partitions, and checkpointed
-      // ONCE: localCheckpoint preserves outputPartitioning and
-      // outputOrdering in the LogicalRDD leaf (asserted by
-      // LpFrontierSpec), so EVERY round's neighbor join finds the edge
-      // side already exchanged+sorted and only moves the label side —
-      // per-round shuffle drops from O(E) to O(V), the difference
-      // between re-exchanging a billion-edge list five times and once
-      // at corpus scale. This replaces the old per-round
-      // coalesce+union (which also collapsed task waves to loopP, as
-      // the repartition here does, but rebuilt and re-shuffled the 2E
-      // closure inside every round). The one-time cost is a single 2E
-      // exchange over already-materialized blocks.
-      val edgesBoth = e1
-        .union(e1.select(col("pb"), col("pa")))
-        .toDF("src", "dst")
-        .repartition(loopP, col("dst"))
-        .sortWithinPartitions(col("dst"))
-        .localCheckpoint()
-      stamp("edges", tE)
-      LpEdges(edgesBoth, nEdges, loopP)
-    }
+    def prepEdges(): LpEdges =
+      prepLpEdges(session, pairs, defaultP = shufWas.toInt)
     def runLoop(): DataFrame = {
       // Shared edge pipelines are prepared once per (session, key) and
       // reused by every consumer; the loop conf (shuffle partitions)
       // is re-applied on a registry hit because withLoopConf restores
       // it after every call.
       val LpEdges(edgesBoth, _, loopP) = shareKey match {
-        case Some(k) =>
-          purgeLpDeadSessions()
-          lpEdgeCache.getOrElseUpdate((session, k), prepEdges())
-        case None => prepEdges()
+        case Some(k) => lpEdgesFor(session, k)(prepEdges())
+        case None    => prepEdges()
       }
       session.conf.set(shufKey, loopP.toString)
       // Only nodes incident to >=1 edge can ever change label, so the
@@ -1692,10 +1768,24 @@ object Dedup extends QueryPack {
 
   /** The shared banded-edge + recursive-closure CTE chain behind
     * dd_embed_cluster's oracle and dd_semdedup's (which adds the
-    * per-cluster keeper selection on top).
+    * per-cluster keeper selection on top). `withKw` lets dd_lp_edges
+    * reuse the edge prefix without the recursive closure.
     */
   private def ddEmbedClusterCtes(bandSelects: String): String =
-    s"""WITH RECURSIVE e AS (
+    s"""${ddEmbedEdgeCtes(bandSelects, "WITH RECURSIVE")},
+       |r(v, node) AS (
+       |  SELECT vec_id, vec_id FROM embeddings
+       |  UNION
+       |  SELECT r.v, e2.dst FROM r JOIN edges e2 ON e2.src = r.node)""".stripMargin
+
+  /** The banded-edge CTE prefix alone: e (normed + bucketed vectors),
+    * bands, cand (banded candidates), pairs (cosine-verified), edges
+    * (symmetric closure) — the independent DuckDB restatement of
+    * exactly what [[prepLpEdges]] materializes for the embed-LSH share
+    * key.
+    */
+  private def ddEmbedEdgeCtes(bandSelects: String, withKw: String): String =
+    s"""$withKw e AS (
        |  SELECT vec_id, embedding,
        |    list_reduce(list_transform(range(1, len(embedding) + 1),
        |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
@@ -1720,11 +1810,41 @@ object Dedup extends QueryPack {
        |              JOIN e b ON b.vec_id = vec_b)
        |  WHERE cos_sim >= 0.4),
        |edges AS (SELECT vec_a AS src, vec_b AS dst FROM pairs
-       |          UNION ALL SELECT vec_b, vec_a FROM pairs),
-       |r(v, node) AS (
-       |  SELECT vec_id, vec_id FROM embeddings
-       |  UNION
-       |  SELECT r.v, e2.dst FROM r JOIN edges e2 ON e2.src = r.node)""".stripMargin
+       |          UNION ALL SELECT vec_b, vec_a FROM pairs)""".stripMargin
+
+  // -- dd_lp_edges: the shared embed-LSH edge materialization, COLD -----------
+  // The bench line for the registry build dd_embed_cluster/dd_semdedup
+  // amortize (VERDICT r15: once the edge frame was shared, those two
+  // queries' numbers became warm-cache-only and the ~15 CPU-s cold
+  // build vanished from every measured channel). Each call first
+  // INVALIDATES the (session, corpus) entry, then rebuilds it through
+  // the same registry path + AQE-off scope the consumers use, so the
+  // measured cost IS the cold banded self-join + cosine verify +
+  // symmetric-closure checkpoint. Returns the materialized closure;
+  // the oracle restates it independently (band CTEs + UNION ALL).
+  private def ddLpEdges(s: SparkSession, dir: String): DataFrame = {
+    invalidateLpEdges(s, dir)
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val aqeWas = s.conf.getOption(aqeKey)
+    s.conf.set(aqeKey, "false")
+    val edges =
+      try lpEdgesFor(s, s"embed_lsh|$dir")(
+        prepLpEdges(s, embedClusterEdges(s, dir),
+          defaultP = s.conf.get("spark.sql.shuffle.partitions").toInt))
+      finally aqeWas match {
+        case Some(v) => s.conf.set(aqeKey, v)
+        case None    => s.conf.unset(aqeKey)
+      }
+    edges.edgesBoth.orderBy(col("src"), col("dst"))
+  }
+
+  private val ddLpEdgesSql = {
+    val bandSelects = (0 until CosBands)
+      .map(b => s"SELECT vec_id, $b AS band, bkt_$b AS bkt FROM e")
+      .mkString(" UNION ALL ")
+    s"""${ddEmbedEdgeCtes(bandSelects, "WITH")}
+       |SELECT src, dst FROM edges ORDER BY src, dst""".stripMargin
+  }
 
   // -- dd_semdedup: the SemDeDup keep/drop action -----------------------------
   // Clustering is diagnosis; THIS is the curation action (Abbas et al.
@@ -1904,7 +2024,8 @@ object Dedup extends QueryPack {
       "dd_embed_cluster" -> ddEmbedCluster _,
       "dd_embed_cluster_exact" -> ddEmbedClusterExact _,
       "dd_curation_funnel" -> ddCurationFunnel _,
-      "dd_source_overlap" -> ddSourceOverlap _
+      "dd_source_overlap" -> ddSourceOverlap _,
+      "dd_lp_edges" -> ddLpEdges _
     )
 
   override val oracles: Map[String, String] = Map(
@@ -1927,6 +2048,7 @@ object Dedup extends QueryPack {
     "dd_threshold_sweep" -> ddThresholdSweepSql,
     "dd_semdedup" -> ddSemdedupSql,
     "dd_embed_cluster" -> ddEmbedClusterSql,
+    "dd_lp_edges" -> ddLpEdgesSql,
     "dd_embed_cluster_exact" -> ddEmbedClusterExactSql,
     "dd_curation_funnel" -> ddCurationFunnelSql,
     "dd_source_overlap" -> ddSourceOverlapSql
