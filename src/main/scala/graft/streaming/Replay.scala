@@ -53,6 +53,23 @@ object StreamReplay extends QueryPack {
 
   private val sinkSeq = new java.util.concurrent.atomic.AtomicInteger
 
+  /** Detach a replay's memory sink from the catalog and hand back its
+    * rows as a plain DataFrame. Every gate funnels its sink through
+    * this: the temp view is dropped as soon as the (eagerly analyzed)
+    * DataFrame holds the resolved relation, so a bench/verify session
+    * running dozens of replay reps doesn't accumulate one driver-heap
+    * row-set per rep for the session's lifetime — the rows become
+    * garbage as soon as the caller drops the returned frame. (r16:
+    * sinks were never dropped before; 40+ retained result sets were
+    * exactly the kind of heap ballast the late-run bench regressions
+    * correlate with.)
+    */
+  private def detachSink(s: SparkSession, sink: String): DataFrame = {
+    val out = s.table(sink)
+    s.catalog.dropTempView(sink)
+    out
+  }
+
   /** Run `body` with the session's shuffle partitions scoped down for a
     * replay: a stateful streaming query creates one state-store
     * partition per shuffle partition PER micro-batch, so at fixture
@@ -77,11 +94,12 @@ object StreamReplay extends QueryPack {
     // replay family's cost is a per-batch scheduling floor, not
     // compute — and the replay protocol never needs them, because a
     // watermark advanced by batch k is applied by batch k+1 and every
-    // gate ends with the TWO-sentinel flush exactly so the second
-    // sentinel is the data batch that applies the first one's
-    // watermark (the second sentinel re-raises to the same flush
-    // value, so the dropped trailing no-data batch had nothing left
-    // to emit). Emissions shift one batch earlier or later; the
+    // flushing gate ends with a sentinel-terminated data batch whose
+    // watermark a FINAL sentinel batch applies (two trailing batches,
+    // or one when the first sentinel rides in the last feed batch —
+    // windowReplaySink). The final sentinel re-raises to the same
+    // flush value, so the dropped trailing no-data batch had nothing
+    // left to emit. Emissions shift one batch earlier or later; the
     // accumulated append-mode sink is identical — re-verified by
     // every gate's oracle hash.
     s.conf.set(ndKey, "false")
@@ -164,7 +182,7 @@ object StreamReplay extends QueryPack {
         q.processAllAvailable()
       } finally q.stop()
     }
-    s.table(sink)
+    detachSink(s, sink)
       .filter("doc_id >= 0 AND owner_id >= 0")
       .selectExpr("doc_id", "owner_id", "cast(band as bigint) AS band")
       .orderBy("doc_id", "owner_id", "band")
@@ -252,7 +270,7 @@ object StreamReplay extends QueryPack {
           "sentinel")
       } finally q.stop()
     }
-    s.table(sink)
+    detachSink(s, sink)
       .filter("user_id >= 0")
       .selectExpr("user_id", "start_ns div 1000 AS start_us",
         "end_ns div 1000 AS end_us", "n_events",
@@ -430,7 +448,7 @@ object StreamReplay extends QueryPack {
           "view")
       } finally q.stop()
     }
-    s.table(sink)
+    detachSink(s, sink)
       .filter("user_id >= 0")
       .selectExpr("user_id", "cast(step as bigint) AS step", "at_us")
       .orderBy("user_id", "step")
@@ -484,13 +502,13 @@ object StreamReplay extends QueryPack {
   // ranges. An event-time range inner join's match set is independent
   // of micro-batch boundaries by construction — Spark buffers each
   // side and only evicts a click once the watermark passes its last
-  // possible match, which an in-order feed can never outrun — so the
-  // oracle is the plain batch join over the same window arithmetic.
-  // Inner-join emission needs no watermark advance, so no sentinel.
-  private def stAttribReplay(s: SparkSession, dir: String): DataFrame = {
+  // possible match, which a feed whose disorder stays inside the
+  // 30-minute per-side delay can never outrun — so the oracle is the
+  // plain batch join over the same window arithmetic. Inner-join
+  // emission needs no watermark advance, so no sentinel.
+  private def attribReplaySink(s: SparkSession, evs: Seq[Event]): DataFrame = {
     import s.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-    val evs = orderedEvents(s, dir)
     val clicks = MemoryStream[Event]
     val purchases = MemoryStream[Event]
     val sink = s"st_attrib_replay_sink_${sinkSeq.incrementAndGet()}"
@@ -507,11 +525,31 @@ object StreamReplay extends QueryPack {
         }
       } finally q.stop()
     }
-    s.table(sink)
+    detachSink(s, sink)
       .selectExpr("user_id", "click_id", "purchase_id",
         "unix_micros(click_time) AS click_us",
         "unix_micros(purchase_time) AS purchase_us", "value")
       .orderBy("purchase_id", "click_id")
+  }
+
+  private def stAttribReplay(s: SparkSession, dir: String): DataFrame =
+    attribReplaySink(s, orderedEvents(s, dir).toIndexedSeq)
+
+  // The bounded-disorder gate for the stream-stream join — the r15
+  // VERDICT's named blind spot (two watermarks, two buffers: exactly
+  // where disorder bugs hide). The same lockstep feed with every event
+  // displaced by up to 20 minutes in feed position, strictly inside
+  // BOTH sides' 30-minute delays. No delivered row is ever late (the
+  // jitter bound argument), and the join-state eviction is
+  // watermark-gated: a click is only evicted once the global watermark
+  // passes click_time + window, by which point every purchase that
+  // could match it has been delivered (its ts would otherwise be under
+  // the watermark). The match set must therefore STILL equal the batch
+  // join — one SQL for both gates.
+  private def stAttribOooReplay(s: SparkSession, dir: String): DataFrame = {
+    val slackNs = 1200L * 1000000000L // 20 min < both 30-min delays
+    attribReplaySink(s,
+      jittered(orderedEvents(s, dir).toIndexedSeq, slackNs)(_.ts, _.event_id))
   }
 
   private val stAttribReplaySql =
@@ -538,10 +576,9 @@ object StreamReplay extends QueryPack {
   // dropped by the late-row filter instead. Either path, exactly one
   // emission. The oracle is therefore the events table itself — any
   // leaked duplicate or wrongly dropped original hash-mismatches.
-  private def stDedupReplay(s: SparkSession, dir: String): DataFrame = {
+  private def dedupReplaySink(s: SparkSession, evs: Seq[Event]): DataFrame = {
     import s.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-    val evs = orderedEvents(s, dir)
     val in = MemoryStream[Event]
     val sink = s"st_dedup_replay_sink_${sinkSeq.incrementAndGet()}"
     withReplayPartitions(s) {
@@ -551,10 +588,30 @@ object StreamReplay extends QueryPack {
       try feed(in, q, atLeastOnce(batched(evs.toIndexedSeq)))
       finally q.stop()
     }
-    s.table(sink)
+    detachSink(s, sink)
       .selectExpr("event_id", "ts div 1000 AS us", "user_id",
         "event_type", "value")
       .orderBy("event_id")
+  }
+
+  private def stDedupReplay(s: SparkSession, dir: String): DataFrame =
+    dedupReplaySink(s, orderedEvents(s, dir).toIndexedSeq)
+
+  // The bounded-disorder gate: the same at-least-once re-delivery feed
+  // with every event additionally displaced by up to 20 minutes in
+  // feed position — strictly inside the 30-minute dedup horizon, so no
+  // ORIGINAL delivery is ever late (prior deliveries satisfy
+  // ts' < ts + slack, hence the watermark stays < ts). The
+  // exactly-once argument is unchanged under disorder: a re-delivered
+  // copy either still finds its state row (dropped as duplicate) or
+  // the state expired — but expiry needs watermark > ts + horizon,
+  // which makes the copy late and the late filter drops it instead.
+  // Either path, exactly one emission per event_id: the oracle stays
+  // the events table itself.
+  private def stDedupOooReplay(s: SparkSession, dir: String): DataFrame = {
+    val slackNs = 1200L * 1000000000L // 20 min < the 30-min horizon
+    dedupReplaySink(s,
+      jittered(orderedEvents(s, dir).toIndexedSeq, slackNs)(_.ts, _.event_id))
   }
 
   private val stDedupReplaySql =
@@ -604,7 +661,7 @@ object StreamReplay extends QueryPack {
           id => StreamMedia(id, flushTs, "flush", Array[Byte]('x')))
       } finally q.stop()
     }
-    s.table(sink).filter("keep_id >= 0").orderBy("digest")
+    detachSink(s, sink).filter("keep_id >= 0").orderBy("digest")
   }
 
   private def stMmIngestReplay(s: SparkSession, dir: String): DataFrame =
@@ -631,20 +688,29 @@ object StreamReplay extends QueryPack {
       |      FROM documents)
       |WHERE rn = 1 ORDER BY digest""".stripMargin
 
-  // Replay gate for the windowed aggregation: events in ts order, then
-  // a far-future sentinel advances the watermark past every real
-  // window's end so append mode emits them all (the sentinel's own
-  // window stays open and is filtered out by event_type). In-order
-  // delivery means no late drops, so the emitted set is exactly the
-  // batch hour-grouping of the fixture — restated in DuckDB on the
-  // micros channel (epoch_us == ts div 1000, both engines floor to
-  // the epoch-aligned hour with integer division). Counts only: the
-  // stream's total_value is an order-dependent double sum (gated by
-  // StreamsSpec), while n is exact in any engine.
-  private def stWindowReplay(s: SparkSession, dir: String): DataFrame = {
+  // Replay gate for the windowed aggregation: events fed as explicit
+  // micro-batches, then a far-future sentinel advances the watermark
+  // past every real window's end so append mode emits them all (the
+  // sentinel's own window stays open and is filtered out by
+  // event_type). Nothing is ever late (in-order trivially; the _ooo
+  // gate's jitter is bounded strictly inside the 30-min delay), so the
+  // emitted set is exactly the batch hour-grouping of the fixture —
+  // restated in DuckDB on the micros channel (epoch_us == ts div 1000,
+  // both engines floor to the epoch-aligned hour with integer
+  // division). Counts only: the stream's total_value is an
+  // order-dependent double sum (gated by StreamsSpec), while n is
+  // exact in any engine.
+  //
+  // Sentinel protocol (r16, VERDICT item 3): the FIRST flush sentinel
+  // rides in the LAST feed batch — a row is late-filtered against the
+  // watermark published by the PREVIOUS batch, so the sentinel cannot
+  // drop its own batch-mates, and that batch's END publishes the
+  // flushed watermark; one trailing sentinel batch then applies it and
+  // emits every closed window. Replaces the r15 two-extra-batch tail
+  // (4 micro-batches total, was 5) at identical sink contents.
+  private def windowReplaySink(s: SparkSession, evs: Seq[Event]): DataFrame = {
     import s.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-    val evs = orderedEvents(s, dir)
     val in = MemoryStream[Event]
     val sink = s"st_window_replay_sink_${sinkSeq.incrementAndGet()}"
     withReplayPartitions(s) {
@@ -652,25 +718,36 @@ object StreamReplay extends QueryPack {
         .writeStream.format("memory").queryName(sink)
         .outputMode("append").start()
       try {
-        feed(in, q, batched(evs.toIndexedSeq))
-        // Two-batch sentinel like every other gate: the first batch
-        // publishes the advanced watermark at its END, the second is
-        // the data batch that applies it and emits the trailing
-        // windows (this gate used to lean on the post-batch no-data
-        // micro-batch for that application — the replay scope now
-        // disables those, see withReplayPartitions).
-        val flushTs = evs.last.ts + 3L * 3600000000000L
-        in.addData(Event(-1L, flushTs, -1L, "sentinel", 0.0))
-        q.processAllAvailable()
+        val flushTs = evs.map(_.ts).max + 3L * 3600000000000L
+        val batches = batched(evs.toIndexedSeq)
+        feed(in, q, batches.init :+
+          (batches.last :+ Event(-1L, flushTs, -1L, "sentinel", 0.0)))
         in.addData(Event(-2L, flushTs, -1L, "sentinel", 0.0))
         q.processAllAvailable()
       } finally q.stop()
     }
-    s.table(sink)
+    detachSink(s, sink)
       .filter("event_type <> 'sentinel'")
       .selectExpr("unix_micros(window.start) AS win_start_us",
         "event_type", "n")
       .orderBy("win_start_us", "event_type")
+  }
+
+  private def stWindowReplay(s: SparkSession, dir: String): DataFrame =
+    windowReplaySink(s, orderedEvents(s, dir).toIndexedSeq)
+
+  // The bounded-disorder gate: the same events displaced by up to 20
+  // MINUTES in feed position — strictly inside the 30-minute watermark
+  // delay, so nothing is late-dropped, but rows routinely reach their
+  // window's state behind later peers. A windowed COUNT is
+  // order-insensitive once no row is lost, so the sink must equal the
+  // SAME batch hour-grouping — this gate pins the "no silent late
+  // drops under bounded disorder" half of the contract, which the
+  // in-order feed never exercises.
+  private def stWindowOooReplay(s: SparkSession, dir: String): DataFrame = {
+    val slackNs = 1200L * 1000000000L // 20 min < the 30-min delay
+    windowReplaySink(s,
+      jittered(orderedEvents(s, dir).toIndexedSeq, slackNs)(_.ts, _.event_id))
   }
 
   private val stWindowReplaySql = {
@@ -756,7 +833,7 @@ object StreamReplay extends QueryPack {
         q.processAllAvailable()
       } finally q.stop()
     }
-    s.table(sink)
+    detachSink(s, sink)
       .groupBy("cohort_day", "day_offset")
       .agg(org.apache.spark.sql.functions.count(
         org.apache.spark.sql.functions.lit(1)).as("n_users"))
@@ -804,10 +881,13 @@ object StreamReplay extends QueryPack {
         "st_funnel_replay" -> (stFunnelReplay _),
         "st_funnel_ooo_replay" -> (stFunnelOooReplay _),
         "st_attrib_replay" -> (stAttribReplay _),
+        "st_attrib_ooo_replay" -> (stAttribOooReplay _),
         "st_dedup_replay" -> (stDedupReplay _),
+        "st_dedup_ooo_replay" -> (stDedupOooReplay _),
         "st_mm_ingest_replay" -> (stMmIngestReplay _),
         "st_mm_ingest_ooo_replay" -> (stMmIngestOooReplay _),
         "st_window_replay" -> (stWindowReplay _),
+        "st_window_ooo_replay" -> (stWindowOooReplay _),
         "st_retention_replay" -> (stRetentionReplay _),
         "st_retention_ooo_replay" -> (stRetentionOooReplay _))
 
@@ -819,11 +899,17 @@ object StreamReplay extends QueryPack {
         "st_funnel_replay" -> stFunnelReplaySql,
         "st_funnel_ooo_replay" -> stFunnelReplaySql,
         "st_attrib_replay" -> stAttribReplaySql,
+        // the disorder gate must land on the SAME batch join
+        "st_attrib_ooo_replay" -> stAttribReplaySql,
         "st_dedup_replay" -> stDedupReplaySql,
+        // the disorder gate must still emit exactly-once per event_id
+        "st_dedup_ooo_replay" -> stDedupReplaySql,
         "st_mm_ingest_replay" -> stMmIngestReplaySql,
         // the disorder gate must land on the SAME batch MIN table
         "st_mm_ingest_ooo_replay" -> stMmIngestReplaySql,
         "st_window_replay" -> stWindowReplaySql,
+        // the disorder gate must land on the SAME hour grouping
+        "st_window_ooo_replay" -> stWindowReplaySql,
         "st_retention_replay" -> stRetentionReplaySql,
         // the disorder gate must land on the SAME batch cohort table
         "st_retention_ooo_replay" -> stRetentionReplaySql)

@@ -20,9 +20,16 @@ case class SessPend(ts: Long, event_id: Long)
   * and event count; nEvents == 0 means none open) plus the events
   * still above the watermark, deferred so the gaps-and-islands fold
   * only ever sees a complete, ordered prefix of the user's timeline.
+  * `hwTs`/`hwId` is the user's ARRIVAL high-water — the max
+  * (ts, event_id) over everything delivered so far — which feeds the
+  * [[Streams.DisorderMetrics]] absorbed counter (an arrival strictly
+  * below it is cross-batch disorder the deferral absorbed); MinValue =
+  * nothing arrived yet.
   */
 case class SessionBufState(startNs: Long, lastNs: Long, nEvents: Long,
-                           pend: Seq[SessPend])
+                           pend: Seq[SessPend],
+                           hwTs: Long = Long.MinValue,
+                           hwId: Long = Long.MinValue)
 
 /** A closed session emitted once its gap elapses. */
 case class ClosedSession(user_id: Long, start_ns: Long, end_ns: Long,
@@ -397,10 +404,14 @@ case class FunnelPend(ts: Long, event_id: Long, step: Int)
   * step-3 event after that; MinValue = not reached), the newest
   * event's ms timestamp (drives the idle TTL), and the events still
   * ABOVE the watermark, deferred so the step machine only ever folds
-  * a complete, ordered prefix of the user's history.
+  * a complete, ordered prefix of the user's history. `hwTs`/`hwId` is
+  * the arrival high-water feeding the [[Streams.DisorderMetrics]]
+  * absorbed counter (see [[SessionBufState]]).
   */
 case class FunnelBufState(t1: Long, t2: Long, t3: Long,
-                          lastSeenMs: Long, pend: Seq[FunnelPend])
+                          lastSeenMs: Long, pend: Seq[FunnelPend],
+                          hwTs: Long = Long.MinValue,
+                          hwId: Long = Long.MinValue)
 
 /** Emitted whenever a user ADVANCES a step: their id, the new step
   * count reached (1-3), and the micro timestamp of the advancing event.
@@ -432,9 +443,13 @@ case class FunnelAdvance(user_id: Long, step: Int, at_us: Long)
     * of the watermark, never by stream history.
     */
   def sessionize(events: Dataset[Event],
-                 gapNs: Long = 30L * 60 * 1000000000L)
+                 gapNs: Long = 30L * 60 * 1000000000L,
+                 metrics: Option[DisorderMetrics] = None)
       : Dataset[ClosedSession] = {
     import events.sparkSession.implicits._
+    // serialize only the accumulator into the state closure, not the
+    // metrics wrapper (whose listener half is driver-only)
+    val absorbedAcc = metrics.map(_.absorbed)
     val gapMs = gapNs / 1000000L
     events
       .withColumn("event_time", expr("timestamp_micros(ts div 1000)"))
@@ -504,8 +519,30 @@ case class FunnelAdvance(user_id: Long, step: Int, at_us: Long)
               val evs = batch.toSeq
               val prev = state.getOption
                 .getOrElse(SessionBufState(0L, 0L, 0L, Nil))
+              // Disorder observation: an arrival strictly below the
+              // PRE-batch high-water was delivered out of order across
+              // a batch boundary — exactly what an eager fold would
+              // have mis-folded and the deferral absorbs. Each event
+              // compares against the same pre-batch mark (not a
+              // running one), so the count is independent of the
+              // group iterator's nondeterministic order; within-batch
+              // inversions are harness scheduling, not transport
+              // disorder, and count nothing.
+              absorbedAcc.foreach { acc =>
+                evs.foreach { e =>
+                  if (e.ts < prev.hwTs ||
+                      (e.ts == prev.hwTs && e.event_id < prev.hwId))
+                    acc.add(1L)
+                }
+              }
+              val (hwTs, hwId) = evs.foldLeft((prev.hwTs, prev.hwId)) {
+                case ((t, i), e) =>
+                  if (e.ts > t || (e.ts == t && e.event_id > i))
+                    (e.ts, e.event_id) else (t, i)
+              }
               prev.copy(pend = prev.pend ++
-                evs.map(e => SessPend(e.ts, e.event_id)))
+                evs.map(e => SessPend(e.ts, e.event_id)),
+                hwTs = hwTs, hwId = hwId)
             }
           schedule(drain(st0))
           out.result().iterator
@@ -532,56 +569,103 @@ case class FunnelAdvance(user_id: Long, step: Int, at_us: Long)
     */
   case class RetentionHit(user_id: Long, cohort_day: Long, day_offset: Long)
 
-  /** Disorder observability for [[retentionStream]]. The OOO re-base
+  /** Disorder observability for the deferral-based stateful machines
+    * ([[retentionStream]], [[sessionize]], [[funnelStream]]). Deferral
     * makes within-delay disorder CORRECT but previously also made it
     * INVISIBLE — production could run arbitrarily close to the
     * watermark cliff with no signal. Two counters split disorder at
     * that cliff:
     *
-    *   - `rebases` (executor-side `LongAccumulator`, fed from inside
-    *     the state function): events that arrived with a day EARLIER
-    *     than the user's provisional cohort day and re-based the mask —
-    *     disorder the delay absorbed. Accumulators count once per
-    *     completed task attempt; a retried micro-batch can over-count,
-    *     which is the standard (and acceptable) contract for an
-    *     observability channel — correctness never reads this value.
-    *   - `lateDropped` (driver-side, fed by the [[droppedListener]]
-    *     from each progress's `numRowsDroppedByWatermark`): rows the
+    *   - `absorbed` (executor-side `LongAccumulator`, fed from inside
+    *     the state function): disorder the delay absorbed. For
+    *     retention that is cohort re-bases (an event with a day
+    *     EARLIER than the provisional cohort day); for the sessionizer
+    *     and funnel it is cross-batch arrival inversions (an event
+    *     arriving strictly below the user's pre-batch arrival
+    *     high-water `(ts, event_id)` — the events an eager
+    *     fold-on-arrival machine would have mis-folded). Accumulators
+    *     count once per completed task attempt; a retried micro-batch
+    *     can over-count, which is the standard (and acceptable)
+    *     contract for an observability channel — correctness never
+    *     reads this value.
+    *   - `lateDropped` (driver-side, fed by the registered progress
+    *     listener from `numRowsDroppedByWatermark`): rows the
     *     watermark dropped before the operator saw them — disorder the
-    *     delay did NOT absorb, i.e. silently lost cohort evidence. The
-    *     listener is per-query-name so one metrics object tracks one
-    *     stream.
+    *     delay did NOT absorb, i.e. silently lost evidence. The
+    *     listener is per-query-name and filtered to the stateful
+    *     operator's `operatorName`, so composing the stream with other
+    *     stateful operators in one query cannot misattribute their
+    *     drops here.
     *
     * Alert on `lateDropped > 0` (data loss: widen `delay`); trend
-    * `rebases` as the early-warning (disorder volume approaching the
+    * `absorbed` as the early-warning (disorder volume approaching the
     * cliff).
     */
-  final class RetentionMetrics private[streaming] (
-      val rebases: org.apache.spark.util.LongAccumulator) {
-    private val lateDroppedTotal = new java.util.concurrent.atomic.AtomicLong
-    def lateDropped: Long = lateDroppedTotal.get()
+  final class DisorderMetrics private[streaming] (
+      val absorbed: org.apache.spark.util.LongAccumulator) {
+    /** Retention's historical name for [[absorbed]] (cohort re-bases). */
+    def rebases: org.apache.spark.util.LongAccumulator = absorbed
 
-    /** Listener feeding `lateDropped` from the named query's progress;
-      * register with `spark.streams.addListener` before starting the
-      * query and remove it after `stop()`.
+    private val lateDroppedTotal = new java.util.concurrent.atomic.AtomicLong
+    private val registered = new java.util.concurrent.atomic.AtomicBoolean
+    private val warnedUnregistered =
+      new java.util.concurrent.atomic.AtomicBoolean
+
+    /** Cumulative watermark-dropped rows for the registered query.
+      * Reading it on a metrics object whose listener was never
+      * registered logs a loud warning (once) instead of failing
+      * silent-zero — the alert channel must not vanish because a
+      * caller forgot [[registerDropped]].
       */
-    def droppedListener(queryName: String)
-        : org.apache.spark.sql.streaming.StreamingQueryListener =
-      new org.apache.spark.sql.streaming.StreamingQueryListener {
+    def lateDropped: Long = {
+      if (!registered.get() && warnedUnregistered.compareAndSet(false, true))
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          "DisorderMetrics.lateDropped read but no listener was ever " +
+            "registered (call registerDropped before starting the " +
+            "query): the value can only ever be 0")
+      lateDroppedTotal.get()
+    }
+
+    /** Build AND register the progress listener feeding `lateDropped`
+      * from query `queryName`'s stateful operator `operatorName`
+      * (default: the flatMapGroupsWithState all three deferral
+      * machines compile to). Call before starting the query; pass the
+      * returned listener to `spark.streams.removeListener` after
+      * `stop()`.
+      */
+    def registerDropped(spark: SparkSession, queryName: String,
+                        operatorName: String = "flatMapGroupsWithState")
+        : org.apache.spark.sql.streaming.StreamingQueryListener = {
+      val l = new org.apache.spark.sql.streaming.StreamingQueryListener {
         import org.apache.spark.sql.streaming.StreamingQueryListener._
         override def onQueryStarted(e: QueryStartedEvent): Unit = ()
         override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
         override def onQueryProgress(e: QueryProgressEvent): Unit =
           if (e.progress.name == queryName)
             lateDroppedTotal.addAndGet(
-              e.progress.stateOperators.map(_.numRowsDroppedByWatermark).sum)
+              e.progress.stateOperators
+                .filter(_.operatorName == operatorName)
+                .map(_.numRowsDroppedByWatermark).sum)
       }
+      spark.streams.addListener(l)
+      registered.set(true)
+      l
+    }
   }
+
+  /** Retention's historical class name (pre-r16, before the metrics
+    * were shared with the sessionizer and funnel).
+    */
+  type RetentionMetrics = DisorderMetrics
+
+  /** New metrics object for one stateful-stream instance. */
+  def disorderMetrics(spark: SparkSession): DisorderMetrics =
+    new DisorderMetrics(
+      spark.sparkContext.longAccumulator("graft.stream.disorder.absorbed"))
 
   /** New metrics object for one [[retentionStream]] instance. */
   def retentionMetrics(spark: SparkSession): RetentionMetrics =
-    new RetentionMetrics(
-      spark.sparkContext.longAccumulator("graft.retention.rebases"))
+    disorderMetrics(spark)
 
   /** Default day-offset ceiling (day-7 retention). Shared with the
     * replay gate's window-lapse guard (StreamReplay) so the state-
@@ -816,9 +900,12 @@ case class FunnelAdvance(user_id: Long, step: Int, at_us: Long)
   def funnelStream(events: Dataset[Event],
                    steps: Seq[String] = Seq("view", "click", "purchase"),
                    delay: String = "24 hours",
-                   idleTtlDays: Long = FunnelIdleTtlDays)
+                   idleTtlDays: Long = FunnelIdleTtlDays,
+                   metrics: Option[DisorderMetrics] = None)
       : Dataset[FunnelAdvance] = {
     import events.sparkSession.implicits._
+    // accumulator only in the closure; the wrapper stays driver-side
+    val absorbedAcc = metrics.map(_.absorbed)
     require(steps.size == 3, "funnelStream tracks a 3-step funnel")
     require(idleTtlDays >= 1, s"idleTtlDays must be >= 1, got $idleTtlDays")
     val NotReached = Long.MinValue
@@ -890,11 +977,29 @@ case class FunnelAdvance(user_id: Long, step: Int, at_us: Long)
               val evs = batch.toSeq
               val prev = state.getOption.getOrElse(FunnelBufState(
                 NotReached, NotReached, NotReached, Long.MinValue, Nil))
+              // cross-batch arrival inversions vs the pre-batch
+              // high-water — see sessionize's disorder-observation
+              // note (same contract, same determinism argument); only
+              // step traffic reaches this operator, so the count is
+              // over the funnel's own event universe
+              absorbedAcc.foreach { acc =>
+                evs.foreach { e =>
+                  if (e.ts < prev.hwTs ||
+                      (e.ts == prev.hwTs && e.event_id < prev.hwId))
+                    acc.add(1L)
+                }
+              }
+              val (hwTs, hwId) = evs.foldLeft((prev.hwTs, prev.hwId)) {
+                case ((t, i), e) =>
+                  if (e.ts > t || (e.ts == t && e.event_id > i))
+                    (e.ts, e.event_id) else (t, i)
+              }
               prev.copy(
                 lastSeenMs = math.max(prev.lastSeenMs,
                   evs.iterator.map(_.ts).max / 1000000L),
                 pend = prev.pend ++ evs.map(e =>
-                  FunnelPend(e.ts, e.event_id, stepIdx(e.event_type))))
+                  FunnelPend(e.ts, e.event_id, stepIdx(e.event_type))),
+                hwTs = hwTs, hwId = hwId)
             }
           val (st, out) = drain(st0)
           schedule(st)

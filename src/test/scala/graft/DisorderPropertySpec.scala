@@ -87,6 +87,32 @@ class DisorderPropertySpec extends AnyFunSuite {
     out.result()
   }
 
+  /** Driver-side restatement of the DisorderMetrics `absorbed` counter
+    * for the sessionizer/funnel machines: per user, per feed batch,
+    * count events strictly below the user's PRE-batch arrival
+    * high-water (ts, event_id) — then advance the high-water over the
+    * batch. Exactly the operator's accounting (Streams.sessionize),
+    * restated over the fed batches.
+    */
+  private def absorbedRef(batches: Seq[Seq[Event]]): Long = {
+    var n = 0L
+    var hw = Map.empty[Long, (Long, Long)]
+    batches.foreach { b =>
+      val pre = hw
+      b.foreach { e =>
+        pre.get(e.user_id).foreach { case (t, i) =>
+          if (e.ts < t || (e.ts == t && e.event_id < i)) n += 1
+        }
+      }
+      b.foreach { e =>
+        val cur = hw.getOrElse(e.user_id, (Long.MinValue, Long.MinValue))
+        if (e.ts > cur._1 || (e.ts == cur._1 && e.event_id > cur._2))
+          hw = hw.updated(e.user_id, (e.ts, e.event_id))
+      }
+    }
+    n
+  }
+
   /** Reference retention fold: cohort = MIN event day per user, one
     * hit per distinct day-offset in [0, maxOffset].
     */
@@ -193,6 +219,7 @@ class DisorderPropertySpec extends AnyFunSuite {
       val metrics = Streams.retentionMetrics(spark)
       val in = MemoryStream[Event]
       val sink = s"disorder_retention_obs_$seed"
+      val listener = metrics.registerDropped(spark, sink)
       val q = Streams.retentionStream(in.toDS(), metrics = Some(metrics))
         .writeStream.format("memory").queryName(sink)
         .outputMode(OutputMode.Append()).start()
@@ -234,7 +261,7 @@ class DisorderPropertySpec extends AnyFunSuite {
         assert(metrics.lateDropped == 0L,
           s"seed $seed: bounded disorder must stay within the delay")
         totalRebases += metrics.rebases.value
-      } finally q.stop()
+      } finally { q.stop(); spark.streams.removeListener(listener) }
     }
     // the scan that picked these knobs saw (4, 3, 3) across the seeds;
     // any regeneration that zeroes the sweep has lost its teeth
@@ -299,66 +326,103 @@ class DisorderPropertySpec extends AnyFunSuite {
   }
 
   test("funnelStream matches the batch fold under random bounded " +
-       "disorder (3 seeds)") {
+       "disorder, and the absorbed counter matches the driver-side " +
+       "fold exactly (3 seeds)") {
     val spark0 = spark
     import spark0.implicits._
     implicit val sqlCtx = spark.sqlContext
     val delayNs = 30L * MinNs
+    var totalAbsorbed = 0L
     (1L to 3L).foreach { seed =>
       val evs = genEvents(seed, 150, 5, spanNs = 4L * 60 * MinNs)
       val feedOrder = disordered(evs, seed + 100, slackNs = delayNs / 2)
+      val metrics = Streams.disorderMetrics(spark)
       val in = MemoryStream[Event]
       val sink = s"disorder_funnel_$seed"
-      val q = Streams.funnelStream(in.toDS(), delay = "30 minutes")
+      val listener = metrics.registerDropped(spark, sink)
+      val q = Streams.funnelStream(in.toDS(), delay = "30 minutes",
+          metrics = Some(metrics))
         .writeStream.format("memory").queryName(sink)
         .outputMode(OutputMode.Append()).start()
+      // the fed batches, recorded verbatim for the counter fold
+      // (sentinels included: their ascending-(ts, id) pair contributes
+      // nothing on either side, so the equality stays exact)
+      val fed = scala.collection.mutable.Buffer.empty[Seq[Event]]
+      def feedB(b: Seq[Event]): Unit = {
+        fed += b; in.addData(b); q.processAllAvailable()
+      }
       try {
-        feedOrder.grouped(40).foreach { b =>
-          in.addData(b); q.processAllAvailable()
-        }
+        feedOrder.grouped(40).foreach(b => feedB(b))
         val flushTs = evs.map(_.ts).max + 3 * delayNs
-        in.addData(Event(-1L, flushTs, -1L, "view", 1.0))
-        q.processAllAvailable()
-        in.addData(Event(-2L, flushTs, -1L, "view", 1.0))
-        q.processAllAvailable()
+        // sentinel ids ASCENDING (-2 then -1): same ts, so a
+        // descending pair would itself read as one absorbed inversion
+        // and quietly satisfy the vacuity guard below
+        feedB(Seq(Event(-2L, flushTs, -1L, "view", 1.0)))
+        feedB(Seq(Event(-1L, flushTs, -1L, "view", 1.0)))
         val got = spark.table(sink).filter("user_id >= 0")
           .selectExpr("user_id", "step", "at_us").collect()
           .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
         assert(got == funnelRef(evs), s"seed $seed")
-      } finally q.stop()
+        assert(metrics.absorbed.value == absorbedRef(fed.toSeq),
+          s"seed $seed: counter ${metrics.absorbed.value} != driver fold " +
+            s"${absorbedRef(fed.toSeq)}")
+        assert(metrics.lateDropped == 0L,
+          s"seed $seed: bounded disorder must stay within the delay")
+        totalAbsorbed += metrics.absorbed.value
+      } finally { q.stop(); spark.streams.removeListener(listener) }
     }
+    assert(totalAbsorbed > 0L,
+      "funnel disorder sweep observed zero cross-batch inversions: the " +
+        "jitter no longer crosses batch boundaries and the sweep is vacuous")
   }
 
   test("sessionize matches the batch gaps-and-islands fold under " +
-       "random bounded disorder (3 seeds)") {
+       "random bounded disorder, and the absorbed counter matches the " +
+       "driver-side fold exactly (3 seeds)") {
     val spark0 = spark
     import spark0.implicits._
     implicit val sqlCtx = spark.sqlContext
     val gapNs = 30L * MinNs // = watermark delay
+    var totalAbsorbed = 0L
     (1L to 3L).foreach { seed =>
       val evs = genEvents(seed + 500, 150, 5, spanNs = 6L * 60 * MinNs)
       val feedOrder = disordered(evs, seed + 600, slackNs = gapNs / 2)
+      val metrics = Streams.disorderMetrics(spark)
       val in = MemoryStream[Event]
       val sink = s"disorder_sessions_$seed"
-      val q = Streams.sessionize(in.toDS(), gapNs)
+      val listener = metrics.registerDropped(spark, sink)
+      val q = Streams.sessionize(in.toDS(), gapNs, metrics = Some(metrics))
         .writeStream.format("memory").queryName(sink)
         .outputMode(OutputMode.Append()).start()
+      val fed = scala.collection.mutable.Buffer.empty[Seq[Event]]
+      def feedB(b: Seq[Event]): Unit = {
+        fed += b; in.addData(b); q.processAllAvailable()
+      }
       try {
-        feedOrder.grouped(40).foreach { b =>
-          in.addData(b); q.processAllAvailable()
-        }
+        feedOrder.grouped(40).foreach(b => feedB(b))
         val flushTs = evs.map(_.ts).max + 3 * gapNs
-        in.addData(Event(-1L, flushTs, -1L, "view", 1.0))
-        q.processAllAvailable()
-        in.addData(Event(-2L, flushTs, -1L, "view", 1.0))
-        q.processAllAvailable()
+        // sentinel ids ASCENDING (-2 then -1): same ts, so a
+        // descending pair would itself read as one absorbed inversion
+        // and quietly satisfy the vacuity guard below
+        feedB(Seq(Event(-2L, flushTs, -1L, "view", 1.0)))
+        feedB(Seq(Event(-1L, flushTs, -1L, "view", 1.0)))
         val got = spark.table(sink).filter("user_id >= 0")
           .selectExpr("user_id", "start_ns", "end_ns", "n_events")
           .collect()
           .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
             r.getLong(3))).toSet
         assert(got == sessionsRef(evs, gapNs), s"seed $seed")
-      } finally q.stop()
+        assert(metrics.absorbed.value == absorbedRef(fed.toSeq),
+          s"seed $seed: counter ${metrics.absorbed.value} != driver fold " +
+            s"${absorbedRef(fed.toSeq)}")
+        assert(metrics.lateDropped == 0L,
+          s"seed $seed: bounded disorder must stay within the delay")
+        totalAbsorbed += metrics.absorbed.value
+      } finally { q.stop(); spark.streams.removeListener(listener) }
     }
+    assert(totalAbsorbed > 0L,
+      "sessionizer disorder sweep observed zero cross-batch inversions: " +
+        "the jitter no longer crosses batch boundaries and the sweep is " +
+        "vacuous")
   }
 }

@@ -519,8 +519,9 @@ class StreamsSpec extends AnyFunSuite {
     implicit val sqlCtx = spark.sqlContext
     val D = 86400000000000L // 1 day in ns
     val metrics = Streams.retentionMetrics(spark)
-    val listener = metrics.droppedListener("retention_obs")
-    spark.streams.addListener(listener)
+    // registerDropped both builds and registers (ADVICE r15: a
+    // forgotten addListener left lateDropped silently 0)
+    val listener = metrics.registerDropped(spark, "retention_obs")
     val in = MemoryStream[Event]
     val q = Streams.retentionStream(in.toDS(), metrics = Some(metrics))
       .writeStream.format("memory").queryName("retention_obs")
