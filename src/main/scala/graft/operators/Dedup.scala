@@ -353,15 +353,32 @@ object Dedup extends QueryPack {
     * candidate fan-out on boilerplate-skewed corpora). `slack` is the
     * extra prefix length k: probe ⌊sz/5⌋+k hashes, require ≥k hits
     * (capped to the doc's own size for short docs).
+    *
+    * `probeParts` pins the probe side of the cand join to an explicit
+    * REPARTITION(n, h): the probe relation's MAP output is tiny (a
+    * prefix of each doc's hashes) so AQE's coalescer folds the join
+    * down to ~2 partitions, but the join's OUTPUT explodes (the
+    * inverted-index fan-out — 0.63 M pairs / 55 MB / ~6 CPU-s at
+    * sf0.1), and coalescing by INPUT size serializes exactly the
+    * stage all the CPU lives in (r16 ProfileOne: 2 tasks, 5.7 CPU-s,
+    * the query's wall cap). A user-numbered repartition is exempt
+    * from AQE coalescing, and the join must read both sides at the
+    * same partitioning, so the explosive stage keeps full
+    * parallelism; AQE skew handling stays on for everything else. At
+    * real scale the inputs are no longer tiny and the hint is simply
+    * the partitioning the join would pick anyway.
     */
   private def contSmallsideCandSql(view: String, probeOrder: String,
-                                   slack: Int = ContPrefixSlack): String =
+                                   slack: Int = ContPrefixSlack,
+                                   probeParts: Int = 0): String = {
+    val probeHint =
+      if (probeParts > 0) s"/*+ REPARTITION($probeParts, h) */ " else ""
     s"""idx AS (
        |  SELECT doc_id, size(hs) AS sz, h
        |  FROM $view LATERAL VIEW explode(hs) t AS h),
        |df AS (SELECT h, count(*) AS df FROM idx GROUP BY h),
        |probe AS (
-       |  SELECT doc_id, sz, h FROM (
+       |  SELECT $probeHint doc_id, sz, h FROM (
        |    SELECT i.doc_id, i.sz, i.h,
        |      row_number() OVER (PARTITION BY i.doc_id
        |        ORDER BY $probeOrder) AS rn
@@ -377,6 +394,7 @@ object Dedup extends QueryPack {
        |  HAVING count(*) >=
        |    least(min(p.sz), min(p.sz) div 5 + $slack) - min(p.sz) div 5)"""
       .stripMargin
+  }
 
   /** Candidate pairs alone, with either probe order — exposed so
     * DedupRecallSpec can gate the rarest-first fan-out advantage (and
@@ -392,8 +410,10 @@ object Dedup extends QueryPack {
 
   private def ddContainmentSmallside(s: SparkSession, dir: String): DataFrame = {
     bandedSigRelation(s, dir, "contp_sigs")
+    val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
     s.sql(
-      s"""WITH ${contSmallsideCandSql("contp_sigs", "df.df, i.h")}
+      s"""WITH ${contSmallsideCandSql("contp_sigs", "df.df, i.h",
+                                      probeParts = parts)}
          |SELECT doc_a, doc_b, containment FROM (
          |  SELECT doc_a, doc_b,
          |    round(cast(graft_isect(a.hs, b.hs) as double)
