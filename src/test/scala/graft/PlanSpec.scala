@@ -376,4 +376,21 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.take(4000))
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(4000))
   }
+
+  test("dd_containment_smallside: probe join parallelism is pinned " +
+      "against AQE coalescing") {
+    // The probe relation's map output is tiny (a rarest-first prefix
+    // of each doc's hashes) but the inverted-index join's OUTPUT
+    // explodes; AQE's input-sized coalescer once folded that stage to
+    // 2 tasks and serialized ~6 CPU-s of fan-out (r16 ProfileOne).
+    // The fix is a user-NUMBERED repartition on the probe side, which
+    // the coalescer is contractually exempt from — pinned here as the
+    // REPARTITION_BY_NUM marker on an exchange over the probe key.
+    val p = plan("dd_containment_smallside")
+    assert(p.contains("REPARTITION_BY_NUM"), p.take(4000))
+    // and the explosive join itself stays an equi (shuffled hash /
+    // sort-merge) join, never a cross product
+    assert(!p.contains("CartesianProduct"), p.take(4000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(4000))
+  }
 }
