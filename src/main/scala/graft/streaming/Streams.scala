@@ -58,7 +58,9 @@ case class MediaMeta(doc_id: Long, ts: Long, digest: String,
   */
 case class DigestOwnerState(emitted: Boolean, bestTs: Long, bestDoc: Long,
                             bestModality: String, bestBytes: Long,
-                            lastSeenNs: Long)
+                            lastSeenNs: Long,
+                            hwTs: Long = Long.MinValue,
+                            hwId: Long = Long.MinValue)
 
 /** The keeper record mm ingest emits, exactly once per distinct
   * payload: mm_dedup's min-doc_id keeper with its digest + metadata.
@@ -101,7 +103,9 @@ case class BandPend(ts: Long, doc_id: Long, band: Int)
   * ordered prefix of the bucket's timeline.
   */
 case class BandBufState(owner_id: Long, owner_ts_ns: Long, last_ns: Long,
-                        open: Boolean, pend: Seq[BandPend])
+                        open: Boolean, pend: Seq[BandPend],
+                        hwTs: Long = Long.MinValue,
+                        hwId: Long = Long.MinValue)
 
 /** Near-dup candidate evidence: `doc_id` collided with the bucket owner
   * in `band`. Same contract as batch banding — a CANDIDATE, to be
@@ -234,9 +238,12 @@ object Streams {
     * payload binary).
     */
   def mmIngestStream(media: DataFrame,
-                     horizonNs: Long = 30L * 60 * 1000000000L)
+                     horizonNs: Long = 30L * 60 * 1000000000L,
+                     metrics: Option[DisorderMetrics] = None)
       : Dataset[MediaKeeper] = {
     import media.sparkSession.implicits._
+    // serialize only the accumulator into the state closure
+    val absorbedAcc = metrics.map(_.absorbed)
     media
       .select(col("doc_id"), col("ts"),
         md5(col("payload")).as("digest"),
@@ -260,7 +267,22 @@ object Streams {
             else {
               var s = state.getOption.getOrElse(DigestOwnerState(
                 emitted = false, Long.MaxValue, Long.MaxValue, "", 0L, 0L))
+              // this machine is order-insensitive by construction (a
+              // min-fold), so "absorbed" here counts the inversions
+              // the fold NEUTRALIZED: arrivals below the digest's
+              // pre-batch high-water, same accounting as the deferral
+              // machines (see sessionize)
+              val preHwTs = s.hwTs
+              val preHwId = s.hwId
               rows.foreach { r =>
+                absorbedAcc.foreach { acc =>
+                  if (r.ts < preHwTs ||
+                      (r.ts == preHwTs && r.doc_id < preHwId))
+                    acc.add(1L)
+                }
+                if (r.ts > s.hwTs ||
+                    (r.ts == s.hwTs && r.doc_id > s.hwId))
+                  s = s.copy(hwTs = r.ts, hwId = r.doc_id)
                 s = s.copy(lastSeenNs = math.max(s.lastSeenNs, r.ts))
                 if (!s.emitted &&
                     (r.ts < s.bestTs ||
@@ -328,9 +350,12 @@ object Streams {
     * join, exactly as in the batch pipeline.
     */
   def nearDupStream(docs: DataFrame,
-                    horizonNs: Long = 30L * 60 * 1000000000L)
+                    horizonNs: Long = 30L * 60 * 1000000000L,
+                    metrics: Option[DisorderMetrics] = None)
       : Dataset[BandMatch] = {
     import docs.sparkSession.implicits._
+    // serialize only the accumulator into the state closure
+    val absorbedAcc = metrics.map(_.absorbed)
     val horizonMs = horizonNs / 1000000L
     graft.operators.Dedup.bandRows(docs)
       .withColumn("event_time", expr("timestamp_micros(ts div 1000)"))
@@ -386,8 +411,26 @@ object Streams {
               val rs = rows.toSeq
               val prev = state.getOption.getOrElse(
                 BandBufState(0L, 0L, 0L, open = false, Nil))
+              // cross-batch arrival inversions vs the bucket's
+              // pre-batch high-water — see sessionize's disorder-
+              // observation note (same contract: each event compares
+              // against the same pre-batch mark, so the count is
+              // independent of the group iterator's order)
+              absorbedAcc.foreach { acc =>
+                rs.foreach { r =>
+                  if (r.ts < prev.hwTs ||
+                      (r.ts == prev.hwTs && r.doc_id < prev.hwId))
+                    acc.add(1L)
+                }
+              }
+              val (hwTs, hwId) = rs.foldLeft((prev.hwTs, prev.hwId)) {
+                case ((t, i), r) =>
+                  if (r.ts > t || (r.ts == t && r.doc_id > i))
+                    (r.ts, r.doc_id) else (t, i)
+              }
               prev.copy(pend = prev.pend ++
-                rs.map(r => BandPend(r.ts, r.doc_id, r.band)))
+                rs.map(r => BandPend(r.ts, r.doc_id, r.band)),
+                hwTs = hwTs, hwId = hwId)
             }
           schedule(drain(st0))
           out.result().iterator
@@ -569,8 +612,9 @@ case class FunnelAdvance(user_id: Long, step: Int, at_us: Long)
     */
   case class RetentionHit(user_id: Long, cohort_day: Long, day_offset: Long)
 
-  /** Disorder observability for the deferral-based stateful machines
-    * ([[retentionStream]], [[sessionize]], [[funnelStream]]). Deferral
+  /** Disorder observability for the stateful streaming machines
+    * ([[retentionStream]], [[sessionize]], [[funnelStream]],
+    * [[nearDupStream]], [[mmIngestStream]]). Deferral
     * makes within-delay disorder CORRECT but previously also made it
     * INVISIBLE — production could run arbitrarily close to the
     * watermark cliff with no signal. Two counters split disorder at
@@ -579,11 +623,14 @@ case class FunnelAdvance(user_id: Long, step: Int, at_us: Long)
     *   - `absorbed` (executor-side `LongAccumulator`, fed from inside
     *     the state function): disorder the delay absorbed. For
     *     retention that is cohort re-bases (an event with a day
-    *     EARLIER than the provisional cohort day); for the sessionizer
-    *     and funnel it is cross-batch arrival inversions (an event
-    *     arriving strictly below the user's pre-batch arrival
-    *     high-water `(ts, event_id)` — the events an eager
-    *     fold-on-arrival machine would have mis-folded). Accumulators
+    *     EARLIER than the provisional cohort day); for the sessionizer,
+    *     funnel, near-dup buckets, and media-digest keeper it is
+    *     cross-batch arrival inversions (an event
+    *     arriving strictly below the group's pre-batch arrival
+    *     high-water `(ts, id)` — the events an eager
+    *     fold-on-arrival machine would have mis-folded; the min-fold
+    *     keeper is order-insensitive by construction, so there the
+    *     counter reports the inversions the fold NEUTRALIZED). Accumulators
     *     count once per completed task attempt; a retried micro-batch
     *     can over-count, which is the standard (and acceptable)
     *     contract for an observability channel — correctness never

@@ -94,20 +94,28 @@ class DisorderPropertySpec extends AnyFunSuite {
     * batch. Exactly the operator's accounting (Streams.sessionize),
     * restated over the fed batches.
     */
-  private def absorbedRef(batches: Seq[Seq[Event]]): Long = {
+  private def absorbedRef(batches: Seq[Seq[Event]]): Long =
+    absorbedRefBy(batches)(_.user_id, _.ts, _.event_id)
+
+  /** The same fold for ANY keyed machine (near-dup buckets, media
+    * digests): per group key, per feed batch, count arrivals strictly
+    * below the group's PRE-batch high-water — then advance it.
+    */
+  private def absorbedRefBy[T, K](batches: Seq[Seq[T]])(
+      key: T => K, ts: T => Long, id: T => Long): Long = {
     var n = 0L
-    var hw = Map.empty[Long, (Long, Long)]
+    var hw = Map.empty[K, (Long, Long)]
     batches.foreach { b =>
       val pre = hw
       b.foreach { e =>
-        pre.get(e.user_id).foreach { case (t, i) =>
-          if (e.ts < t || (e.ts == t && e.event_id < i)) n += 1
+        pre.get(key(e)).foreach { case (t, i) =>
+          if (ts(e) < t || (ts(e) == t && id(e) < i)) n += 1
         }
       }
       b.foreach { e =>
-        val cur = hw.getOrElse(e.user_id, (Long.MinValue, Long.MinValue))
-        if (e.ts > cur._1 || (e.ts == cur._1 && e.event_id > cur._2))
-          hw = hw.updated(e.user_id, (e.ts, e.event_id))
+        val cur = hw.getOrElse(key(e), (Long.MinValue, Long.MinValue))
+        if (ts(e) > cur._1 || (ts(e) == cur._1 && id(e) > cur._2))
+          hw = hw.updated(key(e), (ts(e), id(e)))
       }
     }
     n
@@ -271,11 +279,13 @@ class DisorderPropertySpec extends AnyFunSuite {
   }
 
   test("mmIngestStream keeps the batch MIN keeper under random bounded " +
-       "disorder (3 seeds)") {
+       "disorder, and the absorbed counter matches the driver-side " +
+       "fold exactly (3 seeds)") {
     val spark0 = spark
     import spark0.implicits._
     implicit val sqlCtx = spark.sqlContext
     val horizonNs = 60L * MinNs
+    var totalAbsorbed = 0L
     (1L to 3L).foreach { seed =>
       val rnd = new scala.util.Random(seed + 1300)
       // 120 items over 40 distinct payloads -> ~3 copies per digest,
@@ -289,20 +299,28 @@ class DisorderPropertySpec extends AnyFunSuite {
       val feedOrder = items
         .map(m => (m.ts + rnd.nextLong(horizonNs / 2), m.doc_id, m))
         .sortBy(t => (t._1, t._2)).map(_._3)
+      val metrics = Streams.disorderMetrics(spark)
       val in = MemoryStream[StreamMedia]
       val sink = s"disorder_mm_$seed"
-      val q = Streams.mmIngestStream(in.toDF(), horizonNs = horizonNs)
+      val listener = metrics.registerDropped(spark, sink)
+      val q = Streams.mmIngestStream(in.toDF(), horizonNs = horizonNs,
+          metrics = Some(metrics))
         .writeStream.format("memory").queryName(sink)
         .outputMode(OutputMode.Append()).start()
+      // fed batches recorded verbatim for the counter fold (flush
+      // sentinels included: ascending (ts, id) on a fresh digest,
+      // so they contribute nothing on either side)
+      val fed = scala.collection.mutable.Buffer.empty[Seq[StreamMedia]]
+      def feedB(b: Seq[StreamMedia]): Unit = {
+        fed += b; in.addData(b); q.processAllAvailable()
+      }
       try {
-        feedOrder.grouped(30).foreach { b =>
-          in.addData(b); q.processAllAvailable()
-        }
+        feedOrder.grouped(30).foreach(b => feedB(b))
         val flushTs = items.map(_.ts).max + 3L * horizonNs
-        in.addData(StreamMedia(-1L, flushTs, "flush", Array[Byte]('x')))
-        q.processAllAvailable()
-        in.addData(StreamMedia(-2L, flushTs, "flush", Array[Byte]('x')))
-        q.processAllAvailable()
+        // sentinel ids ASCENDING (-2 then -1): same ts + same digest,
+        // a descending pair would itself count one absorbed inversion
+        feedB(Seq(StreamMedia(-2L, flushTs, "flush", Array[Byte]('x'))))
+        feedB(Seq(StreamMedia(-1L, flushTs, "flush", Array[Byte]('x'))))
         val gotRows = spark.table(sink).filter("keep_id >= 0")
           .selectExpr("keep_id", "digest", "modality", "n_bytes")
           .collect()
@@ -321,8 +339,21 @@ class DisorderPropertySpec extends AnyFunSuite {
               k.modality, k.payload.length.toLong)
           }.toSet
         assert(got == expected, s"seed $seed")
-      } finally q.stop()
+        // the machine groups by digest == payload identity here
+        val ref = absorbedRefBy(fed.toSeq)(
+          m => new String(m.payload, "UTF-8"), _.ts, _.doc_id)
+        assert(metrics.absorbed.value == ref,
+          s"seed $seed: counter ${metrics.absorbed.value} != driver " +
+            s"fold $ref")
+        assert(metrics.lateDropped == 0L,
+          s"seed $seed: bounded disorder must stay within the delay")
+        totalAbsorbed += metrics.absorbed.value
+      } finally { q.stop(); spark.streams.removeListener(listener) }
     }
+    assert(totalAbsorbed > 0L,
+      "mm ingest disorder sweep observed zero cross-batch inversions: " +
+        "the jitter no longer crosses batch boundaries and the sweep " +
+        "is vacuous")
   }
 
   test("funnelStream matches the batch fold under random bounded " +
@@ -424,5 +455,109 @@ class DisorderPropertySpec extends AnyFunSuite {
       "sessionizer disorder sweep observed zero cross-batch inversions: " +
         "the jitter no longer crosses batch boundaries and the sweep is " +
         "vacuous")
+  }
+
+  test("nearDupStream matches the batch gaps-and-islands owner fold " +
+       "under random bounded disorder, and the absorbed counter " +
+       "matches the driver-side fold exactly (3 seeds)") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamDoc
+    val horizonNs = 30L * MinNs // = watermark delay
+    // a handful of template texts so band buckets accumulate real
+    // collision chains (identical text => identical band keys)
+    val templates = Vector(
+      "the quick brown fox jumps over the lazy dog again and again",
+      "spark shuffles partition data across executors by key",
+      "a watermark bounds how late an event may arrive before dropping",
+      "label propagation converges in rounds over the edge closure",
+      "minhash signatures band into buckets for candidate generation",
+      "containment probing indexes every shingle and probes the rarest")
+    var totalAbsorbed = 0L
+    (1L to 3L).foreach { seed =>
+      val rnd = new scala.util.Random(seed + 2100)
+      // 90 docs over 6 templates across 3 horizons of event time:
+      // islands form (gaps > horizon) AND chains extend (gaps within)
+      val docs = (1 to 90).map { i =>
+        StreamDoc(i.toLong,
+          T + rnd.nextLong(3L * horizonNs / 1000000L) * 1000000L,
+          templates(rnd.nextInt(templates.size)))
+      }
+      // band rows per doc via the SAME batch banding the stream uses
+      val rowsByDoc = graft.operators.Dedup
+        .bandRows(docs.toDF("doc_id", "ts", "text"))
+        .collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .groupBy(_._3)
+      val feedOrder = docs
+        .map(d => (d.ts + rnd.nextLong(horizonNs / 2), d.doc_id, d))
+        .sortBy(t => (t._1, t._2)).map(_._3)
+      val metrics = Streams.disorderMetrics(spark)
+      val in = MemoryStream[StreamDoc]
+      val sink = s"disorder_neardup_$seed"
+      val listener = metrics.registerDropped(spark, sink)
+      val q = Streams.nearDupStream(in.toDF(), horizonNs,
+          metrics = Some(metrics))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode(OutputMode.Append()).start()
+      val fed = scala.collection.mutable.Buffer.empty[Seq[StreamDoc]]
+      def feedB(b: Seq[StreamDoc]): Unit = {
+        fed += b; in.addData(b); q.processAllAvailable()
+      }
+      try {
+        feedOrder.grouped(25).foreach(b => feedB(b))
+        val flushTs = docs.map(_.ts).max + 3L * horizonNs
+        // sentinel ids ASCENDING (-2 then -1): the pair shares every
+        // band bucket (same text), so a descending pair would count
+        // inversions of its own
+        feedB(Seq(StreamDoc(-2L, flushTs, templates(0))))
+        feedB(Seq(StreamDoc(-1L, flushTs, templates(0))))
+        val got = spark.table(sink)
+          .filter("doc_id >= 0 AND owner_id >= 0")
+          .selectExpr("doc_id", "owner_id", "band").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+        // exactly one evidence row per (doc, owner, band)
+        assert(got.size == got.distinct.size, s"seed $seed dup")
+        // reference: per bucket, sort by (ts, doc_id); a row within
+        // horizon of the bucket's LAST ACTIVITY matches the standing
+        // owner (and extends the activity), otherwise it re-owns —
+        // exactly the machine's drain over the full ordered history
+        val expected = Set.newBuilder[(Long, Long, Int)]
+        docs.flatMap(d => rowsByDoc(d.doc_id))
+          .groupBy(r => (r._1, r._2)).foreach { case ((band, _), rs) =>
+            var owner = -1L; var last = Long.MinValue; var open = false
+            rs.sortBy(r => (r._4, r._3)).foreach { r =>
+              if (open && r._4 - last <= horizonNs) {
+                if (r._3 != owner) expected += ((r._3, owner, band))
+                last = r._4
+              } else { owner = r._3; last = r._4; open = true }
+            }
+          }
+        assert(got.toSet == expected.result(), s"seed $seed")
+        // absorbed fold over the band-row image of the fed batches
+        val fedBands = fed.toSeq.map(_.flatMap(d => rowsByDoc
+          .getOrElse(d.doc_id, Array.empty[(Int, String, Long, Long)])
+          .map(r => (s"${r._1}:${r._2}", r._4, r._3))))
+        // the sentinels' band rows aren't in rowsByDoc — rebuild them
+        // from the template-0 docs' keys at the flush ts
+        val t0keys = rowsByDoc(docs.find(d => d.text == templates(0))
+          .get.doc_id).map(r => s"${r._1}:${r._2}").toSeq
+        val fedAll = fedBands.dropRight(2) ++ Seq(
+          t0keys.map(k => (k, flushTs, -2L)),
+          t0keys.map(k => (k, flushTs, -1L)))
+        val ref = absorbedRefBy(fedAll)(_._1, _._2, _._3)
+        assert(metrics.absorbed.value == ref,
+          s"seed $seed: counter ${metrics.absorbed.value} != driver " +
+            s"fold $ref")
+        assert(metrics.lateDropped == 0L,
+          s"seed $seed: bounded disorder must stay within the delay")
+        totalAbsorbed += metrics.absorbed.value
+      } finally { q.stop(); spark.streams.removeListener(listener) }
+    }
+    assert(totalAbsorbed > 0L,
+      "neardup disorder sweep observed zero cross-batch inversions: " +
+        "the jitter no longer crosses batch boundaries and the sweep " +
+        "is vacuous")
   }
 }
