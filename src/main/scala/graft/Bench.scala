@@ -57,7 +57,7 @@ object Bench {
     "sim_ivfpq_stored", "dd_incremental_bloom",
     // round 16
     "dd_lp_edges", "st_window_ooo_replay", "st_dedup_ooo_replay",
-    "st_attrib_ooo_replay")
+    "st_attrib_ooo_replay", "dd_cluster_incremental")
 
   private final case class M(
       name: String, median: Double, spread: Double, jobsPerRep: Int,

@@ -182,6 +182,60 @@ class DedupRecallSpec extends AnyFunSuite {
       (2L, 19L, 26L, 1L)), s"got $got")
   }
 
+  // The case the oracle alone can't isolate: an increment whose new
+  // docs MERGE two existing clusters. The fixture is built in the
+  // j-regime the operator comment claims (asserted below from an
+  // independent shingle computation): X and Y overlap at j ~ 0.43
+  // (below threshold -> two prior clusters) while Z = X ++ Y covers
+  // both at j ~ 0.69 (>= threshold to each). The contracted LP must
+  // fold clusters {1,2} and {3,4} into one via bridge doc 20,
+  // assign near-dup 22 into it, and keep the unrelated docs
+  // singletons — and the whole assignment must be bit-identical to
+  // batch dd_cluster on the same corpus (the operator's core claim).
+  test("dd_cluster_incremental merges prior clusters through a new " +
+       "bridge doc, bit-identical to batch re-clustering") {
+    import spark.implicits._
+    val s13 = (1 to 13).map(i => s"s$i")
+    val x = s13 ++ (1 to 8).map(i => s"xa$i")
+    val y = s13 ++ (1 to 8).map(i => s"yb$i")
+    val z = x ++ y
+    def shingles(toks: Seq[String]): Set[String] =
+      toks.sliding(2).map(_.mkString(" ")).toSet
+    def j(a: Seq[String], b: Seq[String]): Double = {
+      val (sa, sb) = (shingles(a), shingles(b))
+      (sa & sb).size.toDouble / (sa | sb).size
+    }
+    assert(j(x, y) < 0.6, s"fixture drift: j(X,Y)=${j(x, y)}")
+    assert(j(z, x) >= 0.6 && j(z, y) >= 0.6,
+      s"fixture drift: j(Z,X)=${j(z, x)} j(Z,Y)=${j(z, y)}")
+    val unrelatedOld = (1 to 30).map(i => s"uo$i")
+    val unrelatedNew = (1 to 30).map(i => s"un$i")
+    val docs = Seq(
+      (1L, x.mkString(" "), "src0"),
+      (2L, x.mkString(" "), "src1"),
+      (3L, y.mkString(" "), "src2"),
+      (4L, y.mkString(" "), "src3"),
+      (5L, unrelatedOld.mkString(" "), "src4"),
+      (20L, z.mkString(" "), "src10"),
+      (21L, unrelatedNew.mkString(" "), "src11"),
+      (22L, y.mkString(" "), "src12"))
+    val fixDir =
+      java.nio.file.Files.createTempDirectory("graft_cinc").toString
+    docs.toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$fixDir/documents.parquet")
+    val inc = SparkEntry.queries("dd_cluster_incremental")(spark, fixDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(inc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 5L,
+      20L -> 1L, 21L -> 21L, 22L -> 1L), s"got $inc")
+    val batch = SparkEntry.queries("dd_cluster")(spark, fixDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(inc == batch, "incremental diverged from batch re-clustering")
+  }
+
+  test("dd_cluster_incremental equals dd_cluster on the sf0.001 corpus") {
+    assert(clusters("dd_cluster_incremental") == clusters("dd_cluster"))
+  }
+
   test("dd_embed_cluster refines dd_embed_cluster_exact") {
     val exact = clusters("dd_embed_cluster_exact")
     val banded = clusters("dd_embed_cluster")
