@@ -1775,12 +1775,20 @@ object Dedup extends QueryPack {
     // edge set, localCheckpoint'd, then partitioned into prior-run
     // edges (old-old) and increment edges (new-touching) — the
     // fixture-scale stand-in for "old edges come from the stored
-    // assignment, increment edges from probing bands(new)". Measured
-    // at sf0.1/local[32]: two separate banded passes cost ~16 CPU-s
-    // per rep, the shared checkpointed pass ~9.5 at ~1 s more wall
-    // (the materialization barrier) — the LP family's usual
-    // wall-for-CPU trade, taken deliberately
-    val pairsAll = s.sql(
+    // assignment, increment edges from probing bands(new)". The
+    // checkpoint is EAGER, so scoping AQE off around it holds (the
+    // same discipline as prepLpEdges): without the scope AQE runs one
+    // job per query stage of the banded tree, and at 2 shuffles of a
+    // few MB there is nothing for runtime coalescing to win here.
+    // Measured at sf0.1/local[32], same oracle hash throughout: two
+    // separate banded passes 27 jobs / ~5.9 s wall; shared checkpoint
+    // under AQE 46 jobs / ~6.8 s; shared checkpoint with this scope
+    // 26 jobs / ~5.0 s — fewest jobs (the LP family's scheduling
+    // floor) AND the single-pass edge build.
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val aqeWas = s.conf.getOption(aqeKey)
+    s.conf.set(aqeKey, "false")
+    val pairsAll = try s.sql(
       s"""WITH bands AS ($bandSelects),
          |cand AS (
          |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
@@ -1796,6 +1804,10 @@ object Dedup extends QueryPack {
          |  WHERE least(size(a.hs), size(b.hs)) * 10
          |        >= greatest(size(a.hs), size(b.hs)) * 6)
          |WHERE jaccard >= 0.6""".stripMargin).localCheckpoint()
+    finally aqeWas match {
+      case Some(v) => s.conf.set(aqeKey, v)
+      case None    => s.conf.unset(aqeKey)
+    }
     val docs = s.table("cinc_sigs")
     // phase 1 — the stored prior assignment (stand-in): LP over the
     // old corpus's own edges
