@@ -22,12 +22,16 @@ object Bench {
     * was one straggler wide.
     */
   private val StableRepsCheap = 9
-  /** Stabilization reps for the 1.5-10 s band (raised 5 -> 7 in r16:
-    * the r15 `unmeasured` set was exactly this band — one straggler
-    * rep inside a 5-rep window still dominated the trimmed range).
+  /** Stabilization reps for the [[CheapSec]]-[[MidSec]] band (raised
+    * 5 -> 7 in r16: the r15 `unmeasured` set was exactly this band —
+    * one straggler rep inside a 5-rep window still dominated the
+    * trimmed range). Above [[MidSec]] the original [[StableReps]]
+    * holds: 7+7 reps of a 30 s query is minutes of bench wall for a
+    * tail the trimmed range already handles.
     */
   private val StableRepsMid = 7
   private val CheapSec = 1.5
+  private val MidSec = 10.0
   /** A query is "measured" when max-min across reps is under this
     * fraction of the median (the round-9 acceptance bar). */
   private val SpreadFrac = 0.25
@@ -81,9 +85,10 @@ object Bench {
   /** Cumulative JVM stop-the-world GC time (ms). Per-query deltas are
     * the heap-weather channel: a wall/CPU spike at unchanged jobs AND
     * high gc is the JVM, not the plan (the r15 postmortem's missing
-    * evidence — see BENCHING.md).
+    * evidence — see BENCHING.md). Shared with TimeOne so the dev tool
+    * and the bench can never report different GC accountings.
     */
-  private def gcMsTotal(): Long = {
+  private[graft] def gcMsTotal(): Long = {
     import scala.jdk.CollectionConverters._
     java.lang.management.ManagementFactory
       .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
@@ -183,9 +188,11 @@ object Bench {
       val jobsPerRep =
         math.round((jobCounter.get() - jobs0).toDouble / reps).toInt
       val cpuSecPerRep = (cpuNs.get() - cpu0) / 1e9 / reps
-      val cpuMinSec = raw.map(_._2).min
+      // an errored rep's truncated CPU delta must not masquerade as
+      // the plan's intrinsic cost — mask the min like the median
+      val cpuMinSec = if (err.isDefined) -1.0 else raw.map(_._2).min
       val shufMbPerRep = (shufWr.get() - shuf0) / 1e6 / reps
-      val gcMsPerRep = (gcMsTotal() - gc0) / reps
+      val gcMsPerRep = if (err.isDefined) -1L else (gcMsTotal() - gc0) / reps
       // Spread: raw range at 3 reps (the conservative pass-2 trigger);
       // with >=5 reps the single best and worst are dropped first — a
       // max-min range over more samples only ever WIDENS under one
@@ -225,7 +232,10 @@ object Bench {
     val results = firstPass.map { case (fn, m) =>
       if (m.err.isDefined || !unstable(m.median, m.spread)) m
       else {
-        val reps2 = if (m.median < CheapSec) StableRepsCheap else StableRepsMid
+        val reps2 =
+          if (m.median < CheapSec) StableRepsCheap
+          else if (m.median < MidSec) StableRepsMid
+          else StableReps
         val m2 = measure(m.name, fn, reps2, warmup = true)
         if (m2.err.isDefined || !unstable(m2.median, m2.spread)) m2
         else {

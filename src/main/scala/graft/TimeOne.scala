@@ -25,11 +25,8 @@ object TimeOne {
     val metrics = MetricListener.install(spark.sparkContext)
     val jobCounter = metrics.jobs
     val cpuNs = metrics.cpuNs
-    def gcMs: Long = {
-      import scala.jdk.CollectionConverters._
-      java.lang.management.ManagementFactory
-        .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
-    }
+    // the bench's accounting, shared so the two never diverge
+    def gcMs: Long = Bench.gcMsTotal()
     try SparkEntry.queries("q02_filter_pushdown")(spark, dir).count()
     catch { case _: Throwable => () }
     val times = (1 to reps).map { _ =>

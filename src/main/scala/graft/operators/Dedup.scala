@@ -1413,6 +1413,17 @@ object Dedup extends QueryPack {
     while (it.hasNext) if (it.next()._1.sparkContext.isStopped) it.remove()
   }
 
+  /** Monotonic invalidation stamp: bumped under the registry lock by
+    * every invalidate/clear. A build that STARTED before an
+    * invalidation must not register its (possibly pre-rewrite) result
+    * after it — lpEdgesFor snapshots the stamp before building and
+    * only puts if no invalidation intervened, closing the
+    * build-outside-lock / invalidate interleaving that would otherwise
+    * re-install stale edges right after the caller followed the
+    * staleness contract (LpEdgeCacheSpec pins this).
+    */
+  private var lpEdgeInvalidations = 0L
+
   /** Registry lookup: return the prepared edges for `(session, key)`,
     * building (and registering) them on a miss. The build runs OUTSIDE
     * the registry lock — two concurrent first-callers may both build
@@ -1423,14 +1434,20 @@ object Dedup extends QueryPack {
   private def lpEdgesFor(session: SparkSession, key: String)
                         (build: => LpEdges): LpEdges = {
     val k = (session, key)
-    val hit = lpEdgeCache.synchronized {
+    val (hit, stamp) = lpEdgeCache.synchronized {
       purgeLpDeadSessions()
-      lpEdgeCache.get(k)
+      (lpEdgeCache.get(k), lpEdgeInvalidations)
     }
     if (hit != null) hit
     else {
       val e = build
-      lpEdgeCache.synchronized { lpEdgeCache.put(k, e) }
+      lpEdgeCache.synchronized {
+        // an invalidation ran while we built: our result may predate
+        // the rewrite that triggered it — serve it to THIS caller
+        // (its own read is as fresh as its own build) but don't
+        // register it for future ones
+        if (lpEdgeInvalidations == stamp) lpEdgeCache.put(k, e)
+      }
       e
     }
   }
@@ -1438,10 +1455,12 @@ object Dedup extends QueryPack {
   /** Drop every shared edge frame built over `dir` for `session` — the
     * staleness hook a caller MUST use after rewriting a corpus in place
     * under the same path (see the registry contract above). A no-op for
-    * dirs with no entry.
+    * dirs with no entry (the invalidation stamp still advances, so an
+    * in-flight build over the old data cannot register afterwards).
     */
   def invalidateLpEdges(session: SparkSession, dir: String): Unit =
     lpEdgeCache.synchronized {
+      lpEdgeInvalidations += 1
       val it = lpEdgeCache.keySet().iterator()
       while (it.hasNext) {
         val k = it.next()
@@ -1454,7 +1473,10 @@ object Dedup extends QueryPack {
     * cold; see BENCHING.md).
     */
   private[graft] def clearLpEdgeCache(): Unit =
-    lpEdgeCache.synchronized { lpEdgeCache.clear() }
+    lpEdgeCache.synchronized {
+      lpEdgeInvalidations += 1
+      lpEdgeCache.clear()
+    }
 
   private[graft] def lpEdgeCacheKeys: Seq[String] =
     lpEdgeCache.synchronized {

@@ -267,22 +267,17 @@ object Streams {
             else {
               var s = state.getOption.getOrElse(DigestOwnerState(
                 emitted = false, Long.MaxValue, Long.MaxValue, "", 0L, 0L))
+              val rs = rows.toSeq
               // this machine is order-insensitive by construction (a
               // min-fold), so "absorbed" here counts the inversions
               // the fold NEUTRALIZED: arrivals below the digest's
-              // pre-batch high-water, same accounting as the deferral
-              // machines (see sessionize)
-              val preHwTs = s.hwTs
-              val preHwId = s.hwId
-              rows.foreach { r =>
-                absorbedAcc.foreach { acc =>
-                  if (r.ts < preHwTs ||
-                      (r.ts == preHwTs && r.doc_id < preHwId))
-                    acc.add(1L)
-                }
-                if (r.ts > s.hwTs ||
-                    (r.ts == s.hwTs && r.doc_id > s.hwId))
-                  s = s.copy(hwTs = r.ts, hwId = r.doc_id)
+              // pre-batch high-water, the same observeAbsorbed
+              // accounting as the deferral machines
+              val (hwTs, hwId) = Streams.observeAbsorbed(
+                s.hwTs, s.hwId,
+                rs.map(r => (r.ts, r.doc_id)), absorbedAcc)
+              s = s.copy(hwTs = hwTs, hwId = hwId)
+              rs.foreach { r =>
                 s = s.copy(lastSeenNs = math.max(s.lastSeenNs, r.ts))
                 if (!s.emitted &&
                     (r.ts < s.bestTs ||
@@ -412,22 +407,10 @@ object Streams {
               val prev = state.getOption.getOrElse(
                 BandBufState(0L, 0L, 0L, open = false, Nil))
               // cross-batch arrival inversions vs the bucket's
-              // pre-batch high-water — see sessionize's disorder-
-              // observation note (same contract: each event compares
-              // against the same pre-batch mark, so the count is
-              // independent of the group iterator's order)
-              absorbedAcc.foreach { acc =>
-                rs.foreach { r =>
-                  if (r.ts < prev.hwTs ||
-                      (r.ts == prev.hwTs && r.doc_id < prev.hwId))
-                    acc.add(1L)
-                }
-              }
-              val (hwTs, hwId) = rs.foldLeft((prev.hwTs, prev.hwId)) {
-                case ((t, i), r) =>
-                  if (r.ts > t || (r.ts == t && r.doc_id > i))
-                    (r.ts, r.doc_id) else (t, i)
-              }
+              // pre-batch high-water (observeAbsorbed)
+              val (hwTs, hwId) = Streams.observeAbsorbed(
+                prev.hwTs, prev.hwId,
+                rs.map(r => (r.ts, r.doc_id)), absorbedAcc)
               prev.copy(pend = prev.pend ++
                 rs.map(r => BandPend(r.ts, r.doc_id, r.band)),
                 hwTs = hwTs, hwId = hwId)
@@ -565,24 +548,11 @@ case class FunnelAdvance(user_id: Long, step: Int, at_us: Long)
               // Disorder observation: an arrival strictly below the
               // PRE-batch high-water was delivered out of order across
               // a batch boundary — exactly what an eager fold would
-              // have mis-folded and the deferral absorbs. Each event
-              // compares against the same pre-batch mark (not a
-              // running one), so the count is independent of the
-              // group iterator's nondeterministic order; within-batch
-              // inversions are harness scheduling, not transport
-              // disorder, and count nothing.
-              absorbedAcc.foreach { acc =>
-                evs.foreach { e =>
-                  if (e.ts < prev.hwTs ||
-                      (e.ts == prev.hwTs && e.event_id < prev.hwId))
-                    acc.add(1L)
-                }
-              }
-              val (hwTs, hwId) = evs.foldLeft((prev.hwTs, prev.hwId)) {
-                case ((t, i), e) =>
-                  if (e.ts > t || (e.ts == t && e.event_id > i))
-                    (e.ts, e.event_id) else (t, i)
-              }
+              // have mis-folded and the deferral absorbs (the
+              // accounting itself lives in observeAbsorbed).
+              val (hwTs, hwId) = Streams.observeAbsorbed(
+                prev.hwTs, prev.hwId,
+                evs.map(e => (e.ts, e.event_id)), absorbedAcc)
               prev.copy(pend = prev.pend ++
                 evs.map(e => SessPend(e.ts, e.event_id)),
                 hwTs = hwTs, hwId = hwId)
@@ -639,10 +609,10 @@ case class FunnelAdvance(user_id: Long, step: Int, at_us: Long)
     *     listener from `numRowsDroppedByWatermark`): rows the
     *     watermark dropped before the operator saw them — disorder the
     *     delay did NOT absorb, i.e. silently lost evidence. The
-    *     listener is per-query-name and filtered to the stateful
-    *     operator's `operatorName`, so composing the stream with other
-    *     stateful operators in one query cannot misattribute their
-    *     drops here.
+    *     listener is per-query-name and QUERY-WIDE by default (an
+    *     alarm must fail loud; see [[registerDropped]] for the
+    *     optional per-operator scoping when several stateful
+    *     operators compose in one query).
     *
     * Alert on `lateDropped > 0` (data loss: widen `delay`); trend
     * `absorbed` as the early-warning (disorder volume approaching the
@@ -674,14 +644,23 @@ case class FunnelAdvance(user_id: Long, step: Int, at_us: Long)
     }
 
     /** Build AND register the progress listener feeding `lateDropped`
-      * from query `queryName`'s stateful operator `operatorName`
-      * (default: the flatMapGroupsWithState all three deferral
-      * machines compile to). Call before starting the query; pass the
-      * returned listener to `spark.streams.removeListener` after
-      * `stop()`.
+      * from query `queryName`. By default the counter is QUERY-WIDE
+      * (every stateful operator's `numRowsDroppedByWatermark`): a
+      * data-loss alarm must fail loud, and an operator-name default
+      * would silently count nothing for any machine that compiles to
+      * a different operator (dropDuplicatesWithinWatermark, windowed
+      * aggregation, stream-stream join) — the exact silent-zero this
+      * class exists to prevent. Pass `operatorName = Some(...)` (e.g.
+      * "flatMapGroupsWithState") ONLY when composing several stateful
+      * operators in one query and the metric must attribute drops to
+      * one of them; with a filter, a name typo or an operator rename
+      * across Spark versions degrades to zero, so scoped use should
+      * cross-check against the unfiltered count. Call before starting
+      * the query; pass the returned listener to
+      * `spark.streams.removeListener` after `stop()`.
       */
     def registerDropped(spark: SparkSession, queryName: String,
-                        operatorName: String = "flatMapGroupsWithState")
+                        operatorName: Option[String] = None)
         : org.apache.spark.sql.streaming.StreamingQueryListener = {
       val l = new org.apache.spark.sql.streaming.StreamingQueryListener {
         import org.apache.spark.sql.streaming.StreamingQueryListener._
@@ -691,12 +670,35 @@ case class FunnelAdvance(user_id: Long, step: Int, at_us: Long)
           if (e.progress.name == queryName)
             lateDroppedTotal.addAndGet(
               e.progress.stateOperators
-                .filter(_.operatorName == operatorName)
+                .filter(op => operatorName.forall(_ == op.operatorName))
                 .map(_.numRowsDroppedByWatermark).sum)
       }
       spark.streams.addListener(l)
       registered.set(true)
       l
+    }
+  }
+
+  /** The one shared absorbed-inversion accounting (serializable — it
+    * runs inside state functions): count arrivals strictly below the
+    * group's PRE-batch `(ts, id)` high-water into `acc`, then return
+    * the advanced high-water. Every arrival compares against the same
+    * pre-batch mark, so the count is independent of the group
+    * iterator's nondeterministic order; within-batch inversions are
+    * harness scheduling, not transport disorder, and count nothing.
+    * Used by all four keyed machines so the tiebreak and the
+    * pre-batch-vs-running-mark rule live in exactly one place.
+    */
+  private[streaming] def observeAbsorbed(
+      preTs: Long, preId: Long, rows: Iterable[(Long, Long)],
+      acc: Option[org.apache.spark.util.LongAccumulator]): (Long, Long) = {
+    acc.foreach { a =>
+      rows.foreach { case (t, i) =>
+        if (t < preTs || (t == preTs && i < preId)) a.add(1L)
+      }
+    }
+    rows.foldLeft((preTs, preId)) { case ((t0, i0), (t, i)) =>
+      if (t > t0 || (t == t0 && i > i0)) (t, i) else (t0, i0)
     }
   }
 
@@ -1025,22 +1027,12 @@ case class FunnelAdvance(user_id: Long, step: Int, at_us: Long)
               val prev = state.getOption.getOrElse(FunnelBufState(
                 NotReached, NotReached, NotReached, Long.MinValue, Nil))
               // cross-batch arrival inversions vs the pre-batch
-              // high-water — see sessionize's disorder-observation
-              // note (same contract, same determinism argument); only
-              // step traffic reaches this operator, so the count is
-              // over the funnel's own event universe
-              absorbedAcc.foreach { acc =>
-                evs.foreach { e =>
-                  if (e.ts < prev.hwTs ||
-                      (e.ts == prev.hwTs && e.event_id < prev.hwId))
-                    acc.add(1L)
-                }
-              }
-              val (hwTs, hwId) = evs.foldLeft((prev.hwTs, prev.hwId)) {
-                case ((t, i), e) =>
-                  if (e.ts > t || (e.ts == t && e.event_id > i))
-                    (e.ts, e.event_id) else (t, i)
-              }
+              // high-water (observeAbsorbed); only step traffic
+              // reaches this operator, so the count is over the
+              // funnel's own event universe
+              val (hwTs, hwId) = Streams.observeAbsorbed(
+                prev.hwTs, prev.hwId,
+                evs.map(e => (e.ts, e.event_id)), absorbedAcc)
               prev.copy(
                 lastSeenMs = math.max(prev.lastSeenMs,
                   evs.iterator.map(_.ts).max / 1000000L),

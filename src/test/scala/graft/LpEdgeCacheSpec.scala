@@ -81,6 +81,34 @@ class LpEdgeCacheSpec extends AnyFunSuite {
     Dedup.invalidateLpEdges(spark, "/tmp/lpspec_never_built")
   }
 
+  test("invalidation during an in-flight build: the straddling result " +
+       "is served to its own caller but never registered") {
+    Dedup.clearLpEdgeCache()
+    val builds = new java.util.concurrent.atomic.AtomicInteger
+    val dir = "/tmp/lpspec_corpus_inflight"
+    val key = s"lpspec_race|$dir"
+    // the corpus is rewritten — and invalidated — WHILE this build is
+    // evaluating its pair pipeline: the build snapshotted the stamp
+    // before the invalidation, so its (possibly pre-rewrite) result
+    // must not land in the registry afterwards
+    def racingPairs(): DataFrame = {
+      Dedup.invalidateLpEdges(spark, dir)
+      pairs(builds, Seq((1L, 2L)))
+    }
+    val r = Dedup.labelPropagate("lp_cache_spec",
+        racingPairs(), nodes(1L, 2L, 3L, 4L), shareKey = Some(key))
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 4L),
+      "the straddling caller's own result is as fresh as its own read")
+    assert(!Dedup.lpEdgeCacheKeys.contains(key),
+      "a build that straddled an invalidation must not register")
+    assert(builds.get() == 1)
+    // the next consumer rebuilds over current data instead of
+    // inheriting the straddler's edges
+    run(key, builds, Seq((2L, 3L)))
+    assert(builds.get() == 2, "post-race consumer must rebuild")
+  }
+
   test("bound: the registry is LRU-capped, never unbounded") {
     Dedup.clearLpEdgeCache()
     val builds = new java.util.concurrent.atomic.AtomicInteger
