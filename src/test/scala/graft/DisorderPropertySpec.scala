@@ -100,6 +100,13 @@ class DisorderPropertySpec extends AnyFunSuite {
   /** The same fold for ANY keyed machine (near-dup buckets, media
     * digests): per group key, per feed batch, count arrivals strictly
     * below the group's PRE-batch high-water — then advance it.
+    *
+    * The sweeps assert EXACT equality with the accumulator even though
+    * DisorderMetrics documents over-count-on-task-retry: these are
+    * single-JVM local[] runs where a retry means the suite's
+    * environment is already broken, and exactness is the property
+    * under test — a `>=` would let an accounting bug (double-count,
+    * wrong tiebreak) pass as "retry noise".
     */
   private def absorbedRefBy[T, K](batches: Seq[Seq[T]])(
       key: T => K, ts: T => Long, id: T => Long): Long = {
