@@ -61,7 +61,8 @@ object Bench {
     "sim_ivfpq_stored", "dd_incremental_bloom",
     // round 16
     "dd_lp_edges", "st_window_ooo_replay", "st_dedup_ooo_replay",
-    "st_attrib_ooo_replay", "dd_cluster_incremental")
+    "st_attrib_ooo_replay", "dd_cluster_incremental",
+    "dd_embed_cluster_incremental")
 
   private final case class M(
       name: String, median: Double, spread: Double, jobsPerRep: Int,

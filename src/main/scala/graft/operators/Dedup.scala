@@ -1484,10 +1484,25 @@ object Dedup extends QueryPack {
       lpEdgeCache.keySet().asScala.toSeq.map(_._2)
     }
 
+  /** `frontier = false` opts a call out of semi-naive rounds: full
+    * passes scan the whole label set, which is only a cost when that
+    * set is large relative to the changing frontier. The contracted
+    * merge LP inverts that premise — its node set is |clusters| +
+    * |new nodes| BY CONSTRUCTION — and there the frontier path
+    * measured strictly worse at sf0.1 (dd_embed_cluster_incremental
+    * merge: 6 rounds with a 2.8 s final compounded-frontier round —
+    * the pass-2 tree references pass 1's three times and the frontier
+    * filter rides every reference, so the round's DRIVER planning
+    * cost balloons — vs 5 rounds, no tail, with full passes; the
+    * frontier-restricted pointer-jump also skips shortcuts, hence the
+    * extra round). The global GRAFT_LP_FRONTIER=0 escape still wins
+    * over a `frontier = true` call for A/B runs.
+    */
   private[graft] def labelPropagate(op: String,
                                     pairs: => DataFrame,
                                     nodes: DataFrame,
-                                    shareKey: Option[String] = None)
+                                    shareKey: Option[String] = None,
+                                    frontier: Boolean = true)
       : DataFrame = {
     val lpDebug = sys.env.contains("GRAFT_LP_DEBUG")
     // Semi-naive (frontier) rounds are the default; GRAFT_LP_FRONTIER=0
@@ -1495,7 +1510,7 @@ object Dedup extends QueryPack {
     // LpFrontierSpec flip paths in-process) restores full passes for
     // A/B measurement (LpFrontierSpec holds the two paths to identical
     // fixed points).
-    val frontierOn = sys.props.get("graft.lp.frontier")
+    val frontierOn = frontier && sys.props.get("graft.lp.frontier")
       .orElse(sys.env.get("GRAFT_LP_FRONTIER"))
       .getOrElse("1") != "0"
     def stamp(what: String, t0: Long): Unit = if (lpDebug)
@@ -1837,7 +1852,26 @@ object Dedup extends QueryPack {
       pairsAll.filter("NOT a_new AND NOT b_new").select("doc_a", "doc_b"),
       docs.filter("NOT is_new").select("doc_id"))
     // phase 2 — the increment: only edges touching the new batch
-    val newEdges = pairsAll.filter("a_new OR b_new").select("doc_a", "doc_b")
+    contractedMerge("dd_cluster_incremental#merge", lblA,
+      pairsAll.filter("a_new OR b_new").select("doc_a", "doc_b"),
+      docs.filter("is_new").select("doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The contracted-merge phase shared by the incremental cluster
+    * operators (dd_cluster_incremental, dd_embed_cluster_incremental):
+    * rewrite each increment edge endpoint to its prior cluster id
+    * (identity for new nodes), drop self-loops, run min-label
+    * propagation over prior cluster ids + new node ids, and expand —
+    * old nodes route through their supernode's merged label, new
+    * nodes carry their own. See dd_cluster_incremental's component
+    * argument for why this is bit-identical to batch re-clustering.
+    * `lblA` is the prior (doc_id, cluster_id) assignment; `newNodes`
+    * is one `doc_id` column of the increment's nodes.
+    */
+  private def contractedMerge(op: String, lblA: DataFrame,
+                              newEdges: DataFrame,
+                              newNodes: DataFrame): DataFrame = {
     val contracted = newEdges
       .join(lblA.toDF("doc_a", "ca"), Seq("doc_a"), "left")
       .join(lblA.toDF("doc_b", "cb"), Seq("doc_b"), "left")
@@ -1847,18 +1881,15 @@ object Dedup extends QueryPack {
       .distinct()
     val contractedNodes = lblA
       .select(col("cluster_id").as("doc_id")).distinct()
-      .union(docs.filter("is_new").select("doc_id"))
-    val lblC = labelPropagate("dd_cluster_incremental#merge",
-      contracted, contractedNodes)
-    // expand: old docs route through their supernode's merged label,
-    // new docs carry their own
+      .union(newNodes)
+    // full passes, not semi-naive: see the frontier param's rationale
+    val lblC = labelPropagate(op, contracted, contractedNodes,
+      frontier = false)
     lblA.toDF("doc_id", "ca")
       .join(lblC.toDF("ca", "cluster_id"), Seq("ca"))
       .select("doc_id", "cluster_id")
-      .union(docs.filter("is_new").select("doc_id")
-        .join(lblC, Seq("doc_id"))
+      .union(newNodes.join(lblC, Seq("doc_id"))
         .select("doc_id", "cluster_id"))
-      .orderBy(col("doc_id"))
   }
 
   private val ddClusterSql = {
@@ -1910,6 +1941,57 @@ object Dedup extends QueryPack {
       shareKey = Some(s"embed_lsh|$dir"))
       .select(col("doc_id").as("vec_id"), col("cluster_id"))
       .orderBy(col("vec_id"))
+
+  // -- dd_embed_cluster_incremental: fold new vectors into existing clusters --
+  // The semantic-dedup twin of dd_cluster_incremental (same supernode
+  // contraction, same bit-identity argument — see that operator's
+  // comment; the shared phase lives in contractedMerge). Split
+  // convention: vec_ids are append-ordered, so the top half
+  // (vec_id >= max/2 + 1) is the new batch — embeddings carry no
+  // source column. The split only STRUCTURES the computation
+  // (prior LP over old-old edges, contracted merge over
+  // new-touching edges); the result is the full banded clustering
+  // either way, which is exactly what the shared oracle states. At
+  // corpus scale the prior LP is the stored assignment and the
+  // increment pays bands(new) probing + a contracted LP over
+  // |clusters| + |new| nodes.
+  private def ddEmbedClusterIncremental(s: SparkSession, dir: String)
+      : DataFrame = {
+    // FOURTH consumer of the shared embed_lsh registry entry
+    // (dd_embed_cluster diagnoses, dd_semdedup curates, dd_lp_edges
+    // prices the cold build, this folds an increment): the increment
+    // operates over the SAME banded edge set, so the engine
+    // materializes it once per (session, corpus), not once per query.
+    // Raw ordered pairs are recovered from the symmetric closure by
+    // src < dst — exact because edgesBoth is pairs UNION swap(pairs)
+    // with vec_a < vec_b by construction — a narrow scan of the
+    // checkpointed blocks, not a second banded self-join.
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val aqeWas = s.conf.getOption(aqeKey)
+    s.conf.set(aqeKey, "false")
+    val edges =
+      try lpEdgesFor(s, s"embed_lsh|$dir")(
+        prepLpEdges(s, embedClusterEdges(s, dir),
+          defaultP = s.conf.get("spark.sql.shuffle.partitions").toInt))
+      finally aqeWas match {
+        case Some(v) => s.conf.set(aqeKey, v)
+        case None    => s.conf.unset(aqeKey)
+      }
+    val pairsAll = edges.edgesBoth.where(col("src") < col("dst"))
+      .toDF("vec_a", "vec_b")
+    val ids = table(s, dir, "embeddings").select("vec_id")
+    val split = ids.agg(max("vec_id")).head.getLong(0) / 2 + 1
+    // vec_a < vec_b by construction, so an edge is old-old iff its
+    // MAX endpoint is old — the two filters partition the edge set
+    val lblA = labelPropagate("dd_embed_cluster_incremental#prior",
+      pairsAll.filter(col("vec_b") < split).toDF("doc_a", "doc_b"),
+      ids.filter(col("vec_id") < split).toDF("doc_id"))
+    contractedMerge("dd_embed_cluster_incremental#merge", lblA,
+      pairsAll.filter(col("vec_b") >= split).toDF("doc_a", "doc_b"),
+      ids.filter(col("vec_id") >= split).toDF("doc_id"))
+      .select(col("doc_id").as("vec_id"), col("cluster_id"))
+      .orderBy(col("vec_id"))
+  }
 
   private val ddEmbedClusterSql = {
     val bandSelects = (0 until CosBands)
@@ -2177,6 +2259,7 @@ object Dedup extends QueryPack {
       "dd_threshold_sweep" -> ddThresholdSweep _,
       "dd_semdedup" -> ddSemdedup _,
       "dd_embed_cluster" -> ddEmbedCluster _,
+      "dd_embed_cluster_incremental" -> ddEmbedClusterIncremental _,
       "dd_embed_cluster_exact" -> ddEmbedClusterExact _,
       "dd_curation_funnel" -> ddCurationFunnel _,
       "dd_source_overlap" -> ddSourceOverlap _,
@@ -2206,6 +2289,8 @@ object Dedup extends QueryPack {
     "dd_threshold_sweep" -> ddThresholdSweepSql,
     "dd_semdedup" -> ddSemdedupSql,
     "dd_embed_cluster" -> ddEmbedClusterSql,
+    // contraction is bit-identical to the full banded clustering
+    "dd_embed_cluster_incremental" -> ddEmbedClusterSql,
     "dd_lp_edges" -> ddLpEdgesSql,
     "dd_embed_cluster_exact" -> ddEmbedClusterExactSql,
     "dd_curation_funnel" -> ddCurationFunnelSql,

@@ -236,6 +236,12 @@ class DedupRecallSpec extends AnyFunSuite {
     assert(clusters("dd_cluster_incremental") == clusters("dd_cluster"))
   }
 
+  test("dd_embed_cluster_incremental equals dd_embed_cluster on the " +
+       "sf0.001 corpus") {
+    assert(clusters("dd_embed_cluster_incremental")
+      == clusters("dd_embed_cluster"))
+  }
+
   test("dd_embed_cluster refines dd_embed_cluster_exact") {
     val exact = clusters("dd_embed_cluster_exact")
     val banded = clusters("dd_embed_cluster")
