@@ -62,7 +62,8 @@ object Bench {
     // round 16
     "dd_lp_edges", "st_window_ooo_replay", "st_dedup_ooo_replay",
     "st_attrib_ooo_replay", "dd_cluster_incremental",
-    "dd_embed_cluster_incremental")
+    "dd_embed_cluster_incremental", "dd_cluster_store",
+    "dd_cluster_fold_stored")
 
   private final case class M(
       name: String, median: Double, spread: Double, jobsPerRep: Int,

@@ -1892,7 +1892,12 @@ object Dedup extends QueryPack {
         .select("doc_id", "cluster_id"))
   }
 
-  private val ddClusterSql = {
+  /** The all-pairs recursive-closure clustering oracle, over the docs
+    * selected by `docsWhere` ("" = whole corpus) — shared by dd_cluster,
+    * both incremental variants (contraction is bit-identical to batch
+    * re-clustering), and the store build's old-half gate.
+    */
+  private def ddClusterSqlFor(docsWhere: String): String = {
     val allPairsEdges =
       s"""SELECT a.doc_id AS src, b.doc_id AS dst
          |  FROM docs a JOIN docs b ON a.doc_id <> b.doc_id
@@ -1907,7 +1912,8 @@ object Dedup extends QueryPack {
        |      g -> ${duckH64("g")}))) AS hs
        |  FROM (
        |    SELECT doc_id, $duckGrams AS grams FROM (
-       |      SELECT doc_id, string_split(text, ' ') AS toks FROM documents))),
+       |      SELECT doc_id, string_split(text, ' ') AS toks
+       |      FROM documents$docsWhere))),
        |edges AS ($allPairsEdges),
        |r(doc, node) AS (
        |  SELECT doc_id, doc_id FROM docs
@@ -1917,6 +1923,238 @@ object Dedup extends QueryPack {
        |FROM r GROUP BY doc
        |ORDER BY doc_id""".stripMargin
   }
+
+  private val ddClusterSql = ddClusterSqlFor("")
+
+  // ---- persistent cluster store + incremental fold --------------------------
+  // dd_cluster_incremental's scale argument reads "at corpus scale the
+  // prior LP is the stored assignment"; this section makes that real.
+  // A store holds everything an increment needs and NOTHING else:
+  //   assignment/  (doc_id, cluster_id)   the converged prior labels
+  //   sigs/        (doc_id, hs)           sorted 60-bit shingle hashes
+  //                                       (the exact-verify side)
+  //   bands/       (doc_id, band, bk)     the 8x2 MinHash band keys
+  //                                       (the probe index)
+  //   manifest.json                       written temp+ATOMIC_MOVE LAST —
+  //                                       the store's exists() marker, the
+  //                                       same crash discipline as
+  //                                       IvfPqStore/ShardManifest
+  // A fold probes bands(new) against the stored index, verifies only
+  // the candidates against stored+new sigs, and contract-merges into
+  // the stored assignment — it NEVER re-reads old documents' text.
+  // That claim is behavioral, not aspirational: ClusterStoreSpec
+  // overwrites every old doc's text with garbage after the build and
+  // the fold still bit-matches full re-clustering of the original
+  // corpus. At 100 TB the store is signature-sized (dozens of longs
+  // per doc vs the doc itself), the probe join is an equi-join on
+  // (band, bk) a deployment co-locates by writing bands/ bucketed on
+  // that key, and the contracted LP runs over |clusters| + |new|.
+  private[graft] object ClusterStore {
+    def exists(dir: String): Boolean =
+      java.nio.file.Files.exists(
+        java.nio.file.Paths.get(dir, "manifest.json"))
+
+    def writeManifest(dir: String, nDocs: Long): Unit = {
+      val json =
+        s"""{"docs": $nDocs, "bands": $JacBands, "rows_per_band": 2,
+           | "threshold": 0.6}""".stripMargin
+      val tmp = java.nio.file.Paths.get(dir, "manifest.json.tmp")
+      java.nio.file.Files.write(tmp,
+        json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.nio.file.Files.move(tmp,
+        java.nio.file.Paths.get(dir, "manifest.json"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
+  /** The old-half split shared by store build and fold (the same
+    * convention as dd_incremental / dd_cluster_incremental, negated).
+    */
+  private val oldPred = "cast(substring(source, 4) as int) < 10"
+
+  /** Build the store from the corpus docs matching [[oldPred]]: one
+    * banded self-join + exact verify (the dd_jaccard arithmetic,
+    * term-for-term), one LP to convergence, three parquet landings,
+    * manifest last.
+    */
+  private[graft] def clusterStoreBuild(s: SparkSession, dir: String,
+                                       store: String): Unit = {
+    VectorFunctions.ensureRegistered(s)
+    val sigs = table(s, dir, "documents")
+      .where(oldPred)
+      .selectExpr("doc_id", "split(text, ' ') AS toks")
+      .selectExpr("doc_id", s"$sparkGrams AS grams")
+      .selectExpr("doc_id",
+        "graft_h32a(grams) AS ghs", "graft_h64sd(grams) AS hs")
+      .selectExpr("doc_id", "hs", "graft_minhash16(ghs) AS sigarr")
+      .selectExpr(Seq("doc_id", "hs") ++ sparkSigCols: _*)
+      .cache()
+    sigs.createOrReplaceTempView("cst_sigs")
+    val bandSelects = (0 until JacBands)
+      .map(b => s"SELECT doc_id, $b AS band, ${jacBandKeySpark(b)} AS bk" +
+        " FROM cst_sigs")
+      .mkString(" UNION ALL ")
+    val pairs = s.sql(
+      s"""WITH bands AS ($bandSelects),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.bk = y.bk AND x.doc_id < y.doc_id)
+         |SELECT doc_a, doc_b FROM (
+         |  SELECT doc_a, doc_b,
+         |    round(cast(graft_isect(a.hs, b.hs) as double)
+         |      / (size(a.hs) + size(b.hs) - graft_isect(a.hs, b.hs)), 6)
+         |      AS jaccard
+         |  FROM cand JOIN cst_sigs a ON a.doc_id = doc_a
+         |            JOIN cst_sigs b ON b.doc_id = doc_b
+         |  WHERE least(size(a.hs), size(b.hs)) * 10
+         |        >= greatest(size(a.hs), size(b.hs)) * 6)
+         |WHERE jaccard >= 0.6""".stripMargin)
+    val lbl = labelPropagate("dd_cluster_store", pairs,
+      sigs.select("doc_id"))
+    new java.io.File(store).mkdirs()
+    lbl.write.mode("overwrite").parquet(s"$store/assignment")
+    sigs.select("doc_id", "hs").write.mode("overwrite")
+      .parquet(s"$store/sigs")
+    s.sql(s"SELECT doc_id, band, bk FROM ($bandSelects)")
+      .write.mode("overwrite").parquet(s"$store/bands")
+    val n = sigs.count()
+    sigs.unpersist()
+    lbl.unpersist()
+    ClusterStore.writeManifest(store, n)
+  }
+
+  /** Fold the corpus docs NOT matching [[oldPred]] into the stored
+    * clustering. Reads the store (assignment + sigs + bands) and the
+    * NEW docs' text only; returns the full-corpus assignment,
+    * bit-identical to batch re-clustering (contractedMerge's
+    * argument).
+    */
+  private[graft] def clusterStoreFold(s: SparkSession, dir: String,
+                                      store: String): DataFrame = {
+    VectorFunctions.ensureRegistered(s)
+    // localCheckpoint (EAGER), not cache: the relation feeds 8 band
+    // sides, both verify join-backs, and the node list — ~10
+    // references inside ONE edge-materialization job. A lazy cache
+    // populates mid-job, so the concurrently racing scans each
+    // recompute the md5/minhash chains (measured: the fold's edge
+    // checkpoint carried 15.4 CPU-s, ~10x the sig pipeline's cost);
+    // an eager checkpoint runs the chains exactly once.
+    val newSigs = table(s, dir, "documents")
+      .where(s"NOT ($oldPred)")
+      .selectExpr("doc_id", "split(text, ' ') AS toks")
+      .selectExpr("doc_id", s"$sparkGrams AS grams")
+      .selectExpr("doc_id",
+        "graft_h32a(grams) AS ghs", "graft_h64sd(grams) AS hs")
+      .selectExpr("doc_id", "hs", "graft_minhash16(ghs) AS sigarr")
+      .selectExpr(Seq("doc_id", "hs") ++ sparkSigCols: _*)
+      .localCheckpoint()
+    newSigs.createOrReplaceTempView("cfo_sigs")
+    s.read.parquet(s"$store/bands")
+      .createOrReplaceTempView("cfo_oldbands")
+    s.read.parquet(s"$store/sigs")
+      .createOrReplaceTempView("cfo_oldsigs")
+    val newBandSelects = (0 until JacBands)
+      .map(b => s"SELECT doc_id, $b AS band, ${jacBandKeySpark(b)} AS bk" +
+        " FROM cfo_sigs")
+      .mkString(" UNION ALL ")
+    // Increment candidates: bands(new) probe the STORED index
+    // (old-new) plus a banded self-join of the new batch alone
+    // (new-new); old-old pairs never regenerate — the assignment
+    // already summarizes them. UNION dedupes across branches and
+    // bands; least/greatest normalizes because old/new ids interleave
+    // (the split is by source, not id). Verify joins hit stored sigs
+    // for old endpoints and the cached new sigs for new ones — the
+    // same dd_jaccard arithmetic, term-for-term.
+    // The verified edge list is checkpointed EAGERLY (under the same
+    // scoped AQE-off as dd_cluster_incremental's edge build) before
+    // contractedMerge sees it: handed on as lineage, the jaccard
+    // threshold over the expensive graft_isect projection gets pushed
+    // into the contracted-pipeline's join conditions and re-evaluated
+    // per probed pair (the known trap the repo mitigates everywhere by
+    // persisting the compact pair projection first).
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val aqeWas = s.conf.getOption(aqeKey)
+    s.conf.set(aqeKey, "false")
+    val edges = try s.sql(
+      s"""WITH newbands AS ($newBandSelects),
+         |cand AS (
+         |  SELECT least(o.doc_id, n.doc_id) AS doc_a,
+         |         greatest(o.doc_id, n.doc_id) AS doc_b
+         |  FROM cfo_oldbands o JOIN newbands n
+         |    ON o.band = n.band AND o.bk = n.bk
+         |  UNION
+         |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM newbands x JOIN newbands y
+         |    ON x.band = y.band AND x.bk = y.bk AND x.doc_id < y.doc_id),
+         |allsigs AS (
+         |  SELECT doc_id, hs FROM cfo_oldsigs
+         |  UNION ALL
+         |  SELECT doc_id, hs FROM cfo_sigs)
+         |SELECT doc_a, doc_b FROM (
+         |  SELECT doc_a, doc_b,
+         |    round(cast(graft_isect(a.hs, b.hs) as double)
+         |      / (size(a.hs) + size(b.hs) - graft_isect(a.hs, b.hs)), 6)
+         |      AS jaccard
+         |  FROM cand JOIN allsigs a ON a.doc_id = doc_a
+         |            JOIN allsigs b ON b.doc_id = doc_b
+         |  WHERE least(size(a.hs), size(b.hs)) * 10
+         |        >= greatest(size(a.hs), size(b.hs)) * 6)
+         |WHERE jaccard >= 0.6""".stripMargin).localCheckpoint()
+    finally aqeWas match {
+      case Some(v) => s.conf.set(aqeKey, v)
+      case None    => s.conf.unset(aqeKey)
+    }
+    val lblA = s.read.parquet(s"$store/assignment")
+    contractedMerge("dd_cluster_fold_stored#merge", lblA, edges,
+      newSigs.select("doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  // One monitor per on-disk store dir (same role as Similarity's
+  // storeLocks): the exists/build/write check-then-act must not
+  // interleave with a concurrent load of a half-written store.
+  private val clusterStoreLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]
+
+  /** Per-(process, corpus) scratch store dir, the IvfPqStore
+    * convention: first caller builds+saves, later calls are pure
+    * load+serve — the restarted-session story at fixture scale.
+    */
+  private def clusterStoreDir(dir: String): String =
+    new java.io.File(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+      "graft_cstore_" + java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map("%02x".format(_)).mkString.take(12) +
+        "_p" + ProcessHandle.current().pid()).toString
+
+  private def ensureClusterStore(s: SparkSession, dir: String): String = {
+    val store = clusterStoreDir(dir)
+    clusterStoreLocks.computeIfAbsent(store, _ => new Object)
+      .synchronized {
+        if (!ClusterStore.exists(store)) clusterStoreBuild(s, dir, store)
+      }
+    store
+  }
+
+  // -- dd_cluster_store: persist the prior clustering, serve the LOADED copy --
+  // Round-trips the assignment through the store and returns the
+  // parquet-loaded copy — never the in-session frame that computed it —
+  // so the gate pins the persist/load path against the independent
+  // old-half recursive-closure oracle.
+  private def ddClusterStore(s: SparkSession, dir: String): DataFrame = {
+    val store = ensureClusterStore(s, dir)
+    s.read.parquet(s"$store/assignment").orderBy(col("doc_id"))
+  }
+
+  // -- dd_cluster_fold_stored: fold the new batch into the stored clusters ----
+  // Gated by the full-corpus oracle: the fold over store + new text
+  // must be bit-identical to batch re-clustering of everything.
+  private def ddClusterFoldStored(s: SparkSession, dir: String)
+      : DataFrame =
+    clusterStoreFold(s, dir, ensureClusterStore(s, dir))
 
   // -- dd_embed_cluster: semantic near-dup components (SemDeDup shape) --------
   // Embedding-space clustering for semantic dedup: connected components
@@ -2257,6 +2495,8 @@ object Dedup extends QueryPack {
       "dd_incremental" -> ddIncremental _,
       "dd_incremental_bloom" -> ddIncrementalBloom _,
       "dd_threshold_sweep" -> ddThresholdSweep _,
+      "dd_cluster_store" -> ddClusterStore _,
+      "dd_cluster_fold_stored" -> ddClusterFoldStored _,
       "dd_semdedup" -> ddSemdedup _,
       "dd_embed_cluster" -> ddEmbedCluster _,
       "dd_embed_cluster_incremental" -> ddEmbedClusterIncremental _,
@@ -2287,6 +2527,11 @@ object Dedup extends QueryPack {
     // the Bloom-gated variant is bit-identical by construction
     "dd_incremental_bloom" -> ddIncrementalSql,
     "dd_threshold_sweep" -> ddThresholdSweepSql,
+    // the stored prior: the old-half restriction of the closure oracle
+    "dd_cluster_store" ->
+      ddClusterSqlFor(" WHERE CAST(substr(source, 4) AS INT) < 10"),
+    // the fold is bit-identical to batch re-clustering of everything
+    "dd_cluster_fold_stored" -> ddClusterSql,
     "dd_semdedup" -> ddSemdedupSql,
     "dd_embed_cluster" -> ddEmbedClusterSql,
     // contraction is bit-identical to the full banded clustering
