@@ -1973,16 +1973,17 @@ object Dedup extends QueryPack {
     */
   private val oldPred = "cast(substring(source, 4) as int) < 10"
 
-  /** Build the store from the corpus docs matching [[oldPred]]: one
-    * banded self-join + exact verify (the dd_jaccard arithmetic,
-    * term-for-term), one LP to convergence, three parquet landings,
-    * manifest last.
+  /** Build the store from the corpus docs matching `pred` (the driver
+    * key uses [[oldPred]]): one banded self-join + exact verify (the
+    * dd_jaccard arithmetic, term-for-term), one LP to convergence,
+    * three parquet landings, manifest last.
     */
   private[graft] def clusterStoreBuild(s: SparkSession, dir: String,
-                                       store: String): Unit = {
+                                       store: String,
+                                       pred: String = oldPred): Unit = {
     VectorFunctions.ensureRegistered(s)
     val sigs = table(s, dir, "documents")
-      .where(oldPred)
+      .where(pred)
       .selectExpr("doc_id", "split(text, ' ') AS toks")
       .selectExpr("doc_id", s"$sparkGrams AS grams")
       .selectExpr("doc_id",
@@ -2032,7 +2033,20 @@ object Dedup extends QueryPack {
     * argument).
     */
   private[graft] def clusterStoreFold(s: SparkSession, dir: String,
-                                      store: String): DataFrame = {
+                                      store: String,
+                                      newPred: String = s"NOT ($oldPred)")
+      : DataFrame =
+    clusterStoreIncrement(s, dir, store, newPred)._2
+      .orderBy(col("doc_id"))
+
+  /** The increment computation shared by the serve-only fold and the
+    * generation-writing [[clusterStoreFoldInto]]: returns the new
+    * batch's checkpointed sig relation and the merged (store + new)
+    * assignment, UNSORTED.
+    */
+  private def clusterStoreIncrement(s: SparkSession, dir: String,
+                                    store: String, newPred: String)
+      : (DataFrame, DataFrame) = {
     VectorFunctions.ensureRegistered(s)
     // localCheckpoint (EAGER), not cache: the relation feeds 8 band
     // sides, both verify join-backs, and the node list — ~10
@@ -2042,7 +2056,7 @@ object Dedup extends QueryPack {
     // checkpoint carried 15.4 CPU-s, ~10x the sig pipeline's cost);
     // an eager checkpoint runs the chains exactly once.
     val newSigs = table(s, dir, "documents")
-      .where(s"NOT ($oldPred)")
+      .where(newPred)
       .selectExpr("doc_id", "split(text, ' ') AS toks")
       .selectExpr("doc_id", s"$sparkGrams AS grams")
       .selectExpr("doc_id",
@@ -2107,9 +2121,41 @@ object Dedup extends QueryPack {
       case None    => s.conf.unset(aqeKey)
     }
     val lblA = s.read.parquet(s"$store/assignment")
-    contractedMerge("dd_cluster_fold_stored#merge", lblA, edges,
-      newSigs.select("doc_id"))
-      .orderBy(col("doc_id"))
+    (newSigs,
+      contractedMerge("dd_cluster_fold_stored#merge", lblA, edges,
+        newSigs.select("doc_id")))
+  }
+
+  /** Write the NEXT-GENERATION store at `out`: assignment = the merged
+    * fold, sigs/bands = the prior store's parquet UNION the
+    * increment's (computed this generation). Stores are IMMUTABLE —
+    * the caller manages generation paths like any object-store
+    * dataset version, so there is no in-place flip to get wrong and a
+    * reader of the prior generation is never disturbed. Old text is
+    * never re-read at any generation; ClusterStoreSpec's
+    * three-generation chain destroys each batch's text as soon as its
+    * generation lands and the final assignment still bit-matches
+    * batch re-clustering of the original corpus.
+    */
+  private[graft] def clusterStoreFoldInto(s: SparkSession, dir: String,
+                                          store: String, newPred: String,
+                                          out: String): Unit = {
+    val (newSigs, merged) = clusterStoreIncrement(s, dir, store, newPred)
+    new java.io.File(out).mkdirs()
+    merged.write.mode("overwrite").parquet(s"$out/assignment")
+    s.read.parquet(s"$store/sigs")
+      .union(newSigs.select("doc_id", "hs"))
+      .write.mode("overwrite").parquet(s"$out/sigs")
+    newSigs.createOrReplaceTempView("cfi_sigs")
+    val bandSelects = (0 until JacBands)
+      .map(b => s"SELECT doc_id, $b AS band, ${jacBandKeySpark(b)} AS bk" +
+        " FROM cfi_sigs")
+      .mkString(" UNION ALL ")
+    s.read.parquet(s"$store/bands")
+      .union(s.sql(s"SELECT doc_id, band, bk FROM ($bandSelects)"))
+      .write.mode("overwrite").parquet(s"$out/bands")
+    val n = s.read.parquet(s"$out/sigs").count()
+    ClusterStore.writeManifest(out, n)
   }
 
   // One monitor per on-disk store dir (same role as Similarity's

@@ -49,6 +49,42 @@ class ClusterStoreSpec extends AnyFunSuite {
         "of the original — the fold read old documents' text")
   }
 
+  test("three-generation fold chain — each increment folded into an " +
+       "immutable next-generation store, each batch's text destroyed " +
+       "as soon as its generation lands — equals batch re-clustering") {
+    val real = spark.read.parquet(s"$dir/documents.parquet")
+    // corpus dir where the docs matching `preds` have garbage text
+    def doctored(preds: String*): String = {
+      val d = java.nio.file.Files
+        .createTempDirectory("graft_cstore_gen").toString
+      real.withColumn("text",
+        when(expr(preds.map(p => s"($p)").mkString(" OR ")),
+          concat(lit("DESTROYED "), col("doc_id")))
+          .otherwise(col("text")))
+        .write.mode("overwrite").parquet(s"$d/documents.parquet")
+      d
+    }
+    val m0 = "doc_id % 3 = 0"
+    val m1 = "doc_id % 3 = 1"
+    val m2 = "doc_id % 3 = 2"
+    val g1 = java.nio.file.Files
+      .createTempDirectory("graft_cstore_g1").toString
+    Dedup.clusterStoreBuild(spark, dir, g1, m0)
+    val g2 = java.nio.file.Files
+      .createTempDirectory("graft_cstore_g2").toString
+    Dedup.clusterStoreFoldInto(spark, doctored(m0), g1, m1, g2)
+    val g3 = java.nio.file.Files
+      .createTempDirectory("graft_cstore_g3").toString
+    Dedup.clusterStoreFoldInto(spark, doctored(m0, m1), g2, m2, g3)
+    val got = clusters(
+      spark.read.parquet(s"$g3/assignment").orderBy("doc_id"))
+    val batch = clusters(SparkEntry.queries("dd_cluster")(spark, dir))
+    assert(got == batch,
+      "the generation-3 assignment diverged from batch re-clustering " +
+        "— either a fold read destroyed text or the contraction is " +
+        "not associative across generations")
+  }
+
   test("a half-written store (manifest missing) reads as absent — " +
        "manifest.json is the exists() marker and lands last") {
     val store = java.nio.file.Files
