@@ -2047,6 +2047,40 @@ object Dedup extends QueryPack {
   private def clusterStoreIncrement(s: SparkSession, dir: String,
                                     store: String, newPred: String)
       : (DataFrame, DataFrame) = {
+    val (newSigs, edgesLazy) = clusterStoreEdgeFrame(s, dir, store, newPred)
+    // The verified edge list is checkpointed EAGERLY (under the same
+    // scoped AQE-off as dd_cluster_incremental's edge build) before
+    // contractedMerge sees it: handed on as lineage, the jaccard
+    // threshold over the expensive graft_isect projection gets pushed
+    // into the contracted-pipeline's join conditions and re-evaluated
+    // per probed pair (the known trap the repo mitigates everywhere by
+    // persisting the compact pair projection first). The scoped flip
+    // works here because planning happens at the localCheckpoint call,
+    // inside the scope — not at frame construction.
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val aqeWas = s.conf.getOption(aqeKey)
+    s.conf.set(aqeKey, "false")
+    val edges = try edgesLazy.localCheckpoint()
+    finally aqeWas match {
+      case Some(v) => s.conf.set(aqeKey, v)
+      case None    => s.conf.unset(aqeKey)
+    }
+    val lblA = s.read.parquet(s"$store/assignment")
+    (newSigs,
+      contractedMerge("dd_cluster_fold_stored#merge", lblA, edges,
+        newSigs.select("doc_id")))
+  }
+
+  /** The fold's new-batch sig relation (eagerly checkpointed) and its
+    * verified-edge frame, LAZY — split out so PlanSpec can pin the
+    * probe join's physical shape (equi-join on (band, bk), no
+    * nested-loop fallback) without running the fold. The caller owns
+    * checkpointing the edge frame; [[clusterStoreIncrement]] is the
+    * only production caller.
+    */
+  private[graft] def clusterStoreEdgeFrame(s: SparkSession, dir: String,
+                                           store: String, newPred: String)
+      : (DataFrame, DataFrame) = {
     VectorFunctions.ensureRegistered(s)
     // localCheckpoint (EAGER), not cache: the relation feeds 8 band
     // sides, both verify join-backs, and the node list — ~10
@@ -2081,17 +2115,7 @@ object Dedup extends QueryPack {
     // (the split is by source, not id). Verify joins hit stored sigs
     // for old endpoints and the cached new sigs for new ones — the
     // same dd_jaccard arithmetic, term-for-term.
-    // The verified edge list is checkpointed EAGERLY (under the same
-    // scoped AQE-off as dd_cluster_incremental's edge build) before
-    // contractedMerge sees it: handed on as lineage, the jaccard
-    // threshold over the expensive graft_isect projection gets pushed
-    // into the contracted-pipeline's join conditions and re-evaluated
-    // per probed pair (the known trap the repo mitigates everywhere by
-    // persisting the compact pair projection first).
-    val aqeKey = "spark.sql.adaptive.enabled"
-    val aqeWas = s.conf.getOption(aqeKey)
-    s.conf.set(aqeKey, "false")
-    val edges = try s.sql(
+    val edges = s.sql(
       s"""WITH newbands AS ($newBandSelects),
          |cand AS (
          |  SELECT least(o.doc_id, n.doc_id) AS doc_a,
@@ -2115,15 +2139,8 @@ object Dedup extends QueryPack {
          |            JOIN allsigs b ON b.doc_id = doc_b
          |  WHERE least(size(a.hs), size(b.hs)) * 10
          |        >= greatest(size(a.hs), size(b.hs)) * 6)
-         |WHERE jaccard >= 0.6""".stripMargin).localCheckpoint()
-    finally aqeWas match {
-      case Some(v) => s.conf.set(aqeKey, v)
-      case None    => s.conf.unset(aqeKey)
-    }
-    val lblA = s.read.parquet(s"$store/assignment")
-    (newSigs,
-      contractedMerge("dd_cluster_fold_stored#merge", lblA, edges,
-        newSigs.select("doc_id")))
+         |WHERE jaccard >= 0.6""".stripMargin)
+    (newSigs, edges)
   }
 
   /** Write the NEXT-GENERATION store at `out`: assignment = the merged
@@ -2176,7 +2193,7 @@ object Dedup extends QueryPack {
         .map("%02x".format(_)).mkString.take(12) +
         "_p" + ProcessHandle.current().pid()).toString
 
-  private def ensureClusterStore(s: SparkSession, dir: String): String = {
+  private[graft] def ensureClusterStore(s: SparkSession, dir: String): String = {
     val store = clusterStoreDir(dir)
     clusterStoreLocks.computeIfAbsent(store, _ => new Object)
       .synchronized {

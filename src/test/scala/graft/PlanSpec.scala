@@ -393,4 +393,33 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.take(4000))
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(4000))
   }
+
+  test("dd_cluster_fold_stored: the store probe join is an equi-join " +
+      "on (band, bk), never a nested-loop fallback") {
+    // The 100 TB claim for the persistent store is that a fold costs
+    // bands(new) probing the STORED index — an equi-join a deployment
+    // co-locates by bucketing bands/ on (band, bk). Pin the physical
+    // shape of the verified-edge frame (exposed lazily by
+    // clusterStoreEdgeFrame, the exact frame the fold checkpoints)
+    // under the same AQE-off planning scope the fold executes under.
+    val store = operators.Dedup.ensureClusterStore(spark, dir)
+    val (_, edges) = operators.Dedup.clusterStoreEdgeFrame(
+      spark, dir, store, "cast(substring(source, 4) as int) >= 10")
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val aqeWas = spark.conf.getOption(aqeKey)
+    spark.conf.set(aqeKey, "false")
+    val p = try edges.queryExecution.executedPlan.toString
+    finally aqeWas match {
+      case Some(v) => spark.conf.set(aqeKey, v)
+      case None    => spark.conf.unset(aqeKey)
+    }
+    assert(!p.contains("CartesianProduct"), p.take(4000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(4000))
+    // both candidate branches join on the two-part band key
+    assert("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \\[band".r
+      .findAllIn(p).size >= 2, p.take(4000))
+    // and the stored index is scanned from parquet, not recomputed
+    assert(p.contains("graft_cstore_") || p.toLowerCase.contains("parquet"),
+      p.take(4000))
+  }
 }
