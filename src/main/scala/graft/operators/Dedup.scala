@@ -106,6 +106,25 @@ object Dedup extends QueryPack {
     s"md5(concat_ws(',', cast(sig_${2 * b} as string)," +
       s" cast(sig_${2 * b + 1} as string)))"
 
+  /** Band-side skew guard for every JACCARD-VERIFIED banding site. A
+    * doc whose shingle set is empty (text shorter than one word-bigram)
+    * minhashes to Long.MaxValue in EVERY signature — minhash16's fold
+    * identity with nothing to fold — so all such docs share one
+    * identical (band, bk) key in all 8 bands. On a web-scale corpus
+    * that single bucket generates |empty|²/2 candidate pairs per band:
+    * a quadratic bucket bomb, every pair of which the exact verify
+    * then rejects anyway (Jaccard against an empty hash set is
+    * 0/len = 0 or 0/0 = NULL in both engines, never >= 0.6 — pinned
+    * by ShortDocGuardSpec). Dropping empty-sig docs from the BAND
+    * side before candidate generation is therefore semantics-free for
+    * this family — they still flow through every node list and exact
+    * path, surfacing as singletons — and turns the bomb into a linear
+    * skip. NOT applied to the signature-similarity family
+    * (dd_minhash_lsh est_sim, dd_simhash* hamming), where two empty
+    * docs have identical signatures and legitimately pair.
+    */
+  private val jacBandGuard = s" WHERE sig_0 <> ${Long.MaxValue}L"
+
   /** Shared (doc_id, hs, sig_0..15) relation behind dd_jaccard and
     * dd_containment: registered under `view`, CACHED because it feeds
     * all 8 band sides and both exact-re-check join-backs (the md5
@@ -128,8 +147,19 @@ object Dedup extends QueryPack {
       .createOrReplaceTempView(view)
     (0 until JacBands)
       .map(b => s"SELECT doc_id, $b AS band, ${jacBandKeySpark(b)} AS bk" +
-        s" FROM $view")
+        s" FROM $view$jacBandGuard")
       .mkString(" UNION ALL ")
+  }
+
+  /** Test hook (ShortDocGuardSpec): the guarded band-side relation of
+    * the jaccard family, as a frame — so the spec can assert the
+    * [[jacBandGuard]] actually keeps empty-shingle docs out of the
+    * probe index rather than trusting the SQL string.
+    */
+  private[graft] def jaccardBandRowsForTest(s: SparkSession,
+                                            dir: String): DataFrame = {
+    val bandSelects = bandedSigRelation(s, dir, "sdg_sigs")
+    s.sql(s"SELECT doc_id, band, bk FROM ($bandSelects)")
   }
 
   /** Unordered banded pairs — the composition form. Consumers that feed
@@ -507,7 +537,7 @@ object Dedup extends QueryPack {
       .createOrReplaceTempView("inc_sigs")
     val bandSelects = (0 until JacBands)
       .map(b => s"SELECT doc_id, is_new, $b AS band," +
-        s" ${jacBandKeySpark(b)} AS bk FROM inc_sigs")
+        s" ${jacBandKeySpark(b)} AS bk FROM inc_sigs$jacBandGuard")
       .mkString(" UNION ALL ")
     s.sql(
       s"""WITH bands AS ($bandSelects),
@@ -570,7 +600,7 @@ object Dedup extends QueryPack {
       .createOrReplaceTempView("incb_sigs")
     val bandSelects = (0 until JacBands)
       .map(b => s"SELECT doc_id, is_new, $b AS band," +
-        s" ${jacBandKeySpark(b)} AS bk FROM incb_sigs")
+        s" ${jacBandKeySpark(b)} AS bk FROM incb_sigs$jacBandGuard")
       .mkString(" UNION ALL ")
     s.sql(
       s"""WITH bands AS ($bandSelects),
@@ -1804,7 +1834,7 @@ object Dedup extends QueryPack {
       .createOrReplaceTempView("cinc_sigs")
     val bandSelects = (0 until JacBands)
       .map(b => s"SELECT doc_id, is_new, $b AS band," +
-        s" ${jacBandKeySpark(b)} AS bk FROM cinc_sigs")
+        s" ${jacBandKeySpark(b)} AS bk FROM cinc_sigs$jacBandGuard")
       .mkString(" UNION ALL ")
     // identical candidate scheme + re-check arithmetic to
     // ddJaccardPairs (the prune is semantics-free), with the is_new
@@ -1994,7 +2024,7 @@ object Dedup extends QueryPack {
     sigs.createOrReplaceTempView("cst_sigs")
     val bandSelects = (0 until JacBands)
       .map(b => s"SELECT doc_id, $b AS band, ${jacBandKeySpark(b)} AS bk" +
-        " FROM cst_sigs")
+        s" FROM cst_sigs$jacBandGuard")
       .mkString(" UNION ALL ")
     val pairs = s.sql(
       s"""WITH bands AS ($bandSelects),
@@ -2105,7 +2135,7 @@ object Dedup extends QueryPack {
       .createOrReplaceTempView("cfo_oldsigs")
     val newBandSelects = (0 until JacBands)
       .map(b => s"SELECT doc_id, $b AS band, ${jacBandKeySpark(b)} AS bk" +
-        " FROM cfo_sigs")
+        s" FROM cfo_sigs$jacBandGuard")
       .mkString(" UNION ALL ")
     // Increment candidates: bands(new) probe the STORED index
     // (old-new) plus a banded self-join of the new batch alone
@@ -2166,7 +2196,7 @@ object Dedup extends QueryPack {
     newSigs.createOrReplaceTempView("cfi_sigs")
     val bandSelects = (0 until JacBands)
       .map(b => s"SELECT doc_id, $b AS band, ${jacBandKeySpark(b)} AS bk" +
-        " FROM cfi_sigs")
+        s" FROM cfi_sigs$jacBandGuard")
       .mkString(" UNION ALL ")
     s.read.parquet(s"$store/bands")
       .union(s.sql(s"SELECT doc_id, band, bk FROM ($bandSelects)"))
