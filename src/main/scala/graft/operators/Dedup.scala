@@ -1198,9 +1198,21 @@ object Dedup extends QueryPack {
         "graft_rh_buckets(embedding) AS bks")
       .cache()
     e.createOrReplaceTempView("cos_e")
+    // Band-side zero-norm guard — the embedding-space twin of
+    // jacBandGuard: a zero vector's hyperplane dots are all 0, so its
+    // sign buckets are the CONSTANT key in every band (all zero-norm
+    // vectors share one bucket — |zero|²/2 candidates at corpus
+    // scale), while its cosine to anything is 0/0 = NaN, which both
+    // engines' NaN-is-greatest comparison semantics would wave
+    // through the >= 0.4 verify as a bogus near-dup edge. Excluding
+    // zero-norm vectors from the BAND side kills both failure modes
+    // at candidate generation; they still reach every node list and
+    // surface as singletons (ZeroNormGuardSpec). The oracle
+    // restatements carry the same WHERE n2 > 0, so both dialects
+    // state the same query.
     val bandSelects = (0 until CosBands)
       .map(b => s"SELECT vec_id, $b AS band, element_at(bks, ${b + 1}) AS bkt" +
-        " FROM cos_e")
+        " FROM cos_e WHERE n2 > 0")
       .mkString(" UNION ALL ")
     s.sql(
       s"""WITH bands AS ($bandSelects),
@@ -1236,8 +1248,11 @@ object Dedup extends QueryPack {
                                         rows: Int): DataFrame = {
     VectorFunctions.ensureRegistered(emb.sparkSession)
     val bandsDf = emb
-      .selectExpr("vec_id",
+      .selectExpr("vec_id", "embedding",
         s"graft_rh_buckets_n(embedding, $bands, $rows) AS bks")
+      // same zero-norm band guard as ddEmbedLshPairs (constant-bucket
+      // bomb + NaN-cosine wave-through; see the comment there)
+      .where(expr("graft_dot(embedding, embedding) > 0"))
       .select(col("vec_id"), posexplode(col("bks")).as(Seq("band", "bkt")))
     bandsDf.alias("x").join(bandsDf.alias("y"),
         col("x.band") === col("y.band") && col("x.bkt") === col("y.bkt") &&
@@ -1255,7 +1270,7 @@ object Dedup extends QueryPack {
 
   private val ddEmbedCosineLshSql = {
     val bandSelects = (0 until CosBands)
-      .map(b => s"SELECT vec_id, $b AS band, bkt_$b AS bkt FROM e")
+      .map(b => s"SELECT vec_id, $b AS band, bkt_$b AS bkt FROM e WHERE n2 > 0")
       .mkString(" UNION ALL ")
     s"""WITH e AS (
        |  SELECT vec_id, embedding,
@@ -2326,7 +2341,7 @@ object Dedup extends QueryPack {
 
   private val ddEmbedClusterSql = {
     val bandSelects = (0 until CosBands)
-      .map(b => s"SELECT vec_id, $b AS band, bkt_$b AS bkt FROM e")
+      .map(b => s"SELECT vec_id, $b AS band, bkt_$b AS bkt FROM e WHERE n2 > 0")
       .mkString(" UNION ALL ")
     s"""${ddEmbedClusterCtes(bandSelects)}
        |SELECT v AS vec_id, MIN(node) AS cluster_id
@@ -2407,7 +2422,7 @@ object Dedup extends QueryPack {
 
   private val ddLpEdgesSql = {
     val bandSelects = (0 until CosBands)
-      .map(b => s"SELECT vec_id, $b AS band, bkt_$b AS bkt FROM e")
+      .map(b => s"SELECT vec_id, $b AS band, bkt_$b AS bkt FROM e WHERE n2 > 0")
       .mkString(" UNION ALL ")
     s"""${ddEmbedEdgeCtes(bandSelects, "WITH")}
        |SELECT src, dst FROM edges ORDER BY src, dst""".stripMargin
@@ -2450,7 +2465,7 @@ object Dedup extends QueryPack {
 
   private def ddSemdedupSql: String = {
     val bandSelects = (0 until CosBands)
-      .map(b => s"SELECT vec_id, $b AS band, bkt_$b AS bkt FROM e")
+      .map(b => s"SELECT vec_id, $b AS band, bkt_$b AS bkt FROM e WHERE n2 > 0")
       .mkString(" UNION ALL ")
     s"""${ddEmbedClusterCtes(bandSelects)},
        |lab AS (SELECT v AS vec_id, MIN(node) AS cluster_id
