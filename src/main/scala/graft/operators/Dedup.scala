@@ -2339,6 +2339,228 @@ object Dedup extends QueryPack {
       .orderBy(col("vec_id"))
   }
 
+  // ---- persistent EMBED cluster store + incremental fold --------------------
+  // The semantic-dedup (SemDeDup) production pattern, mirroring the
+  // jaccard-side ClusterStore term-for-term: a store holds exactly
+  // what a vector increment needs and nothing else —
+  //   assignment/  (vec_id, cluster_id)  the converged prior labels
+  //   vecs/        (vec_id, embedding, n2)  the cosine-verify side
+  //   bands/       (vec_id, band, bkt)  the 12x5 RH-LSH probe index
+  //   manifest.json  written temp+ATOMIC_MOVE LAST (crash marker)
+  // A fold probes bands(new) against the stored index, cosine-verifies
+  // candidates against stored vecs + the new batch, and contract-merges
+  // into the stored assignment (contractedMerge's bit-identity
+  // argument) — it NEVER re-reads old vectors from the corpus:
+  // EmbedClusterStoreSpec zeroes every old embedding after the build
+  // and the fold still bit-matches full banded re-clustering of the
+  // original corpus. At 100 TB the store is the served dedup index —
+  // bands/ is bucket-collocatable on (band, bkt), vecs/ is the only
+  // full-width relation and is touched solely by verified candidates,
+  // and the contracted LP runs over |clusters| + |new| nodes. n2 is
+  // stored, not recomputed: the same graft_dot kernel output the
+  // build used, so fold-time cosines are bit-identical to build-time.
+  private[graft] object EmbedClusterStore {
+    def exists(dir: String): Boolean =
+      java.nio.file.Files.exists(
+        java.nio.file.Paths.get(dir, "manifest.json"))
+
+    def writeManifest(dir: String, nVecs: Long): Unit = {
+      val json =
+        s"""{"vecs": $nVecs, "bands": $CosBands, "rows_per_band": 5,
+           | "threshold": 0.4}""".stripMargin
+      val tmp = java.nio.file.Paths.get(dir, "manifest.json.tmp")
+      java.nio.file.Files.write(tmp,
+        json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.nio.file.Files.move(tmp,
+        java.nio.file.Paths.get(dir, "manifest.json"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
+  /** Append-ordered split shared with dd_embed_cluster_incremental:
+    * the top half of vec_ids is the new batch.
+    */
+  private def embedSplit(s: SparkSession, dir: String): Long =
+    table(s, dir, "embeddings").agg(max("vec_id")).head.getLong(0) / 2 + 1
+
+  /** Build the store from the corpus vectors with vec_id < `split`:
+    * one banded self-join + cosine verify (the dd_embed_cosine_lsh
+    * arithmetic, term-for-term), one LP to convergence, three parquet
+    * landings, manifest last.
+    */
+  private[graft] def embedStoreBuild(s: SparkSession, dir: String,
+                                     store: String): Unit = {
+    VectorFunctions.ensureRegistered(s)
+    val split = embedSplit(s, dir)
+    val e = table(s, dir, "embeddings")
+      .where(s"vec_id < $split")
+      .selectExpr("vec_id", "embedding",
+        "graft_dot(embedding, embedding) AS n2",
+        "graft_rh_buckets(embedding) AS bks")
+      .cache()
+    e.createOrReplaceTempView("est_e")
+    // same zero-norm band guard as ddEmbedLshPairs
+    val bandSelects = (0 until CosBands)
+      .map(b => s"SELECT vec_id, $b AS band, element_at(bks, ${b + 1})" +
+        " AS bkt FROM est_e WHERE n2 > 0")
+      .mkString(" UNION ALL ")
+    val pairs = s.sql(
+      s"""WITH bands AS ($bandSelects),
+         |cand AS (
+         |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.bkt = y.bkt AND x.vec_id < y.vec_id)
+         |SELECT vec_a, vec_b FROM (
+         |  SELECT vec_a, vec_b, round(cs, 6) AS cos_sim FROM (
+         |    SELECT vec_a, vec_b,
+         |      graft_cos(a.embedding, b.embedding, a.n2, b.n2) AS cs
+         |    FROM cand JOIN est_e a ON a.vec_id = vec_a
+         |              JOIN est_e b ON b.vec_id = vec_b)
+         |  WHERE cs > 0.3999994)
+         |WHERE cos_sim >= 0.4""".stripMargin)
+    val lbl = labelPropagate("dd_embed_cluster_store",
+      pairs.toDF("doc_a", "doc_b"),
+      e.select(col("vec_id").as("doc_id")))
+      .toDF("vec_id", "cluster_id")
+    new java.io.File(store).mkdirs()
+    lbl.write.mode("overwrite").parquet(s"$store/assignment")
+    e.select("vec_id", "embedding", "n2").write.mode("overwrite")
+      .parquet(s"$store/vecs")
+    s.sql(s"SELECT vec_id, band, bkt FROM ($bandSelects)")
+      .write.mode("overwrite").parquet(s"$store/bands")
+    val n = e.count()
+    e.unpersist()
+    lbl.unpersist()
+    EmbedClusterStore.writeManifest(store, n)
+  }
+
+  /** The embed fold's new-batch relation (eagerly checkpointed) and
+    * its cosine-verified edge frame, LAZY — the same split as
+    * [[clusterStoreEdgeFrame]], for the same PlanSpec pin.
+    */
+  private[graft] def embedStoreEdgeFrame(s: SparkSession, dir: String,
+                                         store: String)
+      : (DataFrame, DataFrame) = {
+    VectorFunctions.ensureRegistered(s)
+    val split = embedSplit(s, dir)
+    // eager localCheckpoint: feeds 12 band sides, both verify
+    // join-backs, and the node list inside ONE edge job (the lazy-
+    // cache race documented at clusterStoreIncrement)
+    val newE = table(s, dir, "embeddings")
+      .where(s"vec_id >= $split")
+      .selectExpr("vec_id", "embedding",
+        "graft_dot(embedding, embedding) AS n2",
+        "graft_rh_buckets(embedding) AS bks")
+      .localCheckpoint()
+    newE.createOrReplaceTempView("efo_e")
+    s.read.parquet(s"$store/bands")
+      .createOrReplaceTempView("efo_oldbands")
+    s.read.parquet(s"$store/vecs")
+      .createOrReplaceTempView("efo_oldvecs")
+    val newBandSelects = (0 until CosBands)
+      .map(b => s"SELECT vec_id, $b AS band, element_at(bks, ${b + 1})" +
+        " AS bkt FROM efo_e WHERE n2 > 0")
+      .mkString(" UNION ALL ")
+    // bands(new) probe the STORED index (old-new) plus a banded
+    // self-join of the new batch alone (new-new); old-old pairs never
+    // regenerate. vec_a < vec_b holds for both branches because the
+    // split is by id: every old id < every new id.
+    val edges = s.sql(
+      s"""WITH newbands AS ($newBandSelects),
+         |cand AS (
+         |  SELECT o.vec_id AS vec_a, n.vec_id AS vec_b
+         |  FROM efo_oldbands o JOIN newbands n
+         |    ON o.band = n.band AND o.bkt = n.bkt
+         |  UNION
+         |  SELECT x.vec_id AS vec_a, y.vec_id AS vec_b
+         |  FROM newbands x JOIN newbands y
+         |    ON x.band = y.band AND x.bkt = y.bkt AND x.vec_id < y.vec_id),
+         |allvecs AS (
+         |  SELECT vec_id, embedding, n2 FROM efo_oldvecs
+         |  UNION ALL
+         |  SELECT vec_id, embedding, n2 FROM efo_e)
+         |SELECT vec_a, vec_b FROM (
+         |  SELECT vec_a, vec_b, round(cs, 6) AS cos_sim FROM (
+         |    SELECT vec_a, vec_b,
+         |      graft_cos(a.embedding, b.embedding, a.n2, b.n2) AS cs
+         |    FROM cand JOIN allvecs a ON a.vec_id = vec_a
+         |              JOIN allvecs b ON b.vec_id = vec_b)
+         |  WHERE cs > 0.3999994)
+         |WHERE cos_sim >= 0.4""".stripMargin)
+    (newE, edges)
+  }
+
+  /** Fold the corpus vectors with vec_id >= split into the stored
+    * clustering: reads the store + the NEW vectors only; bit-identical
+    * to batch re-clustering (contractedMerge's argument).
+    */
+  private[graft] def embedStoreFold(s: SparkSession, dir: String,
+                                    store: String): DataFrame = {
+    val (newE, edgesLazy) = embedStoreEdgeFrame(s, dir, store)
+    // eager edge checkpoint under scoped AQE-off — the
+    // threshold-into-join-condition trap (see clusterStoreIncrement)
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val aqeWas = s.conf.getOption(aqeKey)
+    s.conf.set(aqeKey, "false")
+    val edges = try edgesLazy.localCheckpoint()
+    finally aqeWas match {
+      case Some(v) => s.conf.set(aqeKey, v)
+      case None    => s.conf.unset(aqeKey)
+    }
+    val lblA = s.read.parquet(s"$store/assignment")
+      .toDF("doc_id", "cluster_id")
+    contractedMerge("dd_embed_cluster_fold_stored#merge", lblA,
+      edges.toDF("doc_a", "doc_b"),
+      newE.select(col("vec_id").as("doc_id")))
+      .select(col("doc_id").as("vec_id"), col("cluster_id"))
+      .orderBy(col("vec_id"))
+  }
+
+  private val embedStoreLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]
+
+  /** Per-(process, corpus) scratch store, the ClusterStore/IvfPqStore
+    * convention: first caller builds+saves, later calls load+serve.
+    */
+  private def embedStoreDir(dir: String): String =
+    new java.io.File(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+      "graft_estore_" + java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map("%02x".format(_)).mkString.take(12) +
+        "_p" + ProcessHandle.current().pid()).toString
+
+  private[graft] def ensureEmbedStore(s: SparkSession,
+                                      dir: String): String = {
+    val store = embedStoreDir(dir)
+    embedStoreLocks.computeIfAbsent(store, _ => new Object)
+      .synchronized {
+        if (!EmbedClusterStore.exists(store)) embedStoreBuild(s, dir, store)
+      }
+    store
+  }
+
+  // -- dd_embed_cluster_store: persist the old-half clustering, serve LOADED --
+  private def ddEmbedClusterStore(s: SparkSession, dir: String)
+      : DataFrame = {
+    val store = ensureEmbedStore(s, dir)
+    s.read.parquet(s"$store/assignment").orderBy(col("vec_id"))
+  }
+
+  // -- dd_embed_cluster_fold_stored: fold new vectors into the store ----------
+  // Gated by the full-corpus banded oracle: the fold over store + new
+  // vectors must be bit-identical to batch re-clustering of everything.
+  private def ddEmbedClusterFoldStored(s: SparkSession, dir: String)
+      : DataFrame =
+    embedStoreFold(s, dir, ensureEmbedStore(s, dir))
+
+  /** Old-half restriction for the store oracle — the banded clustering
+    * of the build's half alone, restated independently.
+    */
+  private val embedOldWhere =
+    " WHERE vec_id < (SELECT max(vec_id) // 2 + 1 FROM embeddings)"
+
   private val ddEmbedClusterSql = {
     val bandSelects = (0 until CosBands)
       .map(b => s"SELECT vec_id, $b AS band, bkt_$b AS bkt FROM e WHERE n2 > 0")
@@ -2348,15 +2570,25 @@ object Dedup extends QueryPack {
        |FROM r GROUP BY v ORDER BY vec_id""".stripMargin
   }
 
+  private val ddEmbedClusterStoreSql = {
+    val bandSelects = (0 until CosBands)
+      .map(b => s"SELECT vec_id, $b AS band, bkt_$b AS bkt FROM e WHERE n2 > 0")
+      .mkString(" UNION ALL ")
+    s"""${ddEmbedClusterCtes(bandSelects, embedOldWhere)}
+       |SELECT v AS vec_id, MIN(node) AS cluster_id
+       |FROM r GROUP BY v ORDER BY vec_id""".stripMargin
+  }
+
   /** The shared banded-edge + recursive-closure CTE chain behind
     * dd_embed_cluster's oracle and dd_semdedup's (which adds the
     * per-cluster keeper selection on top). `withKw` lets dd_lp_edges
     * reuse the edge prefix without the recursive closure.
     */
-  private def ddEmbedClusterCtes(bandSelects: String): String =
-    s"""${ddEmbedEdgeCtes(bandSelects, "WITH RECURSIVE")},
+  private def ddEmbedClusterCtes(bandSelects: String,
+                                 embWhere: String = ""): String =
+    s"""${ddEmbedEdgeCtes(bandSelects, "WITH RECURSIVE", embWhere)},
        |r(v, node) AS (
-       |  SELECT vec_id, vec_id FROM embeddings
+       |  SELECT vec_id, vec_id FROM embeddings$embWhere
        |  UNION
        |  SELECT r.v, e2.dst FROM r JOIN edges e2 ON e2.src = r.node)""".stripMargin
 
@@ -2366,7 +2598,8 @@ object Dedup extends QueryPack {
     * exactly what [[prepLpEdges]] materializes for the embed-LSH share
     * key.
     */
-  private def ddEmbedEdgeCtes(bandSelects: String, withKw: String): String =
+  private def ddEmbedEdgeCtes(bandSelects: String, withKw: String,
+                              embWhere: String = ""): String =
     s"""$withKw e AS (
        |  SELECT vec_id, embedding,
        |    list_reduce(list_transform(range(1, len(embedding) + 1),
@@ -2375,7 +2608,7 @@ object Dedup extends QueryPack {
        |    ${(0 until CosBands)
               .map(b => s"${cosBucket(cosPlaneDotD, b)} AS bkt_$b")
               .mkString(",\n    ")}
-       |  FROM embeddings),
+       |  FROM embeddings$embWhere),
        |bands AS ($bandSelects),
        |cand AS (
        |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
@@ -2608,6 +2841,8 @@ object Dedup extends QueryPack {
       "dd_semdedup" -> ddSemdedup _,
       "dd_embed_cluster" -> ddEmbedCluster _,
       "dd_embed_cluster_incremental" -> ddEmbedClusterIncremental _,
+      "dd_embed_cluster_store" -> ddEmbedClusterStore _,
+      "dd_embed_cluster_fold_stored" -> ddEmbedClusterFoldStored _,
       "dd_embed_cluster_exact" -> ddEmbedClusterExact _,
       "dd_curation_funnel" -> ddCurationFunnel _,
       "dd_source_overlap" -> ddSourceOverlap _,
@@ -2644,6 +2879,10 @@ object Dedup extends QueryPack {
     "dd_embed_cluster" -> ddEmbedClusterSql,
     // contraction is bit-identical to the full banded clustering
     "dd_embed_cluster_incremental" -> ddEmbedClusterSql,
+    // the stored prior: the old-half restriction of the banded oracle
+    "dd_embed_cluster_store" -> ddEmbedClusterStoreSql,
+    // the fold is bit-identical to batch re-clustering of everything
+    "dd_embed_cluster_fold_stored" -> ddEmbedClusterSql,
     "dd_lp_edges" -> ddLpEdgesSql,
     "dd_embed_cluster_exact" -> ddEmbedClusterExactSql,
     "dd_curation_funnel" -> ddCurationFunnelSql,

@@ -422,4 +422,25 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("graft_cstore_") || p.toLowerCase.contains("parquet"),
       p.take(4000))
   }
+
+  test("dd_embed_cluster_fold_stored: the store probe join is an " +
+      "equi-join on (band, bkt), never a nested-loop fallback") {
+    // Same 100 TB claim as the jaccard-side fold: a vector increment
+    // costs bands(new) probing the STORED RH-LSH index — equi-join on
+    // (band, bkt) — plus verify joins on vec_id against stored vecs.
+    val store = operators.Dedup.ensureEmbedStore(spark, dir)
+    val (_, edges) = operators.Dedup.embedStoreEdgeFrame(spark, dir, store)
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val aqeWas = spark.conf.getOption(aqeKey)
+    spark.conf.set(aqeKey, "false")
+    val p = try edges.queryExecution.executedPlan.toString
+    finally aqeWas match {
+      case Some(v) => spark.conf.set(aqeKey, v)
+      case None    => spark.conf.unset(aqeKey)
+    }
+    assert(!p.contains("CartesianProduct"), p.take(4000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(4000))
+    assert("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \\[band".r
+      .findAllIn(p).size >= 2, p.take(4000))
+  }
 }
