@@ -2390,11 +2390,13 @@ object Dedup extends QueryPack {
     * landings, manifest last.
     */
   private[graft] def embedStoreBuild(s: SparkSession, dir: String,
-                                     store: String): Unit = {
+                                     store: String,
+                                     pred: String = ""): Unit = {
     VectorFunctions.ensureRegistered(s)
-    val split = embedSplit(s, dir)
+    val oldPred =
+      if (pred.isEmpty) s"vec_id < ${embedSplit(s, dir)}" else pred
     val e = table(s, dir, "embeddings")
-      .where(s"vec_id < $split")
+      .where(oldPred)
       .selectExpr("vec_id", "embedding",
         "graft_dot(embedding, embedding) AS n2",
         "graft_rh_buckets(embedding) AS bks")
@@ -2440,15 +2442,17 @@ object Dedup extends QueryPack {
     * [[clusterStoreEdgeFrame]], for the same PlanSpec pin.
     */
   private[graft] def embedStoreEdgeFrame(s: SparkSession, dir: String,
-                                         store: String)
+                                         store: String,
+                                         newPred: String = "")
       : (DataFrame, DataFrame) = {
     VectorFunctions.ensureRegistered(s)
-    val split = embedSplit(s, dir)
+    val np =
+      if (newPred.isEmpty) s"vec_id >= ${embedSplit(s, dir)}" else newPred
     // eager localCheckpoint: feeds 12 band sides, both verify
     // join-backs, and the node list inside ONE edge job (the lazy-
     // cache race documented at clusterStoreIncrement)
     val newE = table(s, dir, "embeddings")
-      .where(s"vec_id >= $split")
+      .where(np)
       .selectExpr("vec_id", "embedding",
         "graft_dot(embedding, embedding) AS n2",
         "graft_rh_buckets(embedding) AS bks")
@@ -2464,12 +2468,14 @@ object Dedup extends QueryPack {
       .mkString(" UNION ALL ")
     // bands(new) probe the STORED index (old-new) plus a banded
     // self-join of the new batch alone (new-new); old-old pairs never
-    // regenerate. vec_a < vec_b holds for both branches because the
-    // split is by id: every old id < every new id.
+    // regenerate. least/greatest normalizes the probe branch so the
+    // UNION dedup holds even if a caller's pred does not keep every
+    // old id below every new id (the default split does).
     val edges = s.sql(
       s"""WITH newbands AS ($newBandSelects),
          |cand AS (
-         |  SELECT o.vec_id AS vec_a, n.vec_id AS vec_b
+         |  SELECT least(o.vec_id, n.vec_id) AS vec_a,
+         |         greatest(o.vec_id, n.vec_id) AS vec_b
          |  FROM efo_oldbands o JOIN newbands n
          |    ON o.band = n.band AND o.bkt = n.bkt
          |  UNION
@@ -2491,13 +2497,26 @@ object Dedup extends QueryPack {
     (newE, edges)
   }
 
-  /** Fold the corpus vectors with vec_id >= split into the stored
-    * clustering: reads the store + the NEW vectors only; bit-identical
-    * to batch re-clustering (contractedMerge's argument).
+  /** Fold the corpus vectors matching `newPred` (default: the top
+    * half) into the stored clustering: reads the store + the NEW
+    * vectors only; bit-identical to batch re-clustering
+    * (contractedMerge's argument).
     */
   private[graft] def embedStoreFold(s: SparkSession, dir: String,
-                                    store: String): DataFrame = {
-    val (newE, edgesLazy) = embedStoreEdgeFrame(s, dir, store)
+                                    store: String,
+                                    newPred: String = ""): DataFrame =
+    embedStoreIncrement(s, dir, store, newPred)._2
+      .orderBy(col("vec_id"))
+
+  /** The increment shared by the serve-only fold and the
+    * generation-writing [[embedStoreFoldInto]]: the new batch's
+    * checkpointed (vec_id, embedding, n2, bks) relation and the
+    * merged (store + new) assignment, UNSORTED.
+    */
+  private def embedStoreIncrement(s: SparkSession, dir: String,
+                                  store: String, newPred: String)
+      : (DataFrame, DataFrame) = {
+    val (newE, edgesLazy) = embedStoreEdgeFrame(s, dir, store, newPred)
     // eager edge checkpoint under scoped AQE-off — the
     // threshold-into-join-condition trap (see clusterStoreIncrement)
     val aqeKey = "spark.sql.adaptive.enabled"
@@ -2510,11 +2529,39 @@ object Dedup extends QueryPack {
     }
     val lblA = s.read.parquet(s"$store/assignment")
       .toDF("doc_id", "cluster_id")
-    contractedMerge("dd_embed_cluster_fold_stored#merge", lblA,
-      edges.toDF("doc_a", "doc_b"),
-      newE.select(col("vec_id").as("doc_id")))
-      .select(col("doc_id").as("vec_id"), col("cluster_id"))
-      .orderBy(col("vec_id"))
+    (newE,
+      contractedMerge("dd_embed_cluster_fold_stored#merge", lblA,
+        edges.toDF("doc_a", "doc_b"),
+        newE.select(col("vec_id").as("doc_id")))
+        .select(col("doc_id").as("vec_id"), col("cluster_id")))
+  }
+
+  /** Write the NEXT-GENERATION embed store at `out`: assignment = the
+    * merged fold, vecs/bands = the prior store's parquet UNION the
+    * increment's. Stores are IMMUTABLE — same generation discipline
+    * and no-old-reads guarantee as [[clusterStoreFoldInto]]
+    * (EmbedClusterStoreSpec's chain test zeroes each batch's vectors
+    * as soon as its generation lands).
+    */
+  private[graft] def embedStoreFoldInto(s: SparkSession, dir: String,
+                                        store: String, newPred: String,
+                                        out: String): Unit = {
+    val (newE, merged) = embedStoreIncrement(s, dir, store, newPred)
+    new java.io.File(out).mkdirs()
+    merged.write.mode("overwrite").parquet(s"$out/assignment")
+    s.read.parquet(s"$store/vecs")
+      .union(newE.select("vec_id", "embedding", "n2"))
+      .write.mode("overwrite").parquet(s"$out/vecs")
+    newE.createOrReplaceTempView("efi_e")
+    val bandSelects = (0 until CosBands)
+      .map(b => s"SELECT vec_id, $b AS band, element_at(bks, ${b + 1})" +
+        " AS bkt FROM efi_e WHERE n2 > 0")
+      .mkString(" UNION ALL ")
+    s.read.parquet(s"$store/bands")
+      .union(s.sql(s"SELECT vec_id, band, bkt FROM ($bandSelects)"))
+      .write.mode("overwrite").parquet(s"$out/bands")
+    val n = s.read.parquet(s"$out/vecs").count()
+    EmbedClusterStore.writeManifest(out, n)
   }
 
   private val embedStoreLocks =

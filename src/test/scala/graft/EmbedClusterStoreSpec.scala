@@ -94,4 +94,39 @@ class EmbedClusterStoreSpec extends AnyFunSuite {
       s"new bridge vector must merge the two stored clusters: $folded")
     assert(folded(2L) == 2L, s"unrelated old vector must stay put: $folded")
   }
+
+  test("three-generation fold chain — each vector batch folded into an " +
+      "immutable next-generation store, each batch's vectors ZEROED as " +
+      "soon as its generation lands — equals batch re-clustering") {
+    val real = spark.read.parquet(s"$dir/embeddings.parquet")
+    // corpus dir where the vectors matching `zeroPred` are zeroed
+    def doctored(zeroPred: String): String = {
+      val d = java.nio.file.Files
+        .createTempDirectory("graft_estore_gen").toString
+      real.withColumn("embedding",
+          when(expr(zeroPred),
+            expr("transform(embedding, x -> float(0.0))"))
+            .otherwise(col("embedding")))
+        .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+      d
+    }
+    def tmp(p: String): String =
+      java.nio.file.Files.createTempDirectory(p).toString
+    val g0 = tmp("graft_estore_g0")
+    Dedup.embedStoreBuild(spark, dir, g0, "vec_id < 167")
+    val g1 = tmp("graft_estore_g1")
+    Dedup.embedStoreFoldInto(spark, doctored("vec_id < 167"), g0,
+      "vec_id >= 167 AND vec_id < 334", g1)
+    val g2 = tmp("graft_estore_g2")
+    Dedup.embedStoreFoldInto(spark, doctored("vec_id < 334"), g1,
+      "vec_id >= 334", g2)
+    val chained = clusters(
+      spark.read.parquet(s"$g2/assignment").orderBy("vec_id"))
+    val batch = clusters(SparkEntry.queries("dd_embed_cluster")(spark, dir))
+    assert(chained == batch,
+      "generation-chained folds diverged from batch re-clustering")
+    // the prior generations were never disturbed (immutability)
+    assert(spark.read.parquet(s"$g0/assignment").count() == 167L)
+    assert(spark.read.parquet(s"$g1/assignment").count() == 334L)
+  }
 }
