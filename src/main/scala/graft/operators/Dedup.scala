@@ -2381,7 +2381,7 @@ object Dedup extends QueryPack {
   /** Append-ordered split shared with dd_embed_cluster_incremental:
     * the top half of vec_ids is the new batch.
     */
-  private def embedSplit(s: SparkSession, dir: String): Long =
+  private[graft] def embedSplit(s: SparkSession, dir: String): Long =
     table(s, dir, "embeddings").agg(max("vec_id")).head.getLong(0) / 2 + 1
 
   /** Build the store from the corpus vectors with vec_id < `split`:
@@ -2673,6 +2673,38 @@ object Dedup extends QueryPack {
        |  WHERE cos_sim >= 0.4),
        |edges AS (SELECT vec_a AS src, vec_b AS dst FROM pairs
        |          UNION ALL SELECT vec_b, vec_a FROM pairs)""".stripMargin
+
+  /** The embed e-CTE (normed + bucketed vectors) + zero-norm-guarded
+    * band rows as two WITH clauses (`e`, `emb_bands`) — shared by the
+    * streaming store-dedup replay oracle (st_store_dedup_replay) so
+    * stream and batch banding stay provably identical, the same role
+    * [[duckBandRowsSql]] plays for the MinHash stream.
+    */
+  private[graft] def duckEmbedBandsSql: String = {
+    val bandSelects = (0 until CosBands)
+      .map(b => s"SELECT vec_id, $b AS band, bkt_$b AS bkt FROM e WHERE n2 > 0")
+      .mkString(" UNION ALL ")
+    s"""e AS (
+       |  SELECT vec_id, embedding,
+       |    list_reduce(list_transform(range(1, len(embedding) + 1),
+       |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+       |      (x, y) -> x + y) AS n2,
+       |    ${(0 until CosBands)
+              .map(b => s"${cosBucket(cosPlaneDotD, b)} AS bkt_$b")
+              .mkString(",\n    ")}
+       |  FROM embeddings),
+       |emb_bands AS ($bandSelects)""".stripMargin
+  }
+
+  /** The rounded cosine between two e-CTE rows `$a`/`$b`, the exact
+    * text of every embed oracle's verify — exposed for the streaming
+    * store-dedup oracle.
+    */
+  private[graft] def duckEmbedCos(a: String, b: String): String =
+    s"""round(list_reduce(list_transform(range(1, len($a.embedding) + 1),
+       |    i -> CAST($a.embedding[i] AS DOUBLE)
+       |         * CAST($b.embedding[i] AS DOUBLE)),
+       |    (x, y) -> x + y) / sqrt($a.n2 * $b.n2), 6)""".stripMargin
 
   // -- dd_lp_edges: the shared embed-LSH edge materialization, COLD -----------
   // The bench line for the registry build dd_embed_cluster/dd_semdedup

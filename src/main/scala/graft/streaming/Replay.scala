@@ -205,6 +205,79 @@ object StreamReplay extends QueryPack {
       jittered(tickedDocs(s, dir).toIndexedSeq, slackNs)(_.ts, _.doc_id))
   }
 
+  // -- st_store_dedup_replay: ingest vectors deduped against the SERVED store -
+  // The streaming serve path of the persistent embed-cluster store:
+  // the store is built ONCE from the old vector half (the same
+  // ensureEmbedStore instance dd_embed_cluster_store gates), the
+  // stream feeds the NEW half as ticked vectors, and the sink must
+  // equal the batch restatement — every (new, stored) pair that
+  // shares an RH-LSH band bucket AND cosine-verifies at >= 0.4,
+  // exactly the old-new slice of the fold's probe. No flush
+  // sentinel: the only stateful operator is a watermarked
+  // dropDuplicates, which emits append rows immediately (the
+  // watermark bounds its state, never defers output).
+  private def tickedVecs(s: SparkSession, dir: String)
+      : IndexedSeq[StreamVec] = {
+    import s.implicits._
+    val split = Dedup.embedSplit(s, dir)
+    table(s, dir, "embeddings")
+      .where(s"vec_id >= $split")
+      .selectExpr("vec_id",
+        s"(vec_id - $split + 1) * ${TickNs}L AS ts", "embedding")
+      .as[StreamVec].collect().sortBy(_.vec_id).toIndexedSeq
+  }
+
+  private def storeDedupReplaySink(s: SparkSession, dir: String,
+                                   vecs: Seq[StreamVec]): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val store = Dedup.ensureEmbedStore(s, dir)
+    val in = MemoryStream[StreamVec]
+    val sink = s"st_store_dedup_replay_sink_${sinkSeq.incrementAndGet()}"
+    withReplayPartitions(s) {
+      val q = Streams.storeDedupStream(in.toDF(), store)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try feed(in, q, batched(vecs.toIndexedSeq))
+      finally q.stop()
+    }
+    detachSink(s, sink)
+      .selectExpr("vec_id", "owner_id")
+      .orderBy("vec_id", "owner_id")
+  }
+
+  private def stStoreDedupReplay(s: SparkSession, dir: String): DataFrame =
+    storeDedupReplaySink(s, dir, tickedVecs(s, dir))
+
+  // Bounded disorder strictly inside the 10-minute dedup delay: the
+  // stream-static probe is stateless, so the only disorder hazard is
+  // a pair's duplicate band hits outliving the dedup state — 64 s of
+  // jitter against a 600 s TTL cannot.
+  private def stStoreDedupOooReplay(s: SparkSession,
+                                    dir: String): DataFrame = {
+    val slackNs = 64L * TickNs
+    storeDedupReplaySink(s, dir,
+      jittered(tickedVecs(s, dir), slackNs)(_.ts, _.vec_id))
+  }
+
+  // The batch restatement: guarded band rows (shared CTE with every
+  // embed oracle), old-new bucket colliders, exact rounded-cosine
+  // verify — the DISTINCT mirrors the stream's per-pair dedup of
+  // per-band evidence.
+  private val stStoreDedupReplaySql =
+    s"""WITH ${Dedup.duckEmbedBandsSql},
+       |sp AS (SELECT max(vec_id) // 2 + 1 AS s FROM embeddings),
+       |cand AS (
+       |  SELECT DISTINCT n.vec_id AS vec_id, o.vec_id AS owner_id
+       |  FROM emb_bands n JOIN emb_bands o
+       |    ON n.band = o.band AND n.bkt = o.bkt
+       |  JOIN sp ON n.vec_id >= sp.s AND o.vec_id < sp.s)
+       |SELECT cand.vec_id, cand.owner_id FROM cand
+       |JOIN e a ON a.vec_id = cand.vec_id
+       |JOIN e b ON b.vec_id = cand.owner_id
+       |WHERE ${Dedup.duckEmbedCos("a", "b")} >= 0.4
+       |ORDER BY cand.vec_id, cand.owner_id""".stripMargin
+
   // The eviction semantics, restated: per (band, bucket), order the
   // documents by event time, break the timeline where the gap between
   // consecutive documents exceeds the horizon (the stream refreshes a
@@ -876,6 +949,8 @@ object StreamReplay extends QueryPack {
   override val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("st_neardup_replay" -> (stNearDupReplay _),
         "st_neardup_ooo_replay" -> (stNearDupOooReplay _),
+        "st_store_dedup_replay" -> (stStoreDedupReplay _),
+        "st_store_dedup_ooo_replay" -> (stStoreDedupOooReplay _),
         "st_sessions_replay" -> (stSessionsReplay _),
         "st_sessions_ooo_replay" -> (stSessionsOooReplay _),
         "st_funnel_replay" -> (stFunnelReplay _),
@@ -894,6 +969,9 @@ object StreamReplay extends QueryPack {
   override val oracles: Map[String, String] =
     Map("st_neardup_replay" -> stNearDupReplaySql,
         "st_neardup_ooo_replay" -> stNearDupReplaySql,
+        "st_store_dedup_replay" -> stStoreDedupReplaySql,
+        // the disorder gate must land on the SAME batch pair set
+        "st_store_dedup_ooo_replay" -> stStoreDedupReplaySql,
         "st_sessions_replay" -> stSessionsReplaySql,
         "st_sessions_ooo_replay" -> stSessionsReplaySql,
         "st_funnel_replay" -> stFunnelReplaySql,

@@ -38,6 +38,11 @@ case class ClosedSession(user_id: Long, start_ns: Long, end_ns: Long,
 /** One document row for the streaming near-dup path (`ts` epoch-nanos). */
 case class StreamDoc(doc_id: Long, ts: Long, text: String)
 
+/** One ingest vector (ts in epoch-nanos) — the [[StreamDoc]] of the
+  * embedding serve path (Streams.storeDedupStream).
+  */
+case class StreamVec(vec_id: Long, ts: Long, embedding: Seq[Float])
+
 /** One media item on the ingest stream: opaque payload + metadata (the
   * streaming twin of the mm pack's MediaItem, with an event time).
   */
@@ -418,6 +423,60 @@ object Streams {
           schedule(drain(st0))
           out.result().iterator
       }
+  }
+
+  /** Online semantic dedup at INGEST against a SERVED persistent
+    * embed-cluster store ([[graft.operators.Dedup]]'s
+    * embedStoreBuild layout): flag each incoming vector that
+    * cosine-matches a stored one — the streaming face of
+    * dd_embed_cluster_fold_stored's probe, sharing its banding and
+    * verify arithmetic term-for-term.
+    *
+    * Shape: two STREAM-STATIC equi-joins — the vector's 12 RH-LSH
+    * band keys probe the stored band index on (band, bkt), survivors
+    * join the stored (embedding, n2) relation on owner_id for the
+    * exact graft_cos verify — then a watermark-TTL'd dropDuplicates
+    * collapses the up-to-12 per-band hits of a matching pair to one
+    * (vec_id, owner_id) row. The pipeline is STATELESS apart from
+    * that dedup (state = pairs inside the watermark delay; a pair's
+    * band copies all carry the same event time, so keying on it
+    * keeps the dedup exact under any disorder bounded by the delay,
+    * and append-mode emission is immediate — dedup state never
+    * defers output). Input columns: vec_id, ts (epoch-nanos bigint),
+    * embedding.
+    *
+    * At 100 TB this is the serve path: the store is immutable and
+    * never re-derived, bands/ is an equi-join a deployment
+    * co-locates by bucketing on (band, bkt), vecs/ — the only
+    * full-width relation — is touched solely by band-verified
+    * candidates, and the corpus itself is never read. Zero-norm
+    * vectors are off the band side (the ZeroNormGuardSpec argument:
+    * constant buckets + NaN cosines).
+    */
+  def storeDedupStream(vecs: DataFrame, store: String,
+                       delay: String = "10 minutes"): DataFrame = {
+    val s = vecs.sparkSession
+    graft.functions.VectorFunctions.ensureRegistered(s)
+    val oldBands = s.read.parquet(s"$store/bands")
+      .toDF("owner_id", "band", "bkt")
+    val oldVecs = s.read.parquet(s"$store/vecs")
+      .toDF("owner_id", "old_embedding", "old_n2")
+    vecs
+      .selectExpr("vec_id", "ts", "embedding",
+        "graft_dot(embedding, embedding) AS n2",
+        "graft_rh_buckets(embedding) AS bks")
+      .where("n2 > 0")
+      .select(col("vec_id"), col("ts"), col("embedding"), col("n2"),
+        posexplode(col("bks")).as(Seq("band", "bkt")))
+      .join(oldBands, Seq("band", "bkt"))
+      .join(oldVecs, Seq("owner_id"))
+      .withColumn("cs",
+        expr("graft_cos(embedding, old_embedding, n2, old_n2)"))
+      .where("cs > 0.3999994 AND round(cs, 6) >= 0.4")
+      .withColumn("event_time", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("event_time", delay)
+      .dropDuplicates("vec_id", "owner_id", "event_time")
+      .select("vec_id", "owner_id")
   }
 
   /** One funnel event buffered in state until the watermark passes it
