@@ -125,6 +125,23 @@ object Dedup extends QueryPack {
     */
   private val jacBandGuard = s" WHERE sig_0 <> ${Long.MaxValue}L"
 
+  /** Scoped AQE-off, the edge-checkpoint discipline (measured note at
+    * [[ddClusterIncremental]]): one definition for every site so the
+    * save/set/restore dance cannot drift or leak. Works only when the
+    * body forces planning INSIDE the scope (a localCheckpoint or an
+    * executedPlan access) — a lazily-returned DataFrame plans after
+    * the finally has already restored the conf.
+    */
+  private[graft] def withAqeOff[T](s: SparkSession)(body: => T): T = {
+    val k = "spark.sql.adaptive.enabled"
+    val was = s.conf.getOption(k)
+    s.conf.set(k, "false")
+    try body finally was match {
+      case Some(v) => s.conf.set(k, v)
+      case None    => s.conf.unset(k)
+    }
+  }
+
   /** Shared (doc_id, hs, sig_0..15) relation behind dd_jaccard and
     * dd_containment: registered under `view`, CACHED because it feeds
     * all 8 band sides and both exact-re-check join-backs (the md5
@@ -1268,34 +1285,20 @@ object Dedup extends QueryPack {
                                        dir: String): DataFrame =
     ddEmbedLshPairs(s, dir).select("vec_a", "vec_b")
 
-  private val ddEmbedCosineLshSql = {
-    val bandSelects = (0 until CosBands)
-      .map(b => s"SELECT vec_id, $b AS band, bkt_$b AS bkt FROM e WHERE n2 > 0")
-      .mkString(" UNION ALL ")
-    s"""WITH e AS (
-       |  SELECT vec_id, embedding,
-       |    list_reduce(list_transform(range(1, len(embedding) + 1),
-       |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
-       |      (x, y) -> x + y) AS n2,
-       |    ${(0 until CosBands)
-            .map(b => s"${cosBucket(cosPlaneDotD, b)} AS bkt_$b")
-            .mkString(",\n    ")}
-       |  FROM embeddings),
-       |bands AS ($bandSelects),
+  private val ddEmbedCosineLshSql =
+    s"""WITH ${duckEmbedECte()},
+       |bands AS ($duckEmbedBandSelects),
        |cand AS (
        |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
        |  FROM bands x JOIN bands y
        |    ON x.band = y.band AND x.bkt = y.bkt AND x.vec_id < y.vec_id)
        |SELECT vec_a, vec_b, cos_sim FROM (
        |  SELECT vec_a, vec_b,
-       |    round(list_reduce(list_transform(range(1, len(a.embedding) + 1),
-       |        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
-       |        (x, y) -> x + y) / sqrt(a.n2 * b.n2), 6) AS cos_sim
+       |    ${duckEmbedCos("a", "b")} AS cos_sim
        |  FROM cand JOIN e a ON a.vec_id = vec_a
        |            JOIN e b ON b.vec_id = vec_b)
        |WHERE cos_sim >= 0.4
        |ORDER BY vec_a, vec_b""".stripMargin
-  }
 
   // -- dd_cluster: near-dup connected components ------------------------------
   // Pairs are only half the dedup story — a keep-one-per-group pipeline
@@ -1867,10 +1870,7 @@ object Dedup extends QueryPack {
     // under AQE 46 jobs / ~6.8 s; shared checkpoint with this scope
     // 26 jobs / ~5.0 s — fewest jobs (the LP family's scheduling
     // floor) AND the single-pass edge build.
-    val aqeKey = "spark.sql.adaptive.enabled"
-    val aqeWas = s.conf.getOption(aqeKey)
-    s.conf.set(aqeKey, "false")
-    val pairsAll = try s.sql(
+    val pairsAll = withAqeOff(s)(s.sql(
       s"""WITH bands AS ($bandSelects),
          |cand AS (
          |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
@@ -1885,11 +1885,7 @@ object Dedup extends QueryPack {
          |            JOIN cinc_sigs b ON b.doc_id = doc_b
          |  WHERE least(size(a.hs), size(b.hs)) * 10
          |        >= greatest(size(a.hs), size(b.hs)) * 6)
-         |WHERE jaccard >= 0.6""".stripMargin).localCheckpoint()
-    finally aqeWas match {
-      case Some(v) => s.conf.set(aqeKey, v)
-      case None    => s.conf.unset(aqeKey)
-    }
+         |WHERE jaccard >= 0.6""".stripMargin).localCheckpoint())
     val docs = s.table("cinc_sigs")
     // phase 1 — the stored prior assignment (stand-in): LP over the
     // old corpus's own edges
@@ -1995,22 +1991,12 @@ object Dedup extends QueryPack {
   // (band, bk) a deployment co-locates by writing bands/ bucketed on
   // that key, and the contracted LP runs over |clusters| + |new|.
   private[graft] object ClusterStore {
-    def exists(dir: String): Boolean =
-      java.nio.file.Files.exists(
-        java.nio.file.Paths.get(dir, "manifest.json"))
+    def exists(dir: String): Boolean = StoreFiles.exists(dir)
 
-    def writeManifest(dir: String, nDocs: Long): Unit = {
-      val json =
+    def writeManifest(dir: String, nDocs: Long): Unit =
+      StoreFiles.writeManifest(dir,
         s"""{"docs": $nDocs, "bands": $JacBands, "rows_per_band": 2,
-           | "threshold": 0.6}""".stripMargin
-      val tmp = java.nio.file.Paths.get(dir, "manifest.json.tmp")
-      java.nio.file.Files.write(tmp,
-        json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      java.nio.file.Files.move(tmp,
-        java.nio.file.Paths.get(dir, "manifest.json"),
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    }
+           | "threshold": 0.6}""".stripMargin)
   }
 
   /** The old-half split shared by store build and fold (the same
@@ -2102,14 +2088,7 @@ object Dedup extends QueryPack {
     // persisting the compact pair projection first). The scoped flip
     // works here because planning happens at the localCheckpoint call,
     // inside the scope — not at frame construction.
-    val aqeKey = "spark.sql.adaptive.enabled"
-    val aqeWas = s.conf.getOption(aqeKey)
-    s.conf.set(aqeKey, "false")
-    val edges = try edgesLazy.localCheckpoint()
-    finally aqeWas match {
-      case Some(v) => s.conf.set(aqeKey, v)
-      case None    => s.conf.unset(aqeKey)
-    }
+    val edges = withAqeOff(s)(edgesLazy.localCheckpoint())
     val lblA = s.read.parquet(s"$store/assignment")
     (newSigs,
       contractedMerge("dd_cluster_fold_stored#merge", lblA, edges,
@@ -2230,21 +2209,11 @@ object Dedup extends QueryPack {
     * convention: first caller builds+saves, later calls are pure
     * load+serve — the restarted-session story at fixture scale.
     */
-  private def clusterStoreDir(dir: String): String =
-    new java.io.File(
-      sys.props.getOrElse("java.io.tmpdir", "/tmp"),
-      "graft_cstore_" + java.security.MessageDigest.getInstance("MD5")
-        .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        .map("%02x".format(_)).mkString.take(12) +
-        "_p" + ProcessHandle.current().pid()).toString
-
   private[graft] def ensureClusterStore(s: SparkSession, dir: String): String = {
-    val store = clusterStoreDir(dir)
-    clusterStoreLocks.computeIfAbsent(store, _ => new Object)
-      .synchronized {
-        if (!ClusterStore.exists(store)) clusterStoreBuild(s, dir, store)
-      }
-    store
+    val store = StoreFiles.scratchDir("graft_cstore_", dir)
+    StoreFiles.ensure(clusterStoreLocks, store) {
+      clusterStoreBuild(s, dir, store)
+    }
   }
 
   // -- dd_cluster_store: persist the prior clustering, serve the LOADED copy --
@@ -2312,17 +2281,10 @@ object Dedup extends QueryPack {
     // src < dst — exact because edgesBoth is pairs UNION swap(pairs)
     // with vec_a < vec_b by construction — a narrow scan of the
     // checkpointed blocks, not a second banded self-join.
-    val aqeKey = "spark.sql.adaptive.enabled"
-    val aqeWas = s.conf.getOption(aqeKey)
-    s.conf.set(aqeKey, "false")
-    val edges =
-      try lpEdgesFor(s, s"embed_lsh|$dir")(
+    val edges = withAqeOff(s)(
+      lpEdgesFor(s, s"embed_lsh|$dir")(
         prepLpEdges(s, embedClusterEdges(s, dir),
-          defaultP = s.conf.get("spark.sql.shuffle.partitions").toInt))
-      finally aqeWas match {
-        case Some(v) => s.conf.set(aqeKey, v)
-        case None    => s.conf.unset(aqeKey)
-      }
+          defaultP = s.conf.get("spark.sql.shuffle.partitions").toInt)))
     val pairsAll = edges.edgesBoth.where(col("src") < col("dst"))
       .toDF("vec_a", "vec_b")
     val ids = table(s, dir, "embeddings").select("vec_id")
@@ -2360,22 +2322,12 @@ object Dedup extends QueryPack {
   // stored, not recomputed: the same graft_dot kernel output the
   // build used, so fold-time cosines are bit-identical to build-time.
   private[graft] object EmbedClusterStore {
-    def exists(dir: String): Boolean =
-      java.nio.file.Files.exists(
-        java.nio.file.Paths.get(dir, "manifest.json"))
+    def exists(dir: String): Boolean = StoreFiles.exists(dir)
 
-    def writeManifest(dir: String, nVecs: Long): Unit = {
-      val json =
+    def writeManifest(dir: String, nVecs: Long): Unit =
+      StoreFiles.writeManifest(dir,
         s"""{"vecs": $nVecs, "bands": $CosBands, "rows_per_band": 5,
-           | "threshold": 0.4}""".stripMargin
-      val tmp = java.nio.file.Paths.get(dir, "manifest.json.tmp")
-      java.nio.file.Files.write(tmp,
-        json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      java.nio.file.Files.move(tmp,
-        java.nio.file.Paths.get(dir, "manifest.json"),
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    }
+           | "threshold": 0.4}""".stripMargin)
   }
 
   /** Append-ordered split shared with dd_embed_cluster_incremental:
@@ -2519,14 +2471,7 @@ object Dedup extends QueryPack {
     val (newE, edgesLazy) = embedStoreEdgeFrame(s, dir, store, newPred)
     // eager edge checkpoint under scoped AQE-off — the
     // threshold-into-join-condition trap (see clusterStoreIncrement)
-    val aqeKey = "spark.sql.adaptive.enabled"
-    val aqeWas = s.conf.getOption(aqeKey)
-    s.conf.set(aqeKey, "false")
-    val edges = try edgesLazy.localCheckpoint()
-    finally aqeWas match {
-      case Some(v) => s.conf.set(aqeKey, v)
-      case None    => s.conf.unset(aqeKey)
-    }
+    val edges = withAqeOff(s)(edgesLazy.localCheckpoint())
     val lblA = s.read.parquet(s"$store/assignment")
       .toDF("doc_id", "cluster_id")
     (newE,
@@ -2570,22 +2515,12 @@ object Dedup extends QueryPack {
   /** Per-(process, corpus) scratch store, the ClusterStore/IvfPqStore
     * convention: first caller builds+saves, later calls load+serve.
     */
-  private def embedStoreDir(dir: String): String =
-    new java.io.File(
-      sys.props.getOrElse("java.io.tmpdir", "/tmp"),
-      "graft_estore_" + java.security.MessageDigest.getInstance("MD5")
-        .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        .map("%02x".format(_)).mkString.take(12) +
-        "_p" + ProcessHandle.current().pid()).toString
-
   private[graft] def ensureEmbedStore(s: SparkSession,
                                       dir: String): String = {
-    val store = embedStoreDir(dir)
-    embedStoreLocks.computeIfAbsent(store, _ => new Object)
-      .synchronized {
-        if (!EmbedClusterStore.exists(store)) embedStoreBuild(s, dir, store)
-      }
-    store
+    val store = StoreFiles.scratchDir("graft_estore_", dir)
+    StoreFiles.ensure(embedStoreLocks, store) {
+      embedStoreBuild(s, dir, store)
+    }
   }
 
   // -- dd_embed_cluster_store: persist the old-half clustering, serve LOADED --
@@ -2609,18 +2544,14 @@ object Dedup extends QueryPack {
     " WHERE vec_id < (SELECT max(vec_id) // 2 + 1 FROM embeddings)"
 
   private val ddEmbedClusterSql = {
-    val bandSelects = (0 until CosBands)
-      .map(b => s"SELECT vec_id, $b AS band, bkt_$b AS bkt FROM e WHERE n2 > 0")
-      .mkString(" UNION ALL ")
+    val bandSelects = duckEmbedBandSelects
     s"""${ddEmbedClusterCtes(bandSelects)}
        |SELECT v AS vec_id, MIN(node) AS cluster_id
        |FROM r GROUP BY v ORDER BY vec_id""".stripMargin
   }
 
   private val ddEmbedClusterStoreSql = {
-    val bandSelects = (0 until CosBands)
-      .map(b => s"SELECT vec_id, $b AS band, bkt_$b AS bkt FROM e WHERE n2 > 0")
-      .mkString(" UNION ALL ")
+    val bandSelects = duckEmbedBandSelects
     s"""${ddEmbedClusterCtes(bandSelects, embedOldWhere)}
        |SELECT v AS vec_id, MIN(node) AS cluster_id
        |FROM r GROUP BY v ORDER BY vec_id""".stripMargin
@@ -2647,15 +2578,7 @@ object Dedup extends QueryPack {
     */
   private def ddEmbedEdgeCtes(bandSelects: String, withKw: String,
                               embWhere: String = ""): String =
-    s"""$withKw e AS (
-       |  SELECT vec_id, embedding,
-       |    list_reduce(list_transform(range(1, len(embedding) + 1),
-       |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
-       |      (x, y) -> x + y) AS n2,
-       |    ${(0 until CosBands)
-              .map(b => s"${cosBucket(cosPlaneDotD, b)} AS bkt_$b")
-              .mkString(",\n    ")}
-       |  FROM embeddings$embWhere),
+    s"""$withKw ${duckEmbedECte(embWhere)},
        |bands AS ($bandSelects),
        |cand AS (
        |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
@@ -2664,26 +2587,20 @@ object Dedup extends QueryPack {
        |pairs AS (
        |  SELECT vec_a, vec_b FROM (
        |    SELECT vec_a, vec_b,
-       |      round(list_reduce(list_transform(range(1, len(a.embedding) + 1),
-       |          i -> CAST(a.embedding[i] AS DOUBLE)
-       |               * CAST(b.embedding[i] AS DOUBLE)),
-       |          (x, y) -> x + y) / sqrt(a.n2 * b.n2), 6) AS cos_sim
+       |      ${duckEmbedCos("a", "b")} AS cos_sim
        |    FROM cand JOIN e a ON a.vec_id = vec_a
        |              JOIN e b ON b.vec_id = vec_b)
        |  WHERE cos_sim >= 0.4),
        |edges AS (SELECT vec_a AS src, vec_b AS dst FROM pairs
        |          UNION ALL SELECT vec_b, vec_a FROM pairs)""".stripMargin
 
-  /** The embed e-CTE (normed + bucketed vectors) + zero-norm-guarded
-    * band rows as two WITH clauses (`e`, `emb_bands`) — shared by the
-    * streaming store-dedup replay oracle (st_store_dedup_replay) so
-    * stream and batch banding stay provably identical, the same role
-    * [[duckBandRowsSql]] plays for the MinHash stream.
+  /** The embed e-CTE (normed + bucketed vectors) — ONE construction
+    * for every embed-family oracle ([[ddEmbedEdgeCtes]],
+    * [[duckEmbedBandsSql]], the cosine-LSH oracle), so a tuning
+    * change to the plane family or n2 formulation cannot
+    * desynchronize them.
     */
-  private[graft] def duckEmbedBandsSql: String = {
-    val bandSelects = (0 until CosBands)
-      .map(b => s"SELECT vec_id, $b AS band, bkt_$b AS bkt FROM e WHERE n2 > 0")
-      .mkString(" UNION ALL ")
+  private def duckEmbedECte(embWhere: String = ""): String =
     s"""e AS (
        |  SELECT vec_id, embedding,
        |    list_reduce(list_transform(range(1, len(embedding) + 1),
@@ -2692,9 +2609,25 @@ object Dedup extends QueryPack {
        |    ${(0 until CosBands)
               .map(b => s"${cosBucket(cosPlaneDotD, b)} AS bkt_$b")
               .mkString(",\n    ")}
-       |  FROM embeddings),
-       |emb_bands AS ($bandSelects)""".stripMargin
-  }
+       |  FROM embeddings$embWhere)""".stripMargin
+
+  /** The zero-norm-guarded band-side UNION ALL over the e-CTE — the
+    * single definition behind every embed oracle's `bands` clause.
+    */
+  private def duckEmbedBandSelects: String =
+    (0 until CosBands)
+      .map(b => s"SELECT vec_id, $b AS band, bkt_$b AS bkt FROM e WHERE n2 > 0")
+      .mkString(" UNION ALL ")
+
+  /** e-CTE + guarded band rows as two WITH clauses (`e`, `emb_bands`)
+    * — shared by the streaming store-dedup replay oracle
+    * (st_store_dedup_replay) so stream and batch banding stay
+    * provably identical, the same role [[duckBandRowsSql]] plays for
+    * the MinHash stream.
+    */
+  private[graft] def duckEmbedBandsSql: String =
+    s"""${duckEmbedECte()},
+       |emb_bands AS ($duckEmbedBandSelects)""".stripMargin
 
   /** The rounded cosine between two e-CTE rows `$a`/`$b`, the exact
     * text of every embed oracle's verify — exposed for the streaming
@@ -2718,24 +2651,15 @@ object Dedup extends QueryPack {
   // the oracle restates it independently (band CTEs + UNION ALL).
   private def ddLpEdges(s: SparkSession, dir: String): DataFrame = {
     invalidateLpEdges(s, dir)
-    val aqeKey = "spark.sql.adaptive.enabled"
-    val aqeWas = s.conf.getOption(aqeKey)
-    s.conf.set(aqeKey, "false")
-    val edges =
-      try lpEdgesFor(s, s"embed_lsh|$dir")(
+    val edges = withAqeOff(s)(
+      lpEdgesFor(s, s"embed_lsh|$dir")(
         prepLpEdges(s, embedClusterEdges(s, dir),
-          defaultP = s.conf.get("spark.sql.shuffle.partitions").toInt))
-      finally aqeWas match {
-        case Some(v) => s.conf.set(aqeKey, v)
-        case None    => s.conf.unset(aqeKey)
-      }
+          defaultP = s.conf.get("spark.sql.shuffle.partitions").toInt)))
     edges.edgesBoth.orderBy(col("src"), col("dst"))
   }
 
   private val ddLpEdgesSql = {
-    val bandSelects = (0 until CosBands)
-      .map(b => s"SELECT vec_id, $b AS band, bkt_$b AS bkt FROM e WHERE n2 > 0")
-      .mkString(" UNION ALL ")
+    val bandSelects = duckEmbedBandSelects
     s"""${ddEmbedEdgeCtes(bandSelects, "WITH")}
        |SELECT src, dst FROM edges ORDER BY src, dst""".stripMargin
   }
@@ -2776,9 +2700,7 @@ object Dedup extends QueryPack {
   }
 
   private def ddSemdedupSql: String = {
-    val bandSelects = (0 until CosBands)
-      .map(b => s"SELECT vec_id, $b AS band, bkt_$b AS bkt FROM e WHERE n2 > 0")
-      .mkString(" UNION ALL ")
+    val bandSelects = duckEmbedBandSelects
     s"""${ddEmbedClusterCtes(bandSelects)},
        |lab AS (SELECT v AS vec_id, MIN(node) AS cluster_id
        |        FROM r GROUP BY v)

@@ -432,18 +432,21 @@ object Streams {
     * dd_embed_cluster_fold_stored's probe, sharing its banding and
     * verify arithmetic term-for-term.
     *
-    * Shape: two STREAM-STATIC equi-joins — the vector's 12 RH-LSH
-    * band keys probe the stored band index on (band, bkt), survivors
-    * join the stored (embedding, n2) relation on owner_id for the
-    * exact graft_cos verify — then a watermark-TTL'd dropDuplicates
-    * collapses the up-to-12 per-band hits of a matching pair to one
-    * (vec_id, owner_id) row. The pipeline is STATELESS apart from
-    * that dedup (state = pairs inside the watermark delay; a pair's
-    * band copies all carry the same event time, so keying on it
-    * keeps the dedup exact under any disorder bounded by the delay,
-    * and append-mode emission is immediate — dedup state never
-    * defers output). Input columns: vec_id, ts (epoch-nanos bigint),
-    * embedding.
+    * Shape: two STREAM-STATIC equi-joins with the per-pair dedup in
+    * BETWEEN — the vector's 12 RH-LSH band keys probe the stored band
+    * index on (band, bkt); a watermark-TTL'd dropDuplicates collapses
+    * the up-to-12 per-band hits of a candidate pair to ONE
+    * (vec_id, owner_id) row (the batch path's DISTINCT-before-verify,
+    * streamed); only then do survivors join the stored
+    * (embedding, n2) relation for the exact graft_cos verify — so the
+    * full-width relation is touched once per distinct candidate pair,
+    * and the cosine runs once per pair, not once per band hit. The
+    * pipeline is STATELESS apart from the dedup (state = pairs inside
+    * the watermark delay; a pair's band copies all carry the same
+    * event time, so keying on it keeps the dedup exact under any
+    * disorder bounded by the delay, and append-mode emission is
+    * immediate — dedup state never defers output). Input columns:
+    * vec_id, ts (epoch-nanos bigint), embedding.
     *
     * At 100 TB this is the serve path: the store is immutable and
     * never re-derived, bands/ is an equi-join a deployment
@@ -469,13 +472,14 @@ object Streams {
       .select(col("vec_id"), col("ts"), col("embedding"), col("n2"),
         posexplode(col("bks")).as(Seq("band", "bkt")))
       .join(oldBands, Seq("band", "bkt"))
+      .withColumn("event_time", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("event_time", delay)
+      .select("vec_id", "owner_id", "event_time", "embedding", "n2")
+      .dropDuplicates("vec_id", "owner_id", "event_time")
       .join(oldVecs, Seq("owner_id"))
       .withColumn("cs",
         expr("graft_cos(embedding, old_embedding, n2, old_n2)"))
       .where("cs > 0.3999994 AND round(cs, 6) >= 0.4")
-      .withColumn("event_time", expr("timestamp_micros(ts div 1000)"))
-      .withWatermark("event_time", delay)
-      .dropDuplicates("vec_id", "owner_id", "event_time")
       .select("vec_id", "owner_id")
   }
 

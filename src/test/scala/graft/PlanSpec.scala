@@ -405,14 +405,8 @@ class PlanSpec extends AnyFunSuite {
     val store = operators.Dedup.ensureClusterStore(spark, dir)
     val (_, edges) = operators.Dedup.clusterStoreEdgeFrame(
       spark, dir, store, "cast(substring(source, 4) as int) >= 10")
-    val aqeKey = "spark.sql.adaptive.enabled"
-    val aqeWas = spark.conf.getOption(aqeKey)
-    spark.conf.set(aqeKey, "false")
-    val p = try edges.queryExecution.executedPlan.toString
-    finally aqeWas match {
-      case Some(v) => spark.conf.set(aqeKey, v)
-      case None    => spark.conf.unset(aqeKey)
-    }
+    val p = operators.Dedup.withAqeOff(spark)(
+      edges.queryExecution.executedPlan.toString)
     assert(!p.contains("CartesianProduct"), p.take(4000))
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(4000))
     // both candidate branches join on the two-part band key
@@ -430,14 +424,8 @@ class PlanSpec extends AnyFunSuite {
     // (band, bkt) — plus verify joins on vec_id against stored vecs.
     val store = operators.Dedup.ensureEmbedStore(spark, dir)
     val (_, edges) = operators.Dedup.embedStoreEdgeFrame(spark, dir, store)
-    val aqeKey = "spark.sql.adaptive.enabled"
-    val aqeWas = spark.conf.getOption(aqeKey)
-    spark.conf.set(aqeKey, "false")
-    val p = try edges.queryExecution.executedPlan.toString
-    finally aqeWas match {
-      case Some(v) => spark.conf.set(aqeKey, v)
-      case None    => spark.conf.unset(aqeKey)
-    }
+    val p = operators.Dedup.withAqeOff(spark)(
+      edges.queryExecution.executedPlan.toString)
     assert(!p.contains("CartesianProduct"), p.take(4000))
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(4000))
     assert("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \\[band".r
