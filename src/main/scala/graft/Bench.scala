@@ -63,7 +63,10 @@ object Bench {
     "dd_lp_edges", "st_window_ooo_replay", "st_dedup_ooo_replay",
     "st_attrib_ooo_replay", "dd_cluster_incremental",
     "dd_embed_cluster_incremental", "dd_cluster_store",
-    "dd_cluster_fold_stored")
+    "dd_cluster_fold_stored", "dd_embed_cluster_store",
+    "dd_embed_cluster_fold_stored", "st_store_dedup_replay",
+    "st_store_dedup_ooo_replay", "st_store_neardup_replay",
+    "st_store_neardup_ooo_replay")
 
   private final case class M(
       name: String, median: Double, spread: Double, jobsPerRep: Int,

@@ -2001,8 +2001,10 @@ object Dedup extends QueryPack {
 
   /** The old-half split shared by store build and fold (the same
     * convention as dd_incremental / dd_cluster_incremental, negated).
+    * Exposed to the streaming replay gates (st_store_neardup_replay
+    * feeds exactly the non-matching half).
     */
-  private val oldPred = "cast(substring(source, 4) as int) < 10"
+  private[graft] val oldPred = "cast(substring(source, 4) as int) < 10"
 
   /** Build the store from the corpus docs matching `pred` (the driver
     * key uses [[oldPred]]): one banded self-join + exact verify (the
@@ -2056,6 +2058,71 @@ object Dedup extends QueryPack {
     lbl.unpersist()
     ClusterStore.writeManifest(store, n)
   }
+
+  /** Streaming-side (doc_id, ts, hs, band, bk) expansion against the
+    * persistent cluster store's banding — the text twin of the embed
+    * serve path's `graft_rh_buckets` probe. Lives here, next to
+    * [[clusterStoreBuild]], so the stream probe and the store's
+    * `bands/` index can never band differently: same word-bigram
+    * shingles, same 16-perm MinHash, same 8x2 [[jacBandKeySpark]]
+    * keys, same empty-shingle guard (an empty-sig doc would hit the
+    * store's guarded band index zero times anyway; dropping it before
+    * the explode also keeps the bucket-bomb argument — see
+    * [[jacBandGuard]] — true for the STREAM side of the join).
+    * Input columns: doc_id, ts (epoch-nanos bigint), text.
+    */
+  private[graft] def jacStoreProbeRows(docs: DataFrame): DataFrame = {
+    VectorFunctions.ensureRegistered(docs.sparkSession)
+    val bandCols = (0 until JacBands).map(b =>
+      s"struct($b AS band, ${jacBandKeySpark(b)} AS bk)")
+    docs
+      .selectExpr("doc_id", "ts", "split(text, ' ') AS toks")
+      .selectExpr("doc_id", "ts", s"$sparkGrams AS grams")
+      .selectExpr("doc_id", "ts",
+        "graft_h32a(grams) AS ghs", "graft_h64sd(grams) AS hs")
+      .selectExpr("doc_id", "ts", "hs", "graft_minhash16(ghs) AS sigarr")
+      .selectExpr(Seq("doc_id", "ts", "hs") ++ sparkSigCols: _*)
+      .where(s"sig_0 <> ${Long.MaxValue}L")
+      .selectExpr("doc_id", "ts", "hs",
+        s"explode(array(${bandCols.mkString(", ")})) AS bb")
+      .selectExpr("doc_id", "ts", "hs", "bb.band AS band", "bb.bk AS bk")
+  }
+
+  /** The exact Jaccard verify between two hs columns `$a`/`$b` as one
+    * WHERE-clause string — the same prefilter + rounded-threshold
+    * arithmetic the batch probes state term-for-term (those embed it
+    * as a named `jaccard` column inside their pair projections; the
+    * streaming serve path, which filters in place, uses this form).
+    */
+  private[graft] def jacVerifySpark(a: String, b: String): String =
+    s"least(size($a), size($b)) * 10 >= greatest(size($a), size($b)) * 6" +
+      s" AND round(cast(graft_isect($a, $b) as double)" +
+      s" / (size($a) + size($b) - graft_isect($a, $b)), 6) >= 0.6"
+
+  /** DuckDB restatement for st_store_neardup_replay: the INDEPENDENT
+    * all-pairs old-new spec (no banding — the hash-compare therefore
+    * verifies the stream's banded recall against the exact spec, the
+    * same role [[ddJaccardSql]] plays for the batch family). An
+    * empty-shingle doc matches nothing in both dialects (Jaccard
+    * 0/len = 0 or 0/0 = NULL, never >= 0.6 — ShortDocGuardSpec).
+    */
+  private[graft] val duckStoreNearDupSql =
+    s"""WITH docs AS (
+       |  SELECT doc_id, CAST(substr(source, 4) AS INT) < 10 AS is_old,
+       |    list_sort(list_distinct(list_transform(grams,
+       |      g -> ${duckH64("g")}))) AS hs
+       |  FROM (
+       |    SELECT doc_id, source, $duckGrams AS grams FROM (
+       |      SELECT doc_id, source, string_split(text, ' ') AS toks
+       |      FROM documents)))
+       |SELECT n.doc_id AS doc_id, o.doc_id AS owner_id
+       |FROM docs n JOIN docs o ON NOT n.is_old AND o.is_old
+       |WHERE least(len(n.hs), len(o.hs)) * 10
+       |      >= greatest(len(n.hs), len(o.hs)) * 6
+       |  AND round(CAST(len(list_intersect(n.hs, o.hs)) AS DOUBLE)
+       |    / (len(n.hs) + len(o.hs) - len(list_intersect(n.hs, o.hs))), 6)
+       |    >= 0.6
+       |ORDER BY 1, 2""".stripMargin
 
   /** Fold the corpus docs NOT matching [[oldPred]] into the stored
     * clustering. Reads the store (assignment + sigs + bands) and the

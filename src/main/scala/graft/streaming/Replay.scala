@@ -278,6 +278,60 @@ object StreamReplay extends QueryPack {
        |WHERE ${Dedup.duckEmbedCos("a", "b")} >= 0.4
        |ORDER BY cand.vec_id, cand.owner_id""".stripMargin
 
+  // -- st_store_neardup_replay: ingest TEXT deduped against the SERVED store --
+  // The MinHash twin of st_store_dedup_replay: the persistent cluster
+  // store is built ONCE from the old document half (the same
+  // ensureClusterStore instance dd_cluster_store gates), the stream
+  // feeds the NEW half as ticked docs, and the sink must equal the
+  // INDEPENDENT all-pairs old-new Jaccard spec (Dedup's oracle
+  // discipline for this family: the banding is never restated, so the
+  // gate verifies the stream's banded recall against the exact spec
+  // on real data). No flush sentinel: the only stateful operator is a
+  // watermarked dropDuplicates, which emits append rows immediately.
+  private def tickedNewDocs(s: SparkSession, dir: String)
+      : IndexedSeq[StreamDoc] = {
+    import s.implicits._
+    table(s, dir, "documents")
+      .where(s"NOT (${Dedup.oldPred})")
+      .selectExpr("doc_id",
+        s"(row_number() OVER (ORDER BY doc_id)) * ${TickNs}L AS ts",
+        "text")
+      .as[StreamDoc].collect().sortBy(_.doc_id).toIndexedSeq
+  }
+
+  private def storeNearDupReplaySink(s: SparkSession, dir: String,
+                                     docs: Seq[StreamDoc]): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val store = Dedup.ensureClusterStore(s, dir)
+    val in = MemoryStream[StreamDoc]
+    val sink = s"st_store_neardup_replay_sink_${sinkSeq.incrementAndGet()}"
+    withReplayPartitions(s) {
+      val q = Streams.storeNearDupStream(in.toDF(), store)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try feed(in, q, batched(docs.toIndexedSeq))
+      finally q.stop()
+    }
+    detachSink(s, sink)
+      .selectExpr("doc_id", "owner_id")
+      .orderBy("doc_id", "owner_id")
+  }
+
+  private def stStoreNearDupReplay(s: SparkSession, dir: String): DataFrame =
+    storeNearDupReplaySink(s, dir, tickedNewDocs(s, dir))
+
+  // Bounded disorder strictly inside the 10-minute dedup delay — the
+  // stream-static probes are stateless, so (as with the embed twin)
+  // the only disorder hazard is a pair's duplicate band hits outliving
+  // the dedup state: 64 s of jitter against a 600 s TTL cannot.
+  private def stStoreNearDupOooReplay(s: SparkSession,
+                                      dir: String): DataFrame = {
+    val slackNs = 64L * TickNs
+    storeNearDupReplaySink(s, dir,
+      jittered(tickedNewDocs(s, dir), slackNs)(_.ts, _.doc_id))
+  }
+
   // The eviction semantics, restated: per (band, bucket), order the
   // documents by event time, break the timeline where the gap between
   // consecutive documents exceeds the horizon (the stream refreshes a
@@ -951,6 +1005,8 @@ object StreamReplay extends QueryPack {
         "st_neardup_ooo_replay" -> (stNearDupOooReplay _),
         "st_store_dedup_replay" -> (stStoreDedupReplay _),
         "st_store_dedup_ooo_replay" -> (stStoreDedupOooReplay _),
+        "st_store_neardup_replay" -> (stStoreNearDupReplay _),
+        "st_store_neardup_ooo_replay" -> (stStoreNearDupOooReplay _),
         "st_sessions_replay" -> (stSessionsReplay _),
         "st_sessions_ooo_replay" -> (stSessionsOooReplay _),
         "st_funnel_replay" -> (stFunnelReplay _),
@@ -970,6 +1026,9 @@ object StreamReplay extends QueryPack {
     Map("st_neardup_replay" -> stNearDupReplaySql,
         "st_neardup_ooo_replay" -> stNearDupReplaySql,
         "st_store_dedup_replay" -> stStoreDedupReplaySql,
+        "st_store_neardup_replay" -> Dedup.duckStoreNearDupSql,
+        // the disorder gate must land on the SAME all-pairs spec
+        "st_store_neardup_ooo_replay" -> Dedup.duckStoreNearDupSql,
         // the disorder gate must land on the SAME batch pair set
         "st_store_dedup_ooo_replay" -> stStoreDedupReplaySql,
         "st_sessions_replay" -> stSessionsReplaySql,

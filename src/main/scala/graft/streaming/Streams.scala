@@ -483,6 +483,54 @@ object Streams {
       .select("vec_id", "owner_id")
   }
 
+  /** Online TEXT near-dup at ingest against a SERVED persistent
+    * cluster store ([[graft.operators.Dedup]]'s clusterStoreBuild
+    * layout) — the MinHash twin of [[storeDedupStream]]: flag each
+    * incoming document that Jaccard-matches a stored one, the
+    * streaming face of dd_cluster_fold_stored's probe, sharing its
+    * banding and verify arithmetic term-for-term.
+    *
+    * Shape: two STREAM-STATIC equi-joins with the per-pair dedup in
+    * between — the document's 8 MinHash band keys probe the stored
+    * `bands/` index on (band, bk); a watermark-TTL'd dropDuplicates
+    * collapses the up-to-8 per-band hits of a candidate pair to ONE
+    * (doc_id, owner_id) row; only then do survivors join the stored
+    * `sigs/` relation for the exact graft_isect Jaccard verify — the
+    * sorted-shingle arrays are touched once per distinct candidate
+    * pair and the two-pointer merge runs once per pair, not once per
+    * band hit. Stateless apart from the dedup (state = candidate
+    * pairs inside the watermark delay, carrying the incoming doc's
+    * OWN hs so the verify needs no second stream-side pass; a pair's
+    * band copies all carry the same event time, so keying on it keeps
+    * the dedup exact under any disorder bounded by the delay, and
+    * append-mode emission is immediate). Input columns: doc_id, ts
+    * (epoch-nanos bigint), text.
+    *
+    * At 100 TB this is the text serve path: the store is immutable
+    * and never re-derived, `bands/` is an equi-join a deployment
+    * co-locates by bucketing on (band, bk), `sigs/` by owner_id, and
+    * per-document work is 8 band keys + one verify per distinct
+    * candidate — independent of corpus size.
+    */
+  def storeNearDupStream(docs: DataFrame, store: String,
+                         delay: String = "10 minutes"): DataFrame = {
+    val s = docs.sparkSession
+    graft.functions.VectorFunctions.ensureRegistered(s)
+    val oldBands = s.read.parquet(s"$store/bands")
+      .toDF("owner_id", "band", "bk")
+    val oldSigs = s.read.parquet(s"$store/sigs")
+      .toDF("owner_id", "old_hs")
+    graft.operators.Dedup.jacStoreProbeRows(docs)
+      .join(oldBands, Seq("band", "bk"))
+      .withColumn("event_time", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("event_time", delay)
+      .select("doc_id", "owner_id", "event_time", "hs")
+      .dropDuplicates("doc_id", "owner_id", "event_time")
+      .join(oldSigs, Seq("owner_id"))
+      .where(graft.operators.Dedup.jacVerifySpark("hs", "old_hs"))
+      .select("doc_id", "owner_id")
+  }
+
   /** One funnel event buffered in state until the watermark passes it
   * (ns timestamp, id for deterministic tie-break, step index 1-3).
   */
