@@ -762,13 +762,21 @@ object Similarity extends QueryPack {
   private def ivfpqCtes(base: String, slice: Int => String,
                         assignF: (String, String) => String,
                         assign2F: (String, String) => String,
-                        centF: String => String): String = {
+                        centF: String => String,
+                        trainWhere: String = ""): String = {
+    // sim_ivfpq_fold_stored narrows the Lloyd statistics (pa1 -> pc1)
+    // to the generation-0 training rows while pa2/cd still encode the
+    // whole corpus with the resulting frozen codebooks — the oracle
+    // restatement of train-once-then-add. Empty = train on everything.
+    def trainSide(m: Int): String =
+      if (trainWhere.isEmpty) s"pb$m"
+      else s"(SELECT * FROM pb$m WHERE $trainWhere)"
     val pqCtes = (0 until PqM).flatMap { m =>
       Seq(
         s"pb$m AS (SELECT vec_id, ${slice(m)} AS x4 FROM $base)",
         s"pc0_$m AS (SELECT vec_id AS cell, x4 AS c FROM pb$m" +
           s" WHERE vec_id < $KmK)",
-        s"pa1_$m AS (${assignF(s"pb$m", s"pc0_$m")})",
+        s"pa1_$m AS (${assignF(trainSide(m), s"pc0_$m")})",
         s"pc1_$m AS (${centF(s"pa1_$m")})",
         s"pa2_$m AS (${assignF(s"pb$m", s"pc1_$m")})",
         // candidate reconstructions: code -> trained sub-centroid
@@ -817,8 +825,9 @@ object Similarity extends QueryPack {
                        assignF: (String, String) => String,
                        assign2F: (String, String) => String,
                        centF: String => String,
-                       dist: (String, String) => String): String =
-    ivfpqCtes(base, slice, assignF, assign2F, centF) + "\n" +
+                       dist: (String, String) => String,
+                       trainWhere: String = ""): String =
+    ivfpqCtes(base, slice, assignF, assign2F, centF, trainWhere) + "\n" +
       ivfpqAdcSelect(dist, 3, ordered = true)
 
   private def simIvfPq(s: SparkSession, dir: String): DataFrame = {
@@ -841,6 +850,17 @@ object Similarity extends QueryPack {
        |${ivfpqSql("base",
           m => s"x4[${PqDim * m + 1}:${PqDim * m + PqDim}]",
           assignD, assignD2, pqCentD, distD)}""".stripMargin
+
+  /** The fold oracle: the same self-contained chain with the Lloyd
+    * statistics narrowed to the generation-0 training half — the
+    * independent restatement of "train once, add the rest frozen".
+    */
+  private val simIvfPqFoldStoredSql =
+    s"""WITH base AS (SELECT vec_id, $x4D AS x4 FROM embeddings),
+       |${ivfpqSql("base",
+          m => s"x4[${PqDim * m + 1}:${PqDim * m + PqDim}]",
+          assignD, assignD2, pqCentD, distD,
+          trainWhere = s"vec_id < ${IvfQ / 2}")}""".stripMargin
 
   // -- sim_ivfpq_pretrained: the persisted-model serving path -----------------
   // sim_ivfpq is the spec regime: one self-contained query that trains
@@ -930,8 +950,16 @@ object Similarity extends QueryPack {
     * serving oracles assume the spec constant.
     */
   private[graft] def trainIvfPq(s: SparkSession, dir: String,
-                                kCells: Int = KmK): IvfPqModel = {
+                                kCells: Int = KmK,
+                                trainWhere: String = ""): IvfPqModel = {
     VectorFunctions.ensureRegistered(s)
+    // Optional training restriction (sim_ivfpq_fold_stored trains its
+    // generation-0 codebooks on the first candidate half): the Lloyd
+    // statistics AND the emitted code table narrow to the matching
+    // rows; the coarse init (first kCells vectors) must be inside any
+    // restriction a caller passes. Empty = the full corpus, rendering
+    // byte-identical SQL to the unrestricted form.
+    val trainCond = if (trainWhere.isEmpty) "" else s" WHERE $trainWhere"
     val base = table(s, dir, "embeddings")
       .selectExpr("vec_id", s"$x4S AS x4")
       .localCheckpoint()
@@ -958,7 +986,7 @@ object Similarity extends QueryPack {
          |    SELECT pos div $PqDim AS m, $cellOfM AS cell,
          |      pos % $PqDim AS p, v
          |    FROM (SELECT x4, ${seedCells.mkString(",\n      ")}
-         |          FROM ipq_base)
+         |          FROM ipq_base$trainCond)
          |    LATERAL VIEW posexplode(x4) t AS pos, v)
          |  GROUP BY m, cell, p)
          |GROUP BY m, cell""".stripMargin)
@@ -973,7 +1001,7 @@ object Similarity extends QueryPack {
     val codes = s.sql(
       s"""SELECT vec_id, ${argminS("x4", cents)} AS cell,
          |  ${codeCols.mkString(",\n  ")}
-         |FROM ipq_base""".stripMargin)
+         |FROM ipq_base$trainCond""".stripMargin)
       .localCheckpoint()
     // the code table is materialized; drop the view so nothing pins the
     // corpus-sized base checkpoint (ContextCleaner frees its blocks
@@ -1096,6 +1124,96 @@ object Similarity extends QueryPack {
     val stored = IvfPqStore.load(s, out)
     registerServingViews(s, dir, stored)
     s.sql(s"WITH ${servingCtes(stored)}\n" +
+      servingAdcSelect(3, ordered = true))
+  }
+
+  // -- sim_ivfpq_fold_stored: FAISS-style add() into the SERVED index ---------
+  // Production ANN indexes are not retrained per ingest batch:
+  // codebooks are trained once on a snapshot, persisted, and every
+  // later batch is ENCODED with the frozen model and appended to the
+  // stored code table (Jégou et al. §V serving practice; the standard
+  // IndexIVFPQ add path). This key pins that story end to end:
+  // generation 0 trains on the FIRST HALF of the candidate corpus
+  // (vec_id < IvfTrainOld) and persists; every call then loads gen 0,
+  // encodes the REST of the corpus with the LOADED frozen codebooks —
+  // the measured add(): one narrow broadcast-model kernel pass, no
+  // Lloyd statistics, no shuffle — unions the stored codes, and
+  // serves the unchanged ADC plan over the folded table. The coarse
+  // quantizer is init-only (cents = the first KmK vectors, all inside
+  // the training half), so cell geometry is identical across
+  // generations by construction; only the PQ codebook statistics
+  // narrow to the training half, which is exactly what the oracle
+  // restates (pa1/pc1 over the training rows, pa2/cd over everything).
+  private[graft] val IvfTrainOld = IvfQ / 2
+
+  /** Encode `where`-rows of the corpus with a LOADED frozen model —
+    * the add() pass: coarse cell + PqM codes, all broadcast-codebook
+    * [[argminS]] kernel argmins, one narrow map-side projection.
+    */
+  private[graft] def ivfPqEncode(s: SparkSession, dir: String,
+                                 model: IvfPqModel,
+                                 where: String): DataFrame = {
+    VectorFunctions.ensureRegistered(s)
+    val codeCols = (0 until PqM).map { m =>
+      s"${argminS(ipqSliceS(m), model.codebooks(m))} AS code_$m"
+    }
+    table(s, dir, "embeddings")
+      .selectExpr("vec_id", s"$x4S AS x4")
+      .where(where)
+      .selectExpr(
+        Seq("vec_id", s"${argminS("x4", model.cents)} AS cell") ++
+          codeCols: _*)
+  }
+
+  /** Write the NEXT-GENERATION store at `out`: cents/codebooks frozen
+    * (copied), codes = stored UNION the newly encoded rows. Stores
+    * are IMMUTABLE — the caller manages generation paths like any
+    * object-store dataset version (the [[graft.operators.Dedup]]
+    * clusterStoreFoldInto discipline); the prior generation is never
+    * touched, so a reader serving it is never disturbed.
+    */
+  private[graft] def ivfPqStoreFoldInto(s: SparkSession, dir: String,
+                                        store: String, out: String,
+                                        where: String): Unit = {
+    val prior = IvfPqStore.load(s, store)
+    new java.io.File(out).mkdirs()
+    IvfPqStore.save(
+      IvfPqModel(prior.cents, prior.codebooks,
+        prior.codes.union(ivfPqEncode(s, dir, prior, where))), out)
+  }
+
+  /** Per-(process, corpus) generation-0 store: first caller trains the
+    * half-corpus codebooks and persists; later calls are pure load.
+    */
+  private[graft] def ensureIvfPqOldStore(s: SparkSession,
+                                         dir: String): String = {
+    purgeDeadSessions()
+    val store = StoreFiles.scratchDir("graft_ivfpq0_", dir)
+    storeLocks.computeIfAbsent(store, _ => new Object).synchronized {
+      if (!IvfPqStore.exists(store)) {
+        new java.io.File(store).mkdirs()
+        IvfPqStore.save(
+          trainIvfPq(s, dir, trainWhere = s"vec_id < $IvfTrainOld"),
+          store)
+      }
+    }
+    store
+  }
+
+  private def simIvfPqFoldStored(s: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.ensureRegistered(s)
+    val store = ensureIvfPqOldStore(s, dir)
+    val prior = IvfPqStore.load(s, store)
+    // the measured add: encode everything past the training half with
+    // the LOADED frozen model, then serve ADC over stored + added.
+    // Deliberately NOT cached in ivfpqModelCache: that cache holds
+    // full-corpus-trained models (sim_ivfpq_pretrained's contract) and
+    // a half-trained fold model must never masquerade as one.
+    val folded = IvfPqModel(prior.cents, prior.codebooks,
+      prior.codes.union(
+        ivfPqEncode(s, dir, prior, s"vec_id >= $IvfTrainOld")))
+    registerServingViews(s, dir, folded)
+    s.sql(s"WITH ${servingCtes(folded)}\n" +
       servingAdcSelect(3, ordered = true))
   }
 
@@ -1266,6 +1384,7 @@ object Similarity extends QueryPack {
       "sim_ivfpq" -> simIvfPq _,
       "sim_ivfpq_pretrained" -> simIvfPqPretrained _,
       "sim_ivfpq_stored" -> simIvfPqStored _,
+      "sim_ivfpq_fold_stored" -> simIvfPqFoldStored _,
       "sim_ivfpq_refine" -> simIvfPqRefine _,
       "sim_pq" -> simPq _,
       "sim_kmeans" -> simKmeans _,
@@ -1288,6 +1407,7 @@ object Similarity extends QueryPack {
     "sim_ivfpq_pretrained" -> simIvfPqSql,
     // the disk round-trip must also reproduce the spec query exactly
     "sim_ivfpq_stored" -> simIvfPqSql,
+    "sim_ivfpq_fold_stored" -> simIvfPqFoldStoredSql,
     "sim_ivfpq_refine" -> simIvfPqRefineSql,
     "sim_pq" -> simPqSql,
     "sim_kmeans" -> simKmeansSql,
