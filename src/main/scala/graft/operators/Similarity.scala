@@ -752,7 +752,9 @@ object Similarity extends QueryPack {
   // against the candidates (cells are disjoint, so no DISTINCT is
   // needed); ranking runs over the union of both probed cells. The
   // arithmetic stays integer-exact, so the oracle restates it verbatim.
-  private val IvfQ = 492 // vec_id >= IvfQ are queries (as sim_ivf_probe)
+  // vec_id >= IvfQ are queries (as sim_ivf_probe); exposed to the
+  // streaming ANN-serve replay gates, which feed exactly that set
+  private[graft] val IvfQ = 492
   private val IvfNprobe = 2
 
   /** The train+probe CTE chain shared by sim_ivfpq and the refine
@@ -1101,7 +1103,12 @@ object Similarity extends QueryPack {
   // scratch stores; within a process the first call trains+saves and
   // every later call is pure load+serve (the restarted-session story
   // at fixture scale).
-  private def simIvfPqStored(s: SparkSession, dir: String): DataFrame = {
+  /** Per-(process, corpus) full-corpus-trained store: first caller
+    * trains+saves, later calls are pure load — shared by the batch
+    * stored-serve key and the streaming ANN serve gates so both faces
+    * provably serve the SAME persisted index.
+    */
+  private[graft] def ensureIvfPqStore(s: SparkSession, dir: String): String = {
     VectorFunctions.ensureRegistered(s)
     purgeDeadSessions()
     val out = new java.io.File(
@@ -1121,7 +1128,11 @@ object Similarity extends QueryPack {
           ivfpqModelCache.getOrElseUpdate((s, dir), trainIvfPq(s, dir)), out)
       }
     }
-    val stored = IvfPqStore.load(s, out)
+    out
+  }
+
+  private def simIvfPqStored(s: SparkSession, dir: String): DataFrame = {
+    val stored = IvfPqStore.load(s, ensureIvfPqStore(s, dir))
     registerServingViews(s, dir, stored)
     s.sql(s"WITH ${servingCtes(stored)}\n" +
       servingAdcSelect(3, ordered = true))
@@ -1240,19 +1251,25 @@ object Similarity extends QueryPack {
     * 4 vec_id joins: 5 corpus-scale scans, and serving benched SLOWER
     * than the train-included query).
     */
+  /** Sub-codebook `m` as ONE flattened literal array, dead cells
+    * zero-filled (codes never reference a dead cell, so its LUT slot
+    * is an arbitrary never-read filler) — shared by the batch serving
+    * CTEs and the streaming serve projections so both faces inline
+    * the identical codebook bytes.
+    */
+  private def flatCodebook(model: IvfPqModel, m: Int): String = {
+    val byCell = model.codebooks(m).toMap
+    (0 until KmK)
+      .flatMap(k => byCell.getOrElse(k.toLong, Seq.fill(PqDim)(0L)))
+      .map(v => s"${v}L").mkString("array(", ",", ")")
+  }
+
   private def servingCtes(model: IvfPqModel): String = {
     // LUT slot k (1-based element k+1) is the distance to sub-centroid
     // k, via the graft_dist_lut kernel over ONE flattened codebook
-    // literal — O(1) generated code in K, like [[argminS]]. A cell can
-    // die during the Lloyd round; codes never reference a dead cell,
-    // so its LUT slot is an arbitrary never-read zero filler.
-    def lut(m: Int): String = {
-      val byCell = model.codebooks(m).toMap
-      val flat = (0 until KmK)
-        .flatMap(k => byCell.getOrElse(k.toLong, Seq.fill(PqDim)(0L)))
-        .map(v => s"${v}L").mkString("array(", ",", ")")
-      s"graft_dist_lut(qs$m,\n      $flat)"
-    }
+    // literal — O(1) generated code in K, like [[argminS]].
+    def lut(m: Int): String =
+      s"graft_dist_lut(qs$m,\n      ${flatCodebook(model, m)})"
     s"""q AS (SELECT vec_id, cell,
        |    ${(0 until PqM).map(m => s"${ipqSliceS(m)} AS qs$m")
             .mkString(", ")}
@@ -1281,6 +1298,54 @@ object Similarity extends QueryPack {
        |      ON codes.cell = ql.cell AND codes.vec_id < $IvfQ))
        |WHERE rnk <= $cap${if (ordered) " ORDER BY query_id, rnk" else ""}"""
       .stripMargin
+
+  /** STREAMING-side serving candidates (Streams.annServeStream): the
+    * same ADC plan as the batch `servingCtes` chain, restated with
+    * stream-legal operators only — no window function ranks the probe
+    * set; instead ONE graft_dist_lut pass against the coarse
+    * centroids scores all KmK cells and an array_sort-and-slice takes
+    * the top IvfNprobe (struct order (d, cell) = assignTop's ORDER BY
+    * dist, cell tie-break, term-for-term). Per-subspace ADC LUTs then
+    * inline the identical [[flatCodebook]] literals the batch face
+    * uses, candidates arrive by ONE stream-static equi-join on cell,
+    * and each candidate costs PqM array lookups. The array HOFs are
+    * CodegenFallback, but they run on the QUERY stream (model-sized
+    * work per row), never the corpus side. Input columns: vec_id, ts
+    * (epoch-nanos bigint), embedding. Output: query_id, ts, cell,
+    * neighbor_id, adc_dist — ranking is the stream operator's job
+    * (top-k needs per-query state, which belongs in streaming/).
+    */
+  private[graft] def annServeCandidates(queries: DataFrame,
+                                        model: IvfPqModel): DataFrame = {
+    VectorFunctions.ensureRegistered(queries.sparkSession)
+    val sorted = model.cents.sortBy(_._1)
+    val cellsArr = sorted.map { case (c, _) => s"${c}L" }
+      .mkString("array(", ",", ")")
+    val flatCents = sorted.flatMap(_._2).map(v => s"${v}L")
+      .mkString("array(", ",", ")")
+    val probe =
+      s"""slice(transform(array_sort(transform(
+         |  sequence(0, ${sorted.size - 1}),
+         |  c -> struct(element_at(cd, cast(c + 1 as int)) AS d,
+         |              element_at($cellsArr, cast(c + 1 as int)) AS cell))),
+         |  t -> t.cell), 1, $IvfNprobe)""".stripMargin
+    val luts = (0 until PqM).map(m =>
+      s"graft_dist_lut(${ipqSliceS(m)}, ${flatCodebook(model, m)}) AS lut$m")
+    val candidates = model.codes.where(s"vec_id < $IvfQ")
+      .toDF(Seq("neighbor_id", "cell") ++
+        (0 until PqM).map(m => s"code_$m"): _*)
+    queries
+      .selectExpr("vec_id AS query_id", "ts", s"$x4S AS x4")
+      .selectExpr("query_id", "ts", "x4",
+        s"graft_dist_lut(x4, $flatCents) AS cd")
+      .selectExpr(Seq("query_id", "ts", s"explode($probe) AS cell") ++
+        luts: _*)
+      .join(candidates, Seq("cell"))
+      .selectExpr("query_id", "ts", "cell", "neighbor_id",
+        (0 until PqM)
+          .map(m => s"element_at(lut$m, cast(code_$m + 1 as int))")
+          .mkString(" + ") + " AS adc_dist")
+  }
 
   private def simIvfPqPretrained(s: SparkSession, dir: String): DataFrame = {
     val model = registerServing(s, dir)

@@ -332,6 +332,60 @@ object StreamReplay extends QueryPack {
       jittered(tickedNewDocs(s, dir), slackNs)(_.ts, _.doc_id))
   }
 
+  // -- st_ann_serve_replay: online ANN top-k against the SERVED IVF-PQ store -
+  // The retrieval face: the full-corpus-trained index is persisted
+  // ONCE (the same ensureIvfPqStore instance sim_ivfpq_stored gates),
+  // the query batch (vec_id >= IvfQ, exactly the batch key's query
+  // set) streams in as ticked vectors, and the per-query top-3 must
+  // equal the batch serving plan — the oracle IS sim_ivfpq's
+  // self-contained train+score SQL, shared verbatim, so stream
+  // serving, batch serving, and DuckDB all pin the same table. No
+  // sentinel: ranking emits immediately (all of a query's candidates
+  // ride its own micro-batch; see annServeStream).
+  private def tickedQueryVecs(s: SparkSession, dir: String)
+      : IndexedSeq[StreamVec] = {
+    import s.implicits._
+    val q0 = graft.operators.Similarity.IvfQ
+    table(s, dir, "embeddings")
+      .where(s"vec_id >= $q0")
+      .selectExpr("vec_id",
+        s"(vec_id - $q0 + 1) * ${TickNs}L AS ts", "embedding")
+      .as[StreamVec].collect().sortBy(_.vec_id).toIndexedSeq
+  }
+
+  private def annServeReplaySink(s: SparkSession, dir: String,
+                                 vecs: Seq[StreamVec]): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val store = graft.operators.Similarity.ensureIvfPqStore(s, dir)
+    val in = MemoryStream[StreamVec]
+    val sink = s"st_ann_serve_replay_sink_${sinkSeq.incrementAndGet()}"
+    withReplayPartitions(s) {
+      val q = Streams.annServeStream(in.toDF(), store)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try feed(in, q, batched(vecs.toIndexedSeq))
+      finally q.stop()
+    }
+    detachSink(s, sink)
+      .selectExpr("query_id", "cell", "neighbor_id", "adc_dist", "rnk")
+      .orderBy("query_id", "rnk")
+  }
+
+  private def stAnnServeReplay(s: SparkSession, dir: String): DataFrame =
+    annServeReplaySink(s, dir, tickedQueryVecs(s, dir))
+
+  // Disorder robustness is trivially strong here — the path is fully
+  // stateless (immediate per-batch ranking, no watermark, no state),
+  // so ANY permutation of the feed lands on the same table; the gate
+  // uses the standard bounded jitter to stay comparable with the
+  // other _ooo twins.
+  private def stAnnServeOooReplay(s: SparkSession, dir: String): DataFrame = {
+    val slackNs = 64L * TickNs
+    annServeReplaySink(s, dir,
+      jittered(tickedQueryVecs(s, dir), slackNs)(_.ts, _.vec_id))
+  }
+
   // The eviction semantics, restated: per (band, bucket), order the
   // documents by event time, break the timeline where the gap between
   // consecutive documents exceeds the horizon (the stream refreshes a
@@ -1007,6 +1061,8 @@ object StreamReplay extends QueryPack {
         "st_store_dedup_ooo_replay" -> (stStoreDedupOooReplay _),
         "st_store_neardup_replay" -> (stStoreNearDupReplay _),
         "st_store_neardup_ooo_replay" -> (stStoreNearDupOooReplay _),
+        "st_ann_serve_replay" -> (stAnnServeReplay _),
+        "st_ann_serve_ooo_replay" -> (stAnnServeOooReplay _),
         "st_sessions_replay" -> (stSessionsReplay _),
         "st_sessions_ooo_replay" -> (stSessionsOooReplay _),
         "st_funnel_replay" -> (stFunnelReplay _),
@@ -1029,6 +1085,11 @@ object StreamReplay extends QueryPack {
         "st_store_neardup_replay" -> Dedup.duckStoreNearDupSql,
         // the disorder gate must land on the SAME all-pairs spec
         "st_store_neardup_ooo_replay" -> Dedup.duckStoreNearDupSql,
+        // the streaming serve must land on the batch key's own table
+        "st_ann_serve_replay" ->
+          graft.operators.Similarity.oracles("sim_ivfpq"),
+        "st_ann_serve_ooo_replay" ->
+          graft.operators.Similarity.oracles("sim_ivfpq"),
         // the disorder gate must land on the SAME batch pair set
         "st_store_dedup_ooo_replay" -> stStoreDedupReplaySql,
         "st_sessions_replay" -> stSessionsReplaySql,

@@ -46,6 +46,14 @@ case class StreamVec(vec_id: Long, ts: Long, embedding: Seq[Float])
 /** One media item on the ingest stream: opaque payload + metadata (the
   * streaming twin of the mm pack's MediaItem, with an event time).
   */
+/** One scored ANN candidate riding the serve stream (annServeStream's
+  * pre-ranking row), and one emitted top-k hit.
+  */
+case class AnnCand(query_id: Long, ts: Long, cell: Long,
+                   neighbor_id: Long, adc_dist: Long)
+case class AnnHit(query_id: Long, cell: Long, neighbor_id: Long,
+                  adc_dist: Long, rnk: Long)
+
 case class StreamMedia(doc_id: Long, ts: Long, modality: String,
                        payload: Array[Byte])
 
@@ -529,6 +537,50 @@ object Streams {
       .join(oldSigs, Seq("owner_id"))
       .where(graft.operators.Dedup.jacVerifySpark("hs", "old_hs"))
       .select("doc_id", "owner_id")
+  }
+
+  /** Online ANN retrieval against the DISK-persisted IVF-PQ index —
+    * the streaming twin of sim_ivfpq_stored: each incoming query
+    * vector probes its IvfNprobe nearest coarse cells, scores that
+    * cell slice of the stored code table by asymmetric distance, and
+    * emits its top-`k` hits. The scoring plan is
+    * [[graft.operators.Similarity.annServeCandidates]] (the batch
+    * serving arithmetic restated with stream-legal operators only —
+    * same flattened codebook literals, same tie-breaks); this wrapper
+    * adds the one thing batch SQL gets from a window function and a
+    * stream cannot: per-query top-k ranking, as a
+    * flatMapGroupsWithState that emits IMMEDIATELY and never writes
+    * state — every candidate of a query rides the SAME micro-batch
+    * (all are derived from the query's single input row through
+    * stream-static joins), so the group always folds complete
+    * evidence. Input contract: at-most-once per query_id (an
+    * at-least-once source deduplicates upstream, e.g. with
+    * dropDuplicatesWithinWatermark).
+    *
+    * At 100 TB this is the retrieval serve path: the index is
+    * immutable and never re-derived (add() lands as new generations —
+    * sim_ivfpq_fold_stored), the code table is one cell equi-join a
+    * deployment co-locates by bucketing on cell, and per-query work
+    * is IvfNprobe cell slices + PqM lookups per candidate —
+    * independent of corpus size.
+    */
+  def annServeStream(queries: DataFrame, store: String, k: Int = 3)
+      : Dataset[AnnHit] = {
+    val s = queries.sparkSession
+    import s.implicits._
+    val model = graft.operators.Similarity.IvfPqStore.load(s, store)
+    graft.operators.Similarity.annServeCandidates(queries, model)
+      .as[AnnCand]
+      .groupByKey(_.query_id)
+      .flatMapGroupsWithState[Boolean, AnnHit](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (qid, rows, _) =>
+          rows.toSeq.sortBy(r => (r.adc_dist, r.neighbor_id))
+            .take(k).zipWithIndex
+            .map { case (r, i) =>
+              AnnHit(qid, r.cell, r.neighbor_id, r.adc_dist, i + 1L)
+            }.iterator
+      }
   }
 
   /** One funnel event buffered in state until the watermark passes it
