@@ -431,4 +431,43 @@ class PlanSpec extends AnyFunSuite {
     assert("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \\[band".r
       .findAllIn(p).size >= 2, p.take(4000))
   }
+
+  test("storeNearDupStream: the text serve path is equi-joins only — " +
+      "(band, bk) into the stored index, owner_id into stored sigs") {
+    // The streaming serve claim: per-document work is 8 band keys
+    // probing bands/ plus ONE verify per distinct candidate against
+    // sigs/ — both co-locatable equi-joins at deployment. Pin the
+    // physical shape on a batch shadow of the same pipeline (the
+    // stream-static joins plan identically; EliminateEventTimeWatermark
+    // drops the watermark node in batch).
+    val store = operators.Dedup.ensureClusterStore(spark, dir)
+    val docs = Engine.table(spark, dir, "documents")
+      .selectExpr("doc_id", "(doc_id + 1) * 1000000000L AS ts", "text")
+    val p = streaming.Streams.storeNearDupStream(docs, store)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p.take(4000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(4000))
+    assert("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \\[band".r
+      .findAllIn(p).nonEmpty, p.take(4000))
+    assert("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \\[owner_id".r
+      .findAllIn(p).nonEmpty, p.take(4000))
+  }
+
+  test("annServeCandidates: ANN serving delivers candidates by ONE " +
+      "cell equi-join against the stored code table") {
+    // The retrieval serve claim: per-query work is nprobe cell slices
+    // of the code table — one equi-join a deployment co-locates by
+    // bucketing codes/ on cell — never a corpus scan per query.
+    val store = operators.Similarity.ensureIvfPqStore(spark, dir)
+    val model = operators.Similarity.IvfPqStore.load(spark, store)
+    val queries = Engine.table(spark, dir, "embeddings")
+      .where(s"vec_id >= ${operators.Similarity.IvfQ}")
+      .selectExpr("vec_id", "cast(1 as bigint) AS ts", "embedding")
+    val p = operators.Similarity.annServeCandidates(queries, model)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p.take(4000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(4000))
+    assert("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \\[cell".r
+      .findAllIn(p).nonEmpty, p.take(4000))
+  }
 }
