@@ -61,4 +61,31 @@ class IvfPqFoldSpec extends AnyFunSuite {
       "half-corpus training produced the full-corpus codebooks: " +
         "the fold fixture cannot distinguish frozen from retrained")
   }
+
+  test("a two-batch fold chain (gen-0 → gen-1 → gen-2) lands on the " +
+      "single-shot fold's store") {
+    // The production ingest pattern is REPEATED add(): batches land as
+    // successive immutable generations, each encoding only its own
+    // rows with the same frozen gen-0 model. Because encode is
+    // row-local and the model never changes, chaining must equal one
+    // big fold — pinned here so a future fold that touched the model
+    // (or re-encoded prior rows) fails CI.
+    val store = Similarity.ensureIvfPqOldStore(spark, dir)
+    val mid = (Similarity.IvfTrainOld + Similarity.IvfQ) / 2
+    val g1 = store + "_chain_g1"
+    val g2 = store + "_chain_g2"
+    val one = store + "_chain_oneshot"
+    Seq(g1, g2, one).foreach(p => deleteRec(new java.io.File(p)))
+    Similarity.ivfPqStoreFoldInto(spark, dir, store, g1,
+      s"vec_id >= ${Similarity.IvfTrainOld} AND vec_id < $mid")
+    Similarity.ivfPqStoreFoldInto(spark, dir, g1, g2,
+      s"vec_id >= $mid")
+    Similarity.ivfPqStoreFoldInto(spark, dir, store, one,
+      s"vec_id >= ${Similarity.IvfTrainOld}")
+    val chained = Similarity.IvfPqStore.load(spark, g2)
+    val oneshot = Similarity.IvfPqStore.load(spark, one)
+    assert(codeSet(chained.codes) == codeSet(oneshot.codes))
+    assert(chained.cents == oneshot.cents)
+    assert(chained.codebooks == oneshot.codebooks)
+  }
 }
