@@ -1848,6 +1848,11 @@ object Dedup extends QueryPack {
         "graft_h32a(grams) AS ghs", "graft_h64sd(grams) AS hs")
       .selectExpr("doc_id", "is_new", "hs", "graft_minhash16(ghs) AS sigarr")
       .selectExpr(Seq("doc_id", "is_new", "hs") ++ sparkSigCols: _*)
+      // cache (not the fold's eager localCheckpoint): A/B'd r16 —
+      // swapping in a checkpoint left the edge job's 10.8 CPU-s
+      // untouched (the cost is the banded verify itself, not a
+      // racing-scan sig recompute) and added a job to the family's
+      // pinned 26-job scheduling floor.
       .cache()
       .createOrReplaceTempView("cinc_sigs")
     val bandSelects = (0 until JacBands)
