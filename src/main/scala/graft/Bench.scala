@@ -67,7 +67,8 @@ object Bench {
     "dd_embed_cluster_fold_stored", "st_store_dedup_replay",
     "st_store_dedup_ooo_replay", "st_store_neardup_replay",
     "st_store_neardup_ooo_replay", "sim_ivfpq_fold_stored",
-    "st_ann_serve_replay", "st_ann_serve_ooo_replay")
+    "st_ann_serve_replay", "st_ann_serve_ooo_replay",
+    "st_store_phash_replay", "st_store_phash_ooo_replay")
 
   private final case class M(
       name: String, median: Double, spread: Double, jobsPerRep: Int,

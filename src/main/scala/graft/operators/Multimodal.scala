@@ -348,17 +348,29 @@ object Multimodal extends QueryPack {
     * i < 64; sub-64-byte payloads get stride 0 (all probes = byte 1 ->
     * signature 0), degenerate but identical in both engines.
     */
-  private def phashSigs(s: SparkSession, dir: String): DataFrame = {
+  private def phashSigs(s: SparkSession, dir: String): DataFrame =
+    phashSigsOf(media(s, dir))
+
+  /** The signature pipeline over ANY frame with (doc_id, text,
+    * n_chars) — shared by the batch queries, the persistent store
+    * build, and the streaming ingest probe (which passes `carry =
+    * Seq("ts")` to keep its event time riding along). The payload is
+    * consumed by the 64 byte probes INSIDE this projection and never
+    * survives it — the mm pack's payloads-never-shuffle invariant.
+    */
+  private def phashSigsOf(df: DataFrame,
+                          carry: Seq[String] = Nil): DataFrame = {
     val probes = (0 until PhashBits).map(i =>
       s"ascii(substring(text, 1 + $i * stride, 1)) AS p_$i")
     val sum = (0 until PhashBits).map(i => s"p_$i").mkString(" + ")
-    media(s, dir)
-      .selectExpr("doc_id", "text", s"n_chars div $PhashBits AS stride")
-      .selectExpr(Seq("doc_id") ++ probes: _*)
-      .selectExpr(Seq("doc_id", s"$sum AS s")
+    df
+      .selectExpr(Seq("doc_id") ++ carry ++
+        Seq("text", s"n_chars div $PhashBits AS stride"): _*)
+      .selectExpr(Seq("doc_id") ++ carry ++ probes: _*)
+      .selectExpr(Seq("doc_id") ++ carry ++ Seq(s"$sum AS s")
         ++ (0 until PhashBits).map(i => s"p_$i"): _*)
-      .selectExpr("doc_id",
-        s"${(0 until PhashBits).map(phashTerm).mkString(" + ")} AS phash")
+      .selectExpr(Seq("doc_id") ++ carry :+
+        s"${(0 until PhashBits).map(phashTerm).mkString(" + ")} AS phash": _*)
   }
 
   /** Shared CTE text for the DuckDB side of both phash oracles. */
@@ -451,6 +463,91 @@ object Multimodal extends QueryPack {
       mmPhashPairsUnordered(s, dir).select("doc_a", "doc_b"),
       media(s, dir).select("doc_id"))
       .orderBy(col("doc_id"))
+
+  // ---- persistent phash store + streaming ingest probe ----------------------
+  // The media modality's member of the served-store family (cluster
+  // store = text shingles, embed store = vectors, IvfPqStore = ANN
+  // codes): a catalog's perceptual-hash index persisted once, probed
+  // by every later ingest batch so near-identical media never lands
+  // twice. Layout (StoreFiles conventions — manifest temp+ATOMIC_MOVE
+  // last, per-(process, corpus) scratch dir, locked ensure):
+  //   sigs/   (doc_id, phash)     the exact Hamming-verify side
+  //   bands/  (doc_id, band, bv)  the 4x16-bit pigeonhole index
+  // Built from the docs matching Dedup.oldPred (the store family's
+  // shared old/new split). The pigeonhole guarantee is EXACT (<= 3
+  // differing bits leave >= 1 of 4 bands identical), so the banded
+  // probe's recall against the all-pairs spec is a theorem, not a
+  // probability — the oracle states the all-pairs form anyway, per
+  // the family discipline.
+  private val phashStoreLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]
+
+  private def phashBandSelects(view: String): String = (0 until 4)
+    .map(b => s"SELECT doc_id, $b AS band," +
+      s" shiftright(phash, ${16 * b}) & 65535 AS bv FROM $view")
+    .mkString(" UNION ALL ")
+
+  private[graft] def ensurePhashStore(s: SparkSession, dir: String): String = {
+    val store = StoreFiles.scratchDir("graft_pstore_", dir)
+    StoreFiles.ensure(phashStoreLocks, store) {
+      val sigs = phashSigsOf(media(s, dir).where(Dedup.oldPred)).cache()
+      sigs.createOrReplaceTempView("pst_sigs")
+      new java.io.File(store).mkdirs()
+      sigs.write.mode("overwrite").parquet(s"$store/sigs")
+      s.sql(s"SELECT doc_id, band, bv FROM (${phashBandSelects("pst_sigs")})")
+        .write.mode("overwrite").parquet(s"$store/bands")
+      val n = sigs.count()
+      sigs.unpersist()
+      StoreFiles.writeManifest(store,
+        s"""{"docs": $n, "bands": 4, "bits": $PhashBits, "hamming": 3}""")
+    }
+  }
+
+  /** Streaming-side (doc_id, ts, phash, band, bv) expansion against
+    * the store's banding — lives next to [[ensurePhashStore]] so the
+    * probe and the index can never band differently. n_chars is
+    * derived from the payload in hand (`length(text)`; the corpus
+    * column is the same value — TESTDATA contract), the signature is
+    * computed MAP-SIDE, and the payload never survives the first
+    * projection. Input columns: doc_id, ts (epoch-nanos bigint), text.
+    */
+  private[graft] def phashProbeRows(mediaStream: DataFrame): DataFrame = {
+    val bandCols = (0 until 4).map(b =>
+      s"struct($b AS band, shiftright(phash, ${16 * b}) & 65535 AS bv)")
+    phashSigsOf(
+      mediaStream.selectExpr("doc_id", "ts", "text",
+        "length(text) AS n_chars"),
+      carry = Seq("ts"))
+      .selectExpr("doc_id", "ts", "phash",
+        s"explode(array(${bandCols.mkString(", ")})) AS bb")
+      .selectExpr("doc_id", "ts", "phash",
+        "bb.band AS band", "bb.bv AS bv")
+  }
+
+  /** DuckDB restatement for st_store_phash_replay: the INDEPENDENT
+    * all-pairs old-new Hamming spec (no banding — though here the
+    * pigeonhole makes banded = all-pairs a theorem, the oracle still
+    * refuses to share the shortcut).
+    */
+  private[graft] val duckStorePhashSql = {
+    val probes = (0 until PhashBits).map(i =>
+      s"ascii(substr(text, 1 + $i * stride, 1)) AS p_$i")
+    val sum = (0 until PhashBits).map(i => s"p_$i").mkString(" + ")
+    s"""WITH sigs AS (
+       |  SELECT doc_id, is_old,
+       |    ${(0 until PhashBits).map(phashTerm).mkString(" + ")} AS phash
+       |  FROM (SELECT doc_id, is_old, $sum AS s,
+       |          ${(0 until PhashBits).map("p_" + _).mkString(", ")}
+       |        FROM (SELECT doc_id, is_old, ${probes.mkString(", ")}
+       |              FROM (SELECT doc_id, text,
+       |                      CAST(substr(source, 4) AS INT) < 10 AS is_old,
+       |                      n_chars // $PhashBits AS stride
+       |                    FROM documents))))
+       |SELECT n.doc_id AS doc_id, o.doc_id AS owner_id
+       |FROM sigs n JOIN sigs o ON NOT n.is_old AND o.is_old
+       |WHERE bit_count(xor(n.phash, o.phash)) <= 3
+       |ORDER BY 1, 2""".stripMargin
+  }
 
   private val mmPhashClusterSql =
     s"""WITH RECURSIVE $phashSigsSql,

@@ -332,6 +332,45 @@ object StreamReplay extends QueryPack {
       jittered(tickedNewDocs(s, dir), slackNs)(_.ts, _.doc_id))
   }
 
+  // -- st_store_phash_replay: media ingest near-dup against the SERVED store -
+  // The perceptual-hash member of the served-store gate family: the
+  // phash store is built ONCE from the old document half (the media
+  // fixture poses documents as payloads — Multimodal's convention),
+  // the stream feeds the NEW half as ticked payloads, and the sink
+  // must equal the INDEPENDENT all-pairs old-new Hamming spec. No
+  // flush sentinel (stateless but for the watermarked pair dedup).
+  private def storePhashReplaySink(s: SparkSession, dir: String,
+                                   docs: Seq[StreamDoc]): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val store = graft.operators.Multimodal.ensurePhashStore(s, dir)
+    val in = MemoryStream[StreamDoc]
+    val sink = s"st_store_phash_replay_sink_${sinkSeq.incrementAndGet()}"
+    withReplayPartitions(s) {
+      val q = Streams.storePhashStream(in.toDF(), store)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try feed(in, q, batched(docs.toIndexedSeq))
+      finally q.stop()
+    }
+    detachSink(s, sink)
+      .selectExpr("doc_id", "owner_id")
+      .orderBy("doc_id", "owner_id")
+  }
+
+  private def stStorePhashReplay(s: SparkSession, dir: String): DataFrame =
+    storePhashReplaySink(s, dir, tickedNewDocs(s, dir))
+
+  // Bounded disorder strictly inside the 10-minute dedup delay — as
+  // with the other store probes, the joins are stateless and only the
+  // pair dedup holds state, TTL'd far past the 64-tick jitter.
+  private def stStorePhashOooReplay(s: SparkSession,
+                                    dir: String): DataFrame = {
+    val slackNs = 64L * TickNs
+    storePhashReplaySink(s, dir,
+      jittered(tickedNewDocs(s, dir), slackNs)(_.ts, _.doc_id))
+  }
+
   // -- st_ann_serve_replay: online ANN top-k against the SERVED IVF-PQ store -
   // The retrieval face: the full-corpus-trained index is persisted
   // ONCE (the same ensureIvfPqStore instance sim_ivfpq_stored gates),
@@ -1063,6 +1102,8 @@ object StreamReplay extends QueryPack {
         "st_store_neardup_ooo_replay" -> (stStoreNearDupOooReplay _),
         "st_ann_serve_replay" -> (stAnnServeReplay _),
         "st_ann_serve_ooo_replay" -> (stAnnServeOooReplay _),
+        "st_store_phash_replay" -> (stStorePhashReplay _),
+        "st_store_phash_ooo_replay" -> (stStorePhashOooReplay _),
         "st_sessions_replay" -> (stSessionsReplay _),
         "st_sessions_ooo_replay" -> (stSessionsOooReplay _),
         "st_funnel_replay" -> (stFunnelReplay _),
@@ -1090,6 +1131,11 @@ object StreamReplay extends QueryPack {
           graft.operators.Similarity.oracles("sim_ivfpq"),
         "st_ann_serve_ooo_replay" ->
           graft.operators.Similarity.oracles("sim_ivfpq"),
+        "st_store_phash_replay" ->
+          graft.operators.Multimodal.duckStorePhashSql,
+        // the disorder gate must land on the SAME all-pairs spec
+        "st_store_phash_ooo_replay" ->
+          graft.operators.Multimodal.duckStorePhashSql,
         // the disorder gate must land on the SAME batch pair set
         "st_store_dedup_ooo_replay" -> stStoreDedupReplaySql,
         "st_sessions_replay" -> stSessionsReplaySql,

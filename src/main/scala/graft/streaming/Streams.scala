@@ -539,6 +539,42 @@ object Streams {
       .select("doc_id", "owner_id")
   }
 
+  /** Online MEDIA near-dup at ingest against a SERVED persistent
+    * phash store ([[graft.operators.Multimodal]]'s ensurePhashStore
+    * layout) — the perceptual-hash member of the served-store family:
+    * flag each incoming media item whose signature sits within
+    * Hamming 3 of a stored one, so near-identical media never lands
+    * twice. Same two-joins-with-dedup-between shape as
+    * [[storeDedupStream]]/[[storeNearDupStream]]: the item's 4
+    * pigeonhole band values probe the stored `bands/` index (the
+    * payload is consumed map-side by the signature probes and never
+    * survives the first projection — payloads never shuffle), a
+    * watermark-TTL'd dropDuplicates collapses the up-to-4 per-band
+    * hits of a pair to one row, and survivors verify by ONE
+    * bit_count(xor) against stored `sigs/`. State per candidate pair
+    * is a single BIGINT signature. Recall is a THEOREM here (<= 3
+    * differing bits leave >= 1 of 4 16-bit bands identical), so the
+    * stream equals the all-pairs spec exactly. Input columns: doc_id,
+    * ts (epoch-nanos bigint), text (payload).
+    */
+  def storePhashStream(media: DataFrame, store: String,
+                       delay: String = "10 minutes"): DataFrame = {
+    val s = media.sparkSession
+    val oldBands = s.read.parquet(s"$store/bands")
+      .toDF("owner_id", "band", "bv")
+    val oldSigs = s.read.parquet(s"$store/sigs")
+      .toDF("owner_id", "old_phash")
+    graft.operators.Multimodal.phashProbeRows(media)
+      .join(oldBands, Seq("band", "bv"))
+      .withColumn("event_time", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("event_time", delay)
+      .select("doc_id", "owner_id", "event_time", "phash")
+      .dropDuplicates("doc_id", "owner_id", "event_time")
+      .join(oldSigs, Seq("owner_id"))
+      .where("bit_count(phash ^ old_phash) <= 3")
+      .select("doc_id", "owner_id")
+  }
+
   /** Online ANN retrieval against the DISK-persisted IVF-PQ index —
     * the streaming twin of sim_ivfpq_stored: each incoming query
     * vector probes its IvfNprobe nearest coarse cells, scores that

@@ -453,6 +453,26 @@ class PlanSpec extends AnyFunSuite {
       .findAllIn(p).nonEmpty, p.take(4000))
   }
 
+  test("storePhashStream: the media serve path is equi-joins only — " +
+      "(band, bv) into the stored index, owner_id into stored sigs — " +
+      "and the payload never reaches a join") {
+    val store = operators.Multimodal.ensurePhashStore(spark, dir)
+    val docs = Engine.table(spark, dir, "documents")
+      .selectExpr("doc_id", "(doc_id + 1) * 1000000000L AS ts", "text")
+    val p = streaming.Streams.storePhashStream(docs, store)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p.take(4000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(4000))
+    assert("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \\[band".r
+      .findAllIn(p).nonEmpty, p.take(4000))
+    assert("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \\[owner_id".r
+      .findAllIn(p).nonEmpty, p.take(4000))
+    // payloads never shuffle: no join operator's key/output list may
+    // carry the text column (it dies in the signature projection)
+    "(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)[^\\n]*".r
+      .findAllIn(p).foreach(j => assert(!j.contains("text"), j))
+  }
+
   test("annServeCandidates: ANN serving delivers candidates by ONE " +
       "cell equi-join against the stored code table") {
     // The retrieval serve claim: per-query work is nprobe cell slices
