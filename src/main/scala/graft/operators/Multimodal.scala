@@ -503,6 +503,36 @@ object Multimodal extends QueryPack {
     }
   }
 
+  /** Write the NEXT-GENERATION store at `out`: sigs/bands = the prior
+    * store's parquet UNION the `where`-rows' freshly computed
+    * signatures. Stores are IMMUTABLE — the caller manages generation
+    * paths (the clusterStoreFoldInto / ivfPqStoreFoldInto
+    * discipline), so a reader serving the prior generation is never
+    * disturbed and old payloads are never re-read at any generation.
+    */
+  private[graft] def phashStoreFoldInto(s: SparkSession, dir: String,
+                                        store: String, out: String,
+                                        where: String): Unit = {
+    val newSigs = phashSigsOf(media(s, dir).where(where)).cache()
+    newSigs.createOrReplaceTempView("pfi_sigs")
+    new java.io.File(out).mkdirs()
+    s.read.parquet(s"$store/sigs").union(newSigs)
+      .write.mode("overwrite").parquet(s"$out/sigs")
+    s.read.parquet(s"$store/bands")
+      .union(s.sql(
+        s"SELECT doc_id, band, bv FROM (${phashBandSelects("pfi_sigs")})"))
+      .write.mode("overwrite").parquet(s"$out/bands")
+    val added = newSigs.count()
+    newSigs.unpersist()
+    val prior = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(store, "manifest.json")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val n = """"docs":\s*(\d+)""".r.findFirstMatchIn(prior)
+      .map(_.group(1).toLong).getOrElse(0L) + added
+    StoreFiles.writeManifest(out,
+      s"""{"docs": $n, "bands": 4, "bits": $PhashBits, "hamming": 3}""")
+  }
+
   /** Streaming-side (doc_id, ts, phash, band, bv) expansion against
     * the store's banding — lives next to [[ensurePhashStore]] so the
     * probe and the index can never band differently. n_chars is

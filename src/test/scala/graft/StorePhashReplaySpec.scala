@@ -55,4 +55,42 @@ class StorePhashReplaySpec extends AnyFunSuite {
         s"pair ($d, $o) does not cross the store's source split")
     }
   }
+
+  test("a two-batch fold chain lands on the one-shot fold's store, " +
+      "and gen-0 is immutable") {
+    // The repeated-ingest pattern: batches land as successive
+    // immutable generations (signatures are row-local, so chaining
+    // must equal one big fold). Split the new half by doc_id parity —
+    // orthogonal to the source split — to make the two batches
+    // non-contiguous.
+    def sigSet(store: String): Set[(Long, Long)] =
+      spark.read.parquet(s"$store/sigs")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def bandSet(store: String): Set[(Long, Long, Long)] =
+      spark.read.parquet(s"$store/bands")
+        .selectExpr("doc_id", "cast(band as bigint)", "bv")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+    val store = Multimodal.ensurePhashStore(spark, dir)
+    val gen0Sigs = sigSet(store)
+    val newPred = s"NOT (${Dedup.oldPred})"
+    val g1 = store + "_chain_g1"
+    val g2 = store + "_chain_g2"
+    val one = store + "_chain_oneshot"
+    def deleteRec(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(deleteRec)
+      f.delete()
+    }
+    Seq(g1, g2, one).foreach(p => deleteRec(new java.io.File(p)))
+    Multimodal.phashStoreFoldInto(spark, dir, store, g1,
+      s"$newPred AND doc_id % 2 = 0")
+    Multimodal.phashStoreFoldInto(spark, dir, g1, g2,
+      s"$newPred AND doc_id % 2 = 1")
+    Multimodal.phashStoreFoldInto(spark, dir, store, one, newPred)
+    assert(sigSet(g2) == sigSet(one))
+    assert(bandSet(g2) == bandSet(one))
+    assert(sigSet(g2).size > gen0Sigs.size,
+      "fold added nothing: the chain assert is vacuous")
+    assert(sigSet(store) == gen0Sigs, "gen-0 mutated by the fold")
+  }
 }
