@@ -487,19 +487,25 @@ object Multimodal extends QueryPack {
       s" shiftright(phash, ${16 * b}) & 65535 AS bv FROM $view")
     .mkString(" UNION ALL ")
 
+  private[graft] def phashStoreBuild(s: SparkSession, dir: String,
+                                     store: String,
+                                     pred: String = Dedup.oldPred): Unit = {
+    val sigs = phashSigsOf(media(s, dir).where(pred)).cache()
+    sigs.createOrReplaceTempView("pst_sigs")
+    new java.io.File(store).mkdirs()
+    sigs.write.mode("overwrite").parquet(s"$store/sigs")
+    s.sql(s"SELECT doc_id, band, bv FROM (${phashBandSelects("pst_sigs")})")
+      .write.mode("overwrite").parquet(s"$store/bands")
+    val n = sigs.count()
+    sigs.unpersist()
+    StoreFiles.writeManifest(store,
+      s"""{"docs": $n, "bands": 4, "bits": $PhashBits, "hamming": 3}""")
+  }
+
   private[graft] def ensurePhashStore(s: SparkSession, dir: String): String = {
     val store = StoreFiles.scratchDir("graft_pstore_", dir)
     StoreFiles.ensure(phashStoreLocks, store) {
-      val sigs = phashSigsOf(media(s, dir).where(Dedup.oldPred)).cache()
-      sigs.createOrReplaceTempView("pst_sigs")
-      new java.io.File(store).mkdirs()
-      sigs.write.mode("overwrite").parquet(s"$store/sigs")
-      s.sql(s"SELECT doc_id, band, bv FROM (${phashBandSelects("pst_sigs")})")
-        .write.mode("overwrite").parquet(s"$store/bands")
-      val n = sigs.count()
-      sigs.unpersist()
-      StoreFiles.writeManifest(store,
-        s"""{"docs": $n, "bands": 4, "bits": $PhashBits, "hamming": 3}""")
+      phashStoreBuild(s, dir, store)
     }
   }
 

@@ -1,0 +1,128 @@
+package graft.run
+
+import org.apache.spark.sql.SparkSession
+import graft.Engine
+import graft.operators.{Dedup, Multimodal, Similarity}
+
+/** Operational CLI for the persistent model/index stores — the
+  * named-path face of what the driver keys exercise through
+  * per-process scratch dirs. A deployment builds a store once,
+  * folds ingest batches as immutable next generations, and serves
+  * whichever generation path it points readers at (the ShardCtl
+  * discipline, extended to the four store kinds):
+  *
+  *   runMain graft.run.StoreCtl build <kind> <corpus> <store> [pred]
+  *   runMain graft.run.StoreCtl fold  <kind> <corpus> <store> <out> <pred>
+  *   runMain graft.run.StoreCtl stats <store>
+  *
+  * kind = cluster | embed | ivfpq | phash. `pred` is a SQL predicate
+  * over the kind's corpus table (documents for cluster/phash,
+  * embeddings for embed/ivfpq); build defaults to the whole corpus.
+  * `fold` writes generation `out` from `store` + the matching rows —
+  * never touching `store` (crash-safe by construction: `out` is
+  * incomplete until its manifest lands, and readers of `store` are
+  * undisturbed). `stats` prints the manifest. Exit 0 on success, 1 on
+  * usage/operator error.
+  */
+object StoreCtl {
+
+  /** Dispatch, session-in / message-out — testable without owning the
+    * session lifecycle (mirrors the suite-shared-session constraint).
+    */
+  private[graft] def run(spark: SparkSession,
+                         args: Seq[String]): Either[String, String] =
+    args match {
+      case Seq("build", kind, corpus, store) =>
+        build(spark, kind, corpus, store, None)
+      case Seq("build", kind, corpus, store, pred) =>
+        build(spark, kind, corpus, store, Some(pred))
+      case Seq("fold", kind, corpus, store, out, pred) =>
+        fold(spark, kind, corpus, store, out, pred)
+      case Seq("stats", store) =>
+        marker(store) match {
+          case None =>
+            Left(s"no manifest at $store (not a committed store)")
+          case Some(p) =>
+            Right(new String(java.nio.file.Files.readAllBytes(p),
+              java.nio.charset.StandardCharsets.UTF_8))
+        }
+      case _ =>
+        Left("usage: StoreCtl build <kind> <corpus> <store> [pred] | " +
+          "fold <kind> <corpus> <store> <out> <pred> | stats <store>\n" +
+          "  kind = cluster | embed | ivfpq | phash")
+    }
+
+  /** The store's commit marker: manifest.json for the cluster /
+    * embed / phash kinds, model.json for ivfpq (both land temp +
+    * ATOMIC_MOVE last, so existence = complete).
+    */
+  private def marker(store: String): Option[java.nio.file.Path] =
+    Seq("manifest.json", "model.json")
+      .map(java.nio.file.Paths.get(store, _))
+      .find(java.nio.file.Files.exists(_))
+
+  private def refuseCommitted(store: String): Option[String] =
+    marker(store).map(_ =>
+      s"$store already holds a committed store — generations are " +
+        "immutable; fold into a new path instead")
+
+  private def build(spark: SparkSession, kind: String, corpus: String,
+                    store: String,
+                    pred: Option[String]): Either[String, String] =
+    refuseCommitted(store).map(Left(_)).getOrElse {
+      val all = pred.getOrElse("true")
+      kind match {
+        case "cluster" =>
+          Dedup.clusterStoreBuild(spark, corpus, store, all)
+          Right(s"[build] cluster store at $store")
+        case "embed" =>
+          Dedup.embedStoreBuild(spark, corpus, store,
+            pred.getOrElse("vec_id >= 0"))
+          Right(s"[build] embed store at $store")
+        case "ivfpq" =>
+          new java.io.File(store).mkdirs()
+          Similarity.IvfPqStore.save(
+            Similarity.trainIvfPq(spark, corpus,
+              trainWhere = pred.getOrElse("")), store)
+          Right(s"[build] ivfpq store at $store")
+        case "phash" =>
+          Multimodal.phashStoreBuild(spark, corpus, store, all)
+          Right(s"[build] phash store at $store")
+        case other => Left(s"unknown store kind: $other")
+      }
+    }
+
+  private def fold(spark: SparkSession, kind: String, corpus: String,
+                   store: String, out: String,
+                   pred: String): Either[String, String] = {
+    if (marker(store).isEmpty)
+      return Left(s"$store holds no committed $kind store to fold into")
+    refuseCommitted(out) match {
+      case Some(m) => return Left(m)
+      case None    => ()
+    }
+    kind match {
+      case "cluster" =>
+        Dedup.clusterStoreFoldInto(spark, corpus, store, pred, out)
+        Right(s"[fold] cluster generation at $out")
+      case "embed" =>
+        Dedup.embedStoreFoldInto(spark, corpus, store, pred, out)
+        Right(s"[fold] embed generation at $out")
+      case "ivfpq" =>
+        Similarity.ivfPqStoreFoldInto(spark, corpus, store, out, pred)
+        Right(s"[fold] ivfpq generation at $out")
+      case "phash" =>
+        Multimodal.phashStoreFoldInto(spark, corpus, store, out, pred)
+        Right(s"[fold] phash generation at $out")
+      case other => Left(s"unknown store kind: $other")
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = Engine.session("graft-storectl")
+    try run(spark, args.toSeq) match {
+      case Right(msg) => println(msg)
+      case Left(err)  => System.err.println(err); spark.stop(); sys.exit(1)
+    } finally spark.stop()
+  }
+}
