@@ -373,11 +373,16 @@ object Multimodal extends QueryPack {
         s"${(0 until PhashBits).map(phashTerm).mkString(" + ")} AS phash": _*)
   }
 
-  /** Shared CTE text for the DuckDB side of both phash oracles. */
-  private val phashSigsSql = {
+  /** Shared CTE text for the DuckDB side of the phash oracles;
+    * `where` (a bare predicate, or "" for the whole corpus) narrows the
+    * signed rows — the store-serve oracle passes the family's old-half
+    * split so the CTE states exactly the rows the persisted index holds.
+    */
+  private def phashSigsSqlWhere(where: String) = {
     val probes = (0 until PhashBits).map(i =>
       s"ascii(substr(text, 1 + $i * stride, 1)) AS p_$i")
     val sum = (0 until PhashBits).map(i => s"p_$i").mkString(" + ")
+    val pred = if (where.isEmpty) "" else s" WHERE $where"
     s"""sigs AS (
        |  SELECT doc_id, ${(0 until PhashBits).map(phashTerm).mkString(" + ")}
        |    AS phash
@@ -386,8 +391,10 @@ object Multimodal extends QueryPack {
        |        FROM (SELECT doc_id, ${probes.mkString(", ")}
        |              FROM (SELECT doc_id, text,
        |                      n_chars // $PhashBits AS stride
-       |                    FROM documents))))""".stripMargin
+       |                    FROM documents$pred))))""".stripMargin
   }
+
+  private val phashSigsSql = phashSigsSqlWhere("")
 
   /** Per-item signature + its four 16-bit band values (the LSH keys the
     * pair join below shuffles). (sig >> 16b) & 65535 is shift-kind-safe:
@@ -539,6 +546,63 @@ object Multimodal extends QueryPack {
       s"""{"docs": $n, "bands": 4, "bits": $PhashBits, "hamming": 3}""")
   }
 
+  // -- mm_phash_store: persist the catalog's phash index, serve the LOADED copy
+  // The media twin of dd_cluster_store: round-trips the old-half
+  // signature table through the persisted store and returns the
+  // parquet-loaded copy — never the in-session frame that computed it —
+  // so the gate pins the persist/load path against the independently
+  // restated signature arithmetic narrowed to the store's rows.
+  private def mmPhashStore(s: SparkSession, dir: String): DataFrame = {
+    val store = ensurePhashStore(s, dir)
+    s.read.parquet(s"$store/sigs").orderBy(col("doc_id"))
+  }
+
+  private val mmPhashStoreSql =
+    s"""WITH ${phashSigsSqlWhere(Dedup.oldPred)}
+       |SELECT doc_id, phash FROM sigs ORDER BY doc_id""".stripMargin
+
+  /** Per-(process, corpus) folded next generation: gen 0 is
+    * [[ensurePhashStore]]'s old-half store, gen 1 folds in everything
+    * else. First caller builds both; later calls are pure load+serve
+    * (the store family's rep-1-builds bench shape).
+    */
+  private[graft] def ensurePhashFoldStore(s: SparkSession,
+                                          dir: String): String = {
+    val out = StoreFiles.scratchDir("graft_pstore_g1_", dir)
+    StoreFiles.ensure(phashStoreLocks, out) {
+      phashStoreFoldInto(s, dir, ensurePhashStore(s, dir), out,
+        s"NOT (${Dedup.oldPred})")
+    }
+  }
+
+  // -- mm_phash_fold_stored: fold the new batch in, pair off the FOLDED store -
+  // Closes the gap the streaming gates leave open: st_store_phash_replay
+  // only ever flags new-against-OLD pairs, so a fold that mangled the
+  // new rows' own band index would pass it. Here the near-dup pair
+  // table is recomputed ENTIRELY from the folded generation's parquet
+  // (bands/ for candidates, sigs/ for the exact Hamming verify — the
+  // session's in-memory signature frames never touch the plan), and the
+  // oracle is the full-corpus all-pairs spec: fold + serve must equal
+  // batch recompute of everything, the same contract
+  // dd_cluster_fold_stored pins for text. Old payloads are never
+  // re-read at any generation (fold unions the stored parquet).
+  private def mmPhashFoldStored(s: SparkSession, dir: String): DataFrame = {
+    val out = ensurePhashFoldStore(s, dir)
+    s.read.parquet(s"$out/sigs").createOrReplaceTempView("pfs_sigs")
+    s.read.parquet(s"$out/bands").createOrReplaceTempView("pfs_bands")
+    s.sql(
+      s"""WITH cand AS (
+         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM pfs_bands x JOIN pfs_bands y
+         |    ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id)
+         |SELECT doc_a, doc_b,
+         |  cast(bit_count(a.phash ^ b.phash) as int) AS hamming
+         |FROM cand JOIN pfs_sigs a ON a.doc_id = doc_a
+         |          JOIN pfs_sigs b ON b.doc_id = doc_b
+         |WHERE bit_count(a.phash ^ b.phash) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin)
+  }
+
   /** Streaming-side (doc_id, ts, phash, band, bv) expansion against
     * the store's banding — lives next to [[ensurePhashStore]] so the
     * probe and the index can never band differently. n_chars is
@@ -604,6 +668,8 @@ object Multimodal extends QueryPack {
       "mm_phash" -> mmPhash _,
       "mm_phash_pairs" -> mmPhashPairs _,
       "mm_phash_cluster" -> mmPhashCluster _,
+      "mm_phash_store" -> mmPhashStore _,
+      "mm_phash_fold_stored" -> mmPhashFoldStored _,
       "mm_catalog" -> mmCatalog _,
       "mm_features" -> mmFeatures _,
       "mm_frames" -> mmFrames _,
@@ -619,6 +685,10 @@ object Multimodal extends QueryPack {
     "mm_phash" -> mmPhashSql,
     "mm_phash_pairs" -> mmPhashPairsSql,
     "mm_phash_cluster" -> mmPhashClusterSql,
+    "mm_phash_store" -> mmPhashStoreSql,
+    // the full-corpus all-pairs spec, shared verbatim with
+    // mm_phash_pairs: fold + serve must equal batch recompute
+    "mm_phash_fold_stored" -> mmPhashPairsSql,
     "mm_catalog" -> mmCatalogSql,
     "mm_features" -> mmFeaturesSql,
     "mm_frames" -> mmFramesSql,

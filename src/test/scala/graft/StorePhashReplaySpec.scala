@@ -93,4 +93,33 @@ class StorePhashReplaySpec extends AnyFunSuite {
       "fold added nothing: the chain assert is vacuous")
     assert(sigSet(store) == gen0Sigs, "gen-0 mutated by the fold")
   }
+
+  test("mm_phash_store serves the loaded old-half signature table") {
+    val served = SparkEntry.queries("mm_phash_store")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val inSession = SparkEntry.queries("mm_phash")(spark, dir)
+      .where(Dedup.oldPred).select("doc_id", "phash")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(served.nonEmpty)
+    assert(served == inSession)
+  }
+
+  test("mm_phash_fold_stored recomputed from the folded generation " +
+      "equals the batch full-corpus pair table") {
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Int)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val folded = rows(SparkEntry.queries("mm_phash_fold_stored")(spark, dir))
+    val batch = rows(SparkEntry.queries("mm_phash_pairs")(spark, dir))
+    assert(folded.nonEmpty,
+      "fixture produced zero phash pairs: the agreement assert is vacuous")
+    assert(folded == batch)
+    // the fold closes the streaming gates' blind spot: it must carry
+    // at least one pair strictly WITHIN the folded-in new half
+    val olds = Engine.table(spark, dir, "documents")
+      .where(Dedup.oldPred).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(folded.exists { case (a, b, _) => !olds(a) && !olds(b) },
+      "no new-new pair in the fixture: the fold gate adds nothing " +
+        "over st_store_phash_replay")
+  }
 }
