@@ -45,4 +45,110 @@ private[graft] object StoreFiles {
     }
     store
   }
+
+  // ---- generation-root pointer (_CURRENT.json) -----------------------------
+  // The serving face over a ROOT directory of immutable generation
+  // subdirs (what `fold` chains produce): readers resolve the served
+  // generation through one pointer file, flipped atomically — the
+  // `_SHARDS.json` discipline from ShardCompact extended to the model
+  // stores. `prev` records the generation the LAST flip displaced; it
+  // gets one gc cycle of grace so a reader that planned against the
+  // old pointer can finish scanning it (the lakehouse VACUUM retention
+  // floor, same as the shard compactor's replaced-generation grace).
+
+  val CurrentName = "_CURRENT.json"
+
+  /** A dir is a committed store iff its marker landed (marker written
+    * ATOMIC_MOVE last, so existence = complete): manifest.json for the
+    * cluster/embed/phash kinds, model.json for ivfpq.
+    */
+  def committed(dir: java.nio.file.Path): Boolean =
+    Seq("manifest.json", "model.json").exists(m => Files.exists(dir.resolve(m)))
+
+  private def jsonStr(s: String): String =
+    "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c    => c.toString
+    } + "\""
+
+  /** (gen, prev) from the root's pointer, if one has landed. Bare
+    * subdir names, never paths — the pointer is location-independent
+    * so a root can be moved/synced wholesale.
+    */
+  def readCurrent(root: String): Option[(String, Option[String])] = {
+    val p = Paths.get(root, CurrentName)
+    if (!Files.exists(p)) None
+    else {
+      val s = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+      def field(k: String): Option[String] =
+        (s""""$k":\\s*"((?:[^"\\\\]|\\\\.)*)"""").r.findFirstMatchIn(s)
+          .map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
+      field("gen").map(g => (g, field("prev")))
+    }
+  }
+
+  /** Point the root's readers at generation `gen` (a bare subdir name
+    * holding a committed store). Temp + ATOMIC_MOVE: a crash leaves
+    * the old pointer intact, readers see before-or-after, never mid.
+    * The displaced generation is recorded as `prev` for gc's grace
+    * window.
+    */
+  def flip(root: String, gen: String): Either[String, String] = {
+    if (gen.isEmpty || gen.contains('/') || gen.contains('\\') ||
+        gen == "." || gen == "..")
+      return Left(s"generation must be a bare subdir name, got: '$gen'")
+    val genDir = Paths.get(root, gen)
+    if (!committed(genDir))
+      return Left(s"$genDir holds no committed store (no marker) — " +
+        "refusing to point readers at it")
+    val prev = readCurrent(root).map(_._1).filter(_ != gen)
+    val json = s"""{"gen": ${jsonStr(gen)}, "prev": ${
+      prev.map(jsonStr).getOrElse("null")}}"""
+    val tmp = Paths.get(root, CurrentName + ".tmp")
+    Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, Paths.get(root, CurrentName),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    Right(genDir.toString)
+  }
+
+  /** Resolve the served generation's path through the pointer,
+    * re-checking the marker (a gen deleted out from under the pointer
+    * must fail loudly at plan time, not as a mid-scan read error).
+    */
+  def serve(root: String): Either[String, String] =
+    readCurrent(root) match {
+      case None => Left(s"no $CurrentName pointer at $root")
+      case Some((gen, _)) =>
+        val genDir = Paths.get(root, gen)
+        if (committed(genDir)) Right(genDir.toString)
+        else Left(s"pointer names $gen but $genDir holds no " +
+          "committed store — flip to a live generation")
+    }
+
+  /** Delete committed generations under `root` other than the pointed
+    * one and its grace-window `prev`. Uncommitted subdirs are LEFT
+    * ALONE — an in-flight fold's output is uncommitted by construction
+    * (marker lands last) and deleting it would corrupt a concurrent
+    * writer, the exact race the marker protocol exists to close.
+    * Returns the deleted subdir names.
+    */
+  def gc(root: String): Either[String, Seq[String]] =
+    readCurrent(root) match {
+      case None => Left(s"no $CurrentName pointer at $root — refusing " +
+        "to gc an unpointed root (nothing marks a generation as live)")
+      case Some((gen, prev)) =>
+        val keep = Set(gen) ++ prev
+        val victims = Option(new java.io.File(root).listFiles()).toSeq
+          .flatten
+          .filter(f => f.isDirectory && !keep(f.getName) &&
+            committed(f.toPath))
+        def rec(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rec)
+          f.delete()
+        }
+        victims.foreach(rec)
+        Right(victims.map(_.getName).sorted)
+    }
 }

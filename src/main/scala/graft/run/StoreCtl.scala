@@ -2,7 +2,7 @@ package graft.run
 
 import org.apache.spark.sql.SparkSession
 import graft.Engine
-import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.operators.{Dedup, Multimodal, Similarity, StoreFiles}
 
 /** Operational CLI for the persistent model/index stores — the
   * named-path face of what the driver keys exercise through
@@ -14,6 +14,9 @@ import graft.operators.{Dedup, Multimodal, Similarity}
   *   runMain graft.run.StoreCtl build <kind> <corpus> <store> [pred]
   *   runMain graft.run.StoreCtl fold  <kind> <corpus> <store> <out> <pred>
   *   runMain graft.run.StoreCtl stats <store>
+  *   runMain graft.run.StoreCtl flip  <root> <gen>
+  *   runMain graft.run.StoreCtl serve <root>
+  *   runMain graft.run.StoreCtl gc    <root>
   *
   * kind = cluster | embed | ivfpq | phash. `pred` is a SQL predicate
   * over the kind's corpus table (documents for cluster/phash,
@@ -23,6 +26,16 @@ import graft.operators.{Dedup, Multimodal, Similarity}
   * incomplete until its manifest lands, and readers of `store` are
   * undisturbed). `stats` prints the manifest. Exit 0 on success, 1 on
   * usage/operator error.
+  *
+  * flip/serve/gc manage a generation ROOT — a directory whose subdirs
+  * are the immutable generations a build+fold chain lands (any kind):
+  * `flip` atomically points `_CURRENT.json` at a committed generation,
+  * `serve` resolves the pointed generation's path for readers, and
+  * `gc` collects committed generations that are neither pointed-at nor
+  * the last flip's displaced `prev` (one gc cycle of reader grace —
+  * the shard compactor's replaced-generation discipline). Uncommitted
+  * subdirs are never collected: an in-flight fold's output has no
+  * marker yet, and deleting it would corrupt the concurrent writer.
   */
 object StoreCtl {
 
@@ -46,9 +59,19 @@ object StoreCtl {
             Right(new String(java.nio.file.Files.readAllBytes(p),
               java.nio.charset.StandardCharsets.UTF_8))
         }
+      case Seq("flip", root, gen) =>
+        StoreFiles.flip(root, gen).map(p => s"[flip] serving $p")
+      case Seq("serve", root) =>
+        StoreFiles.serve(root)
+      case Seq("gc", root) =>
+        StoreFiles.gc(root).map {
+          case Seq() => s"[gc] nothing to collect at $root"
+          case gone  => s"[gc] collected ${gone.mkString(", ")}"
+        }
       case _ =>
         Left("usage: StoreCtl build <kind> <corpus> <store> [pred] | " +
-          "fold <kind> <corpus> <store> <out> <pred> | stats <store>\n" +
+          "fold <kind> <corpus> <store> <out> <pred> | stats <store> | " +
+          "flip <root> <gen> | serve <root> | gc <root>\n" +
           "  kind = cluster | embed | ivfpq | phash")
     }
 

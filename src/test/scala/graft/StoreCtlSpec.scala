@@ -73,4 +73,52 @@ class StoreCtlSpec extends AnyFunSuite {
     assert(StoreCtl.run(spark,
       Seq("build", "nosuch", dir, tmp("x"))).isLeft)
   }
+
+  test("flip / serve / gc manage a generation root with one cycle of " +
+      "reader grace, and never collect an uncommitted fold") {
+    val root = tmp("root")
+    new java.io.File(root).mkdirs()
+    val g0 = s"$root/gen-0"; val g1 = s"$root/gen-1"
+    val g2 = s"$root/gen-2"
+    assert(StoreCtl.run(spark,
+      Seq("build", "phash", dir, g0, Dedup.oldPred)).isRight)
+    // an unpointed root refuses serve and gc; flip refuses an
+    // uncommitted generation and a path-escaping name
+    assert(StoreCtl.run(spark, Seq("serve", root)).isLeft)
+    assert(StoreCtl.run(spark, Seq("gc", root)).isLeft)
+    assert(StoreCtl.run(spark, Seq("flip", root, "gen-1")).isLeft)
+    assert(StoreCtl.run(spark, Seq("flip", root, "../gen-0")).isLeft)
+    assert(StoreCtl.run(spark, Seq("flip", root, "gen-0")).isRight)
+    assert(StoreCtl.run(spark, Seq("serve", root)) == Right(g0))
+    // fold the rest in as gen-1, flip: gen-0 becomes the displaced
+    // prev and survives one gc cycle so in-flight readers finish
+    assert(StoreCtl.run(spark, Seq("fold", "phash", dir, g0, g1,
+      s"NOT (${Dedup.oldPred})")).isRight)
+    assert(StoreCtl.run(spark, Seq("flip", root, "gen-1")).isRight)
+    assert(StoreCtl.run(spark, Seq("serve", root)) == Right(g1))
+    assert(StoreCtl.run(spark, Seq("gc", root))
+      .exists(_.contains("nothing")))
+    assert(new java.io.File(g0).exists)
+    // one more generation + flip: gen-0 falls out of grace
+    assert(StoreCtl.run(spark,
+      Seq("fold", "phash", dir, g1, g2, "false")).isRight)
+    assert(StoreCtl.run(spark, Seq("flip", root, "gen-2")).isRight)
+    val collected = StoreCtl.run(spark, Seq("gc", root))
+    assert(collected.exists(_.contains("gen-0")), collected)
+    assert(!new java.io.File(g0).exists)
+    assert(new java.io.File(g1).exists && new java.io.File(g2).exists)
+    // an in-flight fold (no marker yet) is never collected
+    new java.io.File(s"$root/gen-3/sigs").mkdirs()
+    assert(StoreCtl.run(spark, Seq("gc", root))
+      .exists(_.contains("nothing")))
+    assert(new java.io.File(s"$root/gen-3").exists)
+    // serve re-checks the marker: a generation deleted out from under
+    // the pointer fails at resolve time, not as a mid-scan read error
+    def rec(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rec)
+      f.delete()
+    }
+    rec(new java.io.File(g2))
+    assert(StoreCtl.run(spark, Seq("serve", root)).isLeft)
+  }
 }
