@@ -127,6 +127,24 @@ private[graft] object StoreFiles {
           "committed store — flip to a live generation")
     }
 
+  /** Next free `gen-<n>` name under the root: max over ALL existing
+    * gen-numbered subdirs + 1, committed or not — a crashed fold's
+    * uncommitted litter keeps its name reserved, so a re-run can never
+    * write into a dir another attempt may still be writing (the
+    * single-folder discipline the shard compactor documents; litter
+    * removal is an operator decision, never a guess).
+    */
+  def nextGenName(root: String): String = {
+    val GenPat = "gen-(\\d+)".r
+    val used = Option(new java.io.File(root).listFiles()).toSeq.flatten
+      .filter(_.isDirectory)
+      .flatMap(f => f.getName match {
+        case GenPat(n) => Some(n.toLong)
+        case _         => None
+      })
+    s"gen-${if (used.isEmpty) 0L else used.max + 1L}"
+  }
+
   /** Delete committed generations under `root` other than the pointed
     * one and its grace-window `prev`. Uncommitted subdirs are LEFT
     * ALONE — an in-flight fold's output is uncommitted by construction

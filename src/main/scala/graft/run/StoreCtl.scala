@@ -17,6 +17,7 @@ import graft.operators.{Dedup, Multimodal, Similarity, StoreFiles}
   *   runMain graft.run.StoreCtl flip  <root> <gen>
   *   runMain graft.run.StoreCtl serve <root>
   *   runMain graft.run.StoreCtl gc    <root>
+  *   runMain graft.run.StoreCtl advance <kind> <corpus> <root> <pred>
   *
   * kind = cluster | embed | ivfpq | phash. `pred` is a SQL predicate
   * over the kind's corpus table (documents for cluster/phash,
@@ -36,6 +37,12 @@ import graft.operators.{Dedup, Multimodal, Similarity, StoreFiles}
   * the shard compactor's replaced-generation discipline). Uncommitted
   * subdirs are never collected: an in-flight fold's output has no
   * marker yet, and deleting it would corrupt the concurrent writer.
+  * `advance` is the one-command ingest-batch operation a deployment
+  * crons: fold the SERVED generation + the predicate's rows into the
+  * next free `gen-<n>` subdir, then flip — crash before the fold's
+  * marker lands leaves the pointer untouched and the litter's name
+  * reserved, crash between marker and flip leaves a committed
+  * generation an operator can flip to by hand.
   */
 object StoreCtl {
 
@@ -68,10 +75,18 @@ object StoreCtl {
           case Seq() => s"[gc] nothing to collect at $root"
           case gone  => s"[gc] collected ${gone.mkString(", ")}"
         }
+      case Seq("advance", kind, corpus, root, pred) =>
+        StoreFiles.serve(root).flatMap { cur =>
+          val next = StoreFiles.nextGenName(root)
+          val out = java.nio.file.Paths.get(root, next).toString
+          fold(spark, kind, corpus, cur, out, pred).flatMap(_ =>
+            StoreFiles.flip(root, next).map(p => s"[advance] serving $p"))
+        }
       case _ =>
         Left("usage: StoreCtl build <kind> <corpus> <store> [pred] | " +
           "fold <kind> <corpus> <store> <out> <pred> | stats <store> | " +
-          "flip <root> <gen> | serve <root> | gc <root>\n" +
+          "flip <root> <gen> | serve <root> | gc <root> | " +
+          "advance <kind> <corpus> <root> <pred>\n" +
           "  kind = cluster | embed | ivfpq | phash")
     }
 

@@ -121,4 +121,39 @@ class StoreCtlSpec extends AnyFunSuite {
     rec(new java.io.File(g2))
     assert(StoreCtl.run(spark, Seq("serve", root)).isLeft)
   }
+
+  test("advance folds the served generation and walks the pointer, " +
+      "reserving crash litter's names") {
+    val root = tmp("adv")
+    new java.io.File(root).mkdirs()
+    // advance refuses an unpointed root
+    assert(StoreCtl.run(spark,
+      Seq("advance", "phash", dir, root, "true")).isLeft)
+    assert(StoreCtl.run(spark, Seq("build", "phash", dir, s"$root/gen-0",
+      Dedup.oldPred)).isRight)
+    assert(StoreCtl.run(spark, Seq("flip", root, "gen-0")).isRight)
+    // crash litter: an uncommitted dir keeps its gen number reserved
+    new java.io.File(s"$root/gen-1/sigs").mkdirs()
+    val a1 = StoreCtl.run(spark, Seq("advance", "phash", dir, root,
+      s"NOT (${Dedup.oldPred}) AND doc_id % 2 = 0"))
+    assert(a1.exists(_.endsWith("gen-2")), a1)
+    assert(StoreCtl.run(spark, Seq("serve", root)) ==
+      Right(s"$root/gen-2"))
+    val a2 = StoreCtl.run(spark, Seq("advance", "phash", dir, root,
+      s"NOT (${Dedup.oldPred}) AND doc_id % 2 = 1"))
+    assert(a2.exists(_.endsWith("gen-3")), a2)
+    // the chain equals the one-shot fold of everything
+    val one = tmp("adv_oneshot")
+    assert(StoreCtl.run(spark, Seq("fold", "phash", dir, s"$root/gen-0",
+      one, s"NOT (${Dedup.oldPred})")).isRight)
+    def sigSet(p: String): Set[(Long, Long)] =
+      spark.read.parquet(s"$p/sigs")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sigSet(s"$root/gen-3") == sigSet(one))
+    // gc: gen-2 is prev (grace), gen-0 collected, litter gen-1 kept
+    val g = StoreCtl.run(spark, Seq("gc", root))
+    assert(g == Right("[gc] collected gen-0"), g)
+    assert(new java.io.File(s"$root/gen-1").exists)
+    assert(new java.io.File(s"$root/gen-2").exists)
+  }
 }
