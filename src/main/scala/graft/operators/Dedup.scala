@@ -1806,9 +1806,101 @@ object Dedup extends QueryPack {
       .cache()
   }
 
+  /** dd_cluster's edge set with the EXACT-DUPLICATE bomb defused. On a
+    * web-scale corpus, k byte-identical copies of one page (mirrors,
+    * boilerplate) share every minhash band key, so the banded
+    * candidate join emits k²/2 pairs — all of which verify at
+    * jaccard 1 and enter the edge set. That quadratic blowup is the
+    * classic production failure of minhash-LSH, and no AQE skew split
+    * fixes it (the pairs are real output, not reducer imbalance).
+    * Components don't need the clique: collapse identical texts to
+    * their min-doc_id REPRESENTATIVE (one map-side-combinable groupBy
+    * on md5(text) — never a window, whose single-partition-per-key
+    * shuffle carries the same bomb), band only the representatives,
+    * and connect members by k-1 STAR edges. Exactness, not heuristic:
+    * identical text ⟹ identical shingle set ⟹ jaccard 1 ≥ 0.6, so
+    * every star edge is a true edge; and a member's sig/hs equal its
+    * rep's, so any banded-verified edge the member would have carried
+    * is carried by its rep — the component partition (hence the
+    * min-label assignment) is bit-identical to the uncollapsed graph.
+    * Empty-shingle docs are EXCLUDED from collapse groups (no star
+    * edges): two identical too-short texts share md5 but their
+    * jaccard is 0/0 = never ≥ 0.6, so they must stay singletons —
+    * same reason [[jacBandGuard]] keeps them off the band side.
+    */
+  private[graft] def ddClusterEdges(s: SparkSession, dir: String): DataFrame = {
+    bandedSigRelation(s, dir, "dc_sigs")
+    // The collapse key is the SHINGLE SET itself (md5 of the sorted
+    // hash array, read from the columnar dc_sigs cache) — never
+    // md5(text), which re-scans every payload byte for a key the sig
+    // relation already determines, and collapses strictly less
+    // (hs-identical ⟹ jaccard 1 even when texts differ in word
+    // multiplicity). The collapse frames are EAGER localCheckpoints,
+    // never lazy caches: each is scanned several times inside the one
+    // edge materialization job, and a lazily-populated cache
+    // recomputes its whole lineage per scan (the measured ~10x trap
+    // documented at clusterStoreFoldInto — observed here too:
+    // lazy-cache chaining read 58 CPU-s/rep where the checkpointed
+    // form reads a third of that).
+    // (doc_id, rep): feeds the star edges and the rep filter; as an
+    // inlined CTE the key scan + groupBy would re-run per reference.
+    s.sql(
+      s"""SELECT k.doc_id, g.rep FROM
+         |  (SELECT doc_id, md5(cast(hs as string)) AS hkey
+         |   FROM dc_sigs WHERE sig_0 <> ${Long.MaxValue}L) k
+         |JOIN
+         |  (SELECT md5(cast(hs as string)) AS hkey, min(doc_id) AS rep
+         |   FROM dc_sigs WHERE sig_0 <> ${Long.MaxValue}L
+         |   GROUP BY 1) g
+         |ON k.hkey = g.hkey""".stripMargin)
+      .localCheckpoint().createOrReplaceTempView("dc_grp")
+    // The REPRESENTATIVES' signatures, rep filter joined against the
+    // sig rows ONCE (not the 8x-exploded band rows). hs is projected
+    // away before the checkpoint: a checkpointed row is deserialized
+    // whole per scan, and the verify joins take hs from the columnar
+    // dc_sigs cache instead.
+    s.sql(
+      s"""SELECT s.doc_id, ${(0 until 2 * JacBands)
+           .map("s.sig_" + _).mkString(", ")}
+         |FROM dc_sigs s
+         |JOIN (SELECT DISTINCT rep FROM dc_grp) r ON s.doc_id = r.rep"""
+        .stripMargin)
+      .coalesce(4).localCheckpoint().createOrReplaceTempView("dc_repsigs")
+    // Materialize the band rows too: the candidate self-join below
+    // then scans a small (doc_id, band, bk) RDD twice — cheap even
+    // where exchange reuse does not kick in (measured: the un-reused
+    // duplicate band exchange cost ~7 CPU-s/rep at sf0.1).
+    s.sql(
+      (0 until JacBands)
+        .map(b => s"SELECT doc_id, $b AS band, ${jacBandKeySpark(b)} AS bk" +
+          s" FROM dc_repsigs$jacBandGuard")
+        .mkString(" UNION ALL "))
+      .coalesce(4).localCheckpoint().createOrReplaceTempView("dc_repbands")
+    s.sql(
+      s"""WITH cand AS (
+         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM dc_repbands x JOIN dc_repbands y
+         |    ON x.band = y.band AND x.bk = y.bk AND x.doc_id < y.doc_id),
+         |ver AS (
+         |  SELECT doc_a, doc_b FROM (
+         |    SELECT doc_a, doc_b,
+         |      round(cast(graft_isect(a.hs, b.hs) as double)
+         |        / (size(a.hs) + size(b.hs) - graft_isect(a.hs, b.hs)), 6)
+         |        AS jaccard
+         |    FROM cand JOIN dc_sigs a ON a.doc_id = doc_a
+         |              JOIN dc_sigs b ON b.doc_id = doc_b
+         |    WHERE least(size(a.hs), size(b.hs)) * 10
+         |          >= greatest(size(a.hs), size(b.hs)) * 6)
+         |  WHERE jaccard >= 0.6)
+         |SELECT doc_a, doc_b FROM ver
+         |UNION ALL
+         |SELECT rep AS doc_a, doc_id AS doc_b FROM dc_grp
+         |WHERE doc_id <> rep""".stripMargin)
+  }
+
   private def ddCluster(s: SparkSession, dir: String): DataFrame =
     labelPropagate("dd_cluster",
-      ddJaccardPairs(s, dir).select("doc_a", "doc_b"),
+      ddClusterEdges(s, dir),
       table(s, dir, "documents").select("doc_id"))
       .orderBy(col("doc_id"))
 

@@ -460,14 +460,73 @@ object Multimodal extends QueryPack {
        |WHERE bit_count(xor(a.phash, b.phash)) <= 3
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** mm_phash_cluster's edges with the exact-duplicate bomb defused —
+    * the media twin of Dedup.ddClusterEdges: k byte-identical payloads
+    * share every band value and the banded join emits k²/2 pairs, all
+    * real edges (hamming 0). Collapse signature-identical items to
+    * their min-doc_id representative via one map-side-combinable
+    * groupBy on the 64-bit phash, band only representatives, connect
+    * members by k-1 star edges. Exact with NO empty-input carve-out
+    * (unlike the jaccard side): hamming is defined on every signature,
+    * and identical phash ⟹ hamming 0 ≤ 3, so a star edge is always a
+    * true edge by the verify's own criterion, and a member's banded
+    * edges are carried by its identically-signed rep — the component
+    * partition is bit-identical to the uncollapsed graph.
+    */
+  private[graft] def mmPhashClusterEdges(s: SparkSession, dir: String): DataFrame = {
+    phashSigs(s, dir).cache().createOrReplaceTempView("pce_sigs")
+    // The collapse key is the SIGNATURE itself — one BIGINT already in
+    // the cached sig relation, so the collapse costs one groupBy and
+    // never re-reads a payload (cheaper AND stronger than a payload
+    // digest: phash-identical ⟹ hamming 0 ⟹ a true edge by the
+    // verify's own criterion, byte-identical or not). Collapse frames
+    // are EAGER localCheckpoints, never lazy caches — multiply-scanned
+    // inside one edge job, where a lazy cache recomputes its lineage
+    // per scan (see ddClusterEdges).
+    s.sql(
+      s"""SELECT s.doc_id, g.rep FROM pce_sigs s
+         |JOIN (SELECT phash, min(doc_id) AS rep FROM pce_sigs
+         |      GROUP BY phash) g
+         |  ON s.phash = g.phash""".stripMargin)
+      .localCheckpoint().createOrReplaceTempView("pce_grp")
+    // the representatives' band rows, materialized once: the candidate
+    // self-join scans a small (doc_id, band, bv) RDD twice
+    s.sql(
+      s"""SELECT s.doc_id, s.phash FROM pce_sigs s
+         |JOIN (SELECT DISTINCT rep FROM pce_grp) r ON s.doc_id = r.rep"""
+        .stripMargin)
+      .coalesce(4).localCheckpoint().createOrReplaceTempView("pce_repsigs")
+    s.sql(
+      (0 until 4)
+        .map(b => s"SELECT doc_id, $b AS band," +
+          s" shiftright(phash, ${16 * b}) & 65535 AS bv FROM pce_repsigs")
+        .mkString(" UNION ALL "))
+      .coalesce(4).localCheckpoint().createOrReplaceTempView("pce_repbands")
+    s.sql(
+      s"""WITH cand AS (
+         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM pce_repbands x JOIN pce_repbands y
+         |    ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id),
+         |ver AS (
+         |  SELECT doc_a, doc_b
+         |  FROM cand JOIN pce_sigs a ON a.doc_id = doc_a
+         |            JOIN pce_sigs b ON b.doc_id = doc_b
+         |  WHERE bit_count(a.phash ^ b.phash) <= 3)
+         |SELECT doc_a, doc_b FROM ver
+         |UNION ALL
+         |SELECT rep AS doc_a, doc_id AS doc_b FROM pce_grp
+         |WHERE doc_id <> rep""".stripMargin)
+  }
+
   // Media near-dup components: min-label propagation (Dedup's shared
-  // loop) over the banded phash pairs, so a keep-one-per-cluster media
-  // pipeline gets its group assignments the same way the text side
-  // does (dd_cluster). Oracle: independent twice over — all-pairs
-  // edges (no banding) + recursive-CTE closure (no propagation).
+  // loop) over the banded phash pairs — representative-collapsed, see
+  // [[mmPhashClusterEdges]] — so a keep-one-per-cluster media pipeline
+  // gets its group assignments the same way the text side does
+  // (dd_cluster). Oracle: independent twice over — all-pairs edges (no
+  // banding, no collapse) + recursive-CTE closure (no propagation).
   private def mmPhashCluster(s: SparkSession, dir: String): DataFrame =
     Dedup.labelPropagate("mm_phash_cluster",
-      mmPhashPairsUnordered(s, dir).select("doc_a", "doc_b"),
+      mmPhashClusterEdges(s, dir),
       media(s, dir).select("doc_id"))
       .orderBy(col("doc_id"))
 

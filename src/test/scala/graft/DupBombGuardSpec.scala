@@ -1,0 +1,127 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Dedup, Multimodal}
+
+/** The exact-duplicate bucket bomb — the classic production failure of
+  * minhash/phash LSH at corpus scale: k byte-identical copies of one
+  * item share every band key, so the banded candidate join emits
+  * k²/2 pairs, ALL of which verify (jaccard 1 / hamming 0) and enter
+  * the cluster edge set. dd_cluster and mm_phash_cluster defuse it by
+  * collapsing identical content to a min-doc_id representative and
+  * connecting members with k-1 star edges (ddClusterEdges /
+  * mmPhashClusterEdges). This spec pins, on a fixture that CONTAINS a
+  * bomb:
+  *   - linearity: edges within the duplicate group are exactly k-1;
+  *   - exactness: the collapsed assignment equals label propagation
+  *     over the UNCOLLAPSED verified pair set;
+  *   - the jaccard carve-out: identical TOO-SHORT texts (empty shingle
+  *     set, jaccard 0/0) stay singletons — a star edge there would
+  *     merge docs the verify never admits.
+  */
+class DupBombGuardSpec extends AnyFunSuite {
+
+  private val spark = SparkSessionHelper.spark
+
+  private val Bomb = 40
+  // >= 64 chars so the phash probe grid has stride >= 1 (sub-64-byte
+  // payloads all degenerate to the same stride-0 signature by design)
+  private val bombText =
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+
+  /** documents.parquet fixture: one 40-copy bomb (ids 0-39), a near-dup
+    * of it (id 100: last word differs — 10 of 11 bigram shingles
+    * shared, jaccard 10/12 ≈ 0.83, in-threshold), two distinct docs
+    * (200, 201), and two identical single-word docs (300, 301: no word
+    * bigram, empty shingle set).
+    */
+  private lazy val dir: String = {
+    val d = new java.io.File(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+      s"graft_bomb_fixture_p${ProcessHandle.current().pid()}").toString
+    val rows =
+      (0L until Bomb.toLong).map(i => (i, bombText)) ++ Seq(
+        (100L,
+          "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+            "lambda nu"),
+        (200L,
+          "one two three four five six seven eight nine ten eleven " +
+            "twelve thirteen"),
+        (201L,
+          "winter spring summer autumn river mountain forest desert " +
+            "ocean valley meadow"),
+        (300L, "solo"),
+        (301L, "solo"))
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+      .selectExpr("doc_id", "text", "'xx' AS lang", "'src1' AS source",
+        "cast(length(text) as bigint) AS n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    d
+  }
+
+  private def edges(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  private def assignment(df: org.apache.spark.sql.DataFrame)
+      : Map[Long, Long] =
+    df.select("doc_id", "cluster_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("dd_cluster: the bomb contributes k-1 star edges, the assignment " +
+      "equals propagation over the uncollapsed pairs, and identical " +
+      "too-short docs stay singletons") {
+    val es = edges(Dedup.ddClusterEdges(spark, dir))
+    val within = es.filter { case (a, b) => a < Bomb && b < Bomb }
+    assert(within.size == Bomb - 1,
+      s"expected ${Bomb - 1} star edges inside the bomb, got " +
+        s"${within.size} — the quadratic clique is back")
+    assert(within == (1L until Bomb.toLong).map(i => (0L, i)).toSet)
+    // the near-dup reaches the bomb through its representative
+    assert(es.contains((0L, 100L)), es.toSeq.sorted.mkString(", "))
+    // exactness: same components as the uncollapsed verified pair set
+    val uncollapsed = SparkEntry.queries("dd_jaccard")(spark, dir)
+    assert(edges(uncollapsed)
+      .count { case (a, b) => a < Bomb && b < Bomb } ==
+      Bomb * (Bomb - 1) / 2,
+      "fixture bomb did not produce the uncollapsed clique: the " +
+        "linearity assert above is vacuous")
+    val expected = assignment(Dedup.labelPropagate("bomb_ref",
+      uncollapsed.select("doc_a", "doc_b"),
+      Engine.table(spark, dir, "documents").select("doc_id")))
+    val got = assignment(SparkEntry.queries("dd_cluster")(spark, dir))
+    assert(got == expected)
+    // carve-out: identical single-word docs share md5(text) but have
+    // empty shingle sets — never an edge, so never a star edge
+    assert(got(300L) == 300L && got(301L) == 301L)
+    // and the bomb is one cluster rooted at the min doc_id
+    (0L until Bomb.toLong).foreach(i => assert(got(i) == 0L))
+    assert(got(100L) == 0L)
+    assert(got(200L) == 200L && got(201L) == 201L)
+  }
+
+  test("mm_phash_cluster: the bomb contributes k-1 star edges and the " +
+      "assignment equals propagation over the uncollapsed pairs") {
+    val es = edges(Multimodal.mmPhashClusterEdges(spark, dir))
+    val within = es.filter { case (a, b) => a < Bomb && b < Bomb }
+    assert(within.size == Bomb - 1,
+      s"expected ${Bomb - 1} star edges inside the bomb, got " +
+        s"${within.size}")
+    val uncollapsed = SparkEntry.queries("mm_phash_pairs")(spark, dir)
+    assert(edges(uncollapsed)
+      .count { case (a, b) => a < Bomb && b < Bomb } ==
+      Bomb * (Bomb - 1) / 2,
+      "fixture bomb did not produce the uncollapsed phash clique")
+    val expected = assignment(Dedup.labelPropagate("bomb_ref_mm",
+      uncollapsed.select("doc_a", "doc_b"),
+      Engine.table(spark, dir, "documents").select("doc_id")))
+    val got = assignment(
+      SparkEntry.queries("mm_phash_cluster")(spark, dir))
+    assert(got == expected)
+    (0L until Bomb.toLong).foreach(i => assert(got(i) == 0L))
+    // identical single-word payloads DO pair on the phash side
+    // (hamming 0 is a true edge — no empty-set carve-out for media)
+    assert(got(300L) == 300L && got(301L) == 300L)
+  }
+}
