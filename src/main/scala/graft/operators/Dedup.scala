@@ -1205,16 +1205,24 @@ object Dedup extends QueryPack {
   /** Unordered banded cosine pairs — the composition form (see
     * [[ddJaccardPairs]] for why cluster inputs must not carry the sort).
     */
-  private def ddEmbedLshPairs(s: SparkSession, dir: String): DataFrame = {
+  /** Register the cached bucketed embedding relation as `cos_e` —
+    * shared by the pair query and the collapsed cluster edge builder
+    * so probe and index can never band differently.
+    */
+  private def ensureCosE(s: SparkSession, dir: String): Unit = {
     VectorFunctions.ensureRegistered(s)
     // cached: the bucketed relation feeds all 12 band sides and both
     // re-score join-backs — the 60 hyperplane folds run once per vector
-    val e = table(s, dir, "embeddings")
+    table(s, dir, "embeddings")
       .selectExpr("vec_id", "embedding",
         "graft_dot(embedding, embedding) AS n2",
         "graft_rh_buckets(embedding) AS bks")
       .cache()
-    e.createOrReplaceTempView("cos_e")
+      .createOrReplaceTempView("cos_e")
+  }
+
+  private def ddEmbedLshPairs(s: SparkSession, dir: String): DataFrame = {
+    ensureCosE(s, dir)
     // Band-side zero-norm guard — the embedding-space twin of
     // jacBandGuard: a zero vector's hyperplane dots are all 0, so its
     // sign buckets are the CONSTANT key in every band (all zero-norm
@@ -1278,12 +1286,68 @@ object Dedup extends QueryPack {
       .distinct()
   }
 
-  /** Test/profiling hook: the exact edge frame dd_embed_cluster /
-    * dd_semdedup feed into label propagation.
+  /** The edge frame dd_embed_cluster / dd_semdedup /
+    * dd_embed_cluster_incremental feed into label propagation (via the
+    * shared embed_lsh registry entry), with the EXACT-DUPLICATE bomb
+    * defused the same way as [[ddClusterEdges]]: k identical
+    * embeddings (duplicate docs embed identically) share every RH-LSH
+    * bucket, so the banded join emits k²/2 pairs that all verify at
+    * cos 1. Identical vectors collapse to a min-vec_id representative
+    * (one groupBy on md5 of the vector rendering, read from the cached
+    * cos_e relation), only representatives band, members attach by
+    * k-1 star edges. Exact: vector-identical nonzero pairs have cos 1
+    * ≥ 0.4 (true edges), a member's banded candidates are carried by
+    * its identically-bucketed rep, and zero-norm vectors are EXCLUDED
+    * from collapse groups (cos 0/0 = NaN is never an edge — same
+    * carve-out as the band-side zero-norm guard), so the component
+    * partition is bit-identical to the uncollapsed banded graph — the
+    * closure oracle and DedupRecallSpec's refinement invariant hold
+    * unchanged. Collapse frames are eager pruned localCheckpoints,
+    * never lazy caches (the measured traps at [[ddClusterEdges]]).
     */
   private[graft] def embedClusterEdges(s: SparkSession,
-                                       dir: String): DataFrame =
-    ddEmbedLshPairs(s, dir).select("vec_a", "vec_b")
+                                       dir: String): DataFrame = {
+    ensureCosE(s, dir)
+    s.sql(
+      s"""SELECT k.vec_id, g.rep FROM
+         |  (SELECT vec_id, md5(cast(embedding as string)) AS vk
+         |   FROM cos_e WHERE n2 > 0) k
+         |JOIN
+         |  (SELECT md5(cast(embedding as string)) AS vk,
+         |          min(vec_id) AS rep
+         |   FROM cos_e WHERE n2 > 0 GROUP BY 1) g
+         |ON k.vk = g.vk""".stripMargin)
+      .localCheckpoint().createOrReplaceTempView("ec_grp")
+    s.sql(
+      s"""SELECT s.vec_id, s.bks FROM cos_e s
+         |JOIN (SELECT DISTINCT rep FROM ec_grp) r ON s.vec_id = r.rep"""
+        .stripMargin)
+      .coalesce(4).localCheckpoint().createOrReplaceTempView("ec_repsigs")
+    s.sql(
+      (0 until CosBands)
+        .map(b => s"SELECT vec_id, $b AS band," +
+          s" element_at(bks, ${b + 1}) AS bkt FROM ec_repsigs")
+        .mkString(" UNION ALL "))
+      .coalesce(4).localCheckpoint().createOrReplaceTempView("ec_repbands")
+    s.sql(
+      s"""WITH cand AS (
+         |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+         |  FROM ec_repbands x JOIN ec_repbands y
+         |    ON x.band = y.band AND x.bkt = y.bkt AND x.vec_id < y.vec_id),
+         |ver AS (
+         |  SELECT vec_a, vec_b FROM (
+         |    SELECT vec_a, vec_b, round(cs, 6) AS cos_sim FROM (
+         |      SELECT vec_a, vec_b,
+         |        graft_cos(a.embedding, b.embedding, a.n2, b.n2) AS cs
+         |      FROM cand JOIN cos_e a ON a.vec_id = vec_a
+         |                JOIN cos_e b ON b.vec_id = vec_b)
+         |    WHERE cs > 0.3999994)
+         |  WHERE cos_sim >= 0.4)
+         |SELECT vec_a, vec_b FROM ver
+         |UNION ALL
+         |SELECT rep AS vec_a, vec_id AS vec_b FROM ec_grp
+         |WHERE vec_id <> rep""".stripMargin)
+  }
 
   private val ddEmbedCosineLshSql =
     s"""WITH ${duckEmbedECte()},
@@ -2415,7 +2479,7 @@ object Dedup extends QueryPack {
   // refine exact clusters, which holds iff banded edges ⊆ exact edges).
   private def ddEmbedCluster(s: SparkSession, dir: String): DataFrame =
     labelPropagate("dd_embed_cluster",
-      ddEmbedLshPairs(s, dir).select("vec_a", "vec_b"),
+      embedClusterEdges(s, dir),
       table(s, dir, "embeddings").select(col("vec_id").as("doc_id")),
       shareKey = Some(s"embed_lsh|$dir"))
       .select(col("doc_id").as("vec_id"), col("cluster_id"))
@@ -2813,6 +2877,13 @@ object Dedup extends QueryPack {
   // measured cost IS the cold banded self-join + cosine verify +
   // symmetric-closure checkpoint. Returns the materialized closure;
   // the oracle restates it independently (band CTEs + UNION ALL).
+  // ORACLE SCOPE NOTE: the frame now carries embedClusterEdges'
+  // duplicate collapse, under which the edge SET equals the oracle's
+  // uncollapsed banded closure iff the corpus has no vector-identical
+  // pairs — true of the driver fixtures (continuous uniform noise;
+  // components are identical either way). On a bombed corpus the
+  // per-edge gate is DupBombGuardSpec's intra-engine equality, not
+  // this row-for-row oracle.
   private def ddLpEdges(s: SparkSession, dir: String): DataFrame = {
     invalidateLpEdges(s, dir)
     val edges = withAqeOff(s)(
@@ -2846,7 +2917,7 @@ object Dedup extends QueryPack {
     // clustering query diagnoses, so the engine materializes those
     // edges once per (session, corpus), not once per query.
     val labels = labelPropagate("dd_semdedup",
-      ddEmbedLshPairs(s, dir).select("vec_a", "vec_b"),
+      embedClusterEdges(s, dir),
       table(s, dir, "embeddings").select(col("vec_id").as("doc_id")),
       shareKey = Some(s"embed_lsh|$dir"))
       .select(col("doc_id").as("vec_id"), col("cluster_id"))

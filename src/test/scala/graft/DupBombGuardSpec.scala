@@ -57,6 +57,23 @@ class DupBombGuardSpec extends AnyFunSuite {
       .selectExpr("doc_id", "text", "'xx' AS lang", "'src1' AS source",
         "cast(length(text) as bigint) AS n_chars")
       .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    // embeddings: a 40-copy identical-vector bomb (0-39), a scaled
+    // copy (100: cos exactly 1, NOT collapse-key-identical — must
+    // reach the bomb through its representative's banding, which is
+    // scale-invariant), two distinct vectors (200, 201), and two
+    // identical ZERO vectors (300, 301: cos 0/0 = NaN, never an edge —
+    // the collapse carve-out must keep them singletons)
+    val bombVec = Array(1.0f, 0.25f, -0.5f, 0.125f)
+    val vecs: Seq[(Long, Array[Float])] =
+      (0L until Bomb.toLong).map(i => (i, bombVec)) ++ Seq(
+        (100L, bombVec.map(_ * 2.0f)),
+        (200L, Array(-1.0f, 0.5f, 0.25f, -0.125f)),
+        (201L, Array(0.125f, -1.0f, 0.5f, 0.25f)),
+        (300L, Array(0.0f, 0.0f, 0.0f, 0.0f)),
+        (301L, Array(0.0f, 0.0f, 0.0f, 0.0f)))
+    vecs.toDF("vec_id", "embedding")
+      .selectExpr("vec_id", "embedding", "cast(0 as int) AS label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/embeddings.parquet")
     d
   }
 
@@ -123,5 +140,41 @@ class DupBombGuardSpec extends AnyFunSuite {
     // identical single-word payloads DO pair on the phash side
     // (hamming 0 is a true edge — no empty-set carve-out for media)
     assert(got(300L) == 300L && got(301L) == 300L)
+  }
+
+  test("dd_embed_cluster: the bomb contributes k-1 star edges, a scaled " +
+      "copy reaches it through the representative's banding, the " +
+      "assignment equals propagation over the uncollapsed pairs, and " +
+      "identical zero vectors stay singletons") {
+    def vedges(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("vec_a", "vec_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val es = vedges(Dedup.embedClusterEdges(spark, dir))
+    val within = es.filter { case (a, b) => a < Bomb && b < Bomb }
+    assert(within.size == Bomb - 1,
+      s"expected ${Bomb - 1} star edges inside the bomb, got " +
+        s"${within.size} — the quadratic clique is back")
+    // the scaled copy is NOT key-identical but cos-sim 1; RH-LSH
+    // bucketing is scale-invariant, so it reaches the rep by banding
+    assert(es.contains((0L, 100L)), es.toSeq.sorted.mkString(", "))
+    val uncollapsed = SparkEntry.queries("dd_embed_cosine_lsh")(spark, dir)
+    assert(vedges(uncollapsed)
+      .count { case (a, b) => a < Bomb && b < Bomb } ==
+      Bomb * (Bomb - 1) / 2,
+      "fixture bomb did not produce the uncollapsed clique: the " +
+        "linearity assert above is vacuous")
+    val expected = assignment(Dedup.labelPropagate("bomb_ref_embed",
+      uncollapsed.selectExpr("vec_a AS doc_a", "vec_b AS doc_b"),
+      Engine.table(spark, dir, "embeddings")
+        .selectExpr("vec_id AS doc_id")))
+    val got = SparkEntry.queries("dd_embed_cluster")(spark, dir)
+      .selectExpr("vec_id AS doc_id", "cluster_id")
+    val gotMap = assignment(got)
+    assert(gotMap == expected)
+    (0L until Bomb.toLong).foreach(i => assert(gotMap(i) == 0L))
+    assert(gotMap(100L) == 0L)
+    // zero vectors: identical by key but excluded from collapse —
+    // NaN cosine is never an edge, so they must stay singletons
+    assert(gotMap(300L) == 300L && gotMap(301L) == 301L)
   }
 }
