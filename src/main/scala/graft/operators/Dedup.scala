@@ -2171,6 +2171,16 @@ object Dedup extends QueryPack {
     * key uses [[oldPred]]): one banded self-join + exact verify (the
     * dd_jaccard arithmetic, term-for-term), one LP to convergence,
     * three parquet landings, manifest last.
+    *
+    * SCALE NOTE (exact-duplicate bombs): the store keeps per-doc sig
+    * and band rows, so a corpus with k byte-identical copies of one
+    * page pays k²/2 banded pairs at build AND k band-index rows that
+    * every later probe collides with — the store-layout form of the
+    * bomb [[ddClusterEdges]] defuses for the batch query. A production
+    * deployment exact-dedups ahead of the store build (the
+    * dd_curation_funnel stage-1 gate); folding the rep-collapse into
+    * the store layout itself (rep rows in bands/, membership in the
+    * assignment) is the structural fix if pre-dedup cannot be assumed.
     */
   private[graft] def clusterStoreBuild(s: SparkSession, dir: String,
                                        store: String,

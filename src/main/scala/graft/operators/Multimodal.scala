@@ -432,10 +432,7 @@ object Multimodal extends QueryPack {
     // without the cache it would be recomputed 6x (same reason
     // dd_jaccard materializes jac_sigs)
     phashSigs(s, dir).cache().createOrReplaceTempView("phash_sigs")
-    val bandSelects = (0 until 4)
-      .map(b => s"SELECT doc_id, $b AS band," +
-        s" shiftright(phash, ${16 * b}) & 65535 AS bv FROM phash_sigs")
-      .mkString(" UNION ALL ")
+    val bandSelects = phashBandSelects("phash_sigs")
     s.sql(
       s"""WITH bands AS ($bandSelects),
          |cand AS (
@@ -496,11 +493,9 @@ object Multimodal extends QueryPack {
          |JOIN (SELECT DISTINCT rep FROM pce_grp) r ON s.doc_id = r.rep"""
         .stripMargin)
       .coalesce(4).localCheckpoint().createOrReplaceTempView("pce_repsigs")
-    s.sql(
-      (0 until 4)
-        .map(b => s"SELECT doc_id, $b AS band," +
-          s" shiftright(phash, ${16 * b}) & 65535 AS bv FROM pce_repsigs")
-        .mkString(" UNION ALL "))
+    // banding via the shared helper so the cluster index can never
+    // band differently from the store build / streaming probe
+    s.sql(phashBandSelects("pce_repsigs"))
       .coalesce(4).localCheckpoint().createOrReplaceTempView("pce_repbands")
     s.sql(
       s"""WITH cand AS (

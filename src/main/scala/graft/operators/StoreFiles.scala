@@ -65,11 +65,13 @@ private[graft] object StoreFiles {
   def committed(dir: java.nio.file.Path): Boolean =
     Seq("manifest.json", "model.json").exists(m => Files.exists(dir.resolve(m)))
 
+  // Generation names are validated printable (see flip), so the
+  // writer needs only the two mandatory JSON escapes and the reader
+  // only their inverses — no \uXXXX round-trip to get subtly wrong.
   private def jsonStr(s: String): String =
     "\"" + s.flatMap {
       case '"'  => "\\\""
       case '\\' => "\\\\"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c    => c.toString
     } + "\""
 
@@ -80,13 +82,18 @@ private[graft] object StoreFiles {
   def readCurrent(root: String): Option[(String, Option[String])] = {
     val p = Paths.get(root, CurrentName)
     if (!Files.exists(p)) None
-    else {
-      val s = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
-      def field(k: String): Option[String] =
-        (s""""$k":\\s*"((?:[^"\\\\]|\\\\.)*)"""").r.findFirstMatchIn(s)
-          .map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
-      field("gen").map(g => (g, field("prev")))
-    }
+    else
+      try {
+        val s = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+        def field(k: String): Option[String] =
+          (s""""$k":\\s*"((?:[^"\\\\]|\\\\.)*)"""").r.findFirstMatchIn(s)
+            .map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
+        field("gen").map(g => (g, field("prev")))
+      } catch {
+        // a pointer that vanished between exists and read = no pointer
+        // (serve reports it; gc then REFUSES rather than guessing)
+        case _: java.io.IOException => None
+      }
   }
 
   /** Point the root's readers at generation `gen` (a bare subdir name
@@ -97,20 +104,35 @@ private[graft] object StoreFiles {
     */
   def flip(root: String, gen: String): Either[String, String] = {
     if (gen.isEmpty || gen.contains('/') || gen.contains('\\') ||
-        gen == "." || gen == "..")
-      return Left(s"generation must be a bare subdir name, got: '$gen'")
+        gen == "." || gen == ".." || gen.exists(_ < ' '))
+      return Left(s"generation must be a bare printable subdir name, " +
+        s"got: '$gen'")
     val genDir = Paths.get(root, gen)
     if (!committed(genDir))
       return Left(s"$genDir holds no committed store (no marker) — " +
         "refusing to point readers at it")
-    val prev = readCurrent(root).map(_._1).filter(_ != gen)
-    val json = s"""{"gen": ${jsonStr(gen)}, "prev": ${
-      prev.map(jsonStr).getOrElse("null")}}"""
-    val tmp = Paths.get(root, CurrentName + ".tmp")
-    Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, Paths.get(root, CurrentName),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-    Right(genDir.toString)
+    readCurrent(root) match {
+      case Some((g, _)) if g == gen =>
+        // idempotent re-flip: do NOT rewrite the pointer — recomputing
+        // prev here would drop the displaced generation's grace window
+        // and let the next gc collect it under an in-flight reader
+        Right(genDir.toString)
+      case cur =>
+        val prev = cur.map(_._1)
+        val json = s"""{"gen": ${jsonStr(gen)}, "prev": ${
+          prev.map(jsonStr).getOrElse("null")}}"""
+        try {
+          val tmp = Paths.get(root, CurrentName + ".tmp")
+          Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
+          Files.move(tmp, Paths.get(root, CurrentName),
+            StandardCopyOption.ATOMIC_MOVE,
+            StandardCopyOption.REPLACE_EXISTING)
+          Right(genDir.toString)
+        } catch {
+          case e: java.io.IOException =>
+            Left(s"cannot write $CurrentName at $root: $e")
+        }
+    }
   }
 
   /** Resolve the served generation's path through the pointer,
@@ -163,10 +185,22 @@ private[graft] object StoreFiles {
           .filter(f => f.isDirectory && !keep(f.getName) &&
             committed(f.toPath))
         def rec(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles().foreach(rec)
+          if (f.isDirectory)
+            Option(f.listFiles()).toSeq.flatten.foreach(rec)
           f.delete()
         }
-        victims.foreach(rec)
-        Right(victims.map(_.getName).sorted)
+        // The COMMIT MARKER is removed FIRST, and a victim's data is
+        // only touched once that delete is confirmed: if collection
+        // crashes (or a file is undeletable) partway, the remainder is
+        // marker-less litter that committed() rejects — never a
+        // half-gutted dir a later flip would happily serve (the
+        // marker-last build protocol, inverted for teardown).
+        val gone = victims.flatMap { f =>
+          val markerGone = Seq("manifest.json", "model.json")
+            .map(m => f.toPath.resolve(m).toFile)
+            .forall(m => !m.exists() || m.delete())
+          if (markerGone) { rec(f); Some(f.getName) } else None
+        }
+        Right(gone.sorted)
     }
 }

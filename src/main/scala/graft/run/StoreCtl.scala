@@ -78,9 +78,24 @@ object StoreCtl {
       case Seq("advance", kind, corpus, root, pred) =>
         StoreFiles.serve(root).flatMap { cur =>
           val next = StoreFiles.nextGenName(root)
-          val out = java.nio.file.Paths.get(root, next).toString
-          fold(spark, kind, corpus, cur, out, pred).flatMap(_ =>
-            StoreFiles.flip(root, next).map(p => s"[advance] serving $p"))
+          val outPath = java.nio.file.Paths.get(root, next)
+          // CLAIM the name atomically before folding: two overlapping
+          // advance runs (a slow fold under the next cron tick) would
+          // otherwise both read the same nextGenName and interleave
+          // writes into one generation dir. createDirectory fails on
+          // an existing dir, so exactly one run proceeds.
+          try java.nio.file.Files.createDirectory(outPath)
+          catch {
+            case _: java.nio.file.FileAlreadyExistsException =>
+              return Left(s"$outPath already exists — a concurrent " +
+                "advance is in flight (or its litter needs an " +
+                "operator decision); refusing to write into it")
+            case e: java.io.IOException =>
+              return Left(s"cannot create $outPath: $e")
+          }
+          fold(spark, kind, corpus, cur, outPath.toString, pred)
+            .flatMap(_ =>
+              StoreFiles.flip(root, next).map(p => s"[advance] serving $p"))
         }
       case _ =>
         Left("usage: StoreCtl build <kind> <corpus> <store> [pred] | " +

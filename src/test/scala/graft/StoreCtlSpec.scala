@@ -96,6 +96,9 @@ class StoreCtlSpec extends AnyFunSuite {
       s"NOT (${Dedup.oldPred})")).isRight)
     assert(StoreCtl.run(spark, Seq("flip", root, "gen-1")).isRight)
     assert(StoreCtl.run(spark, Seq("serve", root)) == Right(g1))
+    // an idempotent RE-flip to the served generation must not drop the
+    // displaced generation's grace window (prev stays gen-0)
+    assert(StoreCtl.run(spark, Seq("flip", root, "gen-1")).isRight)
     assert(StoreCtl.run(spark, Seq("gc", root))
       .exists(_.contains("nothing")))
     assert(new java.io.File(g0).exists)
