@@ -245,6 +245,55 @@ object Dedup extends QueryPack {
        |WHERE jaccard >= 0.6
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // -- dd_decontaminate: FUZZY eval-set decontamination -----------------------
+  // The near-dup companion to txt_decontaminate's exact 8-gram gate
+  // (the procedure pretraining reports pair with exact overlap: a
+  // corpus document is contaminated when it is a near-duplicate of ANY
+  // held-out eval document, not only when it shares a verbatim gram).
+  // Eval set = the deterministic doc_id % 50 == 0 slice, the same
+  // stand-in txt_decontaminate uses. Composed ENTIRELY from the banded
+  // jaccard machinery — the pair table is [[ddJaccardPairs]] (one
+  // banded self-join + exact verify, sig relation cached once), sliced
+  // to corpus-eval pairs and folded to per-doc flags — so at 100 TB
+  // the cost is the dedup pass the pipeline already runs, and the
+  // (small) eval side rides the same band index rather than a second
+  // scan. The oracle is the INDEPENDENT all-pairs spec restricted the
+  // same way, so the hash-compare gates the banding's recall on the
+  // contamination question itself.
+  private def ddDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val pairs = ddJaccardPairs(s, dir).selectExpr("doc_a", "doc_b")
+    val hits = pairs.selectExpr("doc_a AS d", "doc_b AS e")
+      .union(pairs.selectExpr("doc_b AS d", "doc_a AS e"))
+      .where("d % 50 <> 0 AND e % 50 = 0")
+      .groupBy(col("d"))
+      .agg(count(lit(1)).as("n_eval_matches"))
+    table(s, dir, "documents").where("doc_id % 50 <> 0")
+      .select(col("doc_id"))
+      .join(hits, col("doc_id") === col("d"), "left")
+      .selectExpr("doc_id",
+        "cast(coalesce(n_eval_matches, 0) as bigint) AS n_eval_matches",
+        "coalesce(n_eval_matches, 0) > 0 AS contaminated")
+      .orderBy(col("doc_id"))
+  }
+
+  private val ddDecontaminateSql =
+    s"""WITH $duckJacDocsCte,
+       |p AS (
+       |  SELECT doc_a, doc_b FROM (
+       |    $duckJacScoredPairs)
+       |  WHERE jaccard >= 0.6),
+       |h AS (
+       |  SELECT d, CAST(COUNT(*) AS BIGINT) AS n_eval_matches FROM (
+       |    SELECT doc_a AS d, doc_b AS e FROM p
+       |    UNION ALL SELECT doc_b AS d, doc_a AS e FROM p)
+       |  WHERE d % 50 <> 0 AND e % 50 = 0 GROUP BY d)
+       |SELECT doc_id,
+       |  CAST(COALESCE(n_eval_matches, 0) AS BIGINT) AS n_eval_matches,
+       |  COALESCE(n_eval_matches, 0) > 0 AS contaminated
+       |FROM documents LEFT JOIN h ON doc_id = h.d
+       |WHERE doc_id % 50 <> 0
+       |ORDER BY doc_id""".stripMargin
+
   // -- dd_source_overlap: cross-source duplicate leakage matrix ---------------
   // The curation report behind dedup prioritization: how much near-dup
   // content each PAIR of sources shares (CCNet/mC4-style cross-dump
@@ -3067,6 +3116,7 @@ object Dedup extends QueryPack {
     Map(
       "dd_exact" -> ddExact _,
       "dd_jaccard" -> ddJaccard _,
+      "dd_decontaminate" -> ddDecontaminate _,
       "dd_containment" -> ddContainment _,
       "dd_minhash" -> ddMinhash _,
       "dd_minhash_lsh" -> ddMinhashLsh _,
@@ -3098,6 +3148,7 @@ object Dedup extends QueryPack {
   override val oracles: Map[String, String] = Map(
     "dd_exact" -> ddExactSql,
     "dd_jaccard" -> ddJaccardSql,
+    "dd_decontaminate" -> ddDecontaminateSql,
     "dd_containment" -> ddContainmentSql,
     "dd_minhash" -> ddMinhashSql,
     "dd_minhash_lsh" -> ddMinhashLshSql,
