@@ -69,7 +69,8 @@ object Bench {
     "st_store_neardup_ooo_replay", "sim_ivfpq_fold_stored",
     "st_ann_serve_replay", "st_ann_serve_ooo_replay",
     "st_store_phash_replay", "st_store_phash_ooo_replay",
-    "mm_phash_store", "mm_phash_fold_stored", "dd_decontaminate")
+    "mm_phash_store", "mm_phash_fold_stored", "dd_decontaminate",
+    "dd_decontaminate_semantic")
 
   private final case class M(
       name: String, median: Double, spread: Double, jobsPerRep: Int,

@@ -294,6 +294,63 @@ object Dedup extends QueryPack {
        |WHERE doc_id % 50 <> 0
        |ORDER BY doc_id""".stripMargin
 
+  // -- dd_decontaminate_semantic: embedding-space eval decontamination --------
+  // The SEMANTIC companion to dd_decontaminate (lexical leakage escapes
+  // paraphrase; embedding similarity does not): a corpus vector is
+  // flagged when it cosine-matches (>= 0.4) any held-out eval vector
+  // (vec_id % 50 == 0, the family's eval stand-in). Composed from the
+  // banded RH-LSH pair table ([[ddEmbedLshPairs]], cached bucketed
+  // relation shared with the cosine family), so at corpus scale the
+  // flags cost one slice of the semantic-dedup pass. Per the repo's
+  // banded-query convention the oracle is the BANDED restatement
+  // (banding recall on this noise fixture is ~49% by design — see
+  // dd_embed_cluster — so an all-pairs oracle would differ by
+  // construction; recall itself is gated by the exact anchors).
+  private def ddDecontaminateSemantic(s: SparkSession,
+                                      dir: String): DataFrame = {
+    val pairs = ddEmbedLshPairs(s, dir).selectExpr("vec_a", "vec_b")
+    val hits = pairs.selectExpr("vec_a AS d", "vec_b AS e")
+      .union(pairs.selectExpr("vec_b AS d", "vec_a AS e"))
+      .where("d % 50 <> 0 AND e % 50 = 0")
+      .groupBy(col("d"))
+      .agg(count(lit(1)).as("n_eval_matches"))
+    table(s, dir, "embeddings").where("vec_id % 50 <> 0")
+      .select(col("vec_id"))
+      .join(hits, col("vec_id") === col("d"), "left")
+      .selectExpr("vec_id",
+        "cast(coalesce(n_eval_matches, 0) as bigint) AS n_eval_matches",
+        "coalesce(n_eval_matches, 0) > 0 AS contaminated")
+      .orderBy(col("vec_id"))
+  }
+
+  // lazy: the embed-oracle building blocks (plane dots, band selects)
+  // are declared further down the object; a strict val here would read
+  // them mid-initialization and silently render empty SQL
+  private lazy val ddDecontaminateSemanticSql =
+    s"""WITH ${duckEmbedECte()},
+       |bands AS ($duckEmbedBandSelects),
+       |cand AS (
+       |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.bkt = y.bkt AND x.vec_id < y.vec_id),
+       |p AS (
+       |  SELECT vec_a, vec_b FROM (
+       |    SELECT vec_a, vec_b, ${duckEmbedCos("a", "b")} AS cos_sim
+       |    FROM cand JOIN e a ON a.vec_id = vec_a
+       |              JOIN e b ON b.vec_id = vec_b)
+       |  WHERE cos_sim >= 0.4),
+       |h AS (
+       |  SELECT d, CAST(COUNT(*) AS BIGINT) AS n_eval_matches FROM (
+       |    SELECT vec_a AS d, vec_b AS e FROM p
+       |    UNION ALL SELECT vec_b AS d, vec_a AS e FROM p)
+       |  WHERE d % 50 <> 0 AND e % 50 = 0 GROUP BY d)
+       |SELECT vec_id,
+       |  CAST(COALESCE(n_eval_matches, 0) AS BIGINT) AS n_eval_matches,
+       |  COALESCE(n_eval_matches, 0) > 0 AS contaminated
+       |FROM embeddings LEFT JOIN h ON vec_id = h.d
+       |WHERE vec_id % 50 <> 0
+       |ORDER BY vec_id""".stripMargin
+
   // -- dd_source_overlap: cross-source duplicate leakage matrix ---------------
   // The curation report behind dedup prioritization: how much near-dup
   // content each PAIR of sources shares (CCNet/mC4-style cross-dump
@@ -3117,6 +3174,7 @@ object Dedup extends QueryPack {
       "dd_exact" -> ddExact _,
       "dd_jaccard" -> ddJaccard _,
       "dd_decontaminate" -> ddDecontaminate _,
+      "dd_decontaminate_semantic" -> ddDecontaminateSemantic _,
       "dd_containment" -> ddContainment _,
       "dd_minhash" -> ddMinhash _,
       "dd_minhash_lsh" -> ddMinhashLsh _,
@@ -3149,6 +3207,7 @@ object Dedup extends QueryPack {
     "dd_exact" -> ddExactSql,
     "dd_jaccard" -> ddJaccardSql,
     "dd_decontaminate" -> ddDecontaminateSql,
+    "dd_decontaminate_semantic" -> ddDecontaminateSemanticSql,
     "dd_containment" -> ddContainmentSql,
     "dd_minhash" -> ddMinhashSql,
     "dd_minhash_lsh" -> ddMinhashLshSql,
