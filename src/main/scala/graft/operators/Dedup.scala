@@ -261,10 +261,13 @@ object Dedup extends QueryPack {
   // same way, so the hash-compare gates the banding's recall on the
   // contamination question itself.
   private def ddDecontaminate(s: SparkSession, dir: String): DataFrame = {
-    val pairs = ddJaccardPairs(s, dir).selectExpr("doc_a", "doc_b")
-    val hits = pairs.selectExpr("doc_a AS d", "doc_b AS e")
-      .union(pairs.selectExpr("doc_b AS d", "doc_a AS e"))
-      .where("d % 50 <> 0 AND e % 50 = 0")
+    // single pass over the pair table: a symmetric union of two
+    // orientation projections embeds the banded-join + verify subtree
+    // twice in the plan (exchange reuse reclaims only the shuffles) —
+    // a crossing pair instead selects its corpus side directly
+    val hits = ddJaccardPairs(s, dir)
+      .where("(doc_a % 50 = 0) <> (doc_b % 50 = 0)")
+      .selectExpr("CASE WHEN doc_a % 50 = 0 THEN doc_b ELSE doc_a END AS d")
       .groupBy(col("d"))
       .agg(count(lit(1)).as("n_eval_matches"))
     table(s, dir, "documents").where("doc_id % 50 <> 0")
@@ -308,10 +311,10 @@ object Dedup extends QueryPack {
   // construction; recall itself is gated by the exact anchors).
   private def ddDecontaminateSemantic(s: SparkSession,
                                       dir: String): DataFrame = {
-    val pairs = ddEmbedLshPairs(s, dir).selectExpr("vec_a", "vec_b")
-    val hits = pairs.selectExpr("vec_a AS d", "vec_b AS e")
-      .union(pairs.selectExpr("vec_b AS d", "vec_a AS e"))
-      .where("d % 50 <> 0 AND e % 50 = 0")
+    // single pass over the pair table (see ddDecontaminate)
+    val hits = ddEmbedLshPairs(s, dir)
+      .where("(vec_a % 50 = 0) <> (vec_b % 50 = 0)")
+      .selectExpr("CASE WHEN vec_a % 50 = 0 THEN vec_b ELSE vec_a END AS d")
       .groupBy(col("d"))
       .agg(count(lit(1)).as("n_eval_matches"))
     table(s, dir, "embeddings").where("vec_id % 50 <> 0")

@@ -1,11 +1,12 @@
 package graft
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.OutputMode
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.{Dedup, Multimodal}
-import graft.streaming.{StreamDoc, Streams}
+import graft.streaming.{StreamDoc, StreamVec, Streams}
 
 /** Seeded RANDOM bounded-disorder sweeps for the served-store probe
   * streams — the property-level companion to the fixed-jitter
@@ -36,46 +37,52 @@ class StoreStreamDisorderSpec extends AnyFunSuite {
       .as[StreamDoc].collect().sortBy(_.doc_id).toIndexedSeq
   }
 
-  private def disordered(docs: Seq[StreamDoc], seed: Long,
-                         slackNs: Long): IndexedSeq[StreamDoc] = {
-    val rnd = new scala.util.Random(seed)
-    docs.map(d => (d.ts + rnd.nextLong(slackNs), d.doc_id, d))
-      .sortBy(t => (t._1, t._2)).map(_._3).toIndexedSeq
+  private def newVecs(split: Long): IndexedSeq[StreamVec] = {
+    val s = spark
+    import s.implicits._
+    Engine.table(s, dir, "embeddings")
+      .where(s"vec_id >= $split")
+      .selectExpr("vec_id",
+        s"(vec_id - $split + 1) * ${TickNs}L AS ts", "embedding")
+      .as[StreamVec].collect().sortBy(_.vec_id).toIndexedSeq
   }
 
-  /** Batch pair query's old-new slice re-oriented as (new, old owner),
+  /** A pair query's old-vs-new slice re-oriented as (new, old owner),
     * the reference every delivery order must land on.
     */
-  private def oldNewSlice(key: String, a: String, b: String)
-      : Set[(Long, Long)] = {
-    val olds = Engine.table(spark, dir, "documents")
-      .where(Dedup.oldPred).select("doc_id")
-      .collect().map(_.getLong(0)).toSet
+  private def oldNewSlice(key: String, a: String, b: String,
+                          isOld: Long => Boolean): Set[(Long, Long)] =
     SparkEntry.queries(key)(spark, dir)
       .select(a, b)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
       .flatMap { case (x, y) =>
-        (olds(x), olds(y)) match {
+        (isOld(x), isOld(y)) match {
           case (true, false) => Some((y, x))
           case (false, true) => Some((x, y))
           case _             => None
         }
       }.toSet
-  }
 
-  private def sweep(name: String, reference: Set[(Long, Long)])
-                   (mk: org.apache.spark.sql.DataFrame
-                     => org.apache.spark.sql.DataFrame): Unit = {
+  /** One generic sweep: 3 seeds of random feed-position jitter up to
+    * 64 ticks (strictly inside the streams' 10-minute dedup delay),
+    * fed in micro-batches; the sink's (id, owner) set must equal the
+    * reference regardless of order.
+    */
+  private def sweep[T <: Product](
+      name: String, reference: Set[(Long, Long)], rows: IndexedSeq[T],
+      idCol: String)(ts: T => Long, id: T => Long)(
+      mk: DataFrame => DataFrame)(
+      implicit enc: org.apache.spark.sql.Encoder[T]): Unit = {
     val s = spark
-    import s.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
     assert(reference.nonEmpty,
       s"$name: fixture produced zero old-new matches — sweep is vacuous")
-    val docs = newDocs()
     (1L to 3L).foreach { seed =>
-      // jitter up to 64 ticks = 64 s, strictly inside the 10-min delay
-      val order = disordered(docs, seed * 7919L, 64L * TickNs)
-      val in = MemoryStream[StreamDoc]
+      val rnd = new scala.util.Random(seed * 7919L)
+      val order = rows
+        .map(r => (ts(r) + rnd.nextLong(64L * TickNs), id(r), r))
+        .sortBy(t => (t._1, t._2)).map(_._3)
+      val in = MemoryStream[T]
       val sink = s"${name}_sweep_$seed"
       val q = mk(in.toDF())
         .writeStream.format("memory").queryName(sink)
@@ -85,7 +92,7 @@ class StoreStreamDisorderSpec extends AnyFunSuite {
           order.grouped(60).foreach { b =>
             in.addData(b); q.processAllAvailable()
           }
-          s.table(sink).select("doc_id", "owner_id")
+          s.table(sink).select(idCol, "owner_id")
             .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
         } finally q.stop()
       s.catalog.dropTempView(sink)
@@ -95,70 +102,43 @@ class StoreStreamDisorderSpec extends AnyFunSuite {
     }
   }
 
+  private def oldDocIds(): Set[Long] =
+    Engine.table(spark, dir, "documents")
+      .where(Dedup.oldPred).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+
   test("storePhashStream lands on the batch old-new Hamming slice " +
       "under random bounded disorder (3 seeds)") {
+    val s0 = spark; import s0.implicits._
     val store = Multimodal.ensurePhashStore(spark, dir)
+    val olds = oldDocIds()
     sweep("store_phash",
-      oldNewSlice("mm_phash_pairs", "doc_a", "doc_b"))(
+      oldNewSlice("mm_phash_pairs", "doc_a", "doc_b", olds),
+      newDocs(), "doc_id")(_.ts, _.doc_id)(
       Streams.storePhashStream(_, store))
   }
 
   test("storeNearDupStream lands on the batch old-new Jaccard slice " +
       "under random bounded disorder (3 seeds)") {
+    val s0 = spark; import s0.implicits._
     val store = Dedup.ensureClusterStore(spark, dir)
+    val olds = oldDocIds()
     sweep("store_neardup",
-      oldNewSlice("dd_jaccard", "doc_a", "doc_b"))(
+      oldNewSlice("dd_jaccard", "doc_a", "doc_b", olds),
+      newDocs(), "doc_id")(_.ts, _.doc_id)(
       Streams.storeNearDupStream(_, store))
   }
 
   test("storeDedupStream lands on the banded old-new cosine slice " +
       "under random bounded disorder (3 seeds)") {
-    val s = spark
-    import s.implicits._
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val s0 = spark; import s0.implicits._
     val store = Dedup.ensureEmbedStore(spark, dir)
     val split = Dedup.embedSplit(spark, dir)
-    // reference: the banded pair query's old-new slice (the store
-    // probe is banded, so banded — not all-pairs — is the contract)
-    val reference = SparkEntry.queries("dd_embed_cosine_lsh")(spark, dir)
-      .select("vec_a", "vec_b")
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
-      .flatMap { case (a, b) =>
-        (a < split, b < split) match {
-          case (true, false) => Some((b, a))
-          case (false, true) => Some((a, b))
-          case _             => None
-        }
-      }.toSet
-    assert(reference.nonEmpty, "zero old-new embed matches — vacuous")
-    val vecs = Engine.table(spark, dir, "embeddings")
-      .where(s"vec_id >= $split")
-      .selectExpr("vec_id",
-        s"(vec_id - $split + 1) * ${TickNs}L AS ts", "embedding")
-      .as[graft.streaming.StreamVec]
-      .collect().sortBy(_.vec_id).toIndexedSeq
-    (1L to 3L).foreach { seed =>
-      val rnd = new scala.util.Random(seed * 6271L)
-      val order = vecs
-        .map(v => (v.ts + rnd.nextLong(64L * TickNs), v.vec_id, v))
-        .sortBy(t => (t._1, t._2)).map(_._3)
-      val in = MemoryStream[graft.streaming.StreamVec]
-      val sink = s"store_dedup_sweep_$seed"
-      val q = Streams.storeDedupStream(in.toDF(), store)
-        .writeStream.format("memory").queryName(sink)
-        .outputMode(OutputMode.Append()).start()
-      val got =
-        try {
-          order.grouped(60).foreach { b =>
-            in.addData(b); q.processAllAvailable()
-          }
-          s.table(sink).select("vec_id", "owner_id")
-            .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-        } finally q.stop()
-      s.catalog.dropTempView(sink)
-      assert(got == reference,
-        s"store_dedup seed $seed: ${got.size} pairs vs reference " +
-          s"${reference.size}")
-    }
+    // banded pair query's slice: the store probe is banded, so banded
+    // — not all-pairs — is the contract
+    sweep("store_dedup",
+      oldNewSlice("dd_embed_cosine_lsh", "vec_a", "vec_b", _ < split),
+      newVecs(split), "vec_id")(_.ts, _.vec_id)(
+      Streams.storeDedupStream(_, store))
   }
 }
