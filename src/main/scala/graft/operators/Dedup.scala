@@ -2102,6 +2102,20 @@ object Dedup extends QueryPack {
   // |clusters| + |new| nodes, the part that stays small at any corpus
   // size. Split convention shared with dd_incremental: sources srcNN
   // with NN >= 10 are the new batch.
+  //
+  // SCALE NOTE (exact-duplicate bombs): this path does NOT carry
+  // [[ddClusterEdges]]' representative collapse — a bombed increment
+  // (k identical new docs) pays k²/2 verified pairs here. The
+  // structural fix is a PER-SIDE collapse (old reps among old, new
+  // reps among new, star edges within each side, one rep-rep crossing
+  // edge per group pair): collapsing across the split would let a
+  // new-side representative carry old-old connectivity, changing
+  // which merges the phase-1 "stored prior" sees (final components
+  // stay identical, but the prior-assignment stand-in would diverge
+  // from a real stored run). A deployment that exact-dedups each
+  // batch ahead of clustering (dd_curation_funnel stage 1) never
+  // feeds the bomb in; per-side collapse is the in-operator fix if
+  // that cannot be assumed.
   private def ddClusterIncremental(s: SparkSession, dir: String): DataFrame = {
     VectorFunctions.ensureRegistered(s)
     table(s, dir, "documents")
