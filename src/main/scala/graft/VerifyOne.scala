@@ -1,7 +1,7 @@
 package graft
 import java.nio.file.{Files, Paths}
 /** Dev helper: dump ONE SparkEntry query (plus oracle_sql.json) so
-  * tools/compare_oracle.py can gate it without the full 98-query run.
+  * tools/compare_oracle.py can gate it without the full all-query run.
   * Usage: runMain graft.VerifyOne <name>[,<name>...] <sfDir> <outDir>
   */
 object VerifyOne {
