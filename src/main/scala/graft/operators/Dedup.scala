@@ -2103,20 +2103,49 @@ object Dedup extends QueryPack {
   // size. Split convention shared with dd_incremental: sources srcNN
   // with NN >= 10 are the new batch.
   //
-  // SCALE NOTE (exact-duplicate bombs): this path does NOT carry
-  // [[ddClusterEdges]]' representative collapse — a bombed increment
-  // (k identical new docs) pays k²/2 verified pairs here. The
-  // structural fix is a PER-SIDE collapse (old reps among old, new
-  // reps among new, star edges within each side, one rep-rep crossing
-  // edge per group pair): collapsing across the split would let a
-  // new-side representative carry old-old connectivity, changing
-  // which merges the phase-1 "stored prior" sees (final components
-  // stay identical, but the prior-assignment stand-in would diverge
-  // from a real stored run). A deployment that exact-dedups each
-  // batch ahead of clustering (dd_curation_funnel stage 1) never
-  // feeds the bomb in; per-side collapse is the in-operator fix if
-  // that cannot be assumed.
+  // SCALE NOTE (exact-duplicate bombs): this path carries a PER-SIDE
+  // representative collapse (the [[ddClusterEdges]] guard, split by
+  // the batch boundary): old docs collapse among old, new among new,
+  // each group keyed by its shingle set (md5 of the sorted hash
+  // array), members connect to their side's min-doc_id representative
+  // by k-1 star edges, and only representatives are banded — so a
+  // bombed increment (k identical new docs) contributes k-1 edges
+  // plus ONE rep-rep crossing edge per matching old group, never the
+  // k²/2 clique. Collapsing ACROSS the split would be wrong in a
+  // subtler way: a new-side representative standing in for old
+  // members would carry old-old connectivity, changing which merges
+  // the phase-1 "stored prior" sees (final components stay identical,
+  // but the prior-assignment stand-in would diverge from a real
+  // stored run). Exactness per side is [[ddClusterEdges]]' argument
+  // verbatim — identical hs ⟹ jaccard 1 star edges are true edges,
+  // and a member's banding equals its rep's, so every banded edge a
+  // member would carry (including crossing edges to the OTHER side's
+  // reps) is carried by its rep; the component partition, hence the
+  // phase split and the min-label assignment, is bit-identical to the
+  // uncollapsed graph's.
   private def ddClusterIncremental(s: SparkSession, dir: String): DataFrame = {
+    val pairsAll = ddClusterIncrementalEdges(s, dir)
+    val docs = s.table("cinc_sigs")
+    // phase 1 — the stored prior assignment (stand-in): LP over the
+    // old corpus's own edges
+    val lblA = labelPropagate("dd_cluster_incremental#prior",
+      pairsAll.filter("NOT a_new AND NOT b_new").select("doc_a", "doc_b"),
+      docs.filter("NOT is_new").select("doc_id"))
+    // phase 2 — the increment: only edges touching the new batch
+    contractedMerge("dd_cluster_incremental#merge", lblA,
+      pairsAll.filter("a_new OR b_new").select("doc_a", "doc_b"),
+      docs.filter("is_new").select("doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** dd_cluster_incremental's side-tagged edge set (doc_a, doc_b,
+    * a_new, b_new), duplicate-bomb-guarded per side — exposed so
+    * DupBombGuardSpec can pin the linearity on a bombed increment.
+    * Leaves the cached full sig relation registered as `cinc_sigs`
+    * (the caller's node source).
+    */
+  private[graft] def ddClusterIncrementalEdges(s: SparkSession,
+                                               dir: String): DataFrame = {
     VectorFunctions.ensureRegistered(s)
     table(s, dir, "documents")
       .selectExpr("doc_id",
@@ -2134,34 +2163,62 @@ object Dedup extends QueryPack {
       // pinned 26-job scheduling floor.
       .cache()
       .createOrReplaceTempView("cinc_sigs")
+    // Per-side collapse groups: (doc_id, is_new, rep) with rep = the
+    // side's min doc_id per shingle-set key. Same checkpoint-not-cache
+    // discipline (and the same empty-shingle carve-out — jaccard
+    // 0/0 never verifies, so guarded docs get no star edges) as
+    // ddClusterEdges' dc_grp.
+    s.sql(
+      s"""SELECT k.doc_id, k.is_new, g.rep FROM
+         |  (SELECT doc_id, is_new, md5(cast(hs as string)) AS hkey
+         |   FROM cinc_sigs WHERE sig_0 <> ${Long.MaxValue}L) k
+         |JOIN
+         |  (SELECT is_new, md5(cast(hs as string)) AS hkey,
+         |     min(doc_id) AS rep
+         |   FROM cinc_sigs WHERE sig_0 <> ${Long.MaxValue}L
+         |   GROUP BY 1, 2) g
+         |ON k.hkey = g.hkey AND k.is_new = g.is_new""".stripMargin)
+      .localCheckpoint().createOrReplaceTempView("cinc_grp")
+    // The representatives' sig rows (both sides together — ONE banded
+    // self-join below finds same-side AND crossing rep edges); hs is
+    // projected away, the verify joins read it from the columnar
+    // cinc_sigs cache (ddClusterEdges' dc_repsigs discipline).
+    s.sql(
+      s"""SELECT s.doc_id, s.is_new, ${(0 until 2 * JacBands)
+           .map("s.sig_" + _).mkString(", ")}
+         |FROM cinc_sigs s
+         |JOIN (SELECT DISTINCT rep FROM cinc_grp) r ON s.doc_id = r.rep"""
+        .stripMargin)
+      .coalesce(4).localCheckpoint().createOrReplaceTempView("cinc_repsigs")
     val bandSelects = (0 until JacBands)
       .map(b => s"SELECT doc_id, is_new, $b AS band," +
-        s" ${jacBandKeySpark(b)} AS bk FROM cinc_sigs$jacBandGuard")
+        s" ${jacBandKeySpark(b)} AS bk FROM cinc_repsigs$jacBandGuard")
       .mkString(" UNION ALL ")
     // identical candidate scheme + re-check arithmetic to
     // ddJaccardPairs (the prune is semantics-free), with the is_new
-    // split carried through: ONE banded self-join computes the full
-    // edge set, localCheckpoint'd, then partitioned into prior-run
-    // edges (old-old) and increment edges (new-touching) — the
-    // fixture-scale stand-in for "old edges come from the stored
-    // assignment, increment edges from probing bands(new)". The
-    // checkpoint is EAGER, so scoping AQE off around it holds (the
-    // same discipline as prepLpEdges): without the scope AQE runs one
-    // job per query stage of the banded tree, and at 2 shuffles of a
-    // few MB there is nothing for runtime coalescing to win here.
-    // Measured at sf0.1/local[32], same oracle hash throughout: two
-    // separate banded passes 27 jobs / ~5.9 s wall; shared checkpoint
-    // under AQE 46 jobs / ~6.8 s; shared checkpoint with this scope
-    // 26 jobs / ~5.0 s — fewest jobs (the LP family's scheduling
-    // floor) AND the single-pass edge build.
-    val pairsAll = withAqeOff(s)(s.sql(
+    // split carried through: ONE banded self-join over the reps
+    // computes the verified rep-rep edge set, the per-side star edges
+    // ride along in the same checkpoint, and the result is
+    // partitioned into prior-run edges (old-old) and increment edges
+    // (new-touching) — the fixture-scale stand-in for "old edges come
+    // from the stored assignment, increment edges from probing
+    // bands(new)". The checkpoint is EAGER, so scoping AQE off around
+    // it holds (the same discipline as prepLpEdges): without the
+    // scope AQE runs one job per query stage of the banded tree, and
+    // at 2 shuffles of a few MB there is nothing for runtime
+    // coalescing to win here. (Measured r16, pre-collapse: scoped-off
+    // shared checkpoint was both the fewest jobs and the single-pass
+    // edge build; the collapse keeps the shape and only shrinks the
+    // banded side.)
+    withAqeOff(s)(s.sql(
       s"""WITH bands AS ($bandSelects),
          |cand AS (
-         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         |    x.is_new AS a_new, y.is_new AS b_new
          |  FROM bands x JOIN bands y
          |    ON x.band = y.band AND x.bk = y.bk AND x.doc_id < y.doc_id)
          |SELECT doc_a, doc_b, a_new, b_new FROM (
-         |  SELECT doc_a, doc_b, a.is_new AS a_new, b.is_new AS b_new,
+         |  SELECT doc_a, doc_b, a_new, b_new,
          |    round(cast(graft_isect(a.hs, b.hs) as double)
          |      / (size(a.hs) + size(b.hs) - graft_isect(a.hs, b.hs)), 6)
          |      AS jaccard
@@ -2169,18 +2226,12 @@ object Dedup extends QueryPack {
          |            JOIN cinc_sigs b ON b.doc_id = doc_b
          |  WHERE least(size(a.hs), size(b.hs)) * 10
          |        >= greatest(size(a.hs), size(b.hs)) * 6)
-         |WHERE jaccard >= 0.6""".stripMargin).localCheckpoint())
-    val docs = s.table("cinc_sigs")
-    // phase 1 — the stored prior assignment (stand-in): LP over the
-    // old corpus's own edges
-    val lblA = labelPropagate("dd_cluster_incremental#prior",
-      pairsAll.filter("NOT a_new AND NOT b_new").select("doc_a", "doc_b"),
-      docs.filter("NOT is_new").select("doc_id"))
-    // phase 2 — the increment: only edges touching the new batch
-    contractedMerge("dd_cluster_incremental#merge", lblA,
-      pairsAll.filter("a_new OR b_new").select("doc_a", "doc_b"),
-      docs.filter("is_new").select("doc_id"))
-      .orderBy(col("doc_id"))
+         |WHERE jaccard >= 0.6
+         |UNION ALL
+         |SELECT rep AS doc_a, doc_id AS doc_b,
+         |  is_new AS a_new, is_new AS b_new
+         |FROM cinc_grp WHERE doc_id <> rep""".stripMargin)
+      .localCheckpoint())
   }
 
   /** The contracted-merge phase shared by the incremental cluster

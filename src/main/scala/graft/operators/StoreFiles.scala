@@ -122,7 +122,14 @@ private[graft] object StoreFiles {
         val json = s"""{"gen": ${jsonStr(gen)}, "prev": ${
           prev.map(jsonStr).getOrElse("null")}}"""
         try {
-          val tmp = Paths.get(root, CurrentName + ".tmp")
+          // unique temp per flip (not a fixed ".tmp" name): two
+          // concurrent flips racing through one temp file could
+          // publish flip B's payload under flip A's ATOMIC_MOVE, so A
+          // returns Right claiming to serve its own generation while
+          // the pointer names B's. Per-flip temp files serialize the
+          // race to plain last-writer-wins with accurate returns.
+          val tmp = Files.createTempFile(Paths.get(root),
+            CurrentName + ".", ".tmp")
           Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
           Files.move(tmp, Paths.get(root, CurrentName),
             StandardCopyOption.ATOMIC_MOVE,
@@ -168,11 +175,17 @@ private[graft] object StoreFiles {
   }
 
   /** Delete committed generations under `root` other than the pointed
-    * one and its grace-window `prev`. Uncommitted subdirs are LEFT
-    * ALONE — an in-flight fold's output is uncommitted by construction
+    * one, its grace-window `prev`, and any gen-numbered generation
+    * NEWER than the pointed one. Uncommitted subdirs are LEFT ALONE —
+    * an in-flight fold's output is uncommitted by construction
     * (marker lands last) and deleting it would corrupt a concurrent
     * writer, the exact race the marker protocol exists to close.
-    * Returns the deleted subdir names.
+    * Newer committed generations are kept for the advance-crash
+    * window: an `advance` that crashed between its fold's marker and
+    * the flip leaves a committed `gen-<n>` with n above the pointer —
+    * exactly the generation the docs tell an operator to flip to by
+    * hand — and a cron'd gc racing that flip must not destroy the
+    * fold's output. Returns the deleted subdir names.
     */
   def gc(root: String): Either[String, Seq[String]] =
     readCurrent(root) match {
@@ -180,10 +193,20 @@ private[graft] object StoreFiles {
         "to gc an unpointed root (nothing marks a generation as live)")
       case Some((gen, prev)) =>
         val keep = Set(gen) ++ prev
+        val GenPat = "gen-(\\d+)".r
+        val pointedNum = gen match {
+          case GenPat(n) => Some(n.toLong)
+          case _         => None
+        }
+        def newerThanPointed(name: String): Boolean =
+          (pointedNum, name) match {
+            case (Some(p), GenPat(n)) => n.toLong > p
+            case _                    => false
+          }
         val victims = Option(new java.io.File(root).listFiles()).toSeq
           .flatten
           .filter(f => f.isDirectory && !keep(f.getName) &&
-            committed(f.toPath))
+            !newerThanPointed(f.getName) && committed(f.toPath))
         def rec(f: java.io.File): Unit = {
           if (f.isDirectory)
             Option(f.listFiles()).toSeq.flatten.foreach(rec)

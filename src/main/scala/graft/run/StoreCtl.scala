@@ -18,6 +18,7 @@ import graft.operators.{Dedup, Multimodal, Similarity, StoreFiles}
   *   runMain graft.run.StoreCtl serve <root>
   *   runMain graft.run.StoreCtl gc    <root>
   *   runMain graft.run.StoreCtl advance <kind> <corpus> <root> <pred>
+  *   runMain graft.run.StoreCtl compact <kind> <root>
   *
   * kind = cluster | embed | ivfpq | phash. `pred` is a SQL predicate
   * over the kind's corpus table (documents for cluster/phash,
@@ -43,6 +44,19 @@ import graft.operators.{Dedup, Multimodal, Similarity, StoreFiles}
   * marker lands leaves the pointer untouched and the litter's name
   * reserved, crash between marker and flip leaves a committed
   * generation an operator can flip to by hand.
+  *
+  * `compact` seals a fold chain: it rewrites the SERVED generation's
+  * relations — sorted on their serve keys (band index by (band, key)
+  * for probe-join locality, the code table by (cell, vec_id) for
+  * cell-pruned scans) and coalesced to a few large files — into the
+  * next free `gen-<n>`, lands the marker last, and flips. The shard
+  * compactor's discipline extended to the model stores: a fold chain
+  * accumulates one appended parquet landing per generation, and a
+  * nightly compact caps the file count and restores scan locality
+  * without touching any prior generation. Row content is IDENTICAL
+  * to the source generation (a pure relayout), so every query over
+  * the compacted generation bit-matches the unchained build —
+  * StoreCtlSpec proves it through a fold→fold→compact→fold chain.
   */
 object StoreCtl {
 
@@ -97,12 +111,93 @@ object StoreCtl {
             .flatMap(_ =>
               StoreFiles.flip(root, next).map(p => s"[advance] serving $p"))
         }
+      case Seq("compact", kind, root) =>
+        compact(spark, kind, root)
       case _ =>
         Left("usage: StoreCtl build <kind> <corpus> <store> [pred] | " +
           "fold <kind> <corpus> <store> <out> <pred> | stats <store> | " +
           "flip <root> <gen> | serve <root> | gc <root> | " +
-          "advance <kind> <corpus> <root> <pred>\n" +
+          "advance <kind> <corpus> <root> <pred> | " +
+          "compact <kind> <root>\n" +
           "  kind = cluster | embed | ivfpq | phash")
+    }
+
+  /** Each kind's relations with their serve-key sort order: the band
+    * index sorts by (band, key) so a probe equi-join reads clustered
+    * runs, row relations by id, the PQ code table by (cell, vec_id)
+    * so cell-pruned serving scans are contiguous.
+    */
+  private val compactLayout: Map[String, Seq[(String, Seq[String])]] = Map(
+    "cluster" -> Seq(
+      "assignment" -> Seq("doc_id"),
+      "sigs" -> Seq("doc_id"),
+      "bands" -> Seq("band", "bk", "doc_id")),
+    "embed" -> Seq(
+      "assignment" -> Seq("vec_id"),
+      "vecs" -> Seq("vec_id"),
+      "bands" -> Seq("band", "bkt", "vec_id")),
+    "phash" -> Seq(
+      "sigs" -> Seq("doc_id"),
+      "bands" -> Seq("band", "bv", "doc_id")),
+    "ivfpq" -> Seq(
+      "codes" -> Seq("cell", "vec_id")))
+
+  private def compact(spark: SparkSession, kind: String,
+                      root: String): Either[String, String] =
+    compactLayout.get(kind) match {
+      case None => Left(s"unknown store kind: $kind")
+      case Some(layout) =>
+        StoreFiles.serve(root).flatMap { cur =>
+          val missing = layout.map(_._1).filterNot(rel =>
+            java.nio.file.Files.isDirectory(
+              java.nio.file.Paths.get(cur, rel)))
+          if (missing.nonEmpty)
+            return Left(s"$cur is not a committed $kind store " +
+              s"(missing ${missing.mkString(", ")}) — wrong kind?")
+          val next = StoreFiles.nextGenName(root)
+          val outPath = java.nio.file.Paths.get(root, next)
+          // claim the name atomically (the advance discipline): a
+          // concurrent advance/compact must not share the dir
+          try java.nio.file.Files.createDirectory(outPath)
+          catch {
+            case _: java.nio.file.FileAlreadyExistsException =>
+              return Left(s"$outPath already exists — a concurrent " +
+                "advance/compact is in flight (or its litter needs " +
+                "an operator decision); refusing to write into it")
+            case e: java.io.IOException =>
+              return Left(s"cannot create $outPath: $e")
+          }
+          layout.foreach { case (rel, keys) =>
+            // sort() range-partitions, so files land globally ordered
+            // on the serve keys; coalesce caps the sealed file count
+            // (the whole relation is signature/model-sized — dozens
+            // of bytes per corpus item — so a handful of files is the
+            // right shape even at large corpus scale)
+            spark.read.parquet(s"$cur/$rel")
+              .sort(keys.map(org.apache.spark.sql.functions.col): _*)
+              .coalesce(4)
+              .write.mode("error").parquet(s"$outPath/$rel")
+          }
+          // marker LAST, verbatim from the source generation (same
+          // counts — a compact adds no rows), temp + ATOMIC_MOVE:
+          // crash mid-compact leaves marker-less litter gc ignores
+          marker(cur) match {
+            case None => Left(s"$cur lost its marker mid-compact")
+            case Some(m) =>
+              val json = new String(java.nio.file.Files.readAllBytes(m),
+                java.nio.charset.StandardCharsets.UTF_8)
+              val tmp = java.nio.file.Files.createTempFile(
+                outPath, m.getFileName.toString + ".", ".tmp")
+              java.nio.file.Files.write(tmp, json.getBytes(
+                java.nio.charset.StandardCharsets.UTF_8))
+              java.nio.file.Files.move(tmp,
+                outPath.resolve(m.getFileName.toString),
+                java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+                java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+              StoreFiles.flip(root, next)
+                .map(p => s"[compact] sealed $cur as $next, serving $p")
+          }
+        }
     }
 
   /** The store's commit marker: manifest.json for the cluster /

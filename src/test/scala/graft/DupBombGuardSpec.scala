@@ -177,4 +177,98 @@ class DupBombGuardSpec extends AnyFunSuite {
     // NaN cosine is never an edge, so they must stay singletons
     assert(gotMap(300L) == 300L && gotMap(301L) == 301L)
   }
+
+  /** Bombed-INCREMENT fixture: the duplicate bomb arrives as the NEW
+    * batch (source src10) — the exact shape a crawler feeds a
+    * production incremental clustering — plus an old doc identical to
+    * the bomb text (one crossing edge must survive the per-side
+    * collapse), an old near-dup pair (a phase-1 old-old edge), an old
+    * distinct doc, and two identical too-short NEW docs (the
+    * carve-out must hold on the new side too).
+    */
+  private lazy val incDir: String = {
+    val d = new java.io.File(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+      s"graft_bombinc_fixture_p${ProcessHandle.current().pid()}").toString
+    val rows: Seq[(Long, String, String)] =
+      (0L until Bomb.toLong).map(i => (i, bombText, "src10")) ++ Seq(
+        (50L, bombText, "src1"),
+        (200L,
+          "winter spring summer autumn river mountain forest desert " +
+            "ocean valley meadow", "src1"),
+        (210L,
+          "one two three four five six seven eight nine ten eleven " +
+            "twelve thirteen", "src1"),
+        (211L,
+          "one two three four five six seven eight nine ten eleven " +
+            "twelve fourteen", "src1"),
+        (300L, "solo", "src10"),
+        (301L, "solo", "src10"))
+    import spark.implicits._
+    rows.toDF("doc_id", "text", "source")
+      .selectExpr("doc_id", "text", "'xx' AS lang", "source",
+        "cast(length(text) as bigint) AS n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("dd_cluster_incremental: a bombed NEW batch contributes k-1 star " +
+      "edges plus one rep-rep crossing edge, the assignment equals " +
+      "propagation over the uncollapsed pairs, and identical too-short " +
+      "new docs stay singletons") {
+    val tagged = Dedup.ddClusterIncrementalEdges(spark, incDir)
+      .select("doc_a", "doc_b", "a_new", "b_new")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getBoolean(2), r.getBoolean(3)))
+    val es = tagged.map(t => (t._1, t._2)).toSet
+    // linearity inside the new bomb: k-1 star edges rooted at the
+    // side's min doc_id, all tagged new-new
+    val within = tagged.filter(t => t._1 < Bomb && t._2 < Bomb)
+    assert(within.length == Bomb - 1,
+      s"expected ${Bomb - 1} star edges inside the new bomb, got " +
+        s"${within.length} — the quadratic increment clique is back")
+    assert(within.map(t => (t._1, t._2)).toSet ==
+      (1L until Bomb.toLong).map(i => (0L, i)).toSet)
+    assert(within.forall(t => t._3 && t._4))
+    // exactly ONE crossing edge to the identical old doc — rep-rep,
+    // never member-fanout — and it is tagged as an increment edge
+    val crossing = tagged.filter(t => t._2 == 50L || t._1 == 50L)
+    assert(crossing.map(t => (t._1, t._2)).toSeq == Seq((0L, 50L)),
+      crossing.mkString(", "))
+    assert(crossing.forall(t => t._3 != t._4))
+    // the old near-dup pair survives as a phase-1 (old-old) edge
+    assert(tagged.exists(t =>
+      t._1 == 210L && t._2 == 211L && !t._3 && !t._4))
+    // O(k) total: 39 stars + 1 crossing + 1 old-old near-dup
+    assert(tagged.length == Bomb + 1, tagged.length)
+    assert(!es.exists { case (a, b) => a >= 300L || b >= 300L })
+    // non-vacuous: the uncollapsed verified pair set DOES contain the
+    // clique over bomb ∪ {50} (C(41,2) pairs) plus the near-dup pair
+    val uncollapsed = SparkEntry.queries("dd_jaccard")(spark, incDir)
+    val uset = edges(uncollapsed)
+    assert(uset.count { case (a, b) => (a < Bomb || a == 50L) &&
+      (b < Bomb || b == 50L) } == (Bomb + 1) * Bomb / 2,
+      "fixture bomb did not produce the uncollapsed old∪new clique: " +
+        "the linearity asserts above are vacuous")
+    assert(uset.contains((210L, 211L)),
+      "banding missed the old near-dup pair — the phase-1 assert " +
+        "above is vacuous")
+    // exactness: the two-phase contracted run over collapsed edges
+    // equals label propagation over the uncollapsed verified pairs
+    val expected = assignment(Dedup.labelPropagate("bomb_ref_inc",
+      uncollapsed.select("doc_a", "doc_b"),
+      Engine.table(spark, incDir, "documents").select("doc_id")))
+    val got = assignment(
+      SparkEntry.queries("dd_cluster_incremental")(spark, incDir))
+    assert(got == expected)
+    (0L until Bomb.toLong).foreach(i => assert(got(i) == 0L))
+    assert(got(50L) == 0L)
+    assert(got(210L) == 210L && got(211L) == 210L)
+    assert(got(200L) == 200L)
+    // carve-out on the NEW side: identical single-word docs share the
+    // collapse key's hash input but have empty shingle sets — no star
+    // edges, so they stay singletons
+    assert(got(300L) == 300L && got(301L) == 301L)
+  }
 }

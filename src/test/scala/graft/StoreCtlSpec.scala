@@ -158,5 +158,87 @@ class StoreCtlSpec extends AnyFunSuite {
     assert(g == Right("[gc] collected gen-0"), g)
     assert(new java.io.File(s"$root/gen-1").exists)
     assert(new java.io.File(s"$root/gen-2").exists)
+    // a COMMITTED generation NEWER than the pointer (an advance that
+    // crashed between its fold's marker and the flip) is kept by gc —
+    // it is the very generation the advance docs tell an operator to
+    // flip to by hand, and a cron'd gc must not destroy it
+    assert(StoreCtl.run(spark, Seq("fold", "phash", dir, s"$root/gen-3",
+      s"$root/gen-4", "false")).isRight)
+    assert(StoreCtl.run(spark, Seq("gc", root))
+      .exists(_.contains("nothing")))
+    assert(new java.io.File(s"$root/gen-4").exists)
+    // the operator completes the crashed advance by hand: flip to it,
+    // and gc then retires the displaced chain outside the grace window
+    assert(StoreCtl.run(spark, Seq("flip", root, "gen-4")).isRight)
+    val g2 = StoreCtl.run(spark, Seq("gc", root))
+    assert(g2 == Right("[gc] collected gen-2"), g2)
+    assert(new java.io.File(s"$root/gen-3").exists)
+  }
+
+  private def rows(p: String, cols: Int): Set[Seq[Any]] =
+    spark.read.parquet(p).collect()
+      .map(r => (0 until cols).map(r.get).toSeq).toSet
+
+  private def partFiles(p: String): Int =
+    Option(new java.io.File(p).listFiles()).toSeq.flatten
+      .count(_.getName.endsWith(".parquet"))
+
+  test("compact seals the served cluster generation: a " +
+      "fold→fold→compact→fold chain bit-matches the one-shot build") {
+    val root = tmp("cmp_cl"); new java.io.File(root).mkdirs()
+    assert(StoreCtl.run(spark, Seq("build", "cluster", dir,
+      s"$root/gen-0", "doc_id % 3 = 0")).isRight)
+    assert(StoreCtl.run(spark, Seq("flip", root, "gen-0")).isRight)
+    assert(StoreCtl.run(spark, Seq("advance", "cluster", dir, root,
+      "doc_id % 3 = 1")).exists(_.endsWith("gen-1")))
+    // compact refuses a kind whose layout the served gen doesn't hold
+    assert(StoreCtl.run(spark, Seq("compact", "ivfpq", root)).isLeft)
+    val c = StoreCtl.run(spark, Seq("compact", "cluster", root))
+    assert(c.exists(_.endsWith("gen-2")), c)
+    assert(StoreCtl.run(spark, Seq("serve", root)) ==
+      Right(s"$root/gen-2"))
+    // a compacted generation is a pure relayout of its source: same
+    // rows, sealed file count
+    for ((rel, n) <- Seq(("assignment", 2), ("sigs", 2), ("bands", 3))) {
+      assert(rows(s"$root/gen-2/$rel", n) == rows(s"$root/gen-1/$rel", n),
+        s"$rel rows changed under compact")
+      assert(partFiles(s"$root/gen-2/$rel") <= 4, rel)
+    }
+    // folding ON TOP of the compacted generation completes the corpus
+    // and bit-matches the one-shot whole-corpus build
+    assert(StoreCtl.run(spark, Seq("advance", "cluster", dir, root,
+      "doc_id % 3 = 2")).exists(_.endsWith("gen-3")))
+    val one = tmp("cmp_cl_one")
+    assert(StoreCtl.run(spark,
+      Seq("build", "cluster", dir, one)).isRight)
+    for ((rel, n) <- Seq(("assignment", 2), ("sigs", 2), ("bands", 3)))
+      assert(rows(s"$root/gen-3/$rel", n) == rows(s"$one/$rel", n),
+        s"$rel diverged from the unchained build")
+  }
+
+  test("compact seals the served phash generation inside a fold chain") {
+    val root = tmp("cmp_ph"); new java.io.File(root).mkdirs()
+    assert(StoreCtl.run(spark, Seq("build", "phash", dir,
+      s"$root/gen-0", "doc_id % 3 = 0")).isRight)
+    assert(StoreCtl.run(spark, Seq("flip", root, "gen-0")).isRight)
+    assert(StoreCtl.run(spark, Seq("advance", "phash", dir, root,
+      "doc_id % 3 = 1")).exists(_.endsWith("gen-1")))
+    assert(StoreCtl.run(spark, Seq("compact", "phash", root))
+      .exists(_.endsWith("gen-2")))
+    for ((rel, n) <- Seq(("sigs", 2), ("bands", 3))) {
+      assert(rows(s"$root/gen-2/$rel", n) == rows(s"$root/gen-1/$rel", n),
+        s"$rel rows changed under compact")
+      assert(partFiles(s"$root/gen-2/$rel") <= 4, rel)
+    }
+    assert(StoreCtl.run(spark, Seq("advance", "phash", dir, root,
+      "doc_id % 3 = 2")).exists(_.endsWith("gen-3")))
+    val one = tmp("cmp_ph_one")
+    assert(StoreCtl.run(spark, Seq("build", "phash", dir, one)).isRight)
+    for ((rel, n) <- Seq(("sigs", 2), ("bands", 3)))
+      assert(rows(s"$root/gen-3/$rel", n) == rows(s"$one/$rel", n),
+        s"$rel diverged from the unchained build")
+    // the compacted marker carried the source generation's counts
+    val st = StoreCtl.run(spark, Seq("stats", s"$root/gen-2"))
+    assert(st == StoreCtl.run(spark, Seq("stats", s"$root/gen-1")), st)
   }
 }
