@@ -70,7 +70,10 @@ object Bench {
     "st_ann_serve_replay", "st_ann_serve_ooo_replay",
     "st_store_phash_replay", "st_store_phash_ooo_replay",
     "mm_phash_store", "mm_phash_fold_stored", "dd_decontaminate",
-    "dd_decontaminate_semantic")
+    "dd_decontaminate_semantic",
+    // round 17
+    "sim_ann_recall_stored", "st_decontaminate_replay",
+    "st_decontaminate_ooo_replay")
 
   private final case class M(
       name: String, median: Double, spread: Double, jobsPerRep: Int,

@@ -1211,6 +1211,142 @@ object Similarity extends QueryPack {
     store
   }
 
+  /** Per-(process, corpus) three-generation IVF-PQ chain under a
+    * pointer-managed root (the StoreCtl discipline, driven in-process):
+    * gen-0 trains the frozen codebooks on the first candidate half and
+    * flips; gen-1 folds the remaining candidates; gen-2 folds the
+    * query rows — each an immutable generation landed marker-last and
+    * then flipped, so the served path always resolves through
+    * `_CURRENT.json` exactly as a cron'd `StoreCtl advance` leaves it.
+    * Returns the SERVED generation's path.
+    */
+  private[graft] def ensureIvfPqGenChain(s: SparkSession,
+                                         dir: String): String = {
+    purgeDeadSessions()
+    val root = graft.operators.StoreFiles.scratchDir("graft_ivfpqgen_", dir)
+    storeLocks.computeIfAbsent(root, _ => new Object).synchronized {
+      if (graft.operators.StoreFiles.serve(root).isLeft) {
+        new java.io.File(root, "gen-0").mkdirs()
+        IvfPqStore.save(
+          trainIvfPq(s, dir, trainWhere = s"vec_id < $IvfTrainOld"),
+          s"$root/gen-0")
+        def flipOrThrow(gen: String): Unit =
+          graft.operators.StoreFiles.flip(root, gen) match {
+            case Left(e)  => throw new IllegalStateException(e)
+            case Right(_) => ()
+          }
+        flipOrThrow("gen-0")
+        ivfPqStoreFoldInto(s, dir, s"$root/gen-0", s"$root/gen-1",
+          s"vec_id >= $IvfTrainOld AND vec_id < $IvfQ")
+        flipOrThrow("gen-1")
+        ivfPqStoreFoldInto(s, dir, s"$root/gen-1", s"$root/gen-2",
+          s"vec_id >= $IvfQ")
+        flipOrThrow("gen-2")
+      }
+    }
+    graft.operators.StoreFiles.serve(root) match {
+      case Right(p) => p
+      case Left(e)  => throw new IllegalStateException(e)
+    }
+  }
+
+  // -- sim_ann_recall_stored: measured recall of the SERVED fold chain --------
+  // The drift alarm a serving deployment runs before trusting a cron'd
+  // `StoreCtl advance`: codebooks are frozen at gen-0 and every later
+  // generation only APPENDS codes, so quantization error against the
+  // growing corpus is assumed, not bounded — this key MEASURES it, the
+  // sim_ann_recall report restated for the persisted IVF-PQ family.
+  // The chain is real (three generations, pointer-served — see
+  // ensureIvfPqGenChain); the ADC ranking comes from the LOADED gen-2
+  // model through the identical serving plan as sim_ivfpq_stored.
+  // Report shape follows the family's two measurement doctrines:
+  //   - ground truth is the exact integer-L2 top-3 WITHIN the query's
+  //     probed-cell pool (ivfpqServingCandidates' argument: pool-
+  //     restricted recall isolates QUANTIZATION loss; global recall
+  //     additionally charges the coarse probe's coverage, which at
+  //     the spec constants — K=4 cells, nprobe 2, near-uniform noise
+  //     vectors — is low by construction);
+  //   - the served side is the refine stage's candidate WINDOW (ADC
+  //     top-RefineR), because that is what the production pipeline
+  //     consumes: an exact-top-3 member inside the window survives the
+  //     exact re-rank by definition, so n_found is precisely the
+  //     recall@3 of the deployed ADC→refine cascade. Raw ADC top-3 on
+  //     this noise fixture reads 0 for every query — a report that
+  //     cannot move is no alarm.
+  // n_found / recall_micro are exact integers, so the report
+  // hash-verifies cross-engine against the self-contained
+  // train-narrowed oracle.
+  private def simAnnRecallStored(s: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.ensureRegistered(s)
+    annRecallStoredFrame(s, dir,
+      IvfPqStore.load(s, ensureIvfPqGenChain(s, dir)))
+  }
+
+  /** The recall report over an arbitrary frozen-codebook model —
+    * split out so AnnRecallStoredSpec can pin that the pointer-served
+    * CHAIN adds zero drift over the one-shot in-memory fold (any
+    * recall loss is the model's quantization, never the store's).
+    */
+  private[graft] def annRecallStoredFrame(s: SparkSession, dir: String,
+                                          model: IvfPqModel): DataFrame = {
+    registerServingViews(s, dir, model)
+    table(s, dir, "embeddings")
+      .selectExpr("vec_id", s"$x4S AS x4")
+      .createOrReplaceTempView("ipq_ex_base")
+    s.sql(
+      s"""WITH ${servingCtes(model)},
+         |ann AS (${servingAdcSelect(RefineR, ordered = false)}),
+         |ex AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT ql.vec_id AS query_id, codes.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY ql.vec_id
+         |        ORDER BY ${distS("qb.x4", "c.x4")}, codes.vec_id) AS rnk
+         |    FROM ql JOIN ipq_codes codes
+         |      ON codes.cell = ql.cell AND codes.vec_id < $IvfQ
+         |    JOIN ipq_ex_base qb ON qb.vec_id = ql.vec_id
+         |    JOIN ipq_ex_base c ON c.vec_id = codes.vec_id)
+         |  WHERE rnk <= 3)
+         |SELECT ex.query_id,
+         |  cast(count(ann.neighbor_id) as bigint) AS n_found,
+         |  cast(count(ann.neighbor_id) as bigint) * 1000000 div 3
+         |    AS recall_micro
+         |FROM ex LEFT JOIN ann ON ex.query_id = ann.query_id
+         |  AND ex.neighbor_id = ann.neighbor_id
+         |GROUP BY ex.query_id ORDER BY ex.query_id""".stripMargin)
+  }
+
+  /** The recall oracle: the fold chain's ADC top-RefineR window
+    * restated self-contained (Lloyd statistics narrowed to the gen-0
+    * training half — [[simIvfPqFoldStoredSql]]'s trainWhere), joined
+    * against the exact integer-L2 top-3 within the probed-cell pool,
+    * aggregated to the per-query report. Lazy: RefineR is declared
+    * further down the object (next to the refine stage it names); a
+    * strict val here would read it as 0 at init.
+    */
+  private lazy val simAnnRecallStoredSql =
+    s"""WITH base AS (SELECT vec_id, $x4D AS x4 FROM embeddings),
+       |${ivfpqCtes("base",
+          m => s"x4[${PqDim * m + 1}:${PqDim * m + PqDim}]",
+          assignD, assignD2, pqCentD,
+          trainWhere = s"vec_id < $IvfTrainOld")},
+       |ann AS (${ivfpqAdcSelect(distD, RefineR, ordered = false)}),
+       |ex AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${distD("qb.x4", "c.x4")}, c.vec_id) AS rnk
+       |    FROM q JOIN cand ON cand.cell = q.cell
+       |    JOIN base qb ON qb.vec_id = q.vec_id
+       |    JOIN base c ON c.vec_id = cand.vec_id)
+       |  WHERE rnk <= 3)
+       |SELECT ex.query_id,
+       |  CAST(COUNT(ann.neighbor_id) AS BIGINT) AS n_found,
+       |  CAST(COUNT(ann.neighbor_id) AS BIGINT) * 1000000 // 3
+       |    AS recall_micro
+       |FROM ex LEFT JOIN ann ON ex.query_id = ann.query_id
+       |  AND ex.neighbor_id = ann.neighbor_id
+       |GROUP BY ex.query_id ORDER BY ex.query_id""".stripMargin
+
   private def simIvfPqFoldStored(s: SparkSession, dir: String): DataFrame = {
     VectorFunctions.ensureRegistered(s)
     val store = ensureIvfPqOldStore(s, dir)
@@ -1456,6 +1592,7 @@ object Similarity extends QueryPack {
       "sim_norms" -> simNorms _,
       "sim_topk_brute" -> simTopkBrute _,
       "sim_ann_recall" -> simAnnRecall _,
+      "sim_ann_recall_stored" -> simAnnRecallStored _,
       "sim_range_search" -> simRangeSearch _,
       "sim_negatives" -> simNegatives _,
       "sim_lsh_buckets" -> simLshBuckets _,
@@ -1479,6 +1616,7 @@ object Similarity extends QueryPack {
     "sim_norms" -> simNormsSql,
     "sim_topk_brute" -> simTopkBruteSql,
     "sim_ann_recall" -> simAnnRecallSql,
+    "sim_ann_recall_stored" -> simAnnRecallStoredSql,
     "sim_range_search" -> simRangeSearchSql,
     "sim_negatives" -> simNegativesSql,
     "sim_lsh_buckets" -> simLshBucketsSql,
