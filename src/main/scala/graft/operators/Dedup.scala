@@ -2628,6 +2628,52 @@ object Dedup extends QueryPack {
     }
   }
 
+  /** The family's held-out eval stand-in (txt_decontaminate /
+    * dd_decontaminate's deterministic slice), shared with the
+    * streaming decontamination gate so the store pred and the oracle
+    * slice cannot drift.
+    */
+  private[graft] val evalPred = "doc_id % 50 = 0"
+
+  /** Per-(process, corpus) EVAL-SLICE cluster store: the same
+    * clusterStoreBuild layout, built over [[evalPred]]'s rows — the
+    * served index st_decontaminate_replay probes at ingest. At
+    * deployment scale this is the natural shape: the eval set is
+    * tiny, curated, and versioned, so its signature store is built
+    * once per eval release and every ingest batch screens against it.
+    */
+  private[graft] def ensureEvalClusterStore(s: SparkSession,
+                                            dir: String): String = {
+    val store = StoreFiles.scratchDir("graft_cstore_eval_", dir)
+    StoreFiles.ensure(clusterStoreLocks, store) {
+      clusterStoreBuild(s, dir, store, evalPred)
+    }
+  }
+
+  /** DuckDB restatement for st_decontaminate_replay: the INDEPENDENT
+    * all-pairs corpus-vs-eval spec ([[duckStoreNearDupSql]] with the
+    * eval slice as the stored side) — the same contamination pair set
+    * dd_decontaminate aggregates, emitted pairwise as (doc_id,
+    * owner_id = the leaked eval doc).
+    */
+  private[graft] val duckDecontaminateReplaySql =
+    s"""WITH docs AS (
+       |  SELECT doc_id, doc_id % 50 = 0 AS is_eval,
+       |    list_sort(list_distinct(list_transform(grams,
+       |      g -> ${duckH64("g")}))) AS hs
+       |  FROM (
+       |    SELECT doc_id, $duckGrams AS grams FROM (
+       |      SELECT doc_id, string_split(text, ' ') AS toks
+       |      FROM documents)))
+       |SELECT n.doc_id AS doc_id, o.doc_id AS owner_id
+       |FROM docs n JOIN docs o ON NOT n.is_eval AND o.is_eval
+       |WHERE least(len(n.hs), len(o.hs)) * 10
+       |      >= greatest(len(n.hs), len(o.hs)) * 6
+       |  AND round(CAST(len(list_intersect(n.hs, o.hs)) AS DOUBLE)
+       |    / (len(n.hs) + len(o.hs) - len(list_intersect(n.hs, o.hs))), 6)
+       |    >= 0.6
+       |ORDER BY 1, 2""".stripMargin
+
   // -- dd_cluster_store: persist the prior clustering, serve the LOADED copy --
   // Round-trips the assignment through the store and returns the
   // parquet-loaded copy — never the in-session frame that computed it —

@@ -332,6 +332,64 @@ object StreamReplay extends QueryPack {
       jittered(tickedNewDocs(s, dir), slackNs)(_.ts, _.doc_id))
   }
 
+  // -- st_decontaminate_replay: ingest docs screened against the SERVED eval --
+  // The streaming face of dd_decontaminate: the eval slice's signature
+  // store is built ONCE (Dedup.ensureEvalClusterStore — at deployment
+  // scale, once per eval release), the stream feeds every CORPUS doc
+  // as ticked ingest, and each arrival that Jaccard-matches a stored
+  // eval doc is flagged ON ARRIVAL as (doc_id, owner_id = the leaked
+  // eval doc) — contamination never waits for the nightly batch pass.
+  // The probe machinery is storeNearDupStream unchanged (same banding,
+  // same verify, same dedup-between-joins shape); only the served
+  // store differs. Gated against the INDEPENDENT all-pairs
+  // corpus-vs-eval spec, the same pair set dd_decontaminate
+  // aggregates (StoreDecontaminateReplaySpec pins that agreement
+  // in-engine).
+  private def tickedCorpusDocs(s: SparkSession, dir: String)
+      : IndexedSeq[StreamDoc] = {
+    import s.implicits._
+    table(s, dir, "documents")
+      .where(s"NOT (${Dedup.evalPred})")
+      .selectExpr("doc_id",
+        s"(row_number() OVER (ORDER BY doc_id)) * ${TickNs}L AS ts",
+        "text")
+      .as[StreamDoc].collect().sortBy(_.doc_id).toIndexedSeq
+  }
+
+  private def decontaminateReplaySink(s: SparkSession, dir: String,
+                                      docs: Seq[StreamDoc]): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val store = Dedup.ensureEvalClusterStore(s, dir)
+    val in = MemoryStream[StreamDoc]
+    val sink = s"st_decontaminate_replay_sink_${sinkSeq.incrementAndGet()}"
+    withReplayPartitions(s) {
+      val q = Streams.storeNearDupStream(in.toDF(), store)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try feed(in, q, batched(docs.toIndexedSeq))
+      finally q.stop()
+    }
+    detachSink(s, sink)
+      .selectExpr("doc_id", "owner_id")
+      .orderBy("doc_id", "owner_id")
+  }
+
+  private def stDecontaminateReplay(s: SparkSession,
+                                    dir: String): DataFrame =
+    decontaminateReplaySink(s, dir, tickedCorpusDocs(s, dir))
+
+  // Bounded disorder strictly inside the 10-minute dedup delay (the
+  // st_store_neardup_ooo argument: the probes are stateless, so the
+  // only hazard is a pair's duplicate band hits outliving the dedup
+  // state — 64 s of jitter against a 600 s TTL cannot).
+  private def stDecontaminateOooReplay(s: SparkSession,
+                                       dir: String): DataFrame = {
+    val slackNs = 64L * TickNs
+    decontaminateReplaySink(s, dir,
+      jittered(tickedCorpusDocs(s, dir), slackNs)(_.ts, _.doc_id))
+  }
+
   // -- st_store_phash_replay: media ingest near-dup against the SERVED store -
   // The perceptual-hash member of the served-store gate family: the
   // phash store is built ONCE from the old document half (the media
@@ -1100,6 +1158,8 @@ object StreamReplay extends QueryPack {
         "st_store_dedup_ooo_replay" -> (stStoreDedupOooReplay _),
         "st_store_neardup_replay" -> (stStoreNearDupReplay _),
         "st_store_neardup_ooo_replay" -> (stStoreNearDupOooReplay _),
+        "st_decontaminate_replay" -> (stDecontaminateReplay _),
+        "st_decontaminate_ooo_replay" -> (stDecontaminateOooReplay _),
         "st_ann_serve_replay" -> (stAnnServeReplay _),
         "st_ann_serve_ooo_replay" -> (stAnnServeOooReplay _),
         "st_store_phash_replay" -> (stStorePhashReplay _),
@@ -1126,6 +1186,9 @@ object StreamReplay extends QueryPack {
         "st_store_neardup_replay" -> Dedup.duckStoreNearDupSql,
         // the disorder gate must land on the SAME all-pairs spec
         "st_store_neardup_ooo_replay" -> Dedup.duckStoreNearDupSql,
+        "st_decontaminate_replay" -> Dedup.duckDecontaminateReplaySql,
+        // the disorder gate must land on the SAME all-pairs spec
+        "st_decontaminate_ooo_replay" -> Dedup.duckDecontaminateReplaySql,
         // the streaming serve must land on the batch key's own table
         "st_ann_serve_replay" ->
           graft.operators.Similarity.oracles("sim_ivfpq"),
