@@ -465,14 +465,16 @@ object Streams {
     * constant buckets + NaN cosines).
     */
   def storeDedupStream(vecs: DataFrame, store: String,
-                       delay: String = "10 minutes"): DataFrame = {
+                       delay: String = "10 minutes",
+                       metrics: Option[DisorderMetrics] = None)
+      : DataFrame = {
     val s = vecs.sparkSession
     graft.functions.VectorFunctions.ensureRegistered(s)
     val oldBands = s.read.parquet(s"$store/bands")
       .toDF("owner_id", "band", "bkt")
     val oldVecs = s.read.parquet(s"$store/vecs")
       .toDF("owner_id", "old_embedding", "old_n2")
-    vecs
+    observeArrivals(vecs, "vec_id", metrics)
       .selectExpr("vec_id", "ts", "embedding",
         "graft_dot(embedding, embedding) AS n2",
         "graft_rh_buckets(embedding) AS bks")
@@ -521,14 +523,17 @@ object Streams {
     * candidate — independent of corpus size.
     */
   def storeNearDupStream(docs: DataFrame, store: String,
-                         delay: String = "10 minutes"): DataFrame = {
+                         delay: String = "10 minutes",
+                         metrics: Option[DisorderMetrics] = None)
+      : DataFrame = {
     val s = docs.sparkSession
     graft.functions.VectorFunctions.ensureRegistered(s)
     val oldBands = s.read.parquet(s"$store/bands")
       .toDF("owner_id", "band", "bk")
     val oldSigs = s.read.parquet(s"$store/sigs")
       .toDF("owner_id", "old_hs")
-    graft.operators.Dedup.jacStoreProbeRows(docs)
+    graft.operators.Dedup.jacStoreProbeRows(
+        observeArrivals(docs, "doc_id", metrics))
       .join(oldBands, Seq("band", "bk"))
       .withColumn("event_time", expr("timestamp_micros(ts div 1000)"))
       .withWatermark("event_time", delay)
@@ -558,13 +563,16 @@ object Streams {
     * ts (epoch-nanos bigint), text (payload).
     */
   def storePhashStream(media: DataFrame, store: String,
-                       delay: String = "10 minutes"): DataFrame = {
+                       delay: String = "10 minutes",
+                       metrics: Option[DisorderMetrics] = None)
+      : DataFrame = {
     val s = media.sparkSession
     val oldBands = s.read.parquet(s"$store/bands")
       .toDF("owner_id", "band", "bv")
     val oldSigs = s.read.parquet(s"$store/sigs")
       .toDF("owner_id", "old_phash")
-    graft.operators.Multimodal.phashProbeRows(media)
+    graft.operators.Multimodal.phashProbeRows(
+        observeArrivals(media, "doc_id", metrics))
       .join(oldBands, Seq("band", "bv"))
       .withColumn("event_time", expr("timestamp_micros(ts div 1000)"))
       .withWatermark("event_time", delay)
@@ -600,12 +608,14 @@ object Streams {
     * is IvfNprobe cell slices + PqM lookups per candidate —
     * independent of corpus size.
     */
-  def annServeStream(queries: DataFrame, store: String, k: Int = 3)
+  def annServeStream(queries: DataFrame, store: String, k: Int = 3,
+                     metrics: Option[DisorderMetrics] = None)
       : Dataset[AnnHit] = {
     val s = queries.sparkSession
     import s.implicits._
     val model = graft.operators.Similarity.IvfPqStore.load(s, store)
-    graft.operators.Similarity.annServeCandidates(queries, model)
+    graft.operators.Similarity.annServeCandidates(
+        observeArrivals(queries, "vec_id", metrics), model)
       .as[AnnCand]
       .groupByKey(_.query_id)
       .flatMapGroupsWithState[Boolean, AnnHit](
@@ -900,6 +910,80 @@ case class FunnelAdvance(user_id: Long, step: Int, at_us: Long)
       if (t > t0 || (t == t0 && i > i0)) (t, i) else (t0, i0)
     }
   }
+
+  /** Process-global arrival high-waters for [[observeArrivals]],
+    * keyed (observer instance, source partition). Executor-JVM state,
+    * NOT stream state: the stateless probe streams have no keyed
+    * state store to carry a cross-batch mark, and a mark that lives
+    * in the JVM is exactly as durable as the accumulator feeding the
+    * same channel. Entries are a pair of longs per (instance,
+    * partition) and are never evicted — bounded by observer count.
+    */
+  private val arrivalHw = new java.util.concurrent.ConcurrentHashMap[
+    (Long, Int), (Long, Long)]
+  private val arrivalSeq = new java.util.concurrent.atomic.AtomicLong
+
+  /** Arrival-inversion observation for the STATELESS served-store
+    * probe streams — the `absorbed` face the keyed machines get from
+    * [[observeAbsorbed]], restated for pipelines with no keyed state:
+    * a pass-through over the SOURCE partitions that counts arrivals
+    * strictly below the partition's pre-batch (ts, id) high-water
+    * into `metrics.absorbed`, then advances the mark. Within a source
+    * partition the iterator order IS the arrival order, so the
+    * pre-batch-mark contract (count independent of within-batch
+    * order, the keyed machines' accounting) carries over verbatim
+    * with the partition as the group.
+    *
+    * Observability-grade, like the accumulator it feeds: the
+    * high-water lives per executor JVM, so on a multi-executor
+    * cluster a partition whose consecutive batches schedule on
+    * different executors under-counts across that boundary (and task
+    * retries over-count — the documented accumulator contract).
+    * Exact in local / single-executor runs, which is what the
+    * StoreStreamDisorderSpec driver-fold cases pin. `lateDropped`
+    * needs no operator support here — the probes' watermarked dedup
+    * reports drops through the query-wide [[DisorderMetrics
+    * .registerDropped]] listener like every other stateful operator.
+    *
+    * With `metrics` None the input is returned UNTOUCHED — the
+    * production serve plans (and the bench) see zero change.
+    */
+  private[streaming] def observeArrivals(
+      df: DataFrame, idCol: String,
+      metrics: Option[DisorderMetrics]): DataFrame =
+    metrics match {
+      case None => df
+      case Some(m) =>
+        val acc = m.absorbed
+        val inst = arrivalSeq.incrementAndGet()
+        val idIdx = df.schema.fieldIndex(idCol)
+        val tsIdx = df.schema.fieldIndex("ts")
+        df.mapPartitions { it =>
+          val key = (inst, org.apache.spark.TaskContext.getPartitionId())
+          val pre = Option(arrivalHw.get(key))
+            .getOrElse((Long.MinValue, Long.MinValue))
+          var hwTs = pre._1
+          var hwId = pre._2
+          new scala.collection.AbstractIterator[
+              org.apache.spark.sql.Row] {
+            override def hasNext: Boolean = {
+              val h = it.hasNext
+              if (!h) arrivalHw.put(key, (hwTs, hwId))
+              h
+            }
+            override def next(): org.apache.spark.sql.Row = {
+              val r = it.next()
+              val ts = r.getLong(tsIdx)
+              val id = r.getLong(idIdx)
+              if (ts < pre._1 || (ts == pre._1 && id < pre._2)) acc.add(1L)
+              if (ts > hwTs || (ts == hwTs && id > hwId)) {
+                hwTs = ts; hwId = id
+              }
+              r
+            }
+          }
+        }(org.apache.spark.sql.Encoders.row(df.schema))
+    }
 
   /** Retention's historical class name (pre-r16, before the metrics
     * were shared with the sessionizer and funnel).

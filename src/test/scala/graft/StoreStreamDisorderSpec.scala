@@ -5,7 +5,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.OutputMode
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Dedup, Multimodal}
+import graft.operators.{Dedup, Multimodal, Similarity}
 import graft.streaming.{StreamDoc, StreamVec, Streams}
 
 /** Seeded RANDOM bounded-disorder sweeps for the served-store probe
@@ -63,43 +63,85 @@ class StoreStreamDisorderSpec extends AnyFunSuite {
         }
       }.toSet
 
+  /** The driver-side restatement of [[Streams.observeArrivals]]'
+    * accounting for a single-source-partition feed (one MemoryStream
+    * block per micro-batch): per fed batch, count arrivals strictly
+    * below the PRE-batch (ts, id) high-water, then advance it —
+    * DisorderPropertySpec's absorbedRefBy with the partition as the
+    * (single) group. Exact equality is the property under test: these
+    * are single-JVM local[] runs, so the accumulator's documented
+    * retry/migration slack cannot legitimately fire.
+    */
+  private def absorbedRef[T](batches: Seq[Seq[T]])(
+      ts: T => Long, id: T => Long): Long = {
+    var n = 0L
+    var hw = (Long.MinValue, Long.MinValue)
+    batches.foreach { b =>
+      val pre = hw
+      b.foreach { e =>
+        if (ts(e) < pre._1 || (ts(e) == pre._1 && id(e) < pre._2)) n += 1
+        if (ts(e) > hw._1 || (ts(e) == hw._1 && id(e) > hw._2))
+          hw = (ts(e), id(e))
+      }
+    }
+    n
+  }
+
   /** One generic sweep: 3 seeds of random feed-position jitter up to
     * 64 ticks (strictly inside the streams' 10-minute dedup delay),
     * fed in micro-batches; the sink's (id, owner) set must equal the
-    * reference regardless of order.
+    * reference regardless of order, the absorbed counter must equal
+    * the exact driver fold of the fed batches, and the watermark must
+    * have dropped nothing (the disorder is bounded inside the delay).
     */
   private def sweep[T <: Product](
       name: String, reference: Set[(Long, Long)], rows: IndexedSeq[T],
       idCol: String)(ts: T => Long, id: T => Long)(
-      mk: DataFrame => DataFrame)(
+      mk: (DataFrame, Option[Streams.DisorderMetrics]) => DataFrame)(
       implicit enc: org.apache.spark.sql.Encoder[T]): Unit = {
     val s = spark
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
     assert(reference.nonEmpty,
       s"$name: fixture produced zero old-new matches — sweep is vacuous")
+    var absorbedTotal = 0L
     (1L to 3L).foreach { seed =>
       val rnd = new scala.util.Random(seed * 7919L)
       val order = rows
         .map(r => (ts(r) + rnd.nextLong(64L * TickNs), id(r), r))
         .sortBy(t => (t._1, t._2)).map(_._3)
+      val batches = order.grouped(60).toIndexedSeq
       val in = MemoryStream[T]
       val sink = s"${name}_sweep_$seed"
-      val q = mk(in.toDF())
+      val metrics = Streams.disorderMetrics(s)
+      val listener = metrics.registerDropped(s, sink)
+      val q = mk(in.toDF(), Some(metrics))
         .writeStream.format("memory").queryName(sink)
         .outputMode(OutputMode.Append()).start()
       val got =
         try {
-          order.grouped(60).foreach { b =>
-            in.addData(b); q.processAllAvailable()
-          }
+          batches.foreach { b => in.addData(b); q.processAllAvailable() }
           s.table(sink).select(idCol, "owner_id")
             .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-        } finally q.stop()
+        } finally {
+          q.stop()
+          s.streams.removeListener(listener)
+        }
       s.catalog.dropTempView(sink)
       assert(got == reference,
         s"$name seed $seed: ${got.size} pairs vs reference " +
           s"${reference.size}")
+      val expected = absorbedRef(batches)(ts, id)
+      assert(metrics.absorbed.value == expected,
+        s"$name seed $seed: absorbed ${metrics.absorbed.value} vs " +
+          s"driver fold $expected")
+      assert(metrics.lateDropped == 0L,
+        s"$name seed $seed: watermark dropped rows under bounded " +
+          "disorder")
+      absorbedTotal += expected
     }
+    assert(absorbedTotal > 0,
+      s"$name: no seed produced a cross-batch inversion — the " +
+        "absorbed property is vacuous at this jitter")
   }
 
   private def oldDocIds(): Set[Long] =
@@ -115,7 +157,7 @@ class StoreStreamDisorderSpec extends AnyFunSuite {
     sweep("store_phash",
       oldNewSlice("mm_phash_pairs", "doc_a", "doc_b", olds),
       newDocs(), "doc_id")(_.ts, _.doc_id)(
-      Streams.storePhashStream(_, store))
+      (df, m) => Streams.storePhashStream(df, store, metrics = m))
   }
 
   test("storeNearDupStream lands on the batch old-new Jaccard slice " +
@@ -126,7 +168,7 @@ class StoreStreamDisorderSpec extends AnyFunSuite {
     sweep("store_neardup",
       oldNewSlice("dd_jaccard", "doc_a", "doc_b", olds),
       newDocs(), "doc_id")(_.ts, _.doc_id)(
-      Streams.storeNearDupStream(_, store))
+      (df, m) => Streams.storeNearDupStream(df, store, metrics = m))
   }
 
   test("storeDedupStream lands on the banded old-new cosine slice " +
@@ -139,6 +181,52 @@ class StoreStreamDisorderSpec extends AnyFunSuite {
     sweep("store_dedup",
       oldNewSlice("dd_embed_cosine_lsh", "vec_a", "vec_b", _ < split),
       newVecs(split), "vec_id")(_.ts, _.vec_id)(
-      Streams.storeDedupStream(_, store))
+      (df, m) => Streams.storeDedupStream(df, store, metrics = m))
+  }
+
+  test("annServeStream exposes the absorbed/lateDropped counters with " +
+      "the exact driver-fold accounting, and its hits are disorder-" +
+      "invariant") {
+    val s0 = spark; import s0.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s0.sqlContext
+    val store = Similarity.ensureIvfPqStore(spark, dir)
+    val queries: IndexedSeq[StreamVec] = newVecs(Similarity.IvfQ.toLong)
+    assert(queries.nonEmpty)
+    def run(order: IndexedSeq[StreamVec], sink: String)
+        : (Set[(Long, Long, Long)], Long, Long, Long) = {
+      val batches = order.grouped(3).toIndexedSeq
+      val in = MemoryStream[StreamVec]
+      val metrics = Streams.disorderMetrics(s0)
+      val listener = metrics.registerDropped(s0, sink)
+      val q = Streams.annServeStream(in.toDF(), store, metrics = Some(metrics))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode(OutputMode.Append()).start()
+      val got =
+        try {
+          batches.foreach { b => in.addData(b); q.processAllAvailable() }
+          s0.table(sink).select("query_id", "neighbor_id", "rnk")
+            .collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        } finally {
+          q.stop()
+          s0.streams.removeListener(listener)
+        }
+      s0.catalog.dropTempView(sink)
+      (got, metrics.absorbed.value,
+        absorbedRef(batches)(_.ts, _.vec_id), metrics.lateDropped)
+    }
+    val (inOrder, a0, e0, d0) = run(queries, "ann_metrics_inorder")
+    assert(a0 == e0 && e0 == 0L,
+      s"in-order feed must absorb nothing, got $a0 (fold $e0)")
+    assert(d0 == 0L)
+    val rnd = new scala.util.Random(7919L)
+    val shuffled = queries
+      .map(r => (r.ts + rnd.nextLong(64L * TickNs), r.vec_id, r))
+      .sortBy(t => (t._1, t._2)).map(_._3)
+    val (ooo, a1, e1, d1) = run(shuffled, "ann_metrics_ooo")
+    assert(ooo == inOrder, "hits changed under bounded disorder")
+    assert(a1 == e1, s"absorbed $a1 vs driver fold $e1")
+    assert(e1 > 0, "jitter produced no cross-batch inversion — vacuous")
+    assert(d1 == 0L)
   }
 }
