@@ -2325,6 +2325,26 @@ object Dedup extends QueryPack {
   // per doc vs the doc itself), the probe join is an equi-join on
   // (band, bk) a deployment co-locates by writing bands/ bucketed on
   // that key, and the contracted LP runs over |clusters| + |new|.
+  //
+  // REP-COLLAPSED LAYOUT (r17): the store keeps sig/band rows for the
+  // min-doc_id REPRESENTATIVE of each identical-shingle-set group
+  // only, plus a `grp/` (doc_id, rep) membership relation — the
+  // [[ddClusterEdges]] duplicate-bomb guard carried into the store
+  // layout itself. k byte-identical stored copies of a page cost ONE
+  // banded row set instead of k (a probing near-dup of the group
+  // verifies once against the rep, never k times), the build's own
+  // banded self-join runs over reps + k-1 star edges, and pair-level
+  // consumers (the streaming probes) recover member pairs by ONE
+  // equi-join through grp/ AFTER the verify — the fan-out is true
+  // output, linear in real matches, which no layout can shrink.
+  // Exactness is ddClusterEdges' argument: a member's hs equals its
+  // rep's, so jaccard(probe, member) = jaccard(probe, rep) and every
+  // member pair the uncollapsed layout would emit is recovered by the
+  // grp expansion; components are preserved because stars are true
+  // edges and the stored assignment already links members to reps.
+  // Generations built before this layout carry no grp/ — every reader
+  // treats a missing grp/ as the identity mapping (bands are then
+  // member-level and the store serves exactly as before).
   private[graft] object ClusterStore {
     def exists(dir: String): Boolean = StoreFiles.exists(dir)
 
@@ -2342,19 +2362,15 @@ object Dedup extends QueryPack {
   private[graft] val oldPred = "cast(substring(source, 4) as int) < 10"
 
   /** Build the store from the corpus docs matching `pred` (the driver
-    * key uses [[oldPred]]): one banded self-join + exact verify (the
-    * dd_jaccard arithmetic, term-for-term), one LP to convergence,
-    * three parquet landings, manifest last.
-    *
-    * SCALE NOTE (exact-duplicate bombs): the store keeps per-doc sig
-    * and band rows, so a corpus with k byte-identical copies of one
-    * page pays k²/2 banded pairs at build AND k band-index rows that
-    * every later probe collides with — the store-layout form of the
-    * bomb [[ddClusterEdges]] defuses for the batch query. A production
-    * deployment exact-dedups ahead of the store build (the
-    * dd_curation_funnel stage-1 gate); folding the rep-collapse into
-    * the store layout itself (rep rows in bands/, membership in the
-    * assignment) is the structural fix if pre-dedup cannot be assumed.
+    * key uses [[oldPred]]): one per-group collapse, one banded
+    * self-join over REPRESENTATIVES + exact verify (the dd_jaccard
+    * arithmetic, term-for-term) + star edges, one LP to convergence,
+    * four parquet landings (assignment over all docs; sigs/bands over
+    * reps only; grp membership), manifest last. See the section
+    * comment for the rep-collapsed layout's exactness argument —
+    * built this way, a duplicate-bombed corpus costs the build O(k)
+    * edges and every later probe ONE collision per group instead
+    * of k.
     */
   private[graft] def clusterStoreBuild(s: SparkSession, dir: String,
                                        store: String,
@@ -2370,9 +2386,26 @@ object Dedup extends QueryPack {
       .selectExpr(Seq("doc_id", "hs") ++ sparkSigCols: _*)
       .cache()
     sigs.createOrReplaceTempView("cst_sigs")
+    // collapse groups (the ddClusterEdges discipline: shingle-set key,
+    // empty-shingle carve-out, eager checkpoint — see dc_grp)
+    s.sql(
+      s"""SELECT k.doc_id, g.rep FROM
+         |  (SELECT doc_id, md5(cast(hs as string)) AS hkey
+         |   FROM cst_sigs WHERE sig_0 <> ${Long.MaxValue}L) k
+         |JOIN
+         |  (SELECT md5(cast(hs as string)) AS hkey, min(doc_id) AS rep
+         |   FROM cst_sigs WHERE sig_0 <> ${Long.MaxValue}L
+         |   GROUP BY 1) g
+         |ON k.hkey = g.hkey""".stripMargin)
+      .localCheckpoint().createOrReplaceTempView("cst_grp")
+    s.sql(
+      s"""SELECT s.* FROM cst_sigs s
+         |JOIN (SELECT DISTINCT rep FROM cst_grp) r ON s.doc_id = r.rep"""
+        .stripMargin)
+      .localCheckpoint().createOrReplaceTempView("cst_repsigs")
     val bandSelects = (0 until JacBands)
       .map(b => s"SELECT doc_id, $b AS band, ${jacBandKeySpark(b)} AS bk" +
-        s" FROM cst_sigs$jacBandGuard")
+        s" FROM cst_repsigs$jacBandGuard")
       .mkString(" UNION ALL ")
     val pairs = s.sql(
       s"""WITH bands AS ($bandSelects),
@@ -2389,15 +2422,20 @@ object Dedup extends QueryPack {
          |            JOIN cst_sigs b ON b.doc_id = doc_b
          |  WHERE least(size(a.hs), size(b.hs)) * 10
          |        >= greatest(size(a.hs), size(b.hs)) * 6)
-         |WHERE jaccard >= 0.6""".stripMargin)
+         |WHERE jaccard >= 0.6
+         |UNION ALL
+         |SELECT rep AS doc_a, doc_id AS doc_b FROM cst_grp
+         |WHERE doc_id <> rep""".stripMargin)
     val lbl = labelPropagate("dd_cluster_store", pairs,
       sigs.select("doc_id"))
     new java.io.File(store).mkdirs()
     lbl.write.mode("overwrite").parquet(s"$store/assignment")
-    sigs.select("doc_id", "hs").write.mode("overwrite")
-      .parquet(s"$store/sigs")
+    s.sql("SELECT doc_id, hs FROM cst_repsigs")
+      .write.mode("overwrite").parquet(s"$store/sigs")
     s.sql(s"SELECT doc_id, band, bk FROM ($bandSelects)")
       .write.mode("overwrite").parquet(s"$store/bands")
+    s.sql("SELECT doc_id, rep FROM cst_grp")
+      .write.mode("overwrite").parquet(s"$store/grp")
     val n = sigs.count()
     sigs.unpersist()
     lbl.unpersist()
@@ -2535,22 +2573,44 @@ object Dedup extends QueryPack {
       .selectExpr(Seq("doc_id", "hs") ++ sparkSigCols: _*)
       .localCheckpoint()
     newSigs.createOrReplaceTempView("cfo_sigs")
+    // NEW-side collapse (the store layout's rep discipline applied to
+    // the increment): a duplicate-bombed ingest batch probes and
+    // verifies once per GROUP, and members ride k-1 star edges. Old
+    // side needs no stars — the stored assignment already links old
+    // members to their reps (a group is jaccard-1-connected, so it is
+    // one stored component by construction).
+    s.sql(
+      s"""SELECT k.doc_id, g.rep FROM
+         |  (SELECT doc_id, md5(cast(hs as string)) AS hkey
+         |   FROM cfo_sigs WHERE sig_0 <> ${Long.MaxValue}L) k
+         |JOIN
+         |  (SELECT md5(cast(hs as string)) AS hkey, min(doc_id) AS rep
+         |   FROM cfo_sigs WHERE sig_0 <> ${Long.MaxValue}L
+         |   GROUP BY 1) g
+         |ON k.hkey = g.hkey""".stripMargin)
+      .localCheckpoint().createOrReplaceTempView("cfo_grp")
+    s.sql(
+      s"""SELECT s.* FROM cfo_sigs s
+         |JOIN (SELECT DISTINCT rep FROM cfo_grp) r ON s.doc_id = r.rep"""
+        .stripMargin)
+      .localCheckpoint().createOrReplaceTempView("cfo_repsigs")
     s.read.parquet(s"$store/bands")
       .createOrReplaceTempView("cfo_oldbands")
     s.read.parquet(s"$store/sigs")
       .createOrReplaceTempView("cfo_oldsigs")
     val newBandSelects = (0 until JacBands)
       .map(b => s"SELECT doc_id, $b AS band, ${jacBandKeySpark(b)} AS bk" +
-        s" FROM cfo_sigs$jacBandGuard")
+        s" FROM cfo_repsigs$jacBandGuard")
       .mkString(" UNION ALL ")
-    // Increment candidates: bands(new) probe the STORED index
-    // (old-new) plus a banded self-join of the new batch alone
+    // Increment candidates: bands(new reps) probe the STORED index
+    // (old-new) plus a banded self-join of the new reps alone
     // (new-new); old-old pairs never regenerate — the assignment
     // already summarizes them. UNION dedupes across branches and
     // bands; least/greatest normalizes because old/new ids interleave
     // (the split is by source, not id). Verify joins hit stored sigs
-    // for old endpoints and the cached new sigs for new ones — the
-    // same dd_jaccard arithmetic, term-for-term.
+    // for old endpoints and the checkpointed new sigs for new ones —
+    // the same dd_jaccard arithmetic, term-for-term. The new batch's
+    // star edges ride along in the same frame.
     val edges = s.sql(
       s"""WITH newbands AS ($newBandSelects),
          |cand AS (
@@ -2575,7 +2635,10 @@ object Dedup extends QueryPack {
          |            JOIN allsigs b ON b.doc_id = doc_b
          |  WHERE least(size(a.hs), size(b.hs)) * 10
          |        >= greatest(size(a.hs), size(b.hs)) * 6)
-         |WHERE jaccard >= 0.6""".stripMargin)
+         |WHERE jaccard >= 0.6
+         |UNION ALL
+         |SELECT rep AS doc_a, doc_id AS doc_b FROM cfo_grp
+         |WHERE doc_id <> rep""".stripMargin)
     (newSigs, edges)
   }
 
@@ -2596,20 +2659,51 @@ object Dedup extends QueryPack {
     val (newSigs, merged) = clusterStoreIncrement(s, dir, store, newPred)
     new java.io.File(out).mkdirs()
     merged.write.mode("overwrite").parquet(s"$out/assignment")
+    // the increment lands rep-collapsed (the edge frame registered
+    // cfo_grp/cfo_repsigs): sigs/bands gain the NEW batch's reps only,
+    // grp gains its membership. A new group identical to a stored one
+    // keeps its own rep — both reps stay banded, so later probes fan
+    // out to both member sets (bounded by generation count, and
+    // `StoreCtl compact` re-seals a long chain).
     s.read.parquet(s"$store/sigs")
-      .union(newSigs.select("doc_id", "hs"))
+      .union(s.sql("SELECT doc_id, hs FROM cfo_repsigs"))
       .write.mode("overwrite").parquet(s"$out/sigs")
-    newSigs.createOrReplaceTempView("cfi_sigs")
     val bandSelects = (0 until JacBands)
       .map(b => s"SELECT doc_id, $b AS band, ${jacBandKeySpark(b)} AS bk" +
-        s" FROM cfi_sigs$jacBandGuard")
+        s" FROM cfo_repsigs$jacBandGuard")
       .mkString(" UNION ALL ")
     s.read.parquet(s"$store/bands")
       .union(s.sql(s"SELECT doc_id, band, bk FROM ($bandSelects)"))
       .write.mode("overwrite").parquet(s"$out/bands")
-    val n = s.read.parquet(s"$out/sigs").count()
+    storeGrp(s, store, "doc_id")
+      .union(s.sql("SELECT doc_id, rep FROM cfo_grp"))
+      .write.mode("overwrite").parquet(s"$out/grp")
+    // docs = everything the assignment covers (sigs are reps only);
+    // counted from the landed parquet, never by re-running the merge
+    val n = s.read.parquet(s"$out/assignment").count()
     ClusterStore.writeManifest(out, n)
   }
+
+  /** The store's membership relation as (idCol, rep) — identity over
+    * the banded ids when the generation predates the rep-collapsed
+    * layout (no grp/ subdir): bands are then member-level, so every
+    * banded doc is its own representative and the expansion is a
+    * no-op by construction.
+    */
+  private[graft] def storeGrp(s: SparkSession, store: String,
+                              idCol: String): DataFrame =
+    if (java.nio.file.Files.isDirectory(
+        java.nio.file.Paths.get(store, "grp")))
+      s.read.parquet(s"$store/grp").toDF(idCol, "rep")
+    else {
+      // pre-layout generation: bands are member-level, so every
+      // banded id is its own representative (first bands column is
+      // the id in every store kind)
+      val bands = s.read.parquet(s"$store/bands")
+      val id = bands.columns.head
+      bands.selectExpr(id).distinct()
+        .selectExpr(s"$id AS $idCol", s"$id AS rep")
+    }
 
   // One monitor per on-disk store dir (same role as Similarity's
   // storeLocks): the exists/build/write check-then-act must not
@@ -2812,10 +2906,32 @@ object Dedup extends QueryPack {
         "graft_rh_buckets(embedding) AS bks")
       .cache()
     e.createOrReplaceTempView("est_e")
+    // rep-collapsed layout (the ClusterStore r17 discipline, embed
+    // face): byte-identical vectors collapse to their min-vec_id rep
+    // (embedClusterEdges' key; zero-norm carve-out — a zero vector's
+    // cosine is NaN, never an edge), only reps are banded/stored
+    // full-width, membership lands in grp/. Exact because a member's
+    // bytes and n2 equal its rep's: every cosine any consumer computes
+    // against a member is bit-identical against its rep.
+    s.sql(
+      s"""SELECT k.vec_id, g.rep FROM
+         |  (SELECT vec_id, md5(cast(embedding as string)) AS vk
+         |   FROM est_e WHERE n2 > 0) k
+         |JOIN
+         |  (SELECT md5(cast(embedding as string)) AS vk,
+         |          min(vec_id) AS rep
+         |   FROM est_e WHERE n2 > 0 GROUP BY 1) g
+         |ON k.vk = g.vk""".stripMargin)
+      .localCheckpoint().createOrReplaceTempView("est_grp")
+    s.sql(
+      s"""SELECT s.* FROM est_e s
+         |JOIN (SELECT DISTINCT rep FROM est_grp) r ON s.vec_id = r.rep"""
+        .stripMargin)
+      .localCheckpoint().createOrReplaceTempView("est_repe")
     // same zero-norm band guard as ddEmbedLshPairs
     val bandSelects = (0 until CosBands)
       .map(b => s"SELECT vec_id, $b AS band, element_at(bks, ${b + 1})" +
-        " AS bkt FROM est_e WHERE n2 > 0")
+        " AS bkt FROM est_repe WHERE n2 > 0")
       .mkString(" UNION ALL ")
     val pairs = s.sql(
       s"""WITH bands AS ($bandSelects),
@@ -2830,17 +2946,22 @@ object Dedup extends QueryPack {
          |    FROM cand JOIN est_e a ON a.vec_id = vec_a
          |              JOIN est_e b ON b.vec_id = vec_b)
          |  WHERE cs > 0.3999994)
-         |WHERE cos_sim >= 0.4""".stripMargin)
+         |WHERE cos_sim >= 0.4
+         |UNION ALL
+         |SELECT rep AS vec_a, vec_id AS vec_b FROM est_grp
+         |WHERE vec_id <> rep""".stripMargin)
     val lbl = labelPropagate("dd_embed_cluster_store",
       pairs.toDF("doc_a", "doc_b"),
       e.select(col("vec_id").as("doc_id")))
       .toDF("vec_id", "cluster_id")
     new java.io.File(store).mkdirs()
     lbl.write.mode("overwrite").parquet(s"$store/assignment")
-    e.select("vec_id", "embedding", "n2").write.mode("overwrite")
-      .parquet(s"$store/vecs")
+    s.sql("SELECT vec_id, embedding, n2 FROM est_repe")
+      .write.mode("overwrite").parquet(s"$store/vecs")
     s.sql(s"SELECT vec_id, band, bkt FROM ($bandSelects)")
       .write.mode("overwrite").parquet(s"$store/bands")
+    s.sql("SELECT vec_id, rep FROM est_grp")
+      .write.mode("overwrite").parquet(s"$store/grp")
     val n = e.count()
     e.unpersist()
     lbl.unpersist()
@@ -2868,19 +2989,39 @@ object Dedup extends QueryPack {
         "graft_rh_buckets(embedding) AS bks")
       .localCheckpoint()
     newE.createOrReplaceTempView("efo_e")
+    // NEW-side collapse (see clusterStoreEdgeFrame): a bombed vector
+    // ingest batch probes and verifies once per group; members ride
+    // star edges; the old side's membership lives in the stored
+    // assignment.
+    s.sql(
+      s"""SELECT k.vec_id, g.rep FROM
+         |  (SELECT vec_id, md5(cast(embedding as string)) AS vk
+         |   FROM efo_e WHERE n2 > 0) k
+         |JOIN
+         |  (SELECT md5(cast(embedding as string)) AS vk,
+         |          min(vec_id) AS rep
+         |   FROM efo_e WHERE n2 > 0 GROUP BY 1) g
+         |ON k.vk = g.vk""".stripMargin)
+      .localCheckpoint().createOrReplaceTempView("efo_grp")
+    s.sql(
+      s"""SELECT s.* FROM efo_e s
+         |JOIN (SELECT DISTINCT rep FROM efo_grp) r ON s.vec_id = r.rep"""
+        .stripMargin)
+      .localCheckpoint().createOrReplaceTempView("efo_repe")
     s.read.parquet(s"$store/bands")
       .createOrReplaceTempView("efo_oldbands")
     s.read.parquet(s"$store/vecs")
       .createOrReplaceTempView("efo_oldvecs")
     val newBandSelects = (0 until CosBands)
       .map(b => s"SELECT vec_id, $b AS band, element_at(bks, ${b + 1})" +
-        " AS bkt FROM efo_e WHERE n2 > 0")
+        " AS bkt FROM efo_repe WHERE n2 > 0")
       .mkString(" UNION ALL ")
-    // bands(new) probe the STORED index (old-new) plus a banded
-    // self-join of the new batch alone (new-new); old-old pairs never
+    // bands(new reps) probe the STORED index (old-new) plus a banded
+    // self-join of the new reps alone (new-new); old-old pairs never
     // regenerate. least/greatest normalizes the probe branch so the
     // UNION dedup holds even if a caller's pred does not keep every
-    // old id below every new id (the default split does).
+    // old id below every new id (the default split does). The new
+    // batch's star edges ride along in the same frame.
     val edges = s.sql(
       s"""WITH newbands AS ($newBandSelects),
          |cand AS (
@@ -2903,7 +3044,10 @@ object Dedup extends QueryPack {
          |    FROM cand JOIN allvecs a ON a.vec_id = vec_a
          |              JOIN allvecs b ON b.vec_id = vec_b)
          |  WHERE cs > 0.3999994)
-         |WHERE cos_sim >= 0.4""".stripMargin)
+         |WHERE cos_sim >= 0.4
+         |UNION ALL
+         |SELECT rep AS vec_a, vec_id AS vec_b FROM efo_grp
+         |WHERE vec_id <> rep""".stripMargin)
     (newE, edges)
   }
 
@@ -2952,18 +3096,24 @@ object Dedup extends QueryPack {
     val (newE, merged) = embedStoreIncrement(s, dir, store, newPred)
     new java.io.File(out).mkdirs()
     merged.write.mode("overwrite").parquet(s"$out/assignment")
+    // the increment lands rep-collapsed (the edge frame registered
+    // efo_grp/efo_repe): vecs/bands gain the NEW batch's reps only,
+    // grp gains its membership (the clusterStoreFoldInto discipline)
     s.read.parquet(s"$store/vecs")
-      .union(newE.select("vec_id", "embedding", "n2"))
+      .union(s.sql("SELECT vec_id, embedding, n2 FROM efo_repe"))
       .write.mode("overwrite").parquet(s"$out/vecs")
-    newE.createOrReplaceTempView("efi_e")
     val bandSelects = (0 until CosBands)
       .map(b => s"SELECT vec_id, $b AS band, element_at(bks, ${b + 1})" +
-        " AS bkt FROM efi_e WHERE n2 > 0")
+        " AS bkt FROM efo_repe WHERE n2 > 0")
       .mkString(" UNION ALL ")
     s.read.parquet(s"$store/bands")
       .union(s.sql(s"SELECT vec_id, band, bkt FROM ($bandSelects)"))
       .write.mode("overwrite").parquet(s"$out/bands")
-    val n = s.read.parquet(s"$out/vecs").count()
+    storeGrp(s, store, "vec_id")
+      .union(s.sql("SELECT vec_id, rep FROM efo_grp"))
+      .write.mode("overwrite").parquet(s"$out/grp")
+    // vecs are reps only now — docs = what the assignment covers
+    val n = s.read.parquet(s"$out/assignment").count()
     EmbedClusterStore.writeManifest(out, n)
   }
 

@@ -548,15 +548,37 @@ object Multimodal extends QueryPack {
       s" shiftright(phash, ${16 * b}) & 65535 AS bv FROM $view")
     .mkString(" UNION ALL ")
 
+  /** Build the store rep-collapsed (the r17 ClusterStore discipline,
+    * phash face): docs group by the SIGNATURE VALUE itself — exact by
+    * definition, since phash-equal is Hamming 0, a true pair
+    * regardless of payload bytes — the min-doc_id rep alone is banded
+    * and stored in sigs/, membership lands in grp/. A stored k-copy
+    * bomb costs one band row set, and a probe verifies once per
+    * group; member pairs are recovered by the grp fan-out.
+    */
   private[graft] def phashStoreBuild(s: SparkSession, dir: String,
                                      store: String,
                                      pred: String = Dedup.oldPred): Unit = {
     val sigs = phashSigsOf(media(s, dir).where(pred)).cache()
-    sigs.createOrReplaceTempView("pst_sigs")
+    sigs.createOrReplaceTempView("pst_allsigs")
+    s.sql(
+      """SELECT k.doc_id, g.rep FROM pst_allsigs k
+        |JOIN (SELECT phash, min(doc_id) AS rep FROM pst_allsigs
+        |      GROUP BY 1) g
+        |ON k.phash = g.phash""".stripMargin)
+      .localCheckpoint().createOrReplaceTempView("pst_grp")
+    s.sql(
+      """SELECT s.doc_id, s.phash FROM pst_allsigs s
+        |JOIN (SELECT DISTINCT rep FROM pst_grp) r ON s.doc_id = r.rep"""
+        .stripMargin)
+      .localCheckpoint().createOrReplaceTempView("pst_sigs")
     new java.io.File(store).mkdirs()
-    sigs.write.mode("overwrite").parquet(s"$store/sigs")
+    s.sql("SELECT doc_id, phash FROM pst_sigs")
+      .write.mode("overwrite").parquet(s"$store/sigs")
     s.sql(s"SELECT doc_id, band, bv FROM (${phashBandSelects("pst_sigs")})")
       .write.mode("overwrite").parquet(s"$store/bands")
+    s.sql("SELECT doc_id, rep FROM pst_grp")
+      .write.mode("overwrite").parquet(s"$store/grp")
     val n = sigs.count()
     sigs.unpersist()
     StoreFiles.writeManifest(store,
@@ -581,14 +603,33 @@ object Multimodal extends QueryPack {
                                         store: String, out: String,
                                         where: String): Unit = {
     val newSigs = phashSigsOf(media(s, dir).where(where)).cache()
-    newSigs.createOrReplaceTempView("pfi_sigs")
+    newSigs.createOrReplaceTempView("pfi_allsigs")
+    // the increment lands rep-collapsed per batch (the
+    // clusterStoreFoldInto discipline): reps into sigs/bands,
+    // membership into grp — a group recurring across generations
+    // keeps one rep per generation, re-sealable by StoreCtl compact
+    s.sql(
+      """SELECT k.doc_id, g.rep FROM pfi_allsigs k
+        |JOIN (SELECT phash, min(doc_id) AS rep FROM pfi_allsigs
+        |      GROUP BY 1) g
+        |ON k.phash = g.phash""".stripMargin)
+      .localCheckpoint().createOrReplaceTempView("pfi_grp")
+    s.sql(
+      """SELECT s.doc_id, s.phash FROM pfi_allsigs s
+        |JOIN (SELECT DISTINCT rep FROM pfi_grp) r ON s.doc_id = r.rep"""
+        .stripMargin)
+      .localCheckpoint().createOrReplaceTempView("pfi_sigs")
     new java.io.File(out).mkdirs()
-    s.read.parquet(s"$store/sigs").union(newSigs)
+    s.read.parquet(s"$store/sigs")
+      .union(s.sql("SELECT doc_id, phash FROM pfi_sigs"))
       .write.mode("overwrite").parquet(s"$out/sigs")
     s.read.parquet(s"$store/bands")
       .union(s.sql(
         s"SELECT doc_id, band, bv FROM (${phashBandSelects("pfi_sigs")})"))
       .write.mode("overwrite").parquet(s"$out/bands")
+    Dedup.storeGrp(s, store, "doc_id")
+      .union(s.sql("SELECT doc_id, rep FROM pfi_grp"))
+      .write.mode("overwrite").parquet(s"$out/grp")
     val added = newSigs.count()
     newSigs.unpersist()
     val prior = new String(java.nio.file.Files.readAllBytes(
@@ -608,7 +649,14 @@ object Multimodal extends QueryPack {
   // restated signature arithmetic narrowed to the store's rows.
   private def mmPhashStore(s: SparkSession, dir: String): DataFrame = {
     val store = ensurePhashStore(s, dir)
-    s.read.parquet(s"$store/sigs").orderBy(col("doc_id"))
+    // the store keeps rep sigs + grp membership; the full signature
+    // table is one equi-join away, exact because a member's phash IS
+    // its group key (identical to its rep's by construction)
+    Dedup.storeGrp(s, store, "doc_id")
+      .join(s.read.parquet(s"$store/sigs").toDF("rep", "phash"),
+        Seq("rep"))
+      .select(col("doc_id"), col("phash"))
+      .orderBy(col("doc_id"))
   }
 
   private val mmPhashStoreSql =
@@ -644,16 +692,38 @@ object Multimodal extends QueryPack {
     val out = ensurePhashFoldStore(s, dir)
     s.read.parquet(s"$out/sigs").createOrReplaceTempView("pfs_sigs")
     s.read.parquet(s"$out/bands").createOrReplaceTempView("pfs_bands")
+    Dedup.storeGrp(s, out, "doc_id").createOrReplaceTempView("pfs_grp")
+    // Rep-level band/verify (one Hamming check per GROUP pair), then
+    // the member expansion: cross-group pairs fan out through grp on
+    // both sides (a member's phash equals its rep's, so the verified
+    // distance is every member pair's distance), and within-group
+    // pairs are Hamming 0 by definition. Both legs are TRUE OUTPUT of
+    // the all-pairs spec — the quadratic part of a bombed corpus is
+    // its answer, not the candidate work. DISTINCT reps can repeat
+    // across generations (each fold collapses per batch), so the
+    // rep-level pair set is deduped before expanding; least/greatest
+    // normalizes because a later generation can hold the lower doc_id.
     s.sql(
-      s"""WITH cand AS (
-         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      s"""WITH repver AS (
+         |  SELECT DISTINCT least(x.doc_id, y.doc_id) AS rep_a,
+         |         greatest(x.doc_id, y.doc_id) AS rep_b
          |  FROM pfs_bands x JOIN pfs_bands y
-         |    ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id)
-         |SELECT doc_a, doc_b,
-         |  cast(bit_count(a.phash ^ b.phash) as int) AS hamming
-         |FROM cand JOIN pfs_sigs a ON a.doc_id = doc_a
-         |          JOIN pfs_sigs b ON b.doc_id = doc_b
-         |WHERE bit_count(a.phash ^ b.phash) <= 3
+         |    ON x.band = y.band AND x.bv = y.bv AND x.doc_id <> y.doc_id),
+         |ver AS (
+         |  SELECT rep_a, rep_b,
+         |    cast(bit_count(a.phash ^ b.phash) as int) AS hamming
+         |  FROM repver JOIN pfs_sigs a ON a.doc_id = rep_a
+         |              JOIN pfs_sigs b ON b.doc_id = rep_b
+         |  WHERE bit_count(a.phash ^ b.phash) <= 3)
+         |SELECT least(ga.doc_id, gb.doc_id) AS doc_a,
+         |       greatest(ga.doc_id, gb.doc_id) AS doc_b, hamming
+         |FROM ver JOIN pfs_grp ga ON ga.rep = rep_a
+         |         JOIN pfs_grp gb ON gb.rep = rep_b
+         |UNION ALL
+         |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         |  cast(0 as int) AS hamming
+         |FROM pfs_grp x JOIN pfs_grp y
+         |  ON x.rep = y.rep AND x.doc_id < y.doc_id
          |ORDER BY doc_a, doc_b""".stripMargin)
   }
 

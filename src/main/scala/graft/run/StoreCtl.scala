@@ -131,29 +131,42 @@ object StoreCtl {
     "cluster" -> Seq(
       "assignment" -> Seq("doc_id"),
       "sigs" -> Seq("doc_id"),
-      "bands" -> Seq("band", "bk", "doc_id")),
+      "bands" -> Seq("band", "bk", "doc_id"),
+      "grp" -> Seq("rep", "doc_id")),
     "embed" -> Seq(
       "assignment" -> Seq("vec_id"),
       "vecs" -> Seq("vec_id"),
-      "bands" -> Seq("band", "bkt", "vec_id")),
+      "bands" -> Seq("band", "bkt", "vec_id"),
+      "grp" -> Seq("rep", "vec_id")),
     "phash" -> Seq(
       "sigs" -> Seq("doc_id"),
-      "bands" -> Seq("band", "bv", "doc_id")),
+      "bands" -> Seq("band", "bv", "doc_id"),
+      "grp" -> Seq("rep", "doc_id")),
     "ivfpq" -> Seq(
       "codes" -> Seq("cell", "vec_id")))
+
+  /** Relations a generation may legitimately lack: `grp` appears only
+    * in rep-collapsed-layout cluster generations (r17) — compacting an
+    * older generation simply carries no membership (its bands are
+    * member-level, so readers' identity fallback still holds).
+    */
+  private val optionalRels = Set("grp")
 
   private def compact(spark: SparkSession, kind: String,
                       root: String): Either[String, String] =
     compactLayout.get(kind) match {
       case None => Left(s"unknown store kind: $kind")
-      case Some(layout) =>
+      case Some(fullLayout) =>
         StoreFiles.serve(root).flatMap { cur =>
-          val missing = layout.map(_._1).filterNot(rel =>
+          def present(rel: String): Boolean =
             java.nio.file.Files.isDirectory(
-              java.nio.file.Paths.get(cur, rel)))
+              java.nio.file.Paths.get(cur, rel))
+          val missing = fullLayout.map(_._1)
+            .filterNot(optionalRels).filterNot(present)
           if (missing.nonEmpty)
             return Left(s"$cur is not a committed $kind store " +
               s"(missing ${missing.mkString(", ")}) — wrong kind?")
+          val layout = fullLayout.filter(r => present(r._1))
           val next = StoreFiles.nextGenName(root)
           val outPath = java.nio.file.Paths.get(root, next)
           // claim the name atomically (the advance discipline): a

@@ -474,6 +474,10 @@ object Streams {
       .toDF("owner_id", "band", "bkt")
     val oldVecs = s.read.parquet(s"$store/vecs")
       .toDF("owner_id", "old_embedding", "old_n2")
+    // rep-collapsed store membership (identity for pre-layout
+    // generations): band/verify once per stored GROUP, one equi-join
+    // fans the verified rep pair out to member pairs (Dedup.storeGrp)
+    val grp = graft.operators.Dedup.storeGrp(s, store, "member_id")
     observeArrivals(vecs, "vec_id", metrics)
       .selectExpr("vec_id", "ts", "embedding",
         "graft_dot(embedding, embedding) AS n2",
@@ -490,7 +494,9 @@ object Streams {
       .withColumn("cs",
         expr("graft_cos(embedding, old_embedding, n2, old_n2)"))
       .where("cs > 0.3999994 AND round(cs, 6) >= 0.4")
-      .select("vec_id", "owner_id")
+      .select(col("vec_id"), col("owner_id").as("rep"))
+      .join(grp, Seq("rep"))
+      .select(col("vec_id"), col("member_id").as("owner_id"))
   }
 
   /** Online TEXT near-dup at ingest against a SERVED persistent
@@ -532,6 +538,11 @@ object Streams {
       .toDF("owner_id", "band", "bk")
     val oldSigs = s.read.parquet(s"$store/sigs")
       .toDF("owner_id", "old_hs")
+    // the rep-collapsed store's membership (identity for pre-layout
+    // generations): band/verify work runs once per stored GROUP, then
+    // one equi-join fans the verified rep pair out to member pairs —
+    // true output, linear in real matches (Dedup.storeGrp)
+    val grp = graft.operators.Dedup.storeGrp(s, store, "member_id")
     graft.operators.Dedup.jacStoreProbeRows(
         observeArrivals(docs, "doc_id", metrics))
       .join(oldBands, Seq("band", "bk"))
@@ -541,7 +552,9 @@ object Streams {
       .dropDuplicates("doc_id", "owner_id", "event_time")
       .join(oldSigs, Seq("owner_id"))
       .where(graft.operators.Dedup.jacVerifySpark("hs", "old_hs"))
-      .select("doc_id", "owner_id")
+      .select(col("doc_id"), col("owner_id").as("rep"))
+      .join(grp, Seq("rep"))
+      .select(col("doc_id"), col("member_id").as("owner_id"))
   }
 
   /** Online MEDIA near-dup at ingest against a SERVED persistent
@@ -571,6 +584,10 @@ object Streams {
       .toDF("owner_id", "band", "bv")
     val oldSigs = s.read.parquet(s"$store/sigs")
       .toDF("owner_id", "old_phash")
+    // rep-collapsed store membership (identity for pre-layout
+    // generations): band/verify once per stored GROUP, one equi-join
+    // fans the verified rep pair out to member pairs (Dedup.storeGrp)
+    val grp = graft.operators.Dedup.storeGrp(s, store, "member_id")
     graft.operators.Multimodal.phashProbeRows(
         observeArrivals(media, "doc_id", metrics))
       .join(oldBands, Seq("band", "bv"))
@@ -580,7 +597,9 @@ object Streams {
       .dropDuplicates("doc_id", "owner_id", "event_time")
       .join(oldSigs, Seq("owner_id"))
       .where("bit_count(phash ^ old_phash) <= 3")
-      .select("doc_id", "owner_id")
+      .select(col("doc_id"), col("owner_id").as("rep"))
+      .join(grp, Seq("rep"))
+      .select(col("doc_id"), col("member_id").as("owner_id"))
   }
 
   /** Online ANN retrieval against the DISK-persisted IVF-PQ index —

@@ -271,4 +271,182 @@ class DupBombGuardSpec extends AnyFunSuite {
     // edges, so they stay singletons
     assert(got(300L) == 300L && got(301L) == 301L)
   }
+
+  /** Bombed-STORE fixture: the duplicate bomb is ALREADY IN the
+    * persistent cluster store (k identical old docs) — the store
+    * layout's own bomb exposure: an uncollapsed store carries k band
+    * row sets that every later probe collides with, k times per
+    * arriving near-dup.
+    */
+  private lazy val storeDir: String = {
+    val d = new java.io.File(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+      s"graft_bombstore_fixture_p${ProcessHandle.current().pid()}").toString
+    val rows: Seq[(Long, String, String)] =
+      (0L until 20L).map(i => (i, bombText, "src1")) ++ Seq(
+        (200L,
+          "winter spring summer autumn river mountain forest desert " +
+            "ocean valley meadow", "src1"),
+        (300L, bombText, "src10"),
+        (301L,
+          "one two three four five six seven eight nine ten eleven " +
+            "twelve thirteen", "src10"))
+    import spark.implicits._
+    rows.toDF("doc_id", "text", "source")
+      .selectExpr("doc_id", "text", "'xx' AS lang", "source",
+        "cast(length(text) as bigint) AS n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("cluster store: a stored duplicate bomb lands as ONE banded " +
+      "representative + a grp membership, the fold pays one crossing " +
+      "edge, and the streaming probe recovers every member pair by " +
+      "the grp fan-out") {
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_bombstore").toString
+    Dedup.clusterStoreBuild(spark, storeDir, store)
+    // the band index is O(groups): the 20-copy bomb holds exactly 8
+    // band rows, all the rep's — the k×-collision exposure is gone
+    val bandDocs = spark.read.parquet(s"$store/bands")
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(bandDocs.count(_ < 20L) == 8,
+      s"expected 8 rep band rows for the stored bomb, got " +
+        s"${bandDocs.count(_ < 20L)} — the store is banding members")
+    assert(bandDocs.filter(_ < 20L).forall(_ == 0L))
+    // sigs are reps only; membership lives in grp
+    val sigIds = spark.read.parquet(s"$store/sigs")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(sigIds == Set(0L, 200L), sigIds)
+    val grp = spark.read.parquet(s"$store/grp")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((0L until 20L).forall(i => grp((i, 0L))))
+    // ...and the assignment still covers every stored doc
+    assert(spark.read.parquet(s"$store/assignment").count() == 21L)
+    // the fold's edge frame: ONE rep-rep crossing edge for the
+    // arriving identical doc, nothing quadratic
+    val (_, foldEdges) = Dedup.clusterStoreEdgeFrame(
+      spark, storeDir, store, s"NOT (${Dedup.oldPred})")
+    assert(foldEdges.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSeq == Seq((0L, 300L)))
+    // the fold assignment equals LP over the uncollapsed pair set
+    val uncollapsed = SparkEntry.queries("dd_jaccard")(spark, storeDir)
+    assert(edges(uncollapsed).size == 21 * 20 / 2,
+      "fixture did not produce the uncollapsed clique: the linearity " +
+        "asserts above are vacuous")
+    val expected = assignment(Dedup.labelPropagate("bomb_ref_store",
+      uncollapsed.select("doc_a", "doc_b"),
+      Engine.table(spark, storeDir, "documents").select("doc_id")))
+    assert(assignment(
+      Dedup.clusterStoreFold(spark, storeDir, store)) == expected)
+    // the streaming probe: the arriving twin verifies against the rep
+    // once and fans out to ALL 20 member pairs through grp/
+    val s0 = spark
+    import s0.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s0.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[graft.streaming.StreamDoc]
+    val q = graft.streaming.Streams
+      .storeNearDupStream(in.toDF(), store)
+      .writeStream.format("memory").queryName("bomb_store_sink")
+      .outputMode("append").start()
+    val streamed =
+      try {
+        in.addData(
+          graft.streaming.StreamDoc(300L, 1000000000L, bombText),
+          graft.streaming.StreamDoc(301L, 2000000000L,
+            "one two three four five six seven eight nine ten eleven " +
+              "twelve thirteen"))
+        q.processAllAvailable()
+        s0.table("bomb_store_sink")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      } finally q.stop()
+    s0.catalog.dropTempView("bomb_store_sink")
+    assert(streamed == (0L until 20L).map(o => (300L, o)).toSet,
+      s"fan-out produced ${streamed.size} pairs")
+  }
+
+  test("embed store: a stored vector bomb lands as ONE banded rep + " +
+      "grp membership, and the streaming probe fans a matching " +
+      "arrival out to every member (plus the scaled copy's own group)") {
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_bombestore").toString
+    // dir's embeddings: bomb vecs 0-39 identical, 100 a scaled copy
+    // (cos 1, different bytes — its OWN group, reached by banding),
+    // 200/201 distinct, 300/301 zero (excluded: vec_id >= split)
+    Dedup.embedStoreBuild(spark, dir, store)
+    val bandVecs = spark.read.parquet(s"$store/bands")
+      .select("vec_id").collect().map(_.getLong(0))
+    assert(bandVecs.count(_ < 40L) == 12,
+      s"expected 12 rep band rows for the stored vector bomb, got " +
+        s"${bandVecs.count(_ < 40L)} — the store is banding members")
+    assert(bandVecs.filter(_ < 40L).forall(_ == 0L))
+    val vecIds = spark.read.parquet(s"$store/vecs")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(!vecIds.exists(v => v > 0L && v < 40L),
+      s"member vectors stored full-width: $vecIds")
+    val grp = spark.read.parquet(s"$store/grp")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((0L until 40L).forall(i => grp((i, 0L))))
+    // a probing twin (the bomb vector itself) verifies once per GROUP
+    // and fans out to all 40 members plus the scaled copy
+    val s0 = spark
+    import s0.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s0.sqlContext
+    val bombVec = Array(1.0f, 0.25f, -0.5f, 0.125f)
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[graft.streaming.StreamVec]
+    val q = graft.streaming.Streams
+      .storeDedupStream(in.toDF(), store)
+      .writeStream.format("memory").queryName("bomb_estore_sink")
+      .outputMode("append").start()
+    val streamed =
+      try {
+        in.addData(graft.streaming.StreamVec(500L, 1000000000L, bombVec))
+        q.processAllAvailable()
+        s0.table("bomb_estore_sink")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      } finally q.stop()
+    s0.catalog.dropTempView("bomb_estore_sink")
+    assert(streamed ==
+      ((0L until 40L).map(o => (500L, o)).toSet + ((500L, 100L))),
+      s"fan-out produced ${streamed.size} pairs")
+  }
+
+  test("phash store: a stored media bomb lands as ONE banded rep + " +
+      "grp membership, and the streaming probe fans a matching " +
+      "arrival out to every member") {
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_bombpstore").toString
+    Multimodal.phashStoreBuild(spark, storeDir, store)
+    val bandDocs = spark.read.parquet(s"$store/bands")
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(bandDocs.count(_ < 20L) == 4,
+      s"expected 4 rep band rows for the stored media bomb, got " +
+        s"${bandDocs.count(_ < 20L)} — the store is banding members")
+    assert(bandDocs.filter(_ < 20L).forall(_ == 0L))
+    val grp = spark.read.parquet(s"$store/grp")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((0L until 20L).forall(i => grp((i, 0L))))
+    val s0 = spark
+    import s0.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s0.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[graft.streaming.StreamDoc]
+    val q = graft.streaming.Streams
+      .storePhashStream(in.toDF(), store)
+      .writeStream.format("memory").queryName("bomb_pstore_sink")
+      .outputMode("append").start()
+    val streamed =
+      try {
+        in.addData(
+          graft.streaming.StreamDoc(300L, 1000000000L, bombText))
+        q.processAllAvailable()
+        s0.table("bomb_pstore_sink")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      } finally q.stop()
+    s0.catalog.dropTempView("bomb_pstore_sink")
+    assert(streamed == (0L until 20L).map(o => (300L, o)).toSet,
+      s"fan-out produced ${streamed.size} pairs")
+  }
 }

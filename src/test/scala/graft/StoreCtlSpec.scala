@@ -145,12 +145,18 @@ class StoreCtlSpec extends AnyFunSuite {
     val a2 = StoreCtl.run(spark, Seq("advance", "phash", dir, root,
       s"NOT (${Dedup.oldPred}) AND doc_id % 2 = 1"))
     assert(a2.exists(_.endsWith("gen-3")), a2)
-    // the chain equals the one-shot fold of everything
+    // the chain equals the one-shot fold of everything — compared at
+    // MEMBER level (grp ⨝ sigs, the serve semantics): the collapsed
+    // layout picks reps per batch, so a group spanning the parity
+    // split carries different rep rows down the two fold paths
     val one = tmp("adv_oneshot")
     assert(StoreCtl.run(spark, Seq("fold", "phash", dir, s"$root/gen-0",
       one, s"NOT (${Dedup.oldPred})")).isRight)
     def sigSet(p: String): Set[(Long, Long)] =
-      spark.read.parquet(s"$p/sigs")
+      Dedup.storeGrp(spark, p, "doc_id")
+        .join(spark.read.parquet(s"$p/sigs").toDF("rep", "phash"),
+          Seq("rep"))
+        .select("doc_id", "phash")
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(sigSet(s"$root/gen-3") == sigSet(one))
     // gc: gen-2 is prev (grace), gen-0 collected, litter gen-1 kept
@@ -179,6 +185,22 @@ class StoreCtlSpec extends AnyFunSuite {
     spark.read.parquet(p).collect()
       .map(r => (0 until cols).map(r.get).toSeq).toSet
 
+  /** A generation's MEMBER-level rows for a rep-keyed relation
+    * (grp ⨝ rel): the serve semantics. Raw rep rows legitimately
+    * differ between a fold chain and a one-shot build — each batch
+    * collapses to its own reps — while the expansion must not.
+    */
+  private def memberRows(gen: String, rel: String,
+                         cols: Int): Set[Seq[Any]] = {
+    val r = spark.read.parquet(s"$gen/$rel")
+    val relCols = r.columns.toSeq
+    Dedup.storeGrp(spark, gen, "member_id")
+      .join(r.toDF(Seq("rep") ++ relCols.tail: _*), Seq("rep"))
+      .select((Seq("member_id") ++ relCols.tail).map(
+        org.apache.spark.sql.functions.col): _*)
+      .collect().map(row => (0 until cols).map(row.get).toSeq).toSet
+  }
+
   private def partFiles(p: String): Int =
     Option(new java.io.File(p).listFiles()).toSeq.flatten
       .count(_.getName.endsWith(".parquet"))
@@ -199,20 +221,24 @@ class StoreCtlSpec extends AnyFunSuite {
       Right(s"$root/gen-2"))
     // a compacted generation is a pure relayout of its source: same
     // rows, sealed file count
-    for ((rel, n) <- Seq(("assignment", 2), ("sigs", 2), ("bands", 3))) {
+    for ((rel, n) <- Seq(("assignment", 2), ("sigs", 2), ("bands", 3),
+        ("grp", 2))) {
       assert(rows(s"$root/gen-2/$rel", n) == rows(s"$root/gen-1/$rel", n),
         s"$rel rows changed under compact")
       assert(partFiles(s"$root/gen-2/$rel") <= 4, rel)
     }
     // folding ON TOP of the compacted generation completes the corpus
-    // and bit-matches the one-shot whole-corpus build
+    // and matches the one-shot whole-corpus build: assignment
+    // bit-for-bit, sigs/bands at MEMBER level (see memberRows)
     assert(StoreCtl.run(spark, Seq("advance", "cluster", dir, root,
       "doc_id % 3 = 2")).exists(_.endsWith("gen-3")))
     val one = tmp("cmp_cl_one")
     assert(StoreCtl.run(spark,
       Seq("build", "cluster", dir, one)).isRight)
-    for ((rel, n) <- Seq(("assignment", 2), ("sigs", 2), ("bands", 3)))
-      assert(rows(s"$root/gen-3/$rel", n) == rows(s"$one/$rel", n),
+    assert(rows(s"$root/gen-3/assignment", 2) == rows(s"$one/assignment", 2),
+      "assignment diverged from the unchained build")
+    for ((rel, n) <- Seq(("sigs", 2), ("bands", 3)))
+      assert(memberRows(s"$root/gen-3", rel, n) == memberRows(one, rel, n),
         s"$rel diverged from the unchained build")
   }
 
@@ -225,7 +251,7 @@ class StoreCtlSpec extends AnyFunSuite {
       "doc_id % 3 = 1")).exists(_.endsWith("gen-1")))
     assert(StoreCtl.run(spark, Seq("compact", "phash", root))
       .exists(_.endsWith("gen-2")))
-    for ((rel, n) <- Seq(("sigs", 2), ("bands", 3))) {
+    for ((rel, n) <- Seq(("sigs", 2), ("bands", 3), ("grp", 2))) {
       assert(rows(s"$root/gen-2/$rel", n) == rows(s"$root/gen-1/$rel", n),
         s"$rel rows changed under compact")
       assert(partFiles(s"$root/gen-2/$rel") <= 4, rel)
@@ -235,7 +261,7 @@ class StoreCtlSpec extends AnyFunSuite {
     val one = tmp("cmp_ph_one")
     assert(StoreCtl.run(spark, Seq("build", "phash", dir, one)).isRight)
     for ((rel, n) <- Seq(("sigs", 2), ("bands", 3)))
-      assert(rows(s"$root/gen-3/$rel", n) == rows(s"$one/$rel", n),
+      assert(memberRows(s"$root/gen-3", rel, n) == memberRows(one, rel, n),
         s"$rel diverged from the unchained build")
     // the compacted marker carried the source generation's counts
     val st = StoreCtl.run(spark, Seq("stats", s"$root/gen-2"))

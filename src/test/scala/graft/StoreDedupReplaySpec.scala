@@ -28,20 +28,33 @@ class StoreDedupReplaySpec extends AnyFunSuite {
   }
 
   test("the stream's pair set equals the batch fold's old-new edge " +
-      "slice against the same store") {
+      "slice against the same store, expanded through the rep groups") {
     val split = Dedup.embedSplit(spark, dir)
     val store = Dedup.ensureEmbedStore(spark, dir)
     val streamed = pairs(
       SparkEntry.queries("st_store_dedup_replay")(spark, dir))
-    // fold edges are (vec_a < vec_b); the old-new slice has
-    // vec_a < split <= vec_b. Stream rows are (new, owner=old).
+    // fold edges are (vec_a < vec_b), REP-level on both sides (the
+    // r17 collapsed layout: stored groups in grp/, the new batch's in
+    // the edge frame's efo_grp view); the old-new slice has
+    // vec_a < split <= vec_b. Stream rows are (new, owner=old),
+    // member-level after the grp fan-out — expand the fold slice the
+    // same way before comparing.
     val (_, edges) = Dedup.embedStoreEdgeFrame(spark, dir, store)
-    val foldOldNew = edges
+    val edgeRows = edges
       .where(s"vec_a < $split AND vec_b >= $split")
-      .collect().map(r => (r.getLong(1), r.getLong(0))).toSet
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val oldMembers = Dedup.storeGrp(spark, store, "member_id")
+      .collect().map(r => (r.getLong(1), r.getLong(0)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    val newMembers = spark.table("efo_grp")
+      .collect().map(r => (r.getLong(1), r.getLong(0)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    val foldOldNew = edgeRows.flatMap { case (o, n) =>
+      for (om <- oldMembers(o); nm <- newMembers(n)) yield (nm, om)
+    }.toSet
     assert(streamed == foldOldNew,
-      s"stream flagged ${streamed.size} pairs, fold edge slice has " +
-        s"${foldOldNew.size}")
+      s"stream flagged ${streamed.size} pairs, fold edge slice " +
+        s"expands to ${foldOldNew.size}")
     streamed.foreach { case (v, o) =>
       assert(v >= split && o < split,
         s"pair ($v, $o) does not cross the store split $split")

@@ -62,12 +62,21 @@ class StorePhashReplaySpec extends AnyFunSuite {
     // immutable generations (signatures are row-local, so chaining
     // must equal one big fold). Split the new half by doc_id parity —
     // orthogonal to the source split — to make the two batches
-    // non-contiguous.
+    // non-contiguous. Comparison is at MEMBER level (grp ⨝ sigs/bands
+    // — the serve semantics): the rep-collapsed layout picks reps per
+    // BATCH, so a group spanning the parity split (the sub-64-byte
+    // docs all share phash 0) legitimately carries different rep rows
+    // down the two fold paths.
     def sigSet(store: String): Set[(Long, Long)] =
-      spark.read.parquet(s"$store/sigs")
+      Dedup.storeGrp(spark, store, "doc_id")
+        .join(spark.read.parquet(s"$store/sigs").toDF("rep", "phash"),
+          Seq("rep"))
+        .select("doc_id", "phash")
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     def bandSet(store: String): Set[(Long, Long, Long)] =
-      spark.read.parquet(s"$store/bands")
+      Dedup.storeGrp(spark, store, "doc_id")
+        .join(spark.read.parquet(s"$store/bands")
+          .toDF("rep", "band", "bv"), Seq("rep"))
         .selectExpr("doc_id", "cast(band as bigint)", "bv")
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
         .toSet
