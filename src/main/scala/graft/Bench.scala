@@ -73,7 +73,8 @@ object Bench {
     "dd_decontaminate_semantic",
     // round 17
     "sim_ann_recall_stored", "st_decontaminate_replay",
-    "st_decontaminate_ooo_replay")
+    "st_decontaminate_ooo_replay", "st_decontaminate_semantic_replay",
+    "st_decontaminate_semantic_ooo_replay")
 
   /** Keys whose FIRST execution in this process builds a persistent
     * scratch store / trains the served model (later reps are pure
@@ -99,7 +100,9 @@ object Bench {
     "st_store_neardup_replay", "st_store_neardup_ooo_replay",
     "st_store_phash_replay", "st_store_phash_ooo_replay",
     "st_ann_serve_replay", "st_ann_serve_ooo_replay",
-    "st_decontaminate_replay", "st_decontaminate_ooo_replay")
+    "st_decontaminate_replay", "st_decontaminate_ooo_replay",
+    "st_decontaminate_semantic_replay",
+    "st_decontaminate_semantic_ooo_replay")
 
   private final case class M(
       name: String, median: Double, spread: Double, jobsPerRep: Int,

@@ -3131,6 +3131,48 @@ object Dedup extends QueryPack {
     }
   }
 
+  /** Per-(process, corpus) EVAL-SLICE embed store ([[evalPred]] over
+    * vec_id — the semantic twin of [[ensureEvalClusterStore]]): the
+    * served index st_decontaminate_semantic_replay probes at ingest.
+    */
+  private[graft] def ensureEvalEmbedStore(s: SparkSession,
+                                          dir: String): String = {
+    val store = StoreFiles.scratchDir("graft_estore_eval_", dir)
+    StoreFiles.ensure(embedStoreLocks, store) {
+      embedStoreBuild(s, dir, store, "vec_id % 50 = 0")
+    }
+  }
+
+  /** DuckDB restatement for st_decontaminate_semantic_replay: the
+    * corpus-vs-eval slice of the BANDED cosine pair table (the
+    * dd_decontaminate_semantic convention — banding recall on the
+    * noise fixture is ~49% by design, so the banded restatement IS
+    * the spec; the stream's probe against the eval store's band index
+    * computes exactly this slice because a non-eval vector
+    * band-matches a stored eval vector iff the full self-join would
+    * band the pair), emitted pairwise as (vec_id, owner_id = the
+    * leaked eval vector). Lazy for the same init-order reason as
+    * [[ddDecontaminateSemanticSql]].
+    */
+  private[graft] lazy val duckDecontaminateSemanticReplaySql =
+    s"""WITH ${duckEmbedECte()},
+       |bands AS ($duckEmbedBandSelects),
+       |cand AS (
+       |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.bkt = y.bkt AND x.vec_id < y.vec_id),
+       |p AS (
+       |  SELECT vec_a, vec_b FROM (
+       |    SELECT vec_a, vec_b, ${duckEmbedCos("a", "b")} AS cos_sim
+       |    FROM cand JOIN e a ON a.vec_id = vec_a
+       |              JOIN e b ON b.vec_id = vec_b)
+       |  WHERE cos_sim >= 0.4)
+       |SELECT d AS vec_id, ev AS owner_id FROM (
+       |  SELECT vec_a AS d, vec_b AS ev FROM p
+       |  UNION ALL SELECT vec_b AS d, vec_a AS ev FROM p)
+       |WHERE d % 50 <> 0 AND ev % 50 = 0
+       |ORDER BY 1, 2""".stripMargin
+
   // -- dd_embed_cluster_store: persist the old-half clustering, serve LOADED --
   private def ddEmbedClusterStore(s: SparkSession, dir: String)
       : DataFrame = {

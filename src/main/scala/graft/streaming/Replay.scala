@@ -390,6 +390,56 @@ object StreamReplay extends QueryPack {
       jittered(tickedCorpusDocs(s, dir), slackNs)(_.ts, _.doc_id))
   }
 
+  // -- st_decontaminate_semantic_replay: embedding-space eval screening -------
+  // The SEMANTIC twin of st_decontaminate_replay (lexical leakage
+  // escapes paraphrase; embedding similarity does not): the eval
+  // slice's embed store is built once (Dedup.ensureEvalEmbedStore),
+  // every corpus vector streams through the unchanged storeDedupStream
+  // probe, and arrivals that cosine-match (>= 0.4) a stored eval
+  // vector are flagged online. Gated against the banded corpus-vs-eval
+  // slice — the dd_decontaminate_semantic oracle convention, pairwise.
+  private def tickedCorpusVecs(s: SparkSession, dir: String)
+      : IndexedSeq[StreamVec] = {
+    import s.implicits._
+    table(s, dir, "embeddings")
+      .where("vec_id % 50 <> 0")
+      .selectExpr("vec_id",
+        s"(row_number() OVER (ORDER BY vec_id)) * ${TickNs}L AS ts",
+        "embedding")
+      .as[StreamVec].collect().sortBy(_.vec_id).toIndexedSeq
+  }
+
+  private def decontaminateSemanticReplaySink(
+      s: SparkSession, dir: String, vecs: Seq[StreamVec]): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val store = Dedup.ensureEvalEmbedStore(s, dir)
+    val in = MemoryStream[StreamVec]
+    val sink =
+      s"st_decontaminate_semantic_replay_sink_${sinkSeq.incrementAndGet()}"
+    withReplayPartitions(s) {
+      val q = Streams.storeDedupStream(in.toDF(), store)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try feed(in, q, batched(vecs.toIndexedSeq))
+      finally q.stop()
+    }
+    detachSink(s, sink)
+      .selectExpr("vec_id", "owner_id")
+      .orderBy("vec_id", "owner_id")
+  }
+
+  private def stDecontaminateSemanticReplay(s: SparkSession,
+                                            dir: String): DataFrame =
+    decontaminateSemanticReplaySink(s, dir, tickedCorpusVecs(s, dir))
+
+  private def stDecontaminateSemanticOooReplay(s: SparkSession,
+                                               dir: String): DataFrame = {
+    val slackNs = 64L * TickNs
+    decontaminateSemanticReplaySink(s, dir,
+      jittered(tickedCorpusVecs(s, dir), slackNs)(_.ts, _.vec_id))
+  }
+
   // -- st_store_phash_replay: media ingest near-dup against the SERVED store -
   // The perceptual-hash member of the served-store gate family: the
   // phash store is built ONCE from the old document half (the media
@@ -1160,6 +1210,10 @@ object StreamReplay extends QueryPack {
         "st_store_neardup_ooo_replay" -> (stStoreNearDupOooReplay _),
         "st_decontaminate_replay" -> (stDecontaminateReplay _),
         "st_decontaminate_ooo_replay" -> (stDecontaminateOooReplay _),
+        "st_decontaminate_semantic_replay" ->
+          (stDecontaminateSemanticReplay _),
+        "st_decontaminate_semantic_ooo_replay" ->
+          (stDecontaminateSemanticOooReplay _),
         "st_ann_serve_replay" -> (stAnnServeReplay _),
         "st_ann_serve_ooo_replay" -> (stAnnServeOooReplay _),
         "st_store_phash_replay" -> (stStorePhashReplay _),
@@ -1189,6 +1243,11 @@ object StreamReplay extends QueryPack {
         "st_decontaminate_replay" -> Dedup.duckDecontaminateReplaySql,
         // the disorder gate must land on the SAME all-pairs spec
         "st_decontaminate_ooo_replay" -> Dedup.duckDecontaminateReplaySql,
+        "st_decontaminate_semantic_replay" ->
+          Dedup.duckDecontaminateSemanticReplaySql,
+        // the disorder gate must land on the SAME banded slice
+        "st_decontaminate_semantic_ooo_replay" ->
+          Dedup.duckDecontaminateSemanticReplaySql,
         // the streaming serve must land on the batch key's own table
         "st_ann_serve_replay" ->
           graft.operators.Similarity.oracles("sim_ivfpq"),

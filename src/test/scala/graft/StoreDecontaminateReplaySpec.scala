@@ -56,4 +56,31 @@ class StoreDecontaminateReplaySpec extends AnyFunSuite {
     val reported = batch.map(_._1).toSet
     assert(counts.keySet.subsetOf(reported))
   }
+
+  test("semantic: disorder-invariant, eval-split-oriented, and in " +
+      "exact aggregation agreement with dd_decontaminate_semantic") {
+    val inOrder = pairs(
+      SparkEntry.queries("st_decontaminate_semantic_replay")(spark, dir))
+    val ooo = pairs(SparkEntry.queries(
+      "st_decontaminate_semantic_ooo_replay")(spark, dir))
+    assert(inOrder == ooo)
+    assert(inOrder.nonEmpty,
+      "fixture produced zero semantic contamination: the agreement " +
+        "asserts below would be vacuous")
+    inOrder.foreach { case (v, o) =>
+      assert(v % 50 != 0 && o % 50 == 0,
+        s"pair ($v, $o) does not cross the eval split")
+    }
+    val batch = SparkEntry.queries("dd_decontaminate_semantic")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val counts = inOrder.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    batch.foreach { case (vecId, nMatches, contaminated) =>
+      assert(counts.getOrElse(vecId, 0L) == nMatches,
+        s"vec $vecId: stream saw ${counts.getOrElse(vecId, 0L)} eval " +
+          s"matches, batch says $nMatches")
+      assert(contaminated == counts.contains(vecId))
+    }
+    assert(counts.keySet.subsetOf(batch.map(_._1).toSet))
+  }
 }
