@@ -184,6 +184,49 @@ class StoreStreamDisorderSpec extends AnyFunSuite {
       (df, m) => Streams.storeDedupStream(df, store, metrics = m))
   }
 
+  private def tickedDocsWhere(pred: String): IndexedSeq[StreamDoc] = {
+    val s = spark
+    import s.implicits._
+    Engine.table(s, dir, "documents")
+      .where(pred)
+      .selectExpr("doc_id",
+        s"(row_number() OVER (ORDER BY doc_id)) * ${TickNs}L AS ts",
+        "text")
+      .as[StreamDoc].collect().sortBy(_.doc_id).toIndexedSeq
+  }
+
+  private def tickedVecsWhere(pred: String): IndexedSeq[StreamVec] = {
+    val s = spark
+    import s.implicits._
+    Engine.table(s, dir, "embeddings")
+      .where(pred)
+      .selectExpr("vec_id",
+        s"(row_number() OVER (ORDER BY vec_id)) * ${TickNs}L AS ts",
+        "embedding")
+      .as[StreamVec].collect().sortBy(_.vec_id).toIndexedSeq
+  }
+
+  test("decontamination probe (eval cluster store) lands on the " +
+      "corpus-vs-eval Jaccard slice under random bounded disorder") {
+    val s0 = spark; import s0.implicits._
+    val store = Dedup.ensureEvalClusterStore(spark, dir)
+    sweep("decon_text",
+      oldNewSlice("dd_jaccard", "doc_a", "doc_b", _ % 50 == 0),
+      tickedDocsWhere("doc_id % 50 <> 0"), "doc_id")(_.ts, _.doc_id)(
+      (df, m) => Streams.storeNearDupStream(df, store, metrics = m))
+  }
+
+  test("semantic decontamination probe (eval embed store) lands on " +
+      "the banded corpus-vs-eval cosine slice under random bounded " +
+      "disorder") {
+    val s0 = spark; import s0.implicits._
+    val store = Dedup.ensureEvalEmbedStore(spark, dir)
+    sweep("decon_embed",
+      oldNewSlice("dd_embed_cosine_lsh", "vec_a", "vec_b", _ % 50 == 0),
+      tickedVecsWhere("vec_id % 50 <> 0"), "vec_id")(_.ts, _.vec_id)(
+      (df, m) => Streams.storeDedupStream(df, store, metrics = m))
+  }
+
   test("annServeStream exposes the absorbed/lateDropped counters with " +
       "the exact driver-fold accounting, and its hits are disorder-" +
       "invariant") {
