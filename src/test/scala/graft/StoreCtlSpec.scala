@@ -267,4 +267,34 @@ class StoreCtlSpec extends AnyFunSuite {
     val st = StoreCtl.run(spark, Seq("stats", s"$root/gen-2"))
     assert(st == StoreCtl.run(spark, Seq("stats", s"$root/gen-1")), st)
   }
+
+  test("compact seals ivfpq (model.json carried, codes relaid out) " +
+      "and embed (grp carried) generations") {
+    // ivfpq: the marker is model.json, the one relation is the code
+    // table — compact must relayout codes by (cell, vec_id) and carry
+    // the codebooks byte-for-byte
+    val iroot = tmp("cmp_iv"); new java.io.File(iroot).mkdirs()
+    assert(StoreCtl.run(spark,
+      Seq("build", "ivfpq", dir, s"$iroot/gen-0")).isRight)
+    assert(StoreCtl.run(spark, Seq("flip", iroot, "gen-0")).isRight)
+    assert(StoreCtl.run(spark, Seq("compact", "ivfpq", iroot))
+      .exists(_.endsWith("gen-1")))
+    assert(rows(s"$iroot/gen-1/codes", 6) == rows(s"$iroot/gen-0/codes", 6))
+    assert(partFiles(s"$iroot/gen-1/codes") <= 4)
+    assert(StoreCtl.run(spark, Seq("stats", s"$iroot/gen-1")) ==
+      StoreCtl.run(spark, Seq("stats", s"$iroot/gen-0")))
+    // embed: all four relations relaid out, grp included
+    val eroot = tmp("cmp_em"); new java.io.File(eroot).mkdirs()
+    assert(StoreCtl.run(spark, Seq("build", "embed", dir,
+      s"$eroot/gen-0", "vec_id % 2 = 0")).isRight)
+    assert(StoreCtl.run(spark, Seq("flip", eroot, "gen-0")).isRight)
+    assert(StoreCtl.run(spark, Seq("compact", "embed", eroot))
+      .exists(_.endsWith("gen-1")))
+    for ((rel, n) <- Seq(("assignment", 2), ("vecs", 3), ("bands", 3),
+        ("grp", 2))) {
+      assert(rows(s"$eroot/gen-1/$rel", n) == rows(s"$eroot/gen-0/$rel", n),
+        s"$rel rows changed under compact")
+      assert(partFiles(s"$eroot/gen-1/$rel") <= 4, rel)
+    }
+  }
 }
