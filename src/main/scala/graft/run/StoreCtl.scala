@@ -19,6 +19,7 @@ import graft.operators.{Dedup, Multimodal, Similarity, StoreFiles}
   *   runMain graft.run.StoreCtl gc    <root>
   *   runMain graft.run.StoreCtl advance <kind> <corpus> <root> <pred>
   *   runMain graft.run.StoreCtl compact <kind> <root>
+  *   runMain graft.run.StoreCtl recall  <root> <corpus>
   *
   * kind = cluster | embed | ivfpq | phash. `pred` is a SQL predicate
   * over the kind's corpus table (documents for cluster/phash,
@@ -44,6 +45,15 @@ import graft.operators.{Dedup, Multimodal, Similarity, StoreFiles}
   * marker lands leaves the pointer untouched and the litter's name
   * reserved, crash between marker and flip leaves a committed
   * generation an operator can flip to by hand.
+  *
+  * `recall` is the drift alarm a deployment runs before trusting a
+  * cron'd `advance` on an ivfpq root: it serves the pointed
+  * generation and prints the measured recall report
+  * (sim_ann_recall_stored's arithmetic — exact integer-L2 top-3
+  * within each query's probed pool vs the ADC refine window) plus the
+  * mean recall fraction. Frozen gen-0 codebooks accumulate
+  * quantization error silently as folds append; this verb measures it
+  * against the live corpus instead of assuming it.
   *
   * `compact` seals a fold chain: it rewrites the SERVED generation's
   * relations — sorted on their serve keys (band index by (band, key)
@@ -113,12 +123,34 @@ object StoreCtl {
         }
       case Seq("compact", kind, root) =>
         compact(spark, kind, root)
+      case Seq("recall", root, corpus) =>
+        StoreFiles.serve(root).flatMap { cur =>
+          if (!java.nio.file.Files.exists(
+              java.nio.file.Paths.get(cur, "model.json")))
+            return Left(s"$cur is not an ivfpq generation (no " +
+              "model.json) — recall measures the IVF-PQ kind")
+          graft.functions.VectorFunctions.ensureRegistered(spark)
+          val model = Similarity.IvfPqStore.load(spark, cur)
+          val report = Similarity
+            .annRecallStoredFrame(spark, corpus, model)
+            .collect()
+          if (report.isEmpty)
+            return Left(s"$corpus holds no query vectors " +
+              s"(vec_id >= ${Similarity.IvfQ}) — nothing to measure")
+          val found = report.map(_.getLong(1)).sum
+          val total = 3L * report.length
+          val lines = report.map(r =>
+            s"  query ${r.getLong(0)}: ${r.getLong(1)}/3").mkString("\n")
+          Right(s"[recall] serving $cur\n$lines\n" +
+            f"[recall] mean recall@3 = $found/$total (${
+              found.toDouble / total}%.3f)")
+        }
       case _ =>
         Left("usage: StoreCtl build <kind> <corpus> <store> [pred] | " +
           "fold <kind> <corpus> <store> <out> <pred> | stats <store> | " +
           "flip <root> <gen> | serve <root> | gc <root> | " +
           "advance <kind> <corpus> <root> <pred> | " +
-          "compact <kind> <root>\n" +
+          "compact <kind> <root> | recall <root> <corpus>\n" +
           "  kind = cluster | embed | ivfpq | phash")
     }
 

@@ -296,5 +296,10 @@ class StoreCtlSpec extends AnyFunSuite {
         s"$rel rows changed under compact")
       assert(partFiles(s"$eroot/gen-1/$rel") <= 4, rel)
     }
+    // the recall drift alarm serves the pointed ivfpq generation and
+    // reports the measured fraction; a non-ivfpq root is refused
+    val rec = StoreCtl.run(spark, Seq("recall", iroot, dir))
+    assert(rec.exists(_.contains("mean recall@3")), rec)
+    assert(StoreCtl.run(spark, Seq("recall", eroot, dir)).isLeft)
   }
 }
