@@ -179,13 +179,44 @@ object Dedup extends QueryPack {
     s.sql(s"SELECT doc_id, band, bk FROM ($bandSelects)")
   }
 
-  /** Unordered banded pairs — the composition form. Consumers that feed
-    * the pairs onward (dd_cluster's label propagation) use this so no
-    * range-partition sort (whose sampling pass re-executes the pipeline)
-    * sits inside their edge lineage.
+  /** The jaccard family's REP-level verified pairs (rep_a, rep_b,
+    * jaccard) plus the collapse membership registered as `jac_grp` —
+    * the duplicate-bomb guard ([[ddClusterEdges]]' collapse) applied
+    * to the pair table itself: identical shingle sets collapse to
+    * their min-doc_id representative, only reps are banded, and the
+    * verify runs ONCE per group pair. [[ddJaccardPairs]] expands the
+    * result back to member pairs — on a bombed corpus the quadratic
+    * part is the ANSWER (all k²/2 pairs really are duplicates), and
+    * this split confines it to join fan-out: candidate generation and
+    * the graft_isect merges stay O(groups²-candidates).
     */
-  private def ddJaccardPairs(s: SparkSession, dir: String): DataFrame = {
-    val bandSelects = bandedSigRelation(s, dir, "jac_sigs")
+  private[graft] def ddJaccardRepPairs(s: SparkSession,
+                                       dir: String): DataFrame = {
+    bandedSigRelation(s, dir, "jac_sigs")
+    // collapse groups: shingle-set key, empty-shingle carve-out,
+    // eager checkpoints (the dc_grp discipline — each frame is
+    // scanned several times inside one pair-materialization job)
+    s.sql(
+      s"""SELECT k.doc_id, g.rep FROM
+         |  (SELECT doc_id, md5(cast(hs as string)) AS hkey
+         |   FROM jac_sigs WHERE sig_0 <> ${Long.MaxValue}L) k
+         |JOIN
+         |  (SELECT md5(cast(hs as string)) AS hkey, min(doc_id) AS rep
+         |   FROM jac_sigs WHERE sig_0 <> ${Long.MaxValue}L
+         |   GROUP BY 1) g
+         |ON k.hkey = g.hkey""".stripMargin)
+      .localCheckpoint().createOrReplaceTempView("jac_grp")
+    s.sql(
+      s"""SELECT s.doc_id, ${(0 until 2 * JacBands)
+           .map("s.sig_" + _).mkString(", ")}
+         |FROM jac_sigs s
+         |JOIN (SELECT DISTINCT rep FROM jac_grp) r ON s.doc_id = r.rep"""
+        .stripMargin)
+      .coalesce(4).localCheckpoint().createOrReplaceTempView("jac_repsigs")
+    val bandSelects = (0 until JacBands)
+      .map(b => s"SELECT doc_id, $b AS band, ${jacBandKeySpark(b)} AS bk" +
+        s" FROM jac_repsigs$jacBandGuard")
+      .mkString(" UNION ALL ")
     // length-ratio conjunct: j >= 0.6 implies min(sz)/max(sz) >= 0.6
     // (exact integers, pure prune — same rows out)
     s.sql(
@@ -194,7 +225,7 @@ object Dedup extends QueryPack {
          |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
          |  FROM bands x JOIN bands y
          |    ON x.band = y.band AND x.bk = y.bk AND x.doc_id < y.doc_id)
-         |SELECT doc_a, doc_b, jaccard FROM (
+         |SELECT doc_a AS rep_a, doc_b AS rep_b, jaccard FROM (
          |  SELECT doc_a, doc_b,
          |    round(cast(graft_isect(a.hs, b.hs) as double)
          |      / (size(a.hs) + size(b.hs) - graft_isect(a.hs, b.hs)), 6)
@@ -204,6 +235,32 @@ object Dedup extends QueryPack {
          |  WHERE least(size(a.hs), size(b.hs)) * 10
          |        >= greatest(size(a.hs), size(b.hs)) * 6)
          |WHERE jaccard >= 0.6""".stripMargin)
+  }
+
+  /** Unordered banded pairs — the composition form. Consumers that feed
+    * the pairs onward (decontamination, overlap, the sweep) use this so
+    * no range-partition sort (whose sampling pass re-executes the
+    * pipeline) sits inside their edge lineage. Member-level: the
+    * rep-level verified pairs expand through `jac_grp` on both sides
+    * (a member's hs equals its rep's, so the verified jaccard is
+    * every member pair's jaccard, exactly), and within-group pairs
+    * are jaccard 1 by construction (identical non-empty shingle sets;
+    * the carve-out keeps empty-set twins out, whose true jaccard is
+    * 0/0, never a pair). Output is row-for-row the uncollapsed banded
+    * pair table — DupBombGuardSpec leans on that equality.
+    */
+  private def ddJaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    ddJaccardRepPairs(s, dir).createOrReplaceTempView("jac_repver")
+    s.sql(
+      s"""SELECT least(ga.doc_id, gb.doc_id) AS doc_a,
+         |       greatest(ga.doc_id, gb.doc_id) AS doc_b, jaccard
+         |FROM jac_repver JOIN jac_grp ga ON ga.rep = rep_a
+         |                JOIN jac_grp gb ON gb.rep = rep_b
+         |UNION ALL
+         |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         |  cast(1.0 as double) AS jaccard
+         |FROM jac_grp x JOIN jac_grp y
+         |  ON x.rep = y.rep AND x.doc_id < y.doc_id""".stripMargin)
   }
 
   private def ddJaccard(s: SparkSession, dir: String): DataFrame =

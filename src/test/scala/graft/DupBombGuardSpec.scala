@@ -272,6 +272,26 @@ class DupBombGuardSpec extends AnyFunSuite {
     assert(got(300L) == 300L && got(301L) == 301L)
   }
 
+  test("dd_jaccard: the bombed pair table verifies once per group — " +
+      "rep-level pairs are O(groups) while the member expansion still " +
+      "emits the full clique") {
+    // incDir's 41 identical texts (new bomb 0-39 + old twin 50) are
+    // ONE collapse group here (the pair table has no batch sides), so
+    // the rep-level relation holds only the genuine near-dup pair —
+    // zero verifies spent on the clique
+    val reps = Dedup.ddJaccardRepPairs(spark, incDir)
+      .select("rep_a", "rep_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(reps == Set((210L, 211L)), reps)
+    // ...and the member expansion still answers the all-pairs spec:
+    // the full C(41,2) clique plus the near-dup pair, with the
+    // within-group rows carrying jaccard exactly 1
+    val full = SparkEntry.queries("dd_jaccard")(spark, incDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(full.length == 41 * 40 / 2 + 1, full.length)
+    assert(full.filter(t => t._1 != 210L).forall(_._3 == 1.0d))
+  }
+
   /** Bombed-STORE fixture: the duplicate bomb is ALREADY IN the
     * persistent cluster store (k identical old docs) — the store
     * layout's own bomb exposure: an uncollapsed store carries k band
