@@ -1387,8 +1387,31 @@ object Dedup extends QueryPack {
       .createOrReplaceTempView("cos_e")
   }
 
-  private def ddEmbedLshPairs(s: SparkSession, dir: String): DataFrame = {
+  /** The cosine family's REP-level verified pairs (rep_a, rep_b,
+    * cos_sim) plus the collapse membership registered as `cos_grp` —
+    * [[ddJaccardRepPairs]]' guard for the embedding side: byte-
+    * identical vectors collapse to their min-vec_id rep (key = the
+    * vector rendering, zero-norm carve-out), only reps are banded,
+    * the graft_cos verify runs once per group pair.
+    */
+  private[graft] def ddEmbedLshRepPairs(s: SparkSession,
+                                        dir: String): DataFrame = {
     ensureCosE(s, dir)
+    s.sql(
+      s"""SELECT k.vec_id, g.rep FROM
+         |  (SELECT vec_id, md5(cast(embedding as string)) AS vk
+         |   FROM cos_e WHERE n2 > 0) k
+         |JOIN
+         |  (SELECT md5(cast(embedding as string)) AS vk,
+         |          min(vec_id) AS rep
+         |   FROM cos_e WHERE n2 > 0 GROUP BY 1) g
+         |ON k.vk = g.vk""".stripMargin)
+      .localCheckpoint().createOrReplaceTempView("cos_grp")
+    s.sql(
+      s"""SELECT s.vec_id, s.bks FROM cos_e s
+         |JOIN (SELECT DISTINCT rep FROM cos_grp) r ON s.vec_id = r.rep"""
+        .stripMargin)
+      .coalesce(4).localCheckpoint().createOrReplaceTempView("cos_repe")
     // Band-side zero-norm guard — the embedding-space twin of
     // jacBandGuard: a zero vector's hyperplane dots are all 0, so its
     // sign buckets are the CONSTANT key in every band (all zero-norm
@@ -1400,10 +1423,11 @@ object Dedup extends QueryPack {
     // at candidate generation; they still reach every node list and
     // surface as singletons (ZeroNormGuardSpec). The oracle
     // restatements carry the same WHERE n2 > 0, so both dialects
-    // state the same query.
+    // state the same query. (They are also off the collapse: NaN
+    // cosine means identical zero twins are never a pair.)
     val bandSelects = (0 until CosBands)
       .map(b => s"SELECT vec_id, $b AS band, element_at(bks, ${b + 1}) AS bkt" +
-        " FROM cos_e WHERE n2 > 0")
+        " FROM cos_repe")
       .mkString(" UNION ALL ")
     s.sql(
       s"""WITH bands AS ($bandSelects),
@@ -1411,7 +1435,7 @@ object Dedup extends QueryPack {
          |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
          |  FROM bands x JOIN bands y
          |    ON x.band = y.band AND x.bkt = y.bkt AND x.vec_id < y.vec_id)
-         |SELECT vec_a, vec_b, cos_sim FROM (
+         |SELECT vec_a AS rep_a, vec_b AS rep_b, cos_sim FROM (
          |  SELECT vec_a, vec_b, round(cs, 6) AS cos_sim FROM (
          |    SELECT vec_a, vec_b,
          |      graft_cos(a.embedding, b.embedding, a.n2, b.n2) AS cs
@@ -1419,6 +1443,28 @@ object Dedup extends QueryPack {
          |              JOIN cos_e b ON b.vec_id = vec_b)
          |  WHERE cs > 0.3999994)
          |WHERE cos_sim >= 0.4""".stripMargin)
+  }
+
+  /** Member-level banded cosine pairs — the composition form behind
+    * dd_embed_cosine_lsh and dd_decontaminate_semantic: the rep-level
+    * verified pairs expand through `cos_grp` on both sides
+    * (byte-identical vectors make the verified cosine every member
+    * pair's cosine, bit-exactly), and within-group pairs carry
+    * cos_sim 1 directly (round-6 of a cosine within one ulp of 1).
+    * Output is row-for-row the uncollapsed banded pair table.
+    */
+  private def ddEmbedLshPairs(s: SparkSession, dir: String): DataFrame = {
+    ddEmbedLshRepPairs(s, dir).createOrReplaceTempView("cos_repver")
+    s.sql(
+      s"""SELECT least(ga.vec_id, gb.vec_id) AS vec_a,
+         |       greatest(ga.vec_id, gb.vec_id) AS vec_b, cos_sim
+         |FROM cos_repver JOIN cos_grp ga ON ga.rep = rep_a
+         |                JOIN cos_grp gb ON gb.rep = rep_b
+         |UNION ALL
+         |SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+         |  cast(1.0 as double) AS cos_sim
+         |FROM cos_grp x JOIN cos_grp y
+         |  ON x.rep = y.rep AND x.vec_id < y.vec_id""".stripMargin)
   }
 
   private def ddEmbedCosineLsh(s: SparkSession, dir: String): DataFrame =

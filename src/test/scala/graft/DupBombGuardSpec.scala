@@ -292,6 +292,25 @@ class DupBombGuardSpec extends AnyFunSuite {
     assert(full.filter(t => t._1 != 210L).forall(_._3 == 1.0d))
   }
 
+  test("dd_embed_cosine_lsh: the bombed pair table verifies once per " +
+      "group — rep-level pairs are O(groups) while the member " +
+      "expansion still emits the full clique") {
+    // dir's embeddings: 40-copy bomb (one group, rep 0), a scaled
+    // copy 100 (different bytes — its own group, cos exactly 1 via
+    // rep-rep banding), two distinct vectors, two zero vectors (off
+    // the collapse AND the bands)
+    val reps = Dedup.ddEmbedLshRepPairs(spark, dir)
+      .select("rep_a", "rep_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(reps == Set((0L, 100L)), reps)
+    val full = SparkEntry.queries("dd_embed_cosine_lsh")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(full.length == 40 * 39 / 2 + 40, full.length)
+    assert(full.forall(_._3 == 1.0d))
+    assert(!full.exists(t => t._1 >= 300L || t._2 >= 300L),
+      "zero-vector twins leaked into the pair table")
+  }
+
   /** Bombed-STORE fixture: the duplicate bomb is ALREADY IN the
     * persistent cluster store (k identical old docs) — the store
     * layout's own bomb exposure: an uncollapsed store carries k band
