@@ -95,6 +95,10 @@ object Bench {
     "sim_ivfpq_refine", "sim_ann_recall_stored",
     // the shared embed-LSH edge registry's declared cold-build pricer
     "dd_lp_edges",
+    // first-alphabetical consumers of the r17 shared pair-relation
+    // registries: their rep 1 materializes the family's collapse +
+    // rep-verify relations (jaccard and cosine respectively)
+    "dd_decontaminate", "dd_decontaminate_semantic",
     // the served-store replay gates: rep 1 builds the probed store
     "st_store_dedup_replay", "st_store_dedup_ooo_replay",
     "st_store_neardup_replay", "st_store_neardup_ooo_replay",

@@ -191,12 +191,24 @@ object Dedup extends QueryPack {
     * the graft_isect merges stay O(groups²-candidates).
     */
   private[graft] def ddJaccardRepPairs(s: SparkSession,
-                                       dir: String): DataFrame = {
+                                       dir: String): DataFrame =
+    jacRelations(s, dir).repVer
+
+  /** The jaccard family's shared collapse relations, materialized once
+    * per (session, corpus) through the registry ([[FrameRegistry]]'s
+    * contract — the embed_lsh edge share's argument applied to the
+    * pair families: five consumers, one banded corpus pass).
+    */
+  private def jacRelations(s: SparkSession, dir: String): PairRelations =
+    jacRelCache.getOrBuild(s, s"jac_pairs|$dir")(buildJacRelations(s, dir))
+
+  private def buildJacRelations(s: SparkSession,
+                                dir: String): PairRelations = {
     bandedSigRelation(s, dir, "jac_sigs")
     // collapse groups: shingle-set key, empty-shingle carve-out,
     // eager checkpoints (the dc_grp discipline — each frame is
     // scanned several times inside one pair-materialization job)
-    s.sql(
+    val grp = s.sql(
       s"""SELECT k.doc_id, g.rep FROM
          |  (SELECT doc_id, md5(cast(hs as string)) AS hkey
          |   FROM jac_sigs WHERE sig_0 <> ${Long.MaxValue}L) k
@@ -205,7 +217,8 @@ object Dedup extends QueryPack {
          |   FROM jac_sigs WHERE sig_0 <> ${Long.MaxValue}L
          |   GROUP BY 1) g
          |ON k.hkey = g.hkey""".stripMargin)
-      .localCheckpoint().createOrReplaceTempView("jac_grp")
+      .localCheckpoint()
+    grp.createOrReplaceTempView("jac_grp")
     s.sql(
       s"""SELECT s.doc_id, ${(0 until 2 * JacBands)
            .map("s.sig_" + _).mkString(", ")}
@@ -218,8 +231,10 @@ object Dedup extends QueryPack {
         s" FROM jac_repsigs$jacBandGuard")
       .mkString(" UNION ALL ")
     // length-ratio conjunct: j >= 0.6 implies min(sz)/max(sz) >= 0.6
-    // (exact integers, pure prune — same rows out)
-    s.sql(
+    // (exact integers, pure prune — same rows out). The verify result
+    // is checkpointed: it IS the registry entry, so cache hits serve
+    // materialized rows with no view dependencies.
+    val repVer = s.sql(
       s"""WITH bands AS ($bandSelects),
          |cand AS (
          |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
@@ -235,6 +250,8 @@ object Dedup extends QueryPack {
          |  WHERE least(size(a.hs), size(b.hs)) * 10
          |        >= greatest(size(a.hs), size(b.hs)) * 6)
          |WHERE jaccard >= 0.6""".stripMargin)
+      .localCheckpoint()
+    PairRelations(repVer, grp)
   }
 
   /** Unordered banded pairs — the composition form. Consumers that feed
@@ -250,7 +267,13 @@ object Dedup extends QueryPack {
     * pair table — DupBombGuardSpec leans on that equality.
     */
   private def ddJaccardPairs(s: SparkSession, dir: String): DataFrame = {
-    ddJaccardRepPairs(s, dir).createOrReplaceTempView("jac_repver")
+    val rel = jacRelations(s, dir)
+    // views re-registered from the CACHED frames per call: another
+    // corpus's intervening call rebinds the names, and a stale view
+    // would silently expand this corpus's reps through that one's
+    // membership
+    rel.repVer.createOrReplaceTempView("jac_repver")
+    rel.grp.createOrReplaceTempView("jac_grp")
     s.sql(
       s"""SELECT least(ga.doc_id, gb.doc_id) AS doc_a,
          |       greatest(ga.doc_id, gb.doc_id) AS doc_b, jaccard
@@ -1395,9 +1418,19 @@ object Dedup extends QueryPack {
     * the graft_cos verify runs once per group pair.
     */
   private[graft] def ddEmbedLshRepPairs(s: SparkSession,
-                                        dir: String): DataFrame = {
+                                        dir: String): DataFrame =
+    cosRelations(s, dir).repVer
+
+  /** The cosine family's shared collapse relations, one per
+    * (session, corpus) — see [[jacRelations]].
+    */
+  private def cosRelations(s: SparkSession, dir: String): PairRelations =
+    cosRelCache.getOrBuild(s, s"cos_pairs|$dir")(buildCosRelations(s, dir))
+
+  private def buildCosRelations(s: SparkSession,
+                                dir: String): PairRelations = {
     ensureCosE(s, dir)
-    s.sql(
+    val grp = s.sql(
       s"""SELECT k.vec_id, g.rep FROM
          |  (SELECT vec_id, md5(cast(embedding as string)) AS vk
          |   FROM cos_e WHERE n2 > 0) k
@@ -1406,7 +1439,8 @@ object Dedup extends QueryPack {
          |          min(vec_id) AS rep
          |   FROM cos_e WHERE n2 > 0 GROUP BY 1) g
          |ON k.vk = g.vk""".stripMargin)
-      .localCheckpoint().createOrReplaceTempView("cos_grp")
+      .localCheckpoint()
+    grp.createOrReplaceTempView("cos_grp")
     s.sql(
       s"""SELECT s.vec_id, s.bks FROM cos_e s
          |JOIN (SELECT DISTINCT rep FROM cos_grp) r ON s.vec_id = r.rep"""
@@ -1429,7 +1463,7 @@ object Dedup extends QueryPack {
       .map(b => s"SELECT vec_id, $b AS band, element_at(bks, ${b + 1}) AS bkt" +
         " FROM cos_repe")
       .mkString(" UNION ALL ")
-    s.sql(
+    val repVer = s.sql(
       s"""WITH bands AS ($bandSelects),
          |cand AS (
          |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
@@ -1443,6 +1477,8 @@ object Dedup extends QueryPack {
          |              JOIN cos_e b ON b.vec_id = vec_b)
          |  WHERE cs > 0.3999994)
          |WHERE cos_sim >= 0.4""".stripMargin)
+      .localCheckpoint()
+    PairRelations(repVer, grp)
   }
 
   /** Member-level banded cosine pairs — the composition form behind
@@ -1454,7 +1490,11 @@ object Dedup extends QueryPack {
     * Output is row-for-row the uncollapsed banded pair table.
     */
   private def ddEmbedLshPairs(s: SparkSession, dir: String): DataFrame = {
-    ddEmbedLshRepPairs(s, dir).createOrReplaceTempView("cos_repver")
+    val rel = cosRelations(s, dir)
+    // views re-registered from the cached frames per call (see
+    // ddJaccardPairs' stale-rebind note)
+    rel.repVer.createOrReplaceTempView("cos_repver")
+    rel.grp.createOrReplaceTempView("cos_grp")
     s.sql(
       s"""SELECT least(ga.vec_id, gb.vec_id) AS vec_a,
          |       greatest(ga.vec_id, gb.vec_id) AS vec_b, cos_sim
@@ -1724,89 +1764,129 @@ object Dedup extends QueryPack {
     m
   }
 
-  private val lpEdgeCache =
-    new java.util.LinkedHashMap[(SparkSession, String), LpEdges](
-        16, 0.75f, /*accessOrder=*/ true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[(SparkSession, String), LpEdges])
-          : Boolean = size() > LpEdgeCacheMax
-    }
-
-  private def purgeLpDeadSessions(): Unit = {
-    val it = lpEdgeCache.keySet().iterator()
-    while (it.hasNext) if (it.next()._1.sparkContext.isStopped) it.remove()
-  }
-
-  /** Monotonic invalidation stamp: bumped under the registry lock by
+  /** Generic bounded, invalidatable, session-bound registry of
+    * materialized frames — the lifecycle mechanics behind the shared
+    * LP edge frames, factored out (r17) so the jaccard/cosine pair
+    * relations live under the SAME contract (LpEdgeCacheSpec's three
+    * clauses: sharing, invalidation, LRU bound) instead of a
+    * divergent copy. Keys are (session identity, "name|corpusDir");
+    * values hold localCheckpoint blocks, so entries are session-bound
+    * (purged when the context stops) and survive
+    * `catalog.clearCache()` by design — the registry, not the
+    * catalog, owns their lifetime.
+    *
+    * The monotonic invalidation stamp is bumped under the lock by
     * every invalidate/clear. A build that STARTED before an
     * invalidation must not register its (possibly pre-rewrite) result
-    * after it — lpEdgesFor snapshots the stamp before building and
+    * after it — getOrBuild snapshots the stamp before building and
     * only puts if no invalidation intervened, closing the
-    * build-outside-lock / invalidate interleaving that would otherwise
-    * re-install stale edges right after the caller followed the
-    * staleness contract (LpEdgeCacheSpec pins this).
+    * build-outside-lock / invalidate interleaving that would
+    * otherwise re-install stale frames right after the caller
+    * followed the staleness contract. The build runs OUTSIDE the
+    * lock — two concurrent first-callers may both build (last one
+    * wins; the loser's blocks are ContextCleaner-reclaimed), the
+    * standard price for not blocking every other session's lookup
+    * behind a multi-second materialization.
     */
-  private var lpEdgeInvalidations = 0L
-
-  /** Registry lookup: return the prepared edges for `(session, key)`,
-    * building (and registering) them on a miss. The build runs OUTSIDE
-    * the registry lock — two concurrent first-callers may both build
-    * (last one wins; the loser's blocks are ContextCleaner-reclaimed),
-    * which is the standard price for not blocking every other session's
-    * lookup behind a multi-second materialization.
-    */
-  private def lpEdgesFor(session: SparkSession, key: String)
-                        (build: => LpEdges): LpEdges = {
-    val k = (session, key)
-    val (hit, stamp) = lpEdgeCache.synchronized {
-      purgeLpDeadSessions()
-      (lpEdgeCache.get(k), lpEdgeInvalidations)
-    }
-    if (hit != null) hit
-    else {
-      val e = build
-      lpEdgeCache.synchronized {
-        // an invalidation ran while we built: our result may predate
-        // the rewrite that triggered it — serve it to THIS caller
-        // (its own read is as fresh as its own build) but don't
-        // register it for future ones
-        if (lpEdgeInvalidations == stamp) lpEdgeCache.put(k, e)
+  private final class FrameRegistry[V <: AnyRef](maxEntries: Int) {
+    private val cache =
+      new java.util.LinkedHashMap[(SparkSession, String), V](
+          16, 0.75f, /*accessOrder=*/ true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[(SparkSession, String), V])
+            : Boolean = size() > maxEntries
       }
-      e
+    private var invalidations = 0L
+
+    private def purgeDead(): Unit = {
+      val it = cache.keySet().iterator()
+      while (it.hasNext) if (it.next()._1.sparkContext.isStopped) it.remove()
+    }
+
+    def getOrBuild(session: SparkSession, key: String)(build: => V): V = {
+      val k = (session, key)
+      val (hit, stamp) = cache.synchronized {
+        purgeDead()
+        (cache.get(k), invalidations)
+      }
+      if (hit != null) hit
+      else {
+        val e = build
+        cache.synchronized {
+          // an invalidation ran while we built: our result may predate
+          // the rewrite that triggered it — serve it to THIS caller
+          // (its own read is as fresh as its own build) but don't
+          // register it for future ones
+          if (invalidations == stamp) cache.put(k, e)
+        }
+        e
+      }
+    }
+
+    def invalidate(session: SparkSession, dir: String): Unit =
+      cache.synchronized {
+        invalidations += 1
+        val it = cache.keySet().iterator()
+        while (it.hasNext) {
+          val k = it.next()
+          if (k._1 == session && k._2.endsWith("|" + dir)) it.remove()
+        }
+      }
+
+    def clear(): Unit = cache.synchronized {
+      invalidations += 1
+      cache.clear()
+    }
+
+    def keys: Seq[String] = cache.synchronized {
+      import scala.jdk.CollectionConverters._
+      cache.keySet().asScala.toSeq.map(_._2)
     }
   }
 
-  /** Drop every shared edge frame built over `dir` for `session` — the
-    * staleness hook a caller MUST use after rewriting a corpus in place
-    * under the same path (see the registry contract above). A no-op for
-    * dirs with no entry (the invalidation stamp still advances, so an
-    * in-flight build over the old data cannot register afterwards).
-    */
-  def invalidateLpEdges(session: SparkSession, dir: String): Unit =
-    lpEdgeCache.synchronized {
-      lpEdgeInvalidations += 1
-      val it = lpEdgeCache.keySet().iterator()
-      while (it.hasNext) {
-        val k = it.next()
-        if (k._1 == session && k._2.endsWith("|" + dir)) it.remove()
-      }
-    }
+  private val lpEdgeCache = new FrameRegistry[LpEdges](LpEdgeCacheMax)
 
-  /** Test/A-B hook: drop ALL shared edge frames (TimeOne's
-    * GRAFT_LP_COLD=1 uses this between reps to measure LP consumers
-    * cold; see BENCHING.md).
+  /** The collapse relations a banded pair family shares per
+    * (session, corpus): the rep-level VERIFIED pair table and the
+    * (member, rep) membership, both lineage-truncated. grp is small
+    * by construction; repVer is bounded by the rep-level candidate
+    * volume — never the member expansion, which stays lazy in each
+    * consumer.
     */
-  private[graft] def clearLpEdgeCache(): Unit =
-    lpEdgeCache.synchronized {
-      lpEdgeInvalidations += 1
-      lpEdgeCache.clear()
-    }
+  private final case class PairRelations(repVer: DataFrame, grp: DataFrame)
 
-  private[graft] def lpEdgeCacheKeys: Seq[String] =
-    lpEdgeCache.synchronized {
-      import scala.jdk.CollectionConverters._
-      lpEdgeCache.keySet().asScala.toSeq.map(_._2)
-    }
+  private val jacRelCache = new FrameRegistry[PairRelations](LpEdgeCacheMax)
+  private val cosRelCache = new FrameRegistry[PairRelations](LpEdgeCacheMax)
+
+  private def lpEdgesFor(session: SparkSession, key: String)
+                        (build: => LpEdges): LpEdges =
+    lpEdgeCache.getOrBuild(session, key)(build)
+
+  /** Drop every shared frame built over `dir` for `session` — edge
+    * frames AND the pair families' collapse relations — the staleness
+    * hook a caller MUST use after rewriting a corpus in place under
+    * the same path (see the registry contract above). A no-op for
+    * dirs with no entry (each registry's invalidation stamp still
+    * advances, so an in-flight build over the old data cannot
+    * register afterwards).
+    */
+  def invalidateLpEdges(session: SparkSession, dir: String): Unit = {
+    lpEdgeCache.invalidate(session, dir)
+    jacRelCache.invalidate(session, dir)
+    cosRelCache.invalidate(session, dir)
+  }
+
+  /** Test/A-B hook: drop ALL shared frames (TimeOne's GRAFT_LP_COLD=1
+    * uses this between reps to measure LP consumers cold; see
+    * BENCHING.md).
+    */
+  private[graft] def clearLpEdgeCache(): Unit = {
+    lpEdgeCache.clear()
+    jacRelCache.clear()
+    cosRelCache.clear()
+  }
+
+  private[graft] def lpEdgeCacheKeys: Seq[String] = lpEdgeCache.keys
 
   /** `frontier = false` opts a call out of semi-naive rounds: full
     * passes scan the whole label set, which is only a cost when that
