@@ -199,11 +199,21 @@ object Dedup extends QueryPack {
     * contract — the embed_lsh edge share's argument applied to the
     * pair families: five consumers, one banded corpus pass).
     */
-  private def jacRelations(s: SparkSession, dir: String): PairRelations =
-    jacRelCache.getOrBuild(s, s"jac_pairs|$dir")(buildJacRelations(s, dir))
+  private def jacRelations(s: SparkSession, dir: String): PairRelations = {
+    jacRelCache.getOrBuild(s, s"jac_pairs|$dir") {
+      val (grp, ver) = jacRepVerifyFrame(s, dir)
+      PairRelations(ver.localCheckpoint(), grp)
+    }
+  }
 
-  private def buildJacRelations(s: SparkSession,
-                                dir: String): PairRelations = {
+  /** The collapse membership (eager) and the rep-level banded-verify
+    * frame LAZY — split out so PlanSpec can pin the verify's physical
+    * shape (banded equi-joins, the graft_isect arithmetic) without
+    * running it; [[jacRelations]] is the only production caller and
+    * owns checkpointing the verify into the registry.
+    */
+  private[graft] def jacRepVerifyFrame(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
     bandedSigRelation(s, dir, "jac_sigs")
     // collapse groups: shingle-set key, empty-shingle carve-out,
     // eager checkpoints (the dc_grp discipline — each frame is
@@ -231,10 +241,10 @@ object Dedup extends QueryPack {
         s" FROM jac_repsigs$jacBandGuard")
       .mkString(" UNION ALL ")
     // length-ratio conjunct: j >= 0.6 implies min(sz)/max(sz) >= 0.6
-    // (exact integers, pure prune — same rows out). The verify result
-    // is checkpointed: it IS the registry entry, so cache hits serve
+    // (exact integers, pure prune — same rows out). The caller
+    // checkpoints this frame into the registry, so cache hits serve
     // materialized rows with no view dependencies.
-    val repVer = s.sql(
+    (grp, s.sql(
       s"""WITH bands AS ($bandSelects),
          |cand AS (
          |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
@@ -249,9 +259,7 @@ object Dedup extends QueryPack {
          |            JOIN jac_sigs b ON b.doc_id = doc_b
          |  WHERE least(size(a.hs), size(b.hs)) * 10
          |        >= greatest(size(a.hs), size(b.hs)) * 6)
-         |WHERE jaccard >= 0.6""".stripMargin)
-      .localCheckpoint()
-    PairRelations(repVer, grp)
+         |WHERE jaccard >= 0.6""".stripMargin))
   }
 
   /** Unordered banded pairs — the composition form. Consumers that feed
@@ -1425,10 +1433,17 @@ object Dedup extends QueryPack {
     * (session, corpus) — see [[jacRelations]].
     */
   private def cosRelations(s: SparkSession, dir: String): PairRelations =
-    cosRelCache.getOrBuild(s, s"cos_pairs|$dir")(buildCosRelations(s, dir))
+    cosRelCache.getOrBuild(s, s"cos_pairs|$dir") {
+      val (grp, ver) = cosRepVerifyFrame(s, dir)
+      PairRelations(ver.localCheckpoint(), grp)
+    }
 
-  private def buildCosRelations(s: SparkSession,
-                                dir: String): PairRelations = {
+  /** Membership (eager) + the rep-level banded cosine verify LAZY —
+    * the [[jacRepVerifyFrame]] split for the cosine family's PlanSpec
+    * pins (fused graft_cos kernel, raw prefilter, banded equi-joins).
+    */
+  private[graft] def cosRepVerifyFrame(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
     ensureCosE(s, dir)
     val grp = s.sql(
       s"""SELECT k.vec_id, g.rep FROM
@@ -1463,7 +1478,7 @@ object Dedup extends QueryPack {
       .map(b => s"SELECT vec_id, $b AS band, element_at(bks, ${b + 1}) AS bkt" +
         " FROM cos_repe")
       .mkString(" UNION ALL ")
-    val repVer = s.sql(
+    (grp, s.sql(
       s"""WITH bands AS ($bandSelects),
          |cand AS (
          |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
@@ -1476,9 +1491,7 @@ object Dedup extends QueryPack {
          |    FROM cand JOIN cos_e a ON a.vec_id = vec_a
          |              JOIN cos_e b ON b.vec_id = vec_b)
          |  WHERE cs > 0.3999994)
-         |WHERE cos_sim >= 0.4""".stripMargin)
-      .localCheckpoint()
-    PairRelations(repVer, grp)
+         |WHERE cos_sim >= 0.4""".stripMargin))
   }
 
   /** Member-level banded cosine pairs — the composition form behind

@@ -73,7 +73,11 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("dd_jaccard: banded candidates — no all-pairs or constant-key join") {
-    val p = plan("dd_jaccard")
+    // the served key is the membership expansion over the registry's
+    // checkpointed rep pairs (r17); the banded-candidate claim lives
+    // in the VERIFY the registry materializes — pin its lazy frame
+    val p = operators.Dedup.jacRepVerifyFrame(spark, dir)
+      ._2.queryExecution.executedPlan.toString
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
     assert(!p.contains("CartesianProduct"), p.take(3000))
     // the round-3 shape joined on a literal 0=0 column pair (k = kb);
@@ -81,6 +85,10 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("[k#") && !p.contains("[kb#"), p.take(3000))
     assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
       p.contains("ShuffledHashJoin"), p.take(3000))
+    // ...and the served expansion itself stays equi-join-only
+    val e = plan("dd_jaccard")
+    assert(!e.contains("BroadcastNestedLoopJoin") &&
+      !e.contains("CartesianProduct"), e.take(3000))
   }
 
   test("dd_containment: banded candidates — no all-pairs or constant-key join") {
@@ -226,7 +234,11 @@ class PlanSpec extends AnyFunSuite {
 
   test("dd_embed pair re-score: fused graft_cos kernel with the raw " +
        "prefilter ahead of the rounded threshold") {
-    val p = plan("dd_embed_cosine_lsh")
+    // the kernel + prefilter live in the registry-materialized verify
+    // (r17: the served key is the membership expansion) — pin the
+    // verify's lazy frame
+    val p = operators.Dedup.cosRepVerifyFrame(spark, dir)
+      ._2.queryExecution.executedPlan.toString
     // one kernel call per pair instead of a dot/sqrt/divide tree, and
     // the primitive-compare prefilter that keeps BigDecimal rounding
     // off the hot path (provably looser than round(cs,6) >= 0.4)
@@ -235,12 +247,16 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("dd_embed_cosine_lsh: banded candidates — no all-pairs or constant-key join") {
-    val p = plan("dd_embed_cosine_lsh")
+    val p = operators.Dedup.cosRepVerifyFrame(spark, dir)
+      ._2.queryExecution.executedPlan.toString
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
     assert(!p.contains("CartesianProduct"), p.take(3000))
     assert(!p.contains("[k#") && !p.contains("[kb#"), p.take(3000))
     assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
       p.contains("ShuffledHashJoin"), p.take(3000))
+    val e = plan("dd_embed_cosine_lsh")
+    assert(!e.contains("BroadcastNestedLoopJoin") &&
+      !e.contains("CartesianProduct"), e.take(3000))
   }
 
   test("q27: range join is bucketed into an equi join") {
