@@ -338,9 +338,12 @@ object Bench {
       "\"" + m.name + "\":" + f3(m.spread)
     }.mkString("{", ",", "}")
     // the build channel (store keys only): rep-1 wall seconds; the
-    // key's median/spread/cpu/jobs are warm-rep-only for these
-    val buildFull = results.collect { case m if m.buildSec >= 0 =>
-      "\"" + m.name + "\":" + f3(m.buildSec)
+    // key's median/spread/cpu/jobs are warm-rep-only for these. An
+    // errored key is excluded — its truncated build time would read
+    // as a plausible number next to a -1 median
+    val buildFull = results.collect {
+      case m if m.buildSec >= 0 && m.err.isEmpty =>
+        "\"" + m.name + "\":" + f3(m.buildSec)
     }.mkString("{", ",", "}")
     // only spreads big enough to matter (>=0.5 s), worst six — the final
     // line has a hard byte budget (see below)
@@ -411,7 +414,7 @@ object Bench {
     // the 8 heaviest builds inline (full map in the file): the
     // build/warm split is what un-flags the store family, so a grader
     // reading only the captured line must see where rep 1 went
-    val buildTop = results.filter(_.buildSec >= 0)
+    val buildTop = results.filter(m => m.buildSec >= 0 && m.err.isEmpty)
       .sortBy(-_.buildSec).take(8)
       .map { m => "\"" + m.name + "\":" + f1(m.buildSec) }
       .mkString("{", ",", "}")

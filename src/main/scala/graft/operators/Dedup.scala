@@ -3327,15 +3327,22 @@ object Dedup extends QueryPack {
     }
   }
 
-  /** Per-(process, corpus) EVAL-SLICE embed store ([[evalPred]] over
-    * vec_id — the semantic twin of [[ensureEvalClusterStore]]): the
-    * served index st_decontaminate_semantic_replay probes at ingest.
+  /** [[evalPred]] over vec_id — one definition for the embed family's
+    * eval slice, so the store build and the streaming feed cannot
+    * drift (the text side's evalPred argument; the DuckDB oracles
+    * state the same % 50 literally, next to the batch oracle's own).
+    */
+  private[graft] val evalVecPred = "vec_id % 50 = 0"
+
+  /** Per-(process, corpus) EVAL-SLICE embed store ([[evalVecPred]] —
+    * the semantic twin of [[ensureEvalClusterStore]]): the served
+    * index st_decontaminate_semantic_replay probes at ingest.
     */
   private[graft] def ensureEvalEmbedStore(s: SparkSession,
                                           dir: String): String = {
     val store = StoreFiles.scratchDir("graft_estore_eval_", dir)
     StoreFiles.ensure(embedStoreLocks, store) {
-      embedStoreBuild(s, dir, store, "vec_id % 50 = 0")
+      embedStoreBuild(s, dir, store, evalVecPred)
     }
   }
 

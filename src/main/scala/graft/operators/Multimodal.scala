@@ -699,16 +699,16 @@ object Multimodal extends QueryPack {
     // distance is every member pair's distance), and within-group
     // pairs are Hamming 0 by definition. Both legs are TRUE OUTPUT of
     // the all-pairs spec — the quadratic part of a bombed corpus is
-    // its answer, not the candidate work. DISTINCT reps can repeat
-    // across generations (each fold collapses per batch), so the
-    // rep-level pair set is deduped before expanding; least/greatest
-    // normalizes because a later generation can hold the lower doc_id.
+    // its answer, not the candidate work. DISTINCT collapses the up-
+    // to-4 band collisions of a rep pair; the `<` self-join already
+    // yields each unordered pair exactly once (both sides scan the
+    // same relation), including cross-generation pairs where a later
+    // fold holds the lower doc_id.
     s.sql(
       s"""WITH repver AS (
-         |  SELECT DISTINCT least(x.doc_id, y.doc_id) AS rep_a,
-         |         greatest(x.doc_id, y.doc_id) AS rep_b
+         |  SELECT DISTINCT x.doc_id AS rep_a, y.doc_id AS rep_b
          |  FROM pfs_bands x JOIN pfs_bands y
-         |    ON x.band = y.band AND x.bv = y.bv AND x.doc_id <> y.doc_id),
+         |    ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id),
          |ver AS (
          |  SELECT rep_a, rep_b,
          |    cast(bit_count(a.phash ^ b.phash) as int) AS hamming

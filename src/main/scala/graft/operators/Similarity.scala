@@ -1225,7 +1225,14 @@ object Similarity extends QueryPack {
     purgeDeadSessions()
     val root = graft.operators.StoreFiles.scratchDir("graft_ivfpqgen_", dir)
     storeLocks.computeIfAbsent(root, _ => new Object).synchronized {
-      if (graft.operators.StoreFiles.serve(root).isLeft) {
+      // the chain's completion marker is the pointer NAMING gen-2 —
+      // not merely a servable root: the pointer lands after every
+      // generation, so a crash mid-chain leaves it at gen-0/gen-1 and
+      // a serve(root).isRight guard would silently serve the
+      // incomplete index forever. Rebuilding from the top is safe:
+      // every landing is mode-overwrite with an atomic marker.
+      if (graft.operators.StoreFiles.readCurrent(root)
+          .map(_._1) != Some("gen-2")) {
         new java.io.File(root, "gen-0").mkdirs()
         IvfPqStore.save(
           trainIvfPq(s, dir, trainWhere = s"vec_id < $IvfTrainOld"),

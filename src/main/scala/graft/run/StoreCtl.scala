@@ -198,6 +198,18 @@ object StoreCtl {
           if (missing.nonEmpty)
             return Left(s"$cur is not a committed $kind store " +
               s"(missing ${missing.mkString(", ")}) — wrong kind?")
+          // a kind whose required relations are a SUBSET of another's
+          // (phash ⊂ cluster) would pass the missing check and start
+          // writing before the column mismatch threw mid-compact,
+          // leaving name-reserving litter — refuse while the target
+          // dir is still untouched if the generation holds relations
+          // this kind's layout does not know
+          val knownRels = compactLayout.values.flatten.map(_._1).toSet
+          val foreign = knownRels.filterNot(fullLayout.map(_._1).toSet)
+            .filter(present)
+          if (foreign.nonEmpty)
+            return Left(s"$cur holds ${foreign.mkString(", ")} — not a " +
+              s"$kind store; refusing before writing anything")
           val layout = fullLayout.filter(r => present(r._1))
           val next = StoreFiles.nextGenName(root)
           val outPath = java.nio.file.Paths.get(root, next)

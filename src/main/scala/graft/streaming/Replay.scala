@@ -402,7 +402,7 @@ object StreamReplay extends QueryPack {
       : IndexedSeq[StreamVec] = {
     import s.implicits._
     table(s, dir, "embeddings")
-      .where("vec_id % 50 <> 0")
+      .where(s"NOT (${Dedup.evalVecPred})")
       .selectExpr("vec_id",
         s"(row_number() OVER (ORDER BY vec_id)) * ${TickNs}L AS ts",
         "embedding")
