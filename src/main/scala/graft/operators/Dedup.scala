@@ -206,6 +206,61 @@ object Dedup extends QueryPack {
     }
   }
 
+  /** The shingle-set collapse membership (doc_id, rep) over a
+    * registered sig view: identical shingle sets group under their
+    * min-doc_id representative, empty-shingle docs carved out (their
+    * pairwise score is 0/0 in every family — never a pair, so never a
+    * group). Eagerly checkpointed (the dc_grp discipline — the frame
+    * is scanned several times inside one pair-materialization job).
+    * Shared by the jaccard AND containment families: the collapse key
+    * is the shingle set itself, which both score functions are
+    * constant on.
+    */
+  private def shingleGrpFrame(s: SparkSession, view: String): DataFrame =
+    s.sql(
+      s"""SELECT k.doc_id, g.rep FROM
+         |  (SELECT doc_id, md5(cast(hs as string)) AS hkey
+         |   FROM $view WHERE sig_0 <> ${Long.MaxValue}L) k
+         |JOIN
+         |  (SELECT md5(cast(hs as string)) AS hkey, min(doc_id) AS rep
+         |   FROM $view WHERE sig_0 <> ${Long.MaxValue}L
+         |   GROUP BY 1) g
+         |ON k.hkey = g.hkey""".stripMargin)
+      .localCheckpoint()
+
+  /** Member-level expansion of a rep-level verified pair table — the
+    * shared consumer half of every pair-family collapse. Built with
+    * DataFrame joins DIRECTLY on the registry's cached frames (no
+    * temp views): the registry makes the frames thread-shareable
+    * across sessions-on-one-SparkSession, and a view-based expansion
+    * would re-introduce a shared mutable name binding two threads on
+    * different corpora could interleave on (one corpus's rep pairs
+    * silently expanding through the other's membership). Cross-group
+    * rows carry the verified rep-pair score (a member's collapse key
+    * equals its rep's, so the score is every member pair's score
+    * exactly); within-group pairs score 1 by construction (identical
+    * non-empty keys — the builders' carve-out keeps 0/0 twins out).
+    * Output is row-for-row the uncollapsed banded pair table.
+    */
+  private def expandMemberPairs(rel: PairRelations, memberCol: String,
+                                scoreCol: String,
+                                outA: String, outB: String): DataFrame = {
+    val ga = rel.grp.select(col("rep").as("rep_a"),
+      col(memberCol).as("__ma"))
+    val gb = rel.grp.select(col("rep").as("rep_b"),
+      col(memberCol).as("__mb"))
+    val cross = rel.repVer
+      .join(ga, "rep_a").join(gb, "rep_b")
+      .select(least(col("__ma"), col("__mb")).as(outA),
+        greatest(col("__ma"), col("__mb")).as(outB), col(scoreCol))
+    val within = rel.grp.select(col("rep"), col(memberCol).as("__ma"))
+      .join(rel.grp.select(col("rep"), col(memberCol).as("__mb")), "rep")
+      .where(col("__ma") < col("__mb"))
+      .select(col("__ma").as(outA), col("__mb").as(outB),
+        lit(1.0d).as(scoreCol))
+    cross.unionAll(within)
+  }
+
   /** The collapse membership (eager) and the rep-level banded-verify
     * frame LAZY — split out so PlanSpec can pin the verify's physical
     * shape (banded equi-joins, the graft_isect arithmetic) without
@@ -215,19 +270,7 @@ object Dedup extends QueryPack {
   private[graft] def jacRepVerifyFrame(s: SparkSession, dir: String)
       : (DataFrame, DataFrame) = {
     bandedSigRelation(s, dir, "jac_sigs")
-    // collapse groups: shingle-set key, empty-shingle carve-out,
-    // eager checkpoints (the dc_grp discipline — each frame is
-    // scanned several times inside one pair-materialization job)
-    val grp = s.sql(
-      s"""SELECT k.doc_id, g.rep FROM
-         |  (SELECT doc_id, md5(cast(hs as string)) AS hkey
-         |   FROM jac_sigs WHERE sig_0 <> ${Long.MaxValue}L) k
-         |JOIN
-         |  (SELECT md5(cast(hs as string)) AS hkey, min(doc_id) AS rep
-         |   FROM jac_sigs WHERE sig_0 <> ${Long.MaxValue}L
-         |   GROUP BY 1) g
-         |ON k.hkey = g.hkey""".stripMargin)
-      .localCheckpoint()
+    val grp = shingleGrpFrame(s, "jac_sigs")
     grp.createOrReplaceTempView("jac_grp")
     s.sql(
       s"""SELECT s.doc_id, ${(0 until 2 * JacBands)
@@ -272,27 +315,13 @@ object Dedup extends QueryPack {
     * are jaccard 1 by construction (identical non-empty shingle sets;
     * the carve-out keeps empty-set twins out, whose true jaccard is
     * 0/0, never a pair). Output is row-for-row the uncollapsed banded
-    * pair table — DupBombGuardSpec leans on that equality.
+    * pair table — DupBombGuardSpec leans on that equality. The
+    * expansion is [[expandMemberPairs]] — DataFrame joins on the
+    * cached frames, no temp views (see its thread-safety note).
     */
-  private def ddJaccardPairs(s: SparkSession, dir: String): DataFrame = {
-    val rel = jacRelations(s, dir)
-    // views re-registered from the CACHED frames per call: another
-    // corpus's intervening call rebinds the names, and a stale view
-    // would silently expand this corpus's reps through that one's
-    // membership
-    rel.repVer.createOrReplaceTempView("jac_repver")
-    rel.grp.createOrReplaceTempView("jac_grp")
-    s.sql(
-      s"""SELECT least(ga.doc_id, gb.doc_id) AS doc_a,
-         |       greatest(ga.doc_id, gb.doc_id) AS doc_b, jaccard
-         |FROM jac_repver JOIN jac_grp ga ON ga.rep = rep_a
-         |                JOIN jac_grp gb ON gb.rep = rep_b
-         |UNION ALL
-         |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
-         |  cast(1.0 as double) AS jaccard
-         |FROM jac_grp x JOIN jac_grp y
-         |  ON x.rep = y.rep AND x.doc_id < y.doc_id""".stripMargin)
-  }
+  private def ddJaccardPairs(s: SparkSession, dir: String): DataFrame =
+    expandMemberPairs(jacRelations(s, dir), "doc_id", "jaccard",
+      "doc_a", "doc_b")
 
   private def ddJaccard(s: SparkSession, dir: String): DataFrame =
     ddJaccardPairs(s, dir).orderBy(col("doc_a"), col("doc_b"))
@@ -504,23 +533,77 @@ object Dedup extends QueryPack {
   // prefix filtering, guaranteed recall; DedupRecallSpec drives it
   // over an adversarial tiny-doc-in-huge-doc fixture this banding
   // would miss).
-  private def ddContainment(s: SparkSession, dir: String): DataFrame = {
-    val bandSelects = bandedSigRelation(s, dir, "cont_sigs")
+  //
+  // DUPLICATE-BOMB GUARD (r18): identical docs have containment 1.0,
+  // so a k-copy bomb detonates this family exactly like jaccard's —
+  // k²/2 banded candidates, all paying the graft_isect merge. The
+  // same rep-collapse applies because containment, like jaccard, is a
+  // function of the two shingle SETS only: identical sets collapse to
+  // their min-doc_id rep ([[shingleGrpFrame]] — same key, same
+  // empty-set carve-out, whose containment is 0/0 and never a pair),
+  // only reps band, the verify runs once per group pair, and
+  // [[expandMemberPairs]] recovers member pairs (a member's set
+  // equals its rep's, so the verified containment is every member
+  // pair's containment exactly; within-group pairs are 1.0 by
+  // construction). Output is row-for-row the uncollapsed pair table —
+  // banded-candidate recall depends only on the group's signature, so
+  // collapsing cannot drop a pair the uncollapsed join would find.
+
+  /** The containment family's REP-level verified pairs — exposed for
+    * DupBombGuardSpec's O(groups) linearity gate.
+    */
+  private[graft] def ddContainmentRepPairs(s: SparkSession,
+                                           dir: String): DataFrame =
+    contRelations(s, dir).repVer
+
+  private def contRelations(s: SparkSession, dir: String): PairRelations =
+    contRelCache.getOrBuild(s, s"cont_pairs|$dir") {
+      val (grp, ver) = contRepVerifyFrame(s, dir)
+      PairRelations(ver.localCheckpoint(), grp)
+    }
+
+  /** Membership (eager) + the rep-level banded containment verify
+    * LAZY — the [[jacRepVerifyFrame]] split (PlanSpec pins the
+    * verify's physical shape without running it). Same 8x2 banding as
+    * the jaccard family, WITHOUT the length-ratio prune (containment
+    * explicitly allows size mismatch).
+    */
+  private[graft] def contRepVerifyFrame(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    bandedSigRelation(s, dir, "cont_sigs")
+    val grp = shingleGrpFrame(s, "cont_sigs")
+    grp.createOrReplaceTempView("cont_grp")
     s.sql(
+      s"""SELECT s.doc_id, ${(0 until 2 * JacBands)
+           .map("s.sig_" + _).mkString(", ")}
+         |FROM cont_sigs s
+         |JOIN (SELECT DISTINCT rep FROM cont_grp) r ON s.doc_id = r.rep"""
+        .stripMargin)
+      .coalesce(4).localCheckpoint()
+      .createOrReplaceTempView("cont_repsigs")
+    val bandSelects = (0 until JacBands)
+      .map(b => s"SELECT doc_id, $b AS band, ${jacBandKeySpark(b)} AS bk" +
+        s" FROM cont_repsigs$jacBandGuard")
+      .mkString(" UNION ALL ")
+    (grp, s.sql(
       s"""WITH bands AS ($bandSelects),
          |cand AS (
          |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
          |  FROM bands x JOIN bands y
          |    ON x.band = y.band AND x.bk = y.bk AND x.doc_id < y.doc_id)
-         |SELECT doc_a, doc_b, containment FROM (
+         |SELECT doc_a AS rep_a, doc_b AS rep_b, containment FROM (
          |  SELECT doc_a, doc_b,
          |    round(cast(graft_isect(a.hs, b.hs) as double)
          |      / least(size(a.hs), size(b.hs)), 6) AS containment
          |  FROM cand JOIN cont_sigs a ON a.doc_id = doc_a
          |            JOIN cont_sigs b ON b.doc_id = doc_b)
-         |WHERE containment >= 0.8
-         |ORDER BY doc_a, doc_b""".stripMargin)
+         |WHERE containment >= 0.8""".stripMargin))
   }
+
+  private def ddContainment(s: SparkSession, dir: String): DataFrame =
+    expandMemberPairs(contRelations(s, dir), "doc_id", "containment",
+      "doc_a", "doc_b")
+      .orderBy(col("doc_a"), col("doc_b"))
 
   /** Independent all-pairs spec — catches any subset pair the
     * Jaccard-tuned banding would drop (see recall contract above).
@@ -652,21 +735,62 @@ object Dedup extends QueryPack {
              |SELECT doc_a, doc_b FROM cand""".stripMargin)
   }
 
-  private def ddContainmentSmallside(s: SparkSession, dir: String): DataFrame = {
+  // DUPLICATE-BOMB GUARD (r18): same rep-collapse as [[ddContainment]],
+  // applied BEFORE prefix selection — both the probe AND the inverted
+  // index hold representatives only, so a k-copy bomb contributes ONE
+  // probe prefix and ONE index row set instead of k of each (the
+  // uncollapsed index paid k² candidate rows AND k-fold hotter df on
+  // every bomb shingle, polluting the rarest-first ranking). The
+  // recall pigeonhole is per-PAIR and each rep is a real document, so
+  // it holds unchanged on the rep corpus; df computed over reps is
+  // the better rarity signal (duplicates no longer masquerade as
+  // boilerplate). Member pairs recover through [[expandMemberPairs]]
+  // with the same exactness argument.
+
+  /** Smallside rep-level verified pairs — DupBombGuardSpec's hook. */
+  private[graft] def ddContainmentSmallsideRepPairs(s: SparkSession,
+                                                    dir: String): DataFrame =
+    contpRelations(s, dir).repVer
+
+  private def contpRelations(s: SparkSession, dir: String): PairRelations =
+    contRelCache.getOrBuild(s, s"contp_pairs|$dir") {
+      val (grp, ver) = contpRepVerifyFrame(s, dir)
+      PairRelations(ver.localCheckpoint(), grp)
+    }
+
+  /** Membership (eager) + the rep-level prefix-probe verify LAZY —
+    * [[contSmallsideCandSql]] over the rep view, REPARTITION hint
+    * kept on the probe side (the AQE-coalescer exemption PlanSpec
+    * pins survives the collapse unchanged).
+    */
+  private[graft] def contpRepVerifyFrame(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
     bandedSigRelation(s, dir, "contp_sigs")
-    val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val grp = shingleGrpFrame(s, "contp_sigs")
+    grp.createOrReplaceTempView("contp_grp")
     s.sql(
-      s"""WITH ${contSmallsideCandSql("contp_sigs", "df.df, i.h",
+      """SELECT s.doc_id, s.hs FROM contp_sigs s
+        |JOIN (SELECT DISTINCT rep FROM contp_grp) r ON s.doc_id = r.rep"""
+        .stripMargin)
+      .coalesce(4).localCheckpoint()
+      .createOrReplaceTempView("contp_repsigs")
+    val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
+    (grp, s.sql(
+      s"""WITH ${contSmallsideCandSql("contp_repsigs", "df.df, i.h",
                                       probeParts = parts)}
-         |SELECT doc_a, doc_b, containment FROM (
+         |SELECT doc_a AS rep_a, doc_b AS rep_b, containment FROM (
          |  SELECT doc_a, doc_b,
          |    round(cast(graft_isect(a.hs, b.hs) as double)
          |      / least(size(a.hs), size(b.hs)), 6) AS containment
-         |  FROM cand JOIN contp_sigs a ON a.doc_id = doc_a
-         |            JOIN contp_sigs b ON b.doc_id = doc_b)
-         |WHERE containment >= 0.8
-         |ORDER BY doc_a, doc_b""".stripMargin)
+         |  FROM cand JOIN contp_repsigs a ON a.doc_id = doc_a
+         |            JOIN contp_repsigs b ON b.doc_id = doc_b)
+         |WHERE containment >= 0.8""".stripMargin))
   }
+
+  private def ddContainmentSmallside(s: SparkSession, dir: String): DataFrame =
+    expandMemberPairs(contpRelations(s, dir), "doc_id", "containment",
+      "doc_a", "doc_b")
+      .orderBy(col("doc_a"), col("doc_b"))
 
   // -- dd_threshold_sweep: tune the dedup threshold from ONE candidate pass ---
   // Choosing the Jaccard cutoff is a sweep, not a constant: pipelines
@@ -1501,24 +1625,11 @@ object Dedup extends QueryPack {
     * pair's cosine, bit-exactly), and within-group pairs carry
     * cos_sim 1 directly (round-6 of a cosine within one ulp of 1).
     * Output is row-for-row the uncollapsed banded pair table.
+    * Expansion via [[expandMemberPairs]] — no temp views.
     */
-  private def ddEmbedLshPairs(s: SparkSession, dir: String): DataFrame = {
-    val rel = cosRelations(s, dir)
-    // views re-registered from the cached frames per call (see
-    // ddJaccardPairs' stale-rebind note)
-    rel.repVer.createOrReplaceTempView("cos_repver")
-    rel.grp.createOrReplaceTempView("cos_grp")
-    s.sql(
-      s"""SELECT least(ga.vec_id, gb.vec_id) AS vec_a,
-         |       greatest(ga.vec_id, gb.vec_id) AS vec_b, cos_sim
-         |FROM cos_repver JOIN cos_grp ga ON ga.rep = rep_a
-         |                JOIN cos_grp gb ON gb.rep = rep_b
-         |UNION ALL
-         |SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
-         |  cast(1.0 as double) AS cos_sim
-         |FROM cos_grp x JOIN cos_grp y
-         |  ON x.rep = y.rep AND x.vec_id < y.vec_id""".stripMargin)
-  }
+  private def ddEmbedLshPairs(s: SparkSession, dir: String): DataFrame =
+    expandMemberPairs(cosRelations(s, dir), "vec_id", "cos_sim",
+      "vec_a", "vec_b")
 
   private def ddEmbedCosineLsh(s: SparkSession, dir: String): DataFrame =
     ddEmbedLshPairs(s, dir).orderBy(col("vec_a"), col("vec_b"))
@@ -1870,6 +1981,9 @@ object Dedup extends QueryPack {
 
   private val jacRelCache = new FrameRegistry[PairRelations](LpEdgeCacheMax)
   private val cosRelCache = new FrameRegistry[PairRelations](LpEdgeCacheMax)
+  // one registry, two key families (cont_pairs|dir, contp_pairs|dir):
+  // invalidate matches on the |dir suffix, so both drop together
+  private val contRelCache = new FrameRegistry[PairRelations](LpEdgeCacheMax)
 
   private def lpEdgesFor(session: SparkSession, key: String)
                         (build: => LpEdges): LpEdges =
@@ -1887,6 +2001,7 @@ object Dedup extends QueryPack {
     lpEdgeCache.invalidate(session, dir)
     jacRelCache.invalidate(session, dir)
     cosRelCache.invalidate(session, dir)
+    contRelCache.invalidate(session, dir)
   }
 
   /** Test/A-B hook: drop ALL shared frames (TimeOne's GRAFT_LP_COLD=1
@@ -1897,6 +2012,7 @@ object Dedup extends QueryPack {
     lpEdgeCache.clear()
     jacRelCache.clear()
     cosRelCache.clear()
+    contRelCache.clear()
   }
 
   private[graft] def lpEdgeCacheKeys: Seq[String] = lpEdgeCache.keys

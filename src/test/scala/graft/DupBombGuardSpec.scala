@@ -292,6 +292,44 @@ class DupBombGuardSpec extends AnyFunSuite {
     assert(full.filter(t => t._1 != 210L).forall(_._3 == 1.0d))
   }
 
+  test("dd_containment: the bombed pair table verifies once per group — " +
+      "rep-level pairs are O(groups) while the member expansion still " +
+      "emits the full clique at containment 1.0") {
+    // identical texts have containment 1.0 >= 0.8, so an unguarded
+    // containment pair table detonates on the same bomb jaccard's
+    // does; incDir's 41 identical texts are ONE collapse group, so
+    // the rep relation holds only the genuine near-dup pair
+    // (containment 11/12 — one bigram of twelve differs)
+    val reps = Dedup.ddContainmentRepPairs(spark, incDir)
+      .select("rep_a", "rep_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(reps == Set((210L, 211L)), reps)
+    val full = SparkEntry.queries("dd_containment")(spark, incDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(full.length == 41 * 40 / 2 + 1, full.length)
+    assert(full.filter(t => t._1 != 210L).forall(_._3 == 1.0d))
+    // carve-out: the identical single-word docs (empty shingle sets,
+    // containment 0/0) never become a within-group 1.0 row
+    assert(!full.exists(t => t._1 >= 300L || t._2 >= 300L),
+      "empty-shingle twins leaked into the containment pair table")
+  }
+
+  test("dd_containment_smallside: the bomb collapses BEFORE prefix " +
+      "selection — one probe prefix and one index row set per group, " +
+      "member expansion still answers the all-pairs spec") {
+    val reps = Dedup.ddContainmentSmallsideRepPairs(spark, incDir)
+      .select("rep_a", "rep_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(reps == Set((210L, 211L)), reps)
+    val full = SparkEntry
+      .queries("dd_containment_smallside")(spark, incDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(full.length == 41 * 40 / 2 + 1, full.length)
+    assert(full.filter(t => t._1 != 210L).forall(_._3 == 1.0d))
+    assert(!full.exists(t => t._1 >= 300L || t._2 >= 300L),
+      "empty-shingle twins leaked into the smallside pair table")
+  }
+
   test("dd_embed_cosine_lsh: the bombed pair table verifies once per " +
       "group — rep-level pairs are O(groups) while the member " +
       "expansion still emits the full clique") {

@@ -92,20 +92,32 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("dd_containment: banded candidates — no all-pairs or constant-key join") {
-    val p = plan("dd_containment")
+    // r18: the served key is the membership expansion over the
+    // registry's checkpointed rep pairs — the banded-candidate claim
+    // lives in the verify; pin its lazy frame (the jac/cos idiom)
+    val p = operators.Dedup.contRepVerifyFrame(spark, dir)
+      ._2.queryExecution.executedPlan.toString
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
     assert(!p.contains("CartesianProduct"), p.take(3000))
     assert(!p.contains("[k#") && !p.contains("[kb#"), p.take(3000))
     assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
       p.contains("ShuffledHashJoin"), p.take(3000))
+    // ...and the served expansion itself stays equi-join-only
+    val e = plan("dd_containment")
+    assert(!e.contains("BroadcastNestedLoopJoin") &&
+      !e.contains("CartesianProduct"), e.take(3000))
   }
 
   test("dd_containment_smallside: inverted-index equi join, no cross product") {
-    val p = plan("dd_containment_smallside")
+    val p = operators.Dedup.contpRepVerifyFrame(spark, dir)
+      ._2.queryExecution.executedPlan.toString
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
     assert(!p.contains("CartesianProduct"), p.take(3000))
     assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
       p.contains("ShuffledHashJoin"), p.take(3000))
+    val e = plan("dd_containment_smallside")
+    assert(!e.contains("BroadcastNestedLoopJoin") &&
+      !e.contains("CartesianProduct"), e.take(3000))
   }
 
   test("txt_budget_select: per-score table broadcasts, doc window is partitioned") {
@@ -402,7 +414,10 @@ class PlanSpec extends AnyFunSuite {
     // The fix is a user-NUMBERED repartition on the probe side, which
     // the coalescer is contractually exempt from — pinned here as the
     // REPARTITION_BY_NUM marker on an exchange over the probe key.
-    val p = plan("dd_containment_smallside")
+    // (r18: the hint lives in the registry-materialized verify — pin
+    // its lazy frame; the served key is the membership expansion.)
+    val p = operators.Dedup.contpRepVerifyFrame(spark, dir)
+      ._2.queryExecution.executedPlan.toString
     assert(p.contains("REPARTITION_BY_NUM"), p.take(4000))
     // and the explosive join itself stays an equi (shuffled hash /
     // sort-merge) join, never a cross product
