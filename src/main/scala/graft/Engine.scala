@@ -39,6 +39,11 @@ object Engine {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // deployment/bench face of the reliable-checkpoint escape hatch
+    // (see the lineage-truncation section below): lets every main
+    // (StoreCtl, Bench, TimeOne, Verify) engage it without code
+    sys.env.get("GRAFT_CHECKPOINT_DIR")
+      .foreach(d => spark.conf.set(CheckpointDirKey, d))
     spark
   }
 
@@ -108,6 +113,68 @@ object Engine {
   /** sum(m4(expr)) presented via d2 — the standard money aggregate. */
   def sumM(c: Column): Column = d2(sum(m4(c)))
   def sumMs(e: String): String = d2s(s"SUM(${m4s(e)})")
+
+  // ---------------------------------------------------------------------
+  // Lineage truncation with a fault-tolerance escape hatch.
+  //
+  // The engine truncates lineage at ~60 points: label-propagation
+  // iteration chains (whose plans would otherwise grow per round),
+  // registry-shared pair/edge frames (scanned by several consumers),
+  // and incremental-fold intermediates. The DEFAULT is
+  // localCheckpoint(): blocks pinned to executors, no filesystem
+  // round-trip — measured optimal on local[32], and the right default
+  // anywhere executors are stable. Its cost model on a real cluster:
+  // one lost executor invalidates the truncated blocks WITHOUT a
+  // recompute path (lineage is gone by design), failing a multi-hour
+  // LP job outright — acceptable when jobs are short or retried at
+  // the orchestrator level, unacceptable mid-way through a 100 TB
+  // clustering pass.
+  //
+  // Setting `spark.conf.set("graft.checkpoint.dir", <hdfs/dbfs path>)`
+  // routes EVERY truncation point through reliable checkpoint() into
+  // that directory instead: blocks land on the cluster's fault-
+  // tolerant store and survive executor loss (the standard cluster-LP
+  // discipline). The trade is one distributed write + read per
+  // truncation — BENCHING.md's adjudication quantifies it. Files
+  // accumulate per checkpoint unless
+  // `spark.cleaner.referenceTracking.cleanCheckpoints=true`; a
+  // deployment points the dir at a TTL'd scratch bucket.
+  // ---------------------------------------------------------------------
+
+  /** Runtime-conf key selecting reliable checkpoints (see above). */
+  val CheckpointDirKey = "graft.checkpoint.dir"
+
+  // last dir this process set per context — setCheckpointDir is
+  // context-global, so set it only on change (concurrent same-value
+  // sets are harmless)
+  private val ckptDirSet =
+    new java.util.concurrent.ConcurrentHashMap[
+      org.apache.spark.SparkContext, String]
+
+  /** Truncate `df`'s lineage: localCheckpoint() by default, reliable
+    * checkpoint() into [[CheckpointDirKey]] when set. Both eager, so
+    * call-site semantics (materialize-now) are identical.
+    */
+  def truncate(df: DataFrame): DataFrame =
+    df.sparkSession.conf.getOption(CheckpointDirKey) match {
+      case None => df.localCheckpoint()
+      case Some(dir) =>
+        val sc = df.sparkSession.sparkContext
+        if (ckptDirSet.get(sc) != dir) {
+          sc.setCheckpointDir(dir)
+          ckptDirSet.put(sc, dir)
+        }
+        df.checkpoint()
+    }
+
+  /** Postfix face of [[truncate]] — the engine's truncation points
+    * read `frame.truncated()` where they once read
+    * `frame.localCheckpoint()`.
+    */
+  implicit final class GraftFrameOps(private val df: DataFrame)
+      extends AnyVal {
+    def truncated(): DataFrame = truncate(df)
+  }
 }
 
 /** A named group of queries plus their DuckDB oracle SQL. Each operator

@@ -202,7 +202,7 @@ object Dedup extends QueryPack {
   private def jacRelations(s: SparkSession, dir: String): PairRelations = {
     jacRelCache.getOrBuild(s, s"jac_pairs|$dir") {
       val (grp, ver) = jacRepVerifyFrame(s, dir)
-      PairRelations(ver.localCheckpoint(), grp)
+      PairRelations(ver.truncated(), grp)
     }
   }
 
@@ -226,7 +226,7 @@ object Dedup extends QueryPack {
          |   FROM $view WHERE sig_0 <> ${Long.MaxValue}L
          |   GROUP BY 1) g
          |ON k.hkey = g.hkey""".stripMargin)
-      .localCheckpoint()
+      .truncated()
 
   /** Member-level expansion of a rep-level verified pair table — the
     * shared consumer half of every pair-family collapse. Built with
@@ -278,7 +278,7 @@ object Dedup extends QueryPack {
          |FROM jac_sigs s
          |JOIN (SELECT DISTINCT rep FROM jac_grp) r ON s.doc_id = r.rep"""
         .stripMargin)
-      .coalesce(4).localCheckpoint().createOrReplaceTempView("jac_repsigs")
+      .coalesce(4).truncated().createOrReplaceTempView("jac_repsigs")
     val bandSelects = (0 until JacBands)
       .map(b => s"SELECT doc_id, $b AS band, ${jacBandKeySpark(b)} AS bk" +
         s" FROM jac_repsigs$jacBandGuard")
@@ -559,7 +559,7 @@ object Dedup extends QueryPack {
   private def contRelations(s: SparkSession, dir: String): PairRelations =
     contRelCache.getOrBuild(s, s"cont_pairs|$dir") {
       val (grp, ver) = contRepVerifyFrame(s, dir)
-      PairRelations(ver.localCheckpoint(), grp)
+      PairRelations(ver.truncated(), grp)
     }
 
   /** Membership (eager) + the rep-level banded containment verify
@@ -579,7 +579,7 @@ object Dedup extends QueryPack {
          |FROM cont_sigs s
          |JOIN (SELECT DISTINCT rep FROM cont_grp) r ON s.doc_id = r.rep"""
         .stripMargin)
-      .coalesce(4).localCheckpoint()
+      .coalesce(4).truncated()
       .createOrReplaceTempView("cont_repsigs")
     val bandSelects = (0 until JacBands)
       .map(b => s"SELECT doc_id, $b AS band, ${jacBandKeySpark(b)} AS bk" +
@@ -755,7 +755,7 @@ object Dedup extends QueryPack {
   private def contpRelations(s: SparkSession, dir: String): PairRelations =
     contRelCache.getOrBuild(s, s"contp_pairs|$dir") {
       val (grp, ver) = contpRepVerifyFrame(s, dir)
-      PairRelations(ver.localCheckpoint(), grp)
+      PairRelations(ver.truncated(), grp)
     }
 
   /** Membership (eager) + the rep-level prefix-probe verify LAZY —
@@ -772,7 +772,7 @@ object Dedup extends QueryPack {
       """SELECT s.doc_id, s.hs FROM contp_sigs s
         |JOIN (SELECT DISTINCT rep FROM contp_grp) r ON s.doc_id = r.rep"""
         .stripMargin)
-      .coalesce(4).localCheckpoint()
+      .coalesce(4).truncated()
       .createOrReplaceTempView("contp_repsigs")
     val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
     (grp, s.sql(
@@ -1559,7 +1559,7 @@ object Dedup extends QueryPack {
   private def cosRelations(s: SparkSession, dir: String): PairRelations =
     cosRelCache.getOrBuild(s, s"cos_pairs|$dir") {
       val (grp, ver) = cosRepVerifyFrame(s, dir)
-      PairRelations(ver.localCheckpoint(), grp)
+      PairRelations(ver.truncated(), grp)
     }
 
   /** Membership (eager) + the rep-level banded cosine verify LAZY —
@@ -1578,13 +1578,13 @@ object Dedup extends QueryPack {
          |          min(vec_id) AS rep
          |   FROM cos_e WHERE n2 > 0 GROUP BY 1) g
          |ON k.vk = g.vk""".stripMargin)
-      .localCheckpoint()
+      .truncated()
     grp.createOrReplaceTempView("cos_grp")
     s.sql(
       s"""SELECT s.vec_id, s.bks FROM cos_e s
          |JOIN (SELECT DISTINCT rep FROM cos_grp) r ON s.vec_id = r.rep"""
         .stripMargin)
-      .coalesce(4).localCheckpoint().createOrReplaceTempView("cos_repe")
+      .coalesce(4).truncated().createOrReplaceTempView("cos_repe")
     // Band-side zero-norm guard — the embedding-space twin of
     // jacBandGuard: a zero vector's hyperplane dots are all 0, so its
     // sign buckets are the CONSTANT key in every band (all zero-norm
@@ -1693,18 +1693,18 @@ object Dedup extends QueryPack {
          |          min(vec_id) AS rep
          |   FROM cos_e WHERE n2 > 0 GROUP BY 1) g
          |ON k.vk = g.vk""".stripMargin)
-      .localCheckpoint().createOrReplaceTempView("ec_grp")
+      .truncated().createOrReplaceTempView("ec_grp")
     s.sql(
       s"""SELECT s.vec_id, s.bks FROM cos_e s
          |JOIN (SELECT DISTINCT rep FROM ec_grp) r ON s.vec_id = r.rep"""
         .stripMargin)
-      .coalesce(4).localCheckpoint().createOrReplaceTempView("ec_repsigs")
+      .coalesce(4).truncated().createOrReplaceTempView("ec_repsigs")
     s.sql(
       (0 until CosBands)
         .map(b => s"SELECT vec_id, $b AS band," +
           s" element_at(bks, ${b + 1}) AS bkt FROM ec_repsigs")
         .mkString(" UNION ALL "))
-      .coalesce(4).localCheckpoint().createOrReplaceTempView("ec_repbands")
+      .coalesce(4).truncated().createOrReplaceTempView("ec_repbands")
     s.sql(
       s"""WITH cand AS (
          |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
@@ -1816,7 +1816,7 @@ object Dedup extends QueryPack {
     // edge — any column the pair pipeline carried (cos_sim, band,
     // shingle sets) is projected away by the caller, so the
     // materialized rows are as small as an edge can be.
-    val e1 = pairs.toDF("pa", "pb").localCheckpoint()
+    val e1 = pairs.toDF("pa", "pb").truncated()
     // With AQE scoped off, nothing coalesces the loop's shuffles, so
     // size them from the measured edge count instead — the work AQE's
     // runtime coalescing was doing, paid once here rather than one
@@ -1848,7 +1848,7 @@ object Dedup extends QueryPack {
       .toDF("src", "dst")
       .repartition(loopP, col("dst"))
       .sortWithinPartitions(col("dst"))
-      .localCheckpoint()
+      .truncated()
     if (lpDebug) System.err.println(
       f"LP edges took ${(System.nanoTime() - tE) / 1e9}%.2f s")
     LpEdges(edgesBoth, nEdges, loopP)
@@ -2254,7 +2254,7 @@ object Dedup extends QueryPack {
         }
         .toDF("doc_id", "prev", "cluster_id")
       val tCk = System.nanoTime()
-      val step = tapped.localCheckpoint()
+      val step = tapped.truncated()
       stamp(s"checkpoint $iter", tCk)
       val changed = acc.value
       if (lpDebug)
@@ -2338,7 +2338,7 @@ object Dedup extends QueryPack {
          |   FROM dc_sigs WHERE sig_0 <> ${Long.MaxValue}L
          |   GROUP BY 1) g
          |ON k.hkey = g.hkey""".stripMargin)
-      .localCheckpoint().createOrReplaceTempView("dc_grp")
+      .truncated().createOrReplaceTempView("dc_grp")
     // The REPRESENTATIVES' signatures, rep filter joined against the
     // sig rows ONCE (not the 8x-exploded band rows). hs is projected
     // away before the checkpoint: a checkpointed row is deserialized
@@ -2350,7 +2350,7 @@ object Dedup extends QueryPack {
          |FROM dc_sigs s
          |JOIN (SELECT DISTINCT rep FROM dc_grp) r ON s.doc_id = r.rep"""
         .stripMargin)
-      .coalesce(4).localCheckpoint().createOrReplaceTempView("dc_repsigs")
+      .coalesce(4).truncated().createOrReplaceTempView("dc_repsigs")
     // Materialize the band rows too: the candidate self-join below
     // then scans a small (doc_id, band, bk) RDD twice — cheap even
     // where exchange reuse does not kick in (measured: the un-reused
@@ -2360,7 +2360,7 @@ object Dedup extends QueryPack {
         .map(b => s"SELECT doc_id, $b AS band, ${jacBandKeySpark(b)} AS bk" +
           s" FROM dc_repsigs$jacBandGuard")
         .mkString(" UNION ALL "))
-      .coalesce(4).localCheckpoint().createOrReplaceTempView("dc_repbands")
+      .coalesce(4).truncated().createOrReplaceTempView("dc_repbands")
     s.sql(
       s"""WITH cand AS (
          |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
@@ -2490,7 +2490,7 @@ object Dedup extends QueryPack {
          |   FROM cinc_sigs WHERE sig_0 <> ${Long.MaxValue}L
          |   GROUP BY 1, 2) g
          |ON k.hkey = g.hkey AND k.is_new = g.is_new""".stripMargin)
-      .localCheckpoint().createOrReplaceTempView("cinc_grp")
+      .truncated().createOrReplaceTempView("cinc_grp")
     // The representatives' sig rows (both sides together — ONE banded
     // self-join below finds same-side AND crossing rep edges); hs is
     // projected away, the verify joins read it from the columnar
@@ -2501,7 +2501,7 @@ object Dedup extends QueryPack {
          |FROM cinc_sigs s
          |JOIN (SELECT DISTINCT rep FROM cinc_grp) r ON s.doc_id = r.rep"""
         .stripMargin)
-      .coalesce(4).localCheckpoint().createOrReplaceTempView("cinc_repsigs")
+      .coalesce(4).truncated().createOrReplaceTempView("cinc_repsigs")
     val bandSelects = (0 until JacBands)
       .map(b => s"SELECT doc_id, is_new, $b AS band," +
         s" ${jacBandKeySpark(b)} AS bk FROM cinc_repsigs$jacBandGuard")
@@ -2543,7 +2543,7 @@ object Dedup extends QueryPack {
          |SELECT rep AS doc_a, doc_id AS doc_b,
          |  is_new AS a_new, is_new AS b_new
          |FROM cinc_grp WHERE doc_id <> rep""".stripMargin)
-      .localCheckpoint())
+      .truncated())
   }
 
   /** The contracted-merge phase shared by the incremental cluster
@@ -2709,12 +2709,12 @@ object Dedup extends QueryPack {
          |   FROM cst_sigs WHERE sig_0 <> ${Long.MaxValue}L
          |   GROUP BY 1) g
          |ON k.hkey = g.hkey""".stripMargin)
-      .localCheckpoint().createOrReplaceTempView("cst_grp")
+      .truncated().createOrReplaceTempView("cst_grp")
     s.sql(
       s"""SELECT s.* FROM cst_sigs s
          |JOIN (SELECT DISTINCT rep FROM cst_grp) r ON s.doc_id = r.rep"""
         .stripMargin)
-      .localCheckpoint().createOrReplaceTempView("cst_repsigs")
+      .truncated().createOrReplaceTempView("cst_repsigs")
     val bandSelects = (0 until JacBands)
       .map(b => s"SELECT doc_id, $b AS band, ${jacBandKeySpark(b)} AS bk" +
         s" FROM cst_repsigs$jacBandGuard")
@@ -2850,7 +2850,7 @@ object Dedup extends QueryPack {
     // persisting the compact pair projection first). The scoped flip
     // works here because planning happens at the localCheckpoint call,
     // inside the scope — not at frame construction.
-    val edges = withAqeOff(s)(edgesLazy.localCheckpoint())
+    val edges = withAqeOff(s)(edgesLazy.truncated())
     val lblA = s.read.parquet(s"$store/assignment")
     (newSigs,
       contractedMerge("dd_cluster_fold_stored#merge", lblA, edges,
@@ -2883,7 +2883,7 @@ object Dedup extends QueryPack {
         "graft_h32a(grams) AS ghs", "graft_h64sd(grams) AS hs")
       .selectExpr("doc_id", "hs", "graft_minhash16(ghs) AS sigarr")
       .selectExpr(Seq("doc_id", "hs") ++ sparkSigCols: _*)
-      .localCheckpoint()
+      .truncated()
     newSigs.createOrReplaceTempView("cfo_sigs")
     // NEW-side collapse (the store layout's rep discipline applied to
     // the increment): a duplicate-bombed ingest batch probes and
@@ -2900,12 +2900,12 @@ object Dedup extends QueryPack {
          |   FROM cfo_sigs WHERE sig_0 <> ${Long.MaxValue}L
          |   GROUP BY 1) g
          |ON k.hkey = g.hkey""".stripMargin)
-      .localCheckpoint().createOrReplaceTempView("cfo_grp")
+      .truncated().createOrReplaceTempView("cfo_grp")
     s.sql(
       s"""SELECT s.* FROM cfo_sigs s
          |JOIN (SELECT DISTINCT rep FROM cfo_grp) r ON s.doc_id = r.rep"""
         .stripMargin)
-      .localCheckpoint().createOrReplaceTempView("cfo_repsigs")
+      .truncated().createOrReplaceTempView("cfo_repsigs")
     s.read.parquet(s"$store/bands")
       .createOrReplaceTempView("cfo_oldbands")
     s.read.parquet(s"$store/sigs")
@@ -3003,19 +3003,28 @@ object Dedup extends QueryPack {
     * no-op by construction.
     */
   private[graft] def storeGrp(s: SparkSession, store: String,
-                              idCol: String): DataFrame =
-    if (java.nio.file.Files.isDirectory(
-        java.nio.file.Paths.get(store, "grp")))
-      s.read.parquet(s"$store/grp").toDF(idCol, "rep")
-    else {
-      // pre-layout generation: bands are member-level, so every
-      // banded id is its own representative (first bands column is
-      // the id in every store kind)
-      val bands = s.read.parquet(s"$store/bands")
-      val id = bands.columns.head
-      bands.selectExpr(id).distinct()
-        .selectExpr(s"$id AS $idCol", s"$id AS rep")
+                              idCol: String): DataFrame = {
+    // per chain member (identity for self-contained generations):
+    // real membership where grp/ landed, identity-from-bands for
+    // pre-layout generations (member-level bands — every banded id
+    // is its own representative; first bands column is the id in
+    // every store kind)
+    val gens = StoreFiles.chainPaths(store) match {
+      case Left(e)  => throw new IllegalStateException(e)
+      case Right(g) => g
     }
+    gens.map { gen =>
+      if (java.nio.file.Files.isDirectory(
+          java.nio.file.Paths.get(gen, "grp")))
+        s.read.parquet(s"$gen/grp").toDF(idCol, "rep")
+      else {
+        val bands = s.read.parquet(s"$gen/bands")
+        val id = bands.columns.head
+        bands.selectExpr(id).distinct()
+          .selectExpr(s"$id AS $idCol", s"$id AS rep")
+      }
+    }.reduce(_ union _)
+  }
 
   // One monitor per on-disk store dir (same role as Similarity's
   // storeLocks): the exists/build/write check-then-act must not
@@ -3234,12 +3243,12 @@ object Dedup extends QueryPack {
          |          min(vec_id) AS rep
          |   FROM est_e WHERE n2 > 0 GROUP BY 1) g
          |ON k.vk = g.vk""".stripMargin)
-      .localCheckpoint().createOrReplaceTempView("est_grp")
+      .truncated().createOrReplaceTempView("est_grp")
     s.sql(
       s"""SELECT s.* FROM est_e s
          |JOIN (SELECT DISTINCT rep FROM est_grp) r ON s.vec_id = r.rep"""
         .stripMargin)
-      .localCheckpoint().createOrReplaceTempView("est_repe")
+      .truncated().createOrReplaceTempView("est_repe")
     // same zero-norm band guard as ddEmbedLshPairs
     val bandSelects = (0 until CosBands)
       .map(b => s"SELECT vec_id, $b AS band, element_at(bks, ${b + 1})" +
@@ -3299,7 +3308,7 @@ object Dedup extends QueryPack {
       .selectExpr("vec_id", "embedding",
         "graft_dot(embedding, embedding) AS n2",
         "graft_rh_buckets(embedding) AS bks")
-      .localCheckpoint()
+      .truncated()
     newE.createOrReplaceTempView("efo_e")
     // NEW-side collapse (see clusterStoreEdgeFrame): a bombed vector
     // ingest batch probes and verifies once per group; members ride
@@ -3314,12 +3323,12 @@ object Dedup extends QueryPack {
          |          min(vec_id) AS rep
          |   FROM efo_e WHERE n2 > 0 GROUP BY 1) g
          |ON k.vk = g.vk""".stripMargin)
-      .localCheckpoint().createOrReplaceTempView("efo_grp")
+      .truncated().createOrReplaceTempView("efo_grp")
     s.sql(
       s"""SELECT s.* FROM efo_e s
          |JOIN (SELECT DISTINCT rep FROM efo_grp) r ON s.vec_id = r.rep"""
         .stripMargin)
-      .localCheckpoint().createOrReplaceTempView("efo_repe")
+      .truncated().createOrReplaceTempView("efo_repe")
     s.read.parquet(s"$store/bands")
       .createOrReplaceTempView("efo_oldbands")
     s.read.parquet(s"$store/vecs")
@@ -3385,7 +3394,7 @@ object Dedup extends QueryPack {
     val (newE, edgesLazy) = embedStoreEdgeFrame(s, dir, store, newPred)
     // eager edge checkpoint under scoped AQE-off — the
     // threshold-into-join-condition trap (see clusterStoreIncrement)
-    val edges = withAqeOff(s)(edgesLazy.localCheckpoint())
+    val edges = withAqeOff(s)(edgesLazy.truncated())
     val lblA = s.read.parquet(s"$store/assignment")
       .toDF("doc_id", "cluster_id")
     (newE,
@@ -3618,13 +3627,15 @@ object Dedup extends QueryPack {
   // measured cost IS the cold banded self-join + cosine verify +
   // symmetric-closure checkpoint. Returns the materialized closure;
   // the oracle restates it independently (band CTEs + UNION ALL).
-  // ORACLE SCOPE NOTE: the frame now carries embedClusterEdges'
-  // duplicate collapse, under which the edge SET equals the oracle's
-  // uncollapsed banded closure iff the corpus has no vector-identical
-  // pairs — true of the driver fixtures (continuous uniform noise;
-  // components are identical either way). On a bombed corpus the
-  // per-edge gate is DupBombGuardSpec's intra-engine equality, not
-  // this row-for-row oracle.
+  // ORACLE SCOPE (r18): the oracle restates embedClusterEdges'
+  // duplicate COLLAPSE too — identical vectors group under their
+  // min-vec_id rep (GROUP BY the embedding value itself, the
+  // engine-neutral form of the md5-rendering key; zero-norm
+  // carve-out), only reps band, and the star edges' symmetric
+  // closure joins the verified rep pairs' — so the row-for-row
+  // equality holds on ANY corpus, including bombed ones
+  // (DupBombGuardSpec pins it on the bomb fixture; linearity stays
+  // that spec's gate).
   private def ddLpEdges(s: SparkSession, dir: String): DataFrame = {
     invalidateLpEdges(s, dir)
     val edges = withAqeOff(s)(
@@ -3634,11 +3645,36 @@ object Dedup extends QueryPack {
     edges.edgesBoth.orderBy(col("src"), col("dst"))
   }
 
-  private val ddLpEdgesSql = {
-    val bandSelects = duckEmbedBandSelects
-    s"""${ddEmbedEdgeCtes(bandSelects, "WITH")}
+  private val ddLpEdgesSql =
+    s"""WITH ${duckEmbedECte()},
+       |grp AS (
+       |  SELECT k.vec_id, g.rep
+       |  FROM (SELECT vec_id, embedding FROM e WHERE n2 > 0) k
+       |  JOIN (SELECT embedding, MIN(vec_id) AS rep FROM e
+       |        WHERE n2 > 0 GROUP BY embedding) g
+       |  ON k.embedding = g.embedding),
+       |bands AS (
+       |  SELECT b.vec_id, b.band, b.bkt FROM ($duckEmbedBandSelects) b
+       |  JOIN (SELECT DISTINCT rep FROM grp) r ON b.vec_id = r.rep),
+       |cand AS (
+       |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.bkt = y.bkt AND x.vec_id < y.vec_id),
+       |pairs AS (
+       |  SELECT vec_a, vec_b FROM (
+       |    SELECT vec_a, vec_b,
+       |      ${duckEmbedCos("a", "b")} AS cos_sim
+       |    FROM cand JOIN e a ON a.vec_id = vec_a
+       |              JOIN e b ON b.vec_id = vec_b)
+       |  WHERE cos_sim >= 0.4),
+       |alledges AS (
+       |  SELECT vec_a, vec_b FROM pairs
+       |  UNION ALL
+       |  SELECT rep AS vec_a, vec_id AS vec_b FROM grp
+       |  WHERE vec_id <> rep),
+       |edges AS (SELECT vec_a AS src, vec_b AS dst FROM alledges
+       |          UNION ALL SELECT vec_b, vec_a FROM alledges)
        |SELECT src, dst FROM edges ORDER BY src, dst""".stripMargin
-  }
 
   // -- dd_semdedup: the SemDeDup keep/drop action -----------------------------
   // Clustering is diagnosis; THIS is the curation action (Abbas et al.

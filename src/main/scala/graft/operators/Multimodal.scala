@@ -485,18 +485,18 @@ object Multimodal extends QueryPack {
          |JOIN (SELECT phash, min(doc_id) AS rep FROM pce_sigs
          |      GROUP BY phash) g
          |  ON s.phash = g.phash""".stripMargin)
-      .localCheckpoint().createOrReplaceTempView("pce_grp")
+      .truncated().createOrReplaceTempView("pce_grp")
     // the representatives' band rows, materialized once: the candidate
     // self-join scans a small (doc_id, band, bv) RDD twice
     s.sql(
       s"""SELECT s.doc_id, s.phash FROM pce_sigs s
          |JOIN (SELECT DISTINCT rep FROM pce_grp) r ON s.doc_id = r.rep"""
         .stripMargin)
-      .coalesce(4).localCheckpoint().createOrReplaceTempView("pce_repsigs")
+      .coalesce(4).truncated().createOrReplaceTempView("pce_repsigs")
     // banding via the shared helper so the cluster index can never
     // band differently from the store build / streaming probe
     s.sql(phashBandSelects("pce_repsigs"))
-      .coalesce(4).localCheckpoint().createOrReplaceTempView("pce_repbands")
+      .coalesce(4).truncated().createOrReplaceTempView("pce_repbands")
     s.sql(
       s"""WITH cand AS (
          |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
@@ -566,12 +566,12 @@ object Multimodal extends QueryPack {
         |JOIN (SELECT phash, min(doc_id) AS rep FROM pst_allsigs
         |      GROUP BY 1) g
         |ON k.phash = g.phash""".stripMargin)
-      .localCheckpoint().createOrReplaceTempView("pst_grp")
+      .truncated().createOrReplaceTempView("pst_grp")
     s.sql(
       """SELECT s.doc_id, s.phash FROM pst_allsigs s
         |JOIN (SELECT DISTINCT rep FROM pst_grp) r ON s.doc_id = r.rep"""
         .stripMargin)
-      .localCheckpoint().createOrReplaceTempView("pst_sigs")
+      .truncated().createOrReplaceTempView("pst_sigs")
     new java.io.File(store).mkdirs()
     s.sql("SELECT doc_id, phash FROM pst_sigs")
       .write.mode("overwrite").parquet(s"$store/sigs")
@@ -601,7 +601,13 @@ object Multimodal extends QueryPack {
     */
   private[graft] def phashStoreFoldInto(s: SparkSession, dir: String,
                                         store: String, out: String,
-                                        where: String): Unit = {
+                                        where: String,
+                                        delta: Boolean = false): Unit = {
+    if (delta)
+      require(java.nio.file.Paths.get(out).toAbsolutePath.getParent ==
+          java.nio.file.Paths.get(store).toAbsolutePath.getParent,
+        "a delta generation links its parent by bare sibling name — " +
+          s"$out and $store must share a root")
     val newSigs = phashSigsOf(media(s, dir).where(where)).cache()
     newSigs.createOrReplaceTempView("pfi_allsigs")
     // the increment lands rep-collapsed per batch (the
@@ -613,25 +619,33 @@ object Multimodal extends QueryPack {
         |JOIN (SELECT phash, min(doc_id) AS rep FROM pfi_allsigs
         |      GROUP BY 1) g
         |ON k.phash = g.phash""".stripMargin)
-      .localCheckpoint().createOrReplaceTempView("pfi_grp")
+      .truncated().createOrReplaceTempView("pfi_grp")
     s.sql(
       """SELECT s.doc_id, s.phash FROM pfi_allsigs s
         |JOIN (SELECT DISTINCT rep FROM pfi_grp) r ON s.doc_id = r.rep"""
         .stripMargin)
-      .localCheckpoint().createOrReplaceTempView("pfi_sigs")
+      .truncated().createOrReplaceTempView("pfi_sigs")
     new java.io.File(out).mkdirs()
-    s.read.parquet(s"$store/sigs")
-      .union(s.sql("SELECT doc_id, phash FROM pfi_sigs"))
+    // delta: the increment's rows alone land (bytes ∝ batch, not
+    // store); readers union the relations across the _PARENT chain
+    // (StoreFiles.readRelChain) and compact seals it nightly
+    def withPrior(rel: String, inc: org.apache.spark.sql.DataFrame) =
+      if (delta) inc
+      else StoreFiles.readRelChain(s, store, rel).union(inc)
+    withPrior("sigs", s.sql("SELECT doc_id, phash FROM pfi_sigs"))
       .write.mode("overwrite").parquet(s"$out/sigs")
-    s.read.parquet(s"$store/bands")
-      .union(s.sql(
+    withPrior("bands", s.sql(
         s"SELECT doc_id, band, bv FROM (${phashBandSelects("pfi_sigs")})"))
       .write.mode("overwrite").parquet(s"$out/bands")
-    Dedup.storeGrp(s, store, "doc_id")
-      .union(s.sql("SELECT doc_id, rep FROM pfi_grp"))
+    (if (delta) s.sql("SELECT doc_id, rep FROM pfi_grp")
+     else Dedup.storeGrp(s, store, "doc_id")
+       .union(s.sql("SELECT doc_id, rep FROM pfi_grp")))
       .write.mode("overwrite").parquet(s"$out/grp")
     val added = newSigs.count()
     newSigs.unpersist()
+    if (delta)
+      StoreFiles.writeParent(out,
+        java.nio.file.Paths.get(store).getFileName.toString)
     val prior = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(store, "manifest.json")),
       java.nio.charset.StandardCharsets.UTF_8)

@@ -964,7 +964,7 @@ object Similarity extends QueryPack {
     val trainCond = if (trainWhere.isEmpty) "" else s" WHERE $trainWhere"
     val base = table(s, dir, "embeddings")
       .selectExpr("vec_id", s"$x4S AS x4")
-      .localCheckpoint()
+      .truncated()
     base.createOrReplaceTempView("ipq_base")
     val cents = base.where(col("vec_id") < kCells)
       .selectExpr("vec_id AS cell", "x4 AS c")
@@ -1004,7 +1004,7 @@ object Similarity extends QueryPack {
       s"""SELECT vec_id, ${argminS("x4", cents)} AS cell,
          |  ${codeCols.mkString(",\n  ")}
          |FROM ipq_base$trainCond""".stripMargin)
-      .localCheckpoint()
+      .truncated()
     // the code table is materialized; drop the view so nothing pins the
     // corpus-sized base checkpoint (ContextCleaner frees its blocks
     // once the frame is unreachable)
@@ -1048,8 +1048,12 @@ object Similarity extends QueryPack {
     */
   private[graft] object IvfPqStore {
 
-    def save(model: IvfPqModel, dir: String): Unit = {
+    def save(model: IvfPqModel, dir: String,
+             parent: Option[String] = None): Unit = {
       model.codes.write.mode("overwrite").parquet(s"$dir/codes")
+      // the delta link precedes the marker: a committed delta
+      // generation must always carry its chain
+      parent.foreach(graft.operators.StoreFiles.writeParent(dir, _))
       def cseq(xs: Seq[(Long, Seq[Long])]): String =
         xs.sortBy(_._1).map { case (cell, c) =>
           s"""{"cell": $cell, "c": ${c.mkString("[", ",", "]")}}"""
@@ -1086,7 +1090,12 @@ object Similarity extends QueryPack {
       IvfPqModel(
         cseq(root.get("cents")),
         root.get("codebooks").elements().asScala.map(cseq).toSeq,
-        s.read.parquet(s"$dir/codes"))
+        // chain-aware: a DELTA generation holds only its increment's
+        // codes — the served table is the union across its _PARENT
+        // chain (identity read for self-contained generations); the
+        // model side is frozen across a chain by construction, so the
+        // served generation's copy IS the chain's model
+        graft.operators.StoreFiles.readRelChain(s, dir, "codes"))
     }
 
     def exists(dir: String): Boolean =
@@ -1185,12 +1194,27 @@ object Similarity extends QueryPack {
     */
   private[graft] def ivfPqStoreFoldInto(s: SparkSession, dir: String,
                                         store: String, out: String,
-                                        where: String): Unit = {
+                                        where: String,
+                                        delta: Boolean = false): Unit = {
+    if (delta)
+      require(java.nio.file.Paths.get(out).toAbsolutePath.getParent ==
+          java.nio.file.Paths.get(store).toAbsolutePath.getParent,
+        "a delta generation links its parent by bare sibling name — " +
+          s"$out and $store must share a root")
     val prior = IvfPqStore.load(s, store)
     new java.io.File(out).mkdirs()
+    // delta: only the increment's codes land (bytes ∝ batch); the
+    // frozen model JSON is copied — it is the serve-time source of
+    // cents/codebooks and byte-sized, so duplicating it keeps every
+    // generation loadable on its own chain
     IvfPqStore.save(
       IvfPqModel(prior.cents, prior.codebooks,
-        prior.codes.union(ivfPqEncode(s, dir, prior, where))), out)
+        if (delta) ivfPqEncode(s, dir, prior, where)
+        else prior.codes.union(ivfPqEncode(s, dir, prior, where))),
+      out,
+      parent = if (delta)
+        Some(java.nio.file.Paths.get(store).getFileName.toString)
+      else None)
   }
 
   /** Per-(process, corpus) generation-0 store: first caller trains the
@@ -1508,7 +1532,7 @@ object Similarity extends QueryPack {
   // join against the vector store, never a corpus scan riding the
   // ranking. Output keeps both distances (adc_dist is what the first
   // stage believed; exact_dist is the truth the final rank uses).
-  private val RefineR = 10
+  private[graft] val RefineR = 10
 
   /** Test hook (IvfPqRefineSpec): every (query, candidate) pair the
     * serving path can see — the corpus members of each query's probed

@@ -174,6 +174,125 @@ private[graft] object StoreFiles {
     s"gen-${if (used.isEmpty) 0L else used.max + 1L}"
   }
 
+  // ---- delta generations (_PARENT chain) -----------------------------------
+  // A DELTA generation holds only its increment's rows plus a `_PARENT`
+  // file naming the generation it extends (a bare SIBLING subdir name,
+  // like the pointer — location-independent). Readers resolve the
+  // pointed generation's CHAIN and union each relation across it;
+  // `StoreCtl compact` seals a chain back into one self-contained
+  // generation. `_PARENT` is written BEFORE the commit marker, so a
+  // committed delta generation always carries its link. Implemented
+  // for the cheap-layout kinds (phash, ivfpq) — the cluster/embed
+  // kinds' assignment relation is GLOBAL state (a fold can relabel old
+  // rows through new bridges), so their delta layout needs read-time
+  // assignment merging and stays deferred (BENCHING.md's cadence
+  // argument).
+
+  val ParentName = "_PARENT"
+
+  /** Record the delta link of the generation at `dir`. Call before
+    * the commit marker lands.
+    */
+  def writeParent(dir: String, parentGen: String): Unit =
+    Files.write(Paths.get(dir, ParentName),
+      parentGen.getBytes(StandardCharsets.UTF_8))
+
+  def readParent(dir: java.nio.file.Path): Option[String] = {
+    val p = dir.resolve(ParentName)
+    if (!Files.exists(p)) None
+    else Some(new String(Files.readAllBytes(p),
+      StandardCharsets.UTF_8).trim).filter(_.nonEmpty)
+  }
+
+  /** The generation chain rooted at `dir`: itself first, then its
+    * parents base-last. Fails loudly on a dangling/uncommitted parent
+    * or a cycle — a chain read must never silently serve a partial
+    * union (rows would just be MISSING, the worst failure mode a
+    * store can have).
+    */
+  def chainPaths(dir: String): Either[String, Seq[String]] = {
+    val out = scala.collection.mutable.LinkedHashSet[String]()
+    var cur = Paths.get(dir).toAbsolutePath
+    var done = false
+    while (!done) {
+      if (!out.add(cur.toString))
+        return Left(s"delta chain under ${Paths.get(dir).getParent} " +
+          s"cycles at ${cur.getFileName}")
+      if (!committed(cur))
+        return Left(s"$cur holds no committed store — the delta " +
+          "chain is dangling (a parent was deleted out from under " +
+          "its children?)")
+      readParent(cur) match {
+        case None    => done = true
+        case Some(p) => cur = cur.getParent.resolve(p)
+      }
+    }
+    Right(out.toSeq)
+  }
+
+  /** Union relation `rel` across `dir`'s delta chain — ONE parquet
+    * read (identity) for a self-contained generation. Generations
+    * missing the relation contribute nothing (pre-layout generations
+    * lack `grp`); at least one must hold it.
+    */
+  def readRelChain(s: org.apache.spark.sql.SparkSession, dir: String,
+                   rel: String): org.apache.spark.sql.DataFrame = {
+    val gens = chainPaths(dir) match {
+      case Left(e)  => throw new IllegalStateException(e)
+      case Right(g) => g
+    }
+    val present = gens.filter(g => Files.isDirectory(Paths.get(g, rel)))
+    if (present.isEmpty)
+      throw new IllegalStateException(
+        s"no generation in $dir's chain holds $rel/")
+    present.map(g => s.read.parquet(s"$g/$rel")).reduce(_ union _)
+  }
+
+  /** Best-effort chain NAMES from a root's generation — for gc's keep
+    * set. Unlike [[chainPaths]] this never fails: a dangling link
+    * keeps the resolvable prefix (gc must still protect what exists).
+    */
+  private def chainNamesLenient(root: String, gen: String): Set[String] = {
+    val out = scala.collection.mutable.LinkedHashSet[String]()
+    var cur = gen
+    var done = false
+    while (!done) {
+      if (!out.add(cur)) done = true
+      else readParent(Paths.get(root, cur)) match {
+        case Some(p) if Files.isDirectory(Paths.get(root, p)) => cur = p
+        case _ => done = true
+      }
+    }
+    out.toSet
+  }
+
+  /** Committed gen-numbered generations strictly ABOVE the pointed
+    * one — the litter of an `advance` that crashed between its fold's
+    * marker and the flip. gc spares them (they hold a folded batch no
+    * other generation has), but a later `advance`/`compact` MUST NOT
+    * proceed past them: it would allocate gen-(max+1), fold from the
+    * POINTED generation, and flip ABOVE the crashed one — after which
+    * the crashed fold's generation falls below the pointer and the
+    * next gc silently deletes it, losing its batch with no operator
+    * signal. Callers refuse and direct the operator to flip to it or
+    * gc it explicitly first.
+    */
+  def committedAbovePointer(root: String): Seq[String] =
+    readCurrent(root).toSeq.flatMap { case (gen, _) =>
+      val GenPat = "gen-(\\d+)".r
+      val pointedNum = gen match {
+        case GenPat(n) => Some(n.toLong)
+        case _         => None
+      }
+      Option(new java.io.File(root).listFiles()).toSeq.flatten
+        .filter(f => f.isDirectory && committed(f.toPath))
+        .filter(f => (pointedNum, f.getName) match {
+          case (Some(p), GenPat(n)) => n.toLong > p
+          case _                    => false
+        })
+        .map(_.getName).sorted
+    }
+
   /** Delete committed generations under `root` other than the pointed
     * one, its grace-window `prev`, and any gen-numbered generation
     * NEWER than the pointed one. Uncommitted subdirs are LEFT ALONE —
@@ -192,7 +311,11 @@ private[graft] object StoreFiles {
       case None => Left(s"no $CurrentName pointer at $root — refusing " +
         "to gc an unpointed root (nothing marks a generation as live)")
       case Some((gen, prev)) =>
-        val keep = Set(gen) ++ prev
+        // a delta generation is useless without its parents: keep the
+        // pointed generation's WHOLE chain (and prev's, for the same
+        // grace its own dir gets)
+        val keep = chainNamesLenient(root, gen) ++
+          prev.toSet.flatMap(chainNamesLenient(root, _: String))
         val GenPat = "gen-(\\d+)".r
         val pointedNum = gen match {
           case GenPat(n) => Some(n.toLong)

@@ -10,11 +10,12 @@ import graft.Engine
   * number that decides a deployment's fold cadence (r17 directive 6;
   * findings in BENCHING.md's write-amplification section).
   *
-  * All four kinds currently write SELF-CONTAINED generations (each
-  * fold lands prior ∪ increment, never a delta), so bytes-per-fold is
-  * expected to track the full store size, not the batch — this tool
-  * measures exactly how much, per kind, so the cadence statement in
-  * BENCHING.md is a measurement rather than an assumption.
+  * Self-contained generations (the default fold) land prior ∪
+  * increment, so bytes-per-fold tracks the full store size; the
+  * phash/ivfpq kinds also support `advance --delta` (r18), whose
+  * generations land ONLY the batch — measured here as a second
+  * channel per kind, so BENCHING.md's cadence statement compares the
+  * two shapes on the same batches rather than assuming either.
   *
   *   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
   *     sbt "runMain graft.run.FoldAmp"
@@ -58,10 +59,33 @@ object FoldAmp {
       runOrDie(Seq("advance", kind, dir, root.toString, s"$idCol % 3 = 2"))
       val gens = (0 to 2).map(g => du(new java.io.File(root, s"gen-$g")))
       val rows = (0 to 2).map(g => batchRows(g))
+      // the delta channel (phash/ivfpq): same batches through
+      // `advance --delta` — generation bytes should be ∝ batch
+      val delta =
+        if (!Set("phash", "ivfpq")(kind)) ""
+        else {
+          val droot = new java.io.File(base, s"${kind}_delta")
+          droot.mkdirs()
+          runOrDie(Seq("build", kind, dir, s"$droot/gen-0",
+            s"$idCol % 3 = 0"))
+          runOrDie(Seq("flip", droot.toString, "gen-0"))
+          runOrDie(Seq("advance", "--delta", kind, dir, droot.toString,
+            s"$idCol % 3 = 1"))
+          runOrDie(Seq("advance", "--delta", kind, dir, droot.toString,
+            s"$idCol % 3 = 2"))
+          val dgens = (0 to 2).map(g =>
+            du(new java.io.File(droot, s"gen-$g")))
+          s""","delta_gen_bytes":${dgens.mkString("[", ",", "]")},""" +
+            s""""delta_fold1_amp":${
+              "%.2f".format(dgens(1).toDouble / dgens(0))},""" +
+            s""""delta_fold2_amp":${
+              "%.2f".format(dgens(2).toDouble / dgens(0))}"""
+        }
       s""""$kind":{"batch_rows":${rows.mkString("[", ",", "]")},""" +
         s""""gen_bytes":${gens.mkString("[", ",", "]")},""" +
         s""""fold1_amp":${"%.2f".format(gens(1).toDouble / gens(0))},""" +
-        s""""fold2_amp":${"%.2f".format(gens(2).toDouble / gens(0))}}"""
+        s""""fold2_amp":${"%.2f".format(gens(2).toDouble / gens(0))}""" +
+        delta + "}"
     }
     println(out.mkString("{\"sf_dir\":\"" + dir + "\",", ",", "}"))
     rec(base)

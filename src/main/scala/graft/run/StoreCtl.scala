@@ -12,12 +12,12 @@ import graft.operators.{Dedup, Multimodal, Similarity, StoreFiles}
   * discipline, extended to the four store kinds):
   *
   *   runMain graft.run.StoreCtl build <kind> <corpus> <store> [pred]
-  *   runMain graft.run.StoreCtl fold  <kind> <corpus> <store> <out> <pred>
+  *   runMain graft.run.StoreCtl fold [--delta] <kind> <corpus> <store> <out> <pred>
   *   runMain graft.run.StoreCtl stats <store>
   *   runMain graft.run.StoreCtl flip  <root> <gen>
   *   runMain graft.run.StoreCtl serve <root>
   *   runMain graft.run.StoreCtl gc    <root>
-  *   runMain graft.run.StoreCtl advance <kind> <corpus> <root> <pred>
+  *   runMain graft.run.StoreCtl advance [--delta] <kind> <corpus> <root> <pred>
   *   runMain graft.run.StoreCtl compact <kind> <root>
   *   runMain graft.run.StoreCtl recall  <root> <corpus>
   *
@@ -55,6 +55,18 @@ import graft.operators.{Dedup, Multimodal, Similarity, StoreFiles}
   * quantization error silently as folds append; this verb measures it
   * against the live corpus instead of assuming it.
   *
+  * `--delta` (phash / ivfpq) lands ONLY the increment's rows in the
+  * new generation plus a `_PARENT` link naming the generation it
+  * extends — fold bytes ∝ batch instead of store, the hourly-cadence
+  * shape BENCHING.md's write-amplification table costs out. Readers
+  * (serve-side loads, the streaming probes, `recall`, `compact`)
+  * union each relation across the pointed generation's chain; gc
+  * keeps a pointed/prev generation's whole chain alive. The
+  * cluster/embed kinds REFUSE --delta: their assignment relation is
+  * global state (a fold can relabel old rows through new bridges), so
+  * a delta layout needs read-time assignment merging — deferred with
+  * the written argument in BENCHING.md.
+  *
   * `compact` seals a fold chain: it rewrites the SERVED generation's
   * relations — sorted on their serve keys (band index by (band, key)
   * for probe-join locality, the code table by (cell, vec_id) for
@@ -82,6 +94,8 @@ object StoreCtl {
         build(spark, kind, corpus, store, Some(pred))
       case Seq("fold", kind, corpus, store, out, pred) =>
         fold(spark, kind, corpus, store, out, pred)
+      case Seq("fold", "--delta", kind, corpus, store, out, pred) =>
+        fold(spark, kind, corpus, store, out, pred, delta = true)
       case Seq("stats", store) =>
         marker(store) match {
           case None =>
@@ -100,27 +114,9 @@ object StoreCtl {
           case gone  => s"[gc] collected ${gone.mkString(", ")}"
         }
       case Seq("advance", kind, corpus, root, pred) =>
-        StoreFiles.serve(root).flatMap { cur =>
-          val next = StoreFiles.nextGenName(root)
-          val outPath = java.nio.file.Paths.get(root, next)
-          // CLAIM the name atomically before folding: two overlapping
-          // advance runs (a slow fold under the next cron tick) would
-          // otherwise both read the same nextGenName and interleave
-          // writes into one generation dir. createDirectory fails on
-          // an existing dir, so exactly one run proceeds.
-          try java.nio.file.Files.createDirectory(outPath)
-          catch {
-            case _: java.nio.file.FileAlreadyExistsException =>
-              return Left(s"$outPath already exists — a concurrent " +
-                "advance is in flight (or its litter needs an " +
-                "operator decision); refusing to write into it")
-            case e: java.io.IOException =>
-              return Left(s"cannot create $outPath: $e")
-          }
-          fold(spark, kind, corpus, cur, outPath.toString, pred)
-            .flatMap(_ =>
-              StoreFiles.flip(root, next).map(p => s"[advance] serving $p"))
-        }
+        advance(spark, kind, corpus, root, pred, delta = false)
+      case Seq("advance", "--delta", kind, corpus, root, pred) =>
+        advance(spark, kind, corpus, root, pred, delta = true)
       case Seq("compact", kind, root) =>
         compact(spark, kind, root)
       case Seq("recall", root, corpus) =>
@@ -147,11 +143,13 @@ object StoreCtl {
         }
       case _ =>
         Left("usage: StoreCtl build <kind> <corpus> <store> [pred] | " +
-          "fold <kind> <corpus> <store> <out> <pred> | stats <store> | " +
+          "fold [--delta] <kind> <corpus> <store> <out> <pred> | " +
+          "stats <store> | " +
           "flip <root> <gen> | serve <root> | gc <root> | " +
-          "advance <kind> <corpus> <root> <pred> | " +
+          "advance [--delta] <kind> <corpus> <root> <pred> | " +
           "compact <kind> <root> | recall <root> <corpus>\n" +
-          "  kind = cluster | embed | ivfpq | phash")
+          "  kind = cluster | embed | ivfpq | phash " +
+          "(--delta: phash | ivfpq)")
     }
 
   /** Each kind's relations with their serve-key sort order: the band
@@ -210,6 +208,10 @@ object StoreCtl {
           if (foreign.nonEmpty)
             return Left(s"$cur holds ${foreign.mkString(", ")} — not a " +
               s"$kind store; refusing before writing anything")
+          refuseOrphans(root) match {
+            case Some(m) => return Left(m)
+            case None    => ()
+          }
           val layout = fullLayout.filter(r => present(r._1))
           val next = StoreFiles.nextGenName(root)
           val outPath = java.nio.file.Paths.get(root, next)
@@ -225,12 +227,23 @@ object StoreCtl {
               return Left(s"cannot create $outPath: $e")
           }
           layout.foreach { case (rel, keys) =>
+            // chain-aware read: a DELTA chain's relations union across
+            // the _PARENT links (identity for self-contained
+            // generations) — compact is exactly the verb that seals a
+            // chain back into one generation, so the output carries no
+            // _PARENT by construction. grp goes through storeGrp so a
+            // chain with a pre-layout base still contributes that
+            // base's identity membership.
+            val frame =
+              if (rel == "grp")
+                Dedup.storeGrp(spark, cur, keys(1)).select(keys(1), "rep")
+              else StoreFiles.readRelChain(spark, cur, rel)
             // sort() range-partitions, so files land globally ordered
             // on the serve keys; coalesce caps the sealed file count
             // (the whole relation is signature/model-sized — dozens
             // of bytes per corpus item — so a handful of files is the
             // right shape even at large corpus scale)
-            spark.read.parquet(s"$cur/$rel")
+            frame
               .sort(keys.map(org.apache.spark.sql.functions.col): _*)
               .coalesce(4)
               .write.mode("error").parquet(s"$outPath/$rel")
@@ -256,6 +269,59 @@ object StoreCtl {
           }
         }
     }
+
+  /** The cron'd ingest-batch verb: fold the SERVED generation + the
+    * predicate's rows into the next free `gen-<n>`, then flip.
+    * `delta = true` lands only the increment (the hourly-cadence
+    * shape — bytes ∝ batch); readers resolve the chain, and a nightly
+    * `compact` seals it.
+    */
+  private def advance(spark: SparkSession, kind: String, corpus: String,
+                      root: String, pred: String,
+                      delta: Boolean): Either[String, String] =
+    StoreFiles.serve(root).flatMap { cur =>
+      refuseOrphans(root) match {
+        case Some(m) => return Left(m)
+        case None    => ()
+      }
+      val next = StoreFiles.nextGenName(root)
+      val outPath = java.nio.file.Paths.get(root, next)
+      // CLAIM the name atomically before folding: two overlapping
+      // advance runs (a slow fold under the next cron tick) would
+      // otherwise both read the same nextGenName and interleave
+      // writes into one generation dir. createDirectory fails on
+      // an existing dir, so exactly one run proceeds.
+      try java.nio.file.Files.createDirectory(outPath)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          return Left(s"$outPath already exists — a concurrent " +
+            "advance is in flight (or its litter needs an " +
+            "operator decision); refusing to write into it")
+        case e: java.io.IOException =>
+          return Left(s"cannot create $outPath: $e")
+      }
+      fold(spark, kind, corpus, cur, outPath.toString, pred, delta)
+        .flatMap(_ =>
+          StoreFiles.flip(root, next).map(p => s"[advance] serving $p"))
+    }
+
+  /** The advance-crash window guard: a committed gen-numbered
+    * generation ABOVE the pointer is a crashed advance's folded batch
+    * (marker landed, flip didn't). gc spares it, but an advance/
+    * compact that proceeds past it would flip above it — dropping it
+    * below the pointer, where the next gc silently deletes the only
+    * copy of that batch. Refuse with the two safe exits.
+    */
+  private def refuseOrphans(root: String): Option[String] = {
+    val orphans = StoreFiles.committedAbovePointer(root)
+    if (orphans.isEmpty) None
+    else Some(s"committed generation(s) ${orphans.mkString(", ")} sit " +
+      s"ABOVE the pointer at $root — a crashed advance's folded batch. " +
+      "Advancing past them would strand them below the next pointer, " +
+      "where gc deletes their batch silently. Either `flip` to the " +
+      "newest one (it already holds the served generation + its batch) " +
+      "or delete it explicitly, then re-run.")
+  }
 
   /** The store's commit marker: manifest.json for the cluster /
     * embed / phash kinds, model.json for ivfpq (both land temp +
@@ -298,27 +364,36 @@ object StoreCtl {
     }
 
   private def fold(spark: SparkSession, kind: String, corpus: String,
-                   store: String, out: String,
-                   pred: String): Either[String, String] = {
+                   store: String, out: String, pred: String,
+                   delta: Boolean = false): Either[String, String] = {
     if (marker(store).isEmpty)
       return Left(s"$store holds no committed $kind store to fold into")
     refuseCommitted(out) match {
       case Some(m) => return Left(m)
       case None    => ()
     }
+    if (delta && !Set("phash", "ivfpq")(kind))
+      return Left(s"--delta is implemented for the phash and ivfpq " +
+        s"kinds, not $kind: the cluster/embed assignment relation is " +
+        "GLOBAL state (a fold can relabel old rows through new " +
+        "bridges), so a delta layout for them needs read-time " +
+        "assignment merging — see BENCHING.md's cadence section")
+    val face = if (delta) "fold --delta" else "fold"
     kind match {
       case "cluster" =>
         Dedup.clusterStoreFoldInto(spark, corpus, store, pred, out)
-        Right(s"[fold] cluster generation at $out")
+        Right(s"[$face] cluster generation at $out")
       case "embed" =>
         Dedup.embedStoreFoldInto(spark, corpus, store, pred, out)
-        Right(s"[fold] embed generation at $out")
+        Right(s"[$face] embed generation at $out")
       case "ivfpq" =>
-        Similarity.ivfPqStoreFoldInto(spark, corpus, store, out, pred)
-        Right(s"[fold] ivfpq generation at $out")
+        Similarity.ivfPqStoreFoldInto(spark, corpus, store, out, pred,
+          delta)
+        Right(s"[$face] ivfpq generation at $out")
       case "phash" =>
-        Multimodal.phashStoreFoldInto(spark, corpus, store, out, pred)
-        Right(s"[fold] phash generation at $out")
+        Multimodal.phashStoreFoldInto(spark, corpus, store, out, pred,
+          delta)
+        Right(s"[$face] phash generation at $out")
       case other => Left(s"unknown store kind: $other")
     }
   }

@@ -470,9 +470,11 @@ object Streams {
       : DataFrame = {
     val s = vecs.sparkSession
     graft.functions.VectorFunctions.ensureRegistered(s)
-    val oldBands = s.read.parquet(s"$store/bands")
+    val oldBands = graft.operators.StoreFiles
+      .readRelChain(s, store, "bands")
       .toDF("owner_id", "band", "bkt")
-    val oldVecs = s.read.parquet(s"$store/vecs")
+    val oldVecs = graft.operators.StoreFiles
+      .readRelChain(s, store, "vecs")
       .toDF("owner_id", "old_embedding", "old_n2")
     // rep-collapsed store membership (identity for pre-layout
     // generations): band/verify once per stored GROUP, one equi-join
@@ -534,9 +536,11 @@ object Streams {
       : DataFrame = {
     val s = docs.sparkSession
     graft.functions.VectorFunctions.ensureRegistered(s)
-    val oldBands = s.read.parquet(s"$store/bands")
+    val oldBands = graft.operators.StoreFiles
+      .readRelChain(s, store, "bands")
       .toDF("owner_id", "band", "bk")
-    val oldSigs = s.read.parquet(s"$store/sigs")
+    val oldSigs = graft.operators.StoreFiles
+      .readRelChain(s, store, "sigs")
       .toDF("owner_id", "old_hs")
     // the rep-collapsed store's membership (identity for pre-layout
     // generations): band/verify work runs once per stored GROUP, then
@@ -580,9 +584,14 @@ object Streams {
                        metrics: Option[DisorderMetrics] = None)
       : DataFrame = {
     val s = media.sparkSession
-    val oldBands = s.read.parquet(s"$store/bands")
+    // chain-aware (StoreCtl --delta lands increment-only phash
+    // generations): the probe serves the union across the pointed
+    // generation's _PARENT chain — identity for self-contained gens
+    val oldBands = graft.operators.StoreFiles
+      .readRelChain(s, store, "bands")
       .toDF("owner_id", "band", "bv")
-    val oldSigs = s.read.parquet(s"$store/sigs")
+    val oldSigs = graft.operators.StoreFiles
+      .readRelChain(s, store, "sigs")
       .toDF("owner_id", "old_phash")
     // rep-collapsed store membership (identity for pre-layout
     // generations): band/verify once per stored GROUP, one equi-join
@@ -851,6 +860,23 @@ case class FunnelAdvance(user_id: Long, step: Int, at_us: Long)
     /** Retention's historical name for [[absorbed]] (cohort re-bases). */
     def rebases: org.apache.spark.util.LongAccumulator = absorbed
 
+    /** Observer instances [[observeArrivals]] allocated against this
+      * metrics object — the keys [[release]] evicts.
+      */
+    private[streaming] val arrivalInsts =
+      java.util.concurrent.ConcurrentHashMap.newKeySet[java.lang.Long]()
+
+    /** Evict this object's per-(instance, partition) arrival
+      * high-waters from the executor-JVM mark map. Call after
+      * stopping the owning query (alongside `removeListener`): the
+      * marks are meaningless once the query is gone, and a long-lived
+      * session cycling many probe queries would otherwise accrete an
+      * entry pair per (query, partition) forever. Releasing while the
+      * query still runs is safe but resets the inversion baseline
+      * (the next batch sees fresh marks and under-counts once).
+      */
+    def release(): Unit = Streams.evictArrivalMarks(this)
+
     private val lateDroppedTotal = new java.util.concurrent.atomic.AtomicLong
     private val registered = new java.util.concurrent.atomic.AtomicBoolean
     private val warnedUnregistered =
@@ -936,11 +962,32 @@ case class FunnelAdvance(user_id: Long, step: Int, at_us: Long)
     * state store to carry a cross-batch mark, and a mark that lives
     * in the JVM is exactly as durable as the accumulator feeding the
     * same channel. Entries are a pair of longs per (instance,
-    * partition) and are never evicted — bounded by observer count.
+    * partition); a long-lived session evicts a query's entries via
+    * [[DisorderMetrics.release]] after stopping it — each metrics
+    * object records the observer instances it owns.
     */
   private val arrivalHw = new java.util.concurrent.ConcurrentHashMap[
     (Long, Int), (Long, Long)]
   private val arrivalSeq = new java.util.concurrent.atomic.AtomicLong
+
+  /** Drop every (instance, partition) arrival mark owned by `m` —
+    * the [[DisorderMetrics.release]] body (here because the map is
+    * private to the observer).
+    */
+  private[streaming] def evictArrivalMarks(m: DisorderMetrics): Unit = {
+    val it = arrivalHw.keySet().iterator()
+    while (it.hasNext)
+      if (m.arrivalInsts.contains(it.next()._1)) it.remove()
+    m.arrivalInsts.clear()
+  }
+
+  /** Test hook: live arrival-mark count for a metrics object. */
+  private[graft] def arrivalMarkCount(m: DisorderMetrics): Int = {
+    var n = 0
+    val it = arrivalHw.keySet().iterator()
+    while (it.hasNext) if (m.arrivalInsts.contains(it.next()._1)) n += 1
+    n
+  }
 
   /** Arrival-inversion observation for the STATELESS served-store
     * probe streams — the `absorbed` face the keyed machines get from
@@ -967,7 +1014,7 @@ case class FunnelAdvance(user_id: Long, step: Int, at_us: Long)
     * With `metrics` None the input is returned UNTOUCHED — the
     * production serve plans (and the bench) see zero change.
     */
-  private[streaming] def observeArrivals(
+  private[graft] def observeArrivals(
       df: DataFrame, idCol: String,
       metrics: Option[DisorderMetrics]): DataFrame =
     metrics match {
@@ -975,21 +1022,32 @@ case class FunnelAdvance(user_id: Long, step: Int, at_us: Long)
       case Some(m) =>
         val acc = m.absorbed
         val inst = arrivalSeq.incrementAndGet()
+        m.arrivalInsts.add(inst)
         val idIdx = df.schema.fieldIndex(idCol)
         val tsIdx = df.schema.fieldIndex("ts")
         df.mapPartitions { it =>
-          val key = (inst, org.apache.spark.TaskContext.getPartitionId())
+          val ctx = org.apache.spark.TaskContext.get()
+          val key = (inst, ctx.partitionId())
           val pre = Option(arrivalHw.get(key))
             .getOrElse((Long.MinValue, Long.MinValue))
           var hwTs = pre._1
           var hwId = pre._2
+          // The mark persists on TASK COMPLETION, not iterator
+          // exhaustion: a downstream early-stop (limit, an
+          // empty-other-side short-circuit) leaves the iterator
+          // undrained, and an exhaustion-hook mark would stay stale —
+          // every later batch re-counting the same arrivals as
+          // absorbed. Successful attempts only: a failed attempt's
+          // retry must compare against the attempt-start mark
+          // (count-once-per-completed-attempt, the accumulator's own
+          // contract), so a failure advancing the mark would hide the
+          // retry's inversions.
+          ctx.addTaskCompletionListener[Unit] { c =>
+            if (!c.isFailed()) arrivalHw.put(key, (hwTs, hwId))
+          }
           new scala.collection.AbstractIterator[
               org.apache.spark.sql.Row] {
-            override def hasNext: Boolean = {
-              val h = it.hasNext
-              if (!h) arrivalHw.put(key, (hwTs, hwId))
-              h
-            }
+            override def hasNext: Boolean = it.hasNext
             override def next(): org.apache.spark.sql.Row = {
               val r = it.next()
               val ts = r.getLong(tsIdx)

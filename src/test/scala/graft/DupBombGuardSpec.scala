@@ -349,6 +349,68 @@ class DupBombGuardSpec extends AnyFunSuite {
       "zero-vector twins leaked into the pair table")
   }
 
+  test("dd_lp_edges: the row-for-row oracle equality holds on a BOMBED " +
+      "corpus — the restated collapse (group by embedding value, star " +
+      "closure ∪ banded rep pairs) equals the served edge frame") {
+    // the r18 oracle generalization: dd_lp_edges' DuckDB oracle now
+    // restates the duplicate collapse itself, so the gate holds on
+    // corpora WITH vector-identical pairs. Mirror that restatement
+    // here in Spark SQL over the bomb fixture (40 identical vectors +
+    // a scaled copy + two distinct + two zero vectors) and demand
+    // exact row-sequence equality with the production frame.
+    val s = spark
+    graft.functions.VectorFunctions.ensureRegistered(s)
+    Engine.table(s, dir, "embeddings").createOrReplaceTempView("lpb_emb")
+    val ref = s.sql(
+      """WITH e AS (
+        |  SELECT vec_id, embedding,
+        |    graft_dot(embedding, embedding) AS n2,
+        |    graft_rh_buckets(embedding) AS bks
+        |  FROM lpb_emb),
+        |grp AS (
+        |  SELECT k.vec_id, g.rep
+        |  FROM (SELECT vec_id, embedding FROM e WHERE n2 > 0) k
+        |  JOIN (SELECT embedding, MIN(vec_id) AS rep FROM e
+        |        WHERE n2 > 0 GROUP BY embedding) g
+        |  ON k.embedding = g.embedding),
+        |bands AS (
+        |  SELECT b.vec_id, b.band, b.bkt
+        |  FROM (SELECT vec_id, pos AS band, bkt
+        |        FROM e LATERAL VIEW posexplode(bks) t AS pos, bkt) b
+        |  JOIN (SELECT DISTINCT rep FROM grp) r ON b.vec_id = r.rep),
+        |cand AS (
+        |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+        |  FROM bands x JOIN bands y
+        |    ON x.band = y.band AND x.bkt = y.bkt AND x.vec_id < y.vec_id),
+        |pairs AS (
+        |  SELECT vec_a, vec_b FROM (
+        |    SELECT vec_a, vec_b,
+        |      round(graft_cos(a.embedding, b.embedding, a.n2, b.n2), 6)
+        |        AS cos_sim
+        |    FROM cand JOIN e a ON a.vec_id = vec_a
+        |              JOIN e b ON b.vec_id = vec_b)
+        |  WHERE cos_sim >= 0.4),
+        |alledges AS (
+        |  SELECT vec_a, vec_b FROM pairs
+        |  UNION ALL
+        |  SELECT rep AS vec_a, vec_id AS vec_b FROM grp
+        |  WHERE vec_id <> rep)
+        |SELECT src, dst FROM (
+        |  SELECT vec_a AS src, vec_b AS dst FROM alledges
+        |  UNION ALL SELECT vec_b, vec_a FROM alledges)
+        |ORDER BY src, dst""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(ref.nonEmpty, "restated oracle produced no edges — vacuous")
+    val got = SparkEntry.queries("dd_lp_edges")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == ref,
+      s"served ${got.size} edge rows vs restated ${ref.size}")
+    // ...and the linearity gate stays: the bomb contributes exactly
+    // k-1 star edges (x2 directions), never the clique
+    val within = got.filter(t => t._1 < Bomb && t._2 < Bomb)
+    assert(within.size == 2 * (Bomb - 1), within.size)
+  }
+
   /** Bombed-STORE fixture: the duplicate bomb is ALREADY IN the
     * persistent cluster store (k identical old docs) — the store
     * layout's own bomb exposure: an uncollapsed store carries k band

@@ -173,6 +173,19 @@ class StoreCtlSpec extends AnyFunSuite {
     assert(StoreCtl.run(spark, Seq("gc", root))
       .exists(_.contains("nothing")))
     assert(new java.io.File(s"$root/gen-4").exists)
+    // ...and advance/compact REFUSE while it sits above the pointer:
+    // proceeding would allocate gen-5, fold from the POINTED gen-3,
+    // and flip above gen-4 — stranding the crashed fold's batch below
+    // the pointer where the next gc silently deletes it
+    val refusedAdv = StoreCtl.run(spark,
+      Seq("advance", "phash", dir, root, "false"))
+    assert(refusedAdv.isLeft &&
+      refusedAdv.swap.exists(_.contains("gen-4")), refusedAdv)
+    val refusedCmp = StoreCtl.run(spark, Seq("compact", "phash", root))
+    assert(refusedCmp.isLeft &&
+      refusedCmp.swap.exists(_.contains("gen-4")), refusedCmp)
+    assert(!new java.io.File(s"$root/gen-5").exists,
+      "a refused advance/compact must not reserve a generation name")
     // the operator completes the crashed advance by hand: flip to it,
     // and gc then retires the displaced chain outside the grace window
     assert(StoreCtl.run(spark, Seq("flip", root, "gen-4")).isRight)
@@ -301,5 +314,101 @@ class StoreCtlSpec extends AnyFunSuite {
     val rec = StoreCtl.run(spark, Seq("recall", iroot, dir))
     assert(rec.exists(_.contains("mean recall@3")), rec)
     assert(StoreCtl.run(spark, Seq("recall", eroot, dir)).isLeft)
+  }
+  test("fold --delta (phash): increment-only generations chain-serve " +
+      "bit-identically, compact seals the chain, gc keeps parents") {
+    val root = tmp("dlt_ph"); new java.io.File(root).mkdirs()
+    assert(StoreCtl.run(spark, Seq("build", "phash", dir, s"$root/gen-0",
+      Dedup.oldPred)).isRight)
+    assert(StoreCtl.run(spark, Seq("flip", root, "gen-0")).isRight)
+    assert(StoreCtl.run(spark, Seq("advance", "--delta", "phash", dir,
+      root, s"NOT (${Dedup.oldPred}) AND doc_id % 2 = 0"))
+      .exists(_.endsWith("gen-1")))
+    assert(StoreCtl.run(spark, Seq("advance", "--delta", "phash", dir,
+      root, s"NOT (${Dedup.oldPred}) AND doc_id % 2 = 1"))
+      .exists(_.endsWith("gen-2")))
+    // delta generations hold ONLY their batch: every banded doc of
+    // gen-2's own parquet is outside gen-1's and gen-0's
+    def ownIds(gen: String): Set[Long] =
+      spark.read.parquet(s"$root/$gen/sigs")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ownIds("gen-1").intersect(ownIds("gen-0")).isEmpty)
+    assert(ownIds("gen-2").intersect(ownIds("gen-1")).isEmpty)
+    // ...and the _PARENT links chain them
+    assert(graft.operators.StoreFiles.readParent(
+      java.nio.file.Paths.get(root, "gen-2")) == Some("gen-1"))
+    // chain-serve equals the one-shot self-contained fold, at MEMBER
+    // level (the serve semantics — reps are per-batch)
+    val one = tmp("dlt_ph_one")
+    assert(StoreCtl.run(spark, Seq("fold", "phash", dir, s"$root/gen-0",
+      one, s"NOT (${Dedup.oldPred})")).isRight)
+    def sigSet(p: String): Set[(Long, Long)] =
+      Dedup.storeGrp(spark, p, "doc_id")
+        .join(graft.operators.StoreFiles.readRelChain(spark, p, "sigs")
+          .toDF("rep", "phash"), Seq("rep"))
+        .select("doc_id", "phash")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sigSet(s"$root/gen-2") == sigSet(one),
+      "delta chain diverged from the self-contained fold")
+    // gc keeps the pointed generation's WHOLE chain (gen-0 is neither
+    // pointed nor prev, but gen-2 cannot serve without it)
+    assert(StoreCtl.run(spark, Seq("gc", root))
+      .exists(_.contains("nothing")))
+    assert(new java.io.File(s"$root/gen-0/manifest.json").exists)
+    // compact seals the chain into one self-contained generation
+    assert(StoreCtl.run(spark, Seq("compact", "phash", root))
+      .exists(_.endsWith("gen-3")))
+    assert(graft.operators.StoreFiles.readParent(
+      java.nio.file.Paths.get(root, "gen-3")).isEmpty,
+      "a compacted generation must be self-contained")
+    assert(sigSet(s"$root/gen-3") == sigSet(one),
+      "compact changed the chain's member rows")
+    // the streaming probe serves the delta chain: its store reads go
+    // through the same chain reader (identity on sealed generations),
+    // pinned here by reading bands across both forms
+    assert(graft.operators.StoreFiles.readRelChain(spark,
+        s"$root/gen-2", "bands").count() ==
+      spark.read.parquet(s"$root/gen-3/bands").count())
+  }
+
+  test("fold --delta (ivfpq): increment-only code tables chain-load " +
+      "bit-identically; recall serves the chain; cluster refuses") {
+    val root = tmp("dlt_iv"); new java.io.File(root).mkdirs()
+    val half = graft.operators.Similarity.IvfTrainOld
+    assert(StoreCtl.run(spark, Seq("build", "ivfpq", dir, s"$root/gen-0",
+      s"vec_id < $half")).isRight)
+    assert(StoreCtl.run(spark, Seq("flip", root, "gen-0")).isRight)
+    assert(StoreCtl.run(spark, Seq("advance", "--delta", "ivfpq", dir,
+      root, s"vec_id >= $half AND vec_id % 2 = 0"))
+      .exists(_.endsWith("gen-1")))
+    assert(StoreCtl.run(spark, Seq("advance", "--delta", "ivfpq", dir,
+      root, s"vec_id >= $half AND vec_id % 2 = 1"))
+      .exists(_.endsWith("gen-2")))
+    def own(gen: String): Set[Long] =
+      spark.read.parquet(s"$root/$gen/codes")
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(own("gen-1").forall(_ >= half) && own("gen-2").forall(_ >= half))
+    assert(own("gen-1").intersect(own("gen-2")).isEmpty)
+    // chain-load == the self-contained fold, bit for bit
+    val one = tmp("dlt_iv_one")
+    assert(StoreCtl.run(spark, Seq("fold", "ivfpq", dir, s"$root/gen-0",
+      one, s"vec_id >= $half")).isRight)
+    def codes(p: String): Set[Seq[Any]] =
+      graft.operators.Similarity.IvfPqStore.load(spark, p).codes
+        .collect().map(r => (0 until 6).map(r.get).toSeq).toSet
+    assert(codes(s"$root/gen-2") == codes(one),
+      "delta code chain diverged from the self-contained fold")
+    // the drift alarm serves the chain (model frozen, codes unioned)
+    val rec = StoreCtl.run(spark, Seq("recall", root, dir))
+    assert(rec.exists(_.contains("mean recall@3")), rec)
+    // compact seals the chain
+    assert(StoreCtl.run(spark, Seq("compact", "ivfpq", root))
+      .exists(_.endsWith("gen-3")))
+    assert(codes(s"$root/gen-3") == codes(one))
+    // the global-state kinds refuse --delta with the written argument
+    val refused = StoreCtl.run(spark, Seq("fold", "--delta", "cluster",
+      dir, s"$root/gen-0", tmp("dlt_cl"), "true"))
+    assert(refused.isLeft &&
+      refused.swap.exists(_.contains("GLOBAL state")), refused)
   }
 }

@@ -126,6 +126,11 @@ class StoreStreamDisorderSpec extends AnyFunSuite {
           q.stop()
           s.streams.removeListener(listener)
         }
+      assert(Streams.arrivalMarkCount(metrics) > 0,
+        s"$name seed $seed: the observer persisted no arrival marks")
+      metrics.release()
+      assert(Streams.arrivalMarkCount(metrics) == 0,
+        s"$name seed $seed: release left arrival marks behind")
       s.catalog.dropTempView(sink)
       assert(got == reference,
         s"$name seed $seed: ${got.size} pairs vs reference " +
@@ -253,6 +258,7 @@ class StoreStreamDisorderSpec extends AnyFunSuite {
         } finally {
           q.stop()
           s0.streams.removeListener(listener)
+          metrics.release()
         }
       s0.catalog.dropTempView(sink)
       (got, metrics.absorbed.value,
@@ -271,5 +277,30 @@ class StoreStreamDisorderSpec extends AnyFunSuite {
     assert(a1 == e1, s"absorbed $a1 vs driver fold $e1")
     assert(e1 > 0, "jitter produced no cross-batch inversion — vacuous")
     assert(d1 == 0L)
+  }
+  test("observeArrivals persists the seen-prefix mark under downstream " +
+      "early-stop, and release() evicts the marks") {
+    val s = spark
+    import s.implicits._
+    val metrics = Streams.disorderMetrics(s)
+    val df = Seq((5L, 10L), (6L, 11L), (1L, 12L))
+      .toDF("ts", "id").coalesce(1)
+    val observed = Streams.observeArrivals(df, "id", Some(metrics))
+    // early-stop: a limit consumes one row and abandons the iterator,
+    // so an exhaustion-hook mark would never persist — the task-
+    // completion listener must persist the SEEN prefix's high-water
+    assert(observed.limit(1).collect().length == 1)
+    assert(Streams.arrivalMarkCount(metrics) == 1,
+      "no arrival mark persisted after an early-stopped scan")
+    // a second full pass compares against that persisted mark (5, 10):
+    // only (1, 12) sits strictly below it — with the stale
+    // (exhaustion-hook) behavior the mark is absent and this counts 0
+    assert(observed.collect().length == 3)
+    assert(metrics.absorbed.value == 1L,
+      s"absorbed ${metrics.absorbed.value}: the early-stopped scan's " +
+        "seen prefix did not persist")
+    metrics.release()
+    assert(Streams.arrivalMarkCount(metrics) == 0,
+      "release() left this query's arrival marks behind")
   }
 }
