@@ -99,6 +99,16 @@ object Bench {
     // registries: their rep 1 materializes the family's collapse +
     // rep-verify relations (jaccard and cosine respectively)
     "dd_decontaminate", "dd_decontaminate_semantic",
+    // r18: the containment pair family got the same rep-collapse —
+    // each key's rep 1 materializes its registry relations (banded
+    // and prefix-probe respectively), warm reps serve the
+    // checkpointed frames. NOTE for the r10 anchor: both keys are in
+    // the r10 set, so their medians moving to the warm channel
+    // shifts total_r10set down by the amortized build (~10 s) — the
+    // accounting note in BENCHING.md's r18 section adjudicates this
+    // (the build stays priced, in the build channel, exactly like
+    // the r17 jaccard/cosine shift priced theirs in dd_decontaminate)
+    "dd_containment", "dd_containment_smallside",
     // the served-store replay gates: rep 1 builds the probed store
     "st_store_dedup_replay", "st_store_dedup_ooo_replay",
     "st_store_neardup_replay", "st_store_neardup_ooo_replay",

@@ -142,6 +142,23 @@ object Dedup extends QueryPack {
     }
   }
 
+  /** Per-call-unique temp view name for the shared-frame BUILDERS.
+    * They run OUTSIDE the registry lock (FrameRegistry's documented
+    * choice: two corpora may build concurrently on one SparkSession),
+    * so a fixed view name is a shared mutable binding a concurrent
+    * builder could rebind between registration and SQL analysis —
+    * one corpus's verify silently reading the other corpus's
+    * relation. Unique names make interleaved builds safe by
+    * construction. The views are NOT dropped afterwards:
+    * dropTempView uncaches the view's plan, which would evict the
+    * cached sig relations the lazy verify frames still scan; the
+    * leak is one name set per registry build — metadata-only,
+    * bounded by build frequency (once per (session, corpus)).
+    */
+  private val viewSeq = new java.util.concurrent.atomic.AtomicLong
+  private def uview(prefix: String): String =
+    prefix + "_u" + viewSeq.incrementAndGet()
+
   /** Shared (doc_id, hs, sig_0..15) relation behind dd_jaccard and
     * dd_containment: registered under `view`, CACHED because it feeds
     * all 8 band sides and both exact-re-check join-backs (the md5
@@ -269,19 +286,21 @@ object Dedup extends QueryPack {
     */
   private[graft] def jacRepVerifyFrame(s: SparkSession, dir: String)
       : (DataFrame, DataFrame) = {
-    bandedSigRelation(s, dir, "jac_sigs")
-    val grp = shingleGrpFrame(s, "jac_sigs")
-    grp.createOrReplaceTempView("jac_grp")
+    val sv = uview("jac_sigs"); val gv = uview("jac_grp")
+    val rv = uview("jac_repsigs")
+    bandedSigRelation(s, dir, sv)
+    val grp = shingleGrpFrame(s, sv)
+    grp.createOrReplaceTempView(gv)
     s.sql(
       s"""SELECT s.doc_id, ${(0 until 2 * JacBands)
            .map("s.sig_" + _).mkString(", ")}
-         |FROM jac_sigs s
-         |JOIN (SELECT DISTINCT rep FROM jac_grp) r ON s.doc_id = r.rep"""
+         |FROM $sv s
+         |JOIN (SELECT DISTINCT rep FROM $gv) r ON s.doc_id = r.rep"""
         .stripMargin)
-      .coalesce(4).truncated().createOrReplaceTempView("jac_repsigs")
+      .coalesce(4).truncated().createOrReplaceTempView(rv)
     val bandSelects = (0 until JacBands)
       .map(b => s"SELECT doc_id, $b AS band, ${jacBandKeySpark(b)} AS bk" +
-        s" FROM jac_repsigs$jacBandGuard")
+        s" FROM $rv$jacBandGuard")
       .mkString(" UNION ALL ")
     // length-ratio conjunct: j >= 0.6 implies min(sz)/max(sz) >= 0.6
     // (exact integers, pure prune — same rows out). The caller
@@ -298,8 +317,8 @@ object Dedup extends QueryPack {
          |    round(cast(graft_isect(a.hs, b.hs) as double)
          |      / (size(a.hs) + size(b.hs) - graft_isect(a.hs, b.hs)), 6)
          |      AS jaccard
-         |  FROM cand JOIN jac_sigs a ON a.doc_id = doc_a
-         |            JOIN jac_sigs b ON b.doc_id = doc_b
+         |  FROM cand JOIN $sv a ON a.doc_id = doc_a
+         |            JOIN $sv b ON b.doc_id = doc_b
          |  WHERE least(size(a.hs), size(b.hs)) * 10
          |        >= greatest(size(a.hs), size(b.hs)) * 6)
          |WHERE jaccard >= 0.6""".stripMargin))
@@ -570,20 +589,22 @@ object Dedup extends QueryPack {
     */
   private[graft] def contRepVerifyFrame(s: SparkSession, dir: String)
       : (DataFrame, DataFrame) = {
-    bandedSigRelation(s, dir, "cont_sigs")
-    val grp = shingleGrpFrame(s, "cont_sigs")
-    grp.createOrReplaceTempView("cont_grp")
+    val sv = uview("cont_sigs"); val gv = uview("cont_grp")
+    val rv = uview("cont_repsigs")
+    bandedSigRelation(s, dir, sv)
+    val grp = shingleGrpFrame(s, sv)
+    grp.createOrReplaceTempView(gv)
     s.sql(
       s"""SELECT s.doc_id, ${(0 until 2 * JacBands)
            .map("s.sig_" + _).mkString(", ")}
-         |FROM cont_sigs s
-         |JOIN (SELECT DISTINCT rep FROM cont_grp) r ON s.doc_id = r.rep"""
+         |FROM $sv s
+         |JOIN (SELECT DISTINCT rep FROM $gv) r ON s.doc_id = r.rep"""
         .stripMargin)
       .coalesce(4).truncated()
-      .createOrReplaceTempView("cont_repsigs")
+      .createOrReplaceTempView(rv)
     val bandSelects = (0 until JacBands)
       .map(b => s"SELECT doc_id, $b AS band, ${jacBandKeySpark(b)} AS bk" +
-        s" FROM cont_repsigs$jacBandGuard")
+        s" FROM $rv$jacBandGuard")
       .mkString(" UNION ALL ")
     (grp, s.sql(
       s"""WITH bands AS ($bandSelects),
@@ -595,8 +616,8 @@ object Dedup extends QueryPack {
          |  SELECT doc_a, doc_b,
          |    round(cast(graft_isect(a.hs, b.hs) as double)
          |      / least(size(a.hs), size(b.hs)), 6) AS containment
-         |  FROM cand JOIN cont_sigs a ON a.doc_id = doc_a
-         |            JOIN cont_sigs b ON b.doc_id = doc_b)
+         |  FROM cand JOIN $sv a ON a.doc_id = doc_a
+         |            JOIN $sv b ON b.doc_id = doc_b)
          |WHERE containment >= 0.8""".stripMargin))
   }
 
@@ -765,25 +786,27 @@ object Dedup extends QueryPack {
     */
   private[graft] def contpRepVerifyFrame(s: SparkSession, dir: String)
       : (DataFrame, DataFrame) = {
-    bandedSigRelation(s, dir, "contp_sigs")
-    val grp = shingleGrpFrame(s, "contp_sigs")
-    grp.createOrReplaceTempView("contp_grp")
+    val sv = uview("contp_sigs"); val gv = uview("contp_grp")
+    val rv = uview("contp_repsigs")
+    bandedSigRelation(s, dir, sv)
+    val grp = shingleGrpFrame(s, sv)
+    grp.createOrReplaceTempView(gv)
     s.sql(
-      """SELECT s.doc_id, s.hs FROM contp_sigs s
-        |JOIN (SELECT DISTINCT rep FROM contp_grp) r ON s.doc_id = r.rep"""
+      s"""SELECT s.doc_id, s.hs FROM $sv s
+         |JOIN (SELECT DISTINCT rep FROM $gv) r ON s.doc_id = r.rep"""
         .stripMargin)
       .coalesce(4).truncated()
-      .createOrReplaceTempView("contp_repsigs")
+      .createOrReplaceTempView(rv)
     val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
     (grp, s.sql(
-      s"""WITH ${contSmallsideCandSql("contp_repsigs", "df.df, i.h",
+      s"""WITH ${contSmallsideCandSql(rv, "df.df, i.h",
                                       probeParts = parts)}
          |SELECT doc_a AS rep_a, doc_b AS rep_b, containment FROM (
          |  SELECT doc_a, doc_b,
          |    round(cast(graft_isect(a.hs, b.hs) as double)
          |      / least(size(a.hs), size(b.hs)), 6) AS containment
-         |  FROM cand JOIN contp_repsigs a ON a.doc_id = doc_a
-         |            JOIN contp_repsigs b ON b.doc_id = doc_b)
+         |  FROM cand JOIN $rv a ON a.doc_id = doc_a
+         |            JOIN $rv b ON b.doc_id = doc_b)
          |WHERE containment >= 0.8""".stripMargin))
   }
 
@@ -1530,16 +1553,21 @@ object Dedup extends QueryPack {
     * shared by the pair query and the collapsed cluster edge builder
     * so probe and index can never band differently.
     */
-  private def ensureCosE(s: SparkSession, dir: String): Unit = {
+  private def ensureCosE(s: SparkSession, dir: String): String = {
     VectorFunctions.ensureRegistered(s)
+    val v = uview("cos_e")
     // cached: the bucketed relation feeds all 12 band sides and both
-    // re-score join-backs — the 60 hyperplane folds run once per vector
+    // re-score join-backs — the 60 hyperplane folds run once per
+    // vector, and re-registrations under fresh names serve the SAME
+    // cached blocks (the cache manager keys on the canonical plan,
+    // not the view name)
     table(s, dir, "embeddings")
       .selectExpr("vec_id", "embedding",
         "graft_dot(embedding, embedding) AS n2",
         "graft_rh_buckets(embedding) AS bks")
       .cache()
-      .createOrReplaceTempView("cos_e")
+      .createOrReplaceTempView(v)
+    v
   }
 
   /** The cosine family's REP-level verified pairs (rep_a, rep_b,
@@ -1568,23 +1596,24 @@ object Dedup extends QueryPack {
     */
   private[graft] def cosRepVerifyFrame(s: SparkSession, dir: String)
       : (DataFrame, DataFrame) = {
-    ensureCosE(s, dir)
+    val ev = ensureCosE(s, dir)
+    val gv = uview("cos_grp"); val rv = uview("cos_repe")
     val grp = s.sql(
       s"""SELECT k.vec_id, g.rep FROM
          |  (SELECT vec_id, md5(cast(embedding as string)) AS vk
-         |   FROM cos_e WHERE n2 > 0) k
+         |   FROM $ev WHERE n2 > 0) k
          |JOIN
          |  (SELECT md5(cast(embedding as string)) AS vk,
          |          min(vec_id) AS rep
-         |   FROM cos_e WHERE n2 > 0 GROUP BY 1) g
+         |   FROM $ev WHERE n2 > 0 GROUP BY 1) g
          |ON k.vk = g.vk""".stripMargin)
       .truncated()
-    grp.createOrReplaceTempView("cos_grp")
+    grp.createOrReplaceTempView(gv)
     s.sql(
-      s"""SELECT s.vec_id, s.bks FROM cos_e s
-         |JOIN (SELECT DISTINCT rep FROM cos_grp) r ON s.vec_id = r.rep"""
+      s"""SELECT s.vec_id, s.bks FROM $ev s
+         |JOIN (SELECT DISTINCT rep FROM $gv) r ON s.vec_id = r.rep"""
         .stripMargin)
-      .coalesce(4).truncated().createOrReplaceTempView("cos_repe")
+      .coalesce(4).truncated().createOrReplaceTempView(rv)
     // Band-side zero-norm guard — the embedding-space twin of
     // jacBandGuard: a zero vector's hyperplane dots are all 0, so its
     // sign buckets are the CONSTANT key in every band (all zero-norm
@@ -1600,7 +1629,7 @@ object Dedup extends QueryPack {
     // cosine means identical zero twins are never a pair.)
     val bandSelects = (0 until CosBands)
       .map(b => s"SELECT vec_id, $b AS band, element_at(bks, ${b + 1}) AS bkt" +
-        " FROM cos_repe")
+        s" FROM $rv")
       .mkString(" UNION ALL ")
     (grp, s.sql(
       s"""WITH bands AS ($bandSelects),
@@ -1612,8 +1641,8 @@ object Dedup extends QueryPack {
          |  SELECT vec_a, vec_b, round(cs, 6) AS cos_sim FROM (
          |    SELECT vec_a, vec_b,
          |      graft_cos(a.embedding, b.embedding, a.n2, b.n2) AS cs
-         |    FROM cand JOIN cos_e a ON a.vec_id = vec_a
-         |              JOIN cos_e b ON b.vec_id = vec_b)
+         |    FROM cand JOIN $ev a ON a.vec_id = vec_a
+         |              JOIN $ev b ON b.vec_id = vec_b)
          |  WHERE cs > 0.3999994)
          |WHERE cos_sim >= 0.4""".stripMargin))
   }
@@ -1683,45 +1712,47 @@ object Dedup extends QueryPack {
     */
   private[graft] def embedClusterEdges(s: SparkSession,
                                        dir: String): DataFrame = {
-    ensureCosE(s, dir)
+    val ev = ensureCosE(s, dir)
+    val gv = uview("ec_grp"); val rsv = uview("ec_repsigs")
+    val rbv = uview("ec_repbands")
     s.sql(
       s"""SELECT k.vec_id, g.rep FROM
          |  (SELECT vec_id, md5(cast(embedding as string)) AS vk
-         |   FROM cos_e WHERE n2 > 0) k
+         |   FROM $ev WHERE n2 > 0) k
          |JOIN
          |  (SELECT md5(cast(embedding as string)) AS vk,
          |          min(vec_id) AS rep
-         |   FROM cos_e WHERE n2 > 0 GROUP BY 1) g
+         |   FROM $ev WHERE n2 > 0 GROUP BY 1) g
          |ON k.vk = g.vk""".stripMargin)
-      .truncated().createOrReplaceTempView("ec_grp")
+      .truncated().createOrReplaceTempView(gv)
     s.sql(
-      s"""SELECT s.vec_id, s.bks FROM cos_e s
-         |JOIN (SELECT DISTINCT rep FROM ec_grp) r ON s.vec_id = r.rep"""
+      s"""SELECT s.vec_id, s.bks FROM $ev s
+         |JOIN (SELECT DISTINCT rep FROM $gv) r ON s.vec_id = r.rep"""
         .stripMargin)
-      .coalesce(4).truncated().createOrReplaceTempView("ec_repsigs")
+      .coalesce(4).truncated().createOrReplaceTempView(rsv)
     s.sql(
       (0 until CosBands)
         .map(b => s"SELECT vec_id, $b AS band," +
-          s" element_at(bks, ${b + 1}) AS bkt FROM ec_repsigs")
+          s" element_at(bks, ${b + 1}) AS bkt FROM $rsv")
         .mkString(" UNION ALL "))
-      .coalesce(4).truncated().createOrReplaceTempView("ec_repbands")
+      .coalesce(4).truncated().createOrReplaceTempView(rbv)
     s.sql(
       s"""WITH cand AS (
          |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
-         |  FROM ec_repbands x JOIN ec_repbands y
+         |  FROM $rbv x JOIN $rbv y
          |    ON x.band = y.band AND x.bkt = y.bkt AND x.vec_id < y.vec_id),
          |ver AS (
          |  SELECT vec_a, vec_b FROM (
          |    SELECT vec_a, vec_b, round(cs, 6) AS cos_sim FROM (
          |      SELECT vec_a, vec_b,
          |        graft_cos(a.embedding, b.embedding, a.n2, b.n2) AS cs
-         |      FROM cand JOIN cos_e a ON a.vec_id = vec_a
-         |                JOIN cos_e b ON b.vec_id = vec_b)
+         |      FROM cand JOIN $ev a ON a.vec_id = vec_a
+         |                JOIN $ev b ON b.vec_id = vec_b)
          |    WHERE cs > 0.3999994)
          |  WHERE cos_sim >= 0.4)
          |SELECT vec_a, vec_b FROM ver
          |UNION ALL
-         |SELECT rep AS vec_a, vec_id AS vec_b FROM ec_grp
+         |SELECT rep AS vec_a, vec_id AS vec_b FROM $gv
          |WHERE vec_id <> rep""".stripMargin)
   }
 
