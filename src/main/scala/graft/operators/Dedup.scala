@@ -2882,7 +2882,7 @@ object Dedup extends QueryPack {
     // works here because planning happens at the localCheckpoint call,
     // inside the scope — not at frame construction.
     val edges = withAqeOff(s)(edgesLazy.truncated())
-    val lblA = s.read.parquet(s"$store/assignment")
+    val lblA = storeAssignment(s, store, "doc_id")
     (newSigs,
       contractedMerge("dd_cluster_fold_stored#merge", lblA, edges,
         newSigs.select("doc_id")))
@@ -2937,9 +2937,9 @@ object Dedup extends QueryPack {
          |JOIN (SELECT DISTINCT rep FROM cfo_grp) r ON s.doc_id = r.rep"""
         .stripMargin)
       .truncated().createOrReplaceTempView("cfo_repsigs")
-    s.read.parquet(s"$store/bands")
+    StoreFiles.readRelChain(s, store, "bands")
       .createOrReplaceTempView("cfo_oldbands")
-    s.read.parquet(s"$store/sigs")
+    StoreFiles.readRelChain(s, store, "sigs")
       .createOrReplaceTempView("cfo_oldsigs")
     val newBandSelects = (0 until JacBands)
       .map(b => s"SELECT doc_id, $b AS band, ${jacBandKeySpark(b)} AS bk" +
@@ -2998,33 +2998,85 @@ object Dedup extends QueryPack {
     */
   private[graft] def clusterStoreFoldInto(s: SparkSession, dir: String,
                                           store: String, newPred: String,
-                                          out: String): Unit = {
+                                          out: String,
+                                          delta: Boolean = false): Unit = {
+    if (delta)
+      require(java.nio.file.Paths.get(out).toAbsolutePath.getParent ==
+          java.nio.file.Paths.get(store).toAbsolutePath.getParent,
+        "a delta generation links its parent by bare sibling name — " +
+          s"$out and $store must share a root")
     val (newSigs, merged) = clusterStoreIncrement(s, dir, store, newPred)
     new java.io.File(out).mkdirs()
-    merged.write.mode("overwrite").parquet(s"$out/assignment")
+    // DELTA assignment = the rows the merge CHANGED: new docs plus
+    // old docs relabeled through new-batch bridges (set-difference
+    // against the parent chain's served assignment — exact because
+    // assignment rows are (id, label) pairs, one per id). Readers
+    // recover the full relation with last-writer-wins per id
+    // ([[storeAssignment]]); a non-delta fold writes the full merge,
+    // sealing any chain it folds from.
+    val mergedKept = merged.truncated()
+    val landedAssign =
+      if (delta) mergedKept.except(storeAssignment(s, store, "doc_id"))
+      else mergedKept
+    landedAssign.write.mode("overwrite").parquet(s"$out/assignment")
     // the increment lands rep-collapsed (the edge frame registered
     // cfo_grp/cfo_repsigs): sigs/bands gain the NEW batch's reps only,
     // grp gains its membership. A new group identical to a stored one
     // keeps its own rep — both reps stay banded, so later probes fan
     // out to both member sets (bounded by generation count, and
     // `StoreCtl compact` re-seals a long chain).
-    s.read.parquet(s"$store/sigs")
-      .union(s.sql("SELECT doc_id, hs FROM cfo_repsigs"))
+    def withPrior(rel: String,
+                  inc: DataFrame): DataFrame =
+      if (delta) inc else StoreFiles.readRelChain(s, store, rel).union(inc)
+    withPrior("sigs", s.sql("SELECT doc_id, hs FROM cfo_repsigs"))
       .write.mode("overwrite").parquet(s"$out/sigs")
     val bandSelects = (0 until JacBands)
       .map(b => s"SELECT doc_id, $b AS band, ${jacBandKeySpark(b)} AS bk" +
         s" FROM cfo_repsigs$jacBandGuard")
       .mkString(" UNION ALL ")
-    s.read.parquet(s"$store/bands")
-      .union(s.sql(s"SELECT doc_id, band, bk FROM ($bandSelects)"))
+    withPrior("bands", s.sql(s"SELECT doc_id, band, bk FROM ($bandSelects)"))
       .write.mode("overwrite").parquet(s"$out/bands")
-    storeGrp(s, store, "doc_id")
-      .union(s.sql("SELECT doc_id, rep FROM cfo_grp"))
+    (if (delta) s.sql("SELECT doc_id, rep FROM cfo_grp")
+     else storeGrp(s, store, "doc_id")
+       .union(s.sql("SELECT doc_id, rep FROM cfo_grp")))
       .write.mode("overwrite").parquet(s"$out/grp")
-    // docs = everything the assignment covers (sigs are reps only);
-    // counted from the landed parquet, never by re-running the merge
-    val n = s.read.parquet(s"$out/assignment").count()
+    if (delta)
+      StoreFiles.writeParent(out,
+        java.nio.file.Paths.get(store).getFileName.toString)
+    // docs = everything the SERVED assignment covers; for a delta the
+    // landed parquet is changed-rows-only, so count the merge itself
+    val n = if (delta) mergedKept.count()
+      else s.read.parquet(s"$out/assignment").count()
     ClusterStore.writeManifest(out, n)
+  }
+
+  /** The store's assignment relation as (idCol, cluster_id), chain-
+    * aware with LAST-WRITER-WINS per id: a DELTA generation's
+    * assignment holds only the rows its fold CHANGED (new docs plus
+    * old docs relabeled through new-batch bridges — the global-state
+    * part that makes cluster/embed deltas harder than phash/ivfpq's
+    * append-only relations), so the served assignment is the newest
+    * generation's row per id over the _PARENT chain. One aggregation
+    * (min_by on chain depth) at serve time, over an id-hashed
+    * shuffle — bounded by chain length, which `StoreCtl compact`
+    * re-seals nightly; identity (a plain read) for self-contained
+    * generations.
+    */
+  private[graft] def storeAssignment(s: SparkSession, store: String,
+                                     idCol: String): DataFrame = {
+    val gens = StoreFiles.chainPaths(store) match {
+      case Left(e)  => throw new IllegalStateException(e)
+      case Right(g) => g
+    }
+    if (gens.size == 1)
+      s.read.parquet(s"${gens.head}/assignment").toDF(idCol, "cluster_id")
+    else
+      gens.zipWithIndex.map { case (g, depth) =>
+        s.read.parquet(s"$g/assignment").toDF(idCol, "cluster_id")
+          .withColumn("__depth", lit(depth))
+      }.reduce(_ unionAll _)
+        .groupBy(idCol)
+        .agg(min_by(col("cluster_id"), col("__depth")).as("cluster_id"))
   }
 
   /** The store's membership relation as (idCol, rep) — identity over
@@ -3127,7 +3179,7 @@ object Dedup extends QueryPack {
   // old-half recursive-closure oracle.
   private def ddClusterStore(s: SparkSession, dir: String): DataFrame = {
     val store = ensureClusterStore(s, dir)
-    s.read.parquet(s"$store/assignment").orderBy(col("doc_id"))
+    storeAssignment(s, store, "doc_id").orderBy(col("doc_id"))
   }
 
   // -- dd_cluster_fold_stored: fold the new batch into the stored clusters ----
@@ -3360,9 +3412,9 @@ object Dedup extends QueryPack {
          |JOIN (SELECT DISTINCT rep FROM efo_grp) r ON s.vec_id = r.rep"""
         .stripMargin)
       .truncated().createOrReplaceTempView("efo_repe")
-    s.read.parquet(s"$store/bands")
+    StoreFiles.readRelChain(s, store, "bands")
       .createOrReplaceTempView("efo_oldbands")
-    s.read.parquet(s"$store/vecs")
+    StoreFiles.readRelChain(s, store, "vecs")
       .createOrReplaceTempView("efo_oldvecs")
     val newBandSelects = (0 until CosBands)
       .map(b => s"SELECT vec_id, $b AS band, element_at(bks, ${b + 1})" +
@@ -3426,8 +3478,7 @@ object Dedup extends QueryPack {
     // eager edge checkpoint under scoped AQE-off — the
     // threshold-into-join-condition trap (see clusterStoreIncrement)
     val edges = withAqeOff(s)(edgesLazy.truncated())
-    val lblA = s.read.parquet(s"$store/assignment")
-      .toDF("doc_id", "cluster_id")
+    val lblA = storeAssignment(s, store, "doc_id")
     (newE,
       contractedMerge("dd_embed_cluster_fold_stored#merge", lblA,
         edges.toDF("doc_a", "doc_b"),
@@ -3444,28 +3495,45 @@ object Dedup extends QueryPack {
     */
   private[graft] def embedStoreFoldInto(s: SparkSession, dir: String,
                                         store: String, newPred: String,
-                                        out: String): Unit = {
+                                        out: String,
+                                        delta: Boolean = false): Unit = {
+    if (delta)
+      require(java.nio.file.Paths.get(out).toAbsolutePath.getParent ==
+          java.nio.file.Paths.get(store).toAbsolutePath.getParent,
+        "a delta generation links its parent by bare sibling name — " +
+          s"$out and $store must share a root")
     val (newE, merged) = embedStoreIncrement(s, dir, store, newPred)
     new java.io.File(out).mkdirs()
-    merged.write.mode("overwrite").parquet(s"$out/assignment")
+    // delta assignment = changed rows only; serve is last-writer-wins
+    // over the chain (see clusterStoreFoldInto)
+    val mergedKept = merged.truncated()
+    (if (delta)
+       mergedKept.except(storeAssignment(s, store, "vec_id"))
+     else mergedKept)
+      .write.mode("overwrite").parquet(s"$out/assignment")
     // the increment lands rep-collapsed (the edge frame registered
     // efo_grp/efo_repe): vecs/bands gain the NEW batch's reps only,
     // grp gains its membership (the clusterStoreFoldInto discipline)
-    s.read.parquet(s"$store/vecs")
-      .union(s.sql("SELECT vec_id, embedding, n2 FROM efo_repe"))
+    def withPrior(rel: String, inc: DataFrame): DataFrame =
+      if (delta) inc else StoreFiles.readRelChain(s, store, rel).union(inc)
+    withPrior("vecs", s.sql("SELECT vec_id, embedding, n2 FROM efo_repe"))
       .write.mode("overwrite").parquet(s"$out/vecs")
     val bandSelects = (0 until CosBands)
       .map(b => s"SELECT vec_id, $b AS band, element_at(bks, ${b + 1})" +
         " AS bkt FROM efo_repe WHERE n2 > 0")
       .mkString(" UNION ALL ")
-    s.read.parquet(s"$store/bands")
-      .union(s.sql(s"SELECT vec_id, band, bkt FROM ($bandSelects)"))
+    withPrior("bands", s.sql(s"SELECT vec_id, band, bkt FROM ($bandSelects)"))
       .write.mode("overwrite").parquet(s"$out/bands")
-    storeGrp(s, store, "vec_id")
-      .union(s.sql("SELECT vec_id, rep FROM efo_grp"))
+    (if (delta) s.sql("SELECT vec_id, rep FROM efo_grp")
+     else storeGrp(s, store, "vec_id")
+       .union(s.sql("SELECT vec_id, rep FROM efo_grp")))
       .write.mode("overwrite").parquet(s"$out/grp")
-    // vecs are reps only now — docs = what the assignment covers
-    val n = s.read.parquet(s"$out/assignment").count()
+    if (delta)
+      StoreFiles.writeParent(out,
+        java.nio.file.Paths.get(store).getFileName.toString)
+    // vecs are reps only now — docs = what the SERVED assignment covers
+    val n = if (delta) mergedKept.count()
+      else s.read.parquet(s"$out/assignment").count()
     EmbedClusterStore.writeManifest(out, n)
   }
 
@@ -3536,7 +3604,7 @@ object Dedup extends QueryPack {
   private def ddEmbedClusterStore(s: SparkSession, dir: String)
       : DataFrame = {
     val store = ensureEmbedStore(s, dir)
-    s.read.parquet(s"$store/assignment").orderBy(col("vec_id"))
+    storeAssignment(s, store, "vec_id").orderBy(col("vec_id"))
   }
 
   // -- dd_embed_cluster_fold_stored: fold new vectors into the store ----------

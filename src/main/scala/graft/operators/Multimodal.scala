@@ -667,8 +667,8 @@ object Multimodal extends QueryPack {
     // table is one equi-join away, exact because a member's phash IS
     // its group key (identical to its rep's by construction)
     Dedup.storeGrp(s, store, "doc_id")
-      .join(s.read.parquet(s"$store/sigs").toDF("rep", "phash"),
-        Seq("rep"))
+      .join(StoreFiles.readRelChain(s, store, "sigs")
+        .toDF("rep", "phash"), Seq("rep"))
       .select(col("doc_id"), col("phash"))
       .orderBy(col("doc_id"))
   }
@@ -704,8 +704,10 @@ object Multimodal extends QueryPack {
   // re-read at any generation (fold unions the stored parquet).
   private def mmPhashFoldStored(s: SparkSession, dir: String): DataFrame = {
     val out = ensurePhashFoldStore(s, dir)
-    s.read.parquet(s"$out/sigs").createOrReplaceTempView("pfs_sigs")
-    s.read.parquet(s"$out/bands").createOrReplaceTempView("pfs_bands")
+    StoreFiles.readRelChain(s, out, "sigs")
+      .createOrReplaceTempView("pfs_sigs")
+    StoreFiles.readRelChain(s, out, "bands")
+      .createOrReplaceTempView("pfs_bands")
     Dedup.storeGrp(s, out, "doc_id").createOrReplaceTempView("pfs_grp")
     // Rep-level band/verify (one Hamming check per GROUP pair), then
     // the member expansion: cross-group pairs fan out through grp on

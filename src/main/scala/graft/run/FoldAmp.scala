@@ -11,11 +11,12 @@ import graft.Engine
   * findings in BENCHING.md's write-amplification section).
   *
   * Self-contained generations (the default fold) land prior ∪
-  * increment, so bytes-per-fold tracks the full store size; the
-  * phash/ivfpq kinds also support `advance --delta` (r18), whose
-  * generations land ONLY the batch — measured here as a second
-  * channel per kind, so BENCHING.md's cadence statement compares the
-  * two shapes on the same batches rather than assuming either.
+  * increment, so bytes-per-fold tracks the full store size; every
+  * kind also supports `advance --delta` (r18), whose generations
+  * land ONLY the batch (for cluster/embed: plus the assignment rows
+  * the merge relabeled) — measured here as a second channel per
+  * kind, so BENCHING.md's cadence statement compares the two shapes
+  * on the same batches rather than assuming either.
   *
   *   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
   *     sbt "runMain graft.run.FoldAmp"
@@ -62,8 +63,7 @@ object FoldAmp {
       // the delta channel (phash/ivfpq): same batches through
       // `advance --delta` — generation bytes should be ∝ batch
       val delta =
-        if (!Set("phash", "ivfpq")(kind)) ""
-        else {
+        {
           val droot = new java.io.File(base, s"${kind}_delta")
           droot.mkdirs()
           runOrDie(Seq("build", kind, dir, s"$droot/gen-0",

@@ -55,17 +55,21 @@ import graft.operators.{Dedup, Multimodal, Similarity, StoreFiles}
   * quantization error silently as folds append; this verb measures it
   * against the live corpus instead of assuming it.
   *
-  * `--delta` (phash / ivfpq) lands ONLY the increment's rows in the
-  * new generation plus a `_PARENT` link naming the generation it
-  * extends — fold bytes ∝ batch instead of store, the hourly-cadence
-  * shape BENCHING.md's write-amplification table costs out. Readers
+  * `--delta` lands ONLY the increment's rows in the new generation
+  * plus a `_PARENT` link naming the generation it extends — fold
+  * bytes ∝ batch instead of store, the hourly-cadence shape
+  * BENCHING.md's write-amplification table costs out. Readers
   * (serve-side loads, the streaming probes, `recall`, `compact`)
   * union each relation across the pointed generation's chain; gc
   * keeps a pointed/prev generation's whole chain alive. The
-  * cluster/embed kinds REFUSE --delta: their assignment relation is
-  * global state (a fold can relabel old rows through new bridges), so
-  * a delta layout needs read-time assignment merging — deferred with
-  * the written argument in BENCHING.md.
+  * cluster/embed kinds' append-only relations (sigs/vecs/bands/grp)
+  * delta like phash's; their ASSIGNMENT is global state — a fold can
+  * relabel OLD rows through new-batch bridges — so a delta
+  * generation's assignment holds exactly the rows the merge CHANGED
+  * (new docs + relabels) and readers recover the full relation with
+  * last-writer-wins per id over the chain (Dedup.storeAssignment:
+  * one min-by-depth aggregation at serve time, sealed away nightly
+  * by `compact`).
   *
   * `compact` seals a fold chain: it rewrites the SERVED generation's
   * relations — sorted on their serve keys (band index by (band, key)
@@ -148,8 +152,7 @@ object StoreCtl {
           "flip <root> <gen> | serve <root> | gc <root> | " +
           "advance [--delta] <kind> <corpus> <root> <pred> | " +
           "compact <kind> <root> | recall <root> <corpus>\n" +
-          "  kind = cluster | embed | ivfpq | phash " +
-          "(--delta: phash | ivfpq)")
+          "  kind = cluster | embed | ivfpq | phash (--delta: all kinds)")
     }
 
   /** Each kind's relations with their serve-key sort order: the band
@@ -237,6 +240,13 @@ object StoreCtl {
             val frame =
               if (rel == "grp")
                 Dedup.storeGrp(spark, cur, keys(1)).select(keys(1), "rep")
+              else if (rel == "assignment")
+                // last-writer-wins over the chain, never a plain
+                // union: a delta generation's assignment holds only
+                // changed rows, and an old row it relabeled must not
+                // resurface from the parent in the sealed output
+                Dedup.storeAssignment(spark, cur, keys.head)
+                  .select(keys.head, "cluster_id")
               else StoreFiles.readRelChain(spark, cur, rel)
             // sort() range-partitions, so files land globally ordered
             // on the serve keys; coalesce caps the sealed file count
@@ -372,19 +382,13 @@ object StoreCtl {
       case Some(m) => return Left(m)
       case None    => ()
     }
-    if (delta && !Set("phash", "ivfpq")(kind))
-      return Left(s"--delta is implemented for the phash and ivfpq " +
-        s"kinds, not $kind: the cluster/embed assignment relation is " +
-        "GLOBAL state (a fold can relabel old rows through new " +
-        "bridges), so a delta layout for them needs read-time " +
-        "assignment merging — see BENCHING.md's cadence section")
     val face = if (delta) "fold --delta" else "fold"
     kind match {
       case "cluster" =>
-        Dedup.clusterStoreFoldInto(spark, corpus, store, pred, out)
+        Dedup.clusterStoreFoldInto(spark, corpus, store, pred, out, delta)
         Right(s"[$face] cluster generation at $out")
       case "embed" =>
-        Dedup.embedStoreFoldInto(spark, corpus, store, pred, out)
+        Dedup.embedStoreFoldInto(spark, corpus, store, pred, out, delta)
         Right(s"[$face] embed generation at $out")
       case "ivfpq" =>
         Similarity.ivfPqStoreFoldInto(spark, corpus, store, out, pred,

@@ -405,10 +405,105 @@ class StoreCtlSpec extends AnyFunSuite {
     assert(StoreCtl.run(spark, Seq("compact", "ivfpq", root))
       .exists(_.endsWith("gen-3")))
     assert(codes(s"$root/gen-3") == codes(one))
-    // the global-state kinds refuse --delta with the written argument
-    val refused = StoreCtl.run(spark, Seq("fold", "--delta", "cluster",
-      dir, s"$root/gen-0", tmp("dlt_cl"), "true"))
-    assert(refused.isLeft &&
-      refused.swap.exists(_.contains("GLOBAL state")), refused)
+  }
+
+  test("fold --delta (cluster): the delta assignment holds exactly the " +
+      "changed rows — a new bridge's relabel of an OLD doc lands in " +
+      "the delta and wins at read time; chain == one-shot fold") {
+    // fixture with a GUARANTEED merge-through-bridge: old docs 10 and
+    // 20 share too few bigrams to pair (j < 0.6), the new doc 30
+    // overlaps both at j = 11/17 ≈ 0.647 — folding it must merge the
+    // two old clusters, relabeling old doc 20 to cluster 10
+    val words = (1 to 18).map(i => s"w$i")
+    val fixRows: Seq[(Long, String, String)] = Seq(
+      (10L, words.slice(0, 12).mkString(" "), "src1"),
+      (20L, words.slice(6, 18).mkString(" "), "src1"),
+      (25L, "completely different tokens here nothing shared at all " +
+        "with anyone else ever", "src1"),
+      (30L, words.mkString(" "), "src10"))
+    val fix = tmp("dlt_cl_fix")
+    locally {
+      import spark.implicits._
+      fixRows.toDF("doc_id", "text", "source")
+        .selectExpr("doc_id", "text", "'xx' AS lang", "source",
+          "cast(length(text) as bigint) AS n_chars")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$fix/documents.parquet")
+    }
+    val root = tmp("dlt_cl"); new java.io.File(root).mkdirs()
+    assert(StoreCtl.run(spark, Seq("build", "cluster", fix, s"$root/gen-0",
+      "doc_id < 30")).isRight)
+    assert(StoreCtl.run(spark, Seq("flip", root, "gen-0")).isRight)
+    assert(StoreCtl.run(spark, Seq("advance", "--delta", "cluster", fix,
+      root, "doc_id = 30")).exists(_.endsWith("gen-1")))
+    // the delta generation's OWN assignment parquet: the new doc and
+    // the relabeled old doc ONLY — never the unchanged rows
+    val own = spark.read.parquet(s"$root/gen-1/assignment")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(own == Map(30L -> 10L, 20L -> 10L), own)
+    // chain-served assignment (last-writer-wins) == the one-shot fold
+    val one = tmp("dlt_cl_one")
+    assert(StoreCtl.run(spark, Seq("fold", "cluster", fix, s"$root/gen-0",
+      one, "doc_id = 30")).isRight)
+    def assign(p: String): Map[Long, Long] =
+      Dedup.storeAssignment(spark, p, "doc_id")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val chain = assign(s"$root/gen-1")
+    assert(chain == assign(one), chain)
+    assert(chain(20L) == 10L && chain(30L) == 10L && chain(25L) == 25L)
+    // compact seals the chain: the relabeled row must not resurface
+    // from the parent in the sealed assignment
+    assert(StoreCtl.run(spark, Seq("compact", "cluster", root))
+      .exists(_.endsWith("gen-2")))
+    assert(assign(s"$root/gen-2") == chain)
+    assert(graft.operators.StoreFiles.readParent(
+      java.nio.file.Paths.get(root, "gen-2")).isEmpty)
+  }
+
+  test("fold --delta (embed): bridge-merge relabels land in the delta " +
+      "and chain-serve equals the one-shot fold") {
+    // old vectors 0 and 1 at cos 0.136 (< 0.4 — separate clusters);
+    // the new vector 5 is their normalized midpoint (cos ≈ 0.75 to
+    // each) and VERIFIED to band-collide with both under the fixed
+    // graft_rh_buckets planes (RH-LSH collision at ~40° is
+    // probabilistic per plane family, so the fixture pins vectors
+    // that actually collide rather than trusting the odds)
+    val vA = Array(0.41855693f, 0.3370022f, -0.34816658f, -0.4057591f,
+      0.10299027f, 0.25094342f, -0.29954645f, -0.5119293f)
+    val vB = Array(-0.072735816f, 0.566138f, 0.30562f, -0.04628749f,
+      0.53729916f, -0.24388161f, -0.46078557f, 0.13475567f)
+    val vBr = Array(0.2294388f, 0.5991982f, -0.028227987f, -0.29991522f,
+      0.424807f, 0.0046852343f, -0.50445056f, -0.25023994f)
+    val fixRows: Seq[(Long, Array[Float])] = Seq(
+      (0L, vA),
+      (1L, vB),
+      (2L, Array(0.0f, 0.0f, -1.0f, 0.0f, 0.0f, 0.0f, 0.0f, 0.0f)),
+      (5L, vBr))
+    val fix = tmp("dlt_em_fix")
+    locally {
+      import spark.implicits._
+      fixRows.toDF("vec_id", "embedding")
+        .selectExpr("vec_id", "embedding", "cast(0 as int) AS label")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$fix/embeddings.parquet")
+    }
+    val root = tmp("dlt_em"); new java.io.File(root).mkdirs()
+    assert(StoreCtl.run(spark, Seq("build", "embed", fix, s"$root/gen-0",
+      "vec_id < 5")).isRight)
+    assert(StoreCtl.run(spark, Seq("flip", root, "gen-0")).isRight)
+    assert(StoreCtl.run(spark, Seq("advance", "--delta", "embed", fix,
+      root, "vec_id = 5")).exists(_.endsWith("gen-1")))
+    val own = spark.read.parquet(s"$root/gen-1/assignment")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(own == Map(5L -> 0L, 1L -> 0L), own)
+    val one = tmp("dlt_em_one")
+    assert(StoreCtl.run(spark, Seq("fold", "embed", fix, s"$root/gen-0",
+      one, "vec_id = 5")).isRight)
+    def assign(p: String): Map[Long, Long] =
+      Dedup.storeAssignment(spark, p, "vec_id")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val chain = assign(s"$root/gen-1")
+    assert(chain == assign(one), chain)
+    assert(chain(1L) == 0L && chain(5L) == 0L && chain(2L) == 2L)
   }
 }
