@@ -181,12 +181,13 @@ private[graft] object StoreFiles {
   // pointed generation's CHAIN and union each relation across it;
   // `StoreCtl compact` seals a chain back into one self-contained
   // generation. `_PARENT` is written BEFORE the commit marker, so a
-  // committed delta generation always carries its link. Implemented
-  // for the cheap-layout kinds (phash, ivfpq) — the cluster/embed
-  // kinds' assignment relation is GLOBAL state (a fold can relabel old
-  // rows through new bridges), so their delta layout needs read-time
-  // assignment merging and stays deferred (BENCHING.md's cadence
-  // argument).
+  // committed delta generation always carries its link. All four
+  // store kinds delta: the append-only relations (sigs/vecs/bands/
+  // grp/codes) union across the chain; the cluster/embed ASSIGNMENT
+  // is global state (a fold can relabel old rows through new-batch
+  // bridges), so its delta holds the merge's CHANGED rows only and
+  // readers recover the relation last-writer-wins per id
+  // (Dedup.storeAssignment).
 
   val ParentName = "_PARENT"
 
