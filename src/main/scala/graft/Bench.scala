@@ -74,7 +74,9 @@ object Bench {
     // round 17
     "sim_ann_recall_stored", "st_decontaminate_replay",
     "st_decontaminate_ooo_replay", "st_decontaminate_semantic_replay",
-    "st_decontaminate_semantic_ooo_replay")
+    "st_decontaminate_semantic_ooo_replay",
+    // round 18
+    "sim_ann_recall_global")
 
   /** Keys whose FIRST execution in this process builds a persistent
     * scratch store / trains the served model (later reps are pure
@@ -92,7 +94,7 @@ object Bench {
     "dd_embed_cluster_store", "dd_embed_cluster_fold_stored",
     "mm_phash_store", "mm_phash_fold_stored",
     "sim_ivfpq_pretrained", "sim_ivfpq_stored", "sim_ivfpq_fold_stored",
-    "sim_ivfpq_refine", "sim_ann_recall_stored",
+    "sim_ivfpq_refine", "sim_ann_recall_stored", "sim_ann_recall_global",
     // the shared embed-LSH edge registry's declared cold-build pricer
     "dd_lp_edges",
     // first-alphabetical consumers of the r17 shared pair-relation
