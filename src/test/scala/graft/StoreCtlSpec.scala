@@ -506,4 +506,47 @@ class StoreCtlSpec extends AnyFunSuite {
     assert(chain == assign(one), chain)
     assert(chain(1L) == 0L && chain(5L) == 0L && chain(2L) == 2L)
   }
+  test("chain plumbing fails loudly: dangling parents, cycles, and a " +
+      "relation missing from every generation are errors, never a " +
+      "silent partial union") {
+    import graft.operators.StoreFiles
+    val root = tmp("chain_edge"); new java.io.File(root).mkdirs()
+    def mkGen(name: String, parent: Option[String]): String = {
+      val d = new java.io.File(root, name); d.mkdirs()
+      parent.foreach(StoreFiles.writeParent(d.toString, _))
+      StoreFiles.writeManifest(d.toString, """{"docs": 0}""")
+      d.toString
+    }
+    // dangling: the parent name resolves to nothing
+    val dangling = mkGen("gen-1", Some("gen-0"))
+    val d = StoreFiles.chainPaths(dangling)
+    assert(d.isLeft && d.swap.exists(_.contains("dangling")), d)
+    // a missing-parent chain must also fail the assignment reader
+    // (a silently partial assignment is the worst store failure mode)
+    intercept[IllegalStateException] {
+      Dedup.storeAssignment(spark, dangling, "doc_id").count()
+    }
+    // cycle: two committed generations naming each other
+    val a = mkGen("gen-2", Some("gen-3"))
+    mkGen("gen-3", Some("gen-2"))
+    val c = StoreFiles.chainPaths(a)
+    assert(c.isLeft && c.swap.exists(_.contains("cycles")), c)
+    // a relation absent from EVERY generation in a valid chain throws
+    val base = mkGen("gen-4", None)
+    val child = mkGen("gen-5", Some("gen-4"))
+    assert(StoreFiles.chainPaths(child)
+      .exists(_ == Seq(child, base)), StoreFiles.chainPaths(child))
+    intercept[IllegalStateException] {
+      StoreFiles.readRelChain(spark, child, "bands").count()
+    }
+    // gc on this root: pointed gen-5's chain keeps gen-4 alive even
+    // though it is neither pointed, prev, nor newer-than-pointer —
+    // while the dangling/cyclic litter (gen-1..3, committed, below
+    // the pointer, on nobody's chain) is correctly collected
+    assert(StoreCtl.run(spark, Seq("flip", root, "gen-5")).isRight)
+    val g = StoreCtl.run(spark, Seq("gc", root))
+    assert(g == Right("[gc] collected gen-1, gen-2, gen-3"), g)
+    assert(new java.io.File(s"$root/gen-4/manifest.json").exists,
+      "gc ate a chained parent")
+  }
 }
