@@ -145,11 +145,22 @@ object Engine {
   val CheckpointDirKey = "graft.checkpoint.dir"
 
   // last dir this process set per context — setCheckpointDir is
-  // context-global, so set it only on change (concurrent same-value
-  // sets are harmless)
+  // context-global, while graft.checkpoint.dir is per-SESSION runtime
+  // conf, so two sessions on one context with different values could
+  // flap the global setting and land one session's checkpoint in the
+  // other's directory (e.g. a TTL'd scratch bucket purged on a
+  // different schedule). A per-context read-write lock closes that:
+  // checkpoints under the CURRENT dir share the read lock (the steady
+  // state — fully concurrent), a dir CHANGE takes the write lock, so
+  // it waits out in-flight checkpoints and its own checkpoint cannot
+  // be flapped mid-write either.
   private val ckptDirSet =
     new java.util.concurrent.ConcurrentHashMap[
       org.apache.spark.SparkContext, String]
+  private val ckptLocks =
+    new java.util.concurrent.ConcurrentHashMap[
+      org.apache.spark.SparkContext,
+      java.util.concurrent.locks.ReentrantReadWriteLock]
 
   /** Truncate `df`'s lineage: localCheckpoint() by default, reliable
     * checkpoint() into [[CheckpointDirKey]] when set. Both eager, so
@@ -160,11 +171,25 @@ object Engine {
       case None => df.localCheckpoint()
       case Some(dir) =>
         val sc = df.sparkSession.sparkContext
-        if (ckptDirSet.get(sc) != dir) {
-          sc.setCheckpointDir(dir)
-          ckptDirSet.put(sc, dir)
+        val lock = ckptLocks.computeIfAbsent(sc,
+          _ => new java.util.concurrent.locks.ReentrantReadWriteLock)
+        val r = lock.readLock()
+        r.lock()
+        val fast =
+          try {
+            if (ckptDirSet.get(sc) == dir) Some(df.checkpoint()) else None
+          } finally r.unlock()
+        fast.getOrElse {
+          val w = lock.writeLock()
+          w.lock()
+          try {
+            if (ckptDirSet.get(sc) != dir) {
+              sc.setCheckpointDir(dir)
+              ckptDirSet.put(sc, dir)
+            }
+            df.checkpoint()
+          } finally w.unlock()
         }
-        df.checkpoint()
     }
 
   /** Postfix face of [[truncate]] — the engine's truncation points

@@ -142,22 +142,94 @@ object Dedup extends QueryPack {
     }
   }
 
-  /** Per-call-unique temp view name for the shared-frame BUILDERS.
-    * They run OUTSIDE the registry lock (FrameRegistry's documented
-    * choice: two corpora may build concurrently on one SparkSession),
-    * so a fixed view name is a shared mutable binding a concurrent
-    * builder could rebind between registration and SQL analysis —
-    * one corpus's verify silently reading the other corpus's
-    * relation. Unique names make interleaved builds safe by
-    * construction. The views are NOT dropped afterwards:
-    * dropTempView uncaches the view's plan, which would evict the
-    * cached sig relations the lazy verify frames still scan; the
-    * leak is one name set per registry build — metadata-only,
-    * bounded by build frequency (once per (session, corpus)).
+  /** Per-call-unique temp view name for the shared-frame BUILDERS'
+    * CHECKPOINT-BACKED intermediates. They run OUTSIDE the registry
+    * lock (FrameRegistry's documented choice: two corpora may build
+    * concurrently on one SparkSession), so a fixed view name is a
+    * shared mutable binding a concurrent builder could rebind between
+    * registration and SQL analysis — one corpus's verify silently
+    * reading the other corpus's relation. Unique names make
+    * interleaved builds safe by construction. Every uview MUST be
+    * dropped via [[dropUviews]] once the last s.sql() that names it
+    * has been ANALYZED (Dataset creation is eagerly analyzed, so view
+    * resolution has already inlined the plan and the returned lazy
+    * frames keep working): the catalog holds the analyzed plan —
+    * for a checkpointed frame, its LogicalRDD — so an undropped
+    * unique view pins the checkpoint's executor blocks FOREVER
+    * (ddLpEdges rebuilds a corpus-sized frame per call; before r19
+    * each rebuild leaked its blocks past every registry
+    * invalidation, unbounded). Dropping is safe precisely because
+    * these views are checkpoint-backed, never .cache()'d:
+    * dropTempView only uncaches a MATCHING cache entry, and there is
+    * none. Cached relations use [[cview]] instead.
     */
   private val viewSeq = new java.util.concurrent.atomic.AtomicLong
   private def uview(prefix: String): String =
     prefix + "_u" + viewSeq.incrementAndGet()
+
+  /** Drop builder temp views whose consuming SQL is already analyzed
+    * (see [[uview]]'s contract). dropTempView also uncaches a cache
+    * entry matching the view's plan — call this only on
+    * checkpoint-backed views.
+    */
+  private def dropUviews(s: SparkSession, names: String*): Unit =
+    names.foreach(s.catalog.dropTempView(_))
+
+  /** Deterministic per-(prefix, session-shared corpus) name for the
+    * CACHED builder relations (the sig/embedding scans behind the
+    * band sides). These views must OUTLIVE the builder — dropping
+    * them would unpersist the shared cache entry the lazy verify
+    * frames and sibling families still scan — so, unlike [[uview]],
+    * the name must not grow per build: keying on the corpus dir keeps
+    * one binding per (prefix, corpus) for the session's lifetime.
+    * Concurrency: different corpora get different names (the race
+    * [[uview]] closes); two concurrent builds of the SAME corpus
+    * rebind the name to PLAN-EQUIVALENT relations, so an interleaved
+    * analysis resolves to an equivalent plan — benign by
+    * construction. The cached blocks themselves are released by
+    * [[invalidateLpEdges]] (the registry's staleness hook) through
+    * [[trackCached]].
+    */
+  private def cview(prefix: String, dir: String): String =
+    prefix + "_c" + java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(6).map("%02x".format(_)).mkString
+
+  /** Cached builder relations per (session, corpus), so the
+    * registry's staleness hook can unpersist them: before r19 an
+    * invalidation dropped the derived frames but left the cached
+    * corpus scans — a corpus rewritten in place could keep serving
+    * stale cached blocks to the rebuild (the cache manager matches
+    * canonical plans, not file contents).
+    */
+  private val cachedRels = scala.collection.mutable.Map
+    .empty[(SparkSession, String), List[DataFrame]]
+
+  private def trackCached(s: SparkSession, dir: String,
+                          df: DataFrame): Unit =
+    cachedRels.synchronized {
+      val k = (s, dir)
+      cachedRels(k) = df :: cachedRels.getOrElse(k, Nil)
+    }
+
+  private def unpersistTracked(s: SparkSession, dir: String): Unit = {
+    val dead = cachedRels.synchronized {
+      cachedRels.keys.filter(_._1.sparkContext.isStopped).toList
+        .foreach(cachedRels.remove)
+      cachedRels.remove((s, dir)).getOrElse(Nil)
+    }
+    dead.foreach(_.unpersist(blocking = false))
+  }
+
+  private def unpersistAllTracked(): Unit = {
+    val all = cachedRels.synchronized {
+      val vs = cachedRels.values.flatten.toList
+      cachedRels.clear()
+      vs
+    }
+    all.filterNot(_.sparkSession.sparkContext.isStopped)
+      .foreach(_.unpersist(blocking = false))
+  }
 
   /** Shared (doc_id, hs, sig_0..15) relation behind dd_jaccard and
     * dd_containment: registered under `view`, CACHED because it feeds
@@ -169,7 +241,7 @@ object Dedup extends QueryPack {
   private def bandedSigRelation(s: SparkSession, dir: String,
                                 view: String): String = {
     VectorFunctions.ensureRegistered(s)
-    table(s, dir, "documents")
+    val sigs = table(s, dir, "documents")
       .selectExpr("doc_id", "split(text, ' ') AS toks")
       .selectExpr("doc_id", s"$sparkGrams AS grams")
       .selectExpr("doc_id",
@@ -178,7 +250,8 @@ object Dedup extends QueryPack {
       .selectExpr("doc_id", "hs", "graft_minhash16(ghs) AS sigarr")
       .selectExpr(Seq("doc_id", "hs") ++ sparkSigCols: _*)
       .cache()
-      .createOrReplaceTempView(view)
+    sigs.createOrReplaceTempView(view)
+    trackCached(s, dir, sigs)
     (0 until JacBands)
       .map(b => s"SELECT doc_id, $b AS band, ${jacBandKeySpark(b)} AS bk" +
         s" FROM $view$jacBandGuard")
@@ -192,7 +265,7 @@ object Dedup extends QueryPack {
     */
   private[graft] def jaccardBandRowsForTest(s: SparkSession,
                                             dir: String): DataFrame = {
-    val bandSelects = bandedSigRelation(s, dir, "sdg_sigs")
+    val bandSelects = bandedSigRelation(s, dir, cview("sdg_sigs", dir))
     s.sql(s"SELECT doc_id, band, bk FROM ($bandSelects)")
   }
 
@@ -286,7 +359,7 @@ object Dedup extends QueryPack {
     */
   private[graft] def jacRepVerifyFrame(s: SparkSession, dir: String)
       : (DataFrame, DataFrame) = {
-    val sv = uview("jac_sigs"); val gv = uview("jac_grp")
+    val sv = cview("jac_sigs", dir); val gv = uview("jac_grp")
     val rv = uview("jac_repsigs")
     bandedSigRelation(s, dir, sv)
     val grp = shingleGrpFrame(s, sv)
@@ -306,7 +379,7 @@ object Dedup extends QueryPack {
     // (exact integers, pure prune — same rows out). The caller
     // checkpoints this frame into the registry, so cache hits serve
     // materialized rows with no view dependencies.
-    (grp, s.sql(
+    val ver = s.sql(
       s"""WITH bands AS ($bandSelects),
          |cand AS (
          |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
@@ -321,7 +394,9 @@ object Dedup extends QueryPack {
          |            JOIN $sv b ON b.doc_id = doc_b
          |  WHERE least(size(a.hs), size(b.hs)) * 10
          |        >= greatest(size(a.hs), size(b.hs)) * 6)
-         |WHERE jaccard >= 0.6""".stripMargin))
+         |WHERE jaccard >= 0.6""".stripMargin)
+    dropUviews(s, gv, rv)
+    (grp, ver)
   }
 
   /** Unordered banded pairs — the composition form. Consumers that feed
@@ -589,7 +664,7 @@ object Dedup extends QueryPack {
     */
   private[graft] def contRepVerifyFrame(s: SparkSession, dir: String)
       : (DataFrame, DataFrame) = {
-    val sv = uview("cont_sigs"); val gv = uview("cont_grp")
+    val sv = cview("cont_sigs", dir); val gv = uview("cont_grp")
     val rv = uview("cont_repsigs")
     bandedSigRelation(s, dir, sv)
     val grp = shingleGrpFrame(s, sv)
@@ -606,7 +681,7 @@ object Dedup extends QueryPack {
       .map(b => s"SELECT doc_id, $b AS band, ${jacBandKeySpark(b)} AS bk" +
         s" FROM $rv$jacBandGuard")
       .mkString(" UNION ALL ")
-    (grp, s.sql(
+    val ver = s.sql(
       s"""WITH bands AS ($bandSelects),
          |cand AS (
          |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
@@ -618,7 +693,9 @@ object Dedup extends QueryPack {
          |      / least(size(a.hs), size(b.hs)), 6) AS containment
          |  FROM cand JOIN $sv a ON a.doc_id = doc_a
          |            JOIN $sv b ON b.doc_id = doc_b)
-         |WHERE containment >= 0.8""".stripMargin))
+         |WHERE containment >= 0.8""".stripMargin)
+    dropUviews(s, gv, rv)
+    (grp, ver)
   }
 
   private def ddContainment(s: SparkSession, dir: String): DataFrame =
@@ -786,7 +863,7 @@ object Dedup extends QueryPack {
     */
   private[graft] def contpRepVerifyFrame(s: SparkSession, dir: String)
       : (DataFrame, DataFrame) = {
-    val sv = uview("contp_sigs"); val gv = uview("contp_grp")
+    val sv = cview("contp_sigs", dir); val gv = uview("contp_grp")
     val rv = uview("contp_repsigs")
     bandedSigRelation(s, dir, sv)
     val grp = shingleGrpFrame(s, sv)
@@ -798,7 +875,7 @@ object Dedup extends QueryPack {
       .coalesce(4).truncated()
       .createOrReplaceTempView(rv)
     val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
-    (grp, s.sql(
+    val ver = s.sql(
       s"""WITH ${contSmallsideCandSql(rv, "df.df, i.h",
                                       probeParts = parts)}
          |SELECT doc_a AS rep_a, doc_b AS rep_b, containment FROM (
@@ -807,7 +884,9 @@ object Dedup extends QueryPack {
          |      / least(size(a.hs), size(b.hs)), 6) AS containment
          |  FROM cand JOIN $rv a ON a.doc_id = doc_a
          |            JOIN $rv b ON b.doc_id = doc_b)
-         |WHERE containment >= 0.8""".stripMargin))
+         |WHERE containment >= 0.8""".stripMargin)
+    dropUviews(s, gv, rv)
+    (grp, ver)
   }
 
   private def ddContainmentSmallside(s: SparkSession, dir: String): DataFrame =
@@ -1555,18 +1634,21 @@ object Dedup extends QueryPack {
     */
   private def ensureCosE(s: SparkSession, dir: String): String = {
     VectorFunctions.ensureRegistered(s)
-    val v = uview("cos_e")
+    val v = cview("cos_e", dir)
     // cached: the bucketed relation feeds all 12 band sides and both
     // re-score join-backs — the 60 hyperplane folds run once per
-    // vector, and re-registrations under fresh names serve the SAME
-    // cached blocks (the cache manager keys on the canonical plan,
-    // not the view name)
-    table(s, dir, "embeddings")
+    // vector, and re-registrations serve the SAME cached blocks (the
+    // cache manager keys on the canonical plan, not the view name).
+    // The view stays registered (dropping it would unpersist that
+    // shared entry under the lazy verify frames); the blocks are
+    // released by invalidateLpEdges through the tracked-cache hook.
+    val e = table(s, dir, "embeddings")
       .selectExpr("vec_id", "embedding",
         "graft_dot(embedding, embedding) AS n2",
         "graft_rh_buckets(embedding) AS bks")
       .cache()
-      .createOrReplaceTempView(v)
+    e.createOrReplaceTempView(v)
+    trackCached(s, dir, e)
     v
   }
 
@@ -1631,7 +1713,7 @@ object Dedup extends QueryPack {
       .map(b => s"SELECT vec_id, $b AS band, element_at(bks, ${b + 1}) AS bkt" +
         s" FROM $rv")
       .mkString(" UNION ALL ")
-    (grp, s.sql(
+    val ver = s.sql(
       s"""WITH bands AS ($bandSelects),
          |cand AS (
          |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
@@ -1644,7 +1726,9 @@ object Dedup extends QueryPack {
          |    FROM cand JOIN $ev a ON a.vec_id = vec_a
          |              JOIN $ev b ON b.vec_id = vec_b)
          |  WHERE cs > 0.3999994)
-         |WHERE cos_sim >= 0.4""".stripMargin))
+         |WHERE cos_sim >= 0.4""".stripMargin)
+    dropUviews(s, gv, rv)
+    (grp, ver)
   }
 
   /** Member-level banded cosine pairs — the composition form behind
@@ -1736,7 +1820,7 @@ object Dedup extends QueryPack {
           s" element_at(bks, ${b + 1}) AS bkt FROM $rsv")
         .mkString(" UNION ALL "))
       .coalesce(4).truncated().createOrReplaceTempView(rbv)
-    s.sql(
+    val edges = s.sql(
       s"""WITH cand AS (
          |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
          |  FROM $rbv x JOIN $rbv y
@@ -1754,6 +1838,8 @@ object Dedup extends QueryPack {
          |UNION ALL
          |SELECT rep AS vec_a, vec_id AS vec_b FROM $gv
          |WHERE vec_id <> rep""".stripMargin)
+    dropUviews(s, gv, rsv, rbv)
+    edges
   }
 
   private val ddEmbedCosineLshSql =
@@ -2033,6 +2119,11 @@ object Dedup extends QueryPack {
     jacRelCache.invalidate(session, dir)
     cosRelCache.invalidate(session, dir)
     contRelCache.invalidate(session, dir)
+    // also release the builders' CACHED corpus scans (sig/cos_e
+    // relations): the cache manager matches canonical plans, so a
+    // rebuild after an in-place corpus rewrite would otherwise keep
+    // serving the pre-rewrite blocks
+    unpersistTracked(session, dir)
   }
 
   /** Test/A-B hook: drop ALL shared frames (TimeOne's GRAFT_LP_COLD=1
@@ -2044,6 +2135,7 @@ object Dedup extends QueryPack {
     jacRelCache.clear()
     cosRelCache.clear()
     contRelCache.clear()
+    unpersistAllTracked()
   }
 
   private[graft] def lpEdgeCacheKeys: Seq[String] = lpEdgeCache.keys
@@ -3001,8 +3093,7 @@ object Dedup extends QueryPack {
                                           out: String,
                                           delta: Boolean = false): Unit = {
     if (delta)
-      require(java.nio.file.Paths.get(out).toAbsolutePath.getParent ==
-          java.nio.file.Paths.get(store).toAbsolutePath.getParent,
+      require(StoreFiles.normParent(out) == StoreFiles.normParent(store),
         "a delta generation links its parent by bare sibling name — " +
           s"$out and $store must share a root")
     val (newSigs, merged) = clusterStoreIncrement(s, dir, store, newPred)
@@ -3498,8 +3589,7 @@ object Dedup extends QueryPack {
                                         out: String,
                                         delta: Boolean = false): Unit = {
     if (delta)
-      require(java.nio.file.Paths.get(out).toAbsolutePath.getParent ==
-          java.nio.file.Paths.get(store).toAbsolutePath.getParent,
+      require(StoreFiles.normParent(out) == StoreFiles.normParent(store),
         "a delta generation links its parent by bare sibling name — " +
           s"$out and $store must share a root")
     val (newE, merged) = embedStoreIncrement(s, dir, store, newPred)

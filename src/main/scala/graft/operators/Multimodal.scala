@@ -604,8 +604,7 @@ object Multimodal extends QueryPack {
                                         where: String,
                                         delta: Boolean = false): Unit = {
     if (delta)
-      require(java.nio.file.Paths.get(out).toAbsolutePath.getParent ==
-          java.nio.file.Paths.get(store).toAbsolutePath.getParent,
+      require(StoreFiles.normParent(out) == StoreFiles.normParent(store),
         "a delta generation links its parent by bare sibling name — " +
           s"$out and $store must share a root")
     val newSigs = phashSigsOf(media(s, dir).where(where)).cache()

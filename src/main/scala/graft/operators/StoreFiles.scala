@@ -22,6 +22,16 @@ private[graft] object StoreFiles {
   def exists(dir: String): Boolean =
     Files.exists(Paths.get(dir, "manifest.json"))
 
+  /** Normalized absolute parent of `p` — the delta sibling-root
+    * comparisons and the chain walk must treat equivalent spellings
+    * of one path ('root/./gen-1', a trailing slash, 'a/b/../b') as
+    * ONE path: an un-normalized compare refuses valid folds, and two
+    * spellings of one generation in the cycle set defeat duplicate
+    * detection.
+    */
+  def normParent(p: String): java.nio.file.Path =
+    Paths.get(p).toAbsolutePath.normalize.getParent
+
   def writeManifest(dir: String, json: String): Unit = {
     val tmp = Paths.get(dir, "manifest.json.tmp")
     Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
@@ -213,11 +223,14 @@ private[graft] object StoreFiles {
     */
   def chainPaths(dir: String): Either[String, Seq[String]] = {
     val out = scala.collection.mutable.LinkedHashSet[String]()
-    var cur = Paths.get(dir).toAbsolutePath
+    // normalize the seed AND every extension: the cycle set compares
+    // path STRINGS, so 'root/./gen-1' and 'root/gen-1' must collapse
+    // to one entry or a two-spelling cycle walks forever
+    var cur = Paths.get(dir).toAbsolutePath.normalize
     var done = false
     while (!done) {
       if (!out.add(cur.toString))
-        return Left(s"delta chain under ${Paths.get(dir).getParent} " +
+        return Left(s"delta chain under ${cur.getParent} " +
           s"cycles at ${cur.getFileName}")
       if (!committed(cur))
         return Left(s"$cur holds no committed store — the delta " +
@@ -225,7 +238,7 @@ private[graft] object StoreFiles {
           "its children?)")
       readParent(cur) match {
         case None    => done = true
-        case Some(p) => cur = cur.getParent.resolve(p)
+        case Some(p) => cur = cur.getParent.resolve(p).normalize
       }
     }
     Right(out.toSeq)

@@ -60,7 +60,9 @@ object FoldAmp {
       runOrDie(Seq("advance", kind, dir, root.toString, s"$idCol % 3 = 2"))
       val gens = (0 to 2).map(g => du(new java.io.File(root, s"gen-$g")))
       val rows = (0 to 2).map(g => batchRows(g))
-      // the delta channel (phash/ivfpq): same batches through
+      // the delta channel (runs for EVERY kind — cluster and embed
+      // delta their changed-rows assignment, phash/ivfpq their
+      // increment's sigs/codes): same batches through
       // `advance --delta` — generation bytes should be ∝ batch
       val delta =
         {

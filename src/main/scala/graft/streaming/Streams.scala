@@ -1041,9 +1041,15 @@ case class FunnelAdvance(user_id: Long, step: Int, at_us: Long)
           // retry must compare against the attempt-start mark
           // (count-once-per-completed-attempt, the accumulator's own
           // contract), so a failure advancing the mark would hide the
-          // retry's inversions.
+          // retry's inversions. KILLED/interrupted attempts
+          // (speculative duplicates, stage cancellation) count as
+          // failed here too: Spark discards their accumulator
+          // updates, so letting their mark land would advance the
+          // baseline past rows that were never counted — hiding the
+          // winning attempt's inversions below it.
           ctx.addTaskCompletionListener[Unit] { c =>
-            if (!c.isFailed()) arrivalHw.put(key, (hwTs, hwId))
+            if (!c.isFailed() && !c.isInterrupted())
+              arrivalHw.put(key, (hwTs, hwId))
           }
           new scala.collection.AbstractIterator[
               org.apache.spark.sql.Row] {
