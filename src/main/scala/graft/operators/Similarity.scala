@@ -1320,6 +1320,7 @@ object Similarity extends QueryPack {
   private[graft] def annRecallStoredFrame(s: SparkSession, dir: String,
                                           model: IvfPqModel): DataFrame = {
     registerServingViews(s, dir, model)
+    applyRecallSample(s)
     table(s, dir, "embeddings")
       .selectExpr("vec_id", s"$x4S AS x4")
       .createOrReplaceTempView("ipq_ex_base")
@@ -1406,6 +1407,7 @@ object Similarity extends QueryPack {
   private[graft] def annRecallGlobalFrame(s: SparkSession, dir: String,
                                           model: IvfPqModel): DataFrame = {
     registerServingViews(s, dir, model)
+    applyRecallSample(s)
     // the exact side is a query x corpus nested-loop (the brute-force
     // oracle shape) — repartition the query side up front: the scan
     // lands in 1-2 file partitions and the NLJ inherits them, which
@@ -1477,6 +1479,39 @@ object Similarity extends QueryPack {
     registerServingViews(s, dir, folded)
     s.sql(s"WITH ${servingCtes(folded)}\n" +
       servingAdcSelect(3, ordered = true))
+  }
+
+  /** Query-sampling knob for the recall alarms (r19): when set to
+    * n >= 1, [[annRecallStoredFrame]] / [[annRecallGlobalFrame]] (and
+    * `StoreCtl recall --sample n`) measure only the n query vectors
+    * with the smallest xxhash64(vec_id) (vec_id tie-break) — a
+    * deterministic, data-independent subset, so the sampled report is
+    * EXACTLY the full report restricted to those ids
+    * (RecallSampleSpec pins the equality). The knob exists because
+    * the global alarm's exact side is O(queries x corpus) BY DOCTRINE
+    * (the brute-force oracle shape); on a production store the alarm
+    * needs a budget, and "hash the query ids" beats "LIMIT n" (order-
+    * dependent) or random sampling (unreproducible across runs).
+    * Off (0 / unset) by default — the driver keys measure every
+    * query.
+    */
+  val RecallSampleKey = "graft.recall.sample"
+
+  /** Re-bind `ipq_queries` to its n-smallest-hash subset when the
+    * sampling knob is on. Runs AFTER [[registerServingViews]] and
+    * only inside the recall frames — the serving keys
+    * (sim_ivfpq_stored et al.) always rank the full query batch.
+    * spark.table() resolves the current binding eagerly, so the
+    * re-registration cannot self-reference.
+    */
+  private def applyRecallSample(s: SparkSession): Unit = {
+    val n = s.conf.get(RecallSampleKey, "0").toInt
+    if (n > 0)
+      s.table("ipq_queries")
+        .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+        .limit(n)
+        .select("vec_id", "x4")
+        .createOrReplaceTempView("ipq_queries")
   }
 
   private def registerServingViews(s: SparkSession, dir: String,

@@ -19,7 +19,7 @@ import graft.operators.{Dedup, Multimodal, Similarity, StoreFiles}
   *   runMain graft.run.StoreCtl gc    <root>
   *   runMain graft.run.StoreCtl advance [--delta] <kind> <corpus> <root> <pred>
   *   runMain graft.run.StoreCtl compact <kind> <root>
-  *   runMain graft.run.StoreCtl recall  <root> <corpus>
+  *   runMain graft.run.StoreCtl recall  [--sample n] <root> <corpus>
   *
   * kind = cluster | embed | ivfpq | phash. `pred` is a SQL predicate
   * over the kind's corpus table (documents for cluster/phash,
@@ -53,7 +53,11 @@ import graft.operators.{Dedup, Multimodal, Similarity, StoreFiles}
   * within each query's probed pool vs the ADC refine window) plus the
   * mean recall fraction. Frozen gen-0 codebooks accumulate
   * quantization error silently as folds append; this verb measures it
-  * against the live corpus instead of assuming it.
+  * against the live corpus instead of assuming it. `--sample n`
+  * budgets the alarm on a production store: only the n
+  * smallest-hash query ids are measured (a deterministic subset —
+  * the sampled report equals the full report restricted to it;
+  * Similarity.RecallSampleKey).
   *
   * `--delta` lands ONLY the increment's rows in the new generation
   * plus a `_PARENT` link naming the generation it extends — fold
@@ -71,6 +75,12 @@ import graft.operators.{Dedup, Multimodal, Similarity, StoreFiles}
   * one min-by-depth aggregation at serve time, sealed away nightly
   * by `compact`).
   *
+  * A delta chain's serve cost grows linearly with depth, so
+  * `advance --delta` is depth-guarded: past `graft.store.chain.warn`
+  * generations it lands but warns loudly, past `graft.store.chain.max`
+  * it refuses until a `compact` seals the chain — a missed compact
+  * cron degrades loudly instead of silently (see [[ChainWarnKey]]).
+  *
   * `compact` seals a fold chain: it rewrites the SERVED generation's
   * relations — sorted on their serve keys (band index by (band, key)
   * for probe-join locality, the code table by (cell, vec_id) for
@@ -85,6 +95,22 @@ import graft.operators.{Dedup, Multimodal, Similarity, StoreFiles}
   * StoreCtlSpec proves it through a fold→fold→compact→fold chain.
   */
 object StoreCtl {
+
+  /** Chain-depth guard confs (r19). Every `advance --delta` lengthens
+    * the serve-time union by one generation (plus the assignment's
+    * min-by-depth agg for cluster/embed), so a missed compact cron
+    * degrades serve cost LINEARLY and silently. Past
+    * [[ChainWarnKey]] generations the advance still lands but shouts
+    * (stderr + the returned message); past [[ChainMaxKey]] it REFUSES
+    * outright, before claiming a generation name — the only
+    * unbounded-growth stop the chain has. Defaults: warn at 32 (one
+    * fully missed nightly compact on the hourly cadence BENCHING.md
+    * costs out — a healthy day peaks at ~24), refuse at 96 (several
+    * missed days; serve is measurably degraded and the operator must
+    * compact before the chain grows further).
+    */
+  val ChainWarnKey = "graft.store.chain.warn"
+  val ChainMaxKey = "graft.store.chain.max"
 
   /** Dispatch, session-in / message-out — testable without owning the
     * session lifecycle (mirrors the suite-shared-session constraint).
@@ -123,6 +149,20 @@ object StoreCtl {
         advance(spark, kind, corpus, root, pred, delta = true)
       case Seq("compact", kind, root) =>
         compact(spark, kind, root)
+      case Seq("recall", "--sample", n, root, corpus) =>
+        // budgeted drift alarm: measure only the n smallest-hash
+        // query ids (Similarity.RecallSampleKey's deterministic
+        // subset) — the knob that makes the O(queries x corpus)
+        // exact side affordable on a production store
+        if (!n.toLongOption.exists(_ >= 1))
+          return Left(s"--sample wants a positive count, got '$n'")
+        val was = spark.conf.getOption(Similarity.RecallSampleKey)
+        spark.conf.set(Similarity.RecallSampleKey, n)
+        try run(spark, Seq("recall", root, corpus))
+        finally was match {
+          case Some(v) => spark.conf.set(Similarity.RecallSampleKey, v)
+          case None    => spark.conf.unset(Similarity.RecallSampleKey)
+        }
       case Seq("recall", root, corpus) =>
         StoreFiles.serve(root).flatMap { cur =>
           if (!java.nio.file.Files.exists(
@@ -151,7 +191,7 @@ object StoreCtl {
           "stats <store> | " +
           "flip <root> <gen> | serve <root> | gc <root> | " +
           "advance [--delta] <kind> <corpus> <root> <pred> | " +
-          "compact <kind> <root> | recall <root> <corpus>\n" +
+          "compact <kind> <root> | recall [--sample n] <root> <corpus>\n" +
           "  kind = cluster | embed | ivfpq | phash (--delta: all kinds)")
     }
 
@@ -294,6 +334,21 @@ object StoreCtl {
         case Some(m) => return Left(m)
         case None    => ()
       }
+      // chain-depth guard — BEFORE claiming a generation name, so a
+      // refusal leaves no litter (see ChainWarnKey's contract)
+      val depthAfter =
+        if (!delta) 1
+        else StoreFiles.chainPaths(cur) match {
+          case Left(e)  => return Left(e)
+          case Right(g) => g.length + 1
+        }
+      val warnAt = spark.conf.get(ChainWarnKey, "32").toInt
+      val maxAt = spark.conf.get(ChainMaxKey, "96").toInt
+      if (delta && depthAfter > maxAt)
+        return Left(s"delta chain at $root would reach $depthAfter " +
+          s"generations (> $ChainMaxKey=$maxAt) — every read pays a " +
+          s"$depthAfter-way union; run `compact $root` to seal the " +
+          "chain, then re-run")
       val next = StoreFiles.nextGenName(root)
       val outPath = java.nio.file.Paths.get(root, next)
       // CLAIM the name atomically before folding: two overlapping
@@ -312,7 +367,17 @@ object StoreCtl {
       }
       fold(spark, kind, corpus, cur, outPath.toString, pred, delta)
         .flatMap(_ =>
-          StoreFiles.flip(root, next).map(p => s"[advance] serving $p"))
+          StoreFiles.flip(root, next).map { p =>
+            if (delta && depthAfter > warnAt) {
+              val w = s"[advance] WARNING: delta chain depth " +
+                s"$depthAfter exceeds $ChainWarnKey=$warnAt — serve " +
+                s"pays a $depthAfter-way union per read; run " +
+                s"`compact $root` (refused outright past " +
+                s"$ChainMaxKey=$maxAt)"
+              System.err.println(w)
+              s"[advance] serving $p\n$w"
+            } else s"[advance] serving $p"
+          })
     }
 
   /** The advance-crash window guard: a committed gen-numbered

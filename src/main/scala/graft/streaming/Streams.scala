@@ -463,6 +463,20 @@ object Streams {
     * candidates, and the corpus itself is never read. Zero-norm
     * vectors are off the band side (the ZeroNormGuardSpec argument:
     * constant buckets + NaN cosines).
+    *
+    * POINTER-ADVANCE CONTRACT (all served-store streams — this one,
+    * [[storeNearDupStream]], [[storePhashStream]], [[annServeStream]]):
+    * `store` is a resolved GENERATION path and its delta chain is
+    * read ONCE, here at stream construction, over immutable
+    * generations — a `StoreCtl advance` landing mid-stream changes
+    * NOTHING this stream emits (its frozen chain stays readable:
+    * generations never mutate and gc's grace window keeps a displaced
+    * chain alive for in-flight readers). Serving the advanced store
+    * requires a STREAM RESTART against the re-resolved pointer. This
+    * is deliberate: a static side that mutated between micro-batches
+    * would emit pair sets no single store version justifies —
+    * restart-to-advance is the blue/green discipline the pointer file
+    * exists for (PointerAdvanceContractSpec pins both halves).
     */
   def storeDedupStream(vecs: DataFrame, store: String,
                        delay: String = "10 minutes",

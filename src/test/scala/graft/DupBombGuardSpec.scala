@@ -588,4 +588,123 @@ class DupBombGuardSpec extends AnyFunSuite {
     assert(streamed == (0L until 20L).map(o => (300L, o)).toSet,
       s"fan-out produced ${streamed.size} pairs")
   }
+
+  /** Bombed-INCREMENT fixture for the STORE DELTA face: the k-copy
+    * bomb arrives as the NEW batch of a `fold --delta` — the one
+    * place the collapse machinery meets the increment-only layout.
+    * Old half (src1): two distinct docs / vectors. New half (src10 /
+    * vec_id >= 300): a 20-copy bomb, plus (embed only) a scaled copy
+    * that must reach the bomb group through banding, not the byte
+    * collapse key.
+    */
+  private lazy val deltaBombDir: String = {
+    val d = new java.io.File(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+      s"graft_deltabomb_fixture_p${ProcessHandle.current().pid()}").toString
+    val rows: Seq[(Long, String, String)] = Seq(
+      (0L,
+        "one two three four five six seven eight nine ten eleven " +
+          "twelve thirteen", "src1"),
+      (1L,
+        "winter spring summer autumn river mountain forest desert " +
+          "ocean valley meadow", "src1")) ++
+      (300L until 320L).map(i => (i, bombText, "src10"))
+    import spark.implicits._
+    rows.toDF("doc_id", "text", "source")
+      .selectExpr("doc_id", "text", "'xx' AS lang", "source",
+        "cast(length(text) as bigint) AS n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val bombVec = Array(1.0f, 0.25f, -0.5f, 0.125f)
+    val vecs: Seq[(Long, Array[Float])] = Seq(
+      (0L, Array(-1.0f, 0.5f, 0.25f, -0.125f)),
+      (1L, Array(0.125f, -1.0f, 0.5f, 0.25f))) ++
+      (300L until 320L).map(i => (i, bombVec)) :+
+      ((400L, bombVec.map(_ * 2.0f)))
+    vecs.toDF("vec_id", "embedding")
+      .selectExpr("vec_id", "embedding", "cast(0 as int) AS label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    d
+  }
+
+  test("fold --delta (cluster): a bombed INCREMENT lands O(k) delta " +
+      "rows — one banded rep, k grp rows, k assignment rows — and the " +
+      "chain serves exactly the one-shot fold's assignment") {
+    import graft.run.StoreCtl
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_deltabomb_cl").toString
+    assert(StoreCtl.run(spark, Seq("build", "cluster", deltaBombDir,
+      s"$root/gen-0", Dedup.oldPred)).isRight)
+    assert(StoreCtl.run(spark, Seq("fold", "--delta", "cluster",
+      deltaBombDir, s"$root/gen-0", s"$root/gen-1",
+      s"NOT (${Dedup.oldPred})")).isRight)
+    // the delta's sigs/bands hold the bomb's REP only (collapse ran
+    // before the increment landed): 1 sig row, 8 band rows — not 20
+    // of each, and never the k²/2 candidate blowup
+    val sigIds = spark.read.parquet(s"$root/gen-1/sigs")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(sigIds == Set(300L), sigIds)
+    val bandRows = spark.read.parquet(s"$root/gen-1/bands")
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(bandRows.length == 8 && bandRows.forall(_ == 300L),
+      s"expected 8 rep band rows, got ${bandRows.length}")
+    // membership carries the other k-1 copies
+    val grp = spark.read.parquet(s"$root/gen-1/grp")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(grp == (300L until 320L).map(i => (i, 300L)).toSet, grp)
+    // assignment delta = the changed rows ONLY: the 20 new docs (the
+    // bomb bridges nothing old, so no relabels)
+    val delta = spark.read.parquet(s"$root/gen-1/assignment")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(delta == (300L until 320L).map(i => (i, 300L)).toSet, delta)
+    // chain-serve == the one-shot self-contained fold, row for row
+    val one = java.nio.file.Files
+      .createTempDirectory("graft_deltabomb_cl_one").toString + "/g"
+    assert(StoreCtl.run(spark, Seq("fold", "cluster", deltaBombDir,
+      s"$root/gen-0", one, s"NOT (${Dedup.oldPred})")).isRight)
+    def assign(p: String): Map[Long, Long] =
+      Dedup.storeAssignment(spark, p, "doc_id")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(assign(s"$root/gen-1") == assign(one))
+  }
+
+  test("fold --delta (embed): a bombed INCREMENT lands O(k) delta " +
+      "rows — one banded rep (the scaled copy its own group), k grp " +
+      "rows — and the chain serves the one-shot fold's assignment") {
+    import graft.run.StoreCtl
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_deltabomb_em").toString
+    assert(StoreCtl.run(spark, Seq("build", "embed", deltaBombDir,
+      s"$root/gen-0", "vec_id < 100")).isRight)
+    assert(StoreCtl.run(spark, Seq("fold", "--delta", "embed",
+      deltaBombDir, s"$root/gen-0", s"$root/gen-1",
+      "vec_id >= 300")).isRight)
+    // reps only in the delta's full-width/banded relations: the bomb
+    // rep (300) and the scaled copy (400, its OWN byte-key group that
+    // must meet the bomb through scale-invariant banding)
+    val vecIds = spark.read.parquet(s"$root/gen-1/vecs")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(vecIds == Set(300L, 400L), vecIds)
+    val bombBands = spark.read.parquet(s"$root/gen-1/bands")
+      .select("vec_id").collect().map(_.getLong(0)).filter(_ < 400L)
+    assert(bombBands.length == 12 && bombBands.forall(_ == 300L),
+      s"expected 12 rep band rows for the bomb, got ${bombBands.length}")
+    val grp = spark.read.parquet(s"$root/gen-1/grp")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(grp == ((300L until 320L).map(i => (i, 300L)).toSet +
+      ((400L, 400L))), grp)
+    // assignment delta = the 21 new vectors, all in the bomb's
+    // cluster (cos(bomb, scaled) = 1 banded through the rep)
+    val delta = spark.read.parquet(s"$root/gen-1/assignment")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(delta == ((300L until 320L).map(i => (i, 300L)).toSet +
+      ((400L, 300L))), delta)
+    val one = java.nio.file.Files
+      .createTempDirectory("graft_deltabomb_em_one").toString + "/g"
+    assert(StoreCtl.run(spark, Seq("fold", "embed", deltaBombDir,
+      s"$root/gen-0", one, "vec_id >= 300")).isRight)
+    def assign(p: String): Map[Long, Long] =
+      Dedup.storeAssignment(spark, p, "vec_id")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(assign(s"$root/gen-1") == assign(one))
+  }
 }

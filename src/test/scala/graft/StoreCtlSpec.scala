@@ -549,4 +549,100 @@ class StoreCtlSpec extends AnyFunSuite {
     assert(new java.io.File(s"$root/gen-4/manifest.json").exists,
       "gc ate a chained parent")
   }
+
+  test("a DEEP delta chain (12 generations) chain-serves " +
+      "bit-identically through the pointer and one compact seals it") {
+    import graft.operators.StoreFiles
+    val root = tmp("deep_ph"); new java.io.File(root).mkdirs()
+    assert(StoreCtl.run(spark, Seq("build", "phash", dir, s"$root/gen-0",
+      "doc_id % 12 = 0")).isRight)
+    assert(StoreCtl.run(spark, Seq("flip", root, "gen-0")).isRight)
+    (1 to 11).foreach { k =>
+      val r = StoreCtl.run(spark, Seq("advance", "--delta", "phash", dir,
+        root, s"doc_id % 12 = $k"))
+      assert(r.exists(_.contains(s"gen-$k")), r)
+      // healthy depths stay below the default warn threshold — silent
+      assert(r.exists(!_.contains("WARNING")), r)
+    }
+    val served = StoreFiles.serve(root).toOption.get
+    assert(StoreFiles.chainPaths(served).exists(_.length == 12),
+      StoreFiles.chainPaths(served))
+    // member-level content at depth 12 == the one-shot self-contained
+    // fold of the same 11 batches
+    val one = tmp("deep_ph_one")
+    assert(StoreCtl.run(spark, Seq("fold", "phash", dir, s"$root/gen-0",
+      one, "doc_id % 12 <> 0")).isRight)
+    def sigSet(p: String): Set[(Long, Long)] =
+      Dedup.storeGrp(spark, p, "doc_id")
+        .join(StoreFiles.readRelChain(spark, p, "sigs")
+          .toDF("rep", "phash"), Seq("rep"))
+        .select("doc_id", "phash")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sigSet(served) == sigSet(one),
+      "12-deep chain diverged from the self-contained fold")
+    // one compact seals all 12 generations
+    assert(StoreCtl.run(spark, Seq("compact", "phash", root))
+      .exists(_.endsWith("gen-12")))
+    assert(graft.operators.StoreFiles.readParent(
+      java.nio.file.Paths.get(root, "gen-12")).isEmpty)
+    assert(sigSet(s"$root/gen-12") == sigSet(one))
+  }
+
+  test("advance --delta depth guard: warns past graft.store.chain.warn, " +
+      "refuses past graft.store.chain.max without claiming a name") {
+    import graft.operators.StoreFiles
+    val root = tmp("guard_ph"); new java.io.File(root).mkdirs()
+    spark.conf.set(StoreCtl.ChainWarnKey, "2")
+    spark.conf.set(StoreCtl.ChainMaxKey, "3")
+    try {
+      assert(StoreCtl.run(spark, Seq("build", "phash", dir,
+        s"$root/gen-0", "doc_id % 5 = 0")).isRight)
+      assert(StoreCtl.run(spark, Seq("flip", root, "gen-0")).isRight)
+      // depth 2: at the warn threshold, not past it — silent
+      val r1 = StoreCtl.run(spark, Seq("advance", "--delta", "phash",
+        dir, root, "doc_id % 5 = 1"))
+      assert(r1.exists(!_.contains("WARNING")), r1)
+      // depth 3: past warn, at max — lands, but LOUD, naming compact
+      val r2 = StoreCtl.run(spark, Seq("advance", "--delta", "phash",
+        dir, root, "doc_id % 5 = 2"))
+      assert(r2.exists(m => m.contains("WARNING") &&
+        m.contains("compact")), r2)
+      assert(StoreFiles.serve(root).exists(_.endsWith("gen-2")))
+      // depth 4: past max — refused BEFORE claiming a generation dir
+      // (no gen-3 litter) and without moving the pointer
+      val r3 = StoreCtl.run(spark, Seq("advance", "--delta", "phash",
+        dir, root, "doc_id % 5 = 3"))
+      assert(r3.isLeft && r3.swap.exists(_.contains("compact")), r3)
+      assert(!new java.io.File(s"$root/gen-3").exists,
+        "a refused advance left litter")
+      assert(StoreFiles.serve(root).exists(_.endsWith("gen-2")))
+      // a non-delta advance is not depth-guarded — it SEALS the chain
+      val r4 = StoreCtl.run(spark, Seq("advance", "phash", dir, root,
+        "doc_id % 5 = 3"))
+      assert(r4.isRight, r4)
+      // ...after which the delta cadence resumes quietly
+      val r5 = StoreCtl.run(spark, Seq("advance", "--delta", "phash",
+        dir, root, "doc_id % 5 = 4"))
+      assert(r5.isRight && r5.exists(!_.contains("WARNING")), r5)
+    } finally {
+      spark.conf.unset(StoreCtl.ChainWarnKey)
+      spark.conf.unset(StoreCtl.ChainMaxKey)
+    }
+  }
+
+  test("delta sibling-root checks and the chain walk normalize " +
+      "equivalent path spellings") {
+    import graft.operators.StoreFiles
+    val root = tmp("norm_ph"); new java.io.File(root).mkdirs()
+    assert(StoreCtl.run(spark, Seq("build", "phash", dir, s"$root/gen-0",
+      "doc_id % 2 = 0")).isRight)
+    // 'root/./gen-1' is the same sibling root as 'root/gen-0' — the
+    // un-normalized compare refused exactly this spelling before r19
+    val r = StoreCtl.run(spark, Seq("fold", "--delta", "phash", dir,
+      s"$root/gen-0", s"$root/./gen-1", "doc_id % 2 = 1"))
+    assert(r.isRight, r)
+    // the chain walk collapses both spellings to one generation each
+    assert(StoreFiles.chainPaths(s"$root/./gen-1")
+      .exists(_.length == 2), StoreFiles.chainPaths(s"$root/./gen-1"))
+  }
 }
