@@ -2864,13 +2864,20 @@ object Dedup extends QueryPack {
     val lbl = labelPropagate("dd_cluster_store", pairs,
       sigs.select("doc_id"))
     new java.io.File(store).mkdirs()
-    lbl.write.mode("overwrite").parquet(s"$store/assignment")
-    s.sql("SELECT doc_id, hs FROM cst_repsigs")
-      .write.mode("overwrite").parquet(s"$store/sigs")
-    s.sql(s"SELECT doc_id, band, bk FROM ($bandSelects)")
-      .write.mode("overwrite").parquet(s"$store/bands")
-    s.sql("SELECT doc_id, rep FROM cst_grp")
-      .write.mode("overwrite").parquet(s"$store/grp")
+    // bucketed layout (StoreFiles.writeBucketed): each relation lands
+    // clustered on its probe key, so single-generation reads report
+    // the partitioning and the serve joins skip the store-side
+    // exchange (PlanSpec pins the shape)
+    StoreFiles.writeBucketed(lbl, s"$store/assignment", Seq("doc_id"))
+    StoreFiles.writeBucketed(
+      s.sql("SELECT doc_id, hs FROM cst_repsigs"),
+      s"$store/sigs", Seq("doc_id"))
+    StoreFiles.writeBucketed(
+      s.sql(s"SELECT doc_id, band, bk FROM ($bandSelects)"),
+      s"$store/bands", Seq("band", "bk"), Seq("doc_id"))
+    StoreFiles.writeBucketed(
+      s.sql("SELECT doc_id, rep FROM cst_grp"),
+      s"$store/grp", Seq("rep"), Seq("doc_id"))
     val n = sigs.count()
     sigs.unpersist()
     lbl.unpersist()
@@ -3109,7 +3116,8 @@ object Dedup extends QueryPack {
     val landedAssign =
       if (delta) mergedKept.except(storeAssignment(s, store, "doc_id"))
       else mergedKept
-    landedAssign.write.mode("overwrite").parquet(s"$out/assignment")
+    StoreFiles.writeBucketed(landedAssign, s"$out/assignment",
+      Seq("doc_id"))
     // the increment lands rep-collapsed (the edge frame registered
     // cfo_grp/cfo_repsigs): sigs/bands gain the NEW batch's reps only,
     // grp gains its membership. A new group identical to a stored one
@@ -3119,18 +3127,22 @@ object Dedup extends QueryPack {
     def withPrior(rel: String,
                   inc: DataFrame): DataFrame =
       if (delta) inc else StoreFiles.readRelChain(s, store, rel).union(inc)
-    withPrior("sigs", s.sql("SELECT doc_id, hs FROM cfo_repsigs"))
-      .write.mode("overwrite").parquet(s"$out/sigs")
+    StoreFiles.writeBucketed(
+      withPrior("sigs", s.sql("SELECT doc_id, hs FROM cfo_repsigs")),
+      s"$out/sigs", Seq("doc_id"))
     val bandSelects = (0 until JacBands)
       .map(b => s"SELECT doc_id, $b AS band, ${jacBandKeySpark(b)} AS bk" +
         s" FROM cfo_repsigs$jacBandGuard")
       .mkString(" UNION ALL ")
-    withPrior("bands", s.sql(s"SELECT doc_id, band, bk FROM ($bandSelects)"))
-      .write.mode("overwrite").parquet(s"$out/bands")
-    (if (delta) s.sql("SELECT doc_id, rep FROM cfo_grp")
-     else storeGrp(s, store, "doc_id")
-       .union(s.sql("SELECT doc_id, rep FROM cfo_grp")))
-      .write.mode("overwrite").parquet(s"$out/grp")
+    StoreFiles.writeBucketed(
+      withPrior("bands",
+        s.sql(s"SELECT doc_id, band, bk FROM ($bandSelects)")),
+      s"$out/bands", Seq("band", "bk"), Seq("doc_id"))
+    StoreFiles.writeBucketed(
+      if (delta) s.sql("SELECT doc_id, rep FROM cfo_grp")
+      else storeGrp(s, store, "doc_id")
+        .union(s.sql("SELECT doc_id, rep FROM cfo_grp")),
+      s"$out/grp", Seq("rep"), Seq("doc_id"))
     if (delta)
       StoreFiles.writeParent(out,
         java.nio.file.Paths.get(store).getFileName.toString)
@@ -3160,10 +3172,11 @@ object Dedup extends QueryPack {
       case Right(g) => g
     }
     if (gens.size == 1)
-      s.read.parquet(s"${gens.head}/assignment").toDF(idCol, "cluster_id")
+      StoreFiles.readRel(s, s"${gens.head}/assignment")
+        .toDF(idCol, "cluster_id")
     else
       gens.zipWithIndex.map { case (g, depth) =>
-        s.read.parquet(s"$g/assignment").toDF(idCol, "cluster_id")
+        StoreFiles.readRel(s, s"$g/assignment").toDF(idCol, "cluster_id")
           .withColumn("__depth", lit(depth))
       }.reduce(_ unionAll _)
         .groupBy(idCol)
@@ -3190,9 +3203,9 @@ object Dedup extends QueryPack {
     gens.map { gen =>
       if (java.nio.file.Files.isDirectory(
           java.nio.file.Paths.get(gen, "grp")))
-        s.read.parquet(s"$gen/grp").toDF(idCol, "rep")
+        StoreFiles.readRel(s, s"$gen/grp").toDF(idCol, "rep")
       else {
-        val bands = s.read.parquet(s"$gen/bands")
+        val bands = StoreFiles.readRel(s, s"$gen/bands")
         val id = bands.columns.head
         bands.selectExpr(id).distinct()
           .selectExpr(s"$id AS $idCol", s"$id AS rep")
@@ -3450,13 +3463,17 @@ object Dedup extends QueryPack {
       e.select(col("vec_id").as("doc_id")))
       .toDF("vec_id", "cluster_id")
     new java.io.File(store).mkdirs()
-    lbl.write.mode("overwrite").parquet(s"$store/assignment")
-    s.sql("SELECT vec_id, embedding, n2 FROM est_repe")
-      .write.mode("overwrite").parquet(s"$store/vecs")
-    s.sql(s"SELECT vec_id, band, bkt FROM ($bandSelects)")
-      .write.mode("overwrite").parquet(s"$store/bands")
-    s.sql("SELECT vec_id, rep FROM est_grp")
-      .write.mode("overwrite").parquet(s"$store/grp")
+    // bucketed layout — see clusterStoreBuild's note
+    StoreFiles.writeBucketed(lbl, s"$store/assignment", Seq("vec_id"))
+    StoreFiles.writeBucketed(
+      s.sql("SELECT vec_id, embedding, n2 FROM est_repe"),
+      s"$store/vecs", Seq("vec_id"))
+    StoreFiles.writeBucketed(
+      s.sql(s"SELECT vec_id, band, bkt FROM ($bandSelects)"),
+      s"$store/bands", Seq("band", "bkt"), Seq("vec_id"))
+    StoreFiles.writeBucketed(
+      s.sql("SELECT vec_id, rep FROM est_grp"),
+      s"$store/grp", Seq("rep"), Seq("vec_id"))
     val n = e.count()
     e.unpersist()
     lbl.unpersist()
@@ -3597,27 +3614,32 @@ object Dedup extends QueryPack {
     // delta assignment = changed rows only; serve is last-writer-wins
     // over the chain (see clusterStoreFoldInto)
     val mergedKept = merged.truncated()
-    (if (delta)
-       mergedKept.except(storeAssignment(s, store, "vec_id"))
-     else mergedKept)
-      .write.mode("overwrite").parquet(s"$out/assignment")
+    StoreFiles.writeBucketed(
+      if (delta) mergedKept.except(storeAssignment(s, store, "vec_id"))
+      else mergedKept,
+      s"$out/assignment", Seq("vec_id"))
     // the increment lands rep-collapsed (the edge frame registered
     // efo_grp/efo_repe): vecs/bands gain the NEW batch's reps only,
     // grp gains its membership (the clusterStoreFoldInto discipline)
     def withPrior(rel: String, inc: DataFrame): DataFrame =
       if (delta) inc else StoreFiles.readRelChain(s, store, rel).union(inc)
-    withPrior("vecs", s.sql("SELECT vec_id, embedding, n2 FROM efo_repe"))
-      .write.mode("overwrite").parquet(s"$out/vecs")
+    StoreFiles.writeBucketed(
+      withPrior("vecs",
+        s.sql("SELECT vec_id, embedding, n2 FROM efo_repe")),
+      s"$out/vecs", Seq("vec_id"))
     val bandSelects = (0 until CosBands)
       .map(b => s"SELECT vec_id, $b AS band, element_at(bks, ${b + 1})" +
         " AS bkt FROM efo_repe WHERE n2 > 0")
       .mkString(" UNION ALL ")
-    withPrior("bands", s.sql(s"SELECT vec_id, band, bkt FROM ($bandSelects)"))
-      .write.mode("overwrite").parquet(s"$out/bands")
-    (if (delta) s.sql("SELECT vec_id, rep FROM efo_grp")
-     else storeGrp(s, store, "vec_id")
-       .union(s.sql("SELECT vec_id, rep FROM efo_grp")))
-      .write.mode("overwrite").parquet(s"$out/grp")
+    StoreFiles.writeBucketed(
+      withPrior("bands",
+        s.sql(s"SELECT vec_id, band, bkt FROM ($bandSelects)")),
+      s"$out/bands", Seq("band", "bkt"), Seq("vec_id"))
+    StoreFiles.writeBucketed(
+      if (delta) s.sql("SELECT vec_id, rep FROM efo_grp")
+      else storeGrp(s, store, "vec_id")
+        .union(s.sql("SELECT vec_id, rep FROM efo_grp")),
+      s"$out/grp", Seq("rep"), Seq("vec_id"))
     if (delta)
       StoreFiles.writeParent(out,
         java.nio.file.Paths.get(store).getFileName.toString)

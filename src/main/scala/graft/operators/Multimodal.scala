@@ -573,12 +573,17 @@ object Multimodal extends QueryPack {
         .stripMargin)
       .truncated().createOrReplaceTempView("pst_sigs")
     new java.io.File(store).mkdirs()
-    s.sql("SELECT doc_id, phash FROM pst_sigs")
-      .write.mode("overwrite").parquet(s"$store/sigs")
-    s.sql(s"SELECT doc_id, band, bv FROM (${phashBandSelects("pst_sigs")})")
-      .write.mode("overwrite").parquet(s"$store/bands")
-    s.sql("SELECT doc_id, rep FROM pst_grp")
-      .write.mode("overwrite").parquet(s"$store/grp")
+    // bucketed layout — see Dedup.clusterStoreBuild's note
+    StoreFiles.writeBucketed(
+      s.sql("SELECT doc_id, phash FROM pst_sigs"),
+      s"$store/sigs", Seq("doc_id"))
+    StoreFiles.writeBucketed(
+      s.sql(
+        s"SELECT doc_id, band, bv FROM (${phashBandSelects("pst_sigs")})"),
+      s"$store/bands", Seq("band", "bv"), Seq("doc_id"))
+    StoreFiles.writeBucketed(
+      s.sql("SELECT doc_id, rep FROM pst_grp"),
+      s"$store/grp", Seq("rep"), Seq("doc_id"))
     val n = sigs.count()
     sigs.unpersist()
     StoreFiles.writeManifest(store,
@@ -631,15 +636,18 @@ object Multimodal extends QueryPack {
     def withPrior(rel: String, inc: org.apache.spark.sql.DataFrame) =
       if (delta) inc
       else StoreFiles.readRelChain(s, store, rel).union(inc)
-    withPrior("sigs", s.sql("SELECT doc_id, phash FROM pfi_sigs"))
-      .write.mode("overwrite").parquet(s"$out/sigs")
-    withPrior("bands", s.sql(
-        s"SELECT doc_id, band, bv FROM (${phashBandSelects("pfi_sigs")})"))
-      .write.mode("overwrite").parquet(s"$out/bands")
-    (if (delta) s.sql("SELECT doc_id, rep FROM pfi_grp")
-     else Dedup.storeGrp(s, store, "doc_id")
-       .union(s.sql("SELECT doc_id, rep FROM pfi_grp")))
-      .write.mode("overwrite").parquet(s"$out/grp")
+    StoreFiles.writeBucketed(
+      withPrior("sigs", s.sql("SELECT doc_id, phash FROM pfi_sigs")),
+      s"$out/sigs", Seq("doc_id"))
+    StoreFiles.writeBucketed(
+      withPrior("bands", s.sql(
+        s"SELECT doc_id, band, bv FROM (${phashBandSelects("pfi_sigs")})")),
+      s"$out/bands", Seq("band", "bv"), Seq("doc_id"))
+    StoreFiles.writeBucketed(
+      if (delta) s.sql("SELECT doc_id, rep FROM pfi_grp")
+      else Dedup.storeGrp(s, store, "doc_id")
+        .union(s.sql("SELECT doc_id, rep FROM pfi_grp")),
+      s"$out/grp", Seq("rep"), Seq("doc_id"))
     val added = newSigs.count()
     newSigs.unpersist()
     if (delta)

@@ -244,10 +244,107 @@ private[graft] object StoreFiles {
     Right(out.toSeq)
   }
 
-  /** Union relation `rel` across `dir`'s delta chain — ONE parquet
-    * read (identity) for a self-contained generation. Generations
-    * missing the relation contribute nothing (pre-layout generations
-    * lack `grp`); at least one must hold it.
+  // ---- bucketed relation layout (r19) --------------------------------------
+  // The serve-path docstrings promised "a deployment co-locates
+  // bands/ by bucketing on (band, key)"; now the stores DO it: the
+  // probe-joined relations land as Spark BUCKETED parquet (bucketBy
+  // on the probe key, sortBy inside each bucket, repartitioned to one
+  // file per bucket) with a `_BUCKETS` sidecar recording (n, keys),
+  // and single-generation reads come back through a bucketed catalog
+  // table — so the scan REPORTS HashPartitioning(keys, n) and every
+  // stream-static probe / fold probe / assignment aggregation is
+  // EXCHANGE-FREE on the store side (PlanSpec pins it). Chain reads
+  // (depth > 1) union per-generation scans, which drops the reported
+  // partitioning — the exchange returns until `compact` seals the
+  // chain, one more number on the compact cadence's side of the
+  // ledger (BENCHING.md chain-depth section). Bucket count comes from
+  // [[StoreBucketsKey]] AT WRITE TIME (default 8 — right for local
+  // fixtures; a deployment sizes it to the corpus like
+  // shuffle.partitions, e.g. 4096 at 100 TB) and travels in the
+  // sidecar, so readers never guess. The files are plain parquet —
+  // every pre-r19 reader (spark.read.parquet, DuckDB) still reads
+  // them; `_BUCKETS` is `_`-prefixed so file listings skip it.
+
+  val StoreBucketsKey = "graft.store.buckets"
+
+  /** Catalog name for the bucketed table over `path` — deterministic
+    * per normalized path, so writer and readers (any session on the
+    * shared catalog) agree without coordination.
+    */
+  private def bucketTable(path: String): String =
+    "graft_bkt_" + java.security.MessageDigest.getInstance("MD5")
+      .digest(Paths.get(path).toAbsolutePath.normalize.toString
+        .getBytes(StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString.take(16)
+
+  private def bucketsSidecar(path: String): java.nio.file.Path =
+    Paths.get(path, "_BUCKETS")
+
+  /** Write `df` at `path` bucketed on `keys` (+ `sortExtra` inside
+    * each bucket) and record the layout in the sidecar. saveAsTable
+    * is the only writer face Spark allows for bucketBy; the explicit
+    * `path` makes the table external, so the catalog entry is just
+    * metadata over the generation's own files.
+    */
+  def writeBucketed(df: org.apache.spark.sql.DataFrame, path: String,
+                    keys: Seq[String],
+                    sortExtra: Seq[String] = Nil): Unit = {
+    val s = df.sparkSession
+    // default = the session's shuffle parallelism: the bucket count IS
+    // the probe join's parallelism (a bucketed scan's partitioning is
+    // reused as-is, so fewer buckets than cores strands cores — an
+    // 8-bucket default measured +0.8-1.0 s on every store probe key
+    // at local[32]). A deployment that sizes shuffle.partitions for
+    // the corpus gets matching store buckets for free.
+    val n = s.conf.getOption(StoreBucketsKey)
+      .getOrElse(s.conf.get("spark.sql.shuffle.partitions")).toInt
+    require(n >= 1, s"$StoreBucketsKey must be >= 1, got $n")
+    val sortCols = keys ++ sortExtra
+    // one file per bucket: without the repartition every write task
+    // opens a file per bucket it sees (tasks x buckets small files),
+    // and multi-file buckets forfeit the scan's sort-order claim
+    df.repartition(n, keys.map(org.apache.spark.sql.functions.col): _*)
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(n, keys.head, keys.tail: _*)
+      .sortBy(sortCols.head, sortCols.tail: _*)
+      .option("path", path)
+      .saveAsTable(bucketTable(path))
+    Files.write(bucketsSidecar(path),
+      s"$n:${keys.mkString(",")}".getBytes(StandardCharsets.UTF_8))
+  }
+
+  /** Read the relation at `path`: through its bucketed catalog table
+    * when the sidecar says one was written (registering the external
+    * table on first read in this catalog — generations are immutable,
+    * so the registration can never go stale), plain parquet
+    * otherwise. Row content is identical either way; only the
+    * reported partitioning differs.
+    */
+  def readRel(s: org.apache.spark.sql.SparkSession,
+              path: String): org.apache.spark.sql.DataFrame = {
+    val sc = bucketsSidecar(path)
+    if (!Files.exists(sc)) s.read.parquet(path)
+    else {
+      val parts = new String(Files.readAllBytes(sc),
+        StandardCharsets.UTF_8).trim.split(":", 2)
+      val n = parts(0).toInt
+      val keys = parts(1).split(",").toSeq
+      val t = bucketTable(path)
+      if (!s.catalog.tableExists(t)) {
+        val schema = s.read.parquet(path).schema.toDDL
+        s.sql(s"CREATE TABLE $t ($schema) USING parquet " +
+          s"CLUSTERED BY (${keys.mkString(", ")}) " +
+          s"SORTED BY (${keys.mkString(", ")}) " +
+          s"INTO $n BUCKETS LOCATION '$path'")
+      }
+      s.table(t)
+    }
+  }
+
+  /** Union relation `rel` across `dir`'s delta chain — ONE
+    * (bucketed-table-aware) read for a self-contained generation.
+    * Generations missing the relation contribute nothing (pre-layout
+    * generations lack `grp`); at least one must hold it.
     */
   def readRelChain(s: org.apache.spark.sql.SparkSession, dir: String,
                    rel: String): org.apache.spark.sql.DataFrame = {
@@ -259,7 +356,7 @@ private[graft] object StoreFiles {
     if (present.isEmpty)
       throw new IllegalStateException(
         s"no generation in $dir's chain holds $rel/")
-    present.map(g => s.read.parquet(s"$g/$rel")).reduce(_ union _)
+    present.map(g => readRel(s, s"$g/$rel")).reduce(_ union _)
   }
 
   /** Best-effort chain NAMES from a root's generation — for gc's keep

@@ -288,15 +288,28 @@ object StoreCtl {
                 Dedup.storeAssignment(spark, cur, keys.head)
                   .select(keys.head, "cluster_id")
               else StoreFiles.readRelChain(spark, cur, rel)
-            // sort() range-partitions, so files land globally ordered
-            // on the serve keys; coalesce caps the sealed file count
-            // (the whole relation is signature/model-sized — dozens
-            // of bytes per corpus item — so a handful of files is the
-            // right shape even at large corpus scale)
-            frame
-              .sort(keys.map(org.apache.spark.sql.functions.col): _*)
-              .coalesce(4)
-              .write.mode("error").parquet(s"$outPath/$rel")
+            // the sealed layout is the SERVING layout: every relation
+            // except codes lands BUCKETED on its probe key with the
+            // trailing id as the in-bucket sort (StoreFiles
+            // .writeBucketed), so a compact restores not just one
+            // self-contained generation but the exchange-free probe
+            // shape the chain reads lost. codes keeps the
+            // (cell, vec_id) global sort + coalesce: its join key has
+            // only KmK distinct values, so bucketing by cell would cap
+            // the corpus scan at KmK tasks — the serve side is already
+            // exchange-free there (the query side broadcasts), and
+            // cell-pruned locality comes from the sort's row groups.
+            if (rel == "codes")
+              frame
+                .sort(keys.map(org.apache.spark.sql.functions.col): _*)
+                .coalesce(4)
+                .write.mode("error").parquet(s"$outPath/$rel")
+            else {
+              val bucketKeys =
+                if (keys.length > 1) keys.dropRight(1) else keys
+              StoreFiles.writeBucketed(frame, s"$outPath/$rel",
+                bucketKeys, keys.drop(bucketKeys.length))
+            }
           }
           // marker LAST, verbatim from the source generation (same
           // counts — a compact adds no rows), temp + ATOMIC_MOVE:

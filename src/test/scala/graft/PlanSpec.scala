@@ -504,6 +504,81 @@ class PlanSpec extends AnyFunSuite {
       .findAllIn(p).foreach(j => assert(!j.contains("text"), j))
   }
 
+  /** r19: the bucketed store layout's whole point — the branch of a
+    * probe join that reads a SEALED store relation must contain a
+    * bucketed scan and NO exchange of any kind (its reported
+    * HashPartitioning satisfies the join's distribution). Broadcast
+    * is disabled for the audit: at fixture scale Spark would
+    * broadcast the tiny store side, which is exactly the shape that
+    * does NOT survive a 100 TB store.
+    */
+  private def assertStoreSideExchangeFree(
+      p: org.apache.spark.sql.execution.SparkPlan,
+      relPathPart: String): Unit = {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.Exchange
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    def storeScans(c: org.apache.spark.sql.execution.SparkPlan) =
+      c.collect {
+        case f: FileSourceScanExec if f.relation.location.rootPaths
+          .exists(_.toString.contains(relPathPart)) => f
+      }
+    val joins = p.collect {
+      case j: BaseJoinExec if j.children.exists(storeScans(_).nonEmpty) => j
+    }
+    assert(joins.nonEmpty,
+      s"no join reads $relPathPart:\n${p.toString.take(4000)}")
+    // the INNERMOST such join is the probe: its store-side child must
+    // be exchange-free scan→filter→project only
+    val probe = joins.last
+    val storeSide = probe.children.filter(storeScans(_).nonEmpty)
+    assert(storeSide.nonEmpty)
+    storeSide.foreach { c =>
+      assert(c.collect { case e: Exchange => e }.isEmpty,
+        s"the $relPathPart side of the probe join shuffles:\n" +
+          c.toString.take(3000))
+      assert(storeScans(c).forall(_.bucketedScan),
+        s"the $relPathPart scan is not bucketed:\n${c.toString.take(3000)}")
+    }
+  }
+
+  private def withNoBroadcast[T](body: => T): T = {
+    val k = "spark.sql.autoBroadcastJoinThreshold"
+    val was = spark.conf.get(k)
+    spark.conf.set(k, "-1")
+    try body finally spark.conf.set(k, was)
+  }
+
+  test("dd_cluster_fold_stored probe: the sealed store's bands side " +
+      "is a bucketed scan with NO exchange — the fold probe is " +
+      "co-located by layout, not by a per-fold shuffle") {
+    val store = operators.Dedup.ensureClusterStore(spark, dir)
+    withNoBroadcast {
+      operators.Dedup.withAqeOff(spark) {
+        val (_, edges) = operators.Dedup.clusterStoreEdgeFrame(
+          spark, dir, store, "cast(substring(source, 4) as int) >= 10")
+        assertStoreSideExchangeFree(
+          edges.queryExecution.executedPlan, "/bands")
+      }
+    }
+  }
+
+  test("storeDedupStream probe: the sealed store's bands side is a " +
+      "bucketed scan with NO exchange — each micro-batch shuffles " +
+      "only the arriving vectors, never the corpus-scale index") {
+    val store = operators.Dedup.ensureEmbedStore(spark, dir)
+    val vecs = Engine.table(spark, dir, "embeddings")
+      .selectExpr("vec_id", "(vec_id + 1) * 1000000000L AS ts",
+        "embedding")
+    withNoBroadcast {
+      operators.Dedup.withAqeOff(spark) {
+        assertStoreSideExchangeFree(
+          streaming.Streams.storeDedupStream(vecs, store)
+            .queryExecution.executedPlan, "/bands")
+      }
+    }
+  }
+
   test("annServeCandidates: ANN serving delivers candidates by ONE " +
       "cell equi-join against the stored code table") {
     // The retrieval serve claim: per-query work is nprobe cell slices

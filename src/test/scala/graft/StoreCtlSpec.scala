@@ -233,12 +233,15 @@ class StoreCtlSpec extends AnyFunSuite {
     assert(StoreCtl.run(spark, Seq("serve", root)) ==
       Right(s"$root/gen-2"))
     // a compacted generation is a pure relayout of its source: same
-    // rows, sealed file count
+    // rows, sealed into the BUCKETED serving layout (r19: one file
+    // per bucket, default 8, sidecar recording the probe keys)
     for ((rel, n) <- Seq(("assignment", 2), ("sigs", 2), ("bands", 3),
         ("grp", 2))) {
       assert(rows(s"$root/gen-2/$rel", n) == rows(s"$root/gen-1/$rel", n),
         s"$rel rows changed under compact")
-      assert(partFiles(s"$root/gen-2/$rel") <= 4, rel)
+      assert(partFiles(s"$root/gen-2/$rel") <= 8, rel)
+      assert(new java.io.File(s"$root/gen-2/$rel/_BUCKETS").exists,
+        s"$rel lost the bucketed serving layout under compact")
     }
     // folding ON TOP of the compacted generation completes the corpus
     // and matches the one-shot whole-corpus build: assignment
@@ -267,7 +270,8 @@ class StoreCtlSpec extends AnyFunSuite {
     for ((rel, n) <- Seq(("sigs", 2), ("bands", 3), ("grp", 2))) {
       assert(rows(s"$root/gen-2/$rel", n) == rows(s"$root/gen-1/$rel", n),
         s"$rel rows changed under compact")
-      assert(partFiles(s"$root/gen-2/$rel") <= 4, rel)
+      assert(partFiles(s"$root/gen-2/$rel") <= 8, rel)
+      assert(new java.io.File(s"$root/gen-2/$rel/_BUCKETS").exists, rel)
     }
     assert(StoreCtl.run(spark, Seq("advance", "phash", dir, root,
       "doc_id % 3 = 2")).exists(_.endsWith("gen-3")))
@@ -307,7 +311,8 @@ class StoreCtlSpec extends AnyFunSuite {
         ("grp", 2))) {
       assert(rows(s"$eroot/gen-1/$rel", n) == rows(s"$eroot/gen-0/$rel", n),
         s"$rel rows changed under compact")
-      assert(partFiles(s"$eroot/gen-1/$rel") <= 4, rel)
+      assert(partFiles(s"$eroot/gen-1/$rel") <= 8, rel)
+      assert(new java.io.File(s"$eroot/gen-1/$rel/_BUCKETS").exists, rel)
     }
     // the recall drift alarm serves the pointed ivfpq generation and
     // reports the measured fraction; a non-ivfpq root is refused
