@@ -19,6 +19,7 @@ import graft.operators.{Dedup, Multimodal, Similarity, StoreFiles}
   *   runMain graft.run.StoreCtl gc    <root>
   *   runMain graft.run.StoreCtl advance [--delta] <kind> <corpus> <root> <pred>
   *   runMain graft.run.StoreCtl compact <kind> <root>
+  *   runMain graft.run.StoreCtl chain   <root>
   *   runMain graft.run.StoreCtl recall  [--sample n] <root> <corpus>
   *
   * kind = cluster | embed | ivfpq | phash. `pred` is a SQL predicate
@@ -82,10 +83,13 @@ import graft.operators.{Dedup, Multimodal, Similarity, StoreFiles}
   * cron degrades loudly instead of silently (see [[ChainWarnKey]]).
   *
   * `compact` seals a fold chain: it rewrites the SERVED generation's
-  * relations — sorted on their serve keys (band index by (band, key)
-  * for probe-join locality, the code table by (cell, vec_id) for
-  * cell-pruned scans) and coalesced to a few large files — into the
-  * next free `gen-<n>`, lands the marker last, and flips. The shard
+  * relations into the BUCKETED serving layout (r19 — bucketBy on the
+  * probe key, in-bucket sort on the trailing id, one file per bucket,
+  * so the sealed generation's probe joins are exchange-free on the
+  * store side; the ivfpq code table keeps its (cell, vec_id) global
+  * sort + coalesce, since KmK distinct cells would cap scan
+  * parallelism) into the next free `gen-<n>`, lands the marker last,
+  * and flips. The shard
   * compactor's discipline extended to the model stores: a fold chain
   * accumulates one appended parquet landing per generation, and a
   * nightly compact caps the file count and restores scan locality
@@ -149,6 +153,35 @@ object StoreCtl {
         advance(spark, kind, corpus, root, pred, delta = true)
       case Seq("compact", kind, root) =>
         compact(spark, kind, root)
+      case Seq("chain", root) =>
+        // the depth guard's observability face: when `advance --delta`
+        // warns (or refuses), THIS is what the operator runs to see
+        // what compact would seal — the served chain base-last, with
+        // per-generation bytes and the live thresholds
+        StoreFiles.serve(root).flatMap { cur =>
+          StoreFiles.chainPaths(cur).map { gens =>
+            def du(f: java.io.File): Long =
+              if (f.isDirectory)
+                Option(f.listFiles()).toSeq.flatten.map(du).sum
+              else f.length()
+            val warnAt = spark.conf.get(ChainWarnKey, "32").toInt
+            val maxAt = spark.conf.get(ChainMaxKey, "96").toInt
+            val lines = gens.zipWithIndex.map { case (g, i) =>
+              val f = new java.io.File(g)
+              val link = StoreFiles
+                .readParent(java.nio.file.Paths.get(g))
+                .map(p => s" -> $p").getOrElse(" (self-contained)")
+              f"  [$i] ${f.getName}%-12s ${du(f)}%12d B$link"
+            }
+            val state =
+              if (gens.length > maxAt) " REFUSING delta advances — compact"
+              else if (gens.length > warnAt) " WARNING — compact soon"
+              else ""
+            s"[chain] $root serves ${gens.length} generation(s) " +
+              s"(warn > $warnAt, refuse > $maxAt)$state\n" +
+              lines.mkString("\n")
+          }
+        }
       case Seq("recall", "--sample", n, root, corpus) =>
         // budgeted drift alarm: measure only the n smallest-hash
         // query ids (Similarity.RecallSampleKey's deterministic
@@ -191,7 +224,8 @@ object StoreCtl {
           "stats <store> | " +
           "flip <root> <gen> | serve <root> | gc <root> | " +
           "advance [--delta] <kind> <corpus> <root> <pred> | " +
-          "compact <kind> <root> | recall [--sample n] <root> <corpus>\n" +
+          "compact <kind> <root> | chain <root> | " +
+          "recall [--sample n] <root> <corpus>\n" +
           "  kind = cluster | embed | ivfpq | phash (--delta: all kinds)")
     }
 

@@ -563,18 +563,38 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
-  test("storeDedupStream probe: the sealed store's bands side is a " +
-      "bucketed scan with NO exchange — each micro-batch shuffles " +
-      "only the arriving vectors, never the corpus-scale index") {
+  test("storeDedupStream probe: the sealed store's bands AND vecs " +
+      "sides are bucketed scans with NO exchange — each micro-batch " +
+      "shuffles only the arriving vectors, never the corpus-scale " +
+      "index or the full-width verify relation") {
     val store = operators.Dedup.ensureEmbedStore(spark, dir)
     val vecs = Engine.table(spark, dir, "embeddings")
       .selectExpr("vec_id", "(vec_id + 1) * 1000000000L AS ts",
         "embedding")
     withNoBroadcast {
       operators.Dedup.withAqeOff(spark) {
-        assertStoreSideExchangeFree(
-          streaming.Streams.storeDedupStream(vecs, store)
-            .queryExecution.executedPlan, "/bands")
+        val p = streaming.Streams.storeDedupStream(vecs, store)
+          .queryExecution.executedPlan
+        assertStoreSideExchangeFree(p, "/bands")
+        // the verify join's static side (vecs, bucketed by vec_id and
+        // renamed owner_id — alias-aware partitioning) is also
+        // exchange-free: only the band-surviving candidates move
+        assertStoreSideExchangeFree(p, "/vecs")
+      }
+    }
+  }
+
+  test("storeNearDupStream probe: the sealed cluster store's bands " +
+      "and sigs sides are bucketed scans with NO exchange") {
+    val store = operators.Dedup.ensureClusterStore(spark, dir)
+    val docs = Engine.table(spark, dir, "documents")
+      .selectExpr("doc_id", "(doc_id + 1) * 1000000000L AS ts", "text")
+    withNoBroadcast {
+      operators.Dedup.withAqeOff(spark) {
+        val p = streaming.Streams.storeNearDupStream(docs, store)
+          .queryExecution.executedPlan
+        assertStoreSideExchangeFree(p, "/bands")
+        assertStoreSideExchangeFree(p, "/sigs")
       }
     }
   }

@@ -635,6 +635,32 @@ class StoreCtlSpec extends AnyFunSuite {
     }
   }
 
+  test("chain verb: lists the served chain base-last with bytes, " +
+      "parent links, and the live guard thresholds") {
+    val root = tmp("chainv"); new java.io.File(root).mkdirs()
+    assert(StoreCtl.run(spark, Seq("build", "phash", dir, s"$root/gen-0",
+      "doc_id % 3 = 0")).isRight)
+    // chain on an unpointed root refuses (nothing is served)
+    assert(StoreCtl.run(spark, Seq("chain", root)).isLeft)
+    assert(StoreCtl.run(spark, Seq("flip", root, "gen-0")).isRight)
+    assert(StoreCtl.run(spark, Seq("advance", "--delta", "phash", dir,
+      root, "doc_id % 3 = 1")).isRight)
+    val out = StoreCtl.run(spark, Seq("chain", root))
+    assert(out.isRight, out)
+    val msg = out.toOption.get
+    assert(msg.contains("serves 2 generation(s)"), msg)
+    // base-last: the served delta first, its parent linked by name
+    assert(msg.contains("gen-1") && msg.contains("-> gen-0"), msg)
+    assert(msg.contains("(self-contained)"), msg)
+    assert(msg.contains("warn > ") && msg.contains("refuse > "), msg)
+    // the guard state line appears once the chain crosses warn
+    spark.conf.set(StoreCtl.ChainWarnKey, "1")
+    try
+      assert(StoreCtl.run(spark, Seq("chain", root))
+        .exists(_.contains("WARNING")), "no guard state past warn")
+    finally spark.conf.unset(StoreCtl.ChainWarnKey)
+  }
+
   test("delta sibling-root checks and the chain walk normalize " +
       "equivalent path spellings") {
     import graft.operators.StoreFiles
