@@ -599,6 +599,21 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("storePhashStream probe: the sealed phash store's bands and " +
+      "sigs sides are bucketed scans with NO exchange") {
+    val store = operators.Multimodal.ensurePhashStore(spark, dir)
+    val docs = Engine.table(spark, dir, "documents")
+      .selectExpr("doc_id", "(doc_id + 1) * 1000000000L AS ts", "text")
+    withNoBroadcast {
+      operators.Dedup.withAqeOff(spark) {
+        val p = streaming.Streams.storePhashStream(docs, store)
+          .queryExecution.executedPlan
+        assertStoreSideExchangeFree(p, "/bands")
+        assertStoreSideExchangeFree(p, "/sigs")
+      }
+    }
+  }
+
   test("annServeCandidates: ANN serving delivers candidates by ONE " +
       "cell equi-join against the stored code table") {
     // The retrieval serve claim: per-query work is nprobe cell slices
