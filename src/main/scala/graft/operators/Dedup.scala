@@ -191,39 +191,54 @@ object Dedup extends QueryPack {
     * [[trackCached]].
     */
   private def cview(prefix: String, dir: String): String =
-    prefix + "_c" + java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      .take(6).map("%02x".format(_)).mkString
+    prefix + "_c" + StoreFiles.md5Hex(dir, 12)
 
   /** Cached builder relations per (session, corpus), so the
     * registry's staleness hook can unpersist them: before r19 an
     * invalidation dropped the derived frames but left the cached
     * corpus scans — a corpus rewritten in place could keep serving
     * stale cached blocks to the rebuild (the cache manager matches
-    * canonical plans, not file contents).
+    * canonical plans, not file contents). LRU-BOUNDED like the frame
+    * registries (same [[LpEdgeCacheMax]] cap, read at put time —
+    * object-init order makes it 0 here): a long-lived multi-session
+    * context otherwise pins every discarded session's corpus-scan
+    * plans forever, since a dropped SESSION (live context) has no
+    * liveness signal to sweep on. Evicted entries' blocks are
+    * unpersisted; consumers recompute on demand.
     */
-  private val cachedRels = scala.collection.mutable.Map
-    .empty[(SparkSession, String), List[DataFrame]]
+  private val cachedRels =
+    new java.util.LinkedHashMap[(SparkSession, String), List[DataFrame]](
+        16, 0.75f, /*accessOrder=*/ true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(SparkSession, String), List[DataFrame]])
+          : Boolean = {
+        val evict = size() > LpEdgeCacheMax
+        if (evict && !e.getKey._1.sparkContext.isStopped)
+          e.getValue.foreach(_.unpersist(blocking = false))
+        evict
+      }
+    }
 
   private def trackCached(s: SparkSession, dir: String,
                           df: DataFrame): Unit =
     cachedRels.synchronized {
       val k = (s, dir)
-      cachedRels(k) = df :: cachedRels.getOrElse(k, Nil)
+      cachedRels.put(k, df :: Option(cachedRels.get(k)).getOrElse(Nil))
     }
 
   private def unpersistTracked(s: SparkSession, dir: String): Unit = {
     val dead = cachedRels.synchronized {
-      cachedRels.keys.filter(_._1.sparkContext.isStopped).toList
-        .foreach(cachedRels.remove)
-      cachedRels.remove((s, dir)).getOrElse(Nil)
+      val it = cachedRels.keySet().iterator()
+      while (it.hasNext) if (it.next()._1.sparkContext.isStopped) it.remove()
+      Option(cachedRels.remove((s, dir))).getOrElse(Nil)
     }
     dead.foreach(_.unpersist(blocking = false))
   }
 
   private def unpersistAllTracked(): Unit = {
     val all = cachedRels.synchronized {
-      val vs = cachedRels.values.flatten.toList
+      import scala.jdk.CollectionConverters._
+      val vs = cachedRels.values().asScala.flatten.toList
       cachedRels.clear()
       vs
     }
@@ -2114,11 +2129,22 @@ object Dedup extends QueryPack {
     * advances, so an in-flight build over the old data cannot
     * register afterwards).
     */
-  def invalidateLpEdges(session: SparkSession, dir: String): Unit = {
+  /** Registry-only invalidation: drops the DERIVED frames but keeps
+    * the cached corpus scans warm. This is [[ddLpEdges]]' face — its
+    * per-call rebuild re-reads the SAME immutable corpus, so evicting
+    * the sig/cos_e caches there would recompute the minhash/RH
+    * pipelines on every run for zero staleness benefit (r19 review).
+    */
+  private def invalidateDerived(session: SparkSession,
+                                dir: String): Unit = {
     lpEdgeCache.invalidate(session, dir)
     jacRelCache.invalidate(session, dir)
     cosRelCache.invalidate(session, dir)
     contRelCache.invalidate(session, dir)
+  }
+
+  def invalidateLpEdges(session: SparkSession, dir: String): Unit = {
+    invalidateDerived(session, dir)
     // also release the builders' CACHED corpus scans (sig/cos_e
     // relations): the cache manager matches canonical plans, so a
     // rebuild after an in-place corpus rewrite would otherwise keep
@@ -3848,7 +3874,7 @@ object Dedup extends QueryPack {
   // (DupBombGuardSpec pins it on the bomb fixture; linearity stays
   // that spec's gate).
   private def ddLpEdges(s: SparkSession, dir: String): DataFrame = {
-    invalidateLpEdges(s, dir)
+    invalidateDerived(s, dir)
     val edges = withAqeOff(s)(
       lpEdgesFor(s, s"embed_lsh|$dir")(
         prepLpEdges(s, embedClusterEdges(s, dir),

@@ -1505,7 +1505,9 @@ object Similarity extends QueryPack {
     * re-registration cannot self-reference.
     */
   private def applyRecallSample(s: SparkSession): Unit = {
-    val n = s.conf.get(RecallSampleKey, "0").toInt
+    val raw = s.conf.get(RecallSampleKey, "0")
+    val n = raw.toIntOption.getOrElse(throw new IllegalArgumentException(
+      s"$RecallSampleKey must be a non-negative int, got '$raw'"))
     if (n > 0)
       s.table("ipq_queries")
         .orderBy(xxhash64(col("vec_id")), col("vec_id"))

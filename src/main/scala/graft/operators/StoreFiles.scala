@@ -40,12 +40,20 @@ private[graft] object StoreFiles {
       StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** MD5 hex prefix of `str`, `k` chars — the one hashing idiom behind
+    * scratch names, bucketed-table names, and the builders' cview
+    * names (three near-copies before r19; a normalization fix in one
+    * must not silently miss the others).
+    */
+  private[graft] def md5Hex(str: String, k: Int): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(str.getBytes(StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString.take(k)
+
   def scratchDir(prefix: String, dir: String): String =
     new java.io.File(
       sys.props.getOrElse("java.io.tmpdir", "/tmp"),
-      prefix + java.security.MessageDigest.getInstance("MD5")
-        .digest(dir.getBytes(StandardCharsets.UTF_8))
-        .map("%02x".format(_)).mkString.take(12) +
+      prefix + md5Hex(dir, 12) +
         "_p" + ProcessHandle.current().pid()).toString
 
   def ensure(locks: java.util.concurrent.ConcurrentHashMap[String, Object],
@@ -258,27 +266,52 @@ private[graft] object StoreFiles {
   // partitioning — the exchange returns until `compact` seals the
   // chain, one more number on the compact cadence's side of the
   // ledger (BENCHING.md chain-depth section). Bucket count comes from
-  // [[StoreBucketsKey]] AT WRITE TIME (default 8 — right for local
-  // fixtures; a deployment sizes it to the corpus like
-  // shuffle.partitions, e.g. 4096 at 100 TB) and travels in the
-  // sidecar, so readers never guess. The files are plain parquet —
+  // [[StoreBucketsKey]] AT WRITE TIME (default = the session's
+  // spark.sql.shuffle.partitions — the bucket count IS the probe
+  // join's parallelism; a deployment that sizes shuffle partitions
+  // for the corpus gets matching buckets for free, e.g. 4096 at
+  // 100 TB) and travels in the sidecar with the keys AND the schema
+  // DDL, so readers never guess and never need parquet schema
+  // inference (an EMPTY relation — a no-rows `advance --delta` — 
+  // writes zero data files, which would crash inference in a fresh
+  // session). The files are plain parquet —
   // every pre-r19 reader (spark.read.parquet, DuckDB) still reads
   // them; `_BUCKETS` is `_`-prefixed so file listings skip it.
 
   val StoreBucketsKey = "graft.store.buckets"
 
   /** Catalog name for the bucketed table over `path` — deterministic
-    * per normalized path, so writer and readers (any session on the
-    * shared catalog) agree without coordination.
+    * in the normalized path AND the layout (bucket count, keys,
+    * schema DDL), so writer and readers (any session on the shared
+    * catalog) agree without coordination, and a path rebuilt with a
+    * DIFFERENT layout or schema hashes to a fresh name instead of
+    * serving a stale registration (the old entry dangles —
+    * metadata-only). A byte-identical rebuild at the same path is
+    * outside the contract: generations are immutable.
     */
-  private def bucketTable(path: String): String =
-    "graft_bkt_" + java.security.MessageDigest.getInstance("MD5")
-      .digest(Paths.get(path).toAbsolutePath.normalize.toString
-        .getBytes(StandardCharsets.UTF_8))
-      .map("%02x".format(_)).mkString.take(16)
+  private def bucketTable(path: String, n: Int, keys: Seq[String],
+                          schemaDdl: String): String =
+    "graft_bkt_" + md5Hex(
+      Paths.get(path).toAbsolutePath.normalize.toString +
+        "|" + n + "|" + keys.mkString(",") + "|" + schemaDdl, 16)
 
   private def bucketsSidecar(path: String): java.nio.file.Path =
     Paths.get(path, "_BUCKETS")
+
+  /** The bucketed catalog table name the sidecar at `path` resolves
+    * to, if one was written — a test hook (the empty-increment and
+    * cross-catalog read cases drop it to simulate a fresh session).
+    */
+  private[graft] def sidecarTable(path: String): Option[String] = {
+    val sc = bucketsSidecar(path)
+    if (!Files.exists(sc)) None
+    else {
+      val lines = new String(Files.readAllBytes(sc),
+        StandardCharsets.UTF_8).split("\n", 3)
+      Some(bucketTable(path, lines(0).trim.toInt,
+        lines(1).split(",").toSeq, lines(2)))
+    }
+  }
 
   /** Write `df` at `path` bucketed on `keys` (+ `sortExtra` inside
     * each bucket) and record the layout in the sidecar. saveAsTable
@@ -300,6 +333,7 @@ private[graft] object StoreFiles {
       .getOrElse(s.conf.get("spark.sql.shuffle.partitions")).toInt
     require(n >= 1, s"$StoreBucketsKey must be >= 1, got $n")
     val sortCols = keys ++ sortExtra
+    val ddl = df.schema.toDDL
     // one file per bucket: without the repartition every write task
     // opens a file per bucket it sees (tasks x buckets small files),
     // and multi-file buckets forfeit the scan's sort-order claim
@@ -308,34 +342,48 @@ private[graft] object StoreFiles {
       .bucketBy(n, keys.head, keys.tail: _*)
       .sortBy(sortCols.head, sortCols.tail: _*)
       .option("path", path)
-      .saveAsTable(bucketTable(path))
+      .saveAsTable(bucketTable(path, n, keys, ddl))
+    // sidecar LAST, carrying the schema DDL: readers must never need
+    // parquet schema inference (see the layout note — an empty
+    // increment has no data files to infer from), and a crash before
+    // the sidecar leaves a plain-parquet-readable dir inside an
+    // uncommitted (marker-less) generation nobody serves
     Files.write(bucketsSidecar(path),
-      s"$n:${keys.mkString(",")}".getBytes(StandardCharsets.UTF_8))
+      s"$n\n${keys.mkString(",")}\n$ddl"
+        .getBytes(StandardCharsets.UTF_8))
   }
 
   /** Read the relation at `path`: through its bucketed catalog table
     * when the sidecar says one was written (registering the external
-    * table on first read in this catalog — generations are immutable,
-    * so the registration can never go stale), plain parquet
-    * otherwise. Row content is identical either way; only the
-    * reported partitioning differs.
+    * table on first read in this catalog — the name hashes the layout
+    * and schema, so a registration can only ever describe the files
+    * it was written over), plain parquet otherwise. Row content is
+    * identical either way; only the reported partitioning differs.
+    * The schema comes from the sidecar, never from file inference —
+    * an empty relation (no-rows increment) has no data files.
     */
   def readRel(s: org.apache.spark.sql.SparkSession,
               path: String): org.apache.spark.sql.DataFrame = {
     val sc = bucketsSidecar(path)
     if (!Files.exists(sc)) s.read.parquet(path)
     else {
-      val parts = new String(Files.readAllBytes(sc),
-        StandardCharsets.UTF_8).trim.split(":", 2)
-      val n = parts(0).toInt
-      val keys = parts(1).split(",").toSeq
-      val t = bucketTable(path)
+      val lines = new String(Files.readAllBytes(sc),
+        StandardCharsets.UTF_8).split("\n", 3)
+      val n = lines(0).trim.toInt
+      val keys = lines(1).split(",").toSeq
+      val ddl = lines(2)
+      val t = bucketTable(path, n, keys, ddl)
       if (!s.catalog.tableExists(t)) {
-        val schema = s.read.parquet(path).schema.toDDL
-        s.sql(s"CREATE TABLE $t ($schema) USING parquet " +
+        // two first-readers may race through the exists check: the
+        // loser's CREATE throws — benign iff the table now exists
+        try s.sql(s"CREATE TABLE $t ($ddl) USING parquet " +
           s"CLUSTERED BY (${keys.mkString(", ")}) " +
           s"SORTED BY (${keys.mkString(", ")}) " +
           s"INTO $n BUCKETS LOCATION '$path'")
+        catch {
+          case e: org.apache.spark.sql.AnalysisException =>
+            if (!s.catalog.tableExists(t)) throw e
+        }
       }
       s.table(t)
     }

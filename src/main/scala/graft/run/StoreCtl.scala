@@ -173,9 +173,14 @@ object StoreCtl {
                 .map(p => s" -> $p").getOrElse(" (self-contained)")
               f"  [$i] ${f.getName}%-12s ${du(f)}%12d B$link"
             }
+            // state mirrors what the NEXT delta advance will do
+            // (the guard tests depth-after = length + 1), so the verb
+            // agrees with the refusal message at the exact boundary
             val state =
-              if (gens.length > maxAt) " REFUSING delta advances — compact"
-              else if (gens.length > warnAt) " WARNING — compact soon"
+              if (gens.length + 1 > maxAt)
+                " — next delta advance REFUSED; run compact"
+              else if (gens.length + 1 > warnAt)
+                " — next delta advance will WARN; compact soon"
               else ""
             s"[chain] $root serves ${gens.length} generation(s) " +
               s"(warn > $warnAt, refuse > $maxAt)$state\n" +
@@ -187,8 +192,8 @@ object StoreCtl {
         // query ids (Similarity.RecallSampleKey's deterministic
         // subset) — the knob that makes the O(queries x corpus)
         // exact side affordable on a production store
-        if (!n.toLongOption.exists(_ >= 1))
-          return Left(s"--sample wants a positive count, got '$n'")
+        if (!n.toIntOption.exists(_ >= 1))
+          return Left(s"--sample wants a positive int, got '$n'")
         val was = spark.conf.getOption(Similarity.RecallSampleKey)
         spark.conf.set(Similarity.RecallSampleKey, n)
         try run(spark, Seq("recall", root, corpus))

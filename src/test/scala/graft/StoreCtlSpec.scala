@@ -234,7 +234,8 @@ class StoreCtlSpec extends AnyFunSuite {
       Right(s"$root/gen-2"))
     // a compacted generation is a pure relayout of its source: same
     // rows, sealed into the BUCKETED serving layout (r19: one file
-    // per bucket, default 8, sidecar recording the probe keys)
+    // per bucket — count = the writer session's shuffle parallelism,
+    // 4 in this suite — sidecar recording the layout)
     for ((rel, n) <- Seq(("assignment", 2), ("sigs", 2), ("bands", 3),
         ("grp", 2))) {
       assert(rows(s"$root/gen-2/$rel", n) == rows(s"$root/gen-1/$rel", n),
@@ -653,12 +654,51 @@ class StoreCtlSpec extends AnyFunSuite {
     assert(msg.contains("gen-1") && msg.contains("-> gen-0"), msg)
     assert(msg.contains("(self-contained)"), msg)
     assert(msg.contains("warn > ") && msg.contains("refuse > "), msg)
-    // the guard state line appears once the chain crosses warn
-    spark.conf.set(StoreCtl.ChainWarnKey, "1")
+    // the guard state mirrors what the NEXT delta advance will do
+    // (depth-after = length + 1 — the guard's own arithmetic, so the
+    // verb agrees with the refusal at the exact boundary)
+    spark.conf.set(StoreCtl.ChainWarnKey, "2")
     try
       assert(StoreCtl.run(spark, Seq("chain", root))
-        .exists(_.contains("WARNING")), "no guard state past warn")
+        .exists(_.contains("will WARN")), "no guard state at warn edge")
     finally spark.conf.unset(StoreCtl.ChainWarnKey)
+    spark.conf.set(StoreCtl.ChainMaxKey, "2")
+    try
+      assert(StoreCtl.run(spark, Seq("chain", root))
+        .exists(_.contains("REFUSED")), "no refuse state at max edge")
+    finally spark.conf.unset(StoreCtl.ChainMaxKey)
+  }
+
+  test("an EMPTY delta increment stays readable without the writer's " +
+      "catalog entries — the sidecar carries the schema, so a fresh " +
+      "session never needs parquet inference over zero data files") {
+    import graft.operators.StoreFiles
+    val root = tmp("empty_ph"); new java.io.File(root).mkdirs()
+    assert(StoreCtl.run(spark, Seq("build", "phash", dir, s"$root/gen-0",
+      "doc_id % 2 = 0")).isRight)
+    assert(StoreCtl.run(spark, Seq("flip", root, "gen-0")).isRight)
+    // the no-new-rows cron tick: a committed, EMPTY delta generation
+    assert(StoreCtl.run(spark, Seq("advance", "--delta", "phash", dir,
+      root, "false")).exists(_.endsWith("gen-1")))
+    val gen0Bands = StoreFiles.readRelChain(spark, s"$root/gen-0",
+      "bands").count()
+    // simulate a fresh session's catalog: drop the writer-registered
+    // bucketed tables for the empty generation's relations
+    Seq("sigs", "bands", "grp").foreach { rel =>
+      val t = StoreFiles.sidecarTable(s"$root/gen-1/$rel")
+        .getOrElse(fail(s"no sidecar for $rel"))
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+    }
+    // the chain read re-registers from the sidecar (schema included)
+    // and serves gen-0's rows + the increment's zero
+    assert(StoreFiles.readRelChain(spark, s"$root/gen-1", "bands")
+      .count() == gen0Bands)
+    assert(Dedup.storeGrp(spark, s"$root/gen-1", "doc_id").count() > 0)
+    // and compact can seal the chain containing the empty increment
+    assert(StoreCtl.run(spark, Seq("compact", "phash", root))
+      .exists(_.endsWith("gen-2")))
+    assert(StoreFiles.readRelChain(spark, s"$root/gen-2", "bands")
+      .count() == gen0Bands)
   }
 
   test("delta sibling-root checks and the chain walk normalize " +
