@@ -133,4 +133,41 @@ class LpEdgeCacheSpec extends AnyFunSuite {
       "the actual LRU entry is the one evicted")
     Dedup.clearLpEdgeCache()
   }
+
+  test("in-place corpus rewrite through the REAL jaccard family: " +
+      "without invalidation the registry serves the pre-rewrite pairs " +
+      "(the documented caller contract), invalidateLpEdges rebuilds " +
+      "over the new bytes — cached corpus scans included") {
+    val s = spark
+    import s.implicits._
+    val d = new java.io.File(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+      s"graft_stale_fixture_p${ProcessHandle.current().pid()}").toString
+    def write(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text")
+        .selectExpr("doc_id", "text", "'xx' AS lang", "'src1' AS source",
+          "cast(length(text) as bigint) AS n_chars")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$d/documents.parquet")
+    def jacPairs(): Set[(Long, Long)] =
+      SparkEntry.queries("dd_jaccard")(s, d)
+        .select("doc_a", "doc_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val tA = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val tB = "one two three four five six seven eight nine ten"
+    Dedup.clearLpEdgeCache()
+    write(Seq((1L, tA), (2L, tA), (3L, tB)))
+    assert(jacPairs() == Set((1L, 2L)))
+    // rewrite IN PLACE: doc 1 now matches 3, not 2
+    write(Seq((1L, tB), (2L, tA), (3L, tB)))
+    // the registry is deliberately filesystem-blind — same result
+    // until the caller follows the staleness contract
+    assert(jacPairs() == Set((1L, 2L)),
+      "registry re-read the dir without invalidation — the staleness " +
+        "contract moved")
+    Dedup.invalidateLpEdges(s, d)
+    assert(jacPairs() == Set((1L, 3L)),
+      "post-invalidation rebuild served stale data")
+    Dedup.clearLpEdgeCache()
+  }
 }
