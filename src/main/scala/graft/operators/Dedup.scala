@@ -3186,10 +3186,12 @@ object Dedup extends QueryPack {
     * part that makes cluster/embed deltas harder than phash/ivfpq's
     * append-only relations), so the served assignment is the newest
     * generation's row per id over the _PARENT chain. One aggregation
-    * (min_by on chain depth) at serve time, over an id-hashed
-    * shuffle — bounded by chain length, which `StoreCtl compact`
-    * re-seals nightly; identity (a plain read) for self-contained
-    * generations.
+    * (min_by on chain depth) at serve time — EXCHANGE-FREE through the
+    * aligned chain table when every generation shares the id-bucketed
+    * layout (StoreFiles.readChainAligned; the chain's depth partition
+    * column feeds the min_by directly), an id-hashed shuffle bounded
+    * by chain length only on mixed-layout fallbacks; identity (a
+    * plain read) for self-contained generations.
     */
   private[graft] def storeAssignment(s: SparkSession, store: String,
                                      idCol: String): DataFrame = {
@@ -3200,13 +3202,20 @@ object Dedup extends QueryPack {
     if (gens.size == 1)
       StoreFiles.readRel(s, s"${gens.head}/assignment")
         .toDF(idCol, "cluster_id")
-    else
-      gens.zipWithIndex.map { case (g, depth) =>
-        StoreFiles.readRel(s, s"$g/assignment").toDF(idCol, "cluster_id")
-          .withColumn("__depth", lit(depth))
-      }.reduce(_ unionAll _)
-        .groupBy(idCol)
+    else {
+      // aligned chain table when the layouts match (the id-bucketed
+      // scan makes the min_by agg exchange-free at any depth);
+      // per-generation union otherwise
+      val chained = StoreFiles.readChainAligned(
+          s, gens.map(g => s"$g/assignment"), Some("__depth"))
+        .map(_.toDF(idCol, "cluster_id", "__depth"))
+        .getOrElse(gens.zipWithIndex.map { case (g, depth) =>
+          StoreFiles.readRel(s, s"$g/assignment").toDF(idCol, "cluster_id")
+            .withColumn("__depth", lit(depth))
+        }.reduce(_ unionAll _))
+      chained.groupBy(idCol)
         .agg(min_by(col("cluster_id"), col("__depth")).as("cluster_id"))
+    }
   }
 
   /** The store's membership relation as (idCol, rep) — identity over
@@ -3226,7 +3235,14 @@ object Dedup extends QueryPack {
       case Left(e)  => throw new IllegalStateException(e)
       case Right(g) => g
     }
-    gens.map { gen =>
+    val allGrp = gens.forall(g => java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(g, "grp")))
+    val aligned =
+      if (allGrp)
+        StoreFiles.readChainAligned(s, gens.map(g => s"$g/grp"), None)
+          .map(_.toDF(idCol, "rep"))
+      else None // a pre-layout generation in the chain: per-gen fallback
+    aligned.getOrElse(gens.map { gen =>
       if (java.nio.file.Files.isDirectory(
           java.nio.file.Paths.get(gen, "grp")))
         StoreFiles.readRel(s, s"$gen/grp").toDF(idCol, "rep")
@@ -3236,7 +3252,7 @@ object Dedup extends QueryPack {
         bands.selectExpr(id).distinct()
           .selectExpr(s"$id AS $idCol", s"$id AS rep")
       }
-    }.reduce(_ union _)
+    }.reduce(_ union _))
   }
 
   // One monitor per on-disk store dir (same role as Similarity's

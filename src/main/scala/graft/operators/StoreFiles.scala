@@ -262,10 +262,11 @@ private[graft] object StoreFiles {
   // table — so the scan REPORTS HashPartitioning(keys, n) and every
   // stream-static probe / fold probe / assignment aggregation is
   // EXCHANGE-FREE on the store side (PlanSpec pins it). Chain reads
-  // (depth > 1) union per-generation scans, which drops the reported
-  // partitioning — the exchange returns until `compact` seals the
-  // chain, one more number on the compact cadence's side of the
-  // ledger (BENCHING.md chain-depth section). Bucket count comes from
+  // (depth > 1) go through the ALIGNED chain table (one partition per
+  // generation, [[readChainAligned]]) so the exchange-free shape holds
+  // at ANY depth when the layouts match; only mixed-layout chains
+  // (a pre-layout base, a bucket-count change) fall back to the plain
+  // union until `compact` re-seals them. Bucket count comes from
   // [[StoreBucketsKey]] AT WRITE TIME (default = the session's
   // spark.sql.shuffle.partitions — the bucket count IS the probe
   // join's parallelism; a deployment that sizes shuffle partitions
@@ -298,20 +299,29 @@ private[graft] object StoreFiles {
   private def bucketsSidecar(path: String): java.nio.file.Path =
     Paths.get(path, "_BUCKETS")
 
-  /** The bucketed catalog table name the sidecar at `path` resolves
-    * to, if one was written — a test hook (the empty-increment and
-    * cross-catalog read cases drop it to simulate a fresh session).
+  /** The (bucket count, keys, schema DDL) the sidecar at `path`
+    * records, if one was written — the single parser behind the
+    * single-generation table read, the chain alignment check, and the
+    * test hook.
     */
-  private[graft] def sidecarTable(path: String): Option[String] = {
+  private def sidecarLayout(path: String): Option[(Int, Seq[String], String)] = {
     val sc = bucketsSidecar(path)
     if (!Files.exists(sc)) None
     else {
       val lines = new String(Files.readAllBytes(sc),
         StandardCharsets.UTF_8).split("\n", 3)
-      Some(bucketTable(path, lines(0).trim.toInt,
-        lines(1).split(",").toSeq, lines(2)))
+      Some((lines(0).trim.toInt, lines(1).split(",").toSeq, lines(2)))
     }
   }
+
+  /** The bucketed catalog table name the sidecar at `path` resolves
+    * to, if one was written — a test hook (the empty-increment and
+    * cross-catalog read cases drop it to simulate a fresh session).
+    */
+  private[graft] def sidecarTable(path: String): Option[String] =
+    sidecarLayout(path).map { case (n, keys, ddl) =>
+      bucketTable(path, n, keys, ddl)
+    }
 
   /** Write `df` at `path` bucketed on `keys` (+ `sortExtra` inside
     * each bucket) and record the layout in the sidecar. saveAsTable
@@ -363,36 +373,110 @@ private[graft] object StoreFiles {
     * an empty relation (no-rows increment) has no data files.
     */
   def readRel(s: org.apache.spark.sql.SparkSession,
-              path: String): org.apache.spark.sql.DataFrame = {
-    val sc = bucketsSidecar(path)
-    if (!Files.exists(sc)) s.read.parquet(path)
-    else {
-      val lines = new String(Files.readAllBytes(sc),
-        StandardCharsets.UTF_8).split("\n", 3)
-      val n = lines(0).trim.toInt
-      val keys = lines(1).split(",").toSeq
-      val ddl = lines(2)
-      val t = bucketTable(path, n, keys, ddl)
-      if (!s.catalog.tableExists(t)) {
-        // two first-readers may race through the exists check: the
-        // loser's CREATE throws — benign iff the table now exists
-        try s.sql(s"CREATE TABLE $t ($ddl) USING parquet " +
-          s"CLUSTERED BY (${keys.mkString(", ")}) " +
-          s"SORTED BY (${keys.mkString(", ")}) " +
-          s"INTO $n BUCKETS LOCATION '$path'")
-        catch {
-          case e: org.apache.spark.sql.AnalysisException =>
-            if (!s.catalog.tableExists(t)) throw e
+              path: String): org.apache.spark.sql.DataFrame =
+    sidecarLayout(path) match {
+      case None => s.read.parquet(path)
+      case Some((n, keys, ddl)) =>
+        val t = bucketTable(path, n, keys, ddl)
+        if (!s.catalog.tableExists(t)) {
+          // two first-readers may race through the exists check: the
+          // loser's CREATE throws — benign iff the table now exists
+          try s.sql(s"CREATE TABLE $t ($ddl) USING parquet " +
+            s"CLUSTERED BY (${keys.mkString(", ")}) " +
+            s"SORTED BY (${keys.mkString(", ")}) " +
+            s"INTO $n BUCKETS LOCATION '$path'")
+          catch {
+            case e: org.apache.spark.sql.AnalysisException =>
+              if (!s.catalog.tableExists(t)) throw e
+          }
         }
-      }
-      s.table(t)
+        s.table(t)
     }
+
+  /** Partition column carrying a chain generation's DEPTH (0 = the
+    * pointed generation, increasing toward the base) in the aligned
+    * chain table — a name no store relation uses, so it can never
+    * shadow a data column.
+    */
+  val ChainDepthCol = "graft_gd"
+
+  /** Read `paths` (one relation dir per chain generation, newest
+    * first) as ONE partitioned + BUCKETED external catalog table —
+    * one partition per generation via custom partition LOCATIONs —
+    * when every generation carries an IDENTICAL bucketed layout
+    * (same bucket count, keys, and schema DDL). Spark's bucketed scan
+    * then groups files by bucket id ACROSS partitions and reports
+    * HashPartitioning(keys, n) for the whole chain, so probe joins
+    * and per-key aggs stay EXCHANGE-FREE at ANY chain depth — before
+    * r19.5 the chain union dropped the partitioning and every
+    * micro-batch probe re-exchanged the corpus-scale index until
+    * `compact` sealed the chain. Returns None (callers fall back to
+    * the plain union) when any generation predates the bucketed
+    * layout or the layouts diverge (a `graft.store.buckets` change
+    * mid-chain); compact re-seals such chains into the aligned shape.
+    *
+    * `depthCol` exposes the generation index as a column (the
+    * assignment reader's last-writer-wins `min_by` wants it); None
+    * drops it. The table name hashes the normalized paths + layout +
+    * DDL, so any session on the shared catalog resolves the same
+    * chain to the same table and a DIFFERENT chain (one more delta)
+    * registers fresh — superseded registrations dangle, metadata-only,
+    * same contract as [[bucketTable]]. The ADD PARTITION statement
+    * runs idempotently on EVERY read: a racer that sees the table
+    * between a creator's CREATE and its ADD must not read a partial
+    * chain. Sort order is NOT claimed across a chain (multiple files
+    * per bucket), so consumers pay a local sort, never an exchange.
+    */
+  private[graft] def readChainAligned(
+      s: org.apache.spark.sql.SparkSession, paths: Seq[String],
+      depthCol: Option[String]): Option[org.apache.spark.sql.DataFrame] = {
+    if (paths.size < 2) return None
+    val layouts = paths.map(sidecarLayout)
+    if (layouts.exists(_.isEmpty) || layouts.flatten.distinct.size != 1)
+      return None
+    val (n, keys, ddl) = layouts.head.get
+    val norm = paths.map(p =>
+      Paths.get(p).toAbsolutePath.normalize.toString)
+    val t = "graft_chn_" + md5Hex(
+      norm.mkString("|") + "|" + n + "|" + keys.mkString(",") + "|" + ddl,
+      16)
+    if (!s.catalog.tableExists(t)) {
+      // the table's own LOCATION is never read (every row lives in a
+      // partition's custom location) — a scratch dir keeps the
+      // metadata out of the immutable generation dirs; created up
+      // front so resolveRelation's metadata probe doesn't log a
+      // spurious FileNotFound warning per CREATE
+      val loc = scratchDir("graft_chnmeta_", t)
+      Files.createDirectories(Paths.get(loc))
+      try s.sql(s"CREATE TABLE $t ($ddl, $ChainDepthCol INT) " +
+        s"USING parquet PARTITIONED BY ($ChainDepthCol) " +
+        s"CLUSTERED BY (${keys.mkString(", ")}) " +
+        s"SORTED BY (${keys.mkString(", ")}) " +
+        s"INTO $n BUCKETS LOCATION '$loc'")
+      catch {
+        case e: org.apache.spark.sql.AnalysisException =>
+          if (!s.catalog.tableExists(t)) throw e
+      }
+    }
+    s.sql(s"ALTER TABLE $t ADD IF NOT EXISTS " + norm.zipWithIndex
+      .map { case (p, i) => s"PARTITION ($ChainDepthCol=$i) LOCATION '$p'" }
+      .mkString(" "))
+    val data = s.table(t)
+    import org.apache.spark.sql.functions.col
+    val cols = data.columns.filterNot(_ == ChainDepthCol).map(col).toSeq
+    Some(depthCol match {
+      case Some(d) => data.select(cols :+ col(ChainDepthCol).as(d): _*)
+      case None    => data.select(cols: _*)
+    })
   }
 
-  /** Union relation `rel` across `dir`'s delta chain — ONE
-    * (bucketed-table-aware) read for a self-contained generation.
-    * Generations missing the relation contribute nothing (pre-layout
-    * generations lack `grp`); at least one must hold it.
+  /** Relation `rel` across `dir`'s delta chain — ONE
+    * (bucketed-table-aware) read for a self-contained generation, the
+    * ALIGNED partitioned-bucketed chain table when every generation
+    * shares the layout (exchange-free at any depth, see
+    * [[readChainAligned]]), a plain union otherwise. Generations
+    * missing the relation contribute nothing (pre-layout generations
+    * lack `grp`); at least one must hold it.
     */
   def readRelChain(s: org.apache.spark.sql.SparkSession, dir: String,
                    rel: String): org.apache.spark.sql.DataFrame = {
@@ -404,7 +488,10 @@ private[graft] object StoreFiles {
     if (present.isEmpty)
       throw new IllegalStateException(
         s"no generation in $dir's chain holds $rel/")
-    present.map(g => readRel(s, s"$g/$rel")).reduce(_ union _)
+    if (present.size == 1) readRel(s, s"${present.head}/$rel")
+    else readChainAligned(s, present.map(g => s"$g/$rel"), None)
+      .getOrElse(present.map(g => readRel(s, s"$g/$rel"))
+        .reduce(_ union _))
   }
 
   /** Best-effort chain NAMES from a root's generation — for gc's keep

@@ -76,11 +76,16 @@ import graft.operators.{Dedup, Multimodal, Similarity, StoreFiles}
   * one min-by-depth aggregation at serve time, sealed away nightly
   * by `compact`).
   *
-  * A delta chain's serve cost grows linearly with depth, so
+  * A delta chain's serve cost grows linearly with depth (per-
+  * generation scan listings, the assignment's min-by rows), so
   * `advance --delta` is depth-guarded: past `graft.store.chain.warn`
   * generations it lands but warns loudly, past `graft.store.chain.max`
   * it refuses until a `compact` seals the chain — a missed compact
   * cron degrades loudly instead of silently (see [[ChainWarnKey]]).
+  * The chain's probe joins do NOT pay an exchange, though: a chain
+  * whose generations share the bucketed layout reads as one
+  * partitioned+bucketed ALIGNED table (StoreFiles.readChainAligned),
+  * so the store side keeps its HashPartitioning at any depth.
   *
   * `compact` seals a fold chain: it rewrites the SERVED generation's
   * relations into the BUCKETED serving layout (r19 — bucketBy on the
@@ -330,9 +335,11 @@ object StoreCtl {
             // the sealed layout is the SERVING layout: every relation
             // except codes lands BUCKETED on its probe key with the
             // trailing id as the in-bucket sort (StoreFiles
-            // .writeBucketed), so a compact restores not just one
-            // self-contained generation but the exchange-free probe
-            // shape the chain reads lost. codes keeps the
+            // .writeBucketed) — one generation, one file per bucket,
+            // the in-bucket sort claim restored (an aligned CHAIN
+            // keeps the exchange-free partitioning but has multiple
+            // files per bucket, so it pays local sorts and per-gen
+            // listings that a compact retires). codes keeps the
             // (cell, vec_id) global sort + coalesce: its join key has
             // only KmK distinct values, so bucketing by cell would cap
             // the corpus scan at KmK tasks — the serve side is already

@@ -1,0 +1,157 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.exchange.Exchange
+import org.apache.spark.sql.execution.joins.BaseJoinExec
+import graft.run.StoreCtl
+import graft.operators.{Dedup, StoreFiles}
+
+/** The ALIGNED chain table (StoreFiles.readChainAligned): a delta
+  * chain whose generations all share the bucketed layout reads as ONE
+  * partitioned+bucketed catalog table — one partition per generation
+  * with a custom LOCATION — so Spark groups bucket files ACROSS
+  * generations and the chain scan reports HashPartitioning at any
+  * depth. Row identity with the per-generation union, the depth
+  * partition's generation mapping, the exchange-free serve plans at
+  * depth 3, and the mixed-layout fallback are each pinned here; the
+  * 12-deep end-to-end bit-identity lives in StoreCtlSpec.
+  *
+  * The tests share one cluster-kind chain root and run IN ORDER: the
+  * last test mutates the root (deletes a sidecar) to force the
+  * fallback, so it must stay last.
+  */
+class ChainAlignedSpec extends AnyFunSuite {
+
+  private val spark = SparkSessionHelper.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private val root: String = {
+    val f = new java.io.File(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+      s"graft_chainaligned_p${ProcessHandle.current().pid()}")
+    def rec(g: java.io.File): Unit = {
+      if (g.isDirectory) g.listFiles().foreach(rec)
+      g.delete()
+    }
+    rec(f)
+    f.mkdirs()
+    def runOrDie(cmd: Seq[String]): Unit = {
+      val r = StoreCtl.run(spark, cmd)
+      assert(r.isRight, s"$cmd: $r")
+    }
+    runOrDie(Seq("build", "cluster", dir, s"$f/gen-0", "doc_id % 3 = 0"))
+    runOrDie(Seq("flip", f.toString, "gen-0"))
+    runOrDie(Seq("advance", "--delta", "cluster", dir, f.toString,
+      "doc_id % 3 = 1"))
+    runOrDie(Seq("advance", "--delta", "cluster", dir, f.toString,
+      "doc_id % 3 = 2"))
+    f.toString
+  }
+
+  private def served: String = StoreFiles.serve(root).toOption.get
+
+  private def chainScans(p: SparkPlan): Seq[FileSourceScanExec] =
+    p.collect {
+      case f: FileSourceScanExec
+        if f.tableIdentifier.exists(_.table.startsWith("graft_chn_")) => f
+    }
+
+  test("aligned chain read = the per-generation union, and each depth " +
+      "partition holds exactly its generation's rows, newest at 0") {
+    val gens = StoreFiles.chainPaths(served).toOption.get
+    assert(gens.length == 3, gens)
+    val aligned = StoreFiles.readChainAligned(
+      spark, gens.map(g => s"$g/sigs"), Some("gd")).get
+    def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.mkString("|")).toSet
+    val union = gens.map(g => StoreFiles.readRel(spark, s"$g/sigs"))
+      .reduce(_ union _)
+    assert(rows(aligned.drop("gd")) == rows(union))
+    gens.zipWithIndex.foreach { case (g, d) =>
+      assert(rows(aligned.where(s"gd = $d").drop("gd")) ==
+        rows(StoreFiles.readRel(spark, s"$g/sigs")),
+        s"depth $d is not generation $g")
+    }
+    // re-reads resolve the same registration (the ADD PARTITION
+    // statement is idempotent — a racer between a creator's CREATE
+    // and ADD must still see the full chain)
+    val again = StoreFiles.readChainAligned(
+      spark, gens.map(g => s"$g/sigs"), None).get
+    assert(rows(again) == rows(union))
+  }
+
+  test("readRelChain routes a depth-3 chain through the aligned table " +
+      "and the scan reports the bucketed partitioning (zero exchange " +
+      "on a bucket-key agg)") {
+    Dedup.withAqeOff(spark) {
+      val bands = StoreFiles.readRelChain(spark, served, "bands")
+      val keyed = bands.groupBy("band", "bk").count()
+      val p = keyed.queryExecution.executedPlan
+      assert(chainScans(p).nonEmpty,
+        s"no aligned chain scan:\n${p.toString.take(3000)}")
+      assert(chainScans(p).forall(_.bucketedScan), p.toString.take(3000))
+      assert(p.collect { case e: Exchange => e }.isEmpty,
+        s"a bucket-key agg over the chain shuffles:\n${
+          p.toString.take(3000)}")
+    }
+  }
+
+  test("storeAssignment over a depth-3 chain: the last-writer-wins " +
+      "min_by agg is exchange-free (the id-bucketed chain scan " +
+      "satisfies the grouping)") {
+    Dedup.withAqeOff(spark) {
+      val p = Dedup.storeAssignment(spark, served, "doc_id")
+        .queryExecution.executedPlan
+      assert(chainScans(p).nonEmpty, p.toString.take(3000))
+      assert(p.collect { case e: Exchange => e }.isEmpty,
+        s"the chain assignment agg shuffles:\n${p.toString.take(3000)}")
+    }
+  }
+
+  test("storeNearDupStream over a depth-3 chain: the store sides stay " +
+      "bucketed scans with NO exchange — the r19 depth-1 contract " +
+      "now holds without waiting for compact") {
+    val docs = Engine.table(spark, dir, "documents")
+      .selectExpr("doc_id", "(doc_id + 1) * 1000000000L AS ts", "text")
+    val k = "spark.sql.autoBroadcastJoinThreshold"
+    val was = spark.conf.get(k)
+    spark.conf.set(k, "-1")
+    try Dedup.withAqeOff(spark) {
+      val p = streaming.Streams.storeNearDupStream(docs, served)
+        .queryExecution.executedPlan
+      // the chain-fed PROBE inputs: join children that hold a chain
+      // scan and no nested join (an outer join's child legitimately
+      // contains the batch side's exchange below an inner join)
+      val probeSides = p.collect {
+        case j: BaseJoinExec => j.children.filter(c =>
+          chainScans(c).nonEmpty &&
+            c.collect { case n: BaseJoinExec => n }.isEmpty)
+      }.flatten
+      assert(probeSides.nonEmpty,
+        s"no join probes the chain tables:\n${p.toString.take(4000)}")
+      probeSides.foreach { c =>
+        assert(c.collect { case e: Exchange => e }.isEmpty,
+          s"a chain-side probe input shuffles:\n${c.toString.take(3000)}")
+        assert(chainScans(c).forall(_.bucketedScan),
+          c.toString.take(3000))
+      }
+    } finally spark.conf.set(k, was)
+  }
+
+  test("a mixed-layout chain (one generation lost its sidecar) falls " +
+      "back to the plain union with identical rows — MUST RUN LAST, " +
+      "mutates the root") {
+    val gens = StoreFiles.chainPaths(served).toOption.get
+    val before = StoreFiles.readRelChain(spark, served, "sigs")
+      .collect().map(_.mkString("|")).toSet
+    val sidecar = java.nio.file.Paths.get(gens(1), "sigs", "_BUCKETS")
+    assert(java.nio.file.Files.deleteIfExists(sidecar))
+    assert(StoreFiles.readChainAligned(
+      spark, gens.map(g => s"$g/sigs"), None).isEmpty,
+      "a mixed-layout chain must not claim alignment")
+    val after = StoreFiles.readRelChain(spark, served, "sigs")
+      .collect().map(_.mkString("|")).toSet
+    assert(after == before, "the fallback union diverged")
+  }
+}
