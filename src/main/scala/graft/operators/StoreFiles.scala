@@ -301,10 +301,10 @@ private[graft] object StoreFiles {
 
   /** The (bucket count, keys, schema DDL) the sidecar at `path`
     * records, if one was written — the single parser behind the
-    * single-generation table read, the chain alignment check, and the
-    * test hook.
+    * single-generation table read, the chain alignment check,
+    * StoreCtl doctor's layout audit, and the test hook.
     */
-  private def sidecarLayout(path: String): Option[(Int, Seq[String], String)] = {
+  private[graft] def sidecarLayout(path: String): Option[(Int, Seq[String], String)] = {
     val sc = bucketsSidecar(path)
     if (!Files.exists(sc)) None
     else {
@@ -495,10 +495,11 @@ private[graft] object StoreFiles {
   }
 
   /** Best-effort chain NAMES from a root's generation — for gc's keep
-    * set. Unlike [[chainPaths]] this never fails: a dangling link
+    * set and doctor's would-collect preview (which must agree with gc
+    * exactly). Unlike [[chainPaths]] this never fails: a dangling link
     * keeps the resolvable prefix (gc must still protect what exists).
     */
-  private def chainNamesLenient(root: String, gen: String): Set[String] = {
+  private[graft] def chainNamesLenient(root: String, gen: String): Set[String] = {
     val out = scala.collection.mutable.LinkedHashSet[String]()
     var cur = gen
     var done = false

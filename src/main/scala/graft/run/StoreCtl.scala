@@ -20,6 +20,7 @@ import graft.operators.{Dedup, Multimodal, Similarity, StoreFiles}
   *   runMain graft.run.StoreCtl advance [--delta] <kind> <corpus> <root> <pred>
   *   runMain graft.run.StoreCtl compact <kind> <root>
   *   runMain graft.run.StoreCtl chain   <root>
+  *   runMain graft.run.StoreCtl doctor  <root>
   *   runMain graft.run.StoreCtl recall  [--sample n] <root> <corpus>
   *
   * kind = cluster | embed | ivfpq | phash. `pred` is a SQL predicate
@@ -192,6 +193,8 @@ object StoreCtl {
               lines.mkString("\n")
           }
         }
+      case Seq("doctor", root) =>
+        doctor(spark, root)
       case Seq("recall", "--sample", n, root, corpus) =>
         // budgeted drift alarm: measure only the n smallest-hash
         // query ids (Similarity.RecallSampleKey's deterministic
@@ -234,7 +237,7 @@ object StoreCtl {
           "stats <store> | " +
           "flip <root> <gen> | serve <root> | gc <root> | " +
           "advance [--delta] <kind> <corpus> <root> <pred> | " +
-          "compact <kind> <root> | chain <root> | " +
+          "compact <kind> <root> | chain <root> | doctor <root> | " +
           "recall [--sample n] <root> <corpus>\n" +
           "  kind = cluster | embed | ivfpq | phash (--delta: all kinds)")
     }
@@ -455,6 +458,129 @@ object StoreCtl {
       "where gc deletes their batch silently. Either `flip` to the " +
       "newest one (it already holds the served generation + its batch) " +
       "or delete it explicitly, then re-run.")
+  }
+
+  /** `doctor <root>`: read-only post-incident triage of a generation
+    * root — the checklist an operator would otherwise reconstruct from
+    * the marker/pointer/chain docs after a crashed advance, a missed
+    * compact cron, or a half-finished gc. Never mutates anything and
+    * never refuses a sick root (a missing pointer is a DIAGNOSIS here,
+    * not a precondition): it returns one report with findings split
+    * into WARN (readers are or will be refusing; operator action
+    * needed) and note (degraded or awaiting a routine verb), plus a
+    * would-collect preview computed from gc's OWN keep-set logic so
+    * the two can never disagree. Checks: pointer exists / names a
+    * committed generation, the served chain walks (dangling parents,
+    * cycles), chain depth vs the live guard thresholds, bucketed-
+    * layout consistency per relation across the chain (a mixed chain
+    * serves via plain union until compact re-seals it), committed
+    * generations stranded ABOVE the pointer (a crashed advance's
+    * batch — the refuseOrphans story), and uncommitted litter.
+    */
+  private def doctor(spark: SparkSession,
+                     root: String): Either[String, String] = {
+    val rootF = new java.io.File(root)
+    if (!rootF.isDirectory) return Left(s"$root is not a directory")
+    val warns = scala.collection.mutable.ArrayBuffer[String]()
+    val notes = scala.collection.mutable.ArrayBuffer[String]()
+    val subdirs = Option(rootF.listFiles()).toSeq.flatten
+      .filter(_.isDirectory).sortBy(_.getName)
+    val committedGens = subdirs
+      .filter(f => StoreFiles.committed(f.toPath)).map(_.getName)
+    val uncommitted = subdirs
+      .filterNot(f => StoreFiles.committed(f.toPath)).map(_.getName)
+
+    val cur = StoreFiles.readCurrent(root)
+    cur match {
+      case None =>
+        warns += s"no ${StoreFiles.CurrentName} pointer — nothing " +
+          "marks a generation as live; readers and gc refuse. Flip " +
+          "to a committed generation."
+      case Some((gen, prev)) =>
+        if (!committedGens.contains(gen))
+          warns += s"pointer names '$gen' but it holds no committed " +
+            "store — readers fail at plan time; flip to a live " +
+            "generation"
+        prev.filterNot(p => subdirs.exists(_.getName == p)).foreach {
+          p =>
+            notes += s"grace-window prev '$p' is gone — harmless " +
+              "unless a reader planned against the old pointer " +
+              "and is still running"
+        }
+    }
+
+    // the served chain: walkable, inside the depth guards, layouts
+    // aligned (mixed layouts serve correctly but pay the plain-union
+    // exchange until compact re-seals)
+    cur.filter(c => committedGens.contains(c._1)).foreach {
+      case (gen, _) =>
+        val genPath = new java.io.File(rootF, gen).toString
+        StoreFiles.chainPaths(genPath) match {
+          case Left(e) => warns += s"served chain broken: $e"
+          case Right(gens) =>
+            val warnAt = spark.conf.get(ChainWarnKey, "32").toInt
+            val maxAt = spark.conf.get(ChainMaxKey, "96").toInt
+            if (gens.length + 1 > maxAt)
+              warns += s"chain depth ${gens.length}: the next delta " +
+                s"advance is REFUSED (max $maxAt) — run compact"
+            else if (gens.length + 1 > warnAt)
+              notes += s"chain depth ${gens.length}: past the warn " +
+                s"threshold ($warnAt) — compact soon"
+            val rels = gens.flatMap(g =>
+              Option(new java.io.File(g).listFiles()).toSeq.flatten
+                .filter(_.isDirectory).map(_.getName)).distinct.sorted
+            rels.foreach { rel =>
+              val present = gens.filter(g => java.nio.file.Files
+                .isDirectory(java.nio.file.Paths.get(g, rel)))
+              if (present.size > 1) {
+                val layouts = present.map(g =>
+                  graft.operators.StoreFiles.sidecarLayout(s"$g/$rel")
+                    .map { case (n, keys, _) => (n, keys) })
+                if (layouts.exists(_.isEmpty))
+                  notes += s"$rel/: ${layouts.count(_.isEmpty)} of " +
+                    s"${present.size} chain generations lack the " +
+                    "bucketed sidecar — probes pay a plain-union " +
+                    "exchange on this relation; compact re-seals it"
+                else if (layouts.flatten.distinct.size > 1)
+                  notes += s"$rel/: bucket layouts diverge across " +
+                    s"the chain (${layouts.flatten.distinct
+                      .map { case (n, k) => s"$n x (${k.mkString(",")})" }
+                      .mkString(" vs ")}) — plain-union serving; " +
+                    "compact re-seals it"
+              }
+            }
+        }
+    }
+
+    val orphans = StoreFiles.committedAbovePointer(root)
+    if (orphans.nonEmpty)
+      warns += s"committed generation(s) ${orphans.mkString(", ")} " +
+        "sit ABOVE the pointer — a crashed advance's folded batch; " +
+        "advance/compact refuse until you flip to the newest or " +
+        "delete it explicitly"
+
+    if (uncommitted.nonEmpty)
+      notes += s"uncommitted dir(s) ${uncommitted.mkString(", ")} — " +
+        "an in-flight writer or a crashed fold's litter; never " +
+        "auto-deleted, and their gen names stay reserved"
+
+    // exactly gc's keep set, so the preview and the verb agree
+    cur.foreach { case (gen, prev) =>
+      val keep = StoreFiles.chainNamesLenient(root, gen) ++
+        prev.toSet.flatMap(StoreFiles.chainNamesLenient(root, _: String))
+      val collectable = committedGens.filterNot(keep)
+        .filterNot(orphans.contains)
+      if (collectable.nonEmpty)
+        notes += s"gc would collect: ${collectable.mkString(", ")}"
+    }
+
+    val status =
+      if (warns.isEmpty && notes.isEmpty) "HEALTHY"
+      else s"${warns.length} warning(s), ${notes.length} note(s)"
+    val head = s"[doctor] $root: $status " +
+      s"(${committedGens.length} committed generation(s))"
+    Right((head +: (warns.map("  WARN " + _) ++
+      notes.map("  note " + _))).mkString("\n"))
   }
 
   /** The store's commit marker: manifest.json for the cluster /

@@ -716,4 +716,72 @@ class StoreCtlSpec extends AnyFunSuite {
     assert(StoreFiles.chainPaths(s"$root/./gen-1")
       .exists(_.length == 2), StoreFiles.chainPaths(s"$root/./gen-1"))
   }
+
+  test("doctor: HEALTHY on a clean chain root, and one finding per " +
+      "failure class as the root degrades") {
+    import graft.operators.StoreFiles
+    val root = tmp("doc_ph"); new java.io.File(root).mkdirs()
+
+    // unpointed root: a diagnosis, not a refusal (unlike gc/serve)
+    val r0 = StoreCtl.run(spark, Seq("doctor", root))
+    assert(r0.exists(m => m.contains("WARN") && m.contains("pointer")),
+      r0)
+
+    assert(StoreCtl.run(spark, Seq("build", "phash", dir, s"$root/gen-0",
+      "doc_id % 4 = 0")).isRight)
+    assert(StoreCtl.run(spark, Seq("flip", root, "gen-0")).isRight)
+    assert(StoreCtl.run(spark, Seq("advance", "--delta", "phash", dir,
+      root, "doc_id % 4 = 1")).isRight)
+    val healthy = StoreCtl.run(spark, Seq("doctor", root))
+    assert(healthy.exists(_.contains("HEALTHY")), healthy)
+
+    // a committed generation ABOVE the pointer (the crashed-advance
+    // window): fold gen-2 by hand without flipping
+    assert(StoreCtl.run(spark, Seq("fold", "--delta", "phash", dir,
+      s"$root/gen-1", s"$root/gen-2", "doc_id % 4 = 2")).isRight)
+    val orphaned = StoreCtl.run(spark, Seq("doctor", root))
+    assert(orphaned.exists(m => m.contains("WARN") &&
+      m.contains("gen-2") && m.contains("ABOVE")), orphaned)
+    assert(StoreCtl.run(spark, Seq("flip", root, "gen-2")).isRight)
+    assert(StoreCtl.run(spark, Seq("doctor", root))
+      .exists(_.contains("HEALTHY")))
+
+    // uncommitted litter: reported as a note, never deleted
+    new java.io.File(root, "gen-9").mkdirs()
+    val littered = StoreCtl.run(spark, Seq("doctor", root))
+    assert(littered.exists(m => m.contains("note") &&
+      m.contains("gen-9") && !m.contains("WARN")), littered)
+    assert(new java.io.File(root, "gen-9").delete())
+
+    // a mixed bucket layout in the chain: plain-union note names the
+    // relation and the remedy
+    val sidecar = java.nio.file.Paths.get(root, "gen-1", "sigs",
+      "_BUCKETS")
+    val saved = java.nio.file.Files.readAllBytes(sidecar)
+    java.nio.file.Files.delete(sidecar)
+    val mixed = StoreCtl.run(spark, Seq("doctor", root))
+    assert(mixed.exists(m => m.contains("sigs/") &&
+      m.contains("compact")), mixed)
+    java.nio.file.Files.write(sidecar, saved)
+
+    // depth past the live warn threshold: a note naming compact
+    spark.conf.set(StoreCtl.ChainWarnKey, "2")
+    try {
+      val deep = StoreCtl.run(spark, Seq("doctor", root))
+      assert(deep.exists(m => m.contains("depth 3") &&
+        m.contains("compact")), deep)
+    } finally spark.conf.unset(StoreCtl.ChainWarnKey)
+
+    // a dangling parent (gen-1's store gutted): WARN, and the
+    // would-collect preview never lists the orphanless remainder
+    val marker = java.nio.file.Paths.get(root, "gen-1", "manifest.json")
+    val savedM = java.nio.file.Files.readAllBytes(marker)
+    java.nio.file.Files.delete(marker)
+    val broken = StoreCtl.run(spark, Seq("doctor", root))
+    assert(broken.exists(m => m.contains("WARN") &&
+      m.contains("chain")), broken)
+    java.nio.file.Files.write(marker, savedM)
+    assert(StoreCtl.run(spark, Seq("doctor", root))
+      .exists(_.contains("HEALTHY")))
+  }
 }
