@@ -420,13 +420,55 @@ private[graft] object StoreFiles {
     * drops it. The table name hashes the normalized paths + layout +
     * DDL, so any session on the shared catalog resolves the same
     * chain to the same table and a DIFFERENT chain (one more delta)
-    * registers fresh — superseded registrations dangle, metadata-only,
-    * same contract as [[bucketTable]]. The ADD PARTITION statement
+    * registers fresh. Superseded registrations do NOT dangle
+    * unboundedly: registering a chain drops its GRANDPARENT chain's
+    * table (paths minus the two newest heads — computable, since a
+    * chain extends its parent), so registration lifetime mirrors gc's
+    * keep set EXACTLY: the pointed chain and the displaced (prev)
+    * chain stay registered through the grace window — a frozen stream
+    * serving either keeps listing its partitions through the live
+    * catalog — and what gets dropped is a twice-displaced chain whose
+    * FILES the next gc collects anyway; a stream still frozen on THAT
+    * was already outside the grace contract and now fails loudly at
+    * the drop instead of at the file deletion (same envelope, clearer
+    * error). A long-lived session at hourly delta cadence thus holds
+    * O(live chains) catalog entries, not one per advance ever made
+    * (a compact/seal resets the chain to depth 1 and leaves the
+    * sealed chain's final registration behind — one metadata-only
+    * entry per SEAL, bounded by the compact cadence, not the
+    * advance cadence).
+    * Dropping an EXTERNAL table is metadata-only, and a BATCH reader
+    * constructing against a dropped chain self-heals: registration is
+    * deterministic, so the read path below retries create+read once
+    * before falling back to None (= the caller's plain union). The
+    * ADD PARTITION statement
     * runs idempotently on EVERY read: a racer that sees the table
     * between a creator's CREATE and its ADD must not read a partial
     * chain. Sort order is NOT claimed across a chain (multiple files
     * per bucket), so consumers pay a local sort, never an exchange.
     */
+  /** The catalog table name [[readChainAligned]] resolves `paths` to,
+    * when their layouts align — a test hook (the catalog-growth spec
+    * asserts on SPECIFIC registrations: chain reads happen inside the
+    * StoreCtl verbs too, so global table counts are not attributable).
+    */
+  private[graft] def chainTableFor(paths: Seq[String]): Option[String] = {
+    val layouts = paths.map(sidecarLayout)
+    if (paths.size < 2 || layouts.exists(_.isEmpty) ||
+        layouts.flatten.distinct.size != 1) None
+    else {
+      val (n, keys, ddl) = layouts.head.get
+      Some(chainName(paths.map(p =>
+        Paths.get(p).toAbsolutePath.normalize.toString), n, keys, ddl))
+    }
+  }
+
+  private def chainName(norm: Seq[String], n: Int, keys: Seq[String],
+                        ddl: String): String =
+    "graft_chn_" + md5Hex(
+      norm.mkString("|") + "|" + n + "|" + keys.mkString(",") + "|" + ddl,
+      16)
+
   private[graft] def readChainAligned(
       s: org.apache.spark.sql.SparkSession, paths: Seq[String],
       depthCol: Option[String]): Option[org.apache.spark.sql.DataFrame] = {
@@ -437,31 +479,56 @@ private[graft] object StoreFiles {
     val (n, keys, ddl) = layouts.head.get
     val norm = paths.map(p =>
       Paths.get(p).toAbsolutePath.normalize.toString)
-    val t = "graft_chn_" + md5Hex(
-      norm.mkString("|") + "|" + n + "|" + keys.mkString(",") + "|" + ddl,
-      16)
-    if (!s.catalog.tableExists(t)) {
-      // the table's own LOCATION is never read (every row lives in a
-      // partition's custom location) — a scratch dir keeps the
-      // metadata out of the immutable generation dirs; created up
-      // front so resolveRelation's metadata probe doesn't log a
-      // spurious FileNotFound warning per CREATE
-      val loc = scratchDir("graft_chnmeta_", t)
-      Files.createDirectories(Paths.get(loc))
-      try s.sql(s"CREATE TABLE $t ($ddl, $ChainDepthCol INT) " +
-        s"USING parquet PARTITIONED BY ($ChainDepthCol) " +
-        s"CLUSTERED BY (${keys.mkString(", ")}) " +
-        s"SORTED BY (${keys.mkString(", ")}) " +
-        s"INTO $n BUCKETS LOCATION '$loc'")
-      catch {
-        case e: org.apache.spark.sql.AnalysisException =>
-          if (!s.catalog.tableExists(t)) throw e
+    val t = chainName(norm, n, keys, ddl)
+    def registerAndRead(): org.apache.spark.sql.DataFrame = {
+      if (!s.catalog.tableExists(t)) {
+        // the table's own LOCATION is never read (every row lives in a
+        // partition's custom location) — a scratch dir keeps the
+        // metadata out of the immutable generation dirs; created up
+        // front so resolveRelation's metadata probe doesn't log a
+        // spurious FileNotFound warning per CREATE
+        val loc = scratchDir("graft_chnmeta_", t)
+        Files.createDirectories(Paths.get(loc))
+        try s.sql(s"CREATE TABLE $t ($ddl, $ChainDepthCol INT) " +
+          s"USING parquet PARTITIONED BY ($ChainDepthCol) " +
+          s"CLUSTERED BY (${keys.mkString(", ")}) " +
+          s"SORTED BY (${keys.mkString(", ")}) " +
+          s"INTO $n BUCKETS LOCATION '$loc'")
+        catch {
+          case e: org.apache.spark.sql.AnalysisException =>
+            if (!s.catalog.tableExists(t)) throw e
+        }
       }
+      s.sql(s"ALTER TABLE $t ADD IF NOT EXISTS " + norm.zipWithIndex
+        .map { case (p, i) =>
+          s"PARTITION ($ChainDepthCol=$i) LOCATION '$p'" }
+        .mkString(" "))
+      s.table(t)
     }
-    s.sql(s"ALTER TABLE $t ADD IF NOT EXISTS " + norm.zipWithIndex
-      .map { case (p, i) => s"PARTITION ($ChainDepthCol=$i) LOCATION '$p'" }
-      .mkString(" "))
-    val data = s.table(t)
+    val data =
+      try registerAndRead()
+      catch {
+        // a longer chain's reader dropped this registration between
+        // our exists check and the read (the parent-drop below, from
+        // its side) — re-register once; a second loss means the store
+        // is advancing faster than we can plan, fall back to the union
+        case _: org.apache.spark.sql.AnalysisException =>
+          try registerAndRead()
+          catch {
+            case _: org.apache.spark.sql.AnalysisException => return None
+          }
+      }
+    // this chain extends norm.tail, which extends norm.drop(2): the
+    // GRANDPARENT chain's registration is twice-displaced — outside
+    // gc's pointed+prev keep set, so its files are next-gc fodder and
+    // no contract-respecting stream still lists it. Drop it
+    // (metadata-only) to keep catalog growth at O(live chains); the
+    // parent's registration stays for the grace window, and a flip
+    // back to a dropped chain just re-registers.
+    if (norm.drop(2).size >= 2)
+      try s.sql(s"DROP TABLE IF EXISTS ${
+        chainName(norm.drop(2), n, keys, ddl)}")
+      catch { case _: org.apache.spark.sql.AnalysisException => () }
     import org.apache.spark.sql.functions.col
     val cols = data.columns.filterNot(_ == ChainDepthCol).map(col).toSeq
     Some(depthCol match {

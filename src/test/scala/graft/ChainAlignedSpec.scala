@@ -139,6 +139,51 @@ class ChainAlignedSpec extends AnyFunSuite {
     } finally spark.conf.set(k, was)
   }
 
+  test("registering a longer chain drops the TWICE-displaced chain's " +
+      "table but keeps the grace-window parent's (gc's keep set), " +
+      "and a read of a dropped chain self-heals by re-registering") {
+    // assert on SPECIFIC registrations via the chainTableFor hook:
+    // the advance verbs read chains internally (the fold probes), so
+    // global graft_chn_* counts are not attributable to this test
+    def registered(paths: Seq[String]): Boolean =
+      spark.catalog.tableExists(StoreFiles.chainTableFor(paths).get)
+    val gens3 = StoreFiles.chainPaths(served).toOption.get
+    val sigs3 = gens3.map(g => s"$g/sigs")
+    val rows3 = StoreFiles.readChainAligned(spark, sigs3, None)
+      .get.collect().map(_.mkString("|")).toSet
+    assert(registered(sigs3))
+    // depth 4: sigs3 is the grace-window parent — its table survives,
+    // so a frozen stream serving the displaced chain keeps listing
+    // its partitions through the live catalog
+    assert(StoreCtl.run(spark, Seq("advance", "--delta", "cluster", dir,
+      root, "doc_id % 7 = 3")).isRight)
+    val sigs4 = StoreFiles.chainPaths(served).toOption.get
+      .map(g => s"$g/sigs")
+    assert(StoreFiles.readChainAligned(spark, sigs4, None).nonEmpty)
+    assert(registered(sigs4))
+    assert(registered(sigs3), "the grace-window parent's " +
+      "registration must survive its displacement")
+    // depth 5: sigs3 is now TWICE displaced (its files are next-gc
+    // fodder) — registering the new chain drops exactly its table
+    assert(StoreCtl.run(spark, Seq("advance", "--delta", "cluster", dir,
+      root, "doc_id % 7 = 5")).isRight)
+    val sigs5 = StoreFiles.chainPaths(served).toOption.get
+      .map(g => s"$g/sigs")
+    val rows5 = StoreFiles.readChainAligned(spark, sigs5, None)
+      .get.collect().map(_.mkString("|")).toSet
+    assert(rows3.subsetOf(rows5))
+    assert(registered(sigs5))
+    assert(registered(sigs4), "the grace-window parent's " +
+      "registration must survive")
+    assert(!registered(sigs3),
+      "the twice-displaced chain's registration must be dropped")
+    // the dropped chain stays READABLE as a batch frame (its
+    // generations still exist): deterministic re-registration
+    val again = StoreFiles.readChainAligned(spark, sigs3, None)
+    assert(again.get.collect().map(_.mkString("|")).toSet == rows3)
+    assert(registered(sigs3))
+  }
+
   test("a mixed-layout chain (one generation lost its sidecar) falls " +
       "back to the plain union with identical rows — MUST RUN LAST, " +
       "mutates the root") {
