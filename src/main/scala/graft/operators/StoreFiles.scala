@@ -400,6 +400,28 @@ private[graft] object StoreFiles {
     */
   val ChainDepthCol = "graft_gd"
 
+  private def chainName(norm: Seq[String], n: Int, keys: Seq[String],
+                        ddl: String): String =
+    "graft_chn_" + md5Hex(
+      norm.mkString("|") + "|" + n + "|" + keys.mkString(",") + "|" + ddl,
+      16)
+
+  /** The catalog table name [[readChainAligned]] resolves `paths` to,
+    * when their layouts align — a test hook (the catalog-growth spec
+    * asserts on SPECIFIC registrations: chain reads happen inside the
+    * StoreCtl verbs too, so global table counts are not attributable).
+    */
+  private[graft] def chainTableFor(paths: Seq[String]): Option[String] = {
+    val layouts = paths.map(sidecarLayout)
+    if (paths.size < 2 || layouts.exists(_.isEmpty) ||
+        layouts.flatten.distinct.size != 1) None
+    else {
+      val (n, keys, ddl) = layouts.head.get
+      Some(chainName(paths.map(p =>
+        Paths.get(p).toAbsolutePath.normalize.toString), n, keys, ddl))
+    }
+  }
+
   /** Read `paths` (one relation dir per chain generation, newest
     * first) as ONE partitioned + BUCKETED external catalog table —
     * one partition per generation via custom partition LOCATIONs —
@@ -447,28 +469,6 @@ private[graft] object StoreFiles {
     * chain. Sort order is NOT claimed across a chain (multiple files
     * per bucket), so consumers pay a local sort, never an exchange.
     */
-  /** The catalog table name [[readChainAligned]] resolves `paths` to,
-    * when their layouts align — a test hook (the catalog-growth spec
-    * asserts on SPECIFIC registrations: chain reads happen inside the
-    * StoreCtl verbs too, so global table counts are not attributable).
-    */
-  private[graft] def chainTableFor(paths: Seq[String]): Option[String] = {
-    val layouts = paths.map(sidecarLayout)
-    if (paths.size < 2 || layouts.exists(_.isEmpty) ||
-        layouts.flatten.distinct.size != 1) None
-    else {
-      val (n, keys, ddl) = layouts.head.get
-      Some(chainName(paths.map(p =>
-        Paths.get(p).toAbsolutePath.normalize.toString), n, keys, ddl))
-    }
-  }
-
-  private def chainName(norm: Seq[String], n: Int, keys: Seq[String],
-                        ddl: String): String =
-    "graft_chn_" + md5Hex(
-      norm.mkString("|") + "|" + n + "|" + keys.mkString(",") + "|" + ddl,
-      16)
-
   private[graft] def readChainAligned(
       s: org.apache.spark.sql.SparkSession, paths: Seq[String],
       depthCol: Option[String]): Option[org.apache.spark.sql.DataFrame] = {

@@ -121,6 +121,15 @@ object StoreCtl {
     */
   val ChainWarnKey = "graft.store.chain.warn"
   val ChainMaxKey = "graft.store.chain.max"
+  // one definition for the three consumers (advance guard, chain
+  // verb, doctor) — drifting defaults would make doctor's diagnosis
+  // disagree with the guard's actual refusal boundary
+  private val ChainWarnDefault = "32"
+  private val ChainMaxDefault = "96"
+  private def chainWarnAt(spark: SparkSession): Int =
+    spark.conf.get(ChainWarnKey, ChainWarnDefault).toInt
+  private def chainMaxAt(spark: SparkSession): Int =
+    spark.conf.get(ChainMaxKey, ChainMaxDefault).toInt
 
   /** Dispatch, session-in / message-out — testable without owning the
     * session lifecycle (mirrors the suite-shared-session constraint).
@@ -170,8 +179,8 @@ object StoreCtl {
               if (f.isDirectory)
                 Option(f.listFiles()).toSeq.flatten.map(du).sum
               else f.length()
-            val warnAt = spark.conf.get(ChainWarnKey, "32").toInt
-            val maxAt = spark.conf.get(ChainMaxKey, "96").toInt
+            val warnAt = chainWarnAt(spark)
+            val maxAt = chainMaxAt(spark)
             val lines = gens.zipWithIndex.map { case (g, i) =>
               val f = new java.io.File(g)
               val link = StoreFiles
@@ -404,8 +413,8 @@ object StoreCtl {
           case Left(e)  => return Left(e)
           case Right(g) => g.length + 1
         }
-      val warnAt = spark.conf.get(ChainWarnKey, "32").toInt
-      val maxAt = spark.conf.get(ChainMaxKey, "96").toInt
+      val warnAt = chainWarnAt(spark)
+      val maxAt = chainMaxAt(spark)
       if (delta && depthAfter > maxAt)
         return Left(s"delta chain at $root would reach $depthAfter " +
           s"generations (> $ChainMaxKey=$maxAt) — every read pays a " +
@@ -518,8 +527,8 @@ object StoreCtl {
         StoreFiles.chainPaths(genPath) match {
           case Left(e) => warns += s"served chain broken: $e"
           case Right(gens) =>
-            val warnAt = spark.conf.get(ChainWarnKey, "32").toInt
-            val maxAt = spark.conf.get(ChainMaxKey, "96").toInt
+            val warnAt = chainWarnAt(spark)
+            val maxAt = chainMaxAt(spark)
             if (gens.length + 1 > maxAt)
               warns += s"chain depth ${gens.length}: the next delta " +
                 s"advance is REFUSED (max $maxAt) — run compact"
@@ -529,7 +538,12 @@ object StoreCtl {
             val rels = gens.flatMap(g =>
               Option(new java.io.File(g).listFiles()).toSeq.flatten
                 .filter(_.isDirectory).map(_.getName)).distinct.sorted
-            rels.foreach { rel =>
+            // codes is exempt: the ivfpq code table is DELIBERATELY
+            // unbucketed (KmK distinct cells would cap scan
+            // parallelism) and its probe never exchanges — the tiny
+            // query side broadcasts — so "plain union" is its healthy
+            // serving shape, not a finding
+            rels.filterNot(_ == "codes").foreach { rel =>
               val present = gens.filter(g => java.nio.file.Files
                 .isDirectory(java.nio.file.Paths.get(g, rel)))
               if (present.size > 1) {

@@ -783,5 +783,18 @@ class StoreCtlSpec extends AnyFunSuite {
     java.nio.file.Files.write(marker, savedM)
     assert(StoreCtl.run(spark, Seq("doctor", root))
       .exists(_.contains("HEALTHY")))
+
+    // an ivfpq delta chain is HEALTHY even though codes/ carries no
+    // bucketed sidecars: the code table is deliberately unbucketed
+    // (its probe broadcasts the query side) — plain union is its
+    // healthy serving shape, not a finding
+    val iroot = tmp("doc_iv"); new java.io.File(iroot).mkdirs()
+    assert(StoreCtl.run(spark, Seq("build", "ivfpq", dir,
+      s"$iroot/gen-0", "vec_id % 2 = 0")).isRight)
+    assert(StoreCtl.run(spark, Seq("flip", iroot, "gen-0")).isRight)
+    assert(StoreCtl.run(spark, Seq("advance", "--delta", "ivfpq", dir,
+      iroot, "vec_id % 2 = 1")).isRight)
+    val ivf = StoreCtl.run(spark, Seq("doctor", iroot))
+    assert(ivf.exists(_.contains("HEALTHY")), ivf)
   }
 }
