@@ -406,19 +406,76 @@ private[graft] object StoreFiles {
       norm.mkString("|") + "|" + n + "|" + keys.mkString(",") + "|" + ddl,
       16)
 
-  /** The catalog table name [[readChainAligned]] resolves `paths` to,
-    * when their layouts align — a test hook (the catalog-growth spec
-    * asserts on SPECIFIC registrations: chain reads happen inside the
-    * StoreCtl verbs too, so global table counts are not attributable).
+  /** The alignment gate, ONE implementation for the read path and the
+    * name derivation (a near-copy that drifted would make the test
+    * hook assert on names the read path never creates — the md5Hex
+    * near-copy lesson again): Some((normalized paths, n, keys, ddl))
+    * when every path carries an IDENTICAL bucketed layout, None
+    * otherwise (→ plain-union fallback).
     */
-  private[graft] def chainTableFor(paths: Seq[String]): Option[String] = {
+  private def alignedLayout(paths: Seq[String])
+      : Option[(Seq[String], Int, Seq[String], String)] = {
     val layouts = paths.map(sidecarLayout)
     if (paths.size < 2 || layouts.exists(_.isEmpty) ||
         layouts.flatten.distinct.size != 1) None
     else {
       val (n, keys, ddl) = layouts.head.get
-      Some(chainName(paths.map(p =>
+      Some((paths.map(p =>
         Paths.get(p).toAbsolutePath.normalize.toString), n, keys, ddl))
+    }
+  }
+
+  /** The catalog table name [[readChainAligned]] resolves `paths` to,
+    * when their layouts align — a test hook (the catalog-growth spec
+    * asserts on SPECIFIC registrations: chain reads happen inside the
+    * StoreCtl verbs too, so global table counts are not attributable).
+    */
+  private[graft] def chainTableFor(paths: Seq[String]): Option[String] =
+    alignedLayout(paths).map { case (norm, n, keys, ddl) =>
+      chainName(norm, n, keys, ddl)
+    }
+
+  /** Chain-table registrations made by THIS JVM: table name → the
+    * partition (relation-dir) paths it was registered over. gc keys
+    * registration reclamation off it — see [[dropChainTablesFor]].
+    */
+  private val chainRegistry =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]
+
+  /** Drop every chain-table registration that references a generation
+    * dir in `deletedDirs` (what a gc run just collected) and remove
+    * its scratch metadata dir. Registration lifetime thus mirrors
+    * FILE lifetime exactly: a chain stays registered as long as its
+    * generations are readable (a frozen stream keeps serving through
+    * any number of delta advances — gc keeps the pointed generation's
+    * whole ancestor chain), and the catalog entry dies with the files
+    * (when the table is dropped, the files are already gone, so a
+    * reader of that chain was dead either way — the drop only turns a
+    * mid-scan FileNotFound into a plan-time table-not-found). The
+    * registry is JVM-local: sessions on a shared external catalog
+    * reclaim only their own registrations; another JVM's entries for
+    * the same chain dangle there until that JVM's gc runs (the
+    * pre-reclamation status quo, metadata-only). Returns the dropped
+    * table names.
+    */
+  private[graft] def dropChainTablesFor(
+      s: org.apache.spark.sql.SparkSession,
+      deletedDirs: Seq[String]): Seq[String] = {
+    val dead = deletedDirs
+      .map(d => Paths.get(d).toAbsolutePath.normalize.toString).toSet
+    import scala.jdk.CollectionConverters._
+    chainRegistry.asScala.toSeq.collect {
+      case (t, paths) if paths.exists(p =>
+          Option(Paths.get(p).getParent).exists(g =>
+            dead(g.toString))) =>
+        try s.sql(s"DROP TABLE IF EXISTS $t")
+        catch { case _: org.apache.spark.sql.AnalysisException => () }
+        chainRegistry.remove(t)
+        // best-effort: the scratch metadata dir is empty by
+        // construction (no row ever lands in the table's own LOCATION)
+        try Files.deleteIfExists(Paths.get(scratchDir("graft_chnmeta_", t)))
+        catch { case _: java.io.IOException => () }
+        t
     }
   }
 
@@ -443,42 +500,33 @@ private[graft] object StoreFiles {
     * DDL, so any session on the shared catalog resolves the same
     * chain to the same table and a DIFFERENT chain (one more delta)
     * registers fresh. Superseded registrations do NOT dangle
-    * unboundedly: registering a chain drops its GRANDPARENT chain's
-    * table (paths minus the two newest heads — computable, since a
-    * chain extends its parent), so registration lifetime mirrors gc's
-    * keep set EXACTLY: the pointed chain and the displaced (prev)
-    * chain stay registered through the grace window — a frozen stream
-    * serving either keeps listing its partitions through the live
-    * catalog — and what gets dropped is a twice-displaced chain whose
-    * FILES the next gc collects anyway; a stream still frozen on THAT
-    * was already outside the grace contract and now fails loudly at
-    * the drop instead of at the file deletion (same envelope, clearer
-    * error). A long-lived session at hourly delta cadence thus holds
-    * O(live chains) catalog entries, not one per advance ever made
-    * (a compact/seal resets the chain to depth 1 and leaves the
-    * sealed chain's final registration behind — one metadata-only
-    * entry per SEAL, bounded by the compact cadence, not the
-    * advance cadence).
-    * Dropping an EXTERNAL table is metadata-only, and a BATCH reader
-    * constructing against a dropped chain self-heals: registration is
+    * unboundedly: every registration lands in [[chainRegistry]] and
+    * `StoreCtl gc` reclaims, via [[dropChainTablesFor]], exactly the
+    * tables whose generation files it just deleted — registration
+    * lifetime mirrors FILE lifetime, so a frozen stream keeps listing
+    * its partitions through the live catalog for as long as its
+    * chain's generations exist (gc keeps the pointed generation's
+    * whole ancestor chain, so delta advances never strand a running
+    * stream — the restart-to-advance contract's envelope is
+    * untouched). Dropping an EXTERNAL table is metadata-only, and a
+    * BATCH reader racing a drop self-heals: registration is
     * deterministic, so the read path below retries create+read once
-    * before falling back to None (= the caller's plain union). The
-    * ADD PARTITION statement
-    * runs idempotently on EVERY read: a racer that sees the table
-    * between a creator's CREATE and its ADD must not read a partial
-    * chain. Sort order is NOT claimed across a chain (multiple files
-    * per bucket), so consumers pay a local sort, never an exchange.
+    * before falling back — LOUDLY, on stderr — to None (= the
+    * caller's plain union; a persistent registration failure must
+    * not silently forfeit the exchange-free shape). The ADD PARTITION
+    * statement runs idempotently on EVERY read: a racer that sees the
+    * table between a creator's CREATE and its ADD must not read a
+    * partial chain. Sort order is NOT claimed across a chain
+    * (multiple files per bucket), so consumers pay a local sort,
+    * never an exchange.
     */
   private[graft] def readChainAligned(
       s: org.apache.spark.sql.SparkSession, paths: Seq[String],
       depthCol: Option[String]): Option[org.apache.spark.sql.DataFrame] = {
-    if (paths.size < 2) return None
-    val layouts = paths.map(sidecarLayout)
-    if (layouts.exists(_.isEmpty) || layouts.flatten.distinct.size != 1)
-      return None
-    val (n, keys, ddl) = layouts.head.get
-    val norm = paths.map(p =>
-      Paths.get(p).toAbsolutePath.normalize.toString)
+    val (norm, n, keys, ddl) = alignedLayout(paths) match {
+      case None    => return None
+      case Some(l) => l
+    }
     val t = chainName(norm, n, keys, ddl)
     def registerAndRead(): org.apache.spark.sql.DataFrame = {
       if (!s.catalog.tableExists(t)) {
@@ -508,27 +556,24 @@ private[graft] object StoreFiles {
     val data =
       try registerAndRead()
       catch {
-        // a longer chain's reader dropped this registration between
-        // our exists check and the read (the parent-drop below, from
-        // its side) — re-register once; a second loss means the store
-        // is advancing faster than we can plan, fall back to the union
+        // a concurrent gc dropped this registration between our exists
+        // check and the read — re-register once (deterministic name);
+        // a second failure is persistent (un-parseable DDL, catalog
+        // permissions), so shout and fall back to the plain union
+        // rather than silently forfeiting the exchange-free shape on
+        // every future read
         case _: org.apache.spark.sql.AnalysisException =>
           try registerAndRead()
           catch {
-            case _: org.apache.spark.sql.AnalysisException => return None
+            case e: org.apache.spark.sql.AnalysisException =>
+              System.err.println(s"[graft] WARNING: aligned chain " +
+                s"table $t failed to register twice ($e) — serving " +
+                s"${norm.size} generations via plain union (an " +
+                "exchange per probe) until the cause is fixed")
+              return None
           }
       }
-    // this chain extends norm.tail, which extends norm.drop(2): the
-    // GRANDPARENT chain's registration is twice-displaced — outside
-    // gc's pointed+prev keep set, so its files are next-gc fodder and
-    // no contract-respecting stream still lists it. Drop it
-    // (metadata-only) to keep catalog growth at O(live chains); the
-    // parent's registration stays for the grace window, and a flip
-    // back to a dropped chain just re-registers.
-    if (norm.drop(2).size >= 2)
-      try s.sql(s"DROP TABLE IF EXISTS ${
-        chainName(norm.drop(2), n, keys, ddl)}")
-      catch { case _: org.apache.spark.sql.AnalysisException => () }
+    chainRegistry.put(t, norm)
     import org.apache.spark.sql.functions.col
     val cols = data.columns.filterNot(_ == ChainDepthCol).map(col).toSeq
     Some(depthCol match {

@@ -160,7 +160,17 @@ object StoreCtl {
       case Seq("gc", root) =>
         StoreFiles.gc(root).map {
           case Seq() => s"[gc] nothing to collect at $root"
-          case gone  => s"[gc] collected ${gone.mkString(", ")}"
+          case gone  =>
+            // reclaim this JVM's aligned-chain-table registrations
+            // whose generation files just died — registration
+            // lifetime mirrors file lifetime (StoreFiles
+            // .dropChainTablesFor)
+            val dropped = StoreFiles.dropChainTablesFor(spark,
+              gone.map(g => new java.io.File(root, g).toString))
+            s"[gc] collected ${gone.mkString(", ")}" +
+              (if (dropped.isEmpty) ""
+               else s"; dropped ${dropped.length} chain-table " +
+                 "registration(s)")
         }
       case Seq("advance", kind, corpus, root, pred) =>
         advance(spark, kind, corpus, root, pred, delta = false)
@@ -529,12 +539,16 @@ object StoreCtl {
           case Right(gens) =>
             val warnAt = chainWarnAt(spark)
             val maxAt = chainMaxAt(spark)
+            // phrased like the chain verb at the exact boundary: the
+            // guard tests depth-AFTER (= length + 1), so at depth ==
+            // warnAt nothing has warned yet — only the NEXT advance
+            // will
             if (gens.length + 1 > maxAt)
               warns += s"chain depth ${gens.length}: the next delta " +
                 s"advance is REFUSED (max $maxAt) — run compact"
             else if (gens.length + 1 > warnAt)
-              notes += s"chain depth ${gens.length}: past the warn " +
-                s"threshold ($warnAt) — compact soon"
+              notes += s"chain depth ${gens.length}: the next delta " +
+                s"advance will WARN (warn > $warnAt) — compact soon"
             val rels = gens.flatMap(g =>
               Option(new java.io.File(g).listFiles()).toSeq.flatten
                 .filter(_.isDirectory).map(_.getName)).distinct.sorted
@@ -547,20 +561,26 @@ object StoreCtl {
               val present = gens.filter(g => java.nio.file.Files
                 .isDirectory(java.nio.file.Paths.get(g, rel)))
               if (present.size > 1) {
-                val layouts = present.map(g =>
-                  graft.operators.StoreFiles.sidecarLayout(s"$g/$rel")
-                    .map { case (n, keys, _) => (n, keys) })
+                // the FULL (n, keys, ddl) triple — readChainAligned's
+                // own alignment gate; comparing less (e.g. dropping
+                // the schema DDL) would report HEALTHY on chains that
+                // actually serve via the plain-union exchange
+                val layouts = present.map(g => graft.operators
+                  .StoreFiles.sidecarLayout(s"$g/$rel"))
                 if (layouts.exists(_.isEmpty))
                   notes += s"$rel/: ${layouts.count(_.isEmpty)} of " +
                     s"${present.size} chain generations lack the " +
                     "bucketed sidecar — probes pay a plain-union " +
                     "exchange on this relation; compact re-seals it"
-                else if (layouts.flatten.distinct.size > 1)
-                  notes += s"$rel/: bucket layouts diverge across " +
-                    s"the chain (${layouts.flatten.distinct
-                      .map { case (n, k) => s"$n x (${k.mkString(",")})" }
-                      .mkString(" vs ")}) — plain-union serving; " +
-                    "compact re-seals it"
+                else if (layouts.flatten.distinct.size > 1) {
+                  val shapes = layouts.flatten.distinct
+                  val byKeys = shapes.map { case (n, k, _) =>
+                    s"$n x (${k.mkString(",")})" }.distinct
+                  notes += s"$rel/: layouts diverge across the chain " +
+                    s"(${if (byKeys.size > 1) byKeys.mkString(" vs ")
+                        else s"${byKeys.head}, schemas differ"}) — " +
+                    "plain-union serving; compact re-seals it"
+                }
               }
             }
         }

@@ -139,11 +139,12 @@ class ChainAlignedSpec extends AnyFunSuite {
     } finally spark.conf.set(k, was)
   }
 
-  test("registering a longer chain drops the TWICE-displaced chain's " +
-      "table but keeps the grace-window parent's (gc's keep set), " +
-      "and a read of a dropped chain self-heals by re-registering") {
+  test("chain-table registrations live exactly as long as their " +
+      "generation files: delta advances never drop a displaced " +
+      "chain's table, and gc reclaims precisely the collected " +
+      "chains' registrations") {
     // assert on SPECIFIC registrations via the chainTableFor hook:
-    // the advance verbs read chains internally (the fold probes), so
+    // the StoreCtl verbs read chains internally (the fold probes), so
     // global graft_chn_* counts are not attributable to this test
     def registered(paths: Seq[String]): Boolean =
       spark.catalog.tableExists(StoreFiles.chainTableFor(paths).get)
@@ -152,19 +153,16 @@ class ChainAlignedSpec extends AnyFunSuite {
     val rows3 = StoreFiles.readChainAligned(spark, sigs3, None)
       .get.collect().map(_.mkString("|")).toSet
     assert(registered(sigs3))
-    // depth 4: sigs3 is the grace-window parent — its table survives,
-    // so a frozen stream serving the displaced chain keeps listing
-    // its partitions through the live catalog
+    // two delta advances: the displaced chains' registrations SURVIVE
+    // (their generations are ancestors of the pointed one, so gc
+    // keeps their files — a stream frozen on either keeps listing its
+    // partitions through the live catalog, the restart-to-advance
+    // contract's envelope)
     assert(StoreCtl.run(spark, Seq("advance", "--delta", "cluster", dir,
       root, "doc_id % 7 = 3")).isRight)
     val sigs4 = StoreFiles.chainPaths(served).toOption.get
       .map(g => s"$g/sigs")
     assert(StoreFiles.readChainAligned(spark, sigs4, None).nonEmpty)
-    assert(registered(sigs4))
-    assert(registered(sigs3), "the grace-window parent's " +
-      "registration must survive its displacement")
-    // depth 5: sigs3 is now TWICE displaced (its files are next-gc
-    // fodder) — registering the new chain drops exactly its table
     assert(StoreCtl.run(spark, Seq("advance", "--delta", "cluster", dir,
       root, "doc_id % 7 = 5")).isRight)
     val sigs5 = StoreFiles.chainPaths(served).toOption.get
@@ -172,16 +170,35 @@ class ChainAlignedSpec extends AnyFunSuite {
     val rows5 = StoreFiles.readChainAligned(spark, sigs5, None)
       .get.collect().map(_.mkString("|")).toSet
     assert(rows3.subsetOf(rows5))
-    assert(registered(sigs5))
-    assert(registered(sigs4), "the grace-window parent's " +
-      "registration must survive")
-    assert(!registered(sigs3),
-      "the twice-displaced chain's registration must be dropped")
-    // the dropped chain stays READABLE as a batch frame (its
-    // generations still exist): deterministic re-registration
-    val again = StoreFiles.readChainAligned(spark, sigs3, None)
-    assert(again.get.collect().map(_.mkString("|")).toSet == rows3)
-    assert(registered(sigs3))
+    assert(registered(sigs3) && registered(sigs4) && registered(sigs5),
+      "a displaced chain's registration must survive while its " +
+        "generation files do")
+    // capture the names now: after gc the sidecars are gone and
+    // chainTableFor can no longer derive them
+    val t3 = StoreFiles.chainTableFor(sigs3).get
+    val t4 = StoreFiles.chainTableFor(sigs4).get
+    val t5 = StoreFiles.chainTableFor(sigs5).get
+    // compact seals the chain; one more advance walks prev past the
+    // old chain; gc then deletes its generations AND this JVM's
+    // chain-table registrations over them (registration lifetime ==
+    // file lifetime)
+    assert(StoreCtl.run(spark, Seq("compact", "cluster", root)).isRight)
+    assert(StoreCtl.run(spark, Seq("advance", "--delta", "cluster", dir,
+      root, "doc_id % 7 = 6")).isRight)
+    val gcd = StoreCtl.run(spark, Seq("gc", root))
+    assert(gcd.exists(m => m.contains("collected") &&
+      m.contains("chain-table registration")), gcd)
+    assert(!spark.catalog.tableExists(t3) &&
+      !spark.catalog.tableExists(t4) && !spark.catalog.tableExists(t5),
+      "gc must drop the collected chains' registrations")
+    // a read of the gc'd chain cleanly refuses at the layout gate
+    // (the sidecars died with the files — no catalog touch)
+    assert(StoreFiles.readChainAligned(spark, sigs3, None).isEmpty)
+    // and the pointed chain keeps serving aligned
+    val sigsNow = StoreFiles.chainPaths(served).toOption.get
+      .map(g => s"$g/sigs")
+    assert(sigsNow.size == 2)
+    assert(StoreFiles.readChainAligned(spark, sigsNow, None).nonEmpty)
   }
 
   test("a mixed-layout chain (one generation lost its sidecar) falls " +
