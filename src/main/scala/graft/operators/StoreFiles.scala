@@ -353,6 +353,11 @@ private[graft] object StoreFiles {
       .sortBy(sortCols.head, sortCols.tail: _*)
       .option("path", path)
       .saveAsTable(bucketTable(path, n, keys, ddl))
+    // saveAsTable just made a catalog entry — same reclamation
+    // contract as the read-side registrations: gc drops it when it
+    // deletes this generation's files
+    chainRegistry.put(bucketTable(path, n, keys, ddl),
+      Seq(Paths.get(path).toAbsolutePath.normalize.toString))
     // sidecar LAST, carrying the schema DDL: readers must never need
     // parquet schema inference (see the layout note — an empty
     // increment has no data files to infer from), and a crash before
@@ -390,6 +395,10 @@ private[graft] object StoreFiles {
               if (!s.catalog.tableExists(t)) throw e
           }
         }
+        // same reclamation contract as the chain tables: gc drops the
+        // registration when it deletes the generation's files
+        chainRegistry.put(t, Seq(
+          Paths.get(path).toAbsolutePath.normalize.toString))
         s.table(t)
     }
 
@@ -435,16 +444,19 @@ private[graft] object StoreFiles {
       chainName(norm, n, keys, ddl)
     }
 
-  /** Chain-table registrations made by THIS JVM: table name → the
-    * partition (relation-dir) paths it was registered over. gc keys
-    * registration reclamation off it — see [[dropChainTablesFor]].
+  /** Store-relation table registrations made by THIS JVM — both the
+    * aligned CHAIN tables and readRel's single-generation bucketed
+    * tables: table name → the relation-dir paths it was registered
+    * over. gc keys registration reclamation off it — see
+    * [[dropChainTablesFor]].
     */
   private val chainRegistry =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]
 
-  /** Drop every chain-table registration that references a generation
-    * dir in `deletedDirs` (what a gc run just collected) and remove
-    * its scratch metadata dir. Registration lifetime thus mirrors
+  /** Drop every registration (chain table OR single-generation
+    * bucketed table) that references a generation dir in
+    * `deletedDirs` (what a gc run just collected), and remove a chain
+    * table's scratch metadata dir. Registration lifetime thus mirrors
     * FILE lifetime exactly: a chain stays registered as long as its
     * generations are readable (a frozen stream keeps serving through
     * any number of delta advances — gc keeps the pointed generation's

@@ -161,15 +161,15 @@ object StoreCtl {
         StoreFiles.gc(root).map {
           case Seq() => s"[gc] nothing to collect at $root"
           case gone  =>
-            // reclaim this JVM's aligned-chain-table registrations
-            // whose generation files just died — registration
-            // lifetime mirrors file lifetime (StoreFiles
-            // .dropChainTablesFor)
+            // reclaim this JVM's table registrations (aligned chain
+            // tables + single-generation bucketed tables) whose
+            // generation files just died — registration lifetime
+            // mirrors file lifetime (StoreFiles.dropChainTablesFor)
             val dropped = StoreFiles.dropChainTablesFor(spark,
               gone.map(g => new java.io.File(root, g).toString))
             s"[gc] collected ${gone.mkString(", ")}" +
               (if (dropped.isEmpty) ""
-               else s"; dropped ${dropped.length} chain-table " +
+               else s"; dropped ${dropped.length} store-table " +
                  "registration(s)")
         }
       case Seq("advance", kind, corpus, root, pred) =>

@@ -178,6 +178,11 @@ class ChainAlignedSpec extends AnyFunSuite {
     val t3 = StoreFiles.chainTableFor(sigs3).get
     val t4 = StoreFiles.chainTableFor(sigs4).get
     val t5 = StoreFiles.chainTableFor(sigs5).get
+    // a SINGLE-generation bucketed table over a soon-collected
+    // generation (registered by test 1's per-generation readRel
+    // calls) follows the same reclamation contract
+    val tBkt = StoreFiles.sidecarTable(sigs3.head).get
+    assert(spark.catalog.tableExists(tBkt))
     // compact seals the chain; one more advance walks prev past the
     // old chain; gc then deletes its generations AND this JVM's
     // chain-table registrations over them (registration lifetime ==
@@ -187,10 +192,13 @@ class ChainAlignedSpec extends AnyFunSuite {
       root, "doc_id % 7 = 6")).isRight)
     val gcd = StoreCtl.run(spark, Seq("gc", root))
     assert(gcd.exists(m => m.contains("collected") &&
-      m.contains("chain-table registration")), gcd)
+      m.contains("store-table registration")), gcd)
     assert(!spark.catalog.tableExists(t3) &&
       !spark.catalog.tableExists(t4) && !spark.catalog.tableExists(t5),
       "gc must drop the collected chains' registrations")
+    assert(!spark.catalog.tableExists(tBkt),
+      "gc must drop a collected generation's bucketed-table " +
+        "registration too")
     // a read of the gc'd chain cleanly refuses at the layout gate
     // (the sidecars died with the files — no catalog touch)
     assert(StoreFiles.readChainAligned(spark, sigs3, None).isEmpty)

@@ -160,8 +160,10 @@ class StoreCtlSpec extends AnyFunSuite {
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(sigSet(s"$root/gen-3") == sigSet(one))
     // gc: gen-2 is prev (grace), gen-0 collected, litter gen-1 kept
+    // (the message may carry a store-table reclamation suffix — this
+    // JVM's write registered gen-0's bucketed tables)
     val g = StoreCtl.run(spark, Seq("gc", root))
-    assert(g == Right("[gc] collected gen-0"), g)
+    assert(g.exists(_.startsWith("[gc] collected gen-0")), g)
     assert(new java.io.File(s"$root/gen-1").exists)
     assert(new java.io.File(s"$root/gen-2").exists)
     // a COMMITTED generation NEWER than the pointer (an advance that
@@ -190,7 +192,7 @@ class StoreCtlSpec extends AnyFunSuite {
     // and gc then retires the displaced chain outside the grace window
     assert(StoreCtl.run(spark, Seq("flip", root, "gen-4")).isRight)
     val g2 = StoreCtl.run(spark, Seq("gc", root))
-    assert(g2 == Right("[gc] collected gen-2"), g2)
+    assert(g2.exists(_.startsWith("[gc] collected gen-2")), g2)
     assert(new java.io.File(s"$root/gen-3").exists)
   }
 
@@ -551,7 +553,8 @@ class StoreCtlSpec extends AnyFunSuite {
     // the pointer, on nobody's chain) is correctly collected
     assert(StoreCtl.run(spark, Seq("flip", root, "gen-5")).isRight)
     val g = StoreCtl.run(spark, Seq("gc", root))
-    assert(g == Right("[gc] collected gen-1, gen-2, gen-3"), g)
+    assert(g.exists(_.startsWith("[gc] collected gen-1, gen-2, gen-3")),
+      g)
     assert(new java.io.File(s"$root/gen-4/manifest.json").exists,
       "gc ate a chained parent")
   }
