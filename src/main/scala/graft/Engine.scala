@@ -171,6 +171,11 @@ object Engine {
       case None => df.localCheckpoint()
       case Some(dir) =>
         val sc = df.sparkSession.sparkContext
+        // sweep stopped contexts from BOTH maps (the FrameRegistry
+        // purgeDead discipline): a process that cycles contexts must
+        // not pin each dead one plus its lock for the process lifetime
+        ckptLocks.keySet.removeIf(_.isStopped)
+        ckptDirSet.keySet.removeIf(_.isStopped)
         val lock = ckptLocks.computeIfAbsent(sc,
           _ => new java.util.concurrent.locks.ReentrantReadWriteLock)
         val r = lock.readLock()

@@ -223,7 +223,15 @@ object Dedup extends QueryPack {
                           df: DataFrame): Unit =
     cachedRels.synchronized {
       val k = (s, dir)
-      cachedRels.put(k, df :: Option(cachedRels.get(k)).getOrElse(Nil))
+      val cur = Option(cachedRels.get(k)).getOrElse(Nil)
+      // a re-run builder re-tracks a plan-EQUIVALENT frame whose
+      // .cache() was a no-op: appending it again would grow the list
+      // without bound under ddLpEdges' documented per-call rebuild.
+      // One tracked frame per distinct plan suffices — unpersisting
+      // any plan-equivalent frame drops the one shared cache entry.
+      if (!cur.exists(_.queryExecution.analyzed
+          .sameResult(df.queryExecution.analyzed)))
+        cachedRels.put(k, df :: cur)
     }
 
   private def unpersistTracked(s: SparkSession, dir: String): Unit = {
@@ -3170,12 +3178,14 @@ object Dedup extends QueryPack {
         .union(s.sql("SELECT doc_id, rep FROM cfo_grp")),
       s"$out/grp", Seq("rep"), Seq("doc_id"))
     if (delta)
-      StoreFiles.writeParent(out,
-        java.nio.file.Paths.get(store).getFileName.toString)
+      StoreFiles.writeParent(out, StoreFiles.parentGenName(store))
     // docs = everything the SERVED assignment covers; for a delta the
     // landed parquet is changed-rows-only, so count the merge itself
     val n = if (delta) mergedKept.count()
-      else s.read.parquet(s"$out/assignment").count()
+      // readRel, not raw parquet: an EMPTY fold's bucketed assignment
+      // has zero data files, and schema inference on it would abort a
+      // fold whose relations all landed (the sidecar carries the DDL)
+      else StoreFiles.readRel(s, s"$out/assignment").count()
     ClusterStore.writeManifest(out, n)
   }
 
@@ -3683,11 +3693,13 @@ object Dedup extends QueryPack {
         .union(s.sql("SELECT vec_id, rep FROM efo_grp")),
       s"$out/grp", Seq("rep"), Seq("vec_id"))
     if (delta)
-      StoreFiles.writeParent(out,
-        java.nio.file.Paths.get(store).getFileName.toString)
+      StoreFiles.writeParent(out, StoreFiles.parentGenName(store))
     // vecs are reps only now — docs = what the SERVED assignment covers
     val n = if (delta) mergedKept.count()
-      else s.read.parquet(s"$out/assignment").count()
+      // readRel, not raw parquet: an EMPTY fold's bucketed assignment
+      // has zero data files, and schema inference on it would abort a
+      // fold whose relations all landed (the sidecar carries the DDL)
+      else StoreFiles.readRel(s, s"$out/assignment").count()
     EmbedClusterStore.writeManifest(out, n)
   }
 

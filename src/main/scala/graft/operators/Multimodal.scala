@@ -651,8 +651,7 @@ object Multimodal extends QueryPack {
     val added = newSigs.count()
     newSigs.unpersist()
     if (delta)
-      StoreFiles.writeParent(out,
-        java.nio.file.Paths.get(store).getFileName.toString)
+      StoreFiles.writeParent(out, StoreFiles.parentGenName(store))
     val prior = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(store, "manifest.json")),
       java.nio.charset.StandardCharsets.UTF_8)

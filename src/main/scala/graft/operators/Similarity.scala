@@ -1212,7 +1212,7 @@ object Similarity extends QueryPack {
         else prior.codes.union(ivfPqEncode(s, dir, prior, where))),
       out,
       parent = if (delta)
-        Some(java.nio.file.Paths.get(store).getFileName.toString)
+        Some(graft.operators.StoreFiles.parentGenName(store))
       else None)
   }
 
@@ -1506,8 +1506,12 @@ object Similarity extends QueryPack {
     */
   private def applyRecallSample(s: SparkSession): Unit = {
     val raw = s.conf.get(RecallSampleKey, "0")
-    val n = raw.toIntOption.getOrElse(throw new IllegalArgumentException(
-      s"$RecallSampleKey must be a non-negative int, got '$raw'"))
+    // negative values REFUSE rather than silently meaning "sampling
+    // off": a typo'd '-5' would otherwise run the unbudgeted
+    // O(queries x corpus) exact side the knob exists to avoid
+    val n = raw.toIntOption.filter(_ >= 0)
+      .getOrElse(throw new IllegalArgumentException(
+        s"$RecallSampleKey must be a non-negative int, got '$raw'"))
     if (n > 0)
       s.table("ipq_queries")
         .orderBy(xxhash64(col("vec_id")), col("vec_id"))

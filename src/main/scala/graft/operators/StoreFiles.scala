@@ -209,12 +209,31 @@ private[graft] object StoreFiles {
 
   val ParentName = "_PARENT"
 
-  /** Record the delta link of the generation at `dir`. Call before
-    * the commit marker lands.
+  /** The parent-generation NAME a delta fold from `store` must record:
+    * the NORMALIZED path's last segment. Deriving it from the raw
+    * spelling (`Paths.get(store).getFileName`) turned 'root/gen-0/.'
+    * into a literal '.' link — the sibling-root requires accept that
+    * spelling (they normalize), so the fold would COMMIT a generation
+    * whose chain can never resolve (every read walks gen-1 -> '.' ->
+    * the root, which holds no marker).
     */
-  def writeParent(dir: String, parentGen: String): Unit =
+  def parentGenName(store: String): String =
+    Paths.get(store).toAbsolutePath.normalize.getFileName.toString
+
+  /** Record the delta link of the generation at `dir`. Call before
+    * the commit marker lands. Refuses a non-sibling-name link outright
+    * (same validation as flip): a bad link committed here is a
+    * permanently unserveable generation, the failure mode chainPaths
+    * can only report after the fact.
+    */
+  def writeParent(dir: String, parentGen: String): Unit = {
+    require(parentGen.nonEmpty && !parentGen.contains('/') &&
+      !parentGen.contains('\\') && parentGen != "." &&
+      parentGen != ".." && !parentGen.exists(_ < ' '),
+      s"_PARENT must be a bare sibling subdir name, got: '$parentGen'")
     Files.write(Paths.get(dir, ParentName),
       parentGen.getBytes(StandardCharsets.UTF_8))
+  }
 
   def readParent(dir: java.nio.file.Path): Option[String] = {
     val p = dir.resolve(ParentName)
@@ -291,26 +310,35 @@ private[graft] object StoreFiles {
     * outside the contract: generations are immutable.
     */
   private def bucketTable(path: String, n: Int, keys: Seq[String],
+                          sortCols: Seq[String],
                           schemaDdl: String): String =
     "graft_bkt_" + md5Hex(
       Paths.get(path).toAbsolutePath.normalize.toString +
-        "|" + n + "|" + keys.mkString(",") + "|" + schemaDdl, 16)
+        "|" + n + "|" + keys.mkString(",") + "|" + sortCols.mkString(",") +
+        "|" + schemaDdl, 16)
 
   private def bucketsSidecar(path: String): java.nio.file.Path =
     Paths.get(path, "_BUCKETS")
 
-  /** The (bucket count, keys, schema DDL) the sidecar at `path`
-    * records, if one was written — the single parser behind the
-    * single-generation table read, the chain alignment check,
-    * StoreCtl doctor's layout audit, and the test hook.
+  /** The (bucket count, keys, in-bucket sort columns, schema DDL) the
+    * sidecar at `path` records, if one was written — the single
+    * parser behind the single-generation table read, the chain
+    * alignment check, StoreCtl doctor's layout audit, and the test
+    * hook. The sort columns travel in the sidecar so a FRESH
+    * session's re-registration declares the same SORTED BY the writer
+    * paid for — without them the reader-created table would silently
+    * drop the trailing-id sort claim and carry different metadata
+    * under the same hashed name.
     */
-  private[graft] def sidecarLayout(path: String): Option[(Int, Seq[String], String)] = {
+  private[graft] def sidecarLayout(path: String)
+      : Option[(Int, Seq[String], Seq[String], String)] = {
     val sc = bucketsSidecar(path)
     if (!Files.exists(sc)) None
     else {
       val lines = new String(Files.readAllBytes(sc),
-        StandardCharsets.UTF_8).split("\n", 3)
-      Some((lines(0).trim.toInt, lines(1).split(",").toSeq, lines(2)))
+        StandardCharsets.UTF_8).split("\n", 4)
+      Some((lines(0).trim.toInt, lines(1).split(",").toSeq,
+        lines(2).split(",").toSeq, lines(3)))
     }
   }
 
@@ -319,8 +347,8 @@ private[graft] object StoreFiles {
     * cross-catalog read cases drop it to simulate a fresh session).
     */
   private[graft] def sidecarTable(path: String): Option[String] =
-    sidecarLayout(path).map { case (n, keys, ddl) =>
-      bucketTable(path, n, keys, ddl)
+    sidecarLayout(path).map { case (n, keys, sortCols, ddl) =>
+      bucketTable(path, n, keys, sortCols, ddl)
     }
 
   /** Write `df` at `path` bucketed on `keys` (+ `sortExtra` inside
@@ -352,11 +380,11 @@ private[graft] object StoreFiles {
       .bucketBy(n, keys.head, keys.tail: _*)
       .sortBy(sortCols.head, sortCols.tail: _*)
       .option("path", path)
-      .saveAsTable(bucketTable(path, n, keys, ddl))
+      .saveAsTable(bucketTable(path, n, keys, sortCols, ddl))
     // saveAsTable just made a catalog entry — same reclamation
     // contract as the read-side registrations: gc drops it when it
     // deletes this generation's files
-    chainRegistry.put(bucketTable(path, n, keys, ddl),
+    chainRegistry.put(bucketTable(path, n, keys, sortCols, ddl),
       Seq(Paths.get(path).toAbsolutePath.normalize.toString))
     // sidecar LAST, carrying the schema DDL: readers must never need
     // parquet schema inference (see the layout note — an empty
@@ -364,7 +392,7 @@ private[graft] object StoreFiles {
     // the sidecar leaves a plain-parquet-readable dir inside an
     // uncommitted (marker-less) generation nobody serves
     Files.write(bucketsSidecar(path),
-      s"$n\n${keys.mkString(",")}\n$ddl"
+      s"$n\n${keys.mkString(",")}\n${sortCols.mkString(",")}\n$ddl"
         .getBytes(StandardCharsets.UTF_8))
   }
 
@@ -381,14 +409,17 @@ private[graft] object StoreFiles {
               path: String): org.apache.spark.sql.DataFrame =
     sidecarLayout(path) match {
       case None => s.read.parquet(path)
-      case Some((n, keys, ddl)) =>
-        val t = bucketTable(path, n, keys, ddl)
+      case Some((n, keys, sortCols, ddl)) =>
+        val t = bucketTable(path, n, keys, sortCols, ddl)
         if (!s.catalog.tableExists(t)) {
           // two first-readers may race through the exists check: the
-          // loser's CREATE throws — benign iff the table now exists
+          // loser's CREATE throws — benign iff the table now exists.
+          // SORTED BY declares the writer's FULL in-bucket sort (the
+          // sidecar carries it), so a fresh session's registration
+          // claims the same order the write paid for
           try s.sql(s"CREATE TABLE $t ($ddl) USING parquet " +
             s"CLUSTERED BY (${keys.mkString(", ")}) " +
-            s"SORTED BY (${keys.mkString(", ")}) " +
+            s"SORTED BY (${sortCols.mkString(", ")}) " +
             s"INTO $n BUCKETS LOCATION '$path'")
           catch {
             case e: org.apache.spark.sql.AnalysisException =>
@@ -410,27 +441,28 @@ private[graft] object StoreFiles {
   val ChainDepthCol = "graft_gd"
 
   private def chainName(norm: Seq[String], n: Int, keys: Seq[String],
-                        ddl: String): String =
+                        sortCols: Seq[String], ddl: String): String =
     "graft_chn_" + md5Hex(
-      norm.mkString("|") + "|" + n + "|" + keys.mkString(",") + "|" + ddl,
-      16)
+      norm.mkString("|") + "|" + n + "|" + keys.mkString(",") + "|" +
+        sortCols.mkString(",") + "|" + ddl, 16)
 
   /** The alignment gate, ONE implementation for the read path and the
     * name derivation (a near-copy that drifted would make the test
     * hook assert on names the read path never creates — the md5Hex
-    * near-copy lesson again): Some((normalized paths, n, keys, ddl))
-    * when every path carries an IDENTICAL bucketed layout, None
-    * otherwise (→ plain-union fallback).
+    * near-copy lesson again): Some((normalized paths, n, keys,
+    * sortCols, ddl)) when every path carries an IDENTICAL bucketed
+    * layout, None otherwise (→ plain-union fallback).
     */
   private def alignedLayout(paths: Seq[String])
-      : Option[(Seq[String], Int, Seq[String], String)] = {
+      : Option[(Seq[String], Int, Seq[String], Seq[String], String)] = {
     val layouts = paths.map(sidecarLayout)
     if (paths.size < 2 || layouts.exists(_.isEmpty) ||
         layouts.flatten.distinct.size != 1) None
     else {
-      val (n, keys, ddl) = layouts.head.get
+      val (n, keys, sortCols, ddl) = layouts.head.get
       Some((paths.map(p =>
-        Paths.get(p).toAbsolutePath.normalize.toString), n, keys, ddl))
+        Paths.get(p).toAbsolutePath.normalize.toString),
+        n, keys, sortCols, ddl))
     }
   }
 
@@ -440,8 +472,8 @@ private[graft] object StoreFiles {
     * StoreCtl verbs too, so global table counts are not attributable).
     */
   private[graft] def chainTableFor(paths: Seq[String]): Option[String] =
-    alignedLayout(paths).map { case (norm, n, keys, ddl) =>
-      chainName(norm, n, keys, ddl)
+    alignedLayout(paths).map { case (norm, n, keys, sortCols, ddl) =>
+      chainName(norm, n, keys, sortCols, ddl)
     }
 
   /** Store-relation table registrations made by THIS JVM — both the
@@ -535,11 +567,11 @@ private[graft] object StoreFiles {
   private[graft] def readChainAligned(
       s: org.apache.spark.sql.SparkSession, paths: Seq[String],
       depthCol: Option[String]): Option[org.apache.spark.sql.DataFrame] = {
-    val (norm, n, keys, ddl) = alignedLayout(paths) match {
+    val (norm, n, keys, sortCols, ddl) = alignedLayout(paths) match {
       case None    => return None
       case Some(l) => l
     }
-    val t = chainName(norm, n, keys, ddl)
+    val t = chainName(norm, n, keys, sortCols, ddl)
     def registerAndRead(): org.apache.spark.sql.DataFrame = {
       if (!s.catalog.tableExists(t)) {
         // the table's own LOCATION is never read (every row lives in a
@@ -552,7 +584,7 @@ private[graft] object StoreFiles {
         try s.sql(s"CREATE TABLE $t ($ddl, $ChainDepthCol INT) " +
           s"USING parquet PARTITIONED BY ($ChainDepthCol) " +
           s"CLUSTERED BY (${keys.mkString(", ")}) " +
-          s"SORTED BY (${keys.mkString(", ")}) " +
+          s"SORTED BY (${sortCols.mkString(", ")}) " +
           s"INTO $n BUCKETS LOCATION '$loc'")
         catch {
           case e: org.apache.spark.sql.AnalysisException =>

@@ -574,7 +574,7 @@ object StoreCtl {
                     "exchange on this relation; compact re-seals it"
                 else if (layouts.flatten.distinct.size > 1) {
                   val shapes = layouts.flatten.distinct
-                  val byKeys = shapes.map { case (n, k, _) =>
+                  val byKeys = shapes.map { case (n, k, _, _) =>
                     s"$n x (${k.mkString(",")})" }.distinct
                   notes += s"$rel/: layouts diverge across the chain " +
                     s"(${if (byKeys.size > 1) byKeys.mkString(" vs ")

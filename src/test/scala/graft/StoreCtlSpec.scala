@@ -718,6 +718,36 @@ class StoreCtlSpec extends AnyFunSuite {
     // the chain walk collapses both spellings to one generation each
     assert(StoreFiles.chainPaths(s"$root/./gen-1")
       .exists(_.length == 2), StoreFiles.chainPaths(s"$root/./gen-1"))
+    // a STORE spelled 'gen-1/.' must record _PARENT = 'gen-1', not
+    // the raw spelling's last segment '.': the sibling-root requires
+    // normalize (so they accept this spelling), and an un-normalized
+    // parent derivation would COMMIT a generation whose chain can
+    // never resolve (gen-2 -> '.' -> the root, no marker there)
+    val r2 = StoreCtl.run(spark, Seq("fold", "--delta", "phash", dir,
+      s"$root/gen-1/.", s"$root/gen-2", "false"))
+    assert(r2.isRight, r2)
+    assert(StoreFiles.readParent(
+      java.nio.file.Paths.get(root, "gen-2")) == Some("gen-1"))
+    assert(StoreFiles.chainPaths(s"$root/gen-2").exists(_.length == 3),
+      StoreFiles.chainPaths(s"$root/gen-2"))
+  }
+
+  test("an EMPTY non-delta fold commits: the manifest count reads the " +
+      "zero-file bucketed assignment through the sidecar schema") {
+    // an empty store's relations are bucketed writes with ZERO data
+    // files — raw-parquet schema inference on them throws, which
+    // would abort the fold AFTER all relations landed (marker-less
+    // litter); the count must go through StoreFiles.readRel
+    val st = tmp("empty_cl")
+    val built = StoreCtl.run(spark,
+      Seq("build", "cluster", dir, st, "false"))
+    assert(built.isRight, built)
+    val out = tmp("empty_cl_fold")
+    val folded = StoreCtl.run(spark,
+      Seq("fold", "cluster", dir, st, out, "false"))
+    assert(folded.isRight, folded)
+    assert(StoreCtl.run(spark, Seq("stats", out))
+      .exists(_.contains("\"docs\": 0")))
   }
 
   test("doctor: HEALTHY on a clean chain root, and one finding per " +
