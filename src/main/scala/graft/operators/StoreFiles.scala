@@ -337,7 +337,12 @@ private[graft] object StoreFiles {
     else {
       val lines = new String(Files.readAllBytes(sc),
         StandardCharsets.UTF_8).split("\n", 4)
-      Some((lines(0).trim.toInt, lines(1).split(",").toSeq,
+      // a PRE-sort-line sidecar (3 fields) reads as "no sidecar":
+      // the files are plain parquet either way, so the fallback is
+      // row-correct and merely forfeits the partitioning claim —
+      // never a crash inside readRel/doctor on an old store
+      if (lines.length < 4) None
+      else Some((lines(0).trim.toInt, lines(1).split(",").toSeq,
         lines(2).split(",").toSeq, lines(3)))
     }
   }
@@ -375,16 +380,17 @@ private[graft] object StoreFiles {
     // one file per bucket: without the repartition every write task
     // opens a file per bucket it sees (tasks x buckets small files),
     // and multi-file buckets forfeit the scan's sort-order claim
+    val t = bucketTable(path, n, keys, sortCols, ddl)
     df.repartition(n, keys.map(org.apache.spark.sql.functions.col): _*)
       .write.mode("overwrite").format("parquet")
       .bucketBy(n, keys.head, keys.tail: _*)
       .sortBy(sortCols.head, sortCols.tail: _*)
       .option("path", path)
-      .saveAsTable(bucketTable(path, n, keys, sortCols, ddl))
+      .saveAsTable(t)
     // saveAsTable just made a catalog entry — same reclamation
     // contract as the read-side registrations: gc drops it when it
     // deletes this generation's files
-    chainRegistry.put(bucketTable(path, n, keys, sortCols, ddl),
+    chainRegistry.put(t,
       Seq(Paths.get(path).toAbsolutePath.normalize.toString))
     // sidecar LAST, carrying the schema DDL: readers must never need
     // parquet schema inference (see the layout note — an empty

@@ -561,10 +561,11 @@ object StoreCtl {
               val present = gens.filter(g => java.nio.file.Files
                 .isDirectory(java.nio.file.Paths.get(g, rel)))
               if (present.size > 1) {
-                // the FULL (n, keys, ddl) triple — readChainAligned's
-                // own alignment gate; comparing less (e.g. dropping
-                // the schema DDL) would report HEALTHY on chains that
-                // actually serve via the plain-union exchange
+                // the FULL (n, keys, sort, ddl) tuple —
+                // readChainAligned's own alignment gate; comparing
+                // less (e.g. dropping the schema DDL) would report
+                // HEALTHY on chains that actually serve via the
+                // plain-union exchange
                 val layouts = present.map(g => graft.operators
                   .StoreFiles.sidecarLayout(s"$g/$rel"))
                 if (layouts.exists(_.isEmpty))
@@ -576,10 +577,17 @@ object StoreCtl {
                   val shapes = layouts.flatten.distinct
                   val byKeys = shapes.map { case (n, k, _, _) =>
                     s"$n x (${k.mkString(",")})" }.distinct
+                  // name WHICH component diverged: misreporting a
+                  // sort-claim difference as "schemas differ" would
+                  // misdirect the operator's compact/debug decision
+                  val detail =
+                    if (byKeys.size > 1) byKeys.mkString(" vs ")
+                    else if (shapes.map(_._4).distinct.size > 1)
+                      s"${byKeys.head}, schemas differ"
+                    else s"${byKeys.head}, in-bucket sorts differ"
                   notes += s"$rel/: layouts diverge across the chain " +
-                    s"(${if (byKeys.size > 1) byKeys.mkString(" vs ")
-                        else s"${byKeys.head}, schemas differ"}) — " +
-                    "plain-union serving; compact re-seals it"
+                    s"($detail) — plain-union serving; compact " +
+                    "re-seals it"
                 }
               }
             }

@@ -223,5 +223,14 @@ class ChainAlignedSpec extends AnyFunSuite {
     val after = StoreFiles.readRelChain(spark, served, "sigs")
       .collect().map(_.mkString("|")).toSet
     assert(after == before, "the fallback union diverged")
+    // a PRE-sort-line (3-field) sidecar must read as "no sidecar" —
+    // the plain-parquet fallback, never a parse crash (the files are
+    // plain parquet either way, so rows are identical)
+    java.nio.file.Files.write(sidecar,
+      "8\nband,bk\nIGNORED-LEGACY-DDL".getBytes("UTF-8"))
+    val legacy = StoreFiles.readRelChain(spark, served, "sigs")
+      .collect().map(_.mkString("|")).toSet
+    assert(legacy == before, "the legacy-sidecar fallback diverged")
+    assert(StoreFiles.sidecarTable(gens(1) + "/sigs").isEmpty)
   }
 }
