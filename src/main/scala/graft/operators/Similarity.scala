@@ -1626,12 +1626,18 @@ object Similarity extends QueryPack {
     val candidates = model.codes.where(s"vec_id < $IvfQ")
       .toDF(Seq("neighbor_id", "cell") ++
         (0 until PqM).map(m => s"code_$m"): _*)
-    queries
+    // the query side broadcasts EXPLICITLY: a serving batch is small
+    // by contract (queries x nprobe rows) while the code table is
+    // corpus-scale — without the hint a fixture-sized optimizer can
+    // pick the codes side, the exact shape that does not survive
+    // 100 TB (the cell join must stream the codes partitions, never
+    // collect them)
+    org.apache.spark.sql.functions.broadcast(queries
       .selectExpr("vec_id AS query_id", "ts", s"$x4S AS x4")
       .selectExpr("query_id", "ts", "x4",
         s"graft_dist_lut(x4, $flatCents) AS cd")
       .selectExpr(Seq("query_id", "ts", s"explode($probe) AS cell") ++
-        luts: _*)
+        luts: _*))
       .join(candidates, Seq("cell"))
       .selectExpr("query_id", "ts", "cell", "neighbor_id",
         (0 until PqM)

@@ -320,6 +320,17 @@ private[graft] object StoreFiles {
   private def bucketsSidecar(path: String): java.nio.file.Path =
     Paths.get(path, "_BUCKETS")
 
+  /** The sidecar's raw newline fields — ONE reader behind the current
+    * 4-field layout parse and the legacy-DDL recovery, so the two can
+    * never disagree about what the file says.
+    */
+  private def rawSidecar(path: String): Option[Array[String]] = {
+    val sc = bucketsSidecar(path)
+    if (!Files.exists(sc)) None
+    else Some(new String(Files.readAllBytes(sc),
+      StandardCharsets.UTF_8).split("\n", 4))
+  }
+
   /** The (bucket count, keys, in-bucket sort columns, schema DDL) the
     * sidecar at `path` records, if one was written — the single
     * parser behind the single-generation table read, the chain
@@ -331,21 +342,31 @@ private[graft] object StoreFiles {
     * under the same hashed name.
     */
   private[graft] def sidecarLayout(path: String)
-      : Option[(Int, Seq[String], Seq[String], String)] = {
-    val sc = bucketsSidecar(path)
-    if (!Files.exists(sc)) None
-    else {
-      val lines = new String(Files.readAllBytes(sc),
-        StandardCharsets.UTF_8).split("\n", 4)
-      // a PRE-sort-line sidecar (3 fields) reads as "no sidecar":
-      // the files are plain parquet either way, so the fallback is
+      : Option[(Int, Seq[String], Seq[String], String)] =
+    rawSidecar(path) match {
+      // a PRE-sort-line sidecar (3 fields) reads as "no layout": the
+      // files are plain parquet either way, so the fallback is
       // row-correct and merely forfeits the partitioning claim —
-      // never a crash inside readRel/doctor on an old store
-      if (lines.length < 4) None
-      else Some((lines(0).trim.toInt, lines(1).split(",").toSeq,
-        lines(2).split(",").toSeq, lines(3)))
+      // never a crash inside readRel/doctor on an old store (the
+      // schema DDL it DOES carry is still honored, see
+      // [[legacySidecarDdl]])
+      case Some(lines) if lines.length >= 4 =>
+        Some((lines(0).trim.toInt, lines(1).split(",").toSeq,
+          lines(2).split(",").toSeq, lines(3)))
+      case _ => None
     }
-  }
+
+  /** Schema DDL recovered from a LEGACY pre-sort-line sidecar (three
+    * fields: n, keys, ddl). The layout claim is forfeited (the
+    * in-bucket sort the writer used is unrecorded, so a bucketed
+    * re-registration could carry wrong metadata under the hashed
+    * name), but the DDL is exactly what the sidecar exists to
+    * preserve: an EMPTY relation (a no-rows increment) has zero data
+    * files, and schema inference over it throws — a pre-upgrade store
+    * with an empty increment must stay readable.
+    */
+  private[graft] def legacySidecarDdl(path: String): Option[String] =
+    rawSidecar(path).filter(_.length == 3).map(_(2))
 
   /** The bucketed catalog table name the sidecar at `path` resolves
     * to, if one was written — a test hook (the empty-increment and
@@ -362,19 +383,30 @@ private[graft] object StoreFiles {
     * `path` makes the table external, so the catalog entry is just
     * metadata over the generation's own files.
     */
+  /** The bucket count THIS session writes (and compact re-seals) at:
+    * [[StoreBucketsKey]], defaulting to the session's shuffle
+    * parallelism — the bucket count IS the probe join's parallelism
+    * (a bucketed scan's partitioning is reused as-is, so fewer
+    * buckets than cores strands cores; an 8-bucket default measured
+    * +0.8-1.0 s on every store probe key at local[32]). A deployment
+    * that sizes shuffle.partitions for the corpus gets matching store
+    * buckets for free. Shared with StoreCtl doctor so its
+    * mixed-layout note names the exact count a compact would re-seal
+    * at.
+    */
+  private[graft] def bucketCount(
+      s: org.apache.spark.sql.SparkSession): Int = {
+    val n = s.conf.getOption(StoreBucketsKey)
+      .getOrElse(s.conf.get("spark.sql.shuffle.partitions")).toInt
+    require(n >= 1, s"$StoreBucketsKey must be >= 1, got $n")
+    n
+  }
+
   def writeBucketed(df: org.apache.spark.sql.DataFrame, path: String,
                     keys: Seq[String],
                     sortExtra: Seq[String] = Nil): Unit = {
     val s = df.sparkSession
-    // default = the session's shuffle parallelism: the bucket count IS
-    // the probe join's parallelism (a bucketed scan's partitioning is
-    // reused as-is, so fewer buckets than cores strands cores — an
-    // 8-bucket default measured +0.8-1.0 s on every store probe key
-    // at local[32]). A deployment that sizes shuffle.partitions for
-    // the corpus gets matching store buckets for free.
-    val n = s.conf.getOption(StoreBucketsKey)
-      .getOrElse(s.conf.get("spark.sql.shuffle.partitions")).toInt
-    require(n >= 1, s"$StoreBucketsKey must be >= 1, got $n")
+    val n = bucketCount(s)
     val sortCols = keys ++ sortExtra
     val ddl = df.schema.toDDL
     // one file per bucket: without the repartition every write task
@@ -414,7 +446,17 @@ private[graft] object StoreFiles {
   def readRel(s: org.apache.spark.sql.SparkSession,
               path: String): org.apache.spark.sql.DataFrame =
     sidecarLayout(path) match {
-      case None => s.read.parquet(path)
+      case None =>
+        // legacy 3-field sidecar: honor its DDL (an empty relation has
+        // no data files to infer from) while forfeiting only the
+        // partitioning claim; an unparseable legacy DDL degrades to
+        // plain inference rather than crashing the read
+        legacySidecarDdl(path).flatMap { ddl =>
+          try Some(s.read.schema(
+            org.apache.spark.sql.types.StructType.fromDDL(ddl))
+            .parquet(path))
+          catch { case scala.util.control.NonFatal(_) => None }
+        }.getOrElse(s.read.parquet(path))
       case Some((n, keys, sortCols, ddl)) =>
         val t = bucketTable(path, n, keys, sortCols, ddl)
         if (!s.catalog.tableExists(t)) {
@@ -491,6 +533,30 @@ private[graft] object StoreFiles {
   private val chainRegistry =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]
 
+  /** Chain tables whose partition set THIS JVM has already ADDed
+    * (table → the exact normalized partition paths): lets the hot
+    * serve path skip the per-read `ALTER TABLE ADD` — a catalog WRITE
+    * per read — once this JVM has registered that exact (table,
+    * partition-set). Safety is unchanged: the memo lands only AFTER a
+    * successful ADD, so a racer that sees the table between a
+    * creator's CREATE and its ADD still runs the idempotent ADD
+    * itself, and the re-register retry path forces a fresh ADD when a
+    * concurrent drop invalidated the memo.
+    */
+  private val chainPartsAdded =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]
+
+  /** Chain tables whose registration failed TWICE in this JVM (an
+    * unwritable scratch dir, a read-only shared metastore, an
+    * un-parseable DDL): later reads of the same chain go straight to
+    * the plain-union fallback without re-paying create+retry and
+    * re-printing the warning — the failure was already shouted once,
+    * and nothing about it heals without operator action (which comes
+    * with a restart).
+    */
+  private val chainRegisterFailed =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   /** Drop every registration (chain table OR single-generation
     * bucketed table) that references a generation dir in
     * `deletedDirs` (what a gc run just collected), and remove a chain
@@ -521,6 +587,8 @@ private[graft] object StoreFiles {
         try s.sql(s"DROP TABLE IF EXISTS $t")
         catch { case _: org.apache.spark.sql.AnalysisException => () }
         chainRegistry.remove(t)
+        chainPartsAdded.remove(t)
+        chainRegisterFailed.remove(t)
         // best-effort: the scratch metadata dir is empty by
         // construction (no row ever lands in the table's own LOCATION)
         try Files.deleteIfExists(Paths.get(scratchDir("graft_chnmeta_", t)))
@@ -563,10 +631,15 @@ private[graft] object StoreFiles {
     * deterministic, so the read path below retries create+read once
     * before falling back — LOUDLY, on stderr — to None (= the
     * caller's plain union; a persistent registration failure must
-    * not silently forfeit the exchange-free shape). The ADD PARTITION
-    * statement runs idempotently on EVERY read: a racer that sees the
-    * table between a creator's CREATE and its ADD must not read a
-    * partial chain. Sort order is NOT claimed across a chain
+    * not silently forfeit the exchange-free shape, and a registration
+    * that fails twice is RECORDED so later reads of the same chain go
+    * straight to the union without re-warning). The idempotent ADD
+    * PARTITION runs on every read UNTIL this JVM has completed it
+    * once for this exact (table, partition-set) — memoized in
+    * [[chainPartsAdded]], so the hot serve path pays no catalog write
+    * per read; a racer that sees the table between a creator's CREATE
+    * and its ADD still runs the ADD itself (the memo lands only after
+    * a successful ADD). Sort order is NOT claimed across a chain
     * (multiple files per bucket), so consumers pay a local sort,
     * never an exchange.
     */
@@ -578,7 +651,16 @@ private[graft] object StoreFiles {
       case Some(l) => l
     }
     val t = chainName(norm, n, keys, sortCols, ddl)
-    def registerAndRead(): org.apache.spark.sql.DataFrame = {
+    // a registration that already failed twice in this JVM is
+    // persistent (read-only metastore, unwritable scratch) — go
+    // straight to the caller's plain union without re-paying
+    // create+retry and re-printing the warning on every read
+    if (chainRegisterFailed.contains(t)) return None
+    def registerAndRead(force: Boolean): org.apache.spark.sql.DataFrame = {
+      // the ADD is skipped only when this JVM already ADDed this exact
+      // partition set AND nothing invalidated it (a fresh CREATE below
+      // or the retry path's `force` both re-run it)
+      var mustAdd = force || chainPartsAdded.get(t) != norm
       if (!s.catalog.tableExists(t)) {
         // the table's own LOCATION is never read (every row lives in a
         // partition's custom location) — a scratch dir keeps the
@@ -596,26 +678,37 @@ private[graft] object StoreFiles {
           case e: org.apache.spark.sql.AnalysisException =>
             if (!s.catalog.tableExists(t)) throw e
         }
+        mustAdd = true
       }
-      s.sql(s"ALTER TABLE $t ADD IF NOT EXISTS " + norm.zipWithIndex
-        .map { case (p, i) =>
-          s"PARTITION ($ChainDepthCol=$i) LOCATION '$p'" }
-        .mkString(" "))
+      if (mustAdd) {
+        s.sql(s"ALTER TABLE $t ADD IF NOT EXISTS " + norm.zipWithIndex
+          .map { case (p, i) =>
+            s"PARTITION ($ChainDepthCol=$i) LOCATION '$p'" }
+          .mkString(" "))
+        // memo AFTER the ADD succeeds: a racer between CREATE and ADD
+        // must not be told the chain is complete
+        chainPartsAdded.put(t, norm)
+      }
       s.table(t)
     }
     val data =
-      try registerAndRead()
+      try registerAndRead(force = false)
       catch {
         // a concurrent gc dropped this registration between our exists
-        // check and the read — re-register once (deterministic name);
-        // a second failure is persistent (un-parseable DDL, catalog
-        // permissions), so shout and fall back to the plain union
-        // rather than silently forfeiting the exchange-free shape on
-        // every future read
-        case _: org.apache.spark.sql.AnalysisException =>
-          try registerAndRead()
+        // check and the read — re-register once (deterministic name,
+        // forcing a fresh ADD past the memo); a second failure is
+        // persistent (un-parseable DDL, catalog permissions, an
+        // unwritable scratch dir — IOException from createDirectories
+        // degrades here too, not up through the chain read), so shout
+        // ONCE, record it, and fall back to the plain union rather
+        // than silently forfeiting the exchange-free shape
+        case _: org.apache.spark.sql.AnalysisException |
+             _: java.io.IOException =>
+          try registerAndRead(force = true)
           catch {
-            case e: org.apache.spark.sql.AnalysisException =>
+            case e @ (_: org.apache.spark.sql.AnalysisException |
+                      _: java.io.IOException) =>
+              chainRegisterFailed.add(t)
               System.err.println(s"[graft] WARNING: aligned chain " +
                 s"table $t failed to register twice ($e) — serving " +
                 s"${norm.size} generations via plain union (an " +
@@ -675,6 +768,18 @@ private[graft] object StoreFiles {
     out.toSet
   }
 
+  /** gc's keep set when the pointer at `root` reads (gen, prev): the
+    * pointed generation's WHOLE (lenient) chain plus prev's — a delta
+    * generation is useless without its parents, and prev's chain gets
+    * the same one-cycle reader grace its own dir does. ONE
+    * implementation for [[gc]] and StoreCtl doctor's would-collect
+    * preview, so the preview can never silently drift from the verb.
+    */
+  private[graft] def gcKeepSet(root: String, gen: String,
+                               prev: Option[String]): Set[String] =
+    chainNamesLenient(root, gen) ++
+      prev.toSet.flatMap(chainNamesLenient(root, _: String))
+
   /** Committed gen-numbered generations strictly ABOVE the pointed
     * one — the litter of an `advance` that crashed between its fold's
     * marker and the flip. gc spares them (they hold a folded batch no
@@ -720,11 +825,7 @@ private[graft] object StoreFiles {
       case None => Left(s"no $CurrentName pointer at $root — refusing " +
         "to gc an unpointed root (nothing marks a generation as live)")
       case Some((gen, prev)) =>
-        // a delta generation is useless without its parents: keep the
-        // pointed generation's WHOLE chain (and prev's, for the same
-        // grace its own dir gets)
-        val keep = chainNamesLenient(root, gen) ++
-          prev.toSet.flatMap(chainNamesLenient(root, _: String))
+        val keep = gcKeepSet(root, gen, prev)
         val GenPat = "gen-(\\d+)".r
         val pointedNum = gen match {
           case GenPat(n) => Some(n.toLong)

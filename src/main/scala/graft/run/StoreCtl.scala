@@ -176,6 +176,19 @@ object StoreCtl {
         advance(spark, kind, corpus, root, pred, delta = false)
       case Seq("advance", "--delta", kind, corpus, root, pred) =>
         advance(spark, kind, corpus, root, pred, delta = true)
+      case Seq("advance", "--delta", "--compact-at", n, kind, corpus,
+               root, pred) =>
+        // the unattended-cadence face: a cron'd delta advance that
+        // compacts INLINE once the post-advance depth reaches n, so a
+        // deployment with no separate compact cron never walks into
+        // the depth guard's refusal (warn-only guards still degrade
+        // silently for an operator who never reads the warnings)
+        n.toIntOption.filter(_ >= 2) match {
+          case None => Left(s"--compact-at wants an int >= 2 (a delta " +
+            s"advance always lands at depth >= 2), got '$n'")
+          case Some(at) => advance(spark, kind, corpus, root, pred,
+            delta = true, compactAt = Some(at))
+        }
       case Seq("compact", kind, root) =>
         compact(spark, kind, root)
       case Seq("chain", root) =>
@@ -213,7 +226,9 @@ object StoreCtl {
           }
         }
       case Seq("doctor", root) =>
-        doctor(spark, root)
+        doctor(spark, root, fix = false)
+      case Seq("doctor", "--fix", root) =>
+        doctor(spark, root, fix = true)
       case Seq("recall", "--sample", n, root, corpus) =>
         // budgeted drift alarm: measure only the n smallest-hash
         // query ids (Similarity.RecallSampleKey's deterministic
@@ -256,9 +271,11 @@ object StoreCtl {
           "stats <store> | " +
           "flip <root> <gen> | serve <root> | gc <root> | " +
           "advance [--delta] <kind> <corpus> <root> <pred> | " +
-          "compact <kind> <root> | chain <root> | doctor <root> | " +
+          "compact <kind> <root> | chain <root> | " +
+          "doctor [--fix] <root> | " +
           "recall [--sample n] <root> <corpus>\n" +
-          "  kind = cluster | embed | ivfpq | phash (--delta: all kinds)")
+          "  kind = cluster | embed | ivfpq | phash (--delta: all " +
+          "kinds; --delta --compact-at n compacts inline at depth n)")
     }
 
   /** Each kind's relations with their serve-key sort order: the band
@@ -405,11 +422,18 @@ object StoreCtl {
     * predicate's rows into the next free `gen-<n>`, then flip.
     * `delta = true` lands only the increment (the hourly-cadence
     * shape — bytes ∝ batch); readers resolve the chain, and a nightly
-    * `compact` seals it.
+    * `compact` seals it. `compactAt = Some(n)` runs that compact
+    * INLINE whenever the post-advance depth reaches n — the
+    * single-cron deployment shape: the advance lands and flips FIRST
+    * (the batch is durable and served before the seal starts), so an
+    * inline-compact failure degrades to exactly the
+    * missed-compact-cron state the depth guard already handles, never
+    * a lost batch.
     */
   private def advance(spark: SparkSession, kind: String, corpus: String,
-                      root: String, pred: String,
-                      delta: Boolean): Either[String, String] =
+                      root: String, pred: String, delta: Boolean,
+                      compactAt: Option[Int] = None)
+      : Either[String, String] =
     StoreFiles.serve(root).flatMap { cur =>
       refuseOrphans(root) match {
         case Some(m) => return Left(m)
@@ -459,6 +483,22 @@ object StoreCtl {
               s"[advance] serving $p\n$w"
             } else s"[advance] serving $p"
           })
+        .flatMap { msg =>
+          // inline compact AFTER the flip: the advanced batch is
+          // already durable and served whatever happens below
+          if (!compactAt.exists(depthAfter >= _)) Right(msg)
+          else compact(spark, kind, root) match {
+            case Right(cm) => Right(s"$msg\n$cm")
+            case Left(e) =>
+              // exit 1 so the cron alerts, but say loudly that the
+              // advance itself LANDED — the operator's store serves
+              // the new batch; only the seal is owed
+              Left(s"$msg\n[advance] inline compact (--compact-at " +
+                s"${compactAt.get}) FAILED after the advance landed " +
+                s"and flipped — the chain still serves at depth " +
+                s"$depthAfter; run `compact $root` by hand: $e")
+          }
+        }
     }
 
   /** The advance-crash window guard: a committed gen-numbered
@@ -479,10 +519,10 @@ object StoreCtl {
       "or delete it explicitly, then re-run.")
   }
 
-  /** `doctor <root>`: read-only post-incident triage of a generation
+  /** `doctor [--fix] <root>`: post-incident triage of a generation
     * root — the checklist an operator would otherwise reconstruct from
     * the marker/pointer/chain docs after a crashed advance, a missed
-    * compact cron, or a half-finished gc. Never mutates anything and
+    * compact cron, or a half-finished gc. Read-only by default and
     * never refuses a sick root (a missing pointer is a DIAGNOSIS here,
     * not a precondition): it returns one report with findings split
     * into WARN (readers are or will be refusing; operator action
@@ -492,12 +532,21 @@ object StoreCtl {
     * committed generation, the served chain walks (dangling parents,
     * cycles), chain depth vs the live guard thresholds, bucketed-
     * layout consistency per relation across the chain (a mixed chain
-    * serves via plain union until compact re-seals it), committed
-    * generations stranded ABOVE the pointer (a crashed advance's
-    * batch — the refuseOrphans story), and uncommitted litter.
+    * serves via plain union until compact re-seals it — the note
+    * names the bucket count the session's compact would re-seal at),
+    * committed generations stranded ABOVE the pointer (a crashed
+    * advance's batch — the refuseOrphans story), uncommitted litter,
+    * and DANGLING store-table registrations: `graft_bkt_`/`graft_chn_`
+    * catalog entries whose LOCATION (or any partition location) no
+    * longer exists on disk. A session's own gc reclaims its own
+    * registrations (registration lifetime = file lifetime), but the
+    * registry is JVM-local, so a DEAD JVM's entries dangle on a
+    * shared catalog forever — doctor lists them, and `--fix` (the one
+    * mutation the verb has, opt-in) drops exactly those; a table
+    * whose locations all exist is never touched, serving or not.
     */
-  private def doctor(spark: SparkSession,
-                     root: String): Either[String, String] = {
+  private def doctor(spark: SparkSession, root: String,
+                     fix: Boolean): Either[String, String] = {
     val rootF = new java.io.File(root)
     if (!rootF.isDirectory) return Left(s"$root is not a directory")
     val warns = scala.collection.mutable.ArrayBuffer[String]()
@@ -585,9 +634,14 @@ object StoreCtl {
                     else if (shapes.map(_._4).distinct.size > 1)
                       s"${byKeys.head}, schemas differ"
                     else s"${byKeys.head}, in-bucket sorts differ"
+                  // name the TARGET: compact re-seals at the
+                  // session's write-time count (a grown
+                  // graft.store.buckets migrates the whole chain to
+                  // the new layout in one seal)
                   notes += s"$rel/: layouts diverge across the chain " +
                     s"($detail) — plain-union serving; compact " +
-                    "re-seals it"
+                    "re-seals it at the session's current bucket " +
+                    s"count (${StoreFiles.bucketCount(spark)})"
                 }
               }
             }
@@ -606,14 +660,30 @@ object StoreCtl {
         "an in-flight writer or a crashed fold's litter; never " +
         "auto-deleted, and their gen names stay reserved"
 
-    // exactly gc's keep set, so the preview and the verb agree
+    // gc's OWN keep-set helper (StoreFiles.gcKeepSet), so the preview
+    // and the verb can never drift
     cur.foreach { case (gen, prev) =>
-      val keep = StoreFiles.chainNamesLenient(root, gen) ++
-        prev.toSet.flatMap(StoreFiles.chainNamesLenient(root, _: String))
+      val keep = StoreFiles.gcKeepSet(root, gen, prev)
       val collectable = committedGens.filterNot(keep)
         .filterNot(orphans.contains)
       if (collectable.nonEmpty)
         notes += s"gc would collect: ${collectable.mkString(", ")}"
+    }
+
+    // dangling cross-JVM registrations: graft-prefixed catalog tables
+    // whose files are gone. The audit is catalog-wide (registration
+    // names hash layout+paths, so a dead JVM's entries are not
+    // attributable to one root) but only ever NAMES dead tables; live
+    // ones — another JVM may be serving through them — are untouched.
+    danglingRegistrations(spark).foreach { case (t, gone) =>
+      if (fix) {
+        try spark.sql(s"DROP TABLE IF EXISTS $t")
+        catch { case _: org.apache.spark.sql.AnalysisException => () }
+        notes += s"dropped dangling registration $t " +
+          s"(location gone: $gone)"
+      } else
+        notes += s"dangling registration $t (location gone: $gone) — " +
+          "metadata-only; `doctor --fix` drops it"
     }
 
     val status =
@@ -623,6 +693,50 @@ object StoreCtl {
       s"(${committedGens.length} committed generation(s))"
     Right((head +: (warns.map("  WARN " + _) ++
       notes.map("  note " + _))).mkString("\n"))
+  }
+
+  /** `graft_bkt_`/`graft_chn_` tables in the current database whose
+    * backing files are GONE — for a single-generation bucketed table
+    * the table LOCATION itself, for an aligned chain table any
+    * partition location (one missing generation makes the whole chain
+    * unreadable; its own LOCATION is scratch metadata that holds no
+    * rows, checked only when the table has no partitions at all).
+    * Only local-filesystem URIs are judged — a scheme this process
+    * cannot stat must never read as "gone" (dropping a LIVE serving
+    * table on a false positive is worse than leaving a dead one).
+    * Returns (table, first missing path) pairs.
+    */
+  private def danglingRegistrations(
+      spark: SparkSession): Seq[(String, String)] = {
+    val cat = spark.sessionState.catalog
+    def missing(uri: java.net.URI): Option[String] = {
+      val scheme = Option(uri.getScheme).getOrElse("file")
+      if (!scheme.equalsIgnoreCase("file")) None
+      else Some(uri.getPath).filterNot(p =>
+        java.nio.file.Files.isDirectory(java.nio.file.Paths.get(p)))
+    }
+    cat.listTables(cat.getCurrentDatabase)
+      .filter(ti => ti.table.startsWith("graft_bkt_") ||
+        ti.table.startsWith("graft_chn_"))
+      .sortBy(_.table)
+      .flatMap { ti =>
+        // a table dropped or mutated by a concurrent session between
+        // the listing and the metadata read is simply skipped — the
+        // next doctor run sees the settled state
+        try {
+          if (ti.table.startsWith("graft_bkt_"))
+            cat.getTableMetadata(ti).storage.locationUri
+              .flatMap(missing).map((ti.table, _)).toSeq
+          else {
+            val parts = cat.listPartitions(ti)
+            if (parts.isEmpty)
+              cat.getTableMetadata(ti).storage.locationUri
+                .flatMap(missing).map((ti.table, _)).toSeq
+            else parts.flatMap(_.storage.locationUri.flatMap(missing))
+              .headOption.map((ti.table, _)).toSeq
+          }
+        } catch { case scala.util.control.NonFatal(_) => Nil }
+      }
   }
 
   /** The store's commit marker: manifest.json for the cluster /

@@ -109,34 +109,132 @@ class ChainAlignedSpec extends AnyFunSuite {
     }
   }
 
+  /** The depth->1 probe contract, shared by every served-store stream
+    * case: each join child that holds an aligned chain scan (and no
+    * nested join — an outer join's child legitimately contains the
+    * batch side's exchange below an inner join) must be exchange-free
+    * and scan bucketed.
+    */
+  private def assertChainProbeSidesExchangeFree(p: SparkPlan): Unit = {
+    val probeSides = p.collect {
+      case j: BaseJoinExec => j.children.filter(c =>
+        chainScans(c).nonEmpty &&
+          c.collect { case n: BaseJoinExec => n }.isEmpty)
+    }.flatten
+    assert(probeSides.nonEmpty,
+      s"no join probes the chain tables:\n${p.toString.take(4000)}")
+    probeSides.foreach { c =>
+      assert(c.collect { case e: Exchange => e }.isEmpty,
+        s"a chain-side probe input shuffles:\n${c.toString.take(3000)}")
+      assert(chainScans(c).forall(_.bucketedScan),
+        c.toString.take(3000))
+    }
+  }
+
+  private def withNoBroadcast[T](body: => T): T = {
+    val k = "spark.sql.autoBroadcastJoinThreshold"
+    val was = spark.conf.get(k)
+    spark.conf.set(k, "-1")
+    try body finally spark.conf.set(k, was)
+  }
+
+  /** A fresh depth-3 chain root of `kind` over per-third predicates —
+    * the fixture behind the per-stream depth-3 pins below.
+    */
+  private def depth3Root(tag: String, kind: String,
+                         preds: Seq[String]): String = {
+    val f = new java.io.File(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+      s"graft_chainaligned_${tag}_p${ProcessHandle.current().pid()}")
+    def rec(g: java.io.File): Unit = {
+      if (g.isDirectory) g.listFiles().foreach(rec)
+      g.delete()
+    }
+    rec(f); f.mkdirs()
+    def runOrDie(cmd: Seq[String]): Unit = {
+      val r = StoreCtl.run(spark, cmd)
+      assert(r.isRight, s"$cmd: $r")
+    }
+    runOrDie(Seq("build", kind, dir, s"$f/gen-0", preds(0)))
+    runOrDie(Seq("flip", f.toString, "gen-0"))
+    preds.drop(1).foreach(p =>
+      runOrDie(Seq("advance", "--delta", kind, dir, f.toString, p)))
+    f.toString
+  }
+
   test("storeNearDupStream over a depth-3 chain: the store sides stay " +
       "bucketed scans with NO exchange — the r19 depth-1 contract " +
       "now holds without waiting for compact") {
     val docs = Engine.table(spark, dir, "documents")
       .selectExpr("doc_id", "(doc_id + 1) * 1000000000L AS ts", "text")
-    val k = "spark.sql.autoBroadcastJoinThreshold"
-    val was = spark.conf.get(k)
-    spark.conf.set(k, "-1")
-    try Dedup.withAqeOff(spark) {
-      val p = streaming.Streams.storeNearDupStream(docs, served)
-        .queryExecution.executedPlan
-      // the chain-fed PROBE inputs: join children that hold a chain
-      // scan and no nested join (an outer join's child legitimately
-      // contains the batch side's exchange below an inner join)
-      val probeSides = p.collect {
-        case j: BaseJoinExec => j.children.filter(c =>
-          chainScans(c).nonEmpty &&
-            c.collect { case n: BaseJoinExec => n }.isEmpty)
-      }.flatten
-      assert(probeSides.nonEmpty,
-        s"no join probes the chain tables:\n${p.toString.take(4000)}")
-      probeSides.foreach { c =>
-        assert(c.collect { case e: Exchange => e }.isEmpty,
-          s"a chain-side probe input shuffles:\n${c.toString.take(3000)}")
-        assert(chainScans(c).forall(_.bucketedScan),
-          c.toString.take(3000))
+    withNoBroadcast {
+      Dedup.withAqeOff(spark) {
+        assertChainProbeSidesExchangeFree(
+          streaming.Streams.storeNearDupStream(docs, served)
+            .queryExecution.executedPlan)
       }
-    } finally spark.conf.set(k, was)
+    }
+  }
+
+  test("storePhashStream over a depth-3 phash chain: bands and sigs " +
+      "stay bucketed scans with NO exchange — the served-media pin " +
+      "at depth > 1") {
+    val root = depth3Root("ph3", "phash",
+      Seq("doc_id % 3 = 0", "doc_id % 3 = 1", "doc_id % 3 = 2"))
+    val cur = StoreFiles.serve(root).toOption.get
+    assert(StoreFiles.chainPaths(cur).exists(_.length == 3))
+    val docs = Engine.table(spark, dir, "documents")
+      .selectExpr("doc_id", "(doc_id + 1) * 1000000000L AS ts", "text")
+    withNoBroadcast {
+      Dedup.withAqeOff(spark) {
+        assertChainProbeSidesExchangeFree(
+          streaming.Streams.storePhashStream(docs, cur)
+            .queryExecution.executedPlan)
+      }
+    }
+  }
+
+  test("annServeStream over a depth-3 ivfpq chain: the chained code " +
+      "table reaches its cell join scan+union only — zero Exchange " +
+      "on the store side, the tiny query side broadcasting (the " +
+      "designed serve shape at any depth; codes is DELIBERATELY " +
+      "unbucketed, so this pin is exchange-freedom, not bucketing)") {
+    val root = depth3Root("iv3", "ivfpq",
+      Seq("vec_id % 3 = 0", "vec_id % 3 = 1", "vec_id % 3 = 2"))
+    val cur = StoreFiles.serve(root).toOption.get
+    assert(StoreFiles.chainPaths(cur).exists(_.length == 3))
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    val queries = Engine.table(spark, dir, "embeddings")
+      .where(s"vec_id >= ${graft.operators.Similarity.IvfQ}")
+      .selectExpr("vec_id", "cast(1 as bigint) AS ts", "embedding")
+    Dedup.withAqeOff(spark) {
+      val p = streaming.Streams.annServeStream(queries, cur)
+        .queryExecution.executedPlan
+      def codesScans(c: SparkPlan) = c.collect {
+        case f: FileSourceScanExec if f.relation.location.rootPaths
+          .exists(_.toString.contains("/codes")) => f
+      }
+      val joins = p.collect {
+        case j: BaseJoinExec
+          if j.children.exists(codesScans(_).nonEmpty) => j
+      }
+      assert(joins.nonEmpty,
+        s"no join reads the code table:\n${p.toString.take(4000)}")
+      val codesSides = joins.last.children.filter(codesScans(_).nonEmpty)
+      assert(codesSides.nonEmpty)
+      codesSides.foreach { c =>
+        assert(c.collect { case e: Exchange => e }.isEmpty,
+          s"the chained codes side shuffles:\n${c.toString.take(3000)}")
+        assert(codesScans(c).size == 3,
+          "all three generations' codes must feed one union: " +
+            c.toString.take(3000))
+      }
+      // the per-batch query side reaches the code join as a broadcast
+      assert(p.collect {
+        case b: org.apache.spark.sql.execution.exchange
+          .BroadcastExchangeExec => b
+      }.nonEmpty, p.toString.take(4000))
+    }
   }
 
   test("chain-table registrations live exactly as long as their " +

@@ -755,6 +755,12 @@ class StoreCtlSpec extends AnyFunSuite {
     import graft.operators.StoreFiles
     val root = tmp("doc_ph"); new java.io.File(root).mkdirs()
 
+    // earlier SUITES in this shared JVM delete store dirs out-of-band
+    // (exactly the dead-JVM shape the dangling audit exists for) —
+    // sweep their registrations once so this test's HEALTHY
+    // assertions judge only the root it builds
+    assert(StoreCtl.run(spark, Seq("doctor", "--fix", root)).isRight)
+
     // unpointed root: a diagnosis, not a refusal (unlike gc/serve)
     val r0 = StoreCtl.run(spark, Seq("doctor", root))
     assert(r0.exists(m => m.contains("WARN") && m.contains("pointer")),
@@ -829,5 +835,253 @@ class StoreCtlSpec extends AnyFunSuite {
       iroot, "vec_id % 2 = 1")).isRight)
     val ivf = StoreCtl.run(spark, Seq("doctor", iroot))
     assert(ivf.exists(_.contains("HEALTHY")), ivf)
+  }
+
+  test("doctor lists dangling graft-table registrations (files gone, " +
+      "the dead-JVM shape) and --fix drops exactly those — live " +
+      "serving tables untouched") {
+    import graft.operators.StoreFiles
+    val live = tmp("dang_live"); new java.io.File(live).mkdirs()
+    val dead = tmp("dang_dead"); new java.io.File(dead).mkdirs()
+    for (root <- Seq(live, dead)) {
+      assert(StoreCtl.run(spark, Seq("build", "phash", dir,
+        s"$root/gen-0", "doc_id % 2 = 0")).isRight)
+      assert(StoreCtl.run(spark, Seq("flip", root, "gen-0")).isRight)
+      assert(StoreCtl.run(spark, Seq("advance", "--delta", "phash", dir,
+        root, "doc_id % 2 = 1")).isRight)
+      // register both faces: the aligned chain table (depth-2 read)
+      // and the build's single-generation bucketed tables
+      assert(StoreFiles.readRelChain(spark,
+        StoreFiles.serve(root).toOption.get, "sigs").count() > 0)
+    }
+    // sweep earlier suites' out-of-band deletions so the assertions
+    // below attribute every finding to THIS test's dead root
+    assert(StoreCtl.run(spark, Seq("doctor", "--fix", live)).isRight)
+    val liveGens = StoreFiles.chainPaths(
+      StoreFiles.serve(live).toOption.get).toOption.get
+    val deadGens = StoreFiles.chainPaths(
+      StoreFiles.serve(dead).toOption.get).toOption.get
+    // capture names BEFORE the files die (the sidecars go with them)
+    val liveChn = StoreFiles.chainTableFor(
+      liveGens.map(g => s"$g/sigs")).get
+    val deadChn = StoreFiles.chainTableFor(
+      deadGens.map(g => s"$g/sigs")).get
+    val liveBkt = StoreFiles.sidecarTable(s"${liveGens.last}/sigs").get
+    val deadBkt = StoreFiles.sidecarTable(s"${deadGens.last}/sigs").get
+    assert(spark.catalog.tableExists(deadChn) &&
+      spark.catalog.tableExists(deadBkt))
+    // the dead JVM's shape: generation files deleted with no gc in
+    // the registering process (tmp() re-deletes recursively)
+    def rec(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rec)
+      f.delete()
+    }
+    rec(new java.io.File(dead))
+    val rep = StoreCtl.run(spark, Seq("doctor", live)).toOption.get
+    assert(rep.contains(deadChn) && rep.contains(deadBkt) &&
+      rep.contains("dangling"), rep)
+    assert(!rep.contains(liveChn) && !rep.contains(liveBkt),
+      s"a live registration was reported dangling:\n$rep")
+    val fixed = StoreCtl.run(spark, Seq("doctor", "--fix", live))
+      .toOption.get
+    assert(fixed.contains("dropped") && fixed.contains(deadChn), fixed)
+    assert(!spark.catalog.tableExists(deadChn) &&
+      !spark.catalog.tableExists(deadBkt))
+    assert(spark.catalog.tableExists(liveChn) &&
+      spark.catalog.tableExists(liveBkt),
+      "--fix must never touch a table whose files exist")
+    // the live chain still serves, and the next report is clean
+    assert(StoreFiles.readRelChain(spark,
+      StoreFiles.serve(live).toOption.get, "sigs").count() > 0)
+    assert(StoreCtl.run(spark, Seq("doctor", live))
+      .exists(!_.contains("dangling")))
+  }
+
+  test("advance --delta --compact-at n compacts inline once the " +
+      "post-advance depth reaches n, bit-identical to advance + " +
+      "manual compact") {
+    import graft.operators.StoreFiles
+    val auto = tmp("cat_auto"); new java.io.File(auto).mkdirs()
+    val manual = tmp("cat_man"); new java.io.File(manual).mkdirs()
+    for (root <- Seq(auto, manual)) {
+      assert(StoreCtl.run(spark, Seq("build", "phash", dir,
+        s"$root/gen-0", "doc_id % 4 = 0")).isRight)
+      assert(StoreCtl.run(spark, Seq("flip", root, "gen-0")).isRight)
+    }
+    def adv(root: String, pred: String, at: Boolean): String = {
+      val cmd =
+        if (at) Seq("advance", "--delta", "--compact-at", "3", "phash",
+          dir, root, pred)
+        else Seq("advance", "--delta", "phash", dir, root, pred)
+      val r = StoreCtl.run(spark, cmd)
+      assert(r.isRight, s"$cmd: $r")
+      r.toOption.get
+    }
+    // depth 2: below the threshold — no inline compact
+    val m1 = adv(auto, "doc_id % 4 = 1", at = true)
+    assert(!m1.contains("[compact]"), m1)
+    // depth 3: the inline compact fires and seals to depth 1
+    val m2 = adv(auto, "doc_id % 4 = 2", at = true)
+    assert(m2.contains("[advance]") && m2.contains("[compact]"), m2)
+    val servedAuto = StoreFiles.serve(auto).toOption.get
+    assert(StoreFiles.chainPaths(servedAuto).exists(_.length == 1),
+      StoreFiles.chainPaths(servedAuto))
+    // the manual twin: same advances, compact by hand
+    adv(manual, "doc_id % 4 = 1", at = false)
+    adv(manual, "doc_id % 4 = 2", at = false)
+    assert(StoreCtl.run(spark, Seq("compact", "phash", manual)).isRight)
+    val servedMan = StoreFiles.serve(manual).toOption.get
+    for (rel <- Seq("sigs", "bands")) {
+      val a = StoreFiles.readRelChain(spark, servedAuto, rel)
+        .collect().map(_.mkString("|")).sorted
+      val b = StoreFiles.readRelChain(spark, servedMan, rel)
+        .collect().map(_.mkString("|")).sorted
+      assert(a.sameElements(b), s"$rel diverged from the manual seal")
+    }
+    val ga = Dedup.storeGrp(spark, servedAuto, "doc_id")
+      .collect().map(_.mkString("|")).sorted
+    val gm = Dedup.storeGrp(spark, servedMan, "doc_id")
+      .collect().map(_.mkString("|")).sorted
+    assert(ga.sameElements(gm), "membership diverged")
+    // validation: --compact-at below 2 is a usage error, not a verb
+    assert(StoreCtl.run(spark, Seq("advance", "--delta", "--compact-at",
+      "1", "phash", dir, auto, "true")).isLeft)
+  }
+
+  test("bucket-count evolution: growing graft.store.buckets mid-chain " +
+      "serves via plain union, doctor names the re-seal target, and " +
+      "compact re-seals the WHOLE chain at the NEW count") {
+    import graft.operators.StoreFiles
+    val root = tmp("bkev"); new java.io.File(root).mkdirs()
+    spark.conf.set(StoreFiles.StoreBucketsKey, "2")
+    try {
+      assert(StoreCtl.run(spark, Seq("build", "phash", dir,
+        s"$root/gen-0", "doc_id % 2 = 0")).isRight)
+      assert(StoreCtl.run(spark, Seq("flip", root, "gen-0")).isRight)
+      // corpus growth: the deployment doubles its bucket count — new
+      // generations land at 4, the base stays at 2
+      spark.conf.set(StoreFiles.StoreBucketsKey, "4")
+      assert(StoreCtl.run(spark, Seq("advance", "--delta", "phash", dir,
+        root, "doc_id % 2 = 1")).isRight)
+      val served = StoreFiles.serve(root).toOption.get
+      val gens = StoreFiles.chainPaths(served).toOption.get
+      // mixed layouts must not claim alignment; rows still serve
+      assert(StoreFiles.readChainAligned(spark,
+        gens.map(g => s"$g/sigs"), None).isEmpty)
+      val before = StoreFiles.readRelChain(spark, served, "sigs")
+        .collect().map(_.mkString("|")).sorted
+      val rep = StoreCtl.run(spark, Seq("doctor", root)).toOption.get
+      assert(rep.contains("diverge") &&
+        rep.contains("current bucket count (4)"), rep)
+      assert(StoreCtl.run(spark, Seq("compact", "phash", root)).isRight)
+      val sealedGens = StoreFiles.chainPaths(
+        StoreFiles.serve(root).toOption.get).toOption.get
+      assert(sealedGens.length == 1)
+      for (rel <- Seq("sigs", "bands")) {
+        val n = StoreFiles.sidecarLayout(s"${sealedGens.head}/$rel").get._1
+        assert(n == 4, s"$rel re-sealed at $n buckets, not the " +
+          "session's grown count")
+      }
+      val after = StoreFiles.readRelChain(spark, sealedGens.head, "sigs")
+        .collect().map(_.mkString("|")).sorted
+      assert(after.sameElements(before), "the re-seal changed rows")
+    } finally spark.conf.unset(StoreFiles.StoreBucketsKey)
+  }
+
+  test("a LEGACY 3-field sidecar still yields its schema DDL: an " +
+      "empty pre-upgrade increment reads schema-correct with zero " +
+      "data files, never through parquet inference") {
+    import graft.operators.StoreFiles
+    val root = tmp("leg_ph"); new java.io.File(root).mkdirs()
+    assert(StoreCtl.run(spark, Seq("build", "phash", dir, s"$root/gen-0",
+      "doc_id % 2 = 0")).isRight)
+    assert(StoreCtl.run(spark, Seq("flip", root, "gen-0")).isRight)
+    // a no-rows increment: zero data files in every gen-1 relation
+    assert(StoreCtl.run(spark, Seq("advance", "--delta", "phash", dir,
+      root, "false")).isRight)
+    val gen0Sigs = StoreFiles.readRel(spark, s"$root/gen-0/sigs").count()
+    for (rel <- Seq("sigs", "bands", "grp")) {
+      val p = s"$root/gen-1/$rel"
+      val (n, keys, _, ddl) = StoreFiles.sidecarLayout(p).get
+      // the writer-registered bucketed table would mask the legacy
+      // read path — drop it, as a fresh session's catalog would
+      spark.sql(s"DROP TABLE IF EXISTS ${StoreFiles.sidecarTable(p).get}")
+      // rewrite to the pre-sort-line 3-field form (n, keys, ddl)
+      java.nio.file.Files.write(java.nio.file.Paths.get(p, "_BUCKETS"),
+        s"$n\n${keys.mkString(",")}\n$ddl".getBytes("UTF-8"))
+      assert(StoreFiles.sidecarLayout(p).isEmpty)
+      assert(StoreFiles.legacySidecarDdl(p).contains(ddl))
+      // the empty relation reads through the recovered DDL — zero
+      // rows, the WRITER's schema, no inference crash
+      val df = StoreFiles.readRel(spark, p)
+      assert(df.count() == 0)
+      // names+types (file reads relax nullability): the point is the
+      // WRITER's schema arrived without touching parquet inference
+      assert(df.schema.map(f => (f.name, f.dataType)) ==
+        org.apache.spark.sql.types.StructType.fromDDL(ddl)
+          .map(f => (f.name, f.dataType)), rel)
+    }
+    // the chain read unions the legacy-sidecar empty increment with
+    // the bucketed base: same rows as the base alone
+    assert(StoreFiles.readRelChain(spark,
+      StoreFiles.serve(root).toOption.get, "sigs").count() == gen0Sigs)
+  }
+
+  test("an externally dropped chain table self-heals on the next " +
+      "read even after this JVM memoized its partition registration") {
+    import graft.operators.StoreFiles
+    val root = tmp("heal_ph"); new java.io.File(root).mkdirs()
+    assert(StoreCtl.run(spark, Seq("build", "phash", dir, s"$root/gen-0",
+      "doc_id % 2 = 0")).isRight)
+    assert(StoreCtl.run(spark, Seq("flip", root, "gen-0")).isRight)
+    assert(StoreCtl.run(spark, Seq("advance", "--delta", "phash", dir,
+      root, "doc_id % 2 = 1")).isRight)
+    val gens = StoreFiles.chainPaths(
+      StoreFiles.serve(root).toOption.get).toOption.get
+    val paths = gens.map(g => s"$g/sigs")
+    def rows(): Set[String] =
+      StoreFiles.readChainAligned(spark, paths, None).get
+        .collect().map(_.mkString("|")).toSet
+    val first = rows()
+    // second read memoizes past the per-read ADD PARTITION
+    assert(rows() == first)
+    // a concurrent session drops the registration (gc on its side);
+    // the deterministic name re-registers THROUGH the memo, with the
+    // retry forcing a fresh ADD — rows identical, not a partial chain
+    spark.sql(s"DROP TABLE ${StoreFiles.chainTableFor(paths).get}")
+    assert(rows() == first)
+  }
+
+  test("an unwritable scratch tmpdir degrades the aligned chain read " +
+      "to the plain union — IOException is inside the fallback " +
+      "contract, never an aborted read") {
+    import graft.operators.StoreFiles
+    val root = tmp("iofb_ph"); new java.io.File(root).mkdirs()
+    assert(StoreCtl.run(spark, Seq("build", "phash", dir, s"$root/gen-0",
+      "doc_id % 3 = 0")).isRight)
+    assert(StoreCtl.run(spark, Seq("flip", root, "gen-0")).isRight)
+    assert(StoreCtl.run(spark, Seq("advance", "--delta", "phash", dir,
+      root, "doc_id % 3 = 1")).isRight)
+    val served = StoreFiles.serve(root).toOption.get
+    val gens = StoreFiles.chainPaths(served).toOption.get
+    val expected = gens.map(g =>
+      StoreFiles.readRel(spark, s"$g/sigs").count()).sum
+    // point java.io.tmpdir at a regular FILE: the chain table's
+    // scratch-metadata createDirectories now throws IOException
+    val blocker = java.nio.file.Files.createTempFile("graft_iofb", ".f")
+    val was = sys.props("java.io.tmpdir")
+    sys.props("java.io.tmpdir") = blocker.toString
+    try {
+      assert(StoreFiles.readChainAligned(spark,
+        gens.map(g => s"$g/sigs"), None).isEmpty,
+        "an unwritable scratch dir must degrade to the union, " +
+          "not register a chain table")
+      // the full chain read still serves every row through the union
+      assert(StoreFiles.readRelChain(spark, served, "sigs")
+        .count() == expected)
+    } finally {
+      sys.props("java.io.tmpdir") = was
+      java.nio.file.Files.deleteIfExists(blocker)
+    }
   }
 }
