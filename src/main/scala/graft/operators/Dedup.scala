@@ -1141,8 +1141,11 @@ object Dedup extends QueryPack {
   //   1. explode each doc into positioned 8-gram md5 keys — narrow
   //      per-doc pass, the wide toks array is pruned inside the same
   //      codegen stage;
-  //   2. keys held by >= 2 distinct docs (two-phase count-distinct
-  //      aggregate; the shuffle carries 32-byte keys);
+  //   2. keys held by >= 2 distinct docs — tested as min(doc_id) !=
+  //      max(doc_id), a plain partial-aggregable min/max pair instead
+  //      of a count-distinct (whose two-phase expand shuffles every
+  //      (k, doc_id) pair twice for a predicate that only needs "more
+  //      than one");
   //   3. LEFT SEMI join positions back onto the surviving keys —
   //      equi-join, map-side-prunable, never a pair product (a gram
   //      shared by n docs costs n index rows, not n^2 pair rows —
@@ -1164,11 +1167,17 @@ object Dedup extends QueryPack {
       .selectExpr("doc_id", "cast(pos as bigint) AS pos",
         s"md5(concat_ws(' ', slice(toks, pos, $SpanK))) AS k")
     val dup = gk.groupBy("k")
-      .agg(countDistinct(col("doc_id")).as("nd"))
-      .filter(col("nd") >= 2).select("k")
+      .agg(min(col("doc_id")).as("d0"), max(col("doc_id")).as("d1"))
+      .filter(col("d0") =!= col("d1")).select("k")
     val w = Window.partitionBy("doc_id").orderBy("pos")
+    // (doc_id, pos) is unique in gk by construction (pos is a
+    // per-doc sequence) and LEFT SEMI never duplicates rows, so the
+    // matched positions feed the window directly — the r19 plan paid
+    // a full extra distinct() shuffle of the largest intermediate
+    // here (17 MB at sf0.1, the bench's top shuffle key) for rows
+    // that were already unique
     gk.join(dup, Seq("k"), "left_semi")
-      .select("doc_id", "pos").distinct()
+      .select("doc_id", "pos")
       // lag = null on the first row: null <= 8 is null -> otherwise(1),
       // starting a new island, identically three-valued in DuckDB
       .withColumn("flag",

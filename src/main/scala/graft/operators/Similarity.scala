@@ -1437,10 +1437,11 @@ object Similarity extends QueryPack {
          |GROUP BY ex.query_id ORDER BY ex.query_id""".stripMargin)
   }
 
-  /** The global-recall oracle: [[simAnnRecallStoredSql]] with the
-    * exact side unrestricted — queries x the full candidate corpus.
+  /** The global-recall oracle's CTE chain and final aggregate, split
+    * so the SAMPLED key's oracle composes the IDENTICAL computation
+    * with an end-restriction (see [[simAnnRecallGlobalSampledSql]]).
     */
-  private lazy val simAnnRecallGlobalSql =
+  private lazy val annRecallGlobalCtes =
     s"""WITH base AS (SELECT vec_id, $x4D AS x4 FROM embeddings),
        |${ivfpqCtes("base",
           m => s"x4[${PqDim * m + 1}:${PqDim * m + PqDim}]",
@@ -1455,14 +1456,61 @@ object Similarity extends QueryPack {
        |    FROM (SELECT DISTINCT vec_id FROM q) q0
        |    JOIN base qb ON qb.vec_id = q0.vec_id
        |    JOIN base c ON c.vec_id < $IvfQ)
-       |  WHERE rnk <= 3)
-       |SELECT ex.query_id,
+       |  WHERE rnk <= 3)""".stripMargin
+
+  private lazy val annRecallGlobalSelect =
+    s"""SELECT ex.query_id,
        |  CAST(COUNT(ann.neighbor_id) AS BIGINT) AS n_found,
        |  CAST(COUNT(ann.neighbor_id) AS BIGINT) * 1000000 // 3
        |    AS recall_micro
        |FROM ex LEFT JOIN ann ON ex.query_id = ann.query_id
        |  AND ex.neighbor_id = ann.neighbor_id
-       |GROUP BY ex.query_id ORDER BY ex.query_id""".stripMargin
+       |GROUP BY ex.query_id""".stripMargin
+
+  /** The global-recall oracle: [[simAnnRecallStoredSql]] with the
+    * exact side unrestricted — queries x the full candidate corpus.
+    */
+  private lazy val simAnnRecallGlobalSql =
+    s"$annRecallGlobalCtes\n$annRecallGlobalSelect ORDER BY ex.query_id"
+
+  /** Query budget of the SAMPLED global-recall bench key: the
+    * production alarm cadence the bench prices — 8 smallest-md5 query
+    * ids, whatever the corpus size (8 of 8 at sf0.01's fixture, 8 of
+    * ~1.5k at sf0.1, 8 of millions in production), so the exact side
+    * stays O(sample x corpus) while the FULL key keeps measuring
+    * everything in CORRECTNESS.
+    */
+  private[graft] val RecallBenchSample = 8
+
+  private def simAnnRecallGlobalSampled(s: SparkSession,
+                                        dir: String): DataFrame = {
+    val was = s.conf.getOption(RecallSampleKey)
+    s.conf.set(RecallSampleKey, RecallBenchSample.toString)
+    // the view rebinding happens eagerly inside the frame builder, so
+    // the conf restore cannot un-sample the returned plan
+    try simAnnRecallGlobal(s, dir)
+    finally was match {
+      case Some(v) => s.conf.set(RecallSampleKey, v)
+      case None    => s.conf.unset(RecallSampleKey)
+    }
+  }
+
+  /** The sampled oracle: the FULL report's CTE chain, restricted at
+    * the end to the deterministic md5 sample — legitimate because
+    * each report row is a per-query computation (the doctrine
+    * RecallSampleSpec pins: sampling changes which queries are
+    * measured, never what any query measures), and md5 hex compares
+    * identically in both engines.
+    */
+  private lazy val simAnnRecallGlobalSampledSql =
+    s"""$annRecallGlobalCtes,
+       |rep AS ($annRecallGlobalSelect),
+       |smp AS (SELECT DISTINCT vec_id FROM q
+       |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+       |  LIMIT $RecallBenchSample)
+       |SELECT rep.query_id, rep.n_found, rep.recall_micro FROM rep
+       |JOIN smp ON rep.query_id = smp.vec_id
+       |ORDER BY rep.query_id""".stripMargin
 
   private def simIvfPqFoldStored(s: SparkSession, dir: String): DataFrame = {
     VectorFunctions.ensureRegistered(s)
@@ -1484,14 +1532,19 @@ object Similarity extends QueryPack {
   /** Query-sampling knob for the recall alarms (r19): when set to
     * n >= 1, [[annRecallStoredFrame]] / [[annRecallGlobalFrame]] (and
     * `StoreCtl recall --sample n`) measure only the n query vectors
-    * with the smallest xxhash64(vec_id) (vec_id tie-break) — a
-    * deterministic, data-independent subset, so the sampled report is
-    * EXACTLY the full report restricted to those ids
+    * with the smallest md5(cast(vec_id as string)) (vec_id tie-break)
+    * — a deterministic, data-independent subset, so the sampled
+    * report is EXACTLY the full report restricted to those ids
     * (RecallSampleSpec pins the equality). The knob exists because
     * the global alarm's exact side is O(queries x corpus) BY DOCTRINE
     * (the brute-force oracle shape); on a production store the alarm
     * needs a budget, and "hash the query ids" beats "LIMIT n" (order-
-    * dependent) or random sampling (unreproducible across runs).
+    * dependent) or random sampling (unreproducible across runs). md5
+    * rather than xxhash64 (r20) because the oracle engine computes
+    * the identical hex — the SAMPLED bench key
+    * (sim_ann_recall_global_sampled) gets a cross-engine hash gate at
+    * any scale instead of a rows-only check; the hash's only job is
+    * deterministic data-independent ordering, which both meet.
     * Off (0 / unset) by default — the driver keys measure every
     * query.
     */
@@ -1514,7 +1567,7 @@ object Similarity extends QueryPack {
         s"$RecallSampleKey must be a non-negative int, got '$raw'"))
     if (n > 0)
       s.table("ipq_queries")
-        .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+        .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
         .limit(n)
         .select("vec_id", "x4")
         .createOrReplaceTempView("ipq_queries")
@@ -1756,6 +1809,7 @@ object Similarity extends QueryPack {
       "sim_ann_recall" -> simAnnRecall _,
       "sim_ann_recall_stored" -> simAnnRecallStored _,
       "sim_ann_recall_global" -> simAnnRecallGlobal _,
+      "sim_ann_recall_global_sampled" -> simAnnRecallGlobalSampled _,
       "sim_range_search" -> simRangeSearch _,
       "sim_negatives" -> simNegatives _,
       "sim_lsh_buckets" -> simLshBuckets _,
@@ -1781,6 +1835,7 @@ object Similarity extends QueryPack {
     "sim_ann_recall" -> simAnnRecallSql,
     "sim_ann_recall_stored" -> simAnnRecallStoredSql,
     "sim_ann_recall_global" -> simAnnRecallGlobalSql,
+    "sim_ann_recall_global_sampled" -> simAnnRecallGlobalSampledSql,
     "sim_range_search" -> simRangeSearchSql,
     "sim_negatives" -> simNegativesSql,
     "sim_lsh_buckets" -> simLshBucketsSql,

@@ -17,10 +17,10 @@ import graft.operators.{Dedup, Multimodal, Similarity, StoreFiles}
   *   runMain graft.run.StoreCtl flip  <root> <gen>
   *   runMain graft.run.StoreCtl serve <root>
   *   runMain graft.run.StoreCtl gc    <root>
-  *   runMain graft.run.StoreCtl advance [--delta] <kind> <corpus> <root> <pred>
+  *   runMain graft.run.StoreCtl advance [--delta [--compact-at n]] <kind> <corpus> <root> <pred>
   *   runMain graft.run.StoreCtl compact <kind> <root>
   *   runMain graft.run.StoreCtl chain   <root>
-  *   runMain graft.run.StoreCtl doctor  <root>
+  *   runMain graft.run.StoreCtl doctor  [--fix] <root>
   *   runMain graft.run.StoreCtl recall  [--sample n] <root> <corpus>
   *
   * kind = cluster | embed | ivfpq | phash. `pred` is a SQL predicate

@@ -1,7 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
-import org.apache.spark.sql.functions.{col, xxhash64}
+import org.apache.spark.sql.functions.{col, md5}
 import graft.operators.Similarity
 import graft.run.StoreCtl
 
@@ -31,13 +31,14 @@ class RecallSampleSpec extends AnyFunSuite {
   }
 
   /** The knob's documented subset, computed independently: the n
-    * query ids with the smallest xxhash64, vec_id tie-break.
+    * query ids with the smallest md5 hex, vec_id tie-break (the
+    * cross-engine hash the sampled bench key's oracle restates).
     */
   private def sampleIds(n: Int): Seq[Long] =
     Engine.table(spark, dir, "embeddings")
       .where(s"vec_id >= ${Similarity.IvfQ}")
       .select(col("vec_id"))
-      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
       .limit(n).collect().map(_.getLong(0)).toSeq
 
   test("sampled global-recall report == full report restricted to the " +
