@@ -133,10 +133,20 @@ object Bench {
     spread >= SpreadFloorSec && spread > SpreadFrac * median
 
   /** Per-thread iterations of the calibration kernel — sized so one
-    * measurement costs ~0.5 s on a healthy 32-thread box (two
-    * measurements per bench, ~1 s total overhead on a ~3-minute run).
+    * measurement costs ~1 s on a healthy 32-thread box (two
+    * measurements per bench, ~2 s total overhead on a ~3-minute run).
     */
   private val CalibIters = 400000000L
+
+  /** Calibration thread count — FIXED, independent of
+    * SPARK_GRAFT_CPUS: the kernel's total work (threads x iters) must
+    * be the same on every run or box_factor silently changes meaning
+    * (a 4-cpu run's 4-thread kernel finishes contention-free and
+    * reads far under the 32-thread reference). The count is recorded
+    * in the calib JSON so a mismatch against [[CalibRefSec]]'s
+    * definition is adjudicable from the record.
+    */
+  private val CalibThreads = 32
 
   /** Frozen reference seconds for [[calibSec]] on the round-20 box at
     * near-zero load (six quiet-box samples read 0.94-1.04 s at 32
@@ -229,7 +239,7 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val loadStart = loadAvg1m()
-    val calibStart = calibSec(cpus.toInt)
+    val calibStart = calibSec(CalibThreads)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -380,7 +390,7 @@ object Bench {
       }
     }
     val loadEnd = loadAvg1m()
-    val calibEnd = calibSec(cpus.toInt)
+    val calibEnd = calibSec(CalibThreads)
     // contention only inflates the kernel, so the quieter sample is
     // the box's speed; the factor divides wall totals into frozen
     // r20-box units
@@ -442,7 +452,7 @@ object Bench {
     // frozen unit, the divisor, and the normalized anchor total — a
     // grader adjudicates box speed from the record alone
     val calibJson = s"""{"start_s":${f3(calibStart)},"end_s":${
-      f3(calibEnd)},"ref_s":$CalibRefSec,"box_factor":${f3(boxFactor)}}"""
+      f3(calibEnd)},"threads":$CalibThreads,"ref_s":$CalibRefSec,"box_factor":${f3(boxFactor)}}"""
     val totalR10Norm = totalR10 / boxFactor
     // Full-precision per-query map goes to a FILE: with 90+ queries the
     // map alone exceeds the driver's 2000-char output-tail window, which

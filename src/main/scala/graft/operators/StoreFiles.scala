@@ -341,6 +341,13 @@ private[graft] object StoreFiles {
     * drop the trailing-id sort claim and carry different metadata
     * under the same hashed name.
     */
+  // the single 4-field parse (n, keys, in-bucket sort, schema DDL) —
+  // sidecarLayout and readRel share it so the two can never drift
+  private def parseLayout(lines: Array[String])
+      : (Int, Seq[String], Seq[String], String) =
+    (lines(0).trim.toInt, lines(1).split(",").toSeq,
+      lines(2).split(",").toSeq, lines(3))
+
   private[graft] def sidecarLayout(path: String)
       : Option[(Int, Seq[String], Seq[String], String)] =
     rawSidecar(path) match {
@@ -350,9 +357,7 @@ private[graft] object StoreFiles {
       // never a crash inside readRel/doctor on an old store (the
       // schema DDL it DOES carry is still honored, see
       // [[legacySidecarDdl]])
-      case Some(lines) if lines.length >= 4 =>
-        Some((lines(0).trim.toInt, lines(1).split(",").toSeq,
-          lines(2).split(",").toSeq, lines(3)))
+      case Some(lines) if lines.length >= 4 => Some(parseLayout(lines))
       case _ => None
     }
 
@@ -445,19 +450,19 @@ private[graft] object StoreFiles {
     */
   def readRel(s: org.apache.spark.sql.SparkSession,
               path: String): org.apache.spark.sql.DataFrame =
-    sidecarLayout(path) match {
-      case None =>
+    rawSidecar(path) match {
+      case Some(lines) if lines.length == 3 =>
         // legacy 3-field sidecar: honor its DDL (an empty relation has
         // no data files to infer from) while forfeiting only the
         // partitioning claim; an unparseable legacy DDL degrades to
         // plain inference rather than crashing the read
-        legacySidecarDdl(path).flatMap { ddl =>
-          try Some(s.read.schema(
-            org.apache.spark.sql.types.StructType.fromDDL(ddl))
-            .parquet(path))
-          catch { case scala.util.control.NonFatal(_) => None }
-        }.getOrElse(s.read.parquet(path))
-      case Some((n, keys, sortCols, ddl)) =>
+        (try Some(s.read.schema(
+          org.apache.spark.sql.types.StructType.fromDDL(lines(2)))
+          .parquet(path))
+        catch { case scala.util.control.NonFatal(_) => None })
+          .getOrElse(s.read.parquet(path))
+      case Some(lines) if lines.length >= 4 =>
+        val (n, keys, sortCols, ddl) = parseLayout(lines)
         val t = bucketTable(path, n, keys, sortCols, ddl)
         if (!s.catalog.tableExists(t)) {
           // two first-readers may race through the exists check: the
@@ -479,6 +484,8 @@ private[graft] object StoreFiles {
         chainRegistry.put(t, Seq(
           Paths.get(path).toAbsolutePath.normalize.toString))
         s.table(t)
+      // no sidecar (or a short unrecognized one): plain parquet
+      case _ => s.read.parquet(path)
     }
 
   /** Partition column carrying a chain generation's DEPTH (0 = the
@@ -533,29 +540,20 @@ private[graft] object StoreFiles {
   private val chainRegistry =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]
 
-  /** Chain tables whose partition set THIS JVM has already ADDed
-    * (table → the exact normalized partition paths): lets the hot
-    * serve path skip the per-read `ALTER TABLE ADD` — a catalog WRITE
-    * per read — once this JVM has registered that exact (table,
-    * partition-set). Safety is unchanged: the memo lands only AFTER a
-    * successful ADD, so a racer that sees the table between a
-    * creator's CREATE and its ADD still runs the idempotent ADD
-    * itself, and the re-register retry path forces a fresh ADD when a
-    * concurrent drop invalidated the memo.
-    */
-  private val chainPartsAdded =
-    new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]
-
   /** Chain tables whose registration failed TWICE in this JVM (an
     * unwritable scratch dir, a read-only shared metastore, an
-    * un-parseable DDL): later reads of the same chain go straight to
-    * the plain-union fallback without re-paying create+retry and
-    * re-printing the warning — the failure was already shouted once,
-    * and nothing about it heals without operator action (which comes
-    * with a restart).
+    * un-parseable DDL), with a count of the plain-union reads served
+    * since: later reads of the same chain skip the create+retry and
+    * the warning — the failure was already shouted once — but every
+    * [[ChainFailedReprobe]]th read re-attempts registration, so a
+    * TRANSIENT double-failure (two gc races in one window) heals
+    * instead of forfeiting the exchange-free shape for the JVM's
+    * lifetime on an assumption of persistence nothing verified.
     */
   private val chainRegisterFailed =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]
+
+  private val ChainFailedReprobe = 32L
 
   /** Drop every registration (chain table OR single-generation
     * bucketed table) that references a generation dir in
@@ -587,7 +585,6 @@ private[graft] object StoreFiles {
         try s.sql(s"DROP TABLE IF EXISTS $t")
         catch { case _: org.apache.spark.sql.AnalysisException => () }
         chainRegistry.remove(t)
-        chainPartsAdded.remove(t)
         chainRegisterFailed.remove(t)
         // best-effort: the scratch metadata dir is empty by
         // construction (no row ever lands in the table's own LOCATION)
@@ -633,13 +630,16 @@ private[graft] object StoreFiles {
     * caller's plain union; a persistent registration failure must
     * not silently forfeit the exchange-free shape, and a registration
     * that fails twice is RECORDED so later reads of the same chain go
-    * straight to the union without re-warning). The idempotent ADD
-    * PARTITION runs on every read UNTIL this JVM has completed it
-    * once for this exact (table, partition-set) — memoized in
-    * [[chainPartsAdded]], so the hot serve path pays no catalog write
-    * per read; a racer that sees the table between a creator's CREATE
-    * and its ADD still runs the ADD itself (the memo lands only after
-    * a successful ADD). Sort order is NOT claimed across a chain
+    * straight to the union without re-warning — re-probing
+    * periodically so a transient double-failure heals). The
+    * idempotent ADD PARTITION — a catalog WRITE — runs only when a
+    * catalog READ (listPartitionNames) finds the partition set
+    * incomplete: a racer that sees the table between a creator's
+    * CREATE and its ADD counts zero partitions and runs the ADD
+    * itself, and a drop+recreate by ANOTHER session is seen the same
+    * way (a JVM-local "already added" memo could not see it and would
+    * read the half-registered table as silently empty). Sort order is
+    * NOT claimed across a chain
     * (multiple files per bucket), so consumers pay a local sort,
     * never an exchange.
     */
@@ -651,16 +651,17 @@ private[graft] object StoreFiles {
       case Some(l) => l
     }
     val t = chainName(norm, n, keys, sortCols, ddl)
-    // a registration that already failed twice in this JVM is
-    // persistent (read-only metastore, unwritable scratch) — go
-    // straight to the caller's plain union without re-paying
-    // create+retry and re-printing the warning on every read
-    if (chainRegisterFailed.contains(t)) return None
+    // a registration that already failed twice is USUALLY persistent
+    // (read-only metastore, unwritable scratch) — serve the plain
+    // union without re-paying create+retry or re-printing the
+    // warning, but re-probe every ChainFailedReprobe-th read so a
+    // transient double-failure (two drop races in one window) heals
+    // without a JVM restart
+    val failedSince = chainRegisterFailed.computeIfPresent(t,
+      (_, c) => c + 1L)
+    if (failedSince != null && failedSince % ChainFailedReprobe != 0L)
+      return None
     def registerAndRead(force: Boolean): org.apache.spark.sql.DataFrame = {
-      // the ADD is skipped only when this JVM already ADDed this exact
-      // partition set AND nothing invalidated it (a fresh CREATE below
-      // or the retry path's `force` both re-run it)
-      var mustAdd = force || chainPartsAdded.get(t) != norm
       if (!s.catalog.tableExists(t)) {
         // the table's own LOCATION is never read (every row lives in a
         // partition's custom location) — a scratch dir keeps the
@@ -678,44 +679,55 @@ private[graft] object StoreFiles {
           case e: org.apache.spark.sql.AnalysisException =>
             if (!s.catalog.tableExists(t)) throw e
         }
-        mustAdd = true
       }
-      if (mustAdd) {
+      // the ADD — a catalog WRITE, the thing a read-only metastore
+      // warn-loops on — runs only when the partition set is
+      // INCOMPLETE, judged by a catalog READ each time rather than a
+      // JVM memo: a memo cannot see another session's drop+recreate,
+      // so a memoized skip could read a racer's freshly-created,
+      // not-yet-ADDed table as silently EMPTY — rows just missing,
+      // the worst store failure mode. The count check is sufficient:
+      // the name hashes the normalized paths, so any session ADDs the
+      // same deterministic partition set.
+      if (force || s.sessionState.catalog.listPartitionNames(
+          org.apache.spark.sql.catalyst.TableIdentifier(t)).size <
+          norm.size)
         s.sql(s"ALTER TABLE $t ADD IF NOT EXISTS " + norm.zipWithIndex
           .map { case (p, i) =>
             s"PARTITION ($ChainDepthCol=$i) LOCATION '$p'" }
           .mkString(" "))
-        // memo AFTER the ADD succeeds: a racer between CREATE and ADD
-        // must not be told the chain is complete
-        chainPartsAdded.put(t, norm)
-      }
       s.table(t)
     }
     val data =
       try registerAndRead(force = false)
       catch {
         // a concurrent gc dropped this registration between our exists
-        // check and the read — re-register once (deterministic name,
-        // forcing a fresh ADD past the memo); a second failure is
-        // persistent (un-parseable DDL, catalog permissions, an
-        // unwritable scratch dir — IOException from createDirectories
-        // degrades here too, not up through the chain read), so shout
-        // ONCE, record it, and fall back to the plain union rather
-        // than silently forfeiting the exchange-free shape
+        // check and the read — re-register once (deterministic name);
+        // a second failure is treated as persistent (un-parseable DDL,
+        // catalog permissions, an unwritable scratch dir — IOException
+        // from createDirectories degrades here too, not up through the
+        // chain read): shout ONCE, record it, and fall back to the
+        // plain union rather than silently forfeiting the
+        // exchange-free shape
         case _: org.apache.spark.sql.AnalysisException |
              _: java.io.IOException =>
           try registerAndRead(force = true)
           catch {
             case e @ (_: org.apache.spark.sql.AnalysisException |
                       _: java.io.IOException) =>
-              chainRegisterFailed.add(t)
-              System.err.println(s"[graft] WARNING: aligned chain " +
-                s"table $t failed to register twice ($e) — serving " +
-                s"${norm.size} generations via plain union (an " +
-                "exchange per probe) until the cause is fixed")
+              if (failedSince == null) {
+                chainRegisterFailed.put(t, 1L)
+                System.err.println(s"[graft] WARNING: aligned chain " +
+                  s"table $t failed to register twice ($e) — serving " +
+                  s"${norm.size} generations via plain union (an " +
+                  "exchange per probe); re-probing every " +
+                  s"$ChainFailedReprobe reads")
+              }
               return None
           }
       }
+    // a successful (re-)registration clears the failure record
+    chainRegisterFailed.remove(t)
     chainRegistry.put(t, norm)
     import org.apache.spark.sql.functions.col
     val cols = data.columns.filterNot(_ == ChainDepthCol).map(col).toSeq

@@ -186,6 +186,14 @@ object StoreCtl {
         n.toIntOption.filter(_ >= 2) match {
           case None => Left(s"--compact-at wants an int >= 2 (a delta " +
             s"advance always lands at depth >= 2), got '$n'")
+          // a threshold past the hard guard can never fire: depth
+          // would hit the ChainMaxKey REFUSAL first and the cron would
+          // wedge — the exact silent degradation this flag prevents
+          case Some(at) if at > chainMaxAt(spark) =>
+            Left(s"--compact-at $at sits past $ChainMaxKey=" +
+              s"${chainMaxAt(spark)}: the depth guard would refuse " +
+              "the advance before the inline compact ever ran; pick " +
+              "a threshold at or below the max (or raise the max)")
           case Some(at) => advance(spark, kind, corpus, root, pred,
             delta = true, compactAt = Some(at))
         }
@@ -544,6 +552,13 @@ object StoreCtl {
     * shared catalog forever — doctor lists them, and `--fix` (the one
     * mutation the verb has, opt-in) drops exactly those; a table
     * whose locations all exist is never touched, serving or not.
+    * DEPLOYMENT CAVEAT: the audit stats `file:` URIs on THIS host.
+    * The store machinery assumes a shared filesystem (every reader
+    * resolves the same generation paths), so a location this host
+    * cannot see is dead for this host's readers too — but on a
+    * metastore shared across hosts WITHOUT a shared filesystem
+    * (already broken for reads), run `--fix` only from the host that
+    * owns the paths; the read-only report is safe from anywhere.
     */
   private def doctor(spark: SparkSession, root: String,
                      fix: Boolean): Either[String, String] = {
@@ -637,11 +652,20 @@ object StoreCtl {
                   // name the TARGET: compact re-seals at the
                   // session's write-time count (a grown
                   // graft.store.buckets migrates the whole chain to
-                  // the new layout in one seal)
+                  // the new layout in one seal). The count is message
+                  // text only — a malformed graft.store.buckets on
+                  // the TRIAGE session must not crash the diagnosis
+                  // (doctor never refuses a sick root, or a sick conf)
+                  val target =
+                    try StoreFiles.bucketCount(spark).toString
+                    catch {
+                      case scala.util.control.NonFatal(_) =>
+                        s"unreadable ${StoreFiles.StoreBucketsKey}"
+                    }
                   notes += s"$rel/: layouts diverge across the chain " +
                     s"($detail) — plain-union serving; compact " +
                     "re-seals it at the session's current bucket " +
-                    s"count (${StoreFiles.bucketCount(spark)})"
+                    s"count ($target)"
                 }
               }
             }

@@ -946,6 +946,15 @@ class StoreCtlSpec extends AnyFunSuite {
     // validation: --compact-at below 2 is a usage error, not a verb
     assert(StoreCtl.run(spark, Seq("advance", "--delta", "--compact-at",
       "1", "phash", dir, auto, "true")).isLeft)
+    // a threshold past the hard depth guard can never fire — the
+    // advance would be REFUSED first, wedging the cron; refuse the
+    // flag combination up front instead
+    spark.conf.set(StoreCtl.ChainMaxKey, "4")
+    try {
+      val r = StoreCtl.run(spark, Seq("advance", "--delta",
+        "--compact-at", "5", "phash", dir, auto, "true"))
+      assert(r.isLeft && r.swap.exists(_.contains("depth guard")), r)
+    } finally spark.conf.unset(StoreCtl.ChainMaxKey)
   }
 
   test("bucket-count evolution: growing graft.store.buckets mid-chain " +
@@ -1083,5 +1092,14 @@ class StoreCtlSpec extends AnyFunSuite {
       sys.props("java.io.tmpdir") = was
       java.nio.file.Files.deleteIfExists(blocker)
     }
+    // the failure record is NOT a life sentence: reads re-probe
+    // periodically, so once the scratch dir is writable again the
+    // chain comes back aligned within one re-probe window
+    val healed = (1 to 40).exists { _ =>
+      StoreFiles.readChainAligned(spark,
+        gens.map(g => s"$g/sigs"), None).nonEmpty
+    }
+    assert(healed,
+      "a healed registration must return within one re-probe window")
   }
 }
