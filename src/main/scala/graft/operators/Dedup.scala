@@ -1166,6 +1166,16 @@ object Dedup extends QueryPack {
         s"explode(sequence(1, size(toks) - ${SpanK - 1})) AS pos")
       .selectExpr("doc_id", "cast(pos as bigint) AS pos",
         s"md5(concat_ws(' ', slice(toks, pos, $SpanK))) AS k")
+    // The gram table DELIBERATELY computes twice (once under the dup
+    // aggregate, once as the probe side): forcing a shared
+    // k-exchange to scan documents once was tried and is WORSE at
+    // scale — it shuffles the full-width gram table (40 B/position)
+    // where this form shuffles only the map-side-combined (k, min,
+    // max) triples (duplicate grams collapse before the wire) and
+    // leaves the probe side shuffle-free when the dup-key set
+    // broadcasts; re-scanning text (~6 B/token) plus a second md5
+    // pass is the cheaper side of that trade, and column pruning
+    // diverges the two branches anyway, defeating ReuseExchange.
     val dup = gk.groupBy("k")
       .agg(min(col("doc_id")).as("d0"), max(col("doc_id")).as("d1"))
       .filter(col("d0") =!= col("d1")).select("k")

@@ -222,6 +222,29 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Window"), p.take(3000))
   }
 
+  test("dd_span: the dup aggregate is partial+final (duplicate grams " +
+      "collapse map-side before the wire) and the probe side pays no " +
+      "shuffle of its own before the per-doc window") {
+    // the two-branch (two-scan) shape is deliberate — see the ddSpan
+    // comment: a shared k-exchange would shuffle the full-width gram
+    // table where this shuffles only combined (k, min, max) triples
+    operators.Dedup.withAqeOff(spark) {
+      val p = SparkEntry.queries("dd_span")(spark, dir)
+        .queryExecution.executedPlan.toString
+      assert(p.contains("partial_min"), p.take(3000))
+      // exactly two exchanges besides the presentation sort: the dup
+      // aggregate's combined triples and the window's doc_id
+      // repartition — the probe side streams into the semi join
+      // (the trailing rangepartitioning is the presentation ORDER BY)
+      val shuffles = "Exchange (hash|range)partitioning\\((\\w+)".r
+        .findAllMatchIn(p).map(m => (m.group(1), m.group(2))).toList
+      assert(shuffles.count(_ == ("hash", "k")) <= 1,
+        shuffles.toString + p.take(2000))
+      assert(shuffles.count(_ == ("hash", "doc_id")) == 1,
+        shuffles.toString)
+    }
+  }
+
   test("st_funnel: all funnel joins are equi joins on the user key") {
     val p = plan("st_funnel")
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
