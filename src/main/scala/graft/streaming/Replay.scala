@@ -176,10 +176,8 @@ object StreamReplay extends QueryPack {
         // lands in has lapsed by then, so it re-owns and emits
         // nothing, and its negative doc_id is filtered below anyway.
         val flushTs = docs.map(_.ts).max + 3 * HorizonNs
-        in.addData(StreamDoc(-1L, flushTs, docs.head.text))
-        q.processAllAvailable()
-        in.addData(StreamDoc(-2L, flushTs, docs.head.text))
-        q.processAllAvailable()
+        flushAndFireWith[StreamDoc](in, q,
+          id => StreamDoc(id, flushTs, docs.head.text))
       } finally q.stop()
     }
     detachSink(s, sink)
@@ -1196,7 +1194,7 @@ object StreamReplay extends QueryPack {
        |SELECT c.cohort_day, ud.day - c.cohort_day AS day_offset,
        |  CAST(COUNT(*) AS BIGINT) AS n_users
        |FROM ud JOIN coh c ON ud.user_id = c.user_id
-       |WHERE ud.day - c.cohort_day <= 7
+       |WHERE ud.day - c.cohort_day <= ${Streams.RetentionMaxOffset}
        |GROUP BY c.cohort_day, ud.day - c.cohort_day
        |ORDER BY cohort_day, day_offset""".stripMargin
   }

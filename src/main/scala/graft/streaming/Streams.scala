@@ -46,6 +46,9 @@ case class StreamVec(vec_id: Long, ts: Long, embedding: Seq[Float])
 /** One media item on the ingest stream: opaque payload + metadata (the
   * streaming twin of the mm pack's MediaItem, with an event time).
   */
+case class StreamMedia(doc_id: Long, ts: Long, modality: String,
+                       payload: Array[Byte])
+
 /** One scored ANN candidate riding the serve stream (annServeStream's
   * pre-ranking row), and one emitted top-k hit.
   */
@@ -53,9 +56,6 @@ case class AnnCand(query_id: Long, ts: Long, cell: Long,
                    neighbor_id: Long, adc_dist: Long)
 case class AnnHit(query_id: Long, cell: Long, neighbor_id: Long,
                   adc_dist: Long, rnk: Long)
-
-case class StreamMedia(doc_id: Long, ts: Long, modality: String,
-                       payload: Array[Byte])
 
 /** Digest + metadata of one media item — all that flows past the
   * map-side digesting (the payload never leaves the scan partition).
@@ -115,7 +115,7 @@ case class BandPend(ts: Long, doc_id: Long, band: Int)
   * watermark, deferred so the owner chain only ever folds a complete,
   * ordered prefix of the bucket's timeline.
   */
-case class BandBufState(owner_id: Long, owner_ts_ns: Long, last_ns: Long,
+case class BandBufState(owner_id: Long, last_ns: Long,
                         open: Boolean, pend: Seq[BandPend],
                         hwTs: Long = Long.MinValue,
                         hwId: Long = Long.MinValue)
@@ -143,6 +143,26 @@ case class BandMatch(doc_id: Long, owner_id: Long, band: Int)
   * not history.
   */
 object Streams {
+
+  /** The event-time annotation every stateful machine shares: project
+    * `ts` (epoch-nanos) to a MICROS event_time column and declare the
+    * watermark. One definition — before r20 this pair was copy-pasted
+    * ten times, the exact class of drift the nearDupStream comment
+    * records a bug from.
+    */
+  private def eventTimed(df: DataFrame, delay: String): DataFrame =
+    df.withColumn("event_time", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("event_time", delay)
+
+  /** [[eventTimed]] with the delay given in nanos, CEILED to whole
+    * ms: a floored-seconds rendering once turned a sub-second horizon
+    * into a ZERO delay that silently late-dropped the rows the
+    * deferral contract promises to buffer (see nearDupStream) —
+    * delay >= the ns bound always holds here.
+    */
+  private def eventTimedNs(df: DataFrame, delayNs: Long): DataFrame =
+    eventTimed(df, s"${(delayNs + 999999L) / 1000000L} milliseconds")
+
 
   /** The engine-facing event schema: `ts` is bigint epoch-nanos (the
     * convention every downstream operator's integer window math uses).
@@ -197,9 +217,7 @@ object Streams {
     * SURVEY.md §2.9 St2).
     */
   def tumblingCounts(events: DataFrame): DataFrame =
-    events
-      .withColumn("event_time", expr("timestamp_micros(ts div 1000)"))
-      .withWatermark("event_time", "30 minutes")
+    eventTimed(events, "30 minutes")
       .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
 
@@ -214,9 +232,7 @@ object Streams {
     */
   def dedupStream(events: DataFrame,
                   horizon: String = "30 minutes"): DataFrame =
-    events
-      .withColumn("event_time", expr("timestamp_micros(ts div 1000)"))
-      .withWatermark("event_time", horizon)
+    eventTimed(events, horizon)
       .dropDuplicatesWithinWatermark("event_id")
 
   /** Multimodal ingest: exact payload dedup at the door — the streaming
@@ -262,10 +278,7 @@ object Streams {
         md5(col("payload")).as("digest"),
         col("modality"),
         octet_length(col("payload")).cast("long").as("n_bytes"))
-      .withColumn("event_time", expr("timestamp_micros(ts div 1000)"))
-      // ceil to whole ms (see nearDupStream): delay >= horizon always
-      .withWatermark("event_time",
-        s"${(horizonNs + 999999L) / 1000000L} milliseconds")
+      .transform(eventTimedNs(_, horizonNs))
       .select("doc_id", "ts", "digest", "modality", "n_bytes",
         "event_time")
       .as[MediaMeta]
@@ -366,13 +379,7 @@ object Streams {
     val absorbedAcc = metrics.map(_.absorbed)
     val horizonMs = horizonNs / 1000000L
     graft.operators.Dedup.bandRows(docs)
-      .withColumn("event_time", expr("timestamp_micros(ts div 1000)"))
-      // ceil to whole ms so the delay can never undershoot the horizon
-      // (a floored seconds rendering made sub-second horizons a ZERO
-      // delay, silently late-dropping what the deferral contract
-      // promises to buffer)
-      .withWatermark("event_time",
-        s"${(horizonNs + 999999L) / 1000000L} milliseconds")
+      .transform(eventTimedNs(_, horizonNs))
       .select("band", "bkey", "doc_id", "ts", "event_time")
       .as[BandRow]
       .groupByKey(r => s"${r.band}:${r.bkey}")
@@ -390,7 +397,7 @@ object Streams {
                   out += BandMatch(p.doc_id, st.owner_id, p.band)
                 st = st.copy(last_ns = p.ts)
               } else // empty bucket, or owner lapsed -> new owner
-                st = st.copy(owner_id = p.doc_id, owner_ts_ns = p.ts,
+                st = st.copy(owner_id = p.doc_id,
                   last_ns = p.ts, open = true)
             }
             st
@@ -418,7 +425,7 @@ object Streams {
             else {
               val rs = rows.toSeq
               val prev = state.getOption.getOrElse(
-                BandBufState(0L, 0L, 0L, open = false, Nil))
+                BandBufState(0L, 0L, open = false, Nil))
               // cross-batch arrival inversions vs the bucket's
               // pre-batch high-water (observeAbsorbed)
               val (hwTs, hwId) = Streams.observeAbsorbed(
@@ -502,8 +509,7 @@ object Streams {
       .select(col("vec_id"), col("ts"), col("embedding"), col("n2"),
         posexplode(col("bks")).as(Seq("band", "bkt")))
       .join(oldBands, Seq("band", "bkt"))
-      .withColumn("event_time", expr("timestamp_micros(ts div 1000)"))
-      .withWatermark("event_time", delay)
+      .transform(eventTimed(_, delay))
       .select("vec_id", "owner_id", "event_time", "embedding", "n2")
       .dropDuplicates("vec_id", "owner_id", "event_time")
       .join(oldVecs, Seq("owner_id"))
@@ -564,8 +570,7 @@ object Streams {
     graft.operators.Dedup.jacStoreProbeRows(
         observeArrivals(docs, "doc_id", metrics))
       .join(oldBands, Seq("band", "bk"))
-      .withColumn("event_time", expr("timestamp_micros(ts div 1000)"))
-      .withWatermark("event_time", delay)
+      .transform(eventTimed(_, delay))
       .select("doc_id", "owner_id", "event_time", "hs")
       .dropDuplicates("doc_id", "owner_id", "event_time")
       .join(oldSigs, Seq("owner_id"))
@@ -614,8 +619,7 @@ object Streams {
     graft.operators.Multimodal.phashProbeRows(
         observeArrivals(media, "doc_id", metrics))
       .join(oldBands, Seq("band", "bv"))
-      .withColumn("event_time", expr("timestamp_micros(ts div 1000)"))
-      .withWatermark("event_time", delay)
+      .transform(eventTimed(_, delay))
       .select("doc_id", "owner_id", "event_time", "phash")
       .dropDuplicates("doc_id", "owner_id", "event_time")
       .join(oldSigs, Seq("owner_id"))
@@ -728,11 +732,7 @@ case class FunnelAdvance(user_id: Long, step: Int, at_us: Long)
     // metrics wrapper (whose listener half is driver-only)
     val absorbedAcc = metrics.map(_.absorbed)
     val gapMs = gapNs / 1000000L
-    events
-      .withColumn("event_time", expr("timestamp_micros(ts div 1000)"))
-      // ceil to whole ms (see nearDupStream): delay >= gap always holds
-      .withWatermark("event_time",
-        s"${(gapNs + 999999L) / 1000000L} milliseconds")
+    eventTimedNs(events.toDF(), gapNs)
       .select("event_id", "ts", "user_id", "event_time")
       .as[SessionEvent]
       .groupByKey(_.user_id)
@@ -970,6 +970,18 @@ case class FunnelAdvance(user_id: Long, step: Int, at_us: Long)
     }
   }
 
+  /** Hard residency cap on [[arrivalHw]]: [[DisorderMetrics.release]]
+    * only reaches the JVM it runs in (the driver — in local mode that
+    * IS the executor JVM, so release is exact there), so on a
+    * multi-executor cluster a dead query's executor-side marks would
+    * otherwise accrete forever. The map is LRU past this cap; an
+    * evicted ACTIVE mark merely resets that partition's baseline —
+    * the channel is observability-grade by contract (the same
+    * under/over-count caveats as the accumulator it feeds), never
+    * correctness.
+    */
+  private val ArrivalMarkCap = 8192
+
   /** Process-global arrival high-waters for [[observeArrivals]],
     * keyed (observer instance, source partition). Executor-JVM state,
     * NOT stream state: the stateless probe streams have no keyed
@@ -977,11 +989,18 @@ case class FunnelAdvance(user_id: Long, step: Int, at_us: Long)
     * in the JVM is exactly as durable as the accumulator feeding the
     * same channel. Entries are a pair of longs per (instance,
     * partition); a long-lived session evicts a query's entries via
-    * [[DisorderMetrics.release]] after stopping it — each metrics
-    * object records the observer instances it owns.
+    * [[DisorderMetrics.release]] after stopping it — exact in the
+    * JVM release runs in, while remote executors fall back to the
+    * [[ArrivalMarkCap]] LRU bound.
     */
-  private val arrivalHw = new java.util.concurrent.ConcurrentHashMap[
-    (Long, Int), (Long, Long)]
+  private val arrivalHw: java.util.Map[(Long, Int), (Long, Long)] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[(Long, Int), (Long, Long)](
+          64, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[(Long, Int), (Long, Long)]): Boolean =
+          size() > ArrivalMarkCap
+      })
   private val arrivalSeq = new java.util.concurrent.atomic.AtomicLong
 
   /** Drop every (instance, partition) arrival mark owned by `m` —
@@ -989,19 +1008,23 @@ case class FunnelAdvance(user_id: Long, step: Int, at_us: Long)
     * private to the observer).
     */
   private[streaming] def evictArrivalMarks(m: DisorderMetrics): Unit = {
-    val it = arrivalHw.keySet().iterator()
-    while (it.hasNext)
-      if (m.arrivalInsts.contains(it.next()._1)) it.remove()
+    // iteration over a synchronizedMap needs the map's own monitor
+    arrivalHw.synchronized {
+      val it = arrivalHw.keySet().iterator()
+      while (it.hasNext)
+        if (m.arrivalInsts.contains(it.next()._1)) it.remove()
+    }
     m.arrivalInsts.clear()
   }
 
   /** Test hook: live arrival-mark count for a metrics object. */
-  private[graft] def arrivalMarkCount(m: DisorderMetrics): Int = {
-    var n = 0
-    val it = arrivalHw.keySet().iterator()
-    while (it.hasNext) if (m.arrivalInsts.contains(it.next()._1)) n += 1
-    n
-  }
+  private[graft] def arrivalMarkCount(m: DisorderMetrics): Int =
+    arrivalHw.synchronized {
+      var n = 0
+      val it = arrivalHw.keySet().iterator()
+      while (it.hasNext) if (m.arrivalInsts.contains(it.next()._1)) n += 1
+      n
+    }
 
   /** Arrival-inversion observation for the STATELESS served-store
     * probe streams — the `absorbed` face the keyed machines get from
@@ -1155,9 +1178,7 @@ case class FunnelAdvance(user_id: Long, step: Int, at_us: Long)
       s"retentionStream maxOffset must be in [0, 63], got $maxOffset")
     import events.sparkSession.implicits._
     val dayMs = dayNs / 1000000L
-    events
-      .withColumn("event_time", expr("timestamp_micros(ts div 1000)"))
-      .withWatermark("event_time", delay)
+    eventTimed(events.toDF(), delay)
       .select("event_id", "ts", "user_id", "event_time")
       .as[SessionEvent]
       .groupByKey(_.user_id)
@@ -1340,10 +1361,8 @@ case class FunnelAdvance(user_id: Long, step: Int, at_us: Long)
     val NotReached = Long.MinValue
     val ttlMs = idleTtlDays * 86400000L
     val stepIdx = steps.zipWithIndex.map { case (t, i) => t -> (i + 1) }.toMap
-    events
-      .filter(col("event_type").isin(steps: _*))
-      .withColumn("event_time", expr("timestamp_micros(ts div 1000)"))
-      .withWatermark("event_time", delay)
+    eventTimed(events.toDF()
+      .filter(col("event_type").isin(steps: _*)), delay)
       .select("event_id", "ts", "user_id", "event_type", "event_time")
       .as[FunnelEvent]
       .groupByKey(_.user_id)
