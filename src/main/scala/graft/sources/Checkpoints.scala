@@ -61,9 +61,23 @@ class Checkpoints(dir: Path) {
       case Some(v) => node.put("last_updated", v)
       case None    => node.putNull("last_updated")
     }
-    Files.writeString(jsonPath(project),
+    // temp + ATOMIC_MOVE (ShardManifest.write's discipline): an
+    // in-place write truncated by a crash would parse-fail on restart,
+    // and load's legacy fallback silently DROPS the watermark — the
+    // next incremental run re-fetches from the lookback floor and
+    // permanently skips everything updated between watermark and floor
+    atomicWrite(jsonPath(project),
       mapper.writerWithDefaultPrettyPrinter().writeValueAsString(node))
-    Files.writeString(txtPath(project), startAt.toString)
+    atomicWrite(txtPath(project), startAt.toString)
+  }
+
+  private def atomicWrite(path: Path, content: String): Unit = {
+    val tmp = Files.createTempFile(dir, path.getFileName.toString + ".",
+      ".tmp")
+    Files.writeString(tmp, content)
+    Files.move(tmp, path,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
   /** `--clean` (`main.py:65-96`): remove one project's or all state. */
@@ -73,6 +87,10 @@ class Checkpoints(dir: Path) {
       case Some(pr) => p.getFileName.toString.startsWith(pr + ".")
       case None     => true
     }
-    Files.list(dir).filter(matches).forEach(Files.delete(_))
+    // Files.list holds an open DirectoryStream — close it or a worker
+    // looping --clean leaks one fd per call until finalization
+    val listing = Files.list(dir)
+    try listing.filter(matches).forEach(Files.delete(_))
+    finally listing.close()
   }
 }

@@ -162,8 +162,18 @@ private[sources] class JiraPartitionReader(
   private var done = false
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
+  private var firstPage = true
+
   override def next(): Boolean = {
     if (done) return false
+    // the reference sleeps the polite delay after EVERY page
+    // (extract.py:365-366) — equivalently before every page but the
+    // first, which spares the common one-page scan the trailing sleep;
+    // without this the DSv2 reader hammered the public API back-to-back
+    // per partition while the option parsed into cfg unused
+    if (firstPage) firstPage = false
+    else if (cfg.politeDelaySeconds > 0)
+      Thread.sleep((cfg.politeDelaySeconds * 1000).toLong)
     val data = JiraSource.getWithRetries(http,
       JiraSource.pageUrl(cfg, jql, startAt, restFields), cfg,
       s => Thread.sleep((s * 1000).toLong))

@@ -79,6 +79,7 @@ object ShardCompact {
   case class CompactStats(shards: Int, epochFiles: Int, rows: Long)
 
   private val EpochFile = "shard-(\\d+)-epoch-(\\d+)\\.jsonl".r
+  private val LandTmp = "land-\\d+-shard-(\\d+)-epoch-(\\d+)\\.jsonl".r
 
   /** One unit of distributed work: rewrite a shard's committed+epoch
     * chain into its next generation. A dir with no manifest is treated
@@ -171,11 +172,12 @@ object ShardCompact {
     val replaced = results.flatMap { case (s, _, _, _) => byShard.get(s) }
     val newFiles = (committed.files -- replaced) ++
       results.map { case (_, f, _, n) => f -> n }
-    if (results.nonEmpty) {
-      val newEpochs = committed.epochsThrough ++
+    val epochsAfter =
+      if (results.isEmpty) committed.epochsThrough
+      else committed.epochsThrough ++
         fresh.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
-      ShardManifest.write(fs, d, newFiles, newEpochs)
-    }
+    if (results.nonEmpty)
+      ShardManifest.write(fs, d, newFiles, epochsAfter)
 
     // GC (best-effort, all invisible to manifest-planned readers):
     //  - consumed + stale epoch files;
@@ -199,7 +201,22 @@ object ShardCompact {
     val tmpDir = new HPath(d, "_tmp")
     if (fs.exists(tmpDir))
       fs.listStatus(tmpDir).filter(_.isFile).map(_.getPath)
-        .filter(_.getName.startsWith("compact-"))
+        .filter { p =>
+          p.getName match {
+            // dead compact temps: the current pass's were just renamed
+            // away, so anything left is a crashed pass's litter
+            case n if n.startsWith("compact-") => true
+            // crashed landEpoch temps: collectable once their epoch is
+            // at-or-below the shard's consumed watermark — the landing
+            // contract (monotone epoch ids per shard) means a temp for
+            // a folded epoch can never belong to an in-flight land,
+            // while a FRESH epoch's temp might (its re-land publishes,
+            // compact folds it, and the litter becomes stale next pass)
+            case LandTmp(s, e) =>
+              e.toLong <= epochsAfter.getOrElse(s.toLong, -1L)
+            case _ => false
+          }
+        }
         .foreach(p => fs.delete(p, false))
 
     CompactStats(results.size, fresh.size,
@@ -257,32 +274,44 @@ object ShardCompact {
                 nShards: Int): Unit = {
     val conf = new SerializableHadoopConf(
       df.sparkSession.sessionState.newHadoopConf())
-    df.select(col("shard").cast("long"), col("pos").cast("long"),
+    // Two-phase like compact() itself: tasks only write _tmp files and
+    // return the rename plan; the DRIVER publishes after the whole job
+    // succeeds. Renaming inside the task (the pre-r20 shape) made a
+    // permanently-failed job leave a PARTIAL epoch visible — the next
+    // compact would fold it as if complete and advance the watermark,
+    // after which the true re-land of the full epoch is discarded as
+    // stale, permanently losing the missing shards' rows. The residual
+    // window (driver dies mid-publish) matches the streaming sink's
+    // own epoch-commit window; crashed tasks' temps are collected by
+    // compact's GC once their epoch falls at-or-below the watermark.
+    val planned: Array[(String, String)] = df
+      .select(col("shard").cast("long"), col("pos").cast("long"),
         col("line"))
       .repartition(nShards, col("shard"))
       .sortWithinPartitions("shard", "pos")
-      .foreachPartition { (it: Iterator[Row]) =>
-        if (it.hasNext) {
+      .rdd.mapPartitions { it =>
+        if (!it.hasNext) Iterator.empty
+        else {
           val (fs, d) = ShardFs.resolve(dir, conf.value)
           val tmpDir = new HPath(d, "_tmp")
           fs.mkdirs(tmpDir)
           val attempt = TaskContext.get().taskAttemptId()
+          val out = Seq.newBuilder[(String, String)]
           var cur = -1L
           var w: BufferedWriter = null
           var tmp: HPath = null
-          var fin: HPath = null
+          var name: String = null
           def closeShard(): Unit = if (w != null) {
             w.close()
-            ShardFs.renameOver(fs, tmp, fin)
+            out += ((tmp.toString, name))
             w = null
           }
           it.foreach { r =>
             val sh = r.getLong(0)
             if (sh != cur) {
               closeShard()
-              val name = f"shard-$sh%05d-epoch-$epoch.jsonl"
+              name = f"shard-$sh%05d-epoch-$epoch.jsonl"
               tmp = new HPath(tmpDir, s"land-$attempt-$name")
-              fin = new HPath(d, name)
               // overwrite=true: a retried task rewrites its own temp
               w = new BufferedWriter(new OutputStreamWriter(
                 fs.create(tmp, true), StandardCharsets.UTF_8))
@@ -292,7 +321,12 @@ object ShardCompact {
             w.write('\n')
           }
           closeShard()
+          out.result().iterator
         }
-      }
+      }.collect()
+    val (fs, d) = ShardFs.resolve(dir, conf.value)
+    planned.foreach { case (tmp, fin) =>
+      ShardFs.renameOver(fs, new HPath(tmp), new HPath(d, fin))
+    }
   }
 }

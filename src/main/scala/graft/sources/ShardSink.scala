@@ -307,11 +307,16 @@ private[sources] class ShardScanBuilder(dir: String,
   private def shardTest(f: Filter): Option[Long => Boolean] = f match {
     case EqualTo("shard", v: Long)            => Some(_ == v)
     case In("shard", vs) =>
-      val set = vs.collect {
-        case v: Long => v
-        case v: java.lang.Long => v.longValue
-      }.toSet
-      if (set.size == vs.length) Some(set.contains) else None
+      // accept iff EVERY value is a long (a primitive Long pattern
+      // already matches boxed values, so one case suffices); counting
+      // matches — not comparing set size to list length — keeps
+      // duplicate values in the IN list pushable (shard IN (3, 3, 5)
+      // is still an exact per-file test)
+      val longs = vs.collect { case v: Long => v }
+      if (longs.length == vs.length) {
+        val set = longs.toSet
+        Some(set.contains)
+      } else None
     case GreaterThan("shard", v: Long)        => Some(_ > v)
     case GreaterThanOrEqual("shard", v: Long) => Some(_ >= v)
     case LessThan("shard", v: Long)           => Some(_ < v)
@@ -559,7 +564,25 @@ private[sources] class ShardWriteBuilder(dir: String)
     // included); the factories carry it to executors.
     val conf = new SerializableHadoopConf(
       SparkSession.active.sessionState.newHadoopConf())
-    new Write {
+    new Write with RequiresDistributionAndOrdering {
+      // Final file names are pure functions of the shard id, so rows
+      // for ONE shard spread across tasks would produce IDENTICAL
+      // names and commit's renameOver would silently keep one task's
+      // file — declaring the clustering makes Spark insert the shuffle
+      // for ANY input (a Kafka stream, an un-partitioned batch frame)
+      // instead of trusting callers to pre-partition. The in-partition
+      // (shard, pos) sort likewise ENFORCES the batch writer's
+      // sortedInput contract (one open file, byte-stable in-file
+      // order) rather than assuming it.
+      import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+      import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder}
+      override def requiredDistribution(): Distribution =
+        Distributions.clustered(Array(Expressions.identity("shard")))
+      override def requiredOrdering(): Array[SortOrder] = Array(
+        Expressions.sort(Expressions.identity("shard"),
+          SortDirection.ASCENDING),
+        Expressions.sort(Expressions.identity("pos"),
+          SortDirection.ASCENDING))
       override def toBatch: BatchWrite =
         new ShardBatchWrite(dir, truncateFirst, conf)
       override def toStreaming: wstream.StreamingWrite =

@@ -91,6 +91,51 @@ class ShardSinkSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("rows for ONE shard spread across many input partitions all " +
+      "land — the Write declares its clustering+ordering, so Spark " +
+      "inserts the shuffle instead of trusting callers to pre-partition") {
+    // final file names are pure functions of the shard id: before the
+    // distribution declaration, two tasks holding rows for the same
+    // shard produced identical names and commit's renameOver silently
+    // kept one task's file
+    val out = Files.createTempDirectory("graft_shards_dist").toString
+    CorpusShards.layout(corpus(), 8)
+      .repartition(4) // adversarial: round-robin, every shard split
+      .write.format("graft-shards").option("path", out)
+      .mode(org.apache.spark.sql.SaveMode.Overwrite).save()
+    val expected = corpus().select("line").collect()
+      .map(_.getString(0)).toSeq.sorted
+    assert(readDir(out).values.flatten.toSeq.sorted == expected)
+    // byte-identical to the pre-clustered writer: the declared
+    // in-partition (shard, pos) sort restores the batch layout too
+    val out2 = Files.createTempDirectory("graft_shards_dist2").toString
+    CorpusShards.write(corpus(), out2, 8)
+    assert(readDir(out) == readDir(out2))
+    // streaming face: same-shard rows in different stream partitions
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stOut = Files.createTempDirectory("graft_shards_dist_st").toString
+    val ckpt = Files.createTempDirectory("graft_shards_dist_ck").toString
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val q = in.toDF().toDF("doc_id", "line")
+      .repartition(4)
+      .selectExpr("cast(doc_id % 2 as bigint) AS shard",
+        "doc_id AS pos", "line")
+      .writeStream.format("graft-shards")
+      .option("path", stOut).option("checkpointLocation", ckpt)
+      .start()
+    try {
+      in.addData((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (5L, "e"),
+        (6L, "f"), (7L, "g"), (8L, "h"))
+      q.processAllAvailable()
+      assert(readDir(stOut).values.flatten.toSeq.sorted ==
+        Seq("a", "b", "c", "d", "e", "f", "g", "h"),
+        readDir(stOut))
+    } finally q.stop()
+  }
+
   test("an aborted write leaves the previous corpus visible and no litter") {
     import org.apache.spark.sql.functions._
     val out = Files.createTempDirectory("graft_shards_ab").toString
