@@ -56,6 +56,23 @@ private[graft] object StoreFiles {
       prefix + md5Hex(dir, 12) +
         "_p" + ProcessHandle.current().pid()).toString
 
+  /** Recursive delete / recursive byte size — the two file-tree
+    * helpers the CLIs and bench probes kept re-implementing (three
+    * near-copies each before r20; the md5Hex lesson again).
+    * Best-effort, like every call site was.
+    */
+  private[graft] def deleteTree(f: java.io.File): Unit = {
+    if (f.isDirectory)
+      Option(f.listFiles()).toSeq.flatten.foreach(deleteTree)
+    f.delete()
+    ()
+  }
+
+  private[graft] def treeBytes(f: java.io.File): Long =
+    if (f.isDirectory)
+      Option(f.listFiles()).toSeq.flatten.map(treeBytes).sum
+    else f.length()
+
   def ensure(locks: java.util.concurrent.ConcurrentHashMap[String, Object],
              store: String)(build: => Unit): String = {
     locks.computeIfAbsent(store, _ => new Object).synchronized {

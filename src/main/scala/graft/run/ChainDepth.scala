@@ -53,13 +53,14 @@ object ChainDepth {
     val base = new java.io.File(
       sys.props.getOrElse("java.io.tmpdir", "/tmp"),
       s"graft_chaindepth_p${ProcessHandle.current().pid()}")
-    def rec(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rec)
-      f.delete()
-    }
-    rec(base)
+    graft.operators.StoreFiles.deleteTree(base)
     def fail(msg: String): Nothing = {
-      System.err.println(msg); spark.stop(); sys.exit(1)
+      System.err.println(msg)
+      // a failed probe must not strand its multi-GB scratch tree: the
+      // next run's pid-suffixed path is a DIFFERENT dir, so nothing
+      // else ever cleans this one
+      graft.operators.StoreFiles.deleteTree(base)
+      spark.stop(); sys.exit(1)
     }
     def runOrDie(cmd: Seq[String]): Unit =
       StoreCtl.run(spark, cmd).left.foreach(e => fail(s"$cmd: $e"))
@@ -122,7 +123,7 @@ object ChainDepth {
     }
     println(s"""{"metric":"chain_depth","depth":$depth,"sf_dir":"$dir",${
       out.mkString(",")}}""")
-    rec(base)
+    graft.operators.StoreFiles.deleteTree(base)
     spark.stop()
   }
 }

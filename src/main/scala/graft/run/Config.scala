@@ -26,10 +26,20 @@ object Config {
         Option(node.get(k)).map(_.asDouble(d)).getOrElse(d)
       def bool(k: String, d: Boolean) =
         Option(node.get(k)).map(_.asBoolean(d)).getOrElse(d)
-      val projects = Option(node.get("projects"))
-        .map(_.elements().asScala.map(_.asText()).toSeq)
-        .filter(_.nonEmpty)
-        .getOrElse(JiraConfig().projects)
+      val projects = Option(node.get("projects")) match {
+        // a wrong-typed value (a bare string, an object) must be the
+        // documented hard error, not a silent fall-through to the
+        // default list: elements() on a non-array is empty, and
+        // "projects": "KAFKA" silently extracting HADOOP/SPARK/KAFKA
+        // burns hours of API fetches on projects nobody asked for
+        case Some(n) if !n.isArray =>
+          throw new IllegalArgumentException(
+            s""""projects" must be a JSON array, got: $n""")
+        case Some(n) =>
+          val ps = n.elements().asScala.map(_.asText()).toSeq
+          if (ps.nonEmpty) ps else JiraConfig().projects
+        case None => JiraConfig().projects
+      }
       JiraConfig(
         projects = projects,
         maxResults = int("max_results", 50),

@@ -23,10 +23,6 @@ import graft.Engine
   */
 object FoldAmp {
 
-  private def du(f: java.io.File): Long =
-    if (f.isDirectory)
-      Option(f.listFiles()).toSeq.flatten.map(du).sum
-    else f.length()
 
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -34,13 +30,11 @@ object FoldAmp {
     val base = new java.io.File(
       sys.props.getOrElse("java.io.tmpdir", "/tmp"),
       s"graft_foldamp_p${ProcessHandle.current().pid()}")
-    def rec(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rec)
-      f.delete()
-    }
-    rec(base)
+    graft.operators.StoreFiles.deleteTree(base)
     def fail(msg: String): Nothing = {
-      System.err.println(msg); spark.stop(); sys.exit(1)
+      System.err.println(msg)
+      graft.operators.StoreFiles.deleteTree(base)
+      spark.stop(); sys.exit(1)
     }
     def runOrDie(cmd: Seq[String]): Unit =
       StoreCtl.run(spark, cmd).left.foreach(e => fail(s"$cmd: $e"))
@@ -58,7 +52,7 @@ object FoldAmp {
       runOrDie(Seq("flip", root.toString, "gen-0"))
       runOrDie(Seq("advance", kind, dir, root.toString, s"$idCol % 3 = 1"))
       runOrDie(Seq("advance", kind, dir, root.toString, s"$idCol % 3 = 2"))
-      val gens = (0 to 2).map(g => du(new java.io.File(root, s"gen-$g")))
+      val gens = (0 to 2).map(g => graft.operators.StoreFiles.treeBytes(new java.io.File(root, s"gen-$g")))
       val rows = (0 to 2).map(g => batchRows(g))
       // the delta channel (runs for EVERY kind — cluster and embed
       // delta their changed-rows assignment, phash/ivfpq their
@@ -76,7 +70,7 @@ object FoldAmp {
           runOrDie(Seq("advance", "--delta", kind, dir, droot.toString,
             s"$idCol % 3 = 2"))
           val dgens = (0 to 2).map(g =>
-            du(new java.io.File(droot, s"gen-$g")))
+            graft.operators.StoreFiles.treeBytes(new java.io.File(droot, s"gen-$g")))
           s""","delta_gen_bytes":${dgens.mkString("[", ",", "]")},""" +
             s""""delta_fold1_amp":${
               "%.2f".format(dgens(1).toDouble / dgens(0))},""" +
@@ -90,7 +84,7 @@ object FoldAmp {
         delta + "}"
     }
     println(out.mkString("{\"sf_dir\":\"" + dir + "\",", ",", "}"))
-    rec(base)
+    graft.operators.StoreFiles.deleteTree(base)
     spark.stop()
   }
 }

@@ -34,7 +34,21 @@ object Main {
     if (hasPhaseFlag)
       o = o.copy(runExtract = args.contains("--extract"),
         runTransform = args.contains("--transform"))
+    val valueFlags = Seq("--project", "--data-dir", "--config")
+    // argparse (the reference CLI) errors on a missing value: a
+    // following flag is not a value (`--project --clean` must not
+    // process a project named '--clean'), and a trailing value flag
+    // is not silently ignored
+    def missingValue(flag: String): Nothing = {
+      System.err.println(s"[args] $flag expects a value")
+      sys.exit(1)
+    }
+    if (args.nonEmpty && valueFlags.contains(args.last))
+      missingValue(args.last)
     args.sliding(2).foreach {
+      case Array(flag, v) if valueFlags.contains(flag) &&
+          v.startsWith("--") =>
+        missingValue(flag)
       case Array("--project", p) => o = o.copy(project = Some(p))
       case Array("--data-dir", d) => o = o.copy(dataDir = Paths.get(d))
       case Array("--config", c) =>
@@ -62,8 +76,19 @@ object Main {
     if (o.clean) checkpoints.clean(o.project)
 
     val cfg = o.project match {
-      case Some(p) => o.cfg.copy(projects = o.cfg.projects.filter(_ == p))
-      case None    => o.cfg
+      // `main.py:150-151` narrows ONLY when the named project is in
+      // the configured list — the reference keeps the FULL list on an
+      // unknown name, so a typo'd --project runs everything loudly
+      // rather than "succeeding" over an empty project set (quirk
+      // preserved; the warning makes the surprise visible)
+      case Some(p) if o.cfg.projects.contains(p) =>
+        o.cfg.copy(projects = Seq(p))
+      case Some(p) =>
+        log.main(s"--project $p not in configured projects " +
+          s"${o.cfg.projects.mkString(",")} — running all (the " +
+          "reference's behavior)")
+        o.cfg
+      case None => o.cfg
     }
 
     val extractOk =
@@ -89,8 +114,13 @@ object Main {
       else Try {
         val spark = sparkOpt.getOrElse(Engine.session("graft-main"))
         val glob = o.project match {
-          case Some(p) => s"$rawDir/${p}_*.json"
-          case None    => s"$rawDir/*.json"
+          // the reference transforms the (possibly narrowed) config
+          // list (`main.py:179`), so an unknown --project — which
+          // fell through to the full list above — must fall through
+          // here too, not glob a project that doesn't exist
+          case Some(p) if cfg.projects.contains(p) =>
+            s"$rawDir/${p}_*.json"
+          case _ => s"$rawDir/*.json"
         }
         val records =
           JiraTransform.transform(JiraTransform.readRawPages(spark, glob))

@@ -133,9 +133,23 @@ object StoreCtl {
 
   /** Dispatch, session-in / message-out — testable without owning the
     * session lifecycle (mirrors the suite-shared-session constraint).
+    * The operand-validation exceptions the verb implementations throw
+    * (a cross-root `fold --delta` hitting the sibling-root require, a
+    * broken chain's IllegalStateException, an unreadable marker's
+    * IOException) are part of the exit-1-with-message contract, not
+    * stack traces — converted here so every verb keeps it.
     */
   private[graft] def run(spark: SparkSession,
                          args: Seq[String]): Either[String, String] =
+    try dispatch(spark, args)
+    catch {
+      case e @ (_: IllegalArgumentException | _: IllegalStateException |
+                _: java.io.IOException) =>
+        Left(Option(e.getMessage).getOrElse(e.toString))
+    }
+
+  private def dispatch(spark: SparkSession,
+                       args: Seq[String]): Either[String, String] =
     args match {
       case Seq("build", kind, corpus, store) =>
         build(spark, kind, corpus, store, None)
@@ -206,10 +220,6 @@ object StoreCtl {
         // per-generation bytes and the live thresholds
         StoreFiles.serve(root).flatMap { cur =>
           StoreFiles.chainPaths(cur).map { gens =>
-            def du(f: java.io.File): Long =
-              if (f.isDirectory)
-                Option(f.listFiles()).toSeq.flatten.map(du).sum
-              else f.length()
             val warnAt = chainWarnAt(spark)
             val maxAt = chainMaxAt(spark)
             val lines = gens.zipWithIndex.map { case (g, i) =>
@@ -217,7 +227,7 @@ object StoreCtl {
               val link = StoreFiles
                 .readParent(java.nio.file.Paths.get(g))
                 .map(p => s" -> $p").getOrElse(" (self-contained)")
-              f"  [$i] ${f.getName}%-12s ${du(f)}%12d B$link"
+              f"  [$i] ${f.getName}%-12s ${StoreFiles.treeBytes(f)}%12d B$link"
             }
             // state mirrors what the NEXT delta advance will do
             // (the guard tests depth-after = length + 1), so the verb
@@ -701,10 +711,22 @@ object StoreCtl {
     // ones — another JVM may be serving through them — are untouched.
     danglingRegistrations(spark).foreach { case (t, gone) =>
       if (fix) {
-        try spark.sql(s"DROP TABLE IF EXISTS $t")
-        catch { case _: org.apache.spark.sql.AnalysisException => () }
-        notes += s"dropped dangling registration $t " +
-          s"(location gone: $gone)"
+        // report what actually HAPPENED: a swallowed DROP failure
+        // (no permission on a shared metastore) must not read as
+        // "dropped" — the operator would believe the catalog clean
+        // while the entry persists into every later report
+        val dropped =
+          try { spark.sql(s"DROP TABLE IF EXISTS $t"); true }
+          catch {
+            case _: org.apache.spark.sql.AnalysisException => false
+          }
+        if (dropped)
+          notes += s"dropped dangling registration $t " +
+            s"(location gone: $gone)"
+        else
+          warns += s"could NOT drop dangling registration $t " +
+            s"(location gone: $gone) — no DROP permission on this " +
+            "catalog? run --fix from a session that has it"
       } else
         notes += s"dangling registration $t (location gone: $gone) — " +
           "metadata-only; `doctor --fix` drops it"

@@ -27,11 +27,29 @@ class Worker(statusPath: Path = Paths.get("data/worker_status.json"),
   private val startTime = now()
   private var lastSuccessfulRun: Option[Instant] = None
 
-  /** `update_status` (`worker.py:40-65`): health JSON, human-readable. */
+  /** `update_status` (`worker.py:40-65`): health JSON, human-readable.
+    * QUIRK PRESERVED: any success=true status — including the "Job
+    * started" one runJob writes BEFORE the pipeline runs — advances
+    * last_successful_run, exactly as the reference's global
+    * assignment does (`worker.py:50-51`); a monitor keying staleness
+    * off that field inherits the reference's semantics. The JSON
+    * escaping is NOT a quirk to preserve: the reference goes through
+    * json.dump, which escapes control characters, so a multi-line
+    * Spark exception message must land as a VALID one-line JSON
+    * string here too.
+    */
   def updateStatus(success: Boolean, message: String): Unit = {
     if (success) lastSuccessfulRun = Some(now())
     val uptime = Duration.between(startTime, now())
-    def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    def q(s: String) = "\"" + s.flatMap {
+      case '\\' => "\\\\"
+      case '"'  => "\\\""
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
     val json =
       s"""{
          |  "last_update": ${q(now().toString)},
@@ -43,7 +61,16 @@ class Worker(statusPath: Path = Paths.get("data/worker_status.json"),
          |}""".stripMargin
     Try {
       Option(statusPath.getParent).foreach(Files.createDirectories(_))
-      Files.writeString(statusPath, json)
+      // temp + ATOMIC_MOVE: a monitor polling the file mid-write must
+      // never see a torn document (content identical to the
+      // reference's in-place json.dump — only the write is atomic)
+      val tmp = Files.createTempFile(
+        Option(statusPath.getParent).getOrElse(Paths.get(".")),
+        statusPath.getFileName.toString + ".", ".tmp")
+      Files.writeString(tmp, json)
+      Files.move(tmp, statusPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
     log.worker(message, if (success) "INFO" else "ERROR")
     ()

@@ -103,6 +103,50 @@ class WorkerSpec extends AnyFunSuite {
     assert(cfg.politeDelaySeconds == 2.0 && cfg.rateLimitSleepSeconds == 30.0)
   }
 
+  test("a multi-line failure message still writes VALID status JSON " +
+      "(the reference's json.dump escapes control chars; the hand " +
+      "escaper must too)") {
+    val dir = Files.createTempDirectory("graft-worker")
+    val p = dir.resolve("s.json")
+    val w = new Worker(p)
+    w.runJob(() => throw new RuntimeException(
+      "line one\nline two\twith a tab"))
+    val node = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(Files.readString(p)) // throws on invalid JSON
+    assert(node.get("status").asText() == "error")
+    assert(node.get("message").asText().contains("line two"))
+  }
+
+  test("--project with an unknown name keeps the FULL project list " +
+      "(main.py:150-151 narrows only on a match) instead of silently " +
+      "succeeding over an empty set") {
+    val dir = Files.createTempDirectory("graft-main-unknown")
+    // transform-only so no network is touched; the observable is the
+    // processed output of the configured project still being written
+    val raw = dir.resolve("raw")
+    Files.createDirectories(raw)
+    val src = java.nio.file.Paths.get("/root/reference/data/raw")
+    val one = Files.list(src).filter(_.toString.endsWith("HADOOP_50.json"))
+      .findFirst().get()
+    Files.copy(one, raw.resolve(one.getFileName.toString))
+    val ok = Main.runPipeline(
+      Main.Options(runExtract = false, dataDir = dir,
+        project = Some("NOPE")),
+      Some(SparkSessionHelper.spark))
+    assert(ok)
+    assert(Files.exists(dir.resolve("processed/HADOOP_issues.jsonl")),
+      "an unknown --project must not filter the run to nothing")
+  }
+
+  test("Config.load refuses a wrong-typed projects value instead of " +
+      "silently extracting the default list") {
+    val dir = Files.createTempDirectory("graft-config")
+    val p = dir.resolve("config.json")
+    Files.writeString(p, """{"projects": "KAFKA"}""")
+    val r = graft.run.Config.load(p)
+    assert(r.isLeft && r.swap.exists(_.contains("array")), r)
+  }
+
   test("Config.load rejects malformed JSON like main.py exits on it") {
     val dir = java.nio.file.Files.createTempDirectory("graft-cfg")
     val bad = dir.resolve("config.json")
