@@ -106,6 +106,11 @@ object Multimodal extends QueryPack {
     media(s, dir)
       .selectExpr("doc_id", "text",
         s"(n_chars + ${FrameBytes - 1}) div $FrameBytes AS n_frames")
+      // an EMPTY payload (n_frames = 0) has no frames to sample: the
+      // oracle's range(0, 0, 2) is [], but Spark's sequence(0, -1, 2)
+      // THROWS — guard like every sibling sequence operator
+      // (txtRollhash/txtRepetition) so the doc is omitted, not a crash
+      .where("n_frames >= 1")
       .selectExpr("doc_id", "n_frames",
         "explode(sequence(0, n_frames - 1, 2)) AS frame_idx",
         "text")
@@ -470,6 +475,32 @@ object Multimodal extends QueryPack {
     * edges are carried by its identically-signed rep — the component
     * partition is bit-identical to the uncollapsed graph.
     */
+  /** The signature rep-collapse, ONE implementation for its three
+    * consumers (cluster edges, store build, fold increment) — the
+    * same single-point-of-truth treatment banding gets from
+    * phashBandSelects, so a tie-break change in the min-rep rule can
+    * never desynchronize the cluster index from the persisted store.
+    * Registers `grpView` (doc_id → min-doc_id rep per identical
+    * signature) and `repView` (the representatives' sig rows), both
+    * as eager truncated frames (multiply scanned downstream).
+    */
+  private def collapseByPhash(s: SparkSession, sigsView: String,
+                              grpView: String, repView: String,
+                              coalesceReps: Option[Int] = None): Unit = {
+    s.sql(
+      s"""SELECT k.doc_id, g.rep FROM $sigsView k
+         |JOIN (SELECT phash, min(doc_id) AS rep FROM $sigsView
+         |      GROUP BY phash) g
+         |ON k.phash = g.phash""".stripMargin)
+      .truncated().createOrReplaceTempView(grpView)
+    val reps = s.sql(
+      s"""SELECT s.doc_id, s.phash FROM $sigsView s
+         |JOIN (SELECT DISTINCT rep FROM $grpView) r ON s.doc_id = r.rep"""
+        .stripMargin)
+    coalesceReps.map(reps.coalesce).getOrElse(reps)
+      .truncated().createOrReplaceTempView(repView)
+  }
+
   private[graft] def mmPhashClusterEdges(s: SparkSession, dir: String): DataFrame = {
     phashSigs(s, dir).cache().createOrReplaceTempView("pce_sigs")
     // The collapse key is the SIGNATURE itself — one BIGINT already in
@@ -479,20 +510,10 @@ object Multimodal extends QueryPack {
     // verify's own criterion, byte-identical or not). Collapse frames
     // are EAGER localCheckpoints, never lazy caches — multiply-scanned
     // inside one edge job, where a lazy cache recomputes its lineage
-    // per scan (see ddClusterEdges).
-    s.sql(
-      s"""SELECT s.doc_id, g.rep FROM pce_sigs s
-         |JOIN (SELECT phash, min(doc_id) AS rep FROM pce_sigs
-         |      GROUP BY phash) g
-         |  ON s.phash = g.phash""".stripMargin)
-      .truncated().createOrReplaceTempView("pce_grp")
-    // the representatives' band rows, materialized once: the candidate
-    // self-join scans a small (doc_id, band, bv) RDD twice
-    s.sql(
-      s"""SELECT s.doc_id, s.phash FROM pce_sigs s
-         |JOIN (SELECT DISTINCT rep FROM pce_grp) r ON s.doc_id = r.rep"""
-        .stripMargin)
-      .coalesce(4).truncated().createOrReplaceTempView("pce_repsigs")
+    // per scan (see ddClusterEdges); the reps coalesce because the
+    // candidate self-join scans a small (doc_id, band, bv) RDD twice.
+    collapseByPhash(s, "pce_sigs", "pce_grp", "pce_repsigs",
+      coalesceReps = Some(4))
     // banding via the shared helper so the cluster index can never
     // band differently from the store build / streaming probe
     s.sql(phashBandSelects("pce_repsigs"))
@@ -561,17 +582,7 @@ object Multimodal extends QueryPack {
                                      pred: String = Dedup.oldPred): Unit = {
     val sigs = phashSigsOf(media(s, dir).where(pred)).cache()
     sigs.createOrReplaceTempView("pst_allsigs")
-    s.sql(
-      """SELECT k.doc_id, g.rep FROM pst_allsigs k
-        |JOIN (SELECT phash, min(doc_id) AS rep FROM pst_allsigs
-        |      GROUP BY 1) g
-        |ON k.phash = g.phash""".stripMargin)
-      .truncated().createOrReplaceTempView("pst_grp")
-    s.sql(
-      """SELECT s.doc_id, s.phash FROM pst_allsigs s
-        |JOIN (SELECT DISTINCT rep FROM pst_grp) r ON s.doc_id = r.rep"""
-        .stripMargin)
-      .truncated().createOrReplaceTempView("pst_sigs")
+    collapseByPhash(s, "pst_allsigs", "pst_grp", "pst_sigs")
     new java.io.File(store).mkdirs()
     // bucketed layout — see Dedup.clusterStoreBuild's note
     StoreFiles.writeBucketed(
@@ -618,17 +629,7 @@ object Multimodal extends QueryPack {
     // clusterStoreFoldInto discipline): reps into sigs/bands,
     // membership into grp — a group recurring across generations
     // keeps one rep per generation, re-sealable by StoreCtl compact
-    s.sql(
-      """SELECT k.doc_id, g.rep FROM pfi_allsigs k
-        |JOIN (SELECT phash, min(doc_id) AS rep FROM pfi_allsigs
-        |      GROUP BY 1) g
-        |ON k.phash = g.phash""".stripMargin)
-      .truncated().createOrReplaceTempView("pfi_grp")
-    s.sql(
-      """SELECT s.doc_id, s.phash FROM pfi_allsigs s
-        |JOIN (SELECT DISTINCT rep FROM pfi_grp) r ON s.doc_id = r.rep"""
-        .stripMargin)
-      .truncated().createOrReplaceTempView("pfi_sigs")
+    collapseByPhash(s, "pfi_allsigs", "pfi_grp", "pfi_sigs")
     new java.io.File(out).mkdirs()
     // delta: the increment's rows alone land (bytes ∝ batch, not
     // store); readers union the relations across the _PARENT chain
@@ -786,7 +787,7 @@ object Multimodal extends QueryPack {
        |          ${(0 until PhashBits).map("p_" + _).mkString(", ")}
        |        FROM (SELECT doc_id, is_old, ${probes.mkString(", ")}
        |              FROM (SELECT doc_id, text,
-       |                      CAST(substr(source, 4) AS INT) < 10 AS is_old,
+       |                      (${graft.operators.Dedup.oldPred}) AS is_old,
        |                      n_chars // $PhashBits AS stride
        |                    FROM documents))))
        |SELECT n.doc_id AS doc_id, o.doc_id AS owner_id

@@ -510,13 +510,22 @@ object TextAnalysis extends QueryPack {
   // the per-source table only (bounded by |domains|, broadcast back),
   // and ONE doc-side window partitioned by source — no global sort, no
   // driver round-trip. The DuckDB oracle restates the arithmetic.
-  private def txtMixture(s: SparkSession, dir: String): DataFrame = {
+  /** ONE implementation for both weighted source mixtures
+    * (txt_mixture's fixed config weights, txt_temperature_mix's
+    * distribution-derived sqrt weights): the desired_n arithmetic,
+    * the rank-by-md5 membership, and the windows are identical —
+    * only the integer weight expression differs, so it is the one
+    * parameter (the pre-r20 copies were 40 lines apart and a change
+    * to the sample_total divisor or tie-break had four places to
+    * miss).
+    */
+  private def weightedMixture(s: SparkSession, dir: String,
+                              weightExpr: String): DataFrame = {
     val docs = table(s, dir, "documents")
       .selectExpr("doc_id", "source",
         "md5(cast(doc_id as string)) AS hk")
     val rates = docs.groupBy("source").agg(count(lit(1)).as("cnt"))
-      .withColumn("w",
-        expr("cast(substring(source, 4) as bigint) % 4 + 1"))
+      .withColumn("w", expr(weightExpr))
       .withColumn("sample_total", expr("sum(cnt) OVER () div 4"))
       .withColumn("wsum", expr("sum(w) OVER ()"))
       .withColumn("desired_n",
@@ -531,8 +540,12 @@ object TextAnalysis extends QueryPack {
       .orderBy(col("source"), col("rn"))
   }
 
-  private val txtMixtureSql =
-    """WITH d AS (SELECT doc_id, source,
+  /** The oracle template for [[weightedMixture]], weight-parameterized
+    * the same way (DuckDB spelling of the weight over the per-source
+    * `cnt`).
+    */
+  private def weightedMixtureSql(duckWeight: String): String =
+    s"""WITH d AS (SELECT doc_id, source,
       |             md5(CAST(doc_id AS VARCHAR)) AS hk FROM documents),
       |r AS (
       |  SELECT source,
@@ -541,7 +554,7 @@ object TextAnalysis extends QueryPack {
       |          CAST(SUM(cnt) OVER () AS BIGINT) // 4 AS sample_total,
       |          CAST(SUM(w) OVER () AS BIGINT) AS wsum
       |        FROM (SELECT source, CAST(COUNT(*) AS BIGINT) AS cnt,
-      |                CAST(substr(source, 4) AS BIGINT) % 4 + 1 AS w
+      |                $duckWeight AS w
       |              FROM d GROUP BY source)))
       |SELECT source, doc_id, rn, desired_n FROM (
       |  SELECT d.source, d.doc_id, r.desired_n,
@@ -550,6 +563,13 @@ object TextAnalysis extends QueryPack {
       |  FROM d JOIN r ON d.source = r.source)
       |WHERE rn <= desired_n
       |ORDER BY source, rn""".stripMargin
+
+  private def txtMixture(s: SparkSession, dir: String): DataFrame =
+    weightedMixture(s, dir,
+      "cast(substring(source, 4) as bigint) % 4 + 1")
+
+  private val txtMixtureSql = weightedMixtureSql(
+    "CAST(substr(source, 4) AS BIGINT) % 4 + 1")
 
   // -- txt_temperature_mix: temperature-scaled source sampling ----------------
   // The multilingual/domain balancing step from mT5/XLM-R: sample source
@@ -565,47 +585,12 @@ object TextAnalysis extends QueryPack {
   // Scale shape: identical to txt_mixture — per-source count (map-side
   // combine), windows over the |sources|-sized table only, one
   // source-partitioned doc window, broadcast rate join.
-  private def txtTemperatureMix(s: SparkSession, dir: String): DataFrame = {
-    val docs = table(s, dir, "documents")
-      .selectExpr("doc_id", "source",
-        "md5(cast(doc_id as string)) AS hk")
-    val rates = docs.groupBy("source").agg(count(lit(1)).as("cnt"))
-      .withColumn("w",
-        expr("cast(floor(sqrt(cast(cnt as double))) as bigint)"))
-      .withColumn("sample_total", expr("sum(cnt) OVER () div 4"))
-      .withColumn("wsum", expr("sum(w) OVER ()"))
-      .withColumn("desired_n",
-        expr("least(cnt, (sample_total * w) div wsum)"))
-      .select("source", "desired_n")
-    val wSrc = Window.partitionBy("source")
-      .orderBy(col("hk"), col("doc_id"))
-    docs.join(broadcast(rates), Seq("source"))
-      .withColumn("rn", row_number().over(wSrc).cast("bigint"))
-      .filter(col("rn") <= col("desired_n"))
-      .select("source", "doc_id", "rn", "desired_n")
-      .orderBy(col("source"), col("rn"))
-  }
+  private def txtTemperatureMix(s: SparkSession, dir: String): DataFrame =
+    weightedMixture(s, dir,
+      "cast(floor(sqrt(cast(cnt as double))) as bigint)")
 
-  private val txtTemperatureMixSql =
-    """WITH d AS (SELECT doc_id, source,
-      |             md5(CAST(doc_id AS VARCHAR)) AS hk FROM documents),
-      |r AS (
-      |  SELECT source,
-      |    least(cnt, (sample_total * w) // wsum) AS desired_n
-      |  FROM (SELECT source, cnt, w,
-      |          CAST(SUM(cnt) OVER () AS BIGINT) // 4 AS sample_total,
-      |          CAST(SUM(w) OVER () AS BIGINT) AS wsum
-      |        FROM (SELECT source, CAST(COUNT(*) AS BIGINT) AS cnt,
-      |                CAST(floor(sqrt(CAST(COUNT(*) AS DOUBLE)))
-      |                  AS BIGINT) AS w
-      |              FROM d GROUP BY source)))
-      |SELECT source, doc_id, rn, desired_n FROM (
-      |  SELECT d.source, d.doc_id, r.desired_n,
-      |    CAST(row_number() OVER (PARTITION BY d.source
-      |      ORDER BY d.hk, d.doc_id) AS BIGINT) AS rn
-      |  FROM d JOIN r ON d.source = r.source)
-      |WHERE rn <= desired_n
-      |ORDER BY source, rn""".stripMargin
+  private val txtTemperatureMixSql = weightedMixtureSql(
+    "CAST(floor(sqrt(CAST(COUNT(*) AS DOUBLE))) AS BIGINT)")
 
   // -- txt_budget_select: token-budget curation -------------------------------
   // The final act of a curation pipeline: given a token BUDGET (here
@@ -667,7 +652,12 @@ object TextAnalysis extends QueryPack {
     val wAll = Window.partitionBy(lit(0))
     val scoreCum = perScore
       .withColumn("score_before", coalesce(sum("s_tok").over(wCum), lit(0L)))
-      .withColumn("budget", (sum("s_tok").over(wAll) / 2).cast("bigint"))
+      // div, not "/": Column./ on longs goes through DOUBLE, whose
+      // 53-bit mantissa diverges from the oracle's exact // 2 once the
+      // corpus total passes ~9e15 tokens — the block's all-bigint
+      // contract holds only with integer division end-to-end
+      .withColumn("s_tok_total", sum("s_tok").over(wAll))
+      .withColumn("budget", expr("s_tok_total div 2"))
       .select("score_u", "score_before", "budget")
     val wBkt = Window.partitionBy("score_u").orderBy("bkt")
       .rowsBetween(Window.unboundedPreceding, -1)

@@ -74,6 +74,18 @@ class ShortDocGuardSpec extends AnyFunSuite {
       "guard changed the clustering of the original corpus")
   }
 
+  test("mm_frames: empty payloads are OMITTED (the oracle's empty " +
+      "range), never a sequence(0, -1) crash") {
+    val rows = SparkEntry.queries("mm_frames")(spark, doctoredDir)
+      .collect()
+    // the zero-char docs contribute no frame rows; everyone else does
+    assert(rows.nonEmpty)
+    val ids = rows.map(_.getLong(0)).toSet
+    assert(Seq(10000L, 10001L, 10010L).forall(!ids.contains(_)),
+      "an empty payload has no frames to sample")
+    assert(ids.contains(10002L), "1-token docs still sample frame 0")
+  }
+
   test("dd_incremental: identical empty docs across the batch " +
       "boundary are still caught by the EXACT path (which never bands)") {
     val st = SparkEntry.queries("dd_incremental")(spark, doctoredDir)
