@@ -48,10 +48,12 @@ object GraftHashes {
     * prefix is equivalent to the low 6 bits of digest byte 3 being zero,
     * so the long is never materialized.
     */
-  def cdcEnds(s: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
-    val bytes = s.getBytes
-    val nChars = s.numChars()
-    // char -> starting byte offset (UTF-8-safe window slicing)
+  /** char -> starting byte offset table (UTF-8-safe window slicing),
+    * computed ONCE per row — shared by [[cdcEnds]] and [[charNgrams]]
+    * so every windowed kernel slices by offset instead of re-walking
+    * bytes from position 0 per window.
+    */
+  private def charOffsets(bytes: Array[Byte], nChars: Int): Array[Int] = {
     val offs = new Array[Int](nChars + 1)
     var b = 0
     var c = 0
@@ -62,6 +64,13 @@ object GraftHashes {
       c += 1
     }
     offs(nChars) = bytes.length
+    offs
+  }
+
+  def cdcEnds(s: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+    val bytes = s.getBytes
+    val nChars = s.numChars()
+    val offs = charOffsets(bytes, nChars)
     val out = scala.collection.mutable.ArrayBuffer.empty[Int]
     val d = md5Local.get()
     var i = 0 // 0-based window start; 1-based end = i + 4
@@ -77,15 +86,24 @@ object GraftHashes {
     new GenericArrayData(out.toArray)
   }
 
-  /** All character n-grams in order (see [[CharNgrams]]). */
+  /** All character n-grams in order (see [[CharNgrams]]). Slices by
+    * the precomputed offset table: UTF8String.substring(i, i+n)
+    * re-walks byte offsets from position 0 per call, which turned a
+    * 100 KB document into ~5e9 byte inspections (O(len²)) on the
+    * dedup/text hot path — one offs[] walk makes it linear, the same
+    * fix [[cdcEnds]] always had.
+    */
   def charNgrams(s: org.apache.spark.unsafe.types.UTF8String,
                  n: Int): ArrayData = {
     val nChars = s.numChars()
     if (nChars < n) return new GenericArrayData(Array.empty[Any])
+    val bytes = s.getBytes
+    val offs = charOffsets(bytes, nChars)
     val out = new Array[Any](nChars - n + 1)
     var i = 0
     while (i + n <= nChars) {
-      out(i) = s.substring(i, i + n)
+      out(i) = org.apache.spark.unsafe.types.UTF8String
+        .fromBytes(bytes, offs(i), offs(i + n) - offs(i))
       i += 1
     }
     new GenericArrayData(out)

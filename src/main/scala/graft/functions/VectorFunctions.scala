@@ -396,7 +396,13 @@ object VectorFunctions {
     "graft_h64sd" -> (c => Md5PrefixSortedDistinct(c(0), 15)),
     "graft_cdc_ends" -> (c => CdcEnds(c(0))),
     "graft_char3grams" -> (c => CharNgrams(c(0), 3)),
-    "graft_char5grams" -> (c => CharNgrams(c(0), 5))
+    "graft_char5grams" -> (c => CharNgrams(c(0), 5)),
+    // the ETL state machine's codegen face — in THIS list (not only
+    // CleanTextExpression.ensureRegistered) so a session built with
+    // spark.sql.extensions=graft.GraftExtensions resolves it too: the
+    // side-door-only registration was exactly the two-paths-drift the
+    // list exists to prevent
+    "graft_clean_text" -> (c => CleanTextExpression(c.head))
   )
 
   /** Idempotent: makes graft's native expressions resolvable in SQL. */

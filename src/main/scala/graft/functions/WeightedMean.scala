@@ -34,6 +34,12 @@ object WeightedMean extends Aggregator[(Double, Double), WmBuffer, Double] {
     WmBuffer(a.sumPQ + b.sumPQ, a.sumQ + b.sumQ)
 
   override def finish(b: WmBuffer): Double = {
+    // zero total weight (an empty group, or quantities that all
+    // quantize to 0): 0/0 is NaN and x/0 Infinity, and
+    // BigDecimal.valueOf on either THROWS — return NaN directly, the
+    // IEEE answer, instead of failing the whole query on a degenerate
+    // group
+    if (b.sumQ == 0L) return Double.NaN
     val ratio = (b.sumPQ.toDouble / 10000.0) / (b.sumQ.toDouble / 10000.0)
     // same semantics as Spark's round(double, 6) / DuckDB round
     JBigDecimal.valueOf(ratio).setScale(6, RoundingMode.HALF_UP).doubleValue()

@@ -29,6 +29,10 @@ case class TopKPerKey(k: Int, key: Expression, order: Expression,
                       tie: Expression, child: LogicalPlan,
                       tieNullsFirst: Boolean = false)
     extends UnaryNode {
+  // fail at PLAN time with the actual problem named: k <= 0 used to
+  // surface as an executor-side NoSuchElementException from an empty
+  // heap's head, nowhere near the mistake
+  require(k >= 1, s"TopKPerKey wants k >= 1, got $k")
   override def output: Seq[Attribute] = child.output
   override protected def withNewChildInternal(newChild: LogicalPlan)
       : TopKPerKey = copy(child = newChild)
@@ -49,7 +53,16 @@ private[plans] case class TopKEntry(onull: Boolean, ov: Long,
                                     row: InternalRow)
 
 /** Physical bounded-heap top-k per key. One pass per partition; memory
-  * is O(distinct keys in partition x k rows), not O(partition).
+  * is O(distinct keys in partition x k rows), not O(partition) — the
+  * win over the sort-based Window when groups are large (few keys,
+  * many rows each). The inverse regime is the operator's ENVELOPE: the
+  * per-key heaps live in an in-memory map with no spill path, so at
+  * EXTREME per-partition key cardinality the native (spillable) Window
+  * is the safer plan. Rather than an opaque executor OOM, the exec
+  * refuses past [[TopKPerKeyExec.MaxKeysKey]] distinct keys per
+  * partition (default 8M — at k=3 and ~100 B rows that is ~2.4 GB of
+  * heap, the edge of sane) with a message naming the knob and the
+  * rewrite toggle ([[WindowTopKRewrite]]'s `graft.window.topk.rewrite`).
   *
   * Null handling matches the `row_number().over(Window)` formulation it
   * replaces: a NULL key is its own group (SQL GROUP BY / Window
@@ -60,6 +73,11 @@ private[plans] case class TopKEntry(onull: Boolean, ov: Long,
   * `asc`, which [[WindowTopKRewrite]] must honor when it rewrites a
   * user-written window).
   */
+object TopKPerKeyExec {
+  /** Per-partition distinct-key refusal threshold (see the class doc). */
+  val MaxKeysKey = "graft.topk.maxKeysPerPartition"
+}
+
 case class TopKPerKeyExec(k: Int, key: Expression, order: Expression,
                           tie: Expression, child: SparkPlan,
                           tieNullsFirst: Boolean = false)
@@ -83,6 +101,8 @@ case class TopKPerKeyExec(k: Int, key: Expression, order: Expression,
   override protected def doExecute(): RDD[InternalRow] = {
     val kLocal = k
     val tnfLocal = tieNullsFirst
+    val maxKeysLocal = conf
+      .getConfString(TopKPerKeyExec.MaxKeysKey, "8000000").toLong
     val keyB = BindReferences.bindReference(key, child.output)
     val orderB = BindReferences.bindReference(order, child.output)
     val tieB = BindReferences.bindReference(tie, child.output)
@@ -131,8 +151,20 @@ case class TopKPerKeyExec(k: Int, key: Expression, order: Expression,
               nullHeap = mutable.PriorityQueue.empty[TopKEntry]
             }
             nullHeap
-          case kv: Long => heaps.getOrElseUpdate(kv,
-            mutable.PriorityQueue.empty[TopKEntry])
+          case kv: Long =>
+            val h = heaps.getOrElseUpdate(kv,
+              mutable.PriorityQueue.empty[TopKEntry])
+            // refuse LOUDLY past the key-cardinality envelope instead
+            // of an opaque executor OOM (the heap map has no spill
+            // path; the sort-based Window does)
+            if (heaps.size > maxKeysLocal)
+              throw new IllegalStateException(
+                s"TopKPerKey exceeded ${TopKPerKeyExec.MaxKeysKey}=" +
+                  s"$maxKeysLocal distinct keys in one partition — " +
+                  "raise the cap, add partitions, or disable the " +
+                  "rewrite (graft.window.topk.rewrite=false) to use " +
+                  "the spillable Window")
+            h
         }
         if (heap.size < kLocal) {
           heap.enqueue(entry.copy(row = copier(row).copy()))
@@ -164,6 +196,16 @@ case class TopKPerKeyExec(k: Int, key: Expression, order: Expression,
   * the logical node back into a DataFrame via the sql-package shim.
   */
 object TopKPerKeyOps {
+
+  /** Idempotent strategy attach — ONE implementation for this API and
+    * [[WindowTopKRewriteOps.ensureRegistered]] (the check-then-append
+    * idiom existed in two verbatim copies before r20).
+    */
+  private[plans] def ensureStrategy(spark: SparkSession): Unit =
+    if (!spark.experimental.extraStrategies.contains(TopKPerKeyStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ TopKPerKeyStrategy
+
   /** All three are bigint COLUMNS of `df` — pre-compute derived measures
     * with `withColumn` (and drop them after) rather than passing
     * expression strings, so no analyzer round-trip is needed.
@@ -171,13 +213,22 @@ object TopKPerKeyOps {
   def topKPerKey(df: DataFrame, k: Int, keyCol: String, orderCol: String,
                  tieCol: String): DataFrame = {
     val spark = df.sparkSession
-    if (!spark.experimental.extraStrategies.contains(TopKPerKeyStrategy))
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ TopKPerKeyStrategy
+    ensureStrategy(spark)
     val plan = df.queryExecution.analyzed
-    def resolve(name: String): Expression =
-      plan.output.find(_.name == name)
-        .getOrElse(sys.error(s"column $name not found"))
+    // resolve with the session's resolver (case-insensitive by
+    // default, like Spark's own analysis) and validate the operator's
+    // bigint contract HERE — a wrong-typed column used to plan fine
+    // and then die mid-stage as an executor-side MatchError
+    val resolver = spark.sessionState.conf.resolver
+    def resolve(name: String): Expression = {
+      val attr = plan.output.find(a => resolver(a.name, name))
+        .getOrElse(sys.error(s"column $name not found in " +
+          s"[${plan.output.map(_.name).mkString(", ")}]"))
+      require(attr.dataType ==
+        org.apache.spark.sql.types.LongType,
+        s"topKPerKey wants bigint columns; $name is ${attr.dataType}")
+      attr
+    }
     org.apache.spark.sql.GraftRegistry.dataFrame(spark,
       TopKPerKey(k, resolve(keyCol), resolve(orderCol), resolve(tieCol),
         plan))

@@ -93,7 +93,14 @@ object WindowTopKRewrite extends Rule[LogicalPlan] with PredicateHelper {
       case _ => None
     }
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    // opt-out for the operator's inverse regime (extreme per-partition
+    // key cardinality, where the spillable native Window is safer —
+    // see TopKPerKeyExec's envelope note)
+    if (!conf.getConfString("graft.window.topk.rewrite", "true")
+        .toBoolean)
+      return plan
+    plan.transform {
     case f @ Filter(cond, w: Window)
         if !w.child.isInstanceOf[TopKPerKey] =>
       eligible(w) match {
@@ -110,6 +117,7 @@ object WindowTopKRewrite extends Rule[LogicalPlan] with PredicateHelper {
           }
         case None => f
       }
+    }
   }
 }
 
@@ -119,9 +127,7 @@ object WindowTopKRewrite extends Rule[LogicalPlan] with PredicateHelper {
   */
 object WindowTopKRewriteOps {
   def ensureRegistered(spark: SparkSession): Unit = {
-    if (!spark.experimental.extraStrategies.contains(TopKPerKeyStrategy))
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ TopKPerKeyStrategy
+    TopKPerKeyOps.ensureStrategy(spark)
     if (!spark.experimental.extraOptimizations.contains(WindowTopKRewrite))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ WindowTopKRewrite

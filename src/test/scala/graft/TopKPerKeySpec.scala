@@ -130,4 +130,53 @@ class TopKPerKeySpec extends AnyFunSuite {
     assert(findExec(rank.queryExecution.executedPlan).isEmpty)
     assert(rank.count() == 3)
   }
+
+  test("API contract errors surface at PLAN time with the problem " +
+      "named: k < 1, a wrong-typed column, and case-insensitive " +
+      "resolution like Spark's own") {
+    val df = Seq((1L, 10L, 1L)).toDF("k", "o", "t")
+    val e1 = intercept[IllegalArgumentException] {
+      graft.plans.TopKPerKeyOps.topKPerKey(df, 0, "k", "o", "t")
+    }
+    assert(e1.getMessage.contains("k >= 1"), e1.getMessage)
+    val intDf = Seq((1, 10L, 1L)).toDF("k", "o", "t")
+    val e2 = intercept[IllegalArgumentException] {
+      graft.plans.TopKPerKeyOps.topKPerKey(intDf, 2, "k", "o", "t")
+    }
+    assert(e2.getMessage.contains("bigint"), e2.getMessage)
+    // "K" resolves to column k under the default case-insensitive
+    // analysis (it used to fail resolution)
+    assert(graft.plans.TopKPerKeyOps
+      .topKPerKey(df, 1, "K", "o", "t").count() == 1)
+  }
+
+  test("the rewrite honors its opt-out conf (the spillable native " +
+      "Window is the safer plan at extreme key cardinality)") {
+    WindowTopKRewriteOps.ensureRegistered(spark)
+    val df = Seq((1L, 10L, 1L), (1L, 20L, 2L)).toDF("k", "o", "t")
+    def idiom() = df.selectExpr("k", "o", "t",
+        "row_number() over (partition by k order by o desc, t) as rn")
+      .where("rn <= 1")
+    spark.conf.set("graft.window.topk.rewrite", "false")
+    try assert(findExec(idiom().queryExecution.executedPlan).isEmpty,
+      "the opt-out must leave the native Window plan")
+    finally spark.conf.unset("graft.window.topk.rewrite")
+    assert(findExec(idiom().queryExecution.executedPlan).isDefined)
+  }
+
+  test("the per-partition key-cardinality envelope refuses loudly, " +
+      "never an opaque OOM") {
+    val df = spark.range(0, 100L).selectExpr("id AS k", "id AS o",
+      "id AS t")
+    spark.conf.set(graft.plans.TopKPerKeyExec.MaxKeysKey, "10")
+    try {
+      val e = intercept[org.apache.spark.SparkException] {
+        graft.plans.TopKPerKeyOps.topKPerKey(df, 1, "k", "o", "t")
+          .count()
+      }
+      assert(e.getMessage.contains("maxKeysPerPartition") ||
+        Option(e.getCause).exists(
+          _.getMessage.contains("maxKeysPerPartition")), e.getMessage)
+    } finally spark.conf.unset(graft.plans.TopKPerKeyExec.MaxKeysKey)
+  }
 }
