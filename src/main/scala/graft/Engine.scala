@@ -54,6 +54,24 @@ object Engine {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     normalizeTs(spark.read.parquet(s"$dir/$name.parquet"))
 
+  /** The ONE corpus-rewrite staleness hook: an operator that rewrites
+    * a corpus dir IN PLACE (fixtures regenerated, a backfill landing
+    * over the same path) calls this before re-querying, and every
+    * pack's session-lifetime state keyed on that dir — the dedup
+    * registries' derived frames and cached corpus scans, similarity's
+    * trained IVF-PQ model and tracked relations — is dropped, so the
+    * next call rereads the rewritten files instead of serving
+    * pre-rewrite cached blocks (the cache manager matches canonical
+    * plans, not file contents). Out of scope, deliberately: the
+    * pid-scoped scratch STORES on disk (delete the scratch dir) and
+    * pointer-served generation roots (immutable by contract — rewrite
+    * means a new generation + flip, never an in-place edit).
+    */
+  def invalidateCorpus(spark: SparkSession, dir: String): Unit = {
+    graft.operators.Dedup.invalidateLpEdges(spark, dir)
+    graft.operators.Similarity.invalidateCorpus(spark, dir)
+  }
+
   /** The driver's testdata has shipped `events.ts` in two physical
     * encodings across rounds: parquet TIMESTAMP(NANOS) (which
     * `nanosAsLong` surfaces as bigint epoch-nanos) and timestamp[us]

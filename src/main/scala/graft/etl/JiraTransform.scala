@@ -43,6 +43,19 @@ object JiraTransform {
 
   /** Read raw page files (each a JSON array of issues) keeping provenance.
     * `pathGlob` e.g. `"data/raw/" + "*.json"`.
+    *
+    * TWO-STAGE parse: the file parses to an array of RAW element
+    * strings first (whole-file skip on malformed JSON, unchanged),
+    * then each element parses to the typed issue INDEPENDENTLY. A
+    * single-stage from_json(array<struct>) nulled the WHOLE array on
+    * any one structurally-bad element — silently dropping every good
+    * issue in the page, where the reference's per-issue loop
+    * (`transformer.py:303-314`) emits the good ones and reduces the
+    * bad one to an error record. An element that fails even the
+    * per-element parse (a bare scalar where an object should be)
+    * lands as the empty-parity record — the same altitude limit as
+    * the `{}` note in [[transformIssue]]; the reference itself dies
+    * on that shape (its except block calls .get on the raw element).
     */
   def readRawPages(spark: SparkSession, pathGlob: String): Dataset[Sourced] = {
     import spark.implicits._
@@ -50,11 +63,13 @@ object JiraTransform {
       .option("wholetext", "true")
       .text(pathGlob)
       .select(input_file_name().as("file"),
-        from_json($"value", ArrayType(rawIssueSchema)).as("issues"))
+        from_json($"value", ArrayType(org.apache.spark.sql.types.StringType)).as("raws"))
     // Whole-file skip on malformed JSON: from_json -> null array.
     parsed
-      .where($"issues".isNotNull)
-      .select($"file", posexplode($"issues").as(Seq("pos", "issue")))
+      .where($"raws".isNotNull)
+      .select($"file", posexplode($"raws").as(Seq("pos", "raw")))
+      .select($"file", $"pos",
+        from_json($"raw", rawIssueSchema).as("issue"))
       .as[Sourced]
   }
 
@@ -155,7 +170,11 @@ object JiraTransform {
         val i = name.lastIndexOf('_')
         if (i > 0) name.substring(0, i) else name
       }
-      SourcedRecord(project, name, s.pos, transformIssue(s.issue))
+      // a null issue is an element the per-element parse rejected
+      // outright (see readRawPages) — the empty-parity record, like {}
+      val issue =
+        if (s.issue == null) RawIssue(None, None) else s.issue
+      SourcedRecord(project, name, s.pos, transformIssue(issue))
     }
   }
 

@@ -248,6 +248,7 @@ object Similarity extends QueryPack {
         s"${dotS("embedding", "embedding")} AS n2",
         s"${bucketExpr(planeDotS)} AS bucket")
       .cache()
+    trackCached(s, dir, e)
     val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
       col("n2").as("n2a"), col("bucket"))
     val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
@@ -258,6 +259,7 @@ object Similarity extends QueryPack {
       .selectExpr("vec_a", "vec_b",
         s"round(${dotS("ea", "eb")} / sqrt(n2a * n2b), 6) AS cos_sim")
       .cache()
+    trackCached(s, dir, pairs)
     pairs.filter(col("cos_sim") >= 0.4).orderBy(col("vec_a"), col("vec_b"))
   }
 
@@ -313,10 +315,16 @@ object Similarity extends QueryPack {
 
   private def registerRecallView(s: SparkSession, dir: String): Unit = {
     VectorFunctions.ensureRegistered(s)
-    table(s, dir, "embeddings")
+    // cached + tracked: the recall SQL scans this view ~6 times (qb/cb
+    // in the candidate join, q/c in both top-5 sides) and Spark
+    // inlines views, so an uncached projection re-runs the 8-plane
+    // hyperplane folds per scan — the cost class the trainIvfPq doc
+    // records
+    trackCached(s, dir, table(s, dir, "embeddings")
       .selectExpr("vec_id", "embedding",
         s"${dotS("embedding", "embedding")} AS n2",
         s"${bucketExpr(planeDotS)} AS bucket")
+      .cache())
       .createOrReplaceTempView("sim_rec_e")
   }
 
@@ -427,12 +435,23 @@ object Similarity extends QueryPack {
   // its cell (|cell| ≈ N/C work instead of N). Exact same shape a real
   // IVF index executes; recall loss vs sim_topk_brute is the expected
   // IVF trade-off.
+
+  /** Query boundary: vec_id >= IvfQ are queries, below are candidates
+    * — shared by this probe, the IVF-PQ family, and the streaming
+    * ANN-serve replay gates (which feed exactly that set). Declared
+    * HERE, above its first STRICT-val consumer (simIvfProbeSql): a
+    * same-object forward reference to a strict val reads 0 at init,
+    * which would have silently turned the oracle's boundary into
+    * `vec_id >= 0`.
+    */
+  private[graft] val IvfQ = 492
+
   private def simIvfProbe(s: SparkSession, dir: String): DataFrame = {
     VectorFunctions.ensureRegistered(s)
-    table(s, dir, "embeddings")
+    trackCached(s, dir, table(s, dir, "embeddings")
       .selectExpr("vec_id", "embedding",
         s"${dotS("embedding", "embedding")} AS n2")
-      .cache()
+      .cache())
       .createOrReplaceTempView("sim_ivfp")
     s.sql(
       s"""WITH assign AS (
@@ -445,10 +464,10 @@ object Similarity extends QueryPack {
          |  WHERE rnk = 1),
          |q AS (SELECT e.vec_id, e.embedding, e.n2, a.cell
          |      FROM sim_ivfp e JOIN assign a ON e.vec_id = a.vec_id
-         |      WHERE e.vec_id >= 492),
+         |      WHERE e.vec_id >= $IvfQ),
          |cand AS (SELECT e.vec_id, e.embedding, e.n2, a.cell
          |         FROM sim_ivfp e JOIN assign a ON e.vec_id = a.vec_id
-         |         WHERE e.vec_id < 492)
+         |         WHERE e.vec_id < $IvfQ)
          |SELECT query_id, cell, neighbor_id, cos_sim,
          |  cast(rnk as bigint) AS rnk FROM (
          |  SELECT q.vec_id AS query_id, q.cell, cand.vec_id AS neighbor_id,
@@ -474,10 +493,10 @@ object Similarity extends QueryPack {
        |  WHERE rnk = 1),
        |q AS (SELECT e.vec_id, e.embedding, e.n2, a.cell
        |      FROM e JOIN assign a ON e.vec_id = a.vec_id
-       |      WHERE e.vec_id >= 492),
+       |      WHERE e.vec_id >= $IvfQ),
        |cand AS (SELECT e.vec_id, e.embedding, e.n2, a.cell
        |         FROM e JOIN assign a ON e.vec_id = a.vec_id
-       |         WHERE e.vec_id < 492)
+       |         WHERE e.vec_id < $IvfQ)
        |SELECT query_id, cell, neighbor_id, cos_sim,
        |  CAST(rnk AS BIGINT) AS rnk FROM (
        |  SELECT q.vec_id AS query_id, q.cell, cand.vec_id AS neighbor_id,
@@ -754,7 +773,8 @@ object Similarity extends QueryPack {
   // arithmetic stays integer-exact, so the oracle restates it verbatim.
   // vec_id >= IvfQ are queries (as sim_ivf_probe); exposed to the
   // streaming ANN-serve replay gates, which feed exactly that set
-  private[graft] val IvfQ = 492
+  // (IvfQ itself is declared above sim_ivf_probe — its strict-val
+  // consumers there would read 0 through a forward reference)
   private val IvfNprobe = 2
 
   /** The train+probe CTE chain shared by sim_ivfpq and the refine
@@ -857,12 +877,21 @@ object Similarity extends QueryPack {
     * statistics narrowed to the generation-0 training half — the
     * independent restatement of "train once, add the rest frozen".
     */
+  /** Generation-0 training boundary (the first half of the candidate
+    * corpus). Declared HERE, above the fold oracle that interpolates
+    * it — before r20 the oracle inlined `IvfQ / 2` because the val
+    * lived below it (a strict-val forward reference reads 0 at object
+    * init), so retuning the training fraction would have silently
+    * desynchronized the oracle from the stored path it checks.
+    */
+  private[graft] val IvfTrainOld = IvfQ / 2
+
   private val simIvfPqFoldStoredSql =
     s"""WITH base AS (SELECT vec_id, $x4D AS x4 FROM embeddings),
        |${ivfpqSql("base",
           m => s"x4[${PqDim * m + 1}:${PqDim * m + PqDim}]",
           assignD, assignD2, pqCentD, distD,
-          trainWhere = s"vec_id < ${IvfQ / 2}")}""".stripMargin
+          trainWhere = s"vec_id < $IvfTrainOld")}""".stripMargin
 
   // -- sim_ivfpq_pretrained: the persisted-model serving path -----------------
   // sim_ivfpq is the spec regime: one self-contained query that trains
@@ -891,9 +920,79 @@ object Similarity extends QueryPack {
   private val ivfpqModelCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), IvfPqModel]
 
+  /** Cached corpus-derived relations per (session, corpus) —
+    * Dedup.trackCached's discipline for THIS pack's `.cache()` sites
+    * (the LSH projection/pair relations, the IVF norm view, the
+    * recall view): the cache manager matches canonical plans, not
+    * file contents, so a corpus rewritten in place would keep serving
+    * stale blocks until [[invalidateCorpus]] releases them. LRU past
+    * 16 entries (a long-lived multi-corpus session otherwise pins
+    * every corpus's scan blocks forever); evicted or invalidated
+    * entries unpersist and consumers recompute on demand.
+    */
+  private val trackedCaches =
+    new java.util.LinkedHashMap[(SparkSession, String), List[DataFrame]](
+        16, 0.75f, /*accessOrder=*/ true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(SparkSession, String), List[DataFrame]])
+          : Boolean = {
+        val evict = size() > 16
+        if (evict && !e.getKey._1.sparkContext.isStopped)
+          e.getValue.foreach(_.unpersist(blocking = false))
+        evict
+      }
+    }
+
+  private def trackCached(s: SparkSession, dir: String,
+                          df: DataFrame): DataFrame =
+    trackedCaches.synchronized {
+      val k = (s, dir)
+      val cur = Option(trackedCaches.get(k)).getOrElse(Nil)
+      if (!cur.exists(_.queryExecution.analyzed
+          .sameResult(df.queryExecution.analyzed)))
+        trackedCaches.put(k, df :: cur)
+      df
+    }
+
+  /** The corpus-rewrite staleness hook (Dedup.invalidateLpEdges' twin
+    * for this pack, both behind [[graft.Engine.invalidateCorpus]]):
+    * drops the (session, dir) trained-model cache and unpersists the
+    * tracked corpus-scan relations, so the next call retrains/rereads
+    * the rewritten files. The pid-scoped DISK stores (ensureIvfPqStore
+    * et al.) are deliberately out of scope, like Dedup's scratch
+    * stores: they are per-process fixtures an operator deletes with
+    * the scratch dir.
+    */
+  /** Test hook: the cached trained model for (session, dir), if any. */
+  private[graft] def cachedModelForTest(
+      s: SparkSession, dir: String): Option[IvfPqModel] =
+    ivfpqModelCache.get((s, dir))
+
+  def invalidateCorpus(session: SparkSession, dir: String): Unit = {
+    ivfpqModelCache.remove((session, dir))
+    trackedCaches.synchronized {
+      Option(trackedCaches.remove((session, dir)))
+        .foreach(_.foreach(_.unpersist(blocking = false)))
+    }
+  }
+
   // One monitor per on-disk store dir (see simIvfPqStored).
   private val storeLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]
+
+  /** The cached-model lookup, SERIALIZED per (session, corpus):
+    * TrieMap.getOrElseUpdate is not atomic in the update, so two
+    * concurrent first callers would both run the full Lloyd round and
+    * the loser's localCheckpoint'ed code table would leak until the
+    * ContextCleaner collects it — the disk path already serializes
+    * through storeLocks; this is the in-memory equivalent.
+    */
+  private val modelLocks =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Object]
+  private def cachedModel(s: SparkSession, dir: String): IvfPqModel =
+    modelLocks.computeIfAbsent((s, dir), _ => new Object).synchronized {
+      ivfpqModelCache.getOrElseUpdate((s, dir), trainIvfPq(s, dir))
+    }
 
   private def ipqSliceS(m: Int) = s"slice(x4, ${PqDim * m + 1}, $PqDim)"
 
@@ -1021,16 +1120,18 @@ object Similarity extends QueryPack {
   /** Drop entries whose session has stopped — they pin the dead
     * session's object graph (and its checkpointed code table) forever.
     */
-  private def purgeDeadSessions(): Unit =
+  private def purgeDeadSessions(): Unit = {
     ivfpqModelCache.keys
       .filter(_._1.sparkContext.isStopped)
       .foreach(ivfpqModelCache.remove)
+    val it = modelLocks.keySet().iterator()
+    while (it.hasNext) if (it.next()._1.sparkContext.isStopped) it.remove()
+  }
 
   private def registerServing(s: SparkSession, dir: String): IvfPqModel = {
     VectorFunctions.ensureRegistered(s)
     purgeDeadSessions()
-    val model = ivfpqModelCache
-      .getOrElseUpdate((s, dir), trainIvfPq(s, dir))
+    val model = cachedModel(s, dir)
     registerServingViews(s, dir, model)
     model
   }
@@ -1120,12 +1221,11 @@ object Similarity extends QueryPack {
   private[graft] def ensureIvfPqStore(s: SparkSession, dir: String): String = {
     VectorFunctions.ensureRegistered(s)
     purgeDeadSessions()
-    val out = new java.io.File(
-      sys.props.getOrElse("java.io.tmpdir", "/tmp"),
-      "graft_ivfpq_" + java.security.MessageDigest.getInstance("MD5")
-        .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        .map("%02x".format(_)).mkString.take(12) +
-        "_p" + ProcessHandle.current().pid()).toString
+    // the ONE scratch-naming idiom (StoreFiles.scratchDir) — this was
+    // its fourth inline copy; a normalization fix there must reach the
+    // batch-stored face too or the "same persisted index" guarantee
+    // splits between the batch and streaming paths
+    val out = StoreFiles.scratchDir("graft_ivfpq_", dir)
     // The exists/train/save check-then-act is guarded per store dir:
     // two sessions in one process hitting the same scratch dir must
     // not interleave a save with a load of the half-written store.
@@ -1133,8 +1233,7 @@ object Similarity extends QueryPack {
     storeLocks.computeIfAbsent(out, _ => new Object).synchronized {
       if (!IvfPqStore.exists(out)) {
         new java.io.File(out).mkdirs()
-        IvfPqStore.save(
-          ivfpqModelCache.getOrElseUpdate((s, dir), trainIvfPq(s, dir)), out)
+        IvfPqStore.save(cachedModel(s, dir), out)
       }
     }
     out
@@ -1164,7 +1263,8 @@ object Similarity extends QueryPack {
   // generations by construction; only the PQ codebook statistics
   // narrow to the training half, which is exactly what the oracle
   // restates (pa1/pc1 over the training rows, pa2/cd over everything).
-  private[graft] val IvfTrainOld = IvfQ / 2
+  // (IvfTrainOld itself is declared above the fold oracle — see its
+  // init-order note.)
 
   /** Encode `where`-rows of the corpus with a LOADED frozen model —
     * the add() pass: coarse cell + PqM codes, all broadcast-codebook

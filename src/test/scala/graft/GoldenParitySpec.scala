@@ -97,4 +97,29 @@ class GoldenParitySpec extends AnyFunSuite {
     assert(st.map(_.getLong(1)).sum == 364)   // records
     assert(st.map(_.getLong(2)).sum == 0)     // errors
   }
+
+  test("one structurally-bad issue in a page keeps the page's GOOD " +
+      "issues (the reference's per-issue loop continues) instead of " +
+      "nulling the whole array") {
+    val spark = SparkSessionHelper.spark
+    val d = java.nio.file.Files.createTempDirectory("graft_badpage")
+    java.nio.file.Files.writeString(d.resolve("BAD_0.json"),
+      """[{"key": "BAD-1", "fields": {"summary": "good one"}},
+        | {"key": "BAD-2", "fields": "oops-not-an-object"},
+        | "scalar-element",
+        | {"key": "BAD-3", "fields": {"summary": "another good"}}]"""
+        .stripMargin)
+    // a whole-file parse failure still skips the file (unchanged)
+    java.nio.file.Files.writeString(d.resolve("BAD_50.json"), "not json")
+    val recs = JiraTransform.transform(
+      JiraTransform.readRawPages(spark, s"$d/*.json")).collect()
+    assert(recs.length == 4, recs.mkString("\n"))
+    val byId = recs.map(r => r.record.id -> r.record).toMap
+    assert(byId("BAD-1").title == "good one")
+    assert(byId("BAD-3").title == "another good")
+    // the wrong-typed fields element survives as a record too
+    // (PERMISSIVE nulls the bad field; the reference reduces it to an
+    // error record — either way the page's good issues are NOT lost)
+    assert(byId.contains("BAD-2"))
+  }
 }

@@ -170,4 +170,28 @@ class LpEdgeCacheSpec extends AnyFunSuite {
       "post-invalidation rebuild served stale data")
     Dedup.clearLpEdgeCache()
   }
+
+  test("Engine.invalidateCorpus drops similarity's trained-model " +
+      "cache too: the one hook covers every pack's session state") {
+    import graft.operators.Similarity
+    val s = spark
+    val d = java.nio.file.Files
+      .createTempDirectory("graft_simstale").toString
+    s.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    assert(SparkEntry.queries("sim_ivfpq_pretrained")(s, d)
+      .count() > 0)
+    val m1 = Similarity.cachedModelForTest(s, d)
+    assert(m1.nonEmpty, "pretrained serving must cache the model")
+    // a second call reuses the SAME trained model instance
+    assert(SparkEntry.queries("sim_ivfpq_pretrained")(s, d).count() > 0)
+    assert(Similarity.cachedModelForTest(s, d).exists(_ eq m1.get))
+    // the corpus-rewrite hook drops it; the next call retrains
+    Engine.invalidateCorpus(s, d)
+    assert(Similarity.cachedModelForTest(s, d).isEmpty,
+      "invalidateCorpus must drop the (session, dir) model")
+    assert(SparkEntry.queries("sim_ivfpq_pretrained")(s, d).count() > 0)
+    assert(Similarity.cachedModelForTest(s, d)
+      .exists(m => !(m eq m1.get)), "the rebuild must retrain")
+  }
 }
