@@ -341,6 +341,25 @@ object Dedup extends QueryPack {
          |ON k.hkey = g.hkey""".stripMargin)
       .truncated()
 
+  /** [[shingleGrpFrame]]'s EMBED-keyed twin (md5 of the vector bytes,
+    * zero-norm carve-out — a zero vector's cosine is NaN, never an
+    * edge): ONE definition for the four embed collapse sites
+    * (cosRepVerifyFrame, embedClusterEdges, embedStoreBuild,
+    * embedStoreFoldInto), which carried byte-identical inline copies
+    * before r20.
+    */
+  private def embedGrpFrame(s: SparkSession, view: String): DataFrame =
+    s.sql(
+      s"""SELECT k.vec_id, g.rep FROM
+         |  (SELECT vec_id, md5(cast(embedding as string)) AS vk
+         |   FROM $view WHERE n2 > 0) k
+         |JOIN
+         |  (SELECT md5(cast(embedding as string)) AS vk,
+         |          min(vec_id) AS rep
+         |   FROM $view WHERE n2 > 0 GROUP BY 1) g
+         |ON k.vk = g.vk""".stripMargin)
+      .truncated()
+
   /** Member-level expansion of a rep-level verified pair table — the
     * shared consumer half of every pair-family collapse. Built with
     * DataFrame joins DIRECTLY on the registry's cached frames (no
@@ -730,13 +749,7 @@ object Dedup extends QueryPack {
     * Jaccard-tuned banding would drop (see recall contract above).
     */
   private val ddContainmentSql =
-    s"""WITH docs AS (
-       |  SELECT doc_id,
-       |    list_sort(list_distinct(list_transform(grams,
-       |      g -> ${duckH64("g")}))) AS hs
-       |  FROM (
-       |    SELECT doc_id, $duckGrams AS grams FROM (
-       |      SELECT doc_id, string_split(text, ' ') AS toks FROM documents)))
+    s"""WITH $duckJacDocsCte
        |SELECT doc_a, doc_b, containment FROM (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |    round(CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
@@ -942,14 +955,7 @@ object Dedup extends QueryPack {
   }
 
   private val ddThresholdSweepSql =
-    s"""WITH docs AS (
-       |  SELECT doc_id,
-       |    list_sort(list_distinct(list_transform(grams,
-       |      g -> ${duckH64("g")}))) AS hs
-       |  FROM (
-       |    SELECT doc_id, $duckGrams AS grams FROM (
-       |      SELECT doc_id, string_split(text, ' ') AS toks
-       |      FROM documents))),
+    s"""WITH $duckJacDocsCte,
        |pairs AS (
        |  SELECT CAST(floor(jaccard * 10) AS BIGINT) AS bucket10 FROM (
        |    SELECT round(CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
@@ -985,7 +991,7 @@ object Dedup extends QueryPack {
   // gates banding recall at the 0.6 threshold, like dd_jaccard's.
   private def ddIncremental(s: SparkSession, dir: String): DataFrame = {
     VectorFunctions.ensureRegistered(s)
-    table(s, dir, "documents")
+    val incSigs = table(s, dir, "documents")
       .selectExpr("doc_id", "md5(text) AS th",
         "cast(substring(source, 4) as int) >= 10 AS is_new",
         "split(text, ' ') AS toks")
@@ -997,7 +1003,8 @@ object Dedup extends QueryPack {
         "graft_minhash16(ghs) AS sigarr"): _*)
       .selectExpr(Seq("doc_id", "th", "is_new", "hs") ++ sparkSigCols: _*)
       .cache()
-      .createOrReplaceTempView("inc_sigs")
+    trackCached(s, dir, incSigs)
+    incSigs.createOrReplaceTempView("inc_sigs")
     val bandSelects = (0 until JacBands)
       .map(b => s"SELECT doc_id, is_new, $b AS band," +
         s" ${jacBandKeySpark(b)} AS bk FROM inc_sigs$jacBandGuard")
@@ -1046,7 +1053,7 @@ object Dedup extends QueryPack {
   private def ddIncrementalBloom(s: SparkSession, dir: String): DataFrame = {
     VectorFunctions.ensureRegistered(s) // graft_bloom_contains et al.
     s.udf.register("graft_bloom_agg", udaf(graft.functions.BloomAgg))
-    table(s, dir, "documents")
+    val incbSigs = table(s, dir, "documents")
       .selectExpr("doc_id", "md5(text) AS th",
         "cast(substring(source, 4) as int) >= 10 AS is_new",
         "split(text, ' ') AS toks")
@@ -1060,7 +1067,8 @@ object Dedup extends QueryPack {
       .selectExpr(Seq("doc_id", "th", "is_new", "bk64", "hs") ++
         sparkSigCols: _*)
       .cache()
-      .createOrReplaceTempView("incb_sigs")
+    trackCached(s, dir, incbSigs)
+    incbSigs.createOrReplaceTempView("incb_sigs")
     val bandSelects = (0 until JacBands)
       .map(b => s"SELECT doc_id, is_new, $b AS band," +
         s" ${jacBandKeySpark(b)} AS bk FROM incb_sigs$jacBandGuard")
@@ -1263,9 +1271,16 @@ object Dedup extends QueryPack {
   }
 
   private def duckSigCols: Seq[String] = (0 until K).map { j =>
-    s"list_reduce(list_transform(ghs," +
+    // empty-shingle guard: DuckDB's list_reduce ERRORS on an empty
+    // list, while graft_minhash16 returns its fold identity
+    // (Long.MaxValue) — a sub-2-token doc must yield the identical
+    // identity signature in both engines, not an oracle crash (the
+    // fixtures never hit this; ShortDocGuardSpec's doctored corpora
+    // are exactly the input class that does)
+    s"CASE WHEN len(ghs) = 0 THEN ${Long.MaxValue}" +
+      s" ELSE list_reduce(list_transform(ghs," +
       s" h -> (${A(j)} * h + ${B(j)}) % $P)," +
-      s" (x, y) -> least(x, y)) AS sig_$j"
+      s" (x, y) -> least(x, y)) END AS sig_$j"
   }
 
   /** DuckDB restatement of [[bandRows]]'s (doc_id, band, bk) expansion,
@@ -1329,6 +1344,7 @@ object Dedup extends QueryPack {
       .selectExpr("doc_id", "graft_minhash16(ghs) AS sigarr")
       .selectExpr(Seq("doc_id") ++ sparkSigCols: _*)
       .cache()
+    trackCached(s, dir, sigs)
     sigs.createOrReplaceTempView("dd_sigs")
     val bandSelects = (0 until Bands)
       .map(b => s"SELECT doc_id, $b AS band, ${bandKeySpark(b)} AS bk FROM dd_sigs")
@@ -1420,6 +1436,7 @@ object Dedup extends QueryPack {
       (for { i <- 0 until 16; j <- i + 1 until 16 }
         yield (1 << i) | (1 << j))
     val sims = simhashCore(s, dir).cache()
+    trackCached(s, dir, sims)
     val a = sims
       .select(col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
       .withColumn("variant",
@@ -1475,6 +1492,7 @@ object Dedup extends QueryPack {
         "graft_h32b(toks) AS his")
       .selectExpr("doc_id", "graft_simhash64(los, his) AS sig")
       .cache()
+    trackCached(s, dir, sims)
     sims.createOrReplaceTempView("sh64_sims")
     val bandSelects = (0 until 4)
       .map(b => s"SELECT doc_id, $b AS band," +
@@ -1722,16 +1740,7 @@ object Dedup extends QueryPack {
       : (DataFrame, DataFrame) = {
     val ev = ensureCosE(s, dir)
     val gv = uview("cos_grp"); val rv = uview("cos_repe")
-    val grp = s.sql(
-      s"""SELECT k.vec_id, g.rep FROM
-         |  (SELECT vec_id, md5(cast(embedding as string)) AS vk
-         |   FROM $ev WHERE n2 > 0) k
-         |JOIN
-         |  (SELECT md5(cast(embedding as string)) AS vk,
-         |          min(vec_id) AS rep
-         |   FROM $ev WHERE n2 > 0 GROUP BY 1) g
-         |ON k.vk = g.vk""".stripMargin)
-      .truncated()
+    val grp = embedGrpFrame(s, ev)
     grp.createOrReplaceTempView(gv)
     s.sql(
       s"""SELECT s.vec_id, s.bks FROM $ev s
@@ -1841,16 +1850,7 @@ object Dedup extends QueryPack {
     val ev = ensureCosE(s, dir)
     val gv = uview("ec_grp"); val rsv = uview("ec_repsigs")
     val rbv = uview("ec_repbands")
-    s.sql(
-      s"""SELECT k.vec_id, g.rep FROM
-         |  (SELECT vec_id, md5(cast(embedding as string)) AS vk
-         |   FROM $ev WHERE n2 > 0) k
-         |JOIN
-         |  (SELECT md5(cast(embedding as string)) AS vk,
-         |          min(vec_id) AS rep
-         |   FROM $ev WHERE n2 > 0 GROUP BY 1) g
-         |ON k.vk = g.vk""".stripMargin)
-      .truncated().createOrReplaceTempView(gv)
+    embedGrpFrame(s, ev).createOrReplaceTempView(gv)
     s.sql(
       s"""SELECT s.vec_id, s.bks FROM $ev s
          |JOIN (SELECT DISTINCT rep FROM $gv) r ON s.vec_id = r.rep"""
@@ -2170,6 +2170,23 @@ object Dedup extends QueryPack {
     contRelCache.invalidate(session, dir)
   }
 
+  /** Fixed-name builder views whose EAGER checkpoints pin executor
+    * blocks for as long as they stay registered (a rebind releases
+    * the PREVIOUS generation through the ContextCleaner, but the
+    * current one lives until session end). Dropped on invalidation so
+    * a long-lived session that is done with a corpus sheds the last
+    * block set too — the blocks are rebuild-on-demand state, never
+    * the only copy of anything. NOTE the single-session contract
+    * these names imply: the per-corpus builders (dc_/cinc_/inc_/...)
+    * run serially within a session (the harness and every CLI do); a
+    * concurrent-builder session must key its corpora to separate
+    * SparkSessions. The store builders are path-qualified and exempt.
+    */
+  private val builderViews = Seq(
+    "dc_sigs", "dc_grp", "dc_repsigs", "dc_repbands",
+    "cinc_sigs", "cinc_grp", "cinc_repsigs",
+    "inc_sigs", "incb_sigs", "dd_sigs", "sh64_sims")
+
   def invalidateLpEdges(session: SparkSession, dir: String): Unit = {
     invalidateDerived(session, dir)
     // also release the builders' CACHED corpus scans (sig/cos_e
@@ -2177,6 +2194,10 @@ object Dedup extends QueryPack {
     // rebuild after an in-place corpus rewrite would otherwise keep
     // serving the pre-rewrite blocks
     unpersistTracked(session, dir)
+    // and the fixed-name builder views' checkpoint blocks (see
+    // builderViews) — the names are corpus-agnostic, so this drop is
+    // session-wide; the views rebuild on the next builder call
+    builderViews.foreach(session.catalog.dropTempView)
   }
 
   /** Test/A-B hook: drop ALL shared frames (TimeOne's GRAFT_LP_COLD=1
@@ -2505,16 +2526,7 @@ object Dedup extends QueryPack {
     // form reads a third of that).
     // (doc_id, rep): feeds the star edges and the rep filter; as an
     // inlined CTE the key scan + groupBy would re-run per reference.
-    s.sql(
-      s"""SELECT k.doc_id, g.rep FROM
-         |  (SELECT doc_id, md5(cast(hs as string)) AS hkey
-         |   FROM dc_sigs WHERE sig_0 <> ${Long.MaxValue}L) k
-         |JOIN
-         |  (SELECT md5(cast(hs as string)) AS hkey, min(doc_id) AS rep
-         |   FROM dc_sigs WHERE sig_0 <> ${Long.MaxValue}L
-         |   GROUP BY 1) g
-         |ON k.hkey = g.hkey""".stripMargin)
-      .truncated().createOrReplaceTempView("dc_grp")
+    shingleGrpFrame(s, "dc_sigs").createOrReplaceTempView("dc_grp")
     // The REPRESENTATIVES' signatures, rep filter joined against the
     // sig rows ONCE (not the 8x-exploded band rows). hs is projected
     // away before the checkpoint: a checkpointed row is deserialized
@@ -2650,6 +2662,7 @@ object Dedup extends QueryPack {
       // racing-scan sig recompute) and added a job to the family's
       // pinned 26-job scheduling floor.
       .cache()
+      .transform { f => trackCached(s, dir, f); f }
       .createOrReplaceTempView("cinc_sigs")
     // Per-side collapse groups: (doc_id, is_new, rep) with rep = the
     // side's min doc_id per shingle-set key. Same checkpoint-not-cache
@@ -2864,6 +2877,15 @@ object Dedup extends QueryPack {
                                        store: String,
                                        pred: String = oldPred): Unit = {
     VectorFunctions.ensureRegistered(s)
+    // view names are qualified by the STORE path: two builds over the
+    // SAME corpus but different stores (the serving store and the
+    // eval-slice store lock DIFFERENT dirs) may run concurrently in
+    // one session, and fixed names would let one build's rebind leak
+    // into the other's analysis — a store silently mixing the two
+    // predicates' rows
+    val cstSigs = "cst" + StoreFiles.md5Hex(store, 8) + "_sigs"
+    val cstGrp = "cst" + StoreFiles.md5Hex(store, 8) + "_grp"
+    val cstRep = "cst" + StoreFiles.md5Hex(store, 8) + "_repsigs"
     val sigs = table(s, dir, "documents")
       .where(pred)
       .selectExpr("doc_id", "split(text, ' ') AS toks")
@@ -2873,27 +2895,18 @@ object Dedup extends QueryPack {
       .selectExpr("doc_id", "hs", "graft_minhash16(ghs) AS sigarr")
       .selectExpr(Seq("doc_id", "hs") ++ sparkSigCols: _*)
       .cache()
-    sigs.createOrReplaceTempView("cst_sigs")
+    sigs.createOrReplaceTempView(cstSigs)
     // collapse groups (the ddClusterEdges discipline: shingle-set key,
     // empty-shingle carve-out, eager checkpoint — see dc_grp)
+    shingleGrpFrame(s, cstSigs).createOrReplaceTempView(cstGrp)
     s.sql(
-      s"""SELECT k.doc_id, g.rep FROM
-         |  (SELECT doc_id, md5(cast(hs as string)) AS hkey
-         |   FROM cst_sigs WHERE sig_0 <> ${Long.MaxValue}L) k
-         |JOIN
-         |  (SELECT md5(cast(hs as string)) AS hkey, min(doc_id) AS rep
-         |   FROM cst_sigs WHERE sig_0 <> ${Long.MaxValue}L
-         |   GROUP BY 1) g
-         |ON k.hkey = g.hkey""".stripMargin)
-      .truncated().createOrReplaceTempView("cst_grp")
-    s.sql(
-      s"""SELECT s.* FROM cst_sigs s
-         |JOIN (SELECT DISTINCT rep FROM cst_grp) r ON s.doc_id = r.rep"""
+      s"""SELECT s.* FROM $cstSigs s
+         |JOIN (SELECT DISTINCT rep FROM $cstGrp) r ON s.doc_id = r.rep"""
         .stripMargin)
-      .truncated().createOrReplaceTempView("cst_repsigs")
+      .truncated().createOrReplaceTempView(cstRep)
     val bandSelects = (0 until JacBands)
       .map(b => s"SELECT doc_id, $b AS band, ${jacBandKeySpark(b)} AS bk" +
-        s" FROM cst_repsigs$jacBandGuard")
+        s" FROM $cstRep$jacBandGuard")
       .mkString(" UNION ALL ")
     val pairs = s.sql(
       s"""WITH bands AS ($bandSelects),
@@ -2906,13 +2919,13 @@ object Dedup extends QueryPack {
          |    round(cast(graft_isect(a.hs, b.hs) as double)
          |      / (size(a.hs) + size(b.hs) - graft_isect(a.hs, b.hs)), 6)
          |      AS jaccard
-         |  FROM cand JOIN cst_sigs a ON a.doc_id = doc_a
-         |            JOIN cst_sigs b ON b.doc_id = doc_b
+         |  FROM cand JOIN $cstSigs a ON a.doc_id = doc_a
+         |            JOIN $cstSigs b ON b.doc_id = doc_b
          |  WHERE least(size(a.hs), size(b.hs)) * 10
          |        >= greatest(size(a.hs), size(b.hs)) * 6)
          |WHERE jaccard >= 0.6
          |UNION ALL
-         |SELECT rep AS doc_a, doc_id AS doc_b FROM cst_grp
+         |SELECT rep AS doc_a, doc_id AS doc_b FROM $cstGrp
          |WHERE doc_id <> rep""".stripMargin)
     val lbl = labelPropagate("dd_cluster_store", pairs,
       sigs.select("doc_id"))
@@ -2923,13 +2936,13 @@ object Dedup extends QueryPack {
     // exchange (PlanSpec pins the shape)
     StoreFiles.writeBucketed(lbl, s"$store/assignment", Seq("doc_id"))
     StoreFiles.writeBucketed(
-      s.sql("SELECT doc_id, hs FROM cst_repsigs"),
+      s.sql(s"SELECT doc_id, hs FROM $cstRep"),
       s"$store/sigs", Seq("doc_id"))
     StoreFiles.writeBucketed(
       s.sql(s"SELECT doc_id, band, bk FROM ($bandSelects)"),
       s"$store/bands", Seq("band", "bk"), Seq("doc_id"))
     StoreFiles.writeBucketed(
-      s.sql("SELECT doc_id, rep FROM cst_grp"),
+      s.sql(s"SELECT doc_id, rep FROM $cstGrp"),
       s"$store/grp", Seq("rep"), Seq("doc_id"))
     val n = sigs.count()
     sigs.unpersist()
@@ -3047,9 +3060,25 @@ object Dedup extends QueryPack {
     * checkpointing the edge frame; [[clusterStoreIncrement]] is the
     * only production caller.
     */
+  /** Store-path-qualified fold-builder view name — ONE derivation for
+    * the creator (clusterStoreEdgeFrame / embedStoreEdgeFrame) and the
+    * consumer (the FoldInto writers), so concurrent folds probing
+    * DIFFERENT stores in one session cannot rebind each other's views
+    * (folds from the SAME store are serialized by the generation-name
+    * claim, so a per-store name suffices).
+    */
+  private[graft] def foldView(kind: String, store: String,
+                       suffix: String): String =
+    kind + StoreFiles.md5Hex(store, 8) + suffix
+
   private[graft] def clusterStoreEdgeFrame(s: SparkSession, dir: String,
                                            store: String, newPred: String)
       : (DataFrame, DataFrame) = {
+    val cfoSigs = foldView("cfo", store, "_sigs")
+    val cfoGrp = foldView("cfo", store, "_grp")
+    val cfoRep = foldView("cfo", store, "_repsigs")
+    val cfoOldBands = foldView("cfo", store, "_oldbands")
+    val cfoOldSigs = foldView("cfo", store, "_oldsigs")
     VectorFunctions.ensureRegistered(s)
     // localCheckpoint (EAGER), not cache: the relation feeds 8 band
     // sides, both verify join-backs, and the node list — ~10
@@ -3067,35 +3096,26 @@ object Dedup extends QueryPack {
       .selectExpr("doc_id", "hs", "graft_minhash16(ghs) AS sigarr")
       .selectExpr(Seq("doc_id", "hs") ++ sparkSigCols: _*)
       .truncated()
-    newSigs.createOrReplaceTempView("cfo_sigs")
+    newSigs.createOrReplaceTempView(cfoSigs)
     // NEW-side collapse (the store layout's rep discipline applied to
     // the increment): a duplicate-bombed ingest batch probes and
     // verifies once per GROUP, and members ride k-1 star edges. Old
     // side needs no stars — the stored assignment already links old
     // members to their reps (a group is jaccard-1-connected, so it is
     // one stored component by construction).
+    shingleGrpFrame(s, cfoSigs).createOrReplaceTempView(cfoGrp)
     s.sql(
-      s"""SELECT k.doc_id, g.rep FROM
-         |  (SELECT doc_id, md5(cast(hs as string)) AS hkey
-         |   FROM cfo_sigs WHERE sig_0 <> ${Long.MaxValue}L) k
-         |JOIN
-         |  (SELECT md5(cast(hs as string)) AS hkey, min(doc_id) AS rep
-         |   FROM cfo_sigs WHERE sig_0 <> ${Long.MaxValue}L
-         |   GROUP BY 1) g
-         |ON k.hkey = g.hkey""".stripMargin)
-      .truncated().createOrReplaceTempView("cfo_grp")
-    s.sql(
-      s"""SELECT s.* FROM cfo_sigs s
-         |JOIN (SELECT DISTINCT rep FROM cfo_grp) r ON s.doc_id = r.rep"""
+      s"""SELECT s.* FROM $cfoSigs s
+         |JOIN (SELECT DISTINCT rep FROM $cfoGrp) r ON s.doc_id = r.rep"""
         .stripMargin)
-      .truncated().createOrReplaceTempView("cfo_repsigs")
+      .truncated().createOrReplaceTempView(cfoRep)
     StoreFiles.readRelChain(s, store, "bands")
-      .createOrReplaceTempView("cfo_oldbands")
+      .createOrReplaceTempView(cfoOldBands)
     StoreFiles.readRelChain(s, store, "sigs")
-      .createOrReplaceTempView("cfo_oldsigs")
+      .createOrReplaceTempView(cfoOldSigs)
     val newBandSelects = (0 until JacBands)
       .map(b => s"SELECT doc_id, $b AS band, ${jacBandKeySpark(b)} AS bk" +
-        s" FROM cfo_repsigs$jacBandGuard")
+        s" FROM $cfoRep$jacBandGuard")
       .mkString(" UNION ALL ")
     // Increment candidates: bands(new reps) probe the STORED index
     // (old-new) plus a banded self-join of the new reps alone
@@ -3111,16 +3131,16 @@ object Dedup extends QueryPack {
          |cand AS (
          |  SELECT least(o.doc_id, n.doc_id) AS doc_a,
          |         greatest(o.doc_id, n.doc_id) AS doc_b
-         |  FROM cfo_oldbands o JOIN newbands n
+         |  FROM $cfoOldBands o JOIN newbands n
          |    ON o.band = n.band AND o.bk = n.bk
          |  UNION
          |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
          |  FROM newbands x JOIN newbands y
          |    ON x.band = y.band AND x.bk = y.bk AND x.doc_id < y.doc_id),
          |allsigs AS (
-         |  SELECT doc_id, hs FROM cfo_oldsigs
+         |  SELECT doc_id, hs FROM $cfoOldSigs
          |  UNION ALL
-         |  SELECT doc_id, hs FROM cfo_sigs)
+         |  SELECT doc_id, hs FROM $cfoSigs)
          |SELECT doc_a, doc_b FROM (
          |  SELECT doc_a, doc_b,
          |    round(cast(graft_isect(a.hs, b.hs) as double)
@@ -3132,7 +3152,7 @@ object Dedup extends QueryPack {
          |        >= greatest(size(a.hs), size(b.hs)) * 6)
          |WHERE jaccard >= 0.6
          |UNION ALL
-         |SELECT rep AS doc_a, doc_id AS doc_b FROM cfo_grp
+         |SELECT rep AS doc_a, doc_id AS doc_b FROM $cfoGrp
          |WHERE doc_id <> rep""".stripMargin)
     (newSigs, edges)
   }
@@ -3181,20 +3201,20 @@ object Dedup extends QueryPack {
                   inc: DataFrame): DataFrame =
       if (delta) inc else StoreFiles.readRelChain(s, store, rel).union(inc)
     StoreFiles.writeBucketed(
-      withPrior("sigs", s.sql("SELECT doc_id, hs FROM cfo_repsigs")),
+      withPrior("sigs", s.sql(s"SELECT doc_id, hs FROM ${foldView("cfo", store, "_repsigs")}")),
       s"$out/sigs", Seq("doc_id"))
     val bandSelects = (0 until JacBands)
       .map(b => s"SELECT doc_id, $b AS band, ${jacBandKeySpark(b)} AS bk" +
-        s" FROM cfo_repsigs$jacBandGuard")
+        s" FROM ${foldView("cfo", store, "_repsigs")}$jacBandGuard")
       .mkString(" UNION ALL ")
     StoreFiles.writeBucketed(
       withPrior("bands",
         s.sql(s"SELECT doc_id, band, bk FROM ($bandSelects)")),
       s"$out/bands", Seq("band", "bk"), Seq("doc_id"))
     StoreFiles.writeBucketed(
-      if (delta) s.sql("SELECT doc_id, rep FROM cfo_grp")
+      if (delta) s.sql(s"SELECT doc_id, rep FROM ${foldView("cfo", store, "_grp")}")
       else storeGrp(s, store, "doc_id")
-        .union(s.sql("SELECT doc_id, rep FROM cfo_grp")),
+        .union(s.sql(s"SELECT doc_id, rep FROM ${foldView("cfo", store, "_grp")}")),
       s"$out/grp", Seq("rep"), Seq("doc_id"))
     if (delta)
       StoreFiles.writeParent(out, StoreFiles.parentGenName(store))
@@ -3419,7 +3439,9 @@ object Dedup extends QueryPack {
     val pairsAll = edges.edgesBoth.where(col("src") < col("dst"))
       .toDF("vec_a", "vec_b")
     val ids = table(s, dir, "embeddings").select("vec_id")
-    val split = ids.agg(max("vec_id")).head.getLong(0) / 2 + 1
+    // the ONE split convention (shared with embedStoreBuild and the
+    // oracle's max//2+1 restatement) — this was an inline second copy
+    val split = embedSplit(s, dir)
     // vec_a < vec_b by construction, so an edge is old-old iff its
     // MAX endpoint is old — the two filters partition the edge set
     val lblA = labelPropagate("dd_embed_cluster_incremental#prior",
@@ -3464,8 +3486,14 @@ object Dedup extends QueryPack {
   /** Append-ordered split shared with dd_embed_cluster_incremental:
     * the top half of vec_ids is the new batch.
     */
-  private[graft] def embedSplit(s: SparkSession, dir: String): Long =
-    table(s, dir, "embeddings").agg(max("vec_id")).head.getLong(0) / 2 + 1
+  private[graft] def embedSplit(s: SparkSession, dir: String): Long = {
+    val row = table(s, dir, "embeddings").agg(max("vec_id")).head
+    // an empty table's max is NULL — name the problem instead of the
+    // opaque NullPointerException getLong would throw
+    require(!row.isNullAt(0),
+      s"$dir/embeddings is empty — no vectors to split")
+    row.getLong(0) / 2 + 1
+  }
 
   /** Build the store from the corpus vectors with vec_id < `split`:
     * one banded self-join + cosine verify (the dd_embed_cosine_lsh
@@ -3475,6 +3503,12 @@ object Dedup extends QueryPack {
   private[graft] def embedStoreBuild(s: SparkSession, dir: String,
                                      store: String,
                                      pred: String = ""): Unit = {
+    // store-path-qualified view names — the clusterStoreBuild note:
+    // the serving and eval-slice builds of one corpus lock different
+    // dirs and may run concurrently in one session
+    val estE = "est" + StoreFiles.md5Hex(store, 8) + "_e"
+    val estGrp = "est" + StoreFiles.md5Hex(store, 8) + "_grp"
+    val estRep = "est" + StoreFiles.md5Hex(store, 8) + "_repe"
     VectorFunctions.ensureRegistered(s)
     val oldPred =
       if (pred.isEmpty) s"vec_id < ${embedSplit(s, dir)}" else pred
@@ -3484,7 +3518,7 @@ object Dedup extends QueryPack {
         "graft_dot(embedding, embedding) AS n2",
         "graft_rh_buckets(embedding) AS bks")
       .cache()
-    e.createOrReplaceTempView("est_e")
+    e.createOrReplaceTempView(estE)
     // rep-collapsed layout (the ClusterStore r17 discipline, embed
     // face): byte-identical vectors collapse to their min-vec_id rep
     // (embedClusterEdges' key; zero-norm carve-out — a zero vector's
@@ -3492,25 +3526,16 @@ object Dedup extends QueryPack {
     // full-width, membership lands in grp/. Exact because a member's
     // bytes and n2 equal its rep's: every cosine any consumer computes
     // against a member is bit-identical against its rep.
+    embedGrpFrame(s, estE).createOrReplaceTempView(estGrp)
     s.sql(
-      s"""SELECT k.vec_id, g.rep FROM
-         |  (SELECT vec_id, md5(cast(embedding as string)) AS vk
-         |   FROM est_e WHERE n2 > 0) k
-         |JOIN
-         |  (SELECT md5(cast(embedding as string)) AS vk,
-         |          min(vec_id) AS rep
-         |   FROM est_e WHERE n2 > 0 GROUP BY 1) g
-         |ON k.vk = g.vk""".stripMargin)
-      .truncated().createOrReplaceTempView("est_grp")
-    s.sql(
-      s"""SELECT s.* FROM est_e s
-         |JOIN (SELECT DISTINCT rep FROM est_grp) r ON s.vec_id = r.rep"""
+      s"""SELECT s.* FROM $estE s
+         |JOIN (SELECT DISTINCT rep FROM $estGrp) r ON s.vec_id = r.rep"""
         .stripMargin)
-      .truncated().createOrReplaceTempView("est_repe")
+      .truncated().createOrReplaceTempView(estRep)
     // same zero-norm band guard as ddEmbedLshPairs
     val bandSelects = (0 until CosBands)
       .map(b => s"SELECT vec_id, $b AS band, element_at(bks, ${b + 1})" +
-        " AS bkt FROM est_repe WHERE n2 > 0")
+        s" AS bkt FROM $estRep WHERE n2 > 0")
       .mkString(" UNION ALL ")
     val pairs = s.sql(
       s"""WITH bands AS ($bandSelects),
@@ -3522,12 +3547,12 @@ object Dedup extends QueryPack {
          |  SELECT vec_a, vec_b, round(cs, 6) AS cos_sim FROM (
          |    SELECT vec_a, vec_b,
          |      graft_cos(a.embedding, b.embedding, a.n2, b.n2) AS cs
-         |    FROM cand JOIN est_e a ON a.vec_id = vec_a
-         |              JOIN est_e b ON b.vec_id = vec_b)
+         |    FROM cand JOIN $estE a ON a.vec_id = vec_a
+         |              JOIN $estE b ON b.vec_id = vec_b)
          |  WHERE cs > 0.3999994)
          |WHERE cos_sim >= 0.4
          |UNION ALL
-         |SELECT rep AS vec_a, vec_id AS vec_b FROM est_grp
+         |SELECT rep AS vec_a, vec_id AS vec_b FROM $estGrp
          |WHERE vec_id <> rep""".stripMargin)
     val lbl = labelPropagate("dd_embed_cluster_store",
       pairs.toDF("doc_a", "doc_b"),
@@ -3537,13 +3562,13 @@ object Dedup extends QueryPack {
     // bucketed layout — see clusterStoreBuild's note
     StoreFiles.writeBucketed(lbl, s"$store/assignment", Seq("vec_id"))
     StoreFiles.writeBucketed(
-      s.sql("SELECT vec_id, embedding, n2 FROM est_repe"),
+      s.sql(s"SELECT vec_id, embedding, n2 FROM $estRep"),
       s"$store/vecs", Seq("vec_id"))
     StoreFiles.writeBucketed(
       s.sql(s"SELECT vec_id, band, bkt FROM ($bandSelects)"),
       s"$store/bands", Seq("band", "bkt"), Seq("vec_id"))
     StoreFiles.writeBucketed(
-      s.sql("SELECT vec_id, rep FROM est_grp"),
+      s.sql(s"SELECT vec_id, rep FROM $estGrp"),
       s"$store/grp", Seq("rep"), Seq("vec_id"))
     val n = e.count()
     e.unpersist()
@@ -3559,6 +3584,11 @@ object Dedup extends QueryPack {
                                          store: String,
                                          newPred: String = "")
       : (DataFrame, DataFrame) = {
+    val efoE = foldView("efo", store, "_e")
+    val efoGrp = foldView("efo", store, "_grp")
+    val efoRep = foldView("efo", store, "_repe")
+    val efoOldBands = foldView("efo", store, "_oldbands")
+    val efoOldVecs = foldView("efo", store, "_oldvecs")
     VectorFunctions.ensureRegistered(s)
     val np =
       if (newPred.isEmpty) s"vec_id >= ${embedSplit(s, dir)}" else newPred
@@ -3571,33 +3601,24 @@ object Dedup extends QueryPack {
         "graft_dot(embedding, embedding) AS n2",
         "graft_rh_buckets(embedding) AS bks")
       .truncated()
-    newE.createOrReplaceTempView("efo_e")
+    newE.createOrReplaceTempView(efoE)
     // NEW-side collapse (see clusterStoreEdgeFrame): a bombed vector
     // ingest batch probes and verifies once per group; members ride
     // star edges; the old side's membership lives in the stored
     // assignment.
+    embedGrpFrame(s, efoE).createOrReplaceTempView(efoGrp)
     s.sql(
-      s"""SELECT k.vec_id, g.rep FROM
-         |  (SELECT vec_id, md5(cast(embedding as string)) AS vk
-         |   FROM efo_e WHERE n2 > 0) k
-         |JOIN
-         |  (SELECT md5(cast(embedding as string)) AS vk,
-         |          min(vec_id) AS rep
-         |   FROM efo_e WHERE n2 > 0 GROUP BY 1) g
-         |ON k.vk = g.vk""".stripMargin)
-      .truncated().createOrReplaceTempView("efo_grp")
-    s.sql(
-      s"""SELECT s.* FROM efo_e s
-         |JOIN (SELECT DISTINCT rep FROM efo_grp) r ON s.vec_id = r.rep"""
+      s"""SELECT s.* FROM $efoE s
+         |JOIN (SELECT DISTINCT rep FROM $efoGrp) r ON s.vec_id = r.rep"""
         .stripMargin)
-      .truncated().createOrReplaceTempView("efo_repe")
+      .truncated().createOrReplaceTempView(efoRep)
     StoreFiles.readRelChain(s, store, "bands")
-      .createOrReplaceTempView("efo_oldbands")
+      .createOrReplaceTempView(efoOldBands)
     StoreFiles.readRelChain(s, store, "vecs")
-      .createOrReplaceTempView("efo_oldvecs")
+      .createOrReplaceTempView(efoOldVecs)
     val newBandSelects = (0 until CosBands)
       .map(b => s"SELECT vec_id, $b AS band, element_at(bks, ${b + 1})" +
-        " AS bkt FROM efo_repe WHERE n2 > 0")
+        s" AS bkt FROM $efoRep WHERE n2 > 0")
       .mkString(" UNION ALL ")
     // bands(new reps) probe the STORED index (old-new) plus a banded
     // self-join of the new reps alone (new-new); old-old pairs never
@@ -3610,16 +3631,16 @@ object Dedup extends QueryPack {
          |cand AS (
          |  SELECT least(o.vec_id, n.vec_id) AS vec_a,
          |         greatest(o.vec_id, n.vec_id) AS vec_b
-         |  FROM efo_oldbands o JOIN newbands n
+         |  FROM $efoOldBands o JOIN newbands n
          |    ON o.band = n.band AND o.bkt = n.bkt
          |  UNION
          |  SELECT x.vec_id AS vec_a, y.vec_id AS vec_b
          |  FROM newbands x JOIN newbands y
          |    ON x.band = y.band AND x.bkt = y.bkt AND x.vec_id < y.vec_id),
          |allvecs AS (
-         |  SELECT vec_id, embedding, n2 FROM efo_oldvecs
+         |  SELECT vec_id, embedding, n2 FROM $efoOldVecs
          |  UNION ALL
-         |  SELECT vec_id, embedding, n2 FROM efo_e)
+         |  SELECT vec_id, embedding, n2 FROM $efoE)
          |SELECT vec_a, vec_b FROM (
          |  SELECT vec_a, vec_b, round(cs, 6) AS cos_sim FROM (
          |    SELECT vec_a, vec_b,
@@ -3629,7 +3650,7 @@ object Dedup extends QueryPack {
          |  WHERE cs > 0.3999994)
          |WHERE cos_sim >= 0.4
          |UNION ALL
-         |SELECT rep AS vec_a, vec_id AS vec_b FROM efo_grp
+         |SELECT rep AS vec_a, vec_id AS vec_b FROM $efoGrp
          |WHERE vec_id <> rep""".stripMargin)
     (newE, edges)
   }
@@ -3696,20 +3717,20 @@ object Dedup extends QueryPack {
       if (delta) inc else StoreFiles.readRelChain(s, store, rel).union(inc)
     StoreFiles.writeBucketed(
       withPrior("vecs",
-        s.sql("SELECT vec_id, embedding, n2 FROM efo_repe")),
+        s.sql(s"SELECT vec_id, embedding, n2 FROM ${foldView("efo", store, "_repe")}")),
       s"$out/vecs", Seq("vec_id"))
     val bandSelects = (0 until CosBands)
       .map(b => s"SELECT vec_id, $b AS band, element_at(bks, ${b + 1})" +
-        " AS bkt FROM efo_repe WHERE n2 > 0")
+        s" AS bkt FROM ${foldView("efo", store, "_repe")} WHERE n2 > 0")
       .mkString(" UNION ALL ")
     StoreFiles.writeBucketed(
       withPrior("bands",
         s.sql(s"SELECT vec_id, band, bkt FROM ($bandSelects)")),
       s"$out/bands", Seq("band", "bkt"), Seq("vec_id"))
     StoreFiles.writeBucketed(
-      if (delta) s.sql("SELECT vec_id, rep FROM efo_grp")
+      if (delta) s.sql(s"SELECT vec_id, rep FROM ${foldView("efo", store, "_grp")}")
       else storeGrp(s, store, "vec_id")
-        .union(s.sql("SELECT vec_id, rep FROM efo_grp")),
+        .union(s.sql(s"SELECT vec_id, rep FROM ${foldView("efo", store, "_grp")}")),
       s"$out/grp", Seq("rep"), Seq("vec_id"))
     if (delta)
       StoreFiles.writeParent(out, StoreFiles.parentGenName(store))

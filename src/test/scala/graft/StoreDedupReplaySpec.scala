@@ -46,7 +46,7 @@ class StoreDedupReplaySpec extends AnyFunSuite {
     val oldMembers = Dedup.storeGrp(spark, store, "member_id")
       .collect().map(r => (r.getLong(1), r.getLong(0)))
       .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
-    val newMembers = spark.table("efo_grp")
+    val newMembers = spark.table(Dedup.foldView("efo", store, "_grp"))
       .collect().map(r => (r.getLong(1), r.getLong(0)))
       .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
     val foldOldNew = edgeRows.flatMap { case (o, n) =>

@@ -52,7 +52,7 @@ class StoreNearDupReplaySpec extends AnyFunSuite {
     val oldMembers = Dedup.storeGrp(spark, store, "member_id")
       .collect().map(r => (r.getLong(1), r.getLong(0)))
       .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
-    val newMembers = spark.table("cfo_grp")
+    val newMembers = spark.table(Dedup.foldView("cfo", store, "_grp"))
       .collect().map(r => (r.getLong(1), r.getLong(0)))
       .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
     val foldOldNew = edgeRows.flatMap { case (a, b) =>
