@@ -102,7 +102,17 @@ object Bench {
     "dd_lp_edges",
     // first-alphabetical consumers of the r17 shared pair-relation
     // registries: their rep 1 materializes the family's collapse +
-    // rep-verify relations (jaccard and cosine respectively)
+    // rep-verify relations (jaccard and cosine respectively).
+    // r21: dd_cluster composes its edges from the SAME jaccard
+    // registry (plus its own shared LP edge structure), so — running
+    // alphabetically first among the consumers — its rep 1 now pays
+    // the family build; dd_decontaminate's "build" then reads ≈warm,
+    // the correct attribution per the family-sharing note above
+    "dd_cluster",
+    // r21: the phash pair family joined the shared-relation registries
+    // (mmPhashRelations); mm_phash_cluster is its first-alphabetical
+    // consumer, so its rep 1 pays the family build
+    "mm_phash_cluster",
     "dd_decontaminate", "dd_decontaminate_semantic",
     // r18: the containment pair family got the same rep-collapse —
     // each key's rep 1 materializes its registry relations (banded

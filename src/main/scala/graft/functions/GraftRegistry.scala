@@ -10,9 +10,18 @@ import org.apache.spark.sql.catalyst.expressions.Expression
   */
 object GraftRegistry {
   def register(spark: SparkSession, name: String,
-               builder: Seq[Expression] => Expression): Unit =
-    spark.sessionState.functionRegistry
-      .createOrReplaceTempFunction(name, builder, "scala_udf")
+               builder: Seq[Expression] => Expression): Unit = {
+    // Registration is per-session but ensureRegistered runs per QUERY
+    // CALL: an unconditional createOrReplaceTempFunction re-wrote the
+    // registry entry (and logged a SimpleFunctionRegistry "replaced"
+    // WARN) dozens of times per bench/test run. All graft names are
+    // namespaced (graft_*), so an existing binding can only be a
+    // previous call's identical builder — skip it.
+    val registry = spark.sessionState.functionRegistry
+    if (!registry.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
+      registry.createOrReplaceTempFunction(name, builder, "scala_udf")
+  }
 
   /** Wrap a custom logical plan back into the public DataFrame API
     * (`Dataset.ofRows` is `private[sql]`).

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Engine._
@@ -164,7 +164,7 @@ object Dedup extends QueryPack {
     * none. Cached relations use [[cview]] instead.
     */
   private val viewSeq = new java.util.concurrent.atomic.AtomicLong
-  private def uview(prefix: String): String =
+  private[graft] def uview(prefix: String): String =
     prefix + "_u" + viewSeq.incrementAndGet()
 
   /** Drop builder temp views whose consuming SQL is already analyzed
@@ -172,7 +172,7 @@ object Dedup extends QueryPack {
     * entry matching the view's plan — call this only on
     * checkpoint-backed views.
     */
-  private def dropUviews(s: SparkSession, names: String*): Unit =
+  private[graft] def dropUviews(s: SparkSession, names: String*): Unit =
     names.foreach(s.catalog.dropTempView(_))
 
   /** Deterministic per-(prefix, session-shared corpus) name for the
@@ -190,7 +190,7 @@ object Dedup extends QueryPack {
     * [[invalidateLpEdges]] (the registry's staleness hook) through
     * [[trackCached]].
     */
-  private def cview(prefix: String, dir: String): String =
+  private[graft] def cview(prefix: String, dir: String): String =
     prefix + "_c" + StoreFiles.md5Hex(dir, 12)
 
   /** Cached builder relations per (session, corpus), so the
@@ -219,7 +219,7 @@ object Dedup extends QueryPack {
       }
     }
 
-  private def trackCached(s: SparkSession, dir: String,
+  private[graft] def trackCached(s: SparkSession, dir: String,
                           df: DataFrame): Unit =
     cachedRels.synchronized {
       val k = (s, dir)
@@ -374,9 +374,10 @@ object Dedup extends QueryPack {
     * non-empty keys — the builders' carve-out keeps 0/0 twins out).
     * Output is row-for-row the uncollapsed banded pair table.
     */
-  private def expandMemberPairs(rel: PairRelations, memberCol: String,
+  private[graft] def expandMemberPairs(rel: PairRelations, memberCol: String,
                                 scoreCol: String,
-                                outA: String, outB: String): DataFrame = {
+                                outA: String, outB: String,
+                                withinScore: Column = lit(1.0d)): DataFrame = {
     val ga = rel.grp.select(col("rep").as("rep_a"),
       col(memberCol).as("__ma"))
     val gb = rel.grp.select(col("rep").as("rep_b"),
@@ -389,7 +390,7 @@ object Dedup extends QueryPack {
       .join(rel.grp.select(col("rep"), col(memberCol).as("__mb")), "rep")
       .where(col("__ma") < col("__mb"))
       .select(col("__ma").as(outA), col("__mb").as(outB),
-        lit(1.0d).as(scoreCol))
+        withinScore.as(scoreCol))
     cross.unionAll(within)
   }
 
@@ -2071,7 +2072,7 @@ object Dedup extends QueryPack {
     * standard price for not blocking every other session's lookup
     * behind a multi-second materialization.
     */
-  private final class FrameRegistry[V <: AnyRef](maxEntries: Int) {
+  private[graft] final class FrameRegistry[V <: AnyRef](maxEntries: Int) {
     private val cache =
       new java.util.LinkedHashMap[(SparkSession, String), V](
           16, 0.75f, /*accessOrder=*/ true) {
@@ -2136,13 +2137,18 @@ object Dedup extends QueryPack {
     * volume — never the member expansion, which stays lazy in each
     * consumer.
     */
-  private final case class PairRelations(repVer: DataFrame, grp: DataFrame)
+  private[graft] final case class PairRelations(repVer: DataFrame, grp: DataFrame)
 
   private val jacRelCache = new FrameRegistry[PairRelations](LpEdgeCacheMax)
   private val cosRelCache = new FrameRegistry[PairRelations](LpEdgeCacheMax)
   // one registry, two key families (cont_pairs|dir, contp_pairs|dir):
   // invalidate matches on the |dir suffix, so both drop together
   private val contRelCache = new FrameRegistry[PairRelations](LpEdgeCacheMax)
+  // the phash pair family's registry (r21) — owned here so the one
+  // staleness hook (invalidateLpEdges) covers every pair family;
+  // built/consumed from Multimodal (mmPhashRelations)
+  private[graft] val phashRelCache =
+    new FrameRegistry[PairRelations](LpEdgeCacheMax)
 
   private def lpEdgesFor(session: SparkSession, key: String)
                         (build: => LpEdges): LpEdges =
@@ -2168,6 +2174,7 @@ object Dedup extends QueryPack {
     jacRelCache.invalidate(session, dir)
     cosRelCache.invalidate(session, dir)
     contRelCache.invalidate(session, dir)
+    phashRelCache.invalidate(session, dir)
   }
 
   /** Fixed-name builder views whose EAGER checkpoints pin executor
@@ -2183,7 +2190,6 @@ object Dedup extends QueryPack {
     * SparkSessions. The store builders are path-qualified and exempt.
     */
   private val builderViews = Seq(
-    "dc_sigs", "dc_grp", "dc_repsigs", "dc_repbands",
     "cinc_sigs", "cinc_grp", "cinc_repsigs",
     "inc_sigs", "incb_sigs", "dd_sigs", "sh64_sims")
 
@@ -2209,6 +2215,7 @@ object Dedup extends QueryPack {
     jacRelCache.clear()
     cosRelCache.clear()
     contRelCache.clear()
+    phashRelCache.clear()
     unpersistAllTracked()
   }
 
@@ -2511,70 +2518,39 @@ object Dedup extends QueryPack {
     * same reason [[jacBandGuard]] keeps them off the band side.
     */
   private[graft] def ddClusterEdges(s: SparkSession, dir: String): DataFrame = {
-    bandedSigRelation(s, dir, "dc_sigs")
-    // The collapse key is the SHINGLE SET itself (md5 of the sorted
-    // hash array, read from the columnar dc_sigs cache) — never
-    // md5(text), which re-scans every payload byte for a key the sig
-    // relation already determines, and collapses strictly less
-    // (hs-identical ⟹ jaccard 1 even when texts differ in word
-    // multiplicity). The collapse frames are EAGER localCheckpoints,
-    // never lazy caches: each is scanned several times inside the one
-    // edge materialization job, and a lazily-populated cache
-    // recomputes its whole lineage per scan (the measured ~10x trap
-    // documented at clusterStoreFoldInto — observed here too:
-    // lazy-cache chaining read 58 CPU-s/rep where the checkpointed
-    // form reads a third of that).
-    // (doc_id, rep): feeds the star edges and the rep filter; as an
-    // inlined CTE the key scan + groupBy would re-run per reference.
-    shingleGrpFrame(s, "dc_sigs").createOrReplaceTempView("dc_grp")
-    // The REPRESENTATIVES' signatures, rep filter joined against the
-    // sig rows ONCE (not the 8x-exploded band rows). hs is projected
-    // away before the checkpoint: a checkpointed row is deserialized
-    // whole per scan, and the verify joins take hs from the columnar
-    // dc_sigs cache instead.
-    s.sql(
-      s"""SELECT s.doc_id, ${(0 until 2 * JacBands)
-           .map("s.sig_" + _).mkString(", ")}
-         |FROM dc_sigs s
-         |JOIN (SELECT DISTINCT rep FROM dc_grp) r ON s.doc_id = r.rep"""
-        .stripMargin)
-      .coalesce(4).truncated().createOrReplaceTempView("dc_repsigs")
-    // Materialize the band rows too: the candidate self-join below
-    // then scans a small (doc_id, band, bk) RDD twice — cheap even
-    // where exchange reuse does not kick in (measured: the un-reused
-    // duplicate band exchange cost ~7 CPU-s/rep at sf0.1).
-    s.sql(
-      (0 until JacBands)
-        .map(b => s"SELECT doc_id, $b AS band, ${jacBandKeySpark(b)} AS bk" +
-          s" FROM dc_repsigs$jacBandGuard")
-        .mkString(" UNION ALL "))
-      .coalesce(4).truncated().createOrReplaceTempView("dc_repbands")
-    s.sql(
-      s"""WITH cand AS (
-         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-         |  FROM dc_repbands x JOIN dc_repbands y
-         |    ON x.band = y.band AND x.bk = y.bk AND x.doc_id < y.doc_id),
-         |ver AS (
-         |  SELECT doc_a, doc_b FROM (
-         |    SELECT doc_a, doc_b,
-         |      round(cast(graft_isect(a.hs, b.hs) as double)
-         |        / (size(a.hs) + size(b.hs) - graft_isect(a.hs, b.hs)), 6)
-         |        AS jaccard
-         |    FROM cand JOIN dc_sigs a ON a.doc_id = doc_a
-         |              JOIN dc_sigs b ON b.doc_id = doc_b
-         |    WHERE least(size(a.hs), size(b.hs)) * 10
-         |          >= greatest(size(a.hs), size(b.hs)) * 6)
-         |  WHERE jaccard >= 0.6)
-         |SELECT doc_a, doc_b FROM ver
-         |UNION ALL
-         |SELECT rep AS doc_a, doc_id AS doc_b FROM dc_grp
-         |WHERE doc_id <> rep""".stripMargin)
+    // COMPOSED from the jaccard family's shared pair relations (r21):
+    // the edge set is the rep-level VERIFIED pair table plus the k-1
+    // star edges — and [[jacRepVerifyFrame]] already computes that
+    // verified table with the identical banding (8x2), the identical
+    // shingle-set collapse, the identical empty-shingle carve-out and
+    // the identical jaccard >= 0.6 verify (the two SQL bodies were
+    // byte-equal modulo view names). Before r21 this method carried
+    // its own copy of that pipeline, so every dd_cluster call re-ran
+    // the banded self-join + graft_isect verify the registry had
+    // already materialized for dd_jaccard / dd_decontaminate /
+    // dd_source_overlap (~9 CPU-s per call at sf0.1 — the dominant
+    // stage of dd_cluster's profile, guide §2.4: two operations keyed
+    // the same way share one materialization). Consuming
+    // [[jacRelations]] makes the banded corpus pass happen ONCE per
+    // (session, corpus) across the whole jaccard family; the
+    // registry's staleness/LRU contract (invalidateLpEdges) already
+    // covers this caller.
+    val rel = jacRelations(s, dir)
+    rel.repVer
+      .select(col("rep_a").as("doc_a"), col("rep_b").as("doc_b"))
+      .unionAll(rel.grp
+        .where(col("doc_id") =!= col("rep"))
+        .select(col("rep").as("doc_a"), col("doc_id").as("doc_b")))
   }
 
   private def ddCluster(s: SparkSession, dir: String): DataFrame =
     labelPropagate("dd_cluster",
       ddClusterEdges(s, dir),
-      table(s, dir, "documents").select("doc_id"))
+      table(s, dir, "documents").select("doc_id"),
+      // shared LP edge structure: the closure/repartition of the (now
+      // registry-served) pair table is itself materialized once per
+      // (session, corpus) — the dd_embed_cluster discipline
+      shareKey = Some(s"dd_cluster_edges|$dir"))
       .orderBy(col("doc_id"))
 
   // -- dd_cluster_incremental: fold a NEW batch into EXISTING clusters --------

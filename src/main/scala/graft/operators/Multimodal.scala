@@ -431,25 +431,66 @@ object Multimodal extends QueryPack {
     * label propagation consumes this; no range-partition sort, whose
     * sampling pass would re-execute the pipeline, in the edge lineage).
     */
-  private def mmPhashPairsUnordered(s: SparkSession, dir: String): DataFrame = {
+  /** The phash family's REP-level verified pairs plus the collapse
+    * membership — [[Dedup.jacRepVerifyFrame]]'s shape on the phash
+    * side (r21): signature-identical items collapse to their
+    * min-doc_id representative, only representatives are banded, and
+    * the Hamming verify runs ONCE per group pair. Exact with no
+    * carve-out (identical phash ⟹ hamming 0 ≤ 3 — every within-group
+    * pair is a true pair by the verify's own criterion, and a
+    * member's banding equals its rep's). The membership is EAGER
+    * (multiply scanned in one job); the verify frame stays lazy —
+    * [[mmPhashRelations]] owns checkpointing it into the registry.
+    */
+  private def mmPhashRepVerifyFrame(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val sv = Dedup.cview("phash_sigs", dir)
+    val gv = Dedup.uview("phash_grp"); val rv = Dedup.uview("phash_reps")
     // cached: the signature projection (64 substring probes per row)
-    // feeds the 4 band sides AND both exact-re-check join-backs —
-    // without the cache it would be recomputed 6x (same reason
-    // dd_jaccard materializes jac_sigs)
-    phashSigs(s, dir).cache().createOrReplaceTempView("phash_sigs")
-    val bandSelects = phashBandSelects("phash_sigs")
-    s.sql(
-      s"""WITH bands AS ($bandSelects),
+    // feeds the collapse, the 4 band sides AND both exact-re-check
+    // join-backs — without the cache it would be recomputed per scan
+    val sigs = phashSigs(s, dir).cache()
+    sigs.createOrReplaceTempView(sv)
+    Dedup.trackCached(s, dir, sigs)
+    collapseByPhash(s, sv, gv, rv, coalesceReps = Some(4))
+    val grp = s.table(gv)
+    val ver = s.sql(
+      s"""WITH bands AS (${phashBandSelects(rv)}),
          |cand AS (
          |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
          |  FROM bands x JOIN bands y
          |    ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id)
-         |SELECT doc_a, doc_b,
+         |SELECT doc_a AS rep_a, doc_b AS rep_b,
          |  cast(bit_count(a.phash ^ b.phash) as int) AS hamming
-         |FROM cand JOIN phash_sigs a ON a.doc_id = doc_a
-         |          JOIN phash_sigs b ON b.doc_id = doc_b
+         |FROM cand JOIN $sv a ON a.doc_id = doc_a
+         |          JOIN $sv b ON b.doc_id = doc_b
          |WHERE bit_count(a.phash ^ b.phash) <= 3""".stripMargin)
+    Dedup.dropUviews(s, gv, rv)
+    (grp, ver)
   }
+
+  /** The family's shared collapse relations, materialized once per
+    * (session, corpus) through the registry — the jaccard/cosine pair
+    * families' contract (staleness + LRU bound owned by
+    * [[Dedup.invalidateLpEdges]]) applied to the media modality:
+    * two consumers (mm_phash_pairs, mm_phash_cluster), one banded
+    * corpus pass.
+    */
+  private[graft] def mmPhashRelations(s: SparkSession,
+                                      dir: String): Dedup.PairRelations =
+    Dedup.phashRelCache.getOrBuild(s, s"phash_pairs|$dir") {
+      val (grp, ver) = mmPhashRepVerifyFrame(s, dir)
+      Dedup.PairRelations(ver.truncated(), grp)
+    }
+
+  /** Member-level expansion of the rep-verified pairs — row-for-row
+    * the uncollapsed banded pair table (a member's phash equals its
+    * rep's, so a cross-group pair's hamming is the verified rep-pair
+    * hamming exactly; within-group pairs are hamming 0 by identity).
+    */
+  private def mmPhashPairsUnordered(s: SparkSession, dir: String): DataFrame =
+    Dedup.expandMemberPairs(mmPhashRelations(s, dir), "doc_id", "hamming",
+      "doc_a", "doc_b", withinScore = lit(0).cast("int"))
 
   private def mmPhashPairs(s: SparkSession, dir: String): DataFrame =
     mmPhashPairsUnordered(s, dir).orderBy(col("doc_a"), col("doc_b"))
@@ -502,36 +543,25 @@ object Multimodal extends QueryPack {
   }
 
   private[graft] def mmPhashClusterEdges(s: SparkSession, dir: String): DataFrame = {
-    phashSigs(s, dir).cache().createOrReplaceTempView("pce_sigs")
-    // The collapse key is the SIGNATURE itself — one BIGINT already in
-    // the cached sig relation, so the collapse costs one groupBy and
-    // never re-reads a payload (cheaper AND stronger than a payload
-    // digest: phash-identical ⟹ hamming 0 ⟹ a true edge by the
-    // verify's own criterion, byte-identical or not). Collapse frames
-    // are EAGER localCheckpoints, never lazy caches — multiply-scanned
-    // inside one edge job, where a lazy cache recomputes its lineage
-    // per scan (see ddClusterEdges); the reps coalesce because the
-    // candidate self-join scans a small (doc_id, band, bv) RDD twice.
-    collapseByPhash(s, "pce_sigs", "pce_grp", "pce_repsigs",
-      coalesceReps = Some(4))
-    // banding via the shared helper so the cluster index can never
-    // band differently from the store build / streaming probe
-    s.sql(phashBandSelects("pce_repsigs"))
-      .coalesce(4).truncated().createOrReplaceTempView("pce_repbands")
-    s.sql(
-      s"""WITH cand AS (
-         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-         |  FROM pce_repbands x JOIN pce_repbands y
-         |    ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id),
-         |ver AS (
-         |  SELECT doc_a, doc_b
-         |  FROM cand JOIN pce_sigs a ON a.doc_id = doc_a
-         |            JOIN pce_sigs b ON b.doc_id = doc_b
-         |  WHERE bit_count(a.phash ^ b.phash) <= 3)
-         |SELECT doc_a, doc_b FROM ver
-         |UNION ALL
-         |SELECT rep AS doc_a, doc_id AS doc_b FROM pce_grp
-         |WHERE doc_id <> rep""".stripMargin)
+    // COMPOSED from the family's shared pair relations (r21, the
+    // ddClusterEdges treatment): the edge set is the rep-level
+    // verified pair table plus the k-1 star edges — the collapse key
+    // (the 64-bit signature itself), the banding (shared
+    // phashBandSelects) and the Hamming <= 3 verify are identical to
+    // what [[mmPhashRepVerifyFrame]] already materializes for
+    // mm_phash_pairs, so this caller re-uses the registry frame
+    // instead of re-running the banded self-join per call (guide
+    // §2.4: operations keyed the same way share one exchange/
+    // materialization). Exactness argument unchanged from the inline
+    // r16 version: phash-identical ⟹ hamming 0 ⟹ every star edge is
+    // a true edge, and a member's banded edges are carried by its
+    // identically-signed rep.
+    val rel = mmPhashRelations(s, dir)
+    rel.repVer
+      .select(col("rep_a").as("doc_a"), col("rep_b").as("doc_b"))
+      .unionAll(rel.grp
+        .where(col("doc_id") =!= col("rep"))
+        .select(col("rep").as("doc_a"), col("doc_id").as("doc_b")))
   }
 
   // Media near-dup components: min-label propagation (Dedup's shared
@@ -543,7 +573,10 @@ object Multimodal extends QueryPack {
   private def mmPhashCluster(s: SparkSession, dir: String): DataFrame =
     Dedup.labelPropagate("mm_phash_cluster",
       mmPhashClusterEdges(s, dir),
-      media(s, dir).select("doc_id"))
+      media(s, dir).select("doc_id"),
+      // shared LP edge structure per (session, corpus) — the
+      // dd_cluster/dd_embed_cluster discipline (r21)
+      shareKey = Some(s"mm_phash_cluster_edges|$dir"))
       .orderBy(col("doc_id"))
 
   // ---- persistent phash store + streaming ingest probe ----------------------
