@@ -2190,7 +2190,6 @@ object Dedup extends QueryPack {
     * SparkSessions. The store builders are path-qualified and exempt.
     */
   private val builderViews = Seq(
-    "cinc_sigs", "cinc_grp", "cinc_repsigs",
     "inc_sigs", "incb_sigs", "dd_sigs", "sh64_sims")
 
   def invalidateLpEdges(session: SparkSession, dir: String): Unit = {
@@ -2601,7 +2600,7 @@ object Dedup extends QueryPack {
   // uncollapsed graph's.
   private def ddClusterIncremental(s: SparkSession, dir: String): DataFrame = {
     val pairsAll = ddClusterIncrementalEdges(s, dir)
-    val docs = s.table("cinc_sigs")
+    val docs = incrementalDocFlags(s, dir)
     // phase 1 — the stored prior assignment (stand-in): LP over the
     // old corpus's own edges
     val lblA = labelPropagate("dd_cluster_incremental#prior",
@@ -2614,101 +2613,97 @@ object Dedup extends QueryPack {
       .orderBy(col("doc_id"))
   }
 
+  /** The split flag shared by the incremental cluster query's phases
+    * (srcNN with NN >= 10 is the new batch — the family's split
+    * convention).
+    */
+  private def incrementalDocFlags(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "documents")
+      .selectExpr("doc_id",
+        "cast(substring(source, 4) as int) >= 10 AS is_new")
+
   /** dd_cluster_incremental's side-tagged edge set (doc_a, doc_b,
     * a_new, b_new), duplicate-bomb-guarded per side — exposed so
     * DupBombGuardSpec can pin the linearity on a bombed increment.
-    * Leaves the cached full sig relation registered as `cinc_sigs`
-    * (the caller's node source).
+    *
+    * COMPOSED from the jaccard family's shared pair relations (r21).
+    * Before, this method re-ran the full banded pipeline with an
+    * is_new tag riding along (~15 CPU-s per call at sf0.1 — the
+    * dominant stage of the query's profile). But the side-tagged edge
+    * set is exactly derivable from the GLOBAL collapse relations,
+    * because both banding and the jaccard verify are functions of the
+    * shingle set, i.e. constant on each hs-equality class:
+    *
+    *   - per-side collapse groups = the global classes split by
+    *     is_new, each with its side-min doc_id as side rep (the same
+    *     empty-shingle carve-out — docs outside the global membership
+    *     get no stars and never band);
+    *   - a pair of side reps is a banded CANDIDATE iff their classes
+    *     share a band key iff the global reps do (identical sigs);
+    *     it VERIFIES iff the class-level jaccard >= 0.6 iff the
+    *     global rep pair is in repVer (cross-class), or the classes
+    *     are equal (jaccard 1 — the one same-class crossing edge
+    *     between the two sides' reps);
+    *   - star edges are the per-side member fan-in, as before.
+    *
+    * Row-for-row the r16 inline pipeline's output (DupBombGuardSpec
+    * re-pins the bombed-increment linearity on this form), at the
+    * cost of a few joins over the registry's checkpointed frames plus
+    * one narrow documents scan for the flags — the banded corpus
+    * pass is shared with the rest of the jaccard family instead of
+    * rebuilt per call (guide §2.4).
     */
   private[graft] def ddClusterIncrementalEdges(s: SparkSession,
                                                dir: String): DataFrame = {
-    VectorFunctions.ensureRegistered(s)
-    table(s, dir, "documents")
-      .selectExpr("doc_id",
-        "cast(substring(source, 4) as int) >= 10 AS is_new",
-        "split(text, ' ') AS toks")
-      .selectExpr("doc_id", "is_new", s"$sparkGrams AS grams")
-      .selectExpr("doc_id", "is_new",
-        "graft_h32a(grams) AS ghs", "graft_h64sd(grams) AS hs")
-      .selectExpr("doc_id", "is_new", "hs", "graft_minhash16(ghs) AS sigarr")
-      .selectExpr(Seq("doc_id", "is_new", "hs") ++ sparkSigCols: _*)
-      // cache (not the fold's eager localCheckpoint): A/B'd r16 —
-      // swapping in a checkpoint left the edge job's 10.8 CPU-s
-      // untouched (the cost is the banded verify itself, not a
-      // racing-scan sig recompute) and added a job to the family's
-      // pinned 26-job scheduling floor.
-      .cache()
-      .transform { f => trackCached(s, dir, f); f }
-      .createOrReplaceTempView("cinc_sigs")
-    // Per-side collapse groups: (doc_id, is_new, rep) with rep = the
-    // side's min doc_id per shingle-set key. Same checkpoint-not-cache
-    // discipline (and the same empty-shingle carve-out — jaccard
-    // 0/0 never verifies, so guarded docs get no star edges) as
-    // ddClusterEdges' dc_grp.
-    s.sql(
-      s"""SELECT k.doc_id, k.is_new, g.rep FROM
-         |  (SELECT doc_id, is_new, md5(cast(hs as string)) AS hkey
-         |   FROM cinc_sigs WHERE sig_0 <> ${Long.MaxValue}L) k
-         |JOIN
-         |  (SELECT is_new, md5(cast(hs as string)) AS hkey,
-         |     min(doc_id) AS rep
-         |   FROM cinc_sigs WHERE sig_0 <> ${Long.MaxValue}L
-         |   GROUP BY 1, 2) g
-         |ON k.hkey = g.hkey AND k.is_new = g.is_new""".stripMargin)
-      .truncated().createOrReplaceTempView("cinc_grp")
-    // The representatives' sig rows (both sides together — ONE banded
-    // self-join below finds same-side AND crossing rep edges); hs is
-    // projected away, the verify joins read it from the columnar
-    // cinc_sigs cache (ddClusterEdges' dc_repsigs discipline).
-    s.sql(
-      s"""SELECT s.doc_id, s.is_new, ${(0 until 2 * JacBands)
-           .map("s.sig_" + _).mkString(", ")}
-         |FROM cinc_sigs s
-         |JOIN (SELECT DISTINCT rep FROM cinc_grp) r ON s.doc_id = r.rep"""
-        .stripMargin)
-      .coalesce(4).truncated().createOrReplaceTempView("cinc_repsigs")
-    val bandSelects = (0 until JacBands)
-      .map(b => s"SELECT doc_id, is_new, $b AS band," +
-        s" ${jacBandKeySpark(b)} AS bk FROM cinc_repsigs$jacBandGuard")
-      .mkString(" UNION ALL ")
-    // identical candidate scheme + re-check arithmetic to
-    // ddJaccardPairs (the prune is semantics-free), with the is_new
-    // split carried through: ONE banded self-join over the reps
-    // computes the verified rep-rep edge set, the per-side star edges
-    // ride along in the same checkpoint, and the result is
-    // partitioned into prior-run edges (old-old) and increment edges
-    // (new-touching) — the fixture-scale stand-in for "old edges come
-    // from the stored assignment, increment edges from probing
-    // bands(new)". The checkpoint is EAGER, so scoping AQE off around
-    // it holds (the same discipline as prepLpEdges): without the
-    // scope AQE runs one job per query stage of the banded tree, and
-    // at 2 shuffles of a few MB there is nothing for runtime
-    // coalescing to win here. (Measured r16, pre-collapse: scoped-off
-    // shared checkpoint was both the fewest jobs and the single-pass
-    // edge build; the collapse keeps the shape and only shrinks the
-    // banded side.)
-    withAqeOff(s)(s.sql(
-      s"""WITH bands AS ($bandSelects),
-         |cand AS (
-         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
-         |    x.is_new AS a_new, y.is_new AS b_new
-         |  FROM bands x JOIN bands y
-         |    ON x.band = y.band AND x.bk = y.bk AND x.doc_id < y.doc_id)
-         |SELECT doc_a, doc_b, a_new, b_new FROM (
-         |  SELECT doc_a, doc_b, a_new, b_new,
-         |    round(cast(graft_isect(a.hs, b.hs) as double)
-         |      / (size(a.hs) + size(b.hs) - graft_isect(a.hs, b.hs)), 6)
-         |      AS jaccard
-         |  FROM cand JOIN cinc_sigs a ON a.doc_id = doc_a
-         |            JOIN cinc_sigs b ON b.doc_id = doc_b
-         |  WHERE least(size(a.hs), size(b.hs)) * 10
-         |        >= greatest(size(a.hs), size(b.hs)) * 6)
-         |WHERE jaccard >= 0.6
-         |UNION ALL
-         |SELECT rep AS doc_a, doc_id AS doc_b,
-         |  is_new AS a_new, is_new AS b_new
-         |FROM cinc_grp WHERE doc_id <> rep""".stripMargin)
-      .truncated())
+    val rel = jacRelations(s, dir)
+    val flags = incrementalDocFlags(s, dir)
+    // (doc_id, is_new, rep=global class rep, side_rep)
+    val grpFlags = rel.grp.join(flags, "doc_id")
+    val sideGrp = grpFlags
+      .groupBy(col("rep"), col("is_new"))
+      .agg(min(col("doc_id")).as("side_rep"))
+    val mem = grpFlags.join(sideGrp, Seq("rep", "is_new"))
+    val stars = mem
+      .where(col("doc_id") =!= col("side_rep"))
+      .select(col("side_rep").as("doc_a"), col("doc_id").as("doc_b"),
+        col("is_new").as("a_new"), col("is_new").as("b_new"))
+    // the same-class crossing edge: classes present on both sides
+    // contribute exactly one rep-rep edge (jaccard 1 by identity)
+    val sameClass = sideGrp
+      .select(col("rep"), col("side_rep").as("sa"), col("is_new").as("na"))
+      .join(sideGrp
+        .select(col("rep"), col("side_rep").as("sb"),
+          col("is_new").as("nb")), "rep")
+      .where(col("sa") < col("sb"))
+      .select(col("sa").as("doc_a"), col("sb").as("doc_b"),
+        col("na").as("a_new"), col("nb").as("b_new"))
+    // cross-class verified rep pairs expand to every side-rep pair
+    // (<= 2x2 per class pair), each carrying the class-level verify
+    val crossClass = rel.repVer
+      .join(sideGrp.select(col("rep").as("rep_a"),
+        col("side_rep").as("xa"), col("is_new").as("xna")), "rep_a")
+      .join(sideGrp.select(col("rep").as("rep_b"),
+        col("side_rep").as("xb"), col("is_new").as("xnb")), "rep_b")
+      .selectExpr("least(xa, xb) AS doc_a", "greatest(xa, xb) AS doc_b",
+        "CASE WHEN xa < xb THEN xna ELSE xnb END AS a_new",
+        "CASE WHEN xa < xb THEN xnb ELSE xna END AS b_new")
+    // one eager checkpoint, AQE scoped off (the prepLpEdges
+    // discipline): both phases filter this frame, and the checkpoint
+    // keeps their plans rooted at a leaf instead of re-running the
+    // derivation joins per phase. The derivation's shuffles are
+    // scoped to 4 partitions: every input is a group/rep-scale frame
+    // (the registry's checkpointed relations plus one narrow flag
+    // scan), and at the session's corpus-scale partition count the
+    // joins ran as 32-task waves whose per-task floor dominated the
+    // actual work (measured: 4.8 + 2.1 CPU-s of overhead at sf0.1
+    // for sub-5k-row joins; 4 partitions reads ~0.5).
+    val shufKey = "spark.sql.shuffle.partitions"
+    val shufWas = s.conf.get(shufKey)
+    withAqeOff(s) {
+      s.conf.set(shufKey, "4")
+      try crossClass.unionAll(sameClass).unionAll(stars).truncated()
+      finally s.conf.set(shufKey, shufWas)
+    }
   }
 
   /** The contracted-merge phase shared by the incremental cluster
