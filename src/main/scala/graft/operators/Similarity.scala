@@ -1424,18 +1424,46 @@ object Similarity extends QueryPack {
     table(s, dir, "embeddings")
       .selectExpr("vec_id", s"$x4S AS x4")
       .createOrReplaceTempView("ipq_ex_base")
+    // The exact side's distance grid is PROJECTED (d) and
+    // hash-REPARTITIONED on the window key via the DataFrame API
+    // (r21): with the distance left in the window's ORDER BY, the
+    // planner evaluated it AFTER the serving chain's exchange — whose
+    // few MB of shuffled bytes AQE's size-based coalescer folded to
+    // ONE partition, serializing the whole O(queries x pool) distance
+    // pass on one core (guide §2.5's CPU-vs-bytes skew). Projecting d
+    // computes it in the parallel join stage, and the explicit
+    // repartition both parallelizes the window sort and is exempt
+    // from AQE coalescing (a SQL /*+ REPARTITION */ hint in this
+    // CTE shape was silently dropped — hence the API form). Same
+    // expression, same ordering, same rows out.
+    val exP = s.conf.get("spark.sql.shuffle.partitions").toInt
+    // the candidate-id pool is cheap to enumerate wherever it runs;
+    // the ROUND-ROBIN repartition below is what the planner can
+    // neither elide (different partitioning type from any hash chain)
+    // nor AQE-coalesce (user-numbered), so the x4 attach + distance
+    // arithmetic after it run exP-way parallel
+    s.sql(
+      s"""WITH ${servingCtes(model)}
+         |SELECT ql.vec_id AS query_id, codes.vec_id AS neighbor_id
+         |FROM ql JOIN ipq_codes codes
+         |  ON codes.cell = ql.cell AND codes.vec_id < $IvfQ""".stripMargin)
+      .repartition(exP)
+      .join(s.table("ipq_ex_base")
+        .selectExpr("vec_id AS query_id", "x4 AS qx4"), "query_id")
+      .join(s.table("ipq_ex_base")
+        .selectExpr("vec_id AS neighbor_id", "x4 AS cx4"), "neighbor_id")
+      .selectExpr("query_id", "neighbor_id",
+        s"${distS("qx4", "cx4")} AS d")
+      .createOrReplaceTempView("ipq_ex_grid")
     s.sql(
       s"""WITH ${servingCtes(model)},
          |ann AS (${servingAdcSelect(RefineR, ordered = false)}),
          |ex AS (
          |  SELECT query_id, neighbor_id FROM (
-         |    SELECT ql.vec_id AS query_id, codes.vec_id AS neighbor_id,
-         |      row_number() OVER (PARTITION BY ql.vec_id
-         |        ORDER BY ${distS("qb.x4", "c.x4")}, codes.vec_id) AS rnk
-         |    FROM ql JOIN ipq_codes codes
-         |      ON codes.cell = ql.cell AND codes.vec_id < $IvfQ
-         |    JOIN ipq_ex_base qb ON qb.vec_id = ql.vec_id
-         |    JOIN ipq_ex_base c ON c.vec_id = codes.vec_id)
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY d, neighbor_id) AS rnk
+         |    FROM ipq_ex_grid)
          |  WHERE rnk <= 3)
          |SELECT ex.query_id,
          |  cast(count(ann.neighbor_id) as bigint) AS n_found,
@@ -1516,17 +1544,39 @@ object Similarity extends QueryPack {
       .selectExpr("vec_id", s"$x4S AS x4")
       .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
       .createOrReplaceTempView("ipq_exg_base")
+    // distance projected + explicit API repartition on the window
+    // key — see annRecallStoredFrame's note (r21): the whole
+    // O(queries x corpus) brute-force pass otherwise ran on ONE core
+    // (measured 8.0 of the query's 9.3 CPU-s in a single task at
+    // sf0.1, AQE having coalesced the small-bytes/huge-CPU exchange).
+    val exP = s.conf.get("spark.sql.shuffle.partitions").toInt
+    // the query batch is ROUND-ROBIN repartitioned before the
+    // query x corpus cross: a hash repartition on the window key was
+    // elided (the serving chain already claims that partitioning) and
+    // the chain's own exchange AQE-coalesces to 1, which serialized
+    // the whole distance grid; round-robin is neither elidable nor
+    // coalescible, so the nested-loop + distance pass runs exP-way
+    s.sql(
+      s"""WITH ${servingCtes(model)}
+         |SELECT qb.vec_id AS query_id, qb.x4 AS qx4
+         |FROM (SELECT DISTINCT vec_id FROM ql) q0
+         |JOIN ipq_exg_base qb ON qb.vec_id = q0.vec_id""".stripMargin)
+      .repartition(exP)
+      .crossJoin(s.table("ipq_exg_base")
+        .where(s"vec_id < $IvfQ")
+        .selectExpr("vec_id AS neighbor_id", "x4 AS cx4"))
+      .selectExpr("query_id", "neighbor_id",
+        s"${distS("qx4", "cx4")} AS d")
+      .createOrReplaceTempView("ipq_exg_grid")
     s.sql(
       s"""WITH ${servingCtes(model)},
          |ann AS (${servingAdcSelect(RefineR, ordered = false)}),
          |ex AS (
          |  SELECT query_id, neighbor_id FROM (
-         |    SELECT qb.vec_id AS query_id, c.vec_id AS neighbor_id,
-         |      row_number() OVER (PARTITION BY qb.vec_id
-         |        ORDER BY ${distS("qb.x4", "c.x4")}, c.vec_id) AS rnk
-         |    FROM (SELECT DISTINCT vec_id FROM ql) q0
-         |    JOIN ipq_exg_base qb ON qb.vec_id = q0.vec_id
-         |    JOIN ipq_exg_base c ON c.vec_id < $IvfQ)
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY d, neighbor_id) AS rnk
+         |    FROM ipq_exg_grid)
          |  WHERE rnk <= 3)
          |SELECT ex.query_id,
          |  cast(count(ann.neighbor_id) as bigint) AS n_found,
