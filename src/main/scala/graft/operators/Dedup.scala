@@ -1657,14 +1657,20 @@ object Dedup extends QueryPack {
     // overwhelming majority of pairs on a primitive double compare, so
     // the BigDecimal `round` only runs for near-threshold survivors.
     // The exact rounded filter stays — the result set is unchanged.
-    s.sql(
-      """SELECT vec_a, vec_b, cos_sim FROM (
-        |  SELECT vec_a, vec_b, round(cs, 6) AS cos_sim FROM (
-        |    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-        |      graft_cos(a.embedding, b.embedding, a.n2, b.n2) AS cs
-        |    FROM cosx_e a JOIN cosx_e b ON a.vec_id < b.vec_id)
-        |  WHERE cs > 0.3999994)
-        |WHERE cos_sim >= 0.4""".stripMargin)
+    // The streamed side is ROUND-ROBIN repartitioned (r21): the
+    // corpus is one parquet file at fixture scale, so the nested-loop
+    // grid — quadratic by spec — otherwise ran in the scan's single
+    // partition on one core (the recall frames' pattern; round-robin
+    // is neither elidable nor AQE-coalescible).
+    val exP = s.conf.get("spark.sql.shuffle.partitions").toInt
+    e.selectExpr("vec_id AS vec_a", "embedding AS ea", "n2 AS na")
+      .repartition(exP)
+      .join(e.selectExpr("vec_id AS vec_b", "embedding AS eb",
+        "n2 AS nb"), col("vec_a") < col("vec_b"))
+      .selectExpr("vec_a", "vec_b", "graft_cos(ea, eb, na, nb) AS cs")
+      .where("cs > 0.3999994")
+      .selectExpr("vec_a", "vec_b", "round(cs, 6) AS cos_sim")
+      .where("cos_sim >= 0.4")
   }
 
   private def ddEmbedCosineExact(s: SparkSession, dir: String): DataFrame =
@@ -4014,7 +4020,11 @@ object Dedup extends QueryPack {
   private def ddEmbedClusterExact(s: SparkSession, dir: String): DataFrame =
     labelPropagate("dd_embed_cluster_exact",
       ddEmbedExactPairs(s, dir).select("vec_a", "vec_b"),
-      table(s, dir, "embeddings").select(col("vec_id").as("doc_id")))
+      table(s, dir, "embeddings").select(col("vec_id").as("doc_id")),
+      // shared LP edge structure per (session, corpus) — the r21
+      // registry discipline; the quadratic exact-pair NLJ is the
+      // oracle shape and need not re-run per call
+      shareKey = Some(s"dd_embed_cluster_exact_edges|$dir"))
       .select(col("doc_id").as("vec_id"), col("cluster_id"))
       .orderBy(col("vec_id"))
 

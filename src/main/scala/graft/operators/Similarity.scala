@@ -511,19 +511,34 @@ object Similarity extends QueryPack {
   // -- sim_knn_label: 5-NN majority-label vote for held-out queries -----------
   private def simKnnLabel(s: SparkSession, dir: String): DataFrame = {
     VectorFunctions.ensureRegistered(s)
-    table(s, dir, "embeddings")
+    val base = table(s, dir, "embeddings")
       .selectExpr("vec_id", "label", "embedding",
         s"${dotS("embedding", "embedding")} AS n2")
-      .createOrReplaceTempView("sim_knn")
+    base.createOrReplaceTempView("sim_knn")
+    // query side round-robin repartitioned before the brute-force
+    // grid, score projected pre-window (r21): the single-file scan
+    // otherwise serialized the whole queries x candidates cosine pass
+    // on one core (3.0 of the query's 1.4-CPU... wall-dominating
+    // stage at sf0.1 — the ANN recall frames' pattern). Same score
+    // expression, same ordering, same rows.
+    val exP = s.conf.get("spark.sql.shuffle.partitions").toInt
+    base.where("vec_id >= 490")
+      .selectExpr("vec_id AS query_id", "label AS true_label",
+        "embedding AS qe", "n2 AS qn2")
+      .repartition(exP)
+      .crossJoin(base.where("vec_id < 490")
+        .selectExpr("vec_id AS c_vec_id", "label", "embedding AS ce",
+          "n2 AS cn2"))
+      .selectExpr("query_id", "true_label", "label", "c_vec_id",
+        s"round(${dotS("qe", "ce")} / sqrt(qn2 * cn2), 6) AS score")
+      .createOrReplaceTempView("sim_knn_grid")
     s.sql(
       s"""WITH knn AS (
          |  SELECT query_id, true_label, label FROM (
-         |    SELECT q.vec_id AS query_id, q.label AS true_label, c.label,
-         |      row_number() OVER (PARTITION BY q.vec_id
-         |        ORDER BY round(${dotS("q.embedding", "c.embedding")}
-         |          / sqrt(q.n2 * c.n2), 6) DESC, c.vec_id) AS rnk
-         |    FROM sim_knn q JOIN sim_knn c
-         |      ON q.vec_id >= 490 AND c.vec_id < 490)
+         |    SELECT query_id, true_label, label,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY score DESC, c_vec_id) AS rnk
+         |    FROM sim_knn_grid)
          |  WHERE rnk <= 5)
          |SELECT query_id, true_label, label AS predicted_label, votes FROM (
          |  SELECT query_id, true_label, label, COUNT(*) AS votes,
