@@ -2611,7 +2611,12 @@ object Dedup extends QueryPack {
     // old corpus's own edges
     val lblA = labelPropagate("dd_cluster_incremental#prior",
       pairsAll.filter("NOT a_new AND NOT b_new").select("doc_a", "doc_b"),
-      docs.filter("NOT is_new").select("doc_id"))
+      docs.filter("NOT is_new").select("doc_id"),
+      // the prior graph's closure structure is corpus-deterministic —
+      // share it like every other LP edge structure (r21); the merge
+      // phase's contracted edges depend on this phase's output and
+      // stay per-call
+      shareKey = Some(s"cinc_prior_edges|$dir"))
     // phase 2 — the increment: only edges touching the new batch
     contractedMerge("dd_cluster_incremental#merge", lblA,
       pairsAll.filter("a_new OR b_new").select("doc_a", "doc_b"),
@@ -3423,7 +3428,10 @@ object Dedup extends QueryPack {
     // MAX endpoint is old — the two filters partition the edge set
     val lblA = labelPropagate("dd_embed_cluster_incremental#prior",
       pairsAll.filter(col("vec_b") < split).toDF("doc_a", "doc_b"),
-      ids.filter(col("vec_id") < split).toDF("doc_id"))
+      ids.filter(col("vec_id") < split).toDF("doc_id"),
+      // corpus-deterministic prior closure structure — shared like
+      // every other LP edge structure (r21)
+      shareKey = Some(s"einc_prior_edges|$dir"))
     contractedMerge("dd_embed_cluster_incremental#merge", lblA,
       pairsAll.filter(col("vec_b") >= split).toDF("doc_a", "doc_b"),
       ids.filter(col("vec_id") >= split).toDF("doc_id"))
