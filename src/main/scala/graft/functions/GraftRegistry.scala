@@ -23,6 +23,17 @@ object GraftRegistry {
       registry.createOrReplaceTempFunction(name, builder, "scala_udf")
   }
 
+  /** Skip-if-bound guard for registrations that go through other
+    * front doors (`spark.udf.register` for UDAFs): same rationale as
+    * [[register]] — graft names are namespaced, so an existing
+    * binding is a previous call's identical registration.
+    */
+  def registerOnce(spark: SparkSession, name: String)
+                  (doRegister: => Unit): Unit =
+    if (!spark.sessionState.functionRegistry.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
+      doRegister
+
   /** Wrap a custom logical plan back into the public DataFrame API
     * (`Dataset.ofRows` is `private[sql]`).
     */

@@ -1053,7 +1053,10 @@ object Dedup extends QueryPack {
   // discards.
   private def ddIncrementalBloom(s: SparkSession, dir: String): DataFrame = {
     VectorFunctions.ensureRegistered(s) // graft_bloom_contains et al.
-    s.udf.register("graft_bloom_agg", udaf(graft.functions.BloomAgg))
+    org.apache.spark.sql.GraftRegistry.registerOnce(s, "graft_bloom_agg") {
+      s.udf.register("graft_bloom_agg", udaf(graft.functions.BloomAgg))
+      ()
+    }
     val incbSigs = table(s, dir, "documents")
       .selectExpr("doc_id", "md5(text) AS th",
         "cast(substring(source, 4) as int) >= 10 AS is_new",

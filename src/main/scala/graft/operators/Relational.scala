@@ -779,7 +779,10 @@ object Relational extends QueryPack {
   // the PLAIN join — an independent spec, not a mirror of the bloom.
   private def q31(s: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorFunctions.ensureRegistered(s)
-    s.udf.register("graft_bloom_agg", udaf(graft.functions.BloomAgg))
+    org.apache.spark.sql.GraftRegistry.registerOnce(s, "graft_bloom_agg") {
+      s.udf.register("graft_bloom_agg", udaf(graft.functions.BloomAgg))
+      ()
+    }
     table(s, dir, "orders").where("o_totalprice > 480000")
       .createOrReplaceTempView("bj_dims")
     table(s, dir, "lineitem").createOrReplaceTempView("bj_lineitem")
