@@ -75,7 +75,11 @@ class BloomFilterSpec extends AnyFunSuite {
   }
 
   test("scan-side pruning actually drops rows before the join at sf0.001") {
-    spark.udf.register("graft_bloom_agg", udaf(BloomAgg))
+    org.apache.spark.sql.GraftRegistry.registerOnce(spark,
+      "graft_bloom_agg") {
+      spark.udf.register("graft_bloom_agg", udaf(BloomAgg))
+      ()
+    }
     graft.functions.VectorFunctions.ensureRegistered(spark)
     val li = Engine.table(spark, dir, "lineitem")
     val dims = Engine.table(spark, dir, "orders")
