@@ -3022,16 +3022,22 @@ object Dedup extends QueryPack {
                                     store: String, newPred: String)
       : (DataFrame, DataFrame) = {
     val (newSigs, edgesLazy) = clusterStoreEdgeFrame(s, dir, store, newPred)
-    // The verified edge list is checkpointed EAGERLY (under the same
-    // scoped AQE-off as dd_cluster_incremental's edge build) before
+    // The verified edge list is checkpointed EAGERLY before
     // contractedMerge sees it: handed on as lineage, the jaccard
     // threshold over the expensive graft_isect projection gets pushed
     // into the contracted-pipeline's join conditions and re-evaluated
     // per probed pair (the known trap the repo mitigates everywhere by
-    // persisting the compact pair projection first). The scoped flip
-    // works here because planning happens at the localCheckpoint call,
-    // inside the scope — not at frame construction.
-    val edges = withAqeOff(s)(edgesLazy.truncated())
+    // persisting the compact pair projection first). The checkpoint
+    // runs with AQE ON (r21): under the old scoped AQE-off the static
+    // planner could not see that the store relations and the
+    // checkpointed new-batch frame are broadcast-sized, so the verify
+    // join-backs ran as sort-merge joins — AQE picks broadcast at
+    // runtime and the warm fold's CPU roughly halves (measured on the
+    // embed twin: 19.4 -> 7.6 CPU-s/rep at sf0.1, wall 4.7 -> ~4.0,
+    // +3 stage-materialization jobs). At corpus scale the broadcast
+    // decision reverts to sort-merge automatically — that is AQE's
+    // call to make, which is the point.
+    val edges = edgesLazy.truncated()
     val lblA = storeAssignment(s, store, "doc_id")
     (newSigs,
       contractedMerge("dd_cluster_fold_stored#merge", lblA, edges,
@@ -3663,9 +3669,11 @@ object Dedup extends QueryPack {
                                   store: String, newPred: String)
       : (DataFrame, DataFrame) = {
     val (newE, edgesLazy) = embedStoreEdgeFrame(s, dir, store, newPred)
-    // eager edge checkpoint under scoped AQE-off — the
-    // threshold-into-join-condition trap (see clusterStoreIncrement)
-    val edges = withAqeOff(s)(edgesLazy.truncated())
+    // eager edge checkpoint (the threshold-into-join-condition trap,
+    // see clusterStoreIncrement) — with AQE ON since r21 so the
+    // verify join-backs broadcast the model-sized sides at runtime
+    // (measured there: CPU halves; same adjudication note)
+    val edges = edgesLazy.truncated()
     val lblA = storeAssignment(s, store, "doc_id")
     (newE,
       contractedMerge("dd_embed_cluster_fold_stored#merge", lblA,
