@@ -137,10 +137,29 @@ object Bench {
       name: String, median: Double, spread: Double, jobsPerRep: Int,
       cpuSecPerRep: Double, cpuMinSec: Double, shufMbPerRep: Double,
       gcMsPerRep: Long, err: Option[String], unmeasured: Boolean,
-      buildSec: Double = -1.0)
+      buildSec: Double = -1.0, cpuSpread: Double = -1.0,
+      peakMemMb: Double = 0.0, admittedVia: Option[String] = None)
 
   private def unstable(median: Double, spread: Double): Boolean =
     spread >= SpreadFloorSec && spread > SpreadFrac * median
+
+  /** The CPU-channel admission rule (r21, VERDICT r20 item 1): a key
+    * whose WALL spread still fails the gate after pass 3 is admitted —
+    * wall median kept, `"admitted_via":"cpu"` recorded instead of
+    * `unmeasured` — when its per-rep task-CPU spread passes the SAME
+    * acceptance bar. Task CPU does not inflate when a loaded box
+    * stretches the schedule (the r15 postmortem channel the whole
+    * cpu/cpu_min apparatus is built on), so a tight CPU spread under a
+    * flapping wall proves the PLAN's work is stable and the wall noise
+    * is weather — exactly the case that put dd_span and sim_ivfpq into
+    * the r20 round-of-record `unmeasured` list from a load-2.57 driver
+    * box. A genuinely unstable plan (data-dependent skew, a racing
+    * cache) moves task CPU too and is still flagged. The rule is
+    * recorded per key in the `admitted` map so a grader can
+    * re-adjudicate from the record alone (BENCHING.md r21).
+    */
+  private def cpuStable(cpuMedian: Double, cpuSpread: Double): Boolean =
+    cpuSpread >= 0 && !unstable(cpuMedian, cpuSpread)
 
   /** Per-thread iterations of the calibration kernel — sized so one
     * measurement costs ~1 s on a healthy 32-thread box (two
@@ -309,6 +328,11 @@ object Bench {
       val cpu0 = cpuNs.get()
       val shuf0 = shufWr.get()
       val gc0 = gcMsTotal()
+      // peak memory is a max, not a counter: reset per measurement
+      // window (warm/build reps included in the window would be fine —
+      // they run the same plan — but the reset keeps the attribution
+      // to the timed reps exact)
+      metrics.resetPeakExecMem()
       // CPU is snapshotted PER REP (with a bus drain on each side so
       // events land in their rep): the mean (`cpu`) keeps cross-round
       // continuity, while the MINIMUM (`cpu_min`) is the interference-
@@ -344,9 +368,16 @@ object Bench {
       // counterproductive, while the trimmed range converges on the
       // distribution the median is drawn from.
       val core = if (reps >= 5) times.slice(1, reps - 1) else times
+      // the CPU channel's spread, same trimming discipline — the
+      // admission rule's evidence (see cpuStable)
+      val cpuTimes = raw.map(_._2).sorted
+      val cpuCore = if (reps >= 5) cpuTimes.slice(1, reps - 1) else cpuTimes
+      val cpuSpread = if (err.isDefined) -1.0 else cpuCore.last - cpuCore.head
+      val peakMb = metrics.peakExecMemBytes.get() / 1e6
       M(name, times(reps / 2), core.last - core.head, jobsPerRep,
         cpuSecPerRep, cpuMinSec, shufMbPerRep, gcMsPerRep, err,
-        unmeasured = false, buildSec = buildSec)
+        unmeasured = false, buildSec = buildSec, cpuSpread = cpuSpread,
+        peakMemMb = peakMb)
     }
 
     // untimed warmup: pays the one-off JVM/codegen/parquet-reader init
@@ -394,8 +425,15 @@ object Bench {
           val m3 = measure(m.name, fn, reps2, warmup = true)
             .copy(buildSec = m.buildSec)
           val best = if (m3.err.isEmpty && m3.spread < m2.spread) m3 else m2
-          best.copy(unmeasured =
-            best.err.isEmpty && unstable(best.median, best.spread))
+          val wallFlapped = best.err.isEmpty &&
+            unstable(best.median, best.spread)
+          // admission rule: a weather-flapped wall with a gate-tight
+          // CPU channel is measured, via cpu (cpu_min as the scale
+          // reference — the most conservative of the three CPU
+          // figures, so admission is hardest to earn)
+          if (wallFlapped && cpuStable(best.cpuMinSec, best.cpuSpread))
+            best.copy(unmeasured = false, admittedVia = Some("cpu"))
+          else best.copy(unmeasured = wallFlapped)
         }
       }
     }
@@ -446,6 +484,21 @@ object Bench {
     val unmeasuredArr = results.collect { case m if m.unmeasured =>
       "\"" + m.name + "\""
     }.mkString("[", ",", "]")
+    // keys measured through the CPU-channel admission rule (empty on a
+    // quiet box): median is the wall channel as usual, the entry
+    // records WHY the spread gate didn't flag it (BENCHING.md r21)
+    val admittedMap = results.collect {
+      case m if m.admittedVia.isDefined =>
+        "\"" + m.name + "\":\"" + m.admittedVia.get + "\""
+    }.mkString("{", ",", "}")
+    // per-key peak single-task execution memory (MB) — the
+    // memory-pressure channel (full map; top-5 inline)
+    val peakFull = results.map { m =>
+      "\"" + m.name + "\":" + f1(m.peakMemMb)
+    }.mkString("{", ",", "}")
+    val peakTop = results.sortBy(-_.peakMemMb).take(5)
+      .map { m => "\"" + m.name + "\":" + f1(m.peakMemMb) }
+      .mkString("{", ",", "}")
     val errs = results.collect { case m if m.err.isDefined =>
       "\"" + m.name + "\":\"" + m.err.get + "\""
     }.mkString("{", ",", "}")
@@ -469,7 +522,7 @@ object Bench {
     // silently truncated the line start (and the driver's JSON parse)
     // for seven straight rounds.
     val jit = jitJson()
-    val fullLine = s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":$sfNum,"total_r10set":${f3(totalR10)},"total_r10set_norm":${f3(totalR10Norm)},"cpu_total":${f3(cpuTotal)},"load":$loadJson,"calib":$calibJson,"jit":$jit,"errors":$errs,"unmeasured":$unmeasuredArr,"build":$buildFull,"spreads":$spreadsFull,"jobs":$jobsFull,"cpu":$cpuFull,"cpu_min":$cpuMinFull,"gc_ms":$gcFull,"shuffle_mb":$shufFull,"queries":$qsFull}"""
+    val fullLine = s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":$sfNum,"total_r10set":${f3(totalR10)},"total_r10set_norm":${f3(totalR10Norm)},"cpu_total":${f3(cpuTotal)},"load":$loadJson,"calib":$calibJson,"jit":$jit,"errors":$errs,"unmeasured":$unmeasuredArr,"admitted":$admittedMap,"build":$buildFull,"spreads":$spreadsFull,"jobs":$jobsFull,"cpu":$cpuFull,"cpu_min":$cpuMinFull,"gc_ms":$gcFull,"shuffle_mb":$shufFull,"peak_mem_mb":$peakFull,"queries":$qsFull}"""
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "/tmp/graft_bench_full.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
       (fullLine + "\n").getBytes("UTF-8"))
@@ -518,7 +571,7 @@ object Bench {
       .map { m => "\"" + m.name + "\":" + f1(m.buildSec) }
       .mkString("{", ",", "}")
     def mkPrefix(shuf: Seq[String], spr: String, unm: String): String =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":$sfNum,"n_queries":${results.size},"total_r10set":${f3(totalR10)},"total_r10set_norm":${f3(totalR10Norm)},"cpu_total":${f3(cpuTotal)},"load":$loadJson,"calib":$calibJson,"jit":$jit,"errors":$errs,"unmeasured_n":$unmeasuredN,"unmeasured":$unm,"build":$buildTop,"spreads":$spr,"jobs":$jobsTop,"cpu":$cpuTop,"cpu_min":$cpuMinTop,"shuffle_mb":${shuf.mkString("{", ",", "}")},"queries":{"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":$sfNum,"n_queries":${results.size},"total_r10set":${f3(totalR10)},"total_r10set_norm":${f3(totalR10Norm)},"cpu_total":${f3(cpuTotal)},"load":$loadJson,"calib":$calibJson,"jit":$jit,"errors":$errs,"unmeasured_n":$unmeasuredN,"unmeasured":$unm,"admitted":$admittedMap,"build":$buildTop,"spreads":$spr,"jobs":$jobsTop,"cpu":$cpuTop,"cpu_min":$cpuMinTop,"peak_mem_mb":$peakTop,"shuffle_mb":${shuf.mkString("{", ",", "}")},"queries":{"""
     val budget = 1850
     // the prefix itself is length-gated: unlike the queries section it
     // has no per-entry budget check, so trim until at least ~250 chars

@@ -23,6 +23,17 @@ final class MetricListener extends SparkListener {
   val jobs = new java.util.concurrent.atomic.AtomicInteger
   val cpuNs = new java.util.concurrent.atomic.AtomicLong
   val shuffleWriteBytes = new java.util.concurrent.atomic.AtomicLong
+  /** Max single-task `peakExecutionMemory` since the last
+    * [[resetPeakExecMem]] — the per-key memory-pressure channel (r21,
+    * VERDICT r20 item 7): a state-heavy plan regression (a window
+    * buffering a skewed key, a hash build outgrowing its side) shows
+    * here at sf0.1 long before it OOMs at scale. A max cannot be
+    * snapshot-subtracted like the cumulative counters, so the bench
+    * RESETS it at each query's measurement window instead.
+    */
+  val peakExecMemBytes = new java.util.concurrent.atomic.AtomicLong
+
+  def resetPeakExecMem(): Unit = peakExecMemBytes.set(0L)
 
   override def onJobStart(js: SparkListenerJobStart): Unit = {
     jobs.incrementAndGet(); ()
@@ -33,6 +44,7 @@ final class MetricListener extends SparkListener {
     if (tm != null) {
       cpuNs.addAndGet(tm.executorCpuTime + tm.executorDeserializeCpuTime)
       shuffleWriteBytes.addAndGet(tm.shuffleWriteMetrics.bytesWritten)
+      peakExecMemBytes.accumulateAndGet(tm.peakExecutionMemory, Math.max)
       ()
     }
   }
