@@ -109,6 +109,34 @@ object GraftHashes {
     new GenericArrayData(out)
   }
 
+  /** First-occurrence-distinct word bigrams (see [[WordBigrams]]):
+    * `array_distinct(transform(sequence(1, n-1), i ->
+    * concat(toks[i], ' ', toks[i+1])))` in ONE compiled pass — no
+    * per-element interpreted lambda, no sequence array, no second
+    * distinct pass. A LinkedHashSet keeps exactly the HOF's
+    * first-occurrence order.
+    */
+  private val spaceUtf8 =
+    org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+
+  def wordBigrams(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    if (n < 2) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[
+      org.apache.spark.unsafe.types.UTF8String](n * 2)
+    var i = 0
+    while (i < n - 1) {
+      seen.add(org.apache.spark.unsafe.types.UTF8String.concat(
+        arr.getUTF8String(i), spaceUtf8, arr.getUTF8String(i + 1)))
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    new GenericArrayData(out)
+  }
+
   def md5Prefix(s: org.apache.spark.unsafe.types.UTF8String,
                 nibbles: Int): Long = {
     val d = md5Local.get()
@@ -568,6 +596,44 @@ case class CharNgrams(child: Expression, n: Int) extends UnaryExpression {
 
   override protected def withNewChildInternal(
       newChild: Expression): CharNgrams = copy(child = newChild)
+}
+
+/** `graft_bigrams(toks)` — the dedup pack's word-bigram shingles:
+  * first-occurrence-distinct `concat(toks[i], ' ', toks[i+1])`, the
+  * fused form of the `array_distinct(transform(sequence(...), i ->
+  * concat(element_at ...)))` HOF that headed EVERY jaccard-family
+  * signature pipeline (corpus scans, fold increments, the streaming
+  * ingest batches). `ArrayTransform` is CodegenFallback — the old head
+  * paid an interpreted lambda eval per token plus a sequence
+  * materialization and a second distinct pass, per document, on the
+  * hottest kernel chain in the engine. Callers keep the `size(toks) >=
+  * 2` CASE guard (null-toks parity with the legacy HOF); the kernel's
+  * own n < 2 early-out makes the guard semantic, not protective.
+  */
+case class WordBigrams(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.StringType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<string>, got ${t.sql}")
+  }
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+
+  override def prettyName: String = "graft_bigrams"
+
+  override protected def nullSafeEval(a: Any): Any =
+    GraftHashes.wordBigrams(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.GraftHashes.wordBigrams($c)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): WordBigrams = copy(child = newChild)
 }
 
 /** `graft_cdc_ends(text)` — content-defined chunk end positions (sorted

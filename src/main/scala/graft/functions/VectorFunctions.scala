@@ -395,6 +395,7 @@ object VectorFunctions {
     "graft_h32b" -> (c => Md5SegmentHashArray(c(0), 9, 8)),
     "graft_h64sd" -> (c => Md5PrefixSortedDistinct(c(0), 15)),
     "graft_cdc_ends" -> (c => CdcEnds(c(0))),
+    "graft_bigrams" -> (c => WordBigrams(c(0))),
     "graft_char3grams" -> (c => CharNgrams(c(0), 3)),
     "graft_char5grams" -> (c => CharNgrams(c(0), 5)),
     // the ETL state machine's codegen face — in THIS list (not only

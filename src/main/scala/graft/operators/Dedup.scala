@@ -45,10 +45,14 @@ object Dedup extends QueryPack {
     * `[1, 0]` (and `element_at(toks, 0)` throws), while DuckDB's
     * `range(1, 1)` is empty — the CASE makes both yield `[]`.
     */
+  // graft_bigrams is the fused codegen form of the original HOF head
+  //   array_distinct(transform(sequence(1, size(toks) - 1),
+  //     i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))))
+  // (KernelDifferentialSpec pins exact equality, incl. first-occurrence
+  // order); the CASE keeps the legacy null-toks parity — size(null) is
+  // null, so a null token array still yields [] rather than null.
   private val sparkGrams =
-    "CASE WHEN size(toks) >= 2 THEN" +
-      " array_distinct(transform(sequence(1, size(toks) - 1)," +
-      " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))))" +
+    "CASE WHEN size(toks) >= 2 THEN graft_bigrams(toks)" +
       " ELSE cast(array() as array<string>) END"
   private val duckGrams =
     "list_distinct(list_transform(range(1, len(toks))," +

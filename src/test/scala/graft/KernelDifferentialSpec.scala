@@ -90,6 +90,25 @@ class KernelDifferentialSpec extends AnyFunSuite {
       assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
   }
 
+  test("graft_bigrams equals the array_distinct(transform(...)) HOF, " +
+      "incl. first-occurrence order and the null/short guards") {
+    // heavy duplication so the distinct arm and its ORDER are exercised;
+    // empty-string tokens and unicode included
+    val words = Seq.fill(6)(randWord()) ++ Seq("", "éü≠")
+    val rows = Seq.fill(80)(
+      Seq.fill(rnd.nextInt(25))(words(rnd.nextInt(words.size)))) ++
+      Seq(Seq.empty[String], Seq("one"), null)
+    val df = rows.toDF("toks").selectExpr(
+      "CASE WHEN size(toks) >= 2 THEN graft_bigrams(toks)" +
+        " ELSE cast(array() as array<string>) END AS fused",
+      "CASE WHEN size(toks) >= 2 THEN" +
+        " array_distinct(transform(sequence(1, size(toks) - 1)," +
+        " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))))" +
+        " ELSE cast(array() as array<string>) END AS unfused")
+    df.collect().foreach(r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1)))
+  }
+
   test("graft_simhash16 equals the 16 unfused per-bit folds") {
     val rows = Seq.fill(50)(
       Seq.fill(rnd.nextInt(30))(rnd.nextLong(1L << 16)))
