@@ -570,8 +570,10 @@ object Bench {
       .sortBy(-_.buildSec).take(8)
       .map { m => "\"" + m.name + "\":" + f1(m.buildSec) }
       .mkString("{", ",", "}")
-    def mkPrefix(shuf: Seq[String], spr: String, unm: String): String =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":$sfNum,"n_queries":${results.size},"total_r10set":${f3(totalR10)},"total_r10set_norm":${f3(totalR10Norm)},"cpu_total":${f3(cpuTotal)},"load":$loadJson,"calib":$calibJson,"jit":$jit,"errors":$errs,"unmeasured_n":$unmeasuredN,"unmeasured":$unm,"admitted":$admittedMap,"build":$buildTop,"spreads":$spr,"jobs":$jobsTop,"cpu":$cpuTop,"cpu_min":$cpuMinTop,"peak_mem_mb":$peakTop,"shuffle_mb":${shuf.mkString("{", ",", "}")},"queries":{"""
+    val admittedN = results.count(_.admittedVia.isDefined)
+    def mkPrefix(shuf: Seq[String], spr: String, unm: String,
+                 adm: String, peak: String): String =
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":$sfNum,"n_queries":${results.size},"total_r10set":${f3(totalR10)},"total_r10set_norm":${f3(totalR10Norm)},"cpu_total":${f3(cpuTotal)},"load":$loadJson,"calib":$calibJson,"jit":$jit,"errors":$errs,"unmeasured_n":$unmeasuredN,"unmeasured":$unm,"admitted_n":$admittedN,"admitted":$adm,"build":$buildTop,"spreads":$spr,"jobs":$jobsTop,"cpu":$cpuTop,"cpu_min":$cpuMinTop,"peak_mem_mb":$peak,"shuffle_mb":${shuf.mkString("{", ",", "}")},"queries":{"""
     val budget = 1850
     // the prefix itself is length-gated: unlike the queries section it
     // has no per-entry budget check, so trim until at least ~250 chars
@@ -579,23 +581,32 @@ object Bench {
     // errors/unmeasured round could push the whole line past the
     // capture tail, the exact silent-truncation failure this budget
     // exists to prevent. Trim order: shuffle entries (smallest first),
-    // then the spreads map, then the unmeasured list collapses to []
-    // (its contents are always in the file; unmeasured_n keeps the
-    // count inline) — errors are never trimmed.
+    // then the spreads map, then peak_mem_mb, then the unmeasured list
+    // and the admitted map each collapse (contents always in the file;
+    // unmeasured_n / admitted_n keep the counts inline — a noisy-box
+    // round can admit MANY keys, so admitted must be trimmable or the
+    // weather that triggers admissions would itself overflow the line)
+    // — errors are never trimmed.
     var spreadsOut = spreads
     var unmeasuredOut = unmeasuredArr
-    var prefix = mkPrefix(shufEntries, spreadsOut, unmeasuredOut)
+    var admittedOut = admittedMap
+    var peakOut = peakTop
+    def prefixNow() =
+      mkPrefix(shufEntries, spreadsOut, unmeasuredOut, admittedOut, peakOut)
+    var prefix = prefixNow()
     while (prefix.length > budget - 250 && shufEntries.nonEmpty) {
       shufEntries = shufEntries.init
-      prefix = mkPrefix(shufEntries, spreadsOut, unmeasuredOut)
+      prefix = prefixNow()
     }
-    if (prefix.length > budget - 250) {
-      spreadsOut = "{}"
-      prefix = mkPrefix(shufEntries, spreadsOut, unmeasuredOut)
-    }
+    if (prefix.length > budget - 250) { spreadsOut = "{}"; prefix = prefixNow() }
+    if (prefix.length > budget - 250) { peakOut = "{}"; prefix = prefixNow() }
     if (prefix.length > budget - 250) {
       unmeasuredOut = "[]" // names in the full file; unmeasured_n stays
-      prefix = mkPrefix(shufEntries, spreadsOut, unmeasuredOut)
+      prefix = prefixNow()
+    }
+    if (prefix.length > budget - 250) {
+      admittedOut = "{}" // keys in the full file; admitted_n stays
+      prefix = prefixNow()
     }
     val keepFirst = results.sortBy { m =>
       if (m.err.isDefined) Double.MinValue else -m.median  // errors always kept
