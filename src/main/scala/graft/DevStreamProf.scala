@@ -12,6 +12,12 @@ package graft
   */
 object DevStreamProf {
   def main(args: Array[String]): Unit = {
+    if (args.isEmpty || !SparkEntry.queries.contains(args(0))) {
+      System.err.println(
+        "usage: runMain graft.DevStreamProf <query> [sfDir] [reps]" +
+          args.headOption.fold("")(n => s" — unknown query '$n'"))
+      sys.exit(1)
+    }
     val name = args(0)
     val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val reps = if (args.length > 2) args(2).toInt else 1

@@ -619,8 +619,20 @@ case class WordBigrams(child: Expression) extends UnaryExpression {
       s"$prettyName expects array<string>, got ${t.sql}")
   }
 
-  override def dataType: DataType =
-    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+  // Nullability PROPAGATES from the input's elements (r22): a null
+  // token flows UTF8String.concat(null, …) = null into the output set
+  // (the LinkedHashSet dedupes it to one first-occurrence null —
+  // exactly what the legacy HOF's array_distinct did), so declaring
+  // containsNull=false here would let downstream codegen miscompile
+  // against a null element. The engine's own call sites feed split()
+  // output (never null elements) and are unaffected; the guard is for
+  // graft_bigrams' registry exposure to arbitrary callers.
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StringType,
+    containsNull = child.dataType match {
+      case ArrayType(_, cn) => cn
+      case _ => true
+    })
 
   override def prettyName: String = "graft_bigrams"
 

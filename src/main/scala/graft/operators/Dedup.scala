@@ -129,6 +129,22 @@ object Dedup extends QueryPack {
     */
   private val jacBandGuard = s" WHERE sig_0 <> ${Long.MaxValue}L"
 
+  /** Scale-adaptive partition count for a checkpointed group/rep-scale
+    * frame that is scanned many times inside one edge job (the band
+    * selects): ~256k rows per partition — prepLpEdges' sizing rule —
+    * capped at the session's shuffle parallelism (the corpus-scale
+    * setting a deployment tunes) and floored at 1. Replaces the
+    * literal `coalesce(4)`s (r22): right at sf0.1 where the rep set is
+    * a few thousand rows, wrong on a corpus whose signatures are
+    * mostly unique (reps ≈ corpus → billions of rows through 4
+    * partitions). `rows` is a cheap count over an already-checkpointed
+    * frame.
+    */
+  private[graft] def repPartitions(s: SparkSession, rows: Long): Int =
+    math.max(1L, math.min(
+      s.conf.get("spark.sql.shuffle.partitions").toLong,
+      rows / 262144L + 1L)).toInt
+
   /** Scoped AQE-off, the edge-checkpoint discipline (measured note at
     * [[ddClusterIncremental]]): one definition for every site so the
     * save/set/restore dance cannot drift or leak. Works only when the
@@ -417,7 +433,11 @@ object Dedup extends QueryPack {
          |FROM $sv s
          |JOIN (SELECT DISTINCT rep FROM $gv) r ON s.doc_id = r.rep"""
         .stripMargin)
-      .coalesce(4).truncated().createOrReplaceTempView(rv)
+      // grp.count() bounds the rep count from above (one row per
+      // member ≥ one per group) — a one-job overestimate that keeps
+      // the coalesce scale-adaptive instead of the old literal 4
+      .coalesce(repPartitions(s, grp.count())).truncated()
+      .createOrReplaceTempView(rv)
     val bandSelects = (0 until JacBands)
       .map(b => s"SELECT doc_id, $b AS band, ${jacBandKeySpark(b)} AS bk" +
         s" FROM $rv$jacBandGuard")
@@ -2150,7 +2170,14 @@ object Dedup extends QueryPack {
     * volume — never the member expansion, which stays lazy in each
     * consumer.
     */
-  private[graft] final case class PairRelations(repVer: DataFrame, grp: DataFrame)
+  private[graft] final case class PairRelations(repVer: DataFrame, grp: DataFrame) {
+    /** Membership row count — computed ONCE per (session, corpus)
+      * registry entry (the frames are eagerly checkpointed, so this is
+      * one tiny job on first use) and reused by every consumer that
+      * needs a scale-adaptive partition width (repPartitions).
+      */
+    lazy val nGrp: Long = grp.count()
+  }
 
   private val jacRelCache = new FrameRegistry[PairRelations](LpEdgeCacheMax)
   private val cosRelCache = new FrameRegistry[PairRelations](LpEdgeCacheMax)
@@ -2675,8 +2702,23 @@ object Dedup extends QueryPack {
                                                dir: String): DataFrame = {
     val rel = jacRelations(s, dir)
     val flags = incrementalDocFlags(s, dir)
+    // Scale-adaptive derivation width (r22; was a session-global
+    // spark.sql.shuffle.partitions=4 pin — right at sf0.1 where these
+    // are sub-5k-row joins drowning in 32-task-wave floors, wrong at
+    // 100 TB where grp × documents is corpus-proportional, and a
+    // non-atomic conf mutation besides). Explicit repartitions at a
+    // count-derived width k seed every downstream exchange: with AQE
+    // off, joins and aggregates keyed on (a subset of) an existing
+    // hash partitioning reuse it, and exchanges inserted to co-locate
+    // the other side match its partition count — so the whole
+    // derivation runs at k, no conf touched, and k grows with the
+    // corpus (repPartitions: ~256k rows/partition, capped at the
+    // session's shuffle parallelism).
+    val k = repPartitions(s, rel.nGrp)
     // (doc_id, is_new, rep=global class rep, side_rep)
-    val grpFlags = rel.grp.join(flags, "doc_id")
+    val grpFlags = rel.grp.repartition(k, col("doc_id"))
+      .join(flags.repartition(k, col("doc_id")), "doc_id")
+      .repartition(k, col("rep"))
     val sideGrp = grpFlags
       .groupBy(col("rep"), col("is_new"))
       .agg(min(col("doc_id")).as("side_rep"))
@@ -2706,21 +2748,14 @@ object Dedup extends QueryPack {
         "CASE WHEN xa < xb THEN xna ELSE xnb END AS a_new",
         "CASE WHEN xa < xb THEN xnb ELSE xna END AS b_new")
     // one eager checkpoint, AQE scoped off (the prepLpEdges
-    // discipline): both phases filter this frame, and the checkpoint
-    // keeps their plans rooted at a leaf instead of re-running the
-    // derivation joins per phase. The derivation's shuffles are
-    // scoped to 4 partitions: every input is a group/rep-scale frame
-    // (the registry's checkpointed relations plus one narrow flag
-    // scan), and at the session's corpus-scale partition count the
-    // joins ran as 32-task waves whose per-task floor dominated the
-    // actual work (measured: 4.8 + 2.1 CPU-s of overhead at sf0.1
-    // for sub-5k-row joins; 4 partitions reads ~0.5).
-    val shufKey = "spark.sql.shuffle.partitions"
-    val shufWas = s.conf.get(shufKey)
+    // discipline — AQE-on materialization was measured here in r22 at
+    // +7 stage-materialization jobs and +1.5 s wall for flat CPU):
+    // both phases filter this frame, and the checkpoint keeps their
+    // plans rooted at a leaf instead of re-running the derivation
+    // joins per phase. The derivation's width comes from the explicit
+    // k repartitions above, not from a conf pin.
     withAqeOff(s) {
-      s.conf.set(shufKey, "4")
-      try crossClass.unionAll(sameClass).unionAll(stars).truncated()
-      finally s.conf.set(shufKey, shufWas)
+      crossClass.unionAll(sameClass).unionAll(stars).truncated()
     }
   }
 
@@ -3115,37 +3150,59 @@ object Dedup extends QueryPack {
     // Increment candidates: bands(new reps) probe the STORED index
     // (old-new) plus a banded self-join of the new reps alone
     // (new-new); old-old pairs never regenerate — the assignment
-    // already summarizes them. UNION dedupes across branches and
-    // bands; least/greatest normalizes because old/new ids interleave
-    // (the split is by source, not id). Verify joins hit stored sigs
-    // for old endpoints and the checkpointed new sigs for new ones —
-    // the same dd_jaccard arithmetic, term-for-term. The new batch's
-    // star edges ride along in the same frame.
+    // already summarizes them. The verify join is SIDE-SPLIT (r22,
+    // guide §2.4/§6): the two candidate branches are disjoint by
+    // construction (an id is never both stored and new, so an old-new
+    // pair can't also be a new-new pair), which makes the old
+    // cross-branch UNION equal to a per-branch DISTINCT — and with
+    // the branches separate, each verify endpoint has ONE home: old
+    // endpoints join the stored sigs relation directly (bucketed by
+    // doc_id, so the store side of that join is exchange-free at any
+    // scale) and new endpoints join the checkpointed increment. The
+    // old UNION ALL of stored + new sigs destroyed the store's
+    // bucketing and re-shuffled corpus-scale signature arrays by
+    // doc_id on every fold; now only the candidate pair list (two
+    // BIGINTs per row) moves. least/greatest normalizes the old-new
+    // branch because old/new ids interleave (the split is by source,
+    // not id); jaccard is symmetric, so verifying in (old, new)
+    // orientation is the same arithmetic term-for-term. The new
+    // batch's star edges ride along in the same frame.
     val edges = s.sql(
       s"""WITH newbands AS ($newBandSelects),
-         |cand AS (
-         |  SELECT least(o.doc_id, n.doc_id) AS doc_a,
-         |         greatest(o.doc_id, n.doc_id) AS doc_b
+         |cand_on AS (
+         |  SELECT DISTINCT o.doc_id AS doc_o, n.doc_id AS doc_n
          |  FROM $cfoOldBands o JOIN newbands n
-         |    ON o.band = n.band AND o.bk = n.bk
-         |  UNION
-         |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |    ON o.band = n.band AND o.bk = n.bk),
+         |cand_nn AS (
+         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
          |  FROM newbands x JOIN newbands y
          |    ON x.band = y.band AND x.bk = y.bk AND x.doc_id < y.doc_id),
-         |allsigs AS (
-         |  SELECT doc_id, hs FROM $cfoOldSigs
-         |  UNION ALL
-         |  SELECT doc_id, hs FROM $cfoSigs)
-         |SELECT doc_a, doc_b FROM (
-         |  SELECT doc_a, doc_b,
-         |    round(cast(graft_isect(a.hs, b.hs) as double)
-         |      / (size(a.hs) + size(b.hs) - graft_isect(a.hs, b.hs)), 6)
-         |      AS jaccard
-         |  FROM cand JOIN allsigs a ON a.doc_id = doc_a
-         |            JOIN allsigs b ON b.doc_id = doc_b
-         |  WHERE least(size(a.hs), size(b.hs)) * 10
-         |        >= greatest(size(a.hs), size(b.hs)) * 6)
-         |WHERE jaccard >= 0.6
+         |v_on AS (
+         |  SELECT least(doc_o, doc_n) AS doc_a,
+         |         greatest(doc_o, doc_n) AS doc_b FROM (
+         |    SELECT doc_o, doc_n,
+         |      round(cast(graft_isect(o.hs, n.hs) as double)
+         |        / (size(o.hs) + size(n.hs) - graft_isect(o.hs, n.hs)), 6)
+         |        AS jaccard
+         |    FROM cand_on JOIN $cfoOldSigs o ON o.doc_id = doc_o
+         |                 JOIN $cfoSigs n ON n.doc_id = doc_n
+         |    WHERE least(size(o.hs), size(n.hs)) * 10
+         |          >= greatest(size(o.hs), size(n.hs)) * 6)
+         |  WHERE jaccard >= 0.6),
+         |v_nn AS (
+         |  SELECT doc_a, doc_b FROM (
+         |    SELECT doc_a, doc_b,
+         |      round(cast(graft_isect(a.hs, b.hs) as double)
+         |        / (size(a.hs) + size(b.hs) - graft_isect(a.hs, b.hs)), 6)
+         |        AS jaccard
+         |    FROM cand_nn JOIN $cfoSigs a ON a.doc_id = doc_a
+         |                 JOIN $cfoSigs b ON b.doc_id = doc_b
+         |    WHERE least(size(a.hs), size(b.hs)) * 10
+         |          >= greatest(size(a.hs), size(b.hs)) * 6)
+         |  WHERE jaccard >= 0.6)
+         |SELECT doc_a, doc_b FROM v_on
+         |UNION ALL
+         |SELECT doc_a, doc_b FROM v_nn
          |UNION ALL
          |SELECT rep AS doc_a, doc_id AS doc_b FROM $cfoGrp
          |WHERE doc_id <> rep""".stripMargin)
@@ -3620,33 +3677,52 @@ object Dedup extends QueryPack {
       .mkString(" UNION ALL ")
     // bands(new reps) probe the STORED index (old-new) plus a banded
     // self-join of the new reps alone (new-new); old-old pairs never
-    // regenerate. least/greatest normalizes the probe branch so the
-    // UNION dedup holds even if a caller's pred does not keep every
-    // old id below every new id (the default split does). The new
-    // batch's star edges ride along in the same frame.
+    // regenerate. The verify join is SIDE-SPLIT (r22, guide §2.4/§6 —
+    // see clusterStoreEdgeFrame's note): the branches are disjoint
+    // (an id is never both stored and new), so the cross-branch UNION
+    // equals per-branch DISTINCTs, and each endpoint verifies against
+    // its ONE home — old endpoints against the stored vecs relation
+    // (bucketed by vec_id: the store side of the join is
+    // exchange-free at any scale), new endpoints against the
+    // checkpointed increment. The old UNION ALL re-shuffled
+    // corpus-scale EMBEDDING ARRAYS through a fresh exchange on every
+    // fold; now only the candidate pair list moves. least/greatest
+    // normalizes the probe branch because a caller's pred need not
+    // keep every old id below every new id (the default split does);
+    // cosine is symmetric. The new batch's star edges ride along in
+    // the same frame.
     val edges = s.sql(
       s"""WITH newbands AS ($newBandSelects),
-         |cand AS (
-         |  SELECT least(o.vec_id, n.vec_id) AS vec_a,
-         |         greatest(o.vec_id, n.vec_id) AS vec_b
+         |cand_on AS (
+         |  SELECT DISTINCT o.vec_id AS vec_o, n.vec_id AS vec_n
          |  FROM $efoOldBands o JOIN newbands n
-         |    ON o.band = n.band AND o.bkt = n.bkt
-         |  UNION
-         |  SELECT x.vec_id AS vec_a, y.vec_id AS vec_b
+         |    ON o.band = n.band AND o.bkt = n.bkt),
+         |cand_nn AS (
+         |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
          |  FROM newbands x JOIN newbands y
          |    ON x.band = y.band AND x.bkt = y.bkt AND x.vec_id < y.vec_id),
-         |allvecs AS (
-         |  SELECT vec_id, embedding, n2 FROM $efoOldVecs
-         |  UNION ALL
-         |  SELECT vec_id, embedding, n2 FROM $efoE)
-         |SELECT vec_a, vec_b FROM (
-         |  SELECT vec_a, vec_b, round(cs, 6) AS cos_sim FROM (
-         |    SELECT vec_a, vec_b,
-         |      graft_cos(a.embedding, b.embedding, a.n2, b.n2) AS cs
-         |    FROM cand JOIN allvecs a ON a.vec_id = vec_a
-         |              JOIN allvecs b ON b.vec_id = vec_b)
-         |  WHERE cs > 0.3999994)
-         |WHERE cos_sim >= 0.4
+         |v_on AS (
+         |  SELECT least(vec_o, vec_n) AS vec_a,
+         |         greatest(vec_o, vec_n) AS vec_b FROM (
+         |    SELECT vec_o, vec_n, round(cs, 6) AS cos_sim FROM (
+         |      SELECT vec_o, vec_n,
+         |        graft_cos(o.embedding, n.embedding, o.n2, n.n2) AS cs
+         |      FROM cand_on JOIN $efoOldVecs o ON o.vec_id = vec_o
+         |                   JOIN $efoE n ON n.vec_id = vec_n)
+         |    WHERE cs > 0.3999994)
+         |  WHERE cos_sim >= 0.4),
+         |v_nn AS (
+         |  SELECT vec_a, vec_b FROM (
+         |    SELECT vec_a, vec_b, round(cs, 6) AS cos_sim FROM (
+         |      SELECT vec_a, vec_b,
+         |        graft_cos(a.embedding, b.embedding, a.n2, b.n2) AS cs
+         |      FROM cand_nn JOIN $efoE a ON a.vec_id = vec_a
+         |                   JOIN $efoE b ON b.vec_id = vec_b)
+         |    WHERE cs > 0.3999994)
+         |  WHERE cos_sim >= 0.4)
+         |SELECT vec_a, vec_b FROM v_on
+         |UNION ALL
+         |SELECT vec_a, vec_b FROM v_nn
          |UNION ALL
          |SELECT rep AS vec_a, vec_id AS vec_b FROM $efoGrp
          |WHERE vec_id <> rep""".stripMargin)

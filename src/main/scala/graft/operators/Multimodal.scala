@@ -452,7 +452,7 @@ object Multimodal extends QueryPack {
     val sigs = phashSigs(s, dir).cache()
     sigs.createOrReplaceTempView(sv)
     Dedup.trackCached(s, dir, sigs)
-    collapseByPhash(s, sv, gv, rv, coalesceReps = Some(4))
+    collapseByPhash(s, sv, gv, rv, coalesceReps = true)
     val grp = s.table(gv)
     val ver = s.sql(
       s"""WITH bands AS (${phashBandSelects(rv)}),
@@ -527,18 +527,26 @@ object Multimodal extends QueryPack {
     */
   private def collapseByPhash(s: SparkSession, sigsView: String,
                               grpView: String, repView: String,
-                              coalesceReps: Option[Int] = None): Unit = {
-    s.sql(
+                              coalesceReps: Boolean = false): Unit = {
+    val grp = s.sql(
       s"""SELECT k.doc_id, g.rep FROM $sigsView k
          |JOIN (SELECT phash, min(doc_id) AS rep FROM $sigsView
          |      GROUP BY phash) g
          |ON k.phash = g.phash""".stripMargin)
-      .truncated().createOrReplaceTempView(grpView)
+      .truncated()
+    grp.createOrReplaceTempView(grpView)
     val reps = s.sql(
       s"""SELECT s.doc_id, s.phash FROM $sigsView s
          |JOIN (SELECT DISTINCT rep FROM $grpView) r ON s.doc_id = r.rep"""
         .stripMargin)
-    coalesceReps.map(reps.coalesce).getOrElse(reps)
+    // scale-adaptive (r22, was a literal coalesce(4) at the relations
+    // site): membership count bounds the rep count from above, one
+    // cheap job over the just-checkpointed frame — see
+    // Dedup.repPartitions (reps are corpus-scale when signatures are
+    // mostly unique, so a constant here is wrong at 100 TB)
+    (if (coalesceReps)
+       reps.coalesce(graft.operators.Dedup.repPartitions(s, grp.count()))
+     else reps)
       .truncated().createOrReplaceTempView(repView)
   }
 

@@ -586,6 +586,35 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("dd_cluster_fold_stored verify: the sealed store's SIGS side " +
+      "is a bucketed scan with NO exchange — the r22 side-split; " +
+      "before it, stored signature arrays re-shuffled through the " +
+      "allsigs union on every fold") {
+    val store = operators.Dedup.ensureClusterStore(spark, dir)
+    withNoBroadcast {
+      operators.Dedup.withAqeOff(spark) {
+        val (_, edges) = operators.Dedup.clusterStoreEdgeFrame(
+          spark, dir, store, "cast(substring(source, 4) as int) >= 10")
+        assertStoreSideExchangeFree(
+          edges.queryExecution.executedPlan, "/sigs")
+      }
+    }
+  }
+
+  test("dd_embed_cluster_fold_stored verify: the sealed store's VECS " +
+      "side is a bucketed scan with NO exchange — the r22 side-split " +
+      "for the embedding payloads") {
+    val store = operators.Dedup.ensureEmbedStore(spark, dir)
+    withNoBroadcast {
+      operators.Dedup.withAqeOff(spark) {
+        val (_, edges) = operators.Dedup.embedStoreEdgeFrame(
+          spark, dir, store)
+        assertStoreSideExchangeFree(
+          edges.queryExecution.executedPlan, "/vecs")
+      }
+    }
+  }
+
   test("storeDedupStream probe: the sealed store's bands AND vecs " +
       "sides are bucketed scans with NO exchange — each micro-batch " +
       "shuffles only the arriving vectors, never the corpus-scale " +
