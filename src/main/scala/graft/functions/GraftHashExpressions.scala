@@ -137,6 +137,35 @@ object GraftHashes {
     new GenericArrayData(out)
   }
 
+  /** First-occurrence-distinct space-joined word n-grams (see
+    * [[WordNgrams]]): the distinct set of
+    * `array_join(slice(toks, i, n), ' ')` over every window, in one
+    * compiled pass. concatWs SKIPS null inputs exactly like
+    * array_join skips null elements, so the two agree on null tokens
+    * too; the output strings themselves are never null.
+    */
+  def wordNgrams(arr: ArrayData, n: Int): ArrayData = {
+    val sz = arr.numElements()
+    if (sz < n) return new GenericArrayData(Array.empty[Any])
+    val toks =
+      new Array[org.apache.spark.unsafe.types.UTF8String](sz)
+    var i = 0
+    while (i < sz) { toks(i) = arr.getUTF8String(i); i += 1 }
+    val seen = new java.util.LinkedHashSet[
+      org.apache.spark.unsafe.types.UTF8String](sz * 2)
+    i = 0
+    while (i + n <= sz) {
+      seen.add(org.apache.spark.unsafe.types.UTF8String.concatWs(
+        spaceUtf8, java.util.Arrays.copyOfRange(toks, i, i + n): _*))
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    new GenericArrayData(out)
+  }
+
   def md5Prefix(s: org.apache.spark.unsafe.types.UTF8String,
                 nibbles: Int): Long = {
     val d = md5Local.get()
@@ -646,6 +675,44 @@ case class WordBigrams(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(
       newChild: Expression): WordBigrams = copy(child = newChild)
+}
+
+/** `graft_word<n>grams(toks)` — first-occurrence-distinct space-joined
+  * word n-grams for a compile-time n: the DISTINCT SET of
+  * `array_join(slice(toks, i, n), ' ')` over every window, fused into
+  * one compiled pass (r22, for txt_novelty: computing a document's
+  * distinct gram set map-side is what lets the per-corpus
+  * explode→DISTINCT exchange of gram strings disappear — the set is
+  * derivable inside the document's own row). Output elements are never
+  * null (concatWs skips null inputs, exactly like array_join skips
+  * null elements), so containsNull=false holds for any input.
+  */
+case class WordNgrams(child: Expression, n: Int) extends UnaryExpression {
+
+  require(n >= 1, s"ngram width must be positive, got $n")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.StringType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<string>, got ${t.sql}")
+  }
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+
+  override def prettyName: String = s"graft_word${n}grams"
+
+  override protected def nullSafeEval(a: Any): Any =
+    GraftHashes.wordNgrams(a.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.GraftHashes.wordNgrams($c, $n)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): WordNgrams = copy(child = newChild)
 }
 
 /** `graft_cdc_ends(text)` — content-defined chunk end positions (sorted

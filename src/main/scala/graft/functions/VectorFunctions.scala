@@ -396,6 +396,7 @@ object VectorFunctions {
     "graft_h64sd" -> (c => Md5PrefixSortedDistinct(c(0), 15)),
     "graft_cdc_ends" -> (c => CdcEnds(c(0))),
     "graft_bigrams" -> (c => WordBigrams(c(0))),
+    "graft_word8grams" -> (c => WordNgrams(c(0), 8)),
     "graft_char3grams" -> (c => CharNgrams(c(0), 3)),
     "graft_char5grams" -> (c => CharNgrams(c(0), 5)),
     // the ETL state machine's codegen face — in THIS list (not only

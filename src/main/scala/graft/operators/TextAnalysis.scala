@@ -884,18 +884,29 @@ object TextAnalysis extends QueryPack {
   // min-owner column), so the corpus is never rescanned and no
   // gram-level join back is needed; the final doc-level left join is
   // narrow (three long columns).
+  // r22 restructure (same rows, oracle unchanged — guide §2.3/§2.4):
+  // a document's DISTINCT gram set is derivable inside its own row,
+  // so it is computed map-side by the fused graft_word8grams kernel
+  // (first-occurrence-distinct array_join(slice(toks, i, 8))). That
+  // removes two of the three shuffles the old shape paid: the
+  // explode→DISTINCT exchange of (doc_id, gram) STRINGS (the grams
+  // arrive already distinct per doc) and the doc-level gram-count
+  // aggregate (n_grams = size(gset), computed before the explode).
+  // The gram strings now cross the wire exactly once — the gram→min
+  // owner aggregate, which IS the query's semantics. The gset frame is
+  // cached because both aggregates scan it (the uncached-twice gotcha).
   private def txtNovelty(s: SparkSession, dir: String): DataFrame = {
-    val grams = table(s, dir, "documents")
+    graft.functions.VectorFunctions.ensureRegistered(s)
+    val gsets = table(s, dir, "documents")
       .selectExpr("doc_id", "split(text, ' ') AS toks")
       .where("size(toks) >= 8")
-      .selectExpr("doc_id", "toks",
-        "explode(sequence(1, size(toks) - 7)) AS i")
-      .selectExpr("doc_id", "array_join(slice(toks, i, 8), ' ') AS gram")
-      .distinct()
+      .selectExpr("doc_id", "graft_word8grams(toks) AS gset")
       .cache()
-    val novel = grams.groupBy("gram").agg(min(col("doc_id")).as("doc_id"))
+    val novel = gsets
+      .selectExpr("doc_id", "explode(gset) AS gram")
+      .groupBy("gram").agg(min(col("doc_id")).as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("n_novel"))
-    grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    gsets.selectExpr("doc_id", "cast(size(gset) AS bigint) AS n_grams")
       .join(novel, Seq("doc_id"), "left")
       .selectExpr("doc_id", "n_grams",
         "coalesce(n_novel, bigint(0)) AS n_novel",

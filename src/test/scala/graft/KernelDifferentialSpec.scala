@@ -109,6 +109,49 @@ class KernelDifferentialSpec extends AnyFunSuite {
       assert(r.getSeq[String](0) == r.getSeq[String](1)))
   }
 
+  test("graft_bigrams with NULL tokens: output mirrors the HOF (one " +
+      "first-occurrence null) and the declared type says containsNull") {
+    // a null token makes concat() null; array_distinct keeps ONE null
+    // at its first occurrence — the kernel must agree, and its
+    // DECLARED element nullability must admit it (it propagates the
+    // input's containsNull since r22; the old containsNull=false was
+    // a miscompilation hazard for registry callers)
+    val df = Seq(
+        (1L, Seq("a", null, "b", null, "c", "a", "b")),
+        (2L, Seq[String](null, null)),
+        (3L, Seq("x", "y", "x", "y"))).toDF("id", "toks")
+      .selectExpr("id", "graft_bigrams(toks) AS fused",
+        "array_distinct(transform(sequence(1, size(toks) - 1)," +
+          " i -> concat(element_at(toks, i), ' '," +
+          " element_at(toks, i + 1)))) AS unfused")
+    val fusedType = df.schema("fused").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType]
+    assert(fusedType.containsNull,
+      "null tokens can flow a null element into the output — the " +
+        "declared type must say so")
+    df.collect().foreach { r =>
+      assert(r.getSeq[String](1) == r.getSeq[String](2), s"id=${r.get(0)}")
+    }
+  }
+
+  test("graft_word8grams equals the distinct array_join(slice(...)) " +
+      "HOF — txt_novelty's per-document gram set, as a SET") {
+    val words = Seq.fill(8)(randWord()) ++ Seq("", "éü≠")
+    val rows = Seq.fill(60)(
+      Seq.fill(rnd.nextInt(40))(words(rnd.nextInt(words.size)))) ++
+      Seq(Seq.empty[String], Seq("one"), (1 to 7).map(_.toString),
+        (1 to 8).map(_ => "same"), null)
+    val df = rows.toDF("toks").selectExpr(
+      "graft_word8grams(toks) AS fused",
+      "CASE WHEN size(toks) >= 8 THEN" +
+        " array_distinct(transform(sequence(1, size(toks) - 7)," +
+        " i -> array_join(slice(toks, i, 8), ' ')))" +
+        " WHEN toks IS NULL THEN NULL" +
+        " ELSE cast(array() as array<string>) END AS unfused")
+    df.collect().foreach(r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1)))
+  }
+
   test("graft_simhash16 equals the 16 unfused per-bit folds") {
     val rows = Seq.fill(50)(
       Seq.fill(rnd.nextInt(30))(rnd.nextLong(1L << 16)))
