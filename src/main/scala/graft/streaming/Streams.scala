@@ -485,22 +485,39 @@ object Streams {
     * restart-to-advance is the blue/green discipline the pointer file
     * exists for (PointerAdvanceContractSpec pins both halves).
     */
+  /** Materialize a stream-static join's STATIC side once per stream
+    * construction (r22): Spark re-executes the static plan on EVERY
+    * micro-batch, so an uncached store relation pays its full scan —
+    * at 100 TB, a full index read — per batch. Cached, the relation is
+    * scanned once (batch 0 populates it lazily), keeps its reported
+    * bucketed partitioning (InMemoryTableScan preserves the child
+    * scan's outputPartitioning, so the probe joins stay exchange-free —
+    * PlanSpec re-pins the shape through the cache), and spills rather
+    * than OOMs (MEMORY_AND_DISK). Never stale by construction: the
+    * served generation chain is immutable for the stream's lifetime
+    * (the pointer-advance contract above). The replay harness's
+    * clearCache between reps drops it, so every bench rep still
+    * computes from parquet.
+    */
+  private def staticSide(df: DataFrame): DataFrame = df.cache()
+
   def storeDedupStream(vecs: DataFrame, store: String,
                        delay: String = "10 minutes",
                        metrics: Option[DisorderMetrics] = None)
       : DataFrame = {
     val s = vecs.sparkSession
     graft.functions.VectorFunctions.ensureRegistered(s)
-    val oldBands = graft.operators.StoreFiles
+    val oldBands = staticSide(graft.operators.StoreFiles
       .readRelChain(s, store, "bands")
-      .toDF("owner_id", "band", "bkt")
-    val oldVecs = graft.operators.StoreFiles
+      .toDF("owner_id", "band", "bkt"))
+    val oldVecs = staticSide(graft.operators.StoreFiles
       .readRelChain(s, store, "vecs")
-      .toDF("owner_id", "old_embedding", "old_n2")
+      .toDF("owner_id", "old_embedding", "old_n2"))
     // rep-collapsed store membership (identity for pre-layout
     // generations): band/verify once per stored GROUP, one equi-join
     // fans the verified rep pair out to member pairs (Dedup.storeGrp)
-    val grp = graft.operators.Dedup.storeGrp(s, store, "member_id")
+    val grp = staticSide(
+      graft.operators.Dedup.storeGrp(s, store, "member_id"))
     observeArrivals(vecs, "vec_id", metrics)
       .selectExpr("vec_id", "ts", "embedding",
         "graft_dot(embedding, embedding) AS n2",
@@ -556,17 +573,19 @@ object Streams {
       : DataFrame = {
     val s = docs.sparkSession
     graft.functions.VectorFunctions.ensureRegistered(s)
-    val oldBands = graft.operators.StoreFiles
+    // static sides cached once per stream — see staticSide
+    val oldBands = staticSide(graft.operators.StoreFiles
       .readRelChain(s, store, "bands")
-      .toDF("owner_id", "band", "bk")
-    val oldSigs = graft.operators.StoreFiles
+      .toDF("owner_id", "band", "bk"))
+    val oldSigs = staticSide(graft.operators.StoreFiles
       .readRelChain(s, store, "sigs")
-      .toDF("owner_id", "old_hs")
+      .toDF("owner_id", "old_hs"))
     // the rep-collapsed store's membership (identity for pre-layout
     // generations): band/verify work runs once per stored GROUP, then
     // one equi-join fans the verified rep pair out to member pairs —
     // true output, linear in real matches (Dedup.storeGrp)
-    val grp = graft.operators.Dedup.storeGrp(s, store, "member_id")
+    val grp = staticSide(
+      graft.operators.Dedup.storeGrp(s, store, "member_id"))
     graft.operators.Dedup.jacStoreProbeRows(
         observeArrivals(docs, "doc_id", metrics))
       .join(oldBands, Seq("band", "bk"))
@@ -605,17 +624,19 @@ object Streams {
     val s = media.sparkSession
     // chain-aware (StoreCtl --delta lands increment-only phash
     // generations): the probe serves the union across the pointed
-    // generation's _PARENT chain — identity for self-contained gens
-    val oldBands = graft.operators.StoreFiles
+    // generation's _PARENT chain — identity for self-contained gens.
+    // Static sides cached once per stream — see staticSide.
+    val oldBands = staticSide(graft.operators.StoreFiles
       .readRelChain(s, store, "bands")
-      .toDF("owner_id", "band", "bv")
-    val oldSigs = graft.operators.StoreFiles
+      .toDF("owner_id", "band", "bv"))
+    val oldSigs = staticSide(graft.operators.StoreFiles
       .readRelChain(s, store, "sigs")
-      .toDF("owner_id", "old_phash")
+      .toDF("owner_id", "old_phash"))
     // rep-collapsed store membership (identity for pre-layout
     // generations): band/verify once per stored GROUP, one equi-join
     // fans the verified rep pair out to member pairs (Dedup.storeGrp)
-    val grp = graft.operators.Dedup.storeGrp(s, store, "member_id")
+    val grp = staticSide(
+      graft.operators.Dedup.storeGrp(s, store, "member_id"))
     graft.operators.Multimodal.phashProbeRows(
         observeArrivals(media, "doc_id", metrics))
       .join(oldBands, Seq("band", "bv"))

@@ -539,20 +539,38 @@ class PlanSpec extends AnyFunSuite {
       p: org.apache.spark.sql.execution.SparkPlan,
       relPathPart: String): Unit = {
     import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
     import org.apache.spark.sql.execution.exchange.Exchange
     import org.apache.spark.sql.execution.joins.BaseJoinExec
-    def storeScans(c: org.apache.spark.sql.execution.SparkPlan) =
+    // A store relation may be served either directly from its bucketed
+    // parquet scan or through a cache entry another consumer populated
+    // (r22: the streaming serve paths cache their static sides, and the
+    // session cache manager substitutes InMemoryRelation into every
+    // later plan over the same table). Both count — the cached
+    // relation preserves the bucketed scan's reported partitioning,
+    // which is what the exchange-free claim rests on — so the matcher
+    // looks THROUGH InMemoryTableScan into the cached plan.
+    def fileScans(c: SparkPlan): Seq[FileSourceScanExec] =
       c.collect {
         case f: FileSourceScanExec if f.relation.location.rootPaths
           .exists(_.toString.contains(relPathPart)) => f
       }
+    def storeScans(c: SparkPlan): Seq[FileSourceScanExec] =
+      c.collect {
+        case f: FileSourceScanExec if f.relation.location.rootPaths
+          .exists(_.toString.contains(relPathPart)) => Seq(f)
+        case m: InMemoryTableScanExec => fileScans(m.relation.cachedPlan)
+      }.flatten
     val joins = p.collect {
       case j: BaseJoinExec if j.children.exists(storeScans(_).nonEmpty) => j
     }
     assert(joins.nonEmpty,
       s"no join reads $relPathPart:\n${p.toString.take(4000)}")
     // the INNERMOST such join is the probe: its store-side child must
-    // be exchange-free scan→filter→project only
+    // be exchange-free scan→filter→project only (exchanges INSIDE a
+    // cached plan would be a one-time cache-build cost, but the
+    // bucketed relations are cached as bare scans — assert that too)
     val probe = joins.last
     val storeSide = probe.children.filter(storeScans(_).nonEmpty)
     assert(storeSide.nonEmpty)
@@ -560,6 +578,13 @@ class PlanSpec extends AnyFunSuite {
       assert(c.collect { case e: Exchange => e }.isEmpty,
         s"the $relPathPart side of the probe join shuffles:\n" +
           c.toString.take(3000))
+      def cachedPlans(x: SparkPlan): Seq[SparkPlan] =
+        x.collect { case m: InMemoryTableScanExec => m.relation.cachedPlan }
+      cachedPlans(c).foreach { cp =>
+        assert(cp.collect { case e: Exchange => e }.isEmpty,
+          s"the cached $relPathPart relation was built over a " +
+            s"shuffle:\n${cp.toString.take(3000)}")
+      }
       assert(storeScans(c).forall(_.bucketedScan),
         s"the $relPathPart scan is not bucketed:\n${c.toString.take(3000)}")
     }
