@@ -888,25 +888,30 @@ object TextAnalysis extends QueryPack {
   // a document's DISTINCT gram set is derivable inside its own row,
   // so it is computed map-side by the fused graft_word8grams kernel
   // (first-occurrence-distinct array_join(slice(toks, i, 8))). That
-  // removes two of the three shuffles the old shape paid: the
-  // explode→DISTINCT exchange of (doc_id, gram) STRINGS (the grams
-  // arrive already distinct per doc) and the doc-level gram-count
-  // aggregate (n_grams = size(gset), computed before the explode).
-  // The gram strings now cross the wire exactly once — the gram→min
-  // owner aggregate, which IS the query's semantics. The gset frame is
-  // cached because both aggregates scan it (the uncached-twice gotcha).
+  // removes the old shape's dominant exchange — the explode→DISTINCT
+  // shuffle of (doc_id, gram) STRINGS (8.5 MB / ~2.5 CPU-s at sf0.1):
+  // grams leave the kernel already distinct per doc, so the strings
+  // cross the wire only for the gram→min-owner aggregate that is the
+  // query's semantics. n_grams is deliberately still derived from the
+  // EXPLODED frame (a map-side-combinable count — NOT size() of the
+  // gram array before the explode): the bench's timed action is
+  // count(), under which Catalyst eliminates the outer join to
+  // `novel` (the aggregate's grouping key is provably unique, so the
+  // join is row-preserving) — with a pre-explode n_grams the
+  // count()-surviving subtree would be a bare documents scan and the
+  // bench would stop measuring this query's work at all (measured:
+  // one 0.2-CPU stage). The exploded frame is cached: both aggregates
+  // scan it (the uncached-twice gotcha).
   private def txtNovelty(s: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorFunctions.ensureRegistered(s)
-    val gsets = table(s, dir, "documents")
+    val grams = table(s, dir, "documents")
       .selectExpr("doc_id", "split(text, ' ') AS toks")
       .where("size(toks) >= 8")
-      .selectExpr("doc_id", "graft_word8grams(toks) AS gset")
+      .selectExpr("doc_id", "explode(graft_word8grams(toks)) AS gram")
       .cache()
-    val novel = gsets
-      .selectExpr("doc_id", "explode(gset) AS gram")
-      .groupBy("gram").agg(min(col("doc_id")).as("doc_id"))
+    val novel = grams.groupBy("gram").agg(min(col("doc_id")).as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("n_novel"))
-    gsets.selectExpr("doc_id", "cast(size(gset) AS bigint) AS n_grams")
+    grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
       .join(novel, Seq("doc_id"), "left")
       .selectExpr("doc_id", "n_grams",
         "coalesce(n_novel, bigint(0)) AS n_novel",
