@@ -113,6 +113,13 @@ object Bench {
     // (mmPhashRelations); mm_phash_cluster is its first-alphabetical
     // consumer, so its rep 1 pays the family build
     "mm_phash_cluster",
+    // r22: the incremental queries' PRIOR-phase assignment joined the
+    // registry (Dedup.priorLblCache — the stored-prior stand-in is
+    // corpus-deterministic), so each key's rep 1 now pays those LP
+    // rounds once per session and the medians are warm-rep-only, the
+    // same accounting shift as every family-sharing key above. Both
+    // keys are in AddedAfterR10, so the anchor channel is untouched.
+    "dd_cluster_incremental", "dd_embed_cluster_incremental",
     "dd_decontaminate", "dd_decontaminate_semantic",
     // r18: the containment pair family got the same rep-collapse —
     // each key's rep 1 materializes its registry relations (banded

@@ -2190,6 +2190,19 @@ object Dedup extends QueryPack {
   private[graft] val phashRelCache =
     new FrameRegistry[PairRelations](LpEdgeCacheMax)
 
+  /** The incremental queries' PRIOR-phase assignments, shared per
+    * (session, corpus) (r22, VERDICT item 4): the phase-1 LP — the
+    * stored-prior stand-in — is a pure function of the corpus, so its
+    * CONVERGED LABELS join the registry discipline the edge
+    * structures already follow (r21 shared only the structure; the
+    * 3 LP rounds, ~1.7 s at sf0.1, still re-ran per call). The first
+    * caller pays the rounds (priced in the bench's build channel —
+    * both incremental keys joined StoreBuildKeys with this change);
+    * warm calls serve the checkpointed assignment. Invalidated with
+    * every other derived frame.
+    */
+  private val priorLblCache = new FrameRegistry[DataFrame](LpEdgeCacheMax)
+
   private def lpEdgesFor(session: SparkSession, key: String)
                         (build: => LpEdges): LpEdges =
     lpEdgeCache.getOrBuild(session, key)(build)
@@ -2215,6 +2228,7 @@ object Dedup extends QueryPack {
     cosRelCache.invalidate(session, dir)
     contRelCache.invalidate(session, dir)
     phashRelCache.invalidate(session, dir)
+    priorLblCache.invalidate(session, dir)
   }
 
   /** Fixed-name builder views whose EAGER checkpoints pin executor
@@ -2255,6 +2269,7 @@ object Dedup extends QueryPack {
     cosRelCache.clear()
     contRelCache.clear()
     phashRelCache.clear()
+    priorLblCache.clear()
     unpersistAllTracked()
   }
 
@@ -2642,15 +2657,19 @@ object Dedup extends QueryPack {
     val pairsAll = ddClusterIncrementalEdges(s, dir)
     val docs = incrementalDocFlags(s, dir)
     // phase 1 — the stored prior assignment (stand-in): LP over the
-    // old corpus's own edges
-    val lblA = labelPropagate("dd_cluster_incremental#prior",
-      pairsAll.filter("NOT a_new AND NOT b_new").select("doc_a", "doc_b"),
-      docs.filter("NOT is_new").select("doc_id"),
-      // the prior graph's closure structure is corpus-deterministic —
-      // share it like every other LP edge structure (r21); the merge
-      // phase's contracted edges depend on this phase's output and
-      // stay per-call
-      shareKey = Some(s"cinc_prior_edges|$dir"))
+    // old corpus's own edges. Corpus-deterministic end to end, so the
+    // CONVERGED ASSIGNMENT is registry-shared per (session, corpus)
+    // (r22 — r21 shared only the closure structure and still re-ran
+    // the rounds per call); the merge phase's contracted edges depend
+    // on this phase's output and stay per-call.
+    val lblA = priorLblCache.getOrBuild(s, s"cinc_prior_lbl|$dir") {
+      labelPropagate("dd_cluster_incremental#prior",
+        pairsAll.filter("NOT a_new AND NOT b_new")
+          .select("doc_a", "doc_b"),
+        docs.filter("NOT is_new").select("doc_id"),
+        shareKey = Some(s"cinc_prior_edges|$dir"))
+        .truncated()
+    }
     // phase 2 — the increment: only edges touching the new batch
     contractedMerge("dd_cluster_incremental#merge", lblA,
       pairsAll.filter("a_new OR b_new").select("doc_a", "doc_b"),
@@ -3496,12 +3515,15 @@ object Dedup extends QueryPack {
     val split = embedSplit(s, dir)
     // vec_a < vec_b by construction, so an edge is old-old iff its
     // MAX endpoint is old — the two filters partition the edge set
-    val lblA = labelPropagate("dd_embed_cluster_incremental#prior",
-      pairsAll.filter(col("vec_b") < split).toDF("doc_a", "doc_b"),
-      ids.filter(col("vec_id") < split).toDF("doc_id"),
-      // corpus-deterministic prior closure structure — shared like
-      // every other LP edge structure (r21)
-      shareKey = Some(s"einc_prior_edges|$dir"))
+    // corpus-deterministic prior phase, assignment registry-shared
+    // per (session, corpus) — see priorLblCache (r22)
+    val lblA = priorLblCache.getOrBuild(s, s"einc_prior_lbl|$dir") {
+      labelPropagate("dd_embed_cluster_incremental#prior",
+        pairsAll.filter(col("vec_b") < split).toDF("doc_a", "doc_b"),
+        ids.filter(col("vec_id") < split).toDF("doc_id"),
+        shareKey = Some(s"einc_prior_edges|$dir"))
+        .truncated()
+    }
     contractedMerge("dd_embed_cluster_incremental#merge", lblA,
       pairsAll.filter(col("vec_b") >= split).toDF("doc_a", "doc_b"),
       ids.filter(col("vec_id") >= split).toDF("doc_id"))
