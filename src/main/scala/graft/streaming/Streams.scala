@@ -680,7 +680,10 @@ object Streams {
       : Dataset[AnnHit] = {
     val s = queries.sparkSession
     import s.implicits._
-    val model = graft.operators.Similarity.IvfPqStore.load(s, store)
+    val loaded = graft.operators.Similarity.IvfPqStore.load(s, store)
+    // the code table is the stream-static join's static side — cached
+    // once per stream like the other store probes (see staticSide)
+    val model = loaded.copy(codes = staticSide(loaded.codes))
     graft.operators.Similarity.annServeCandidates(
         observeArrivals(queries, "vec_id", metrics), model)
       .as[AnnCand]

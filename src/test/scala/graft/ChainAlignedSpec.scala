@@ -51,11 +51,19 @@ class ChainAlignedSpec extends AnyFunSuite {
 
   private def served: String = StoreFiles.serve(root).toOption.get
 
+  // Looks THROUGH InMemoryTableScan into the cached plan (r22: the
+  // streaming serve paths cache their static sides; the cached
+  // relation preserves the aligned chain scan's reported partitioning,
+  // which is what these pins assert) — the PlanSpec helper's rule.
   private def chainScans(p: SparkPlan): Seq[FileSourceScanExec] =
     p.collect {
       case f: FileSourceScanExec
-        if f.tableIdentifier.exists(_.table.startsWith("graft_chn_")) => f
-    }
+        if f.tableIdentifier.exists(_.table.startsWith("graft_chn_")) =>
+        Seq(f)
+      case m: org.apache.spark.sql.execution.columnar
+          .InMemoryTableScanExec =>
+        chainScans(m.relation.cachedPlan)
+    }.flatten
 
   test("aligned chain read = the per-generation union, and each depth " +
       "partition holds exactly its generation's rows, newest at 0") {
@@ -210,10 +218,14 @@ class ChainAlignedSpec extends AnyFunSuite {
     Dedup.withAqeOff(spark) {
       val p = streaming.Streams.annServeStream(queries, cur)
         .queryExecution.executedPlan
-      def codesScans(c: SparkPlan) = c.collect {
+      // looks through the stream's cached static side (see chainScans)
+      def codesScans(c: SparkPlan): Seq[FileSourceScanExec] = c.collect {
         case f: FileSourceScanExec if f.relation.location.rootPaths
-          .exists(_.toString.contains("/codes")) => f
-      }
+          .exists(_.toString.contains("/codes")) => Seq(f)
+        case m: org.apache.spark.sql.execution.columnar
+            .InMemoryTableScanExec =>
+          codesScans(m.relation.cachedPlan)
+      }.flatten
       val joins = p.collect {
         case j: BaseJoinExec
           if j.children.exists(codesScans(_).nonEmpty) => j
