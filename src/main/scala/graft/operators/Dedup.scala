@@ -742,7 +742,8 @@ object Dedup extends QueryPack {
          |FROM $sv s
          |JOIN (SELECT DISTINCT rep FROM $gv) r ON s.doc_id = r.rep"""
         .stripMargin)
-      .coalesce(4).truncated()
+      // count-derived width, not the old literal 4 — see repPartitions
+      .coalesce(repPartitions(s, grp.count())).truncated()
       .createOrReplaceTempView(rv)
     val bandSelects = (0 until JacBands)
       .map(b => s"SELECT doc_id, $b AS band, ${jacBandKeySpark(b)} AS bk" +
@@ -933,7 +934,8 @@ object Dedup extends QueryPack {
       s"""SELECT s.doc_id, s.hs FROM $sv s
          |JOIN (SELECT DISTINCT rep FROM $gv) r ON s.doc_id = r.rep"""
         .stripMargin)
-      .coalesce(4).truncated()
+      // count-derived width, not the old literal 4 — see repPartitions
+      .coalesce(repPartitions(s, grp.count())).truncated()
       .createOrReplaceTempView(rv)
     val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
     val ver = s.sql(
@@ -1780,7 +1782,9 @@ object Dedup extends QueryPack {
       s"""SELECT s.vec_id, s.bks FROM $ev s
          |JOIN (SELECT DISTINCT rep FROM $gv) r ON s.vec_id = r.rep"""
         .stripMargin)
-      .coalesce(4).truncated().createOrReplaceTempView(rv)
+      // count-derived width, not the old literal 4 — see repPartitions
+      .coalesce(repPartitions(s, grp.count())).truncated()
+      .createOrReplaceTempView(rv)
     // Band-side zero-norm guard — the embedding-space twin of
     // jacBandGuard: a zero vector's hyperplane dots are all 0, so its
     // sign buckets are the CONSTANT key in every band (all zero-norm
@@ -1884,18 +1888,25 @@ object Dedup extends QueryPack {
     val ev = ensureCosE(s, dir)
     val gv = uview("ec_grp"); val rsv = uview("ec_repsigs")
     val rbv = uview("ec_repbands")
-    embedGrpFrame(s, ev).createOrReplaceTempView(gv)
+    val grp = embedGrpFrame(s, ev)
+    grp.createOrReplaceTempView(gv)
+    // count-derived widths, not the old literal 4s (see repPartitions):
+    // the membership count bounds reps from above; the band relation
+    // is CosBands rows per rep
+    val nGrp = grp.count()
     s.sql(
       s"""SELECT s.vec_id, s.bks FROM $ev s
          |JOIN (SELECT DISTINCT rep FROM $gv) r ON s.vec_id = r.rep"""
         .stripMargin)
-      .coalesce(4).truncated().createOrReplaceTempView(rsv)
+      .coalesce(repPartitions(s, nGrp)).truncated()
+      .createOrReplaceTempView(rsv)
     s.sql(
       (0 until CosBands)
         .map(b => s"SELECT vec_id, $b AS band," +
           s" element_at(bks, ${b + 1}) AS bkt FROM $rsv")
         .mkString(" UNION ALL "))
-      .coalesce(4).truncated().createOrReplaceTempView(rbv)
+      .coalesce(repPartitions(s, CosBands.toLong * nGrp)).truncated()
+      .createOrReplaceTempView(rbv)
     val edges = s.sql(
       s"""WITH cand AS (
          |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
